@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Dev-only oracle checker (mirrors the driver's DuckDB correctness gate).
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query result parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB against the sf parquet tables,
+sorts columns by name and rows by all columns, and compares values.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # lists -> tuples so they sort/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            spark_df = norm(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            ora_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if list(spark_df.columns) != list(ora_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(ora_df.columns)}"); n_fail += 1; continue
+        if len(spark_df) != len(ora_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(ora_df)}"); n_fail += 1; continue
+        eq = spark_df.astype(str).equals(ora_df.astype(str))
+        if eq:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+        else:
+            diff = (spark_df.astype(str) != ora_df.astype(str))
+            bad = diff.any(axis=1)
+            print(f"FAIL {name}: value mismatch in {int(bad.sum())}/{len(spark_df)} rows")
+            print("  spark:", spark_df[bad].head(3).to_dict("records"))
+            print("  oracle:", ora_df[bad].head(3).to_dict("records"))
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

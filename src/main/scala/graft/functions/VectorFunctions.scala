@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance / similarity primitives over `ARRAY<FLOAT>` columns.
+  *
+  * Mirrors the reference's metric surface (Euclidean default, cosine
+  * tested; reference `/root/reference/src/LMDiskANN.jl:58,62,242`) as
+  * Catalyst column expressions built from the codegen'd higher-order
+  * functions `zip_with` / `aggregate` — no UDFs, so the whole distance
+  * computation stays inside WholeStageCodegen and is usable in any
+  * pushed-down/pruned plan.
+  *
+  * Determinism contract (needed for the DuckDB oracle): every element is
+  * cast to double FIRST, then combined left-to-right in array order, so
+  * the floating-point result is bit-identical to any engine that does the
+  * same sequential fold (DuckDB `list_sum(list_transform(...))`).
+  *
+  * Scale note: these are per-row scalar expressions — they shuffle
+  * nothing and parallelize embarrassingly. At 100 TB the cost model is
+  * simply bytes-scanned; keep the vector column pruned (`select` only
+  * `vec`) and these expressions pipeline inside the scan stage.
+  */
+object VectorFunctions {
+
+  /** Sum of an `ARRAY<DOUBLE>` column, sequential left-to-right fold. */
+  private def seqSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (s, v) => s + v)
+
+  /** Squared Euclidean distance between two float-array columns. */
+  def squaredEuclidean(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }))
+
+  /** Euclidean (L2) distance — the reference's default metric. */
+  def euclidean(a: Column, b: Column): Column = sqrt(squaredEuclidean(a, b))
+
+  /** Dot product. */
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine distance = 1 - cosine similarity (Distances.jl CosineDist). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** L2-normalize a float array column (returns ARRAY<DOUBLE>).
+    * Cosine search at scale = normalize once, then Euclidean/dot. */
+  def l2Normalize(a: Column): Column =
+    transform(a, x => x.cast("double") / l2Norm(a))
+}

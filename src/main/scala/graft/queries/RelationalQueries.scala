@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational analytics over the TPC-H-ish fixture tables — the engine's
+  * general query surface (scan/filter/project/agg/join/window/top-k,
+  * SURVEY.md §2.2 categories).
+  *
+  * Scale design notes (local[32] now, 1000 executors later):
+  *  - Aggregations use exact decimal sums (Tables.dec) so results are
+  *    order-independent: partial (map-side) aggregation + shuffle by
+  *    group key is the plan Catalyst picks, and the result is identical
+  *    at any parallelism.
+  *  - Dimension tables (nation/region/customer at this ratio) are
+  *    broadcast explicitly — no shuffle of the fact table for joins.
+  *  - Window top-k shuffles by partition key only, and AQE coalesces
+  *    the post-shuffle partitions.
+  */
+object RelationalQueries {
+
+  /** Flagship pricing summary (TPC-H Q1 shape) over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asD(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue by nation: fact table joined to broadcast dims
+    * (customer -> nation), grouped. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        asD(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-3 orders per customer by total price — window top-k with
+    * deterministic tie-break. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asD(dec(col("o_totalprice"))).as("total_price"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Order-priority counts by status — semi-join shape (orders having
+    * at least one lineitem shipped after a date). */
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("l_orderkey")).distinct()
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q12_top_orders_per_customer" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, total_price, rnk FROM r
+        |WHERE rnk <= 3 AND o_custkey <= 100 ORDER BY o_custkey, rnk""".stripMargin,
+    "q13_order_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate >= TIMESTAMP '1995-01-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q11_revenue_by_nation" -> (revenueByNation _),
+    "q12_top_orders_per_customer" -> (topOrdersPerCustomer _),
+    "q13_order_priority_count" -> (orderPriorityCount _)
+  )
+}

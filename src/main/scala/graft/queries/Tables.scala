@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-checked query inventory. */
+object Tables {
+
+  /** Read one of the driver fixture tables from an sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-money arithmetic: double -> decimal(18,4) so sums are exact
+    * and order-independent (shuffle-safe), then back to double at the
+    * very end. The DuckDB oracle applies the identical cast chain, so
+    * results hash-match bit-for-bit regardless of aggregation order —
+    * this is what makes distributed sums reproducible at any scale. */
+  def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Final cast for an exact decimal aggregate back to double. */
+  def asD(c: Column): Column = c.cast("double")
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import Tables._
+
+/** Driver-checked queries covering the reference's vector-index surface
+  * (SURVEY.md §2 ops #8, #14-15, #18-26, plus insert/delete semantics
+  * #6-#7) re-expressed as declarative Spark plans over the
+  * `embeddings` fixture (`vec_id BIGINT, embedding ARRAY<FLOAT>,
+  * label INT`).
+  *
+  * ID/key semantics follow the reference contract (SURVEY §4.3 Q1/Q2):
+  * public IDs are 1-based (`public_id = vec_id + 1`), the auto-generated
+  * key is the stringified public ID
+  * (`/root/reference/src/LMDiskANN.jl:553-556`).
+  *
+  * Scale design: every query here is a broadcast-join + scan + partial
+  * top-k shape. The query set (10 vectors) broadcasts; the embeddings
+  * scan is the only large input and is never shuffled in full — the
+  * window top-k shuffles only (n_queries × k)-bounded data after AQE
+  * partial aggregation. At 100 TB the same plan holds: small side
+  * broadcast, big side scanned once, column-pruned to (vec_id, embedding).
+  */
+object VectorQueries {
+
+  private val K = 10
+
+  /** Queries = the first 10 vectors, used as self-queries (mirrors the
+    * reference's self-query recall tests, test/runtests.jl:410-459). */
+  private def querySet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** Exact top-k nearest neighbors, Euclidean — op #8's exact path
+    * (recall 1.0 baseline; reference search src/LMDiskANN.jl:455-481). */
+  def knnExactL2(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = querySet(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Exact top-k, cosine distance — the reference's second tested metric
+    * (test/runtests.jl:37-67). */
+  def knnExactCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = querySet(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (round(cosineDistance(col("qvec"), col("embedding")), 4) + lit(0.0)).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Point lookup: embedding by 1-based public ID (op #14). */
+  def lookupById(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select((col("vec_id") + 1).as("public_id"), col("embedding"), col("label"))
+      .filter(col("public_id").isin(1, 7, 42, 99, 250))
+      .orderBy(col("public_id"))
+
+  /** Point lookup by key (ops #15/#19): auto-key = string(public_id). */
+  def lookupByKey(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        (col("vec_id") + 1).cast("string").as("key"),
+        (col("vec_id") + 1).as("public_id"),
+        col("embedding"))
+      .filter(col("key").isin("1", "7", "42", "99", "250"))
+      .orderBy(col("public_id"))
+
+  /** Key <-> ID mapping table, both directions from one table
+    * (ops #16-#22; replaces the reference's LevelDB pair). */
+  def mappingTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        (col("vec_id") + 1).as("id"),
+        (col("vec_id") + 1).cast("string").as("key"))
+      .orderBy(col("id"))
+
+  /** count_entries (op #25). */
+  def mappingCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").agg(count(lit(1)).as("n_entries"))
+
+  /** list_all_keys (op #26), deterministic order. */
+  def mappingListKeys(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select((col("vec_id") + 1).cast("string").as("key"))
+      .orderBy(length(col("key")), col("key"))
+
+  /** Delete-then-search semantics (op #7 + Q5): tombstoned IDs are
+    * excluded from search results and the top-k re-fills. Deleted set =
+    * public IDs {2,3,5,8} (keys "2","3" deleted by key, ids 5,8 by id —
+    * mirrors the reference's alternating delete test,
+    * test/runtests.jl:294-397). */
+  def deleteThenSearch(spark: SparkSession, dir: String): DataFrame = {
+    val deleted = Seq(2L, 3L, 5L, 8L) // 1-based public ids
+    val e = t(spark, dir, "embeddings")
+      .filter(!(col("vec_id") + 1).isin(deleted: _*))
+    val q = querySet(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        (col("vec_id") + 1).as("neighbor_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Insert-then-search semantics (op #6): three new vectors (copies of
+    * vectors 0..2 under fresh IDs 10001..10003, matching freelist-free
+    * append) become findable; each new vector's nearest neighbor at
+    * dist 0 is its source or itself. */
+  def insertThenSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val inserted = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val all = e.unionByName(inserted)
+    val q = inserted.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    all.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB-side Euclidean distance between list columns a and b,
+    * element-wise in array order — bit-identical to VectorFunctions
+    * .euclidean (sequential double fold). */
+  private def l2Sql(a: String, b: String): String =
+    s"ROUND(SQRT(list_sum(list_transform(range(1, len($b)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))), 4)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($b)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "q02_knn_exact_l2" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q03_knn_exact_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ROUND(1.0 - ${dotSql("q.qvec", "e.embedding")} /
+         |                   (SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 4) + 0.0 AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q04_lookup_by_id" ->
+      """SELECT vec_id + 1 AS public_id, embedding, label FROM embeddings
+        |WHERE vec_id + 1 IN (1, 7, 42, 99, 250) ORDER BY public_id""".stripMargin,
+    "q05_lookup_by_key" ->
+      """SELECT CAST(vec_id + 1 AS VARCHAR) AS key, vec_id + 1 AS public_id, embedding
+        |FROM embeddings WHERE CAST(vec_id + 1 AS VARCHAR) IN ('1','7','42','99','250')
+        |ORDER BY public_id""".stripMargin,
+    "q06_mapping_table" ->
+      "SELECT vec_id + 1 AS id, CAST(vec_id + 1 AS VARCHAR) AS key FROM embeddings ORDER BY id",
+    "q07_mapping_count" ->
+      "SELECT COUNT(*) AS n_entries FROM embeddings",
+    "q08_mapping_list_keys" ->
+      """SELECT CAST(vec_id + 1 AS VARCHAR) AS key FROM embeddings
+        |ORDER BY LENGTH(key), key""".stripMargin,
+    "q09_delete_then_search" ->
+      s"""WITH live AS (SELECT * FROM embeddings WHERE vec_id + 1 NOT IN (2,3,5,8)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id + 1 AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM live e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q10_insert_then_search" ->
+      s"""WITH ins AS (SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3),
+         |all_v AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM ins),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM ins),
+         |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM all_v e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_knn_exact_l2" -> (knnExactL2 _),
+    "q03_knn_exact_cosine" -> (knnExactCosine _),
+    "q04_lookup_by_id" -> (lookupById _),
+    "q05_lookup_by_key" -> (lookupByKey _),
+    "q06_mapping_table" -> (mappingTable _),
+    "q07_mapping_count" -> (mappingCount _),
+    "q08_mapping_list_keys" -> (mappingListKeys _),
+    "q09_delete_then_search" -> (deleteThenSearch _),
+    "q10_insert_then_search" -> (insertThenSearch _)
+  )
+}
