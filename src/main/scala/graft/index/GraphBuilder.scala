@@ -1,0 +1,153 @@
+package graft.index
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Distributed bounded-degree proximity-graph construction — the bulk
+  * analog of the reference's one-vector-at-a-time wiring
+  * (`/root/reference/src/LMDiskANN.jl:531-584`). The reference inserts
+  * sequentially (self-search → wire → truncate-prune); at 100 TB that
+  * is not viable, so the Spark-native build computes the same *shape*
+  * of graph (maxdegree-closest neighbors per node, symmetrized,
+  * truncation-pruned — reference `_prune_neighbors` semantics,
+  * src/LMDiskANN.jl:491-505) as one declarative plan.
+  *
+  * Two strategies:
+  *  - `exactKnnGraph`: all-pairs distances + per-node window top-k.
+  *    O(n²) — correct at any n, affordable to ~10⁴-10⁵ rows; this is
+  *    also the brute-force oracle for recall tests.
+  *  - `lshKnnGraph`: MLlib BucketedRandomProjectionLSH bucketing; only
+  *    same-bucket pairs are scored, then the same top-k prune. The join
+  *    is an equi-join on (hashTable, bucket) — shuffle-partitioned,
+  *    no cross product — so it scales linearly with bucket occupancy.
+  *    This is the 100 TB path: 1000 executors each score their buckets.
+  *
+  * Cosine is built on L2-normalized vectors + Euclidean: for unit
+  * vectors ||a-b||² = 2 - 2·cos(a,b), a monotone map, so neighbor
+  * *ranking* (all this graph needs) is identical.
+  */
+object GraphBuilder {
+
+  /** Per-node top-k neighbor selection from a scored edge list
+    * (src, dst, dist), deterministic tie-break on dst. Returns
+    * (id, nbrs ARRAY<BIGINT> sorted by distance). */
+  private def topKPerNode(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    edges
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("src").as("id"))
+      .agg(transform(array_sort(collect_list(struct(col("rnk"), col("dst")))),
+        s => s.getField("dst")).as("nbrs"))
+  }
+
+  /** Symmetrize + degree-bound: union both edge directions, then keep
+    * the maxDegree closest per node (reference back-edge + prune,
+    * src/LMDiskANN.jl:567-573). */
+  def symmetrizeAndPrune(edges: DataFrame, maxDegree: Int): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"), col("dist"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    topKPerNode(bidir, maxDegree)
+  }
+
+  private def distCol(metric: Metric) = metric match {
+    case Metric.Euclidean => VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
+    case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
+  }
+
+  /** Exact kNN edge list via self cross-join. Input: (id, vec). */
+  def exactKnnEdges(vectors: DataFrame, k: Int, metric: Metric): DataFrame = {
+    val a = vectors.select(col("id").as("src"), col("vec").as("a_vec"))
+    val b = vectors.select(col("id").as("dst"), col("vec").as("b_vec"))
+    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    a.crossJoin(b)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), distCol(metric).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+
+  /** Exact maxdegree-closest graph: edges + symmetrize + prune. */
+  def exactKnnGraph(vectors: DataFrame, maxDegree: Int, metric: Metric): DataFrame =
+    symmetrizeAndPrune(exactKnnEdges(vectors, maxDegree, metric), maxDegree)
+
+  /** LSH-bucketed kNN edge list: same-bucket candidate pairs only.
+    *
+    * @param bucketLength width of the random-projection quantization
+    *                     bucket; if <= 0 it is estimated from a sample
+    *                     (mean pairwise distance / 2 — wide enough that
+    *                     near neighbors co-bucket in several tables).
+    */
+  def lshKnnEdges(
+      vectors: DataFrame,
+      k: Int,
+      metric: Metric,
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0): DataFrame = {
+    val spark = vectors.sparkSession
+    // cosine = euclidean ranking on L2-normalized copies
+    val prepared = metric match {
+      case Metric.Euclidean => vectors.select(col("id"), col("vec"))
+      case Metric.Cosine => vectors.select(col("id"),
+        VectorFunctions.l2Normalize(col("vec")).cast("array<float>").as("vec"))
+    }
+    val bl =
+      if (bucketLength > 0) bucketLength
+      else {
+        // sample-based scale estimate: mean distance among ~200 sampled rows
+        val sample = prepared.select(col("id"), col("vec")).limit(200)
+          .withColumnRenamed("id", "src").withColumnRenamed("vec", "a_vec")
+        val sample2 = sample.select(col("src").as("dst"), col("a_vec").as("b_vec"))
+        val mean = sample.crossJoin(sample2).filter(col("src") < col("dst"))
+          .select(avg(VectorFunctions.euclidean(col("a_vec"), col("b_vec"))).as("m"))
+          .head().getDouble(0)
+        math.max(mean / 2.0, 1e-6)
+      }
+    val featured = prepared.withColumn("features", array_to_vector(col("vec")))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setBucketLength(bl)
+      .setSeed(42L)
+      .fit(featured)
+    val hashed = model.transform(featured)
+      .select(col("id"), col("vec"), posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
+      .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
+      .drop("bucketVec")
+    val left = hashed.select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
+    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
+    val cand = left.join(right, Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    val pruned = cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k).drop("rnk")
+    // re-score with the true metric when cosine (dist column currently
+    // euclidean-on-normalized; ranking equal, magnitudes differ)
+    metric match {
+      case Metric.Euclidean => pruned
+      case Metric.Cosine =>
+        val v = vectors.select(col("id"), col("vec"))
+        pruned
+          .join(v.select(col("id").as("src"), col("vec").as("a_vec")), "src")
+          .join(v.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
+          .select(col("src"), col("dst"),
+            VectorFunctions.cosineDistance(col("a_vec"), col("b_vec")).as("dist"))
+    }
+  }
+
+  /** LSH-built maxdegree graph (the scale path). */
+  def lshKnnGraph(
+      vectors: DataFrame,
+      maxDegree: Int,
+      metric: Metric,
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0): DataFrame =
+    symmetrizeAndPrune(lshKnnEdges(vectors, maxDegree, metric, numHashTables, bucketLength), maxDegree)
+}

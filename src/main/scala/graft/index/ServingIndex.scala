@@ -1,0 +1,228 @@
+package graft.index
+
+import scala.collection.mutable
+
+/** Single-node serving engine: the LM-DiskANN greedy graph search plus
+  * online insert/delete, mirroring the reference's observable semantics
+  * (`/root/reference/src/LMDiskANN.jl`):
+  *
+  *  - public IDs are 1-based, internal 0-based (SURVEY §4.3 Q1;
+  *    reference `:477-479,564-565`)
+  *  - auto-key = stringified public ID (Q2; `:553-556`)
+  *  - insert wires via self-search with ef=300 then truncation-prunes
+  *    each touched neighbor to the maxdegree closest (`:531-584`,
+  *    `_prune_neighbors` `:491-505` — plain truncation, NOT the α-RNG
+  *    prune, deliberately matching the reference)
+  *  - delete unlinks the victim from its neighbors only — no
+  *    connectivity repair (Q3; `:605-646`); entrypoint re-election is
+  *    first-live-ascending (Q4; `:630-638`); freed slots are recycled
+  *    LIFO (`:534,640`)
+  *  - search = greedy best-first bounded by ef, exact re-rank, then
+  *    key lookup; deleted nodes are unreachable (Q5; `:383-481`)
+  *
+  * Differences from the reference are fixes, not drift: candidate/result
+  * queues are heaps (the reference re-sorts a vector each iteration,
+  * SURVEY §4.2), and re-inserting an existing key atomically remaps it
+  * (Q7 stale-reverse-entry bug fixed).
+  *
+  * Role in the Spark architecture: this is the *driver/serving-side*
+  * component — graph construction and batch search run distributed (see
+  * [[GraphBuilder]] / [[VectorIndex]]); this class serves point queries
+  * over a built graph, exactly like the reference's mmap-resident index
+  * serves queries on one node. At 100 TB the graph is sharded: one
+  * ServingIndex per partition-range with a top-level router (scatter-
+  * gather over k shards), which composes because greedy search is
+  * per-shard local and the final exact re-rank merges k sorted lists.
+  */
+final class ServingIndex(
+    val dim: Int,
+    val maxDegree: Int = ServingIndex.DefaultMaxDegree,
+    val metric: Metric = Metric.Euclidean,
+    val defaultEf: Int = ServingIndex.DefaultEfSearch) extends Serializable {
+
+  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+  private val freelist = mutable.ArrayBuffer.empty[Int] // LIFO via last
+  private val freeSet = mutable.HashSet.empty[Int]
+  private var entryPoint: Int = -1
+  private val keyToId = mutable.HashMap.empty[String, Int]
+  private val idToKey = mutable.HashMap.empty[Int, String]
+
+  def numPoints: Int = vecs.length - freelist.length
+  def entrypoint: Int = entryPoint
+  def isEmpty: Boolean = numPoints == 0
+
+  private def isLive(id: Int): Boolean =
+    id >= 0 && id < vecs.length && !freeSet.contains(id)
+
+  private def d(q: Array[Float], id: Int): Double = metric.dist(q, vecs(id))
+
+  /** Greedy best-first expansion bounded by ef (reference `_search_graph`,
+    * src/LMDiskANN.jl:383-431). Returns internal IDs sorted by distance. */
+  private def searchGraph(q: Array[Float], ef: Int): IndexedSeq[Int] = {
+    if (entryPoint < 0 || !isLive(entryPoint)) return IndexedSeq.empty
+    // min-heap of candidates to expand; max-heap of kept results
+    val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
+    val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+    val visited = mutable.HashSet.empty[Int]
+    val d0 = d(q, entryPoint)
+    candidates.enqueue((d0, entryPoint))
+    results.enqueue((d0, entryPoint))
+    visited += entryPoint
+    while (candidates.nonEmpty) {
+      val (cd, c) = candidates.dequeue()
+      // terminate when the best remaining candidate is worse than the
+      // worst kept result and the result list is full
+      if (results.size >= ef && cd > results.head._1) {
+        candidates.clear()
+      } else {
+        val nbrs = adj(c)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.contains(nb) && isLive(nb)) {
+            visited += nb
+            val nd = d(q, nb)
+            if (results.size < ef || nd < results.head._1) {
+              candidates.enqueue((nd, nb))
+              results.enqueue((nd, nb))
+              if (results.size > ef) results.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val drained: IndexedSeq[(Double, Int)] = results.dequeueAll.toIndexedSeq
+    drained.reverse.map(_._2)
+  }
+
+  /** Top-k ANN search. Returns (key, 1-based public id) pairs, nearest
+    * first — reference `search` (src/LMDiskANN.jl:455-481). */
+  def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long)] = {
+    if (isEmpty) return IndexedSeq.empty
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    val effEf = math.max(topk, if (ef <= 0) defaultEf else ef)
+    val cand = searchGraph(q, effEf)
+    // exact re-rank (distances are already exact; sort for determinism)
+    cand.sortBy(id => (d(q, id), id))
+      .take(topk)
+      .map(id => (idToKey.get(id), (id + 1).toLong))
+  }
+
+  /** Truncation prune: keep the maxDegree closest to the node
+    * (reference `_prune_neighbors`, src/LMDiskANN.jl:491-505). */
+  private def prune(nodeId: Int, candidates: Iterable[Int]): mutable.ArrayBuffer[Int] = {
+    val base = vecs(nodeId)
+    val distinct = candidates.toSeq.distinct.filter(c => c != nodeId && isLive(c))
+    val kept =
+      if (distinct.size <= maxDegree) distinct
+      else distinct.sortBy(c => (metric.dist(base, vecs(c)), c)).take(maxDegree)
+    mutable.ArrayBuffer.from(kept)
+  }
+
+  /** Insert a vector; returns (key, 1-based public id) — reference
+    * `ann_insert!` (src/LMDiskANN.jl:531-584). */
+  def insert(v: Array[Float], key: Option[String] = None): (String, Long) = {
+    require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
+    val id =
+      if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet -= r; r }
+      else { vecs += null; adj += mutable.ArrayBuffer.empty[Int]; vecs.length - 1 }
+    vecs(id) = v.clone()
+    val publicId = (id + 1).toLong
+    val k = key.getOrElse(publicId.toString)
+    if (entryPoint < 0 || numPoints == 1) {
+      entryPoint = id
+      adj(id) = mutable.ArrayBuffer.empty[Int]
+    } else {
+      // self-search for wiring targets (reference uses topk=maxdegree,
+      // default ef=300 — effective ef_construction is 300, SURVEY §4.1)
+      val nbrs = searchGraph(v, math.max(maxDegree, defaultEf)).take(maxDegree).filter(_ != id)
+      adj(id) = prune(id, nbrs)
+      var i = 0
+      while (i < adj(id).length) {
+        val nb = adj(id)(i)
+        adj(nb) += id
+        if (adj(nb).length > maxDegree) adj(nb) = prune(nb, adj(nb))
+        i += 1
+      }
+    }
+    // key registration; re-registering a key remaps it atomically (Q7 fix)
+    keyToId.get(k).foreach(old => idToKey.remove(old))
+    keyToId(k) = id
+    idToKey(id) = k
+    (k, publicId)
+  }
+
+  /** Delete by 1-based public ID — reference `ann_delete!`
+    * (src/LMDiskANN.jl:605-646). Silently ignores missing IDs. */
+  def delete(publicId: Long): Unit = {
+    val id = publicId.toInt - 1
+    if (!isLive(id)) return
+    // unlink from every neighbor's list (no further repair — Q3)
+    adj(id).foreach { nb => if (isLive(nb)) adj(nb) = adj(nb).filter(_ != id) }
+    adj(id) = mutable.ArrayBuffer.empty[Int]
+    freelist += id
+    freeSet += id
+    vecs(id) = null
+    if (entryPoint == id) {
+      // first-live-ascending re-election (Q4)
+      entryPoint = (0 until vecs.length).find(isLive).getOrElse(-1)
+    }
+    idToKey.remove(id).foreach(keyToId.remove)
+  }
+
+  /** Delete by key; returns false if the key is unknown. */
+  def deleteByKey(key: String): Boolean =
+    keyToId.get(key) match {
+      case Some(id) => delete(id + 1L); true
+      case None => false
+    }
+
+  /** Embedding by 1-based public ID (reference src/LMDiskANN.jl:658-667). */
+  def embeddingById(publicId: Long): Array[Float] = {
+    val id = publicId.toInt - 1
+    require(isLive(id), s"id $publicId is not a live vector")
+    vecs(id).clone()
+  }
+
+  /** Embedding by key (reference src/LMDiskANN.jl:678-687). */
+  def embeddingByKey(key: String): Array[Float] =
+    embeddingById(keyToId.getOrElse(key,
+      throw new NoSuchElementException(s"unknown key: $key")) + 1L)
+
+  def idForKey(key: String): Option[Long] = keyToId.get(key).map(_ + 1L)
+  def keyForId(publicId: Long): Option[String] = idToKey.get(publicId.toInt - 1)
+  def allKeys: Seq[String] = keyToId.keys.toSeq.sorted
+  def countKeys: Int = keyToId.size
+
+  /** Internal snapshot accessors for persistence ([[VectorIndex]]). */
+  private[index] def liveRows: Iterator[(Long, String, Array[Float], Array[Int])] =
+    (0 until vecs.length).iterator.filter(isLive).map { id =>
+      (id.toLong, idToKey.getOrElse(id, (id + 1).toString), vecs(id), adj(id).toArray)
+    }
+  private[index] def freeSlots: Seq[Int] = freelist.toSeq
+
+  private[index] def loadRow(id: Int, key: String, v: Array[Float], nbrs: Array[Int]): Unit = {
+    while (vecs.length <= id) { vecs += null; adj += mutable.ArrayBuffer.empty[Int] }
+    vecs(id) = v
+    adj(id) = mutable.ArrayBuffer.from(nbrs)
+    keyToId(key) = id
+    idToKey(id) = key
+  }
+  private[index] def finishLoad(entry: Int, free: Seq[Int]): Unit = {
+    freelist.clear(); freelist ++= free
+    freeSet.clear(); freeSet ++= free
+    // any slot never loaded and not in freelist is free too
+    (0 until vecs.length).foreach { i =>
+      if (vecs(i) == null && !freeSet.contains(i)) { freelist += i; freeSet += i }
+    }
+    entryPoint = if (entry >= 0 && isLive(entry)) entry else (0 until vecs.length).find(isLive).getOrElse(-1)
+  }
+}
+
+object ServingIndex {
+  /** Reference defaults (src/LMDiskANN.jl:18,20). */
+  val DefaultMaxDegree = 64
+  val DefaultEfSearch = 300
+}

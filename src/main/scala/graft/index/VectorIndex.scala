@@ -1,0 +1,301 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Index metadata — the Spark replacement for the reference's
+  * Julia-serialized `.meta` Dict (`/root/reference/src/LMDiskANN.jl:69-100`).
+  * Unlike the reference, the metric IS persisted (SURVEY §4.3 Q6 fix)
+  * and eltype is whitelist-validated (Q8 fix). `eltype` "Float16" is
+  * accepted and stored widened to Float (documented divergence,
+  * SURVEY §1.4). */
+final case class IndexMeta(
+    version: Long,
+    numPoints: Long,
+    dim: Int,
+    maxDegree: Int,
+    entrypoint: Int,
+    eltype: String,
+    metric: String,
+    freelist: Seq[Int]) {
+  require(Set("Float16", "Float32", "Float64").contains(eltype), s"bad eltype $eltype")
+  Metric.fromName(metric) // validate
+}
+
+/** Disk-resident vector index: versioned directory of Parquet tables +
+  * JSON metadata sidecar (SURVEY §1.4 mapping of `LMDiskANNIndex{T}`).
+  *
+  * Layout:
+  * {{{
+  *   <path>/meta.json                  — current IndexMeta (commit pointer)
+  *   <path>/v=<N>/vectors/             — id BIGINT, key STRING, vec ARRAY<FLOAT>
+  *   <path>/v=<N>/adjacency/           — id BIGINT, nbrs ARRAY<BIGINT>
+  * }}}
+  *
+  * Mutability on immutable storage (SURVEY §7 hard part a): every
+  * mutation writes a NEW version directory and then atomically swaps
+  * the `meta.json` pointer — readers of version N are never disturbed,
+  * a crashed writer leaves only an orphaned directory. This is the
+  * copy-on-write snapshot pattern; at 100 TB the vectors table is
+  * partitioned (hash by id) and an insert batch only appends new files,
+  * re-listing old ones in the manifest, so commit cost is O(batch) not
+  * O(index).
+  */
+final class VectorIndex private (
+    val spark: SparkSession,
+    val path: String,
+    val meta: IndexMeta) {
+
+  private def versionDir: String = s"$path/v=${meta.version}"
+
+  /** id BIGINT, key STRING, vec ARRAY<FLOAT> — live vectors only. */
+  def vectors: DataFrame = spark.read.schema(VectorIndex.vectorsSchema).parquet(s"$versionDir/vectors")
+
+  /** id BIGINT, nbrs ARRAY<BIGINT>. */
+  def adjacency: DataFrame = spark.read.schema(VectorIndex.adjacencySchema).parquet(s"$versionDir/adjacency")
+
+  def metric: Metric = Metric.fromName(meta.metric)
+
+  /** Materialize the serving engine (driver-side graph traversal) from
+    * the snapshot — the Spark analog of the reference's mmap open. */
+  def toServing: ServingIndex = {
+    val s = new ServingIndex(meta.dim, meta.maxDegree, metric)
+    val rows = vectors.join(adjacency, Seq("id"), "left")
+      .select(col("id"), col("key"), col("vec"), coalesce(col("nbrs"), array()).as("nbrs"))
+      .collect()
+    rows.foreach { r =>
+      s.loadRow(
+        r.getLong(0).toInt,
+        r.getString(1),
+        r.getSeq[Float](2).toArray,
+        r.getSeq[Long](3).map(_.toInt).toArray)
+    }
+    s.finishLoad(meta.entrypoint, meta.freelist)
+    s
+  }
+
+  /** Distributed exact top-k over the snapshot (recall-1.0 path). */
+  def searchExact(queries: DataFrame, topk: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors
+    val q = queries.select(col("query_id"), col("qvec"))
+    val dcol = metric match {
+      case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("qvec"), col("vec"))
+      case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("qvec"), col("vec"))
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
+    v.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), col("key"), dcol.as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), col("dist"), col("rnk"))
+  }
+
+  /** Batch insert: append vectors and rewire distributively, committing
+    * a new snapshot. Wiring = each new node gets its maxdegree-closest
+    * over (old ∪ new), existing nodes gain back-edges and are re-pruned
+    * — the batch analog of reference ann_insert! steps 5-6. */
+  def insertBatch(newVectors: DataFrame): VectorIndex = {
+    val startId = (vectors.agg(max(col("id"))).head().get(0) match {
+      case null => -1L
+      case l: Long => l
+    }) + 1L
+    import org.apache.spark.sql.expressions.Window
+    val wNew = Window.orderBy(col("key"))
+    val incoming = newVectors
+      .select(col("key"), col("vec"))
+      .withColumn("id", row_number().over(wNew).cast("long") + lit(startId) - 1L)
+      .select(col("id"),
+        coalesce(col("key"), (col("id") + 1).cast("string")).as("key"),
+        col("vec"))
+    val allVecs = vectors.unionByName(incoming)
+    // new edges: each incoming node scored against all points
+    val a = incoming.select(col("id").as("src"), col("vec").as("a_vec"))
+    val b = allVecs.select(col("id").as("dst"), col("vec").as("b_vec"))
+    val dcol = metric match {
+      case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
+      case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
+    }
+    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    val newEdges = a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), dcol.as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= meta.maxDegree).drop("rnk")
+    // existing adjacency as an edge list with distances for re-pruning
+    val vecById = allVecs.select(col("id"), col("vec"))
+    val oldEdges = adjacency
+      .select(col("id").as("src"), explode(col("nbrs")).as("dst"))
+      .join(vecById.select(col("id").as("src"), col("vec").as("a_vec")), "src")
+      .join(vecById.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
+      .select(col("src"), col("dst"), dcol.as("dist"))
+    val graph = GraphBuilder.symmetrizeAndPrune(oldEdges.unionByName(newEdges), meta.maxDegree)
+    val nInserted = incoming.count()
+    commit(allVecs, graph, meta.copy(
+      numPoints = meta.numPoints + nInserted,
+      entrypoint = if (meta.entrypoint < 0) 0 else meta.entrypoint))
+  }
+
+  /** Batch delete by public (1-based) IDs: drop rows, strip victims
+    * from every adjacency list, re-elect the entrypoint if needed
+    * (reference ann_delete! semantics, Q3/Q4). */
+  def deleteBatch(publicIds: Seq[Long]): VectorIndex = {
+    val victims = publicIds.map(_ - 1L).toSet
+    val victimCol = victims.toSeq
+    val remaining = vectors.filter(!col("id").isin(victimCol: _*))
+    val repaired = adjacency
+      .filter(!col("id").isin(victimCol: _*))
+      .select(col("id"),
+        filter(col("nbrs"), n => !n.isin(victimCol: _*)).as("nbrs"))
+    val nLeft = remaining.count()
+    val newEntry =
+      if (!victims.contains(meta.entrypoint.toLong)) meta.entrypoint
+      else remaining.agg(min(col("id"))).head().get(0) match {
+        case null => -1
+        case l: Long => l.toInt
+      }
+    commit(remaining, repaired, meta.copy(
+      numPoints = nLeft,
+      entrypoint = newEntry,
+      freelist = meta.freelist ++ victims.map(_.toInt)))
+  }
+
+  private def commit(vecs: DataFrame, adj: DataFrame, newMeta: IndexMeta): VectorIndex = {
+    val next = newMeta.copy(version = meta.version + 1)
+    val dir = s"$path/v=${next.version}"
+    vecs.select(col("id").cast("long"), col("key").cast("string"),
+      col("vec").cast("array<float>")).write.mode("overwrite").parquet(s"$dir/vectors")
+    adj.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
+      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    VectorIndex.writeMeta(path, next)
+    new VectorIndex(spark, path, next)
+  }
+
+  /** Persist a mutated serving index back as a new snapshot. */
+  def commitServing(s: ServingIndex): VectorIndex = {
+    import spark.implicits._
+    val rows = s.liveRows.map { case (id, key, vec, nbrs) =>
+      (id, key, vec.toSeq, nbrs.map(_.toLong).toSeq)
+    }.toSeq
+    val df = rows.toDF("id", "key", "vec", "nbrs")
+    commit(
+      df.select(col("id"), col("key"), col("vec").cast("array<float>")),
+      df.select(col("id"), col("nbrs")),
+      meta.copy(
+        numPoints = s.numPoints,
+        entrypoint = s.entrypoint,
+        freelist = s.freeSlots))
+  }
+}
+
+object VectorIndex {
+
+  val vectorsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  val adjacencySchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("nbrs", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Create an empty index (reference create_index, src/LMDiskANN.jl:239-264). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      dim: Int,
+      maxDegree: Int = ServingIndex.DefaultMaxDegree,
+      metric: Metric = Metric.Euclidean,
+      eltype: String = "Float32"): VectorIndex = {
+    val meta = IndexMeta(0L, 0L, dim, maxDegree, -1, eltype, metric.name, Nil)
+    val dir = s"$path/v=0"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorsSchema)
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], adjacencySchema)
+      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    writeMeta(path, meta)
+    new VectorIndex(spark, path, meta)
+  }
+
+  /** Open an existing index (reference load_index, src/LMDiskANN.jl:271-306). */
+  def load(spark: SparkSession, path: String): VectorIndex = {
+    val meta = readMeta(path)
+    val v = new VectorIndex(spark, path, meta)
+    require(Files.exists(Paths.get(s"$path/v=${meta.version}/vectors")), s"missing vectors table at $path")
+    v
+  }
+
+  /** Bulk build from a DataFrame of (id BIGINT 0-based, key STRING?, vec ARRAY<FLOAT>)
+    * — the north-star batch-construction path (BASELINE.json). Graph =
+    * exact kNN for small n, LSH-bucketed beyond `exactThreshold`. */
+  def build(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      dim: Int,
+      maxDegree: Int = ServingIndex.DefaultMaxDegree,
+      metric: Metric = Metric.Euclidean,
+      exactThreshold: Long = 20000L): VectorIndex = {
+    val vecs = source.select(
+      col("id").cast("long"),
+      (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
+       else (col("id") + 1).cast("string")).as("key"),
+      col("vec").cast("array<float>"))
+    val n = vecs.count()
+    val graph =
+      if (n <= exactThreshold)
+        GraphBuilder.exactKnnGraph(vecs.select(col("id"), col("vec")), maxDegree, metric)
+      else
+        GraphBuilder.lshKnnGraph(vecs.select(col("id"), col("vec")), maxDegree, metric)
+    val entry = vecs.agg(min(col("id"))).head().get(0) match {
+      case null => -1
+      case l: Long => l.toInt
+    }
+    val meta = IndexMeta(0L, n, dim, maxDegree, entry, "Float32", metric.name, Nil)
+    val dir = s"$path/v=0"
+    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+    graph.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
+      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    writeMeta(path, meta)
+    new VectorIndex(spark, path, meta)
+  }
+
+  // ------------------------------------------------------------- meta I/O
+
+  private[index] def writeMeta(path: String, m: IndexMeta): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val json =
+      s"""{"version":${m.version},"numPoints":${m.numPoints},"dim":${m.dim},""" +
+        s""""maxDegree":${m.maxDegree},"entrypoint":${m.entrypoint},""" +
+        s""""eltype":"${m.eltype}","metric":"${m.metric}",""" +
+        s""""freelist":[${m.freelist.mkString(",")}]}"""
+    // atomic pointer swap: write sidecar to a temp file, then move over
+    val tmp = Paths.get(s"$path/.meta.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$path/meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[index] def readMeta(path: String): IndexMeta = {
+    val json = new String(Files.readAllBytes(Paths.get(s"$path/meta.json")), StandardCharsets.UTF_8)
+    def longOf(k: String): Long = {
+      val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))
+      m.group(1).toLong
+    }
+    def strOf(k: String): String = {
+      val m = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))
+      m.group(1)
+    }
+    val freelist = """"freelist":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    IndexMeta(longOf("version"), longOf("numPoints"), longOf("dim").toInt,
+      longOf("maxDegree").toInt, longOf("entrypoint").toInt,
+      strOf("eltype"), strOf("metric"), freelist)
+  }
+}

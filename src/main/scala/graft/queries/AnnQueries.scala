@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Metric, VectorIndex}
+import Tables._
+
+/** Driver-checked queries for the approximate (graph-traversal) search
+  * path — the reference's core capability (ops #6-#13). These have no
+  * DuckDB oracle (graph ANN is not SQL-expressible); the driver records
+  * a rows-only check, and the rigorous quality gates live in ScalaTest
+  * (ServingIndexSpec / VectorIndexSpec recall tests). `q31_ann_recall`
+  * additionally SELF-REPORTS measured recall vs the exact oracle so the
+  * per-round artifacts expose search quality, not just row counts. */
+object AnnQueries {
+
+  private def source(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def buildServing(spark: SparkSession, dir: String) = {
+    val src = source(spark, dir)
+    val dim = src.select(size(col("vec"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32).toServing
+  }
+
+  /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
+  def annSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val serving = buildServing(spark, dir)
+    val queries = source(spark, dir).filter(col("id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = queries.flatMap { case (qid, qv) =>
+      serving.search(qv, topk = 10).zipWithIndex.map { case ((key, pid), i) =>
+        (qid, pid, key.getOrElse(""), i + 1)
+      }
+    }
+    rows.toSeq.toDF("query_id", "neighbor_public_id", "key", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the graph-ANN path vs the exact in-Spark
+    * brute-force oracle, over 30 self-queries (reference gate >= 0.70,
+    * test/runtests.jl:410-459). */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val serving = buildServing(spark, dir)
+    val all = source(spark, dir).collect()
+      .map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toArray))
+    val rng = new scala.util.Random(1)
+    val queries = rng.shuffle(all.toList).take(30)
+    val recalls = queries.map { case (_, qv) =>
+      val truth = all.sortBy { case (pid, v) => (Metric.Euclidean.dist(qv, v), pid) }
+        .take(10).map(_._1).toSet
+      val got = serving.search(qv, topk = 10).map(_._2).toSet
+      truth.intersect(got).size.toDouble / 10.0
+    }
+    Seq((queries.size, recalls.sum / recalls.size, recalls.min))
+      .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_ann_search" -> (annSearch _),
+    "q31_ann_recall" -> (annRecall _)
+  )
+
+  /** ANN graph traversal is not SQL-expressible — no oracles. */
+  val oracles: Map[String, String] = Map.empty
+}

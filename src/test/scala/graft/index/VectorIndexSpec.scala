@@ -1,0 +1,145 @@
+package graft.index
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persistence + distributed-build coverage: create/load round-trip
+  * (reference create_index/load_index/save_index), bulk graph build
+  * (north-star path), snapshot-versioned insert/delete batches, and
+  * the serving engine materialized from a snapshot. */
+class VectorIndexSpec extends SparkSpec {
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("create / load round-trip preserves metadata incl. metric (Q6 fix)") {
+    val path = tmpDir("idx-create")
+    val idx = VectorIndex.create(spark, path, dim = 8, maxDegree = 16, metric = Metric.Cosine)
+    assert(idx.meta.numPoints == 0)
+    val re = VectorIndex.load(spark, path)
+    assert(re.meta.dim == 8)
+    assert(re.meta.maxDegree == 16)
+    assert(re.meta.metric == "cosine")
+    assert(re.meta.entrypoint == -1)
+    assert(re.vectors.count() == 0)
+  }
+
+  test("eltype whitelist rejects junk (Q8 fix)") {
+    assertThrows[IllegalArgumentException](
+      IndexMeta(0, 0, 4, 16, -1, "System.exit(1)", "euclidean", Nil))
+    assertThrows[IllegalArgumentException](
+      IndexMeta(0, 0, 4, 16, -1, "Float32", "no-such-metric", Nil))
+  }
+
+  test("bulk build over embeddings fixture: graph invariants + serving recall") {
+    val path = tmpDir("idx-build")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    assert(idx.meta.numPoints == 500)
+    val adj = idx.adjacency
+    assert(adj.count() == 500)
+    // degree bound holds everywhere
+    assert(adj.filter(size(col("nbrs")) > 16).count() == 0)
+    // no self-loops
+    assert(adj.filter(array_contains(col("nbrs"), col("id"))).count() == 0)
+    // serving search: recall vs exact brute force
+    val serving = idx.toServing
+    val all = embeddings.collect().map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toArray))
+    val rng = new Random(1)
+    val queries = rng.shuffle(all.toList).take(20)
+    val recalls = queries.map { case (_, q) =>
+      val truth = all.sortBy { case (id, v) => (Metric.Euclidean.dist(q, v), id) }
+        .take(10).map(_._1).toSet
+      val got = serving.search(q, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"bulk-built graph serving recall@10 = $avg%.3f")
+    assert(avg >= 0.70)
+  }
+
+  test("searchExact returns recall-1.0 results with keys and 1-based ids") {
+    val path = tmpDir("idx-exact")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 8)
+    val q = embeddings.filter(col("id") === 0)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val res = idx.searchExact(q, topk = 5).orderBy(col("rnk")).collect()
+    assert(res.length == 5)
+    assert(res.head.getLong(1) == 1L) // nearest to itself, public id = 1
+    assert(res.head.getString(2) == "1") // auto key
+    assert(res.head.getDouble(3) == 0.0)
+  }
+
+  test("insertBatch and deleteBatch commit new snapshot versions") {
+    val path = tmpDir("idx-mut")
+    val small = embeddings.filter(col("id") < 50)
+    val idx = VectorIndex.build(spark, path, small, dim = 64, maxDegree = 8)
+    assert(idx.meta.version == 0)
+
+    val newVecs = embeddings.filter(col("id").between(50, 54))
+      .select(concat(lit("new_"), col("id")).as("key"), col("vec"))
+    val v1 = idx.insertBatch(newVecs)
+    assert(v1.meta.version == 1)
+    assert(v1.meta.numPoints == 55)
+    assert(v1.vectors.count() == 55)
+    // inserted vector findable at dist 0 with its key
+    val qv = embeddings.filter(col("id") === 52)
+      .select(lit(52L).as("query_id"), col("vec").as("qvec"))
+    val hit = v1.searchExact(qv, topk = 1).collect().head
+    assert(hit.getString(2).startsWith("new_"))
+    assert(hit.getDouble(3) == 0.0)
+
+    val v2 = v1.deleteBatch(Seq(1L, 2L))
+    assert(v2.meta.version == 2)
+    assert(v2.meta.numPoints == 53)
+    assert(v2.vectors.filter(col("id").isin(0L, 1L)).count() == 0)
+    // victims stripped from every adjacency list
+    assert(v2.adjacency.filter(
+      array_contains(col("nbrs"), 0L) || array_contains(col("nbrs"), 1L)).count() == 0)
+    // old snapshot still on disk (versioned, never disturbed)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/v=0/vectors")))
+    // reload sees latest version
+    assert(VectorIndex.load(spark, path).meta.version == 2)
+  }
+
+  test("commitServing persists an online-mutated index (streaming analog)") {
+    val path = tmpDir("idx-serve")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 20), dim = 64, maxDegree = 8)
+    val s = idx.toServing
+    assert(s.numPoints == 20)
+    val v = Array.fill(64)(0.5f)
+    val (k, id) = s.insert(v, Some("online_1"))
+    assert(k == "online_1" && id == 21L)
+    s.delete(1L)
+    val idx2 = idx.commitServing(s)
+    assert(idx2.meta.numPoints == 20)
+    val s2 = idx2.toServing
+    assert(s2.embeddingByKey("online_1").sameElements(v))
+    assertThrows[IllegalArgumentException](s2.embeddingById(1L))
+    // freed slot recycles on next online insert (freelist round-trip)
+    val (_, reused) = s2.insert(Array.fill(64)(0.1f))
+    assert(reused == 1L)
+  }
+
+  test("LSH-bucketed graph build meets the recall gate (scale path)") {
+    val path = tmpDir("idx-lsh")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64,
+      maxDegree = 16, exactThreshold = 10L) // force LSH path
+    val serving = idx.toServing
+    val all = embeddings.collect().map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toArray))
+    val rng = new Random(1)
+    val queries = rng.shuffle(all.toList).take(10)
+    val recalls = queries.map { case (_, q) =>
+      val truth = all.sortBy { case (id, v) => (Metric.Euclidean.dist(q, v), id) }
+        .take(10).map(_._1).toSet
+      val got = serving.search(q, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"LSH-built graph serving recall@10 = $avg%.3f")
+    assert(avg >= 0.70)
+  }
+}
