@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard (inverted-index self-join), MinHash +
+  * LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup groups by md5(text), not text: the shuffle key is 32
+  *    bytes regardless of document size, and partial aggregation
+  *    applies. At 100 TB this is one shuffle of (hash, id) pairs.
+  *  - Jaccard uses the classic inverted-index join (explode shingles,
+  *    equi-join on shingle, count intersections) — never a cross join.
+  *    High-frequency shingles are droppable (`maxShingleFreq`) exactly
+  *    like prefix filtering in set-similarity joins: a shingle shared
+  *    by f docs contributes f² candidate pairs, so capping f bounds the
+  *    join output; at web scale this is the difference between hours
+  *    and infeasible.
+  *  - MinHash/SimHash are pure integer arithmetic over a ranked
+  *    vocabulary (deterministic across engines and cluster sizes — no
+  *    engine-private hash function), then LSH banding turns near-dup
+  *    detection into an equi-join on (band, bandHash).
+  */
+object Dedup {
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  def hashA(j: Int): Long = ((j + 1).toLong * 1000003L) % MinhashPrime
+  def hashB(j: Int): Long = (j.toLong * 7919L + 104729L) % MinhashPrime
+  def simA(b: Int): Long = ((b + 17).toLong * 15485863L) % MinhashPrime
+  def simB(b: Int): Long = ((b + 5).toLong * 32452843L) % MinhashPrime
+
+  /** Dense 1-based IDs for distinct terms in lexicographic order.
+    * Deterministic and scale-safe: `orderBy` range-partitions the sort
+    * and `zipWithIndex` numbers in global order without collapsing to
+    * a single partition (unlike a partition-less window). */
+  def rankTerms(terms: DataFrame, termCol: String): DataFrame = {
+    val spark = terms.sparkSession
+    val sorted = terms.select(col(termCol).cast("string").as("term"))
+      .where(col("term").isNotNull).distinct().orderBy(col("term"))
+    val schema = StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("term_id", LongType, nullable = false)))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i + 1L) },
+      schema)
+  }
+
+  /** Exact duplicate groups: documents with byte-identical text.
+    * Returns (text_hash, canonical_id = min id, n_copies, member_ids)
+    * for groups with more than one member. */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        array_sort(collect_list(col(idCol))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Exploded distinct (id, shingle) pairs for a corpus. */
+  def docShingles(docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for every pair sharing >= 1
+    * shingle, via inverted-index self-join. `maxShingleFreq` drops
+    * shingles present in more than that many docs (skew/scale guard;
+    * <= 0 disables). Returns (doc_a < doc_b, jaccard). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      maxShingleFreq: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ds = docShingles(docs, k, idCol, textCol)
+    val filtered =
+      if (maxShingleFreq <= 0) ds
+      else {
+        val hot = ds.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select(col("shingle"))
+        ds.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = filtered.as("x").join(filtered.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("sa") + col("sb") - col("n_inter")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures over ranked shingle IDs:
+    * sig[j] = min over shingles of (a_j * sid + b_j) mod P.
+    * Input must have (doc_id, sid). Returns (doc_id, sig ARRAY<BIGINT>[NumHashes]). */
+  def minhashSignatures(docShingleIds: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(j =>
+      min((col("sid") * hashA(j) + hashB(j)) % MinhashPrime).as(s"h$j"))
+    docShingleIds.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH banding over minhash signatures: docs sharing an identical
+    * band co-bucket; candidate pairs are scored by signature-estimated
+    * Jaccard (matching positions / NumHashes). Returns
+    * (doc_a < doc_b, est_jaccard) for pairs with est >= threshold. */
+  def lshCandidatePairs(signatures: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val banded = signatures.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "bandSig")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bandSig") === col("y.bandSig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over ranked token IDs with counts. Input:
+    * (doc_id, tid, cnt). bit b set iff sum over tokens of
+    * (cnt if g_b(tid) odd else -cnt) > 0, g_b(t) = (t*simA(b)+simB(b)) mod P. */
+  def simhash(docTokenCounts: DataFrame): DataFrame = {
+    val bitSums = (0 until 32).map { b =>
+      sum(when(((col("tid") * simA(b) + simB(b)) % MinhashPrime) % 2 === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val hash = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    docTokenCounts.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: top-N most similar pairs
+    * (exact, self-join). The LSH-bucketed variant for scale lives in
+    * [[graft.index.GraphBuilder.lshKnnEdges]]. */
+  def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (round(VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}

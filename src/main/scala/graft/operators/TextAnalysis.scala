@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, document statistics, quality scoring, language ID
+  * (marker-token heuristic), regex token counting, and rolling-hash
+  * fingerprinting.
+  *
+  * Every operator is a pure column expression (codegen'd, no UDFs) with
+  * a deterministic arithmetic definition, so results are reproducible
+  * bit-for-bit across engines and cluster sizes — the same property the
+  * relational oracles rely on. All are per-row map operations: at
+  * 100 TB they pipeline inside the Parquet scan stage with zero
+  * shuffle; only the optional vocabulary ranking (see [[Vocabulary]])
+  * needs a global pass.
+  */
+object TextAnalysis {
+
+  /** Canonical tokenization contract shared with the oracles:
+    * lowercase, trim, split on runs of whitespace. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word k-shingles joined by single spaces; empty when < k tokens.
+    * (The when-guard matters: Spark `sequence(1, n)` with n < 1 counts
+    * DOWN, unlike DuckDB's empty range.) */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** "BPE-ish" regex token count: letter runs, digit runs, single
+    * non-alphanumeric marks. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  private def ratio(num: Column, den: Column): Column =
+    round(num.cast("double") / den.cast("double"), 4)
+
+  /** Marker-token languages for the heuristic language ID. Priority
+    * order breaks score ties deterministically. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Per-document statistics block. Input column `text`; appends
+    * n_chars, n_tokens, n_distinct_tokens, distinct_ratio,
+    * avg_token_len, stopword_ratio, quality_score. */
+  def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val avgLen = round(
+      aggregate(toks, lit(0L), (s, t) => s + length(t)).cast("double") / nTok.cast("double"), 4)
+    val stopRatio = ratio(markerCount(toks, langMarkers.head._2), nTok)
+    val distinctRatio = ratio(size(array_distinct(toks)), nTok)
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("distinct_ratio", distinctRatio)
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        round((when(nTok.between(20, 1000), 0.25).otherwise(0.0)
+          + when(avgLen.between(3.0, 12.0), 0.25).otherwise(0.0)
+          + when(distinctRatio >= 0.3, 0.25).otherwise(0.0)
+          + when(stopRatio.between(0.01, 0.6), 0.25).otherwise(0.0)), 2))
+  }
+
+  /** Heuristic language ID: marker-token count per language, argmax
+    * with fixed priority-order tie-break. Appends per-lang scores and
+    * `lang_pred`. */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", markerCount(toks, markers))
+    }
+    val scores = langMarkers.map { case (l, _) => col(s"score_$l") }
+    // argmax, ties resolved by declaration order (en,es,fr,de,zh)
+    val pred = langMarkers.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, _), i), els) =>
+        when(col(s"score_$lang") === greatest(scores: _*) && col(s"score_$lang") > 0, lit(lang))
+          .otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Rolling polynomial hash over token IDs:
+    * h = fold(ids.tail, ids.head, (h, x) -> (h * 31 + x) mod 1e9+7) —
+    * the init-with-first-element shape matches DuckDB `list_reduce` so
+    * the oracle is expressible. Input: ARRAY<BIGINT> of 1-based IDs. */
+  def rollingFingerprint(tokenIds: Column): Column =
+    when(size(tokenIds) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(tokenIds, lit(2), greatest(size(tokenIds) - 1, lit(0))),
+        element_at(tokenIds, 1),
+        (h, x) => (h * 31L + x) % 1000000007L))
+}

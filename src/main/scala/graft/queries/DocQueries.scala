@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import Tables._
+
+/** Driver-checked queries for the training-data pipeline operators
+  * (dedup, text analysis, similarity) over the `documents` and
+  * `embeddings` fixtures. Every query has a DuckDB oracle: the
+  * operators are defined as deterministic arithmetic (ranked-vocabulary
+  * hashing instead of engine-private hash functions), so Spark and
+  * DuckDB produce bit-identical results.
+  *
+  * `corpus` = documents ∪ exact copies (doc_id+100000, doc_id<25) ∪
+  * mutated copies (doc_id+200000, text + a probe tail) — gives the
+  * dedup queries real duplicate groups to find. */
+object DocQueries {
+
+  import Dedup.{MinhashPrime => P, NumHashes, Bands, RowsPerBand}
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dup = d.filter(col("doc_id") < 25)
+    d.unionByName(dup.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(dup.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" graft dup probe tail")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graft dup probe tail' AS text
+      |    FROM documents WHERE doc_id < 25)""".stripMargin
+
+  /** Shared tokenization / shingling SQL (mirrors TextAnalysis.tokens /
+    * .shingles semantics exactly). */
+  private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private def shinglesCte(src: String) =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM $src),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |       FROM toks WHERE len(t) >= 3)""".stripMargin
+  private def shingleVocabCte =
+    """vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |          FROM (SELECT DISTINCT shingle FROM sh)),
+      |dsi AS (SELECT sh.doc_id, vocab.sid FROM sh JOIN vocab USING (shingle))""".stripMargin
+  private def sigExprSql: String =
+    (0 until NumHashes).map(j =>
+      s"min((sid * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)").mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------- queries
+
+  /** Exact dedup (hash-groupBy) over the duplicated corpus. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(corpus(spark, dir)).orderBy(col("canonical_id"))
+
+  /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(corpus(spark, dir), k = 3)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** MinHash signatures (16 hashes over ranked trigram IDs). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Dedup.docShingles(docs(spark, dir), 3)
+    val vocab = Dedup.rankTerms(ds, "shingle")
+    val dsi = ds.join(vocab, ds("shingle") === vocab("term"))
+      .select(col("doc_id"), col("term_id").as("sid"))
+    Dedup.minhashSignatures(dsi).orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH candidate pairs (4 bands × 4 rows) over the corpus,
+    * kept when signature-estimated Jaccard >= 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Dedup.docShingles(corpus(spark, dir), 3)
+    val vocab = Dedup.rankTerms(ds, "shingle")
+    val dsi = ds.join(vocab, ds("shingle") === vocab("term"))
+      .select(col("doc_id"), col("term_id").as("sid"))
+    Dedup.lshCandidatePairs(Dedup.minhashSignatures(dsi), threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document over ranked token IDs. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val vocab = Dedup.rankTerms(tok, "token")
+    val dtc = counts.join(vocab, counts("token") === vocab("term"))
+      .select(col("doc_id"), col("term_id").as("tid"), col("cnt"))
+    Dedup.simhash(dtc).orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup: 20 most-similar vector pairs. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = 20)
+
+  /** Per-document statistics + quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTextStats(docs(spark, dir))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+        col("distinct_ratio"), col("avg_token_len"), col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID (marker tokens, priority tie-break). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(docs(spark, dir))
+      .select(col("doc_id") +:
+        TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l").cast("long").as(s"score_$l") } :+
+        col("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish regex token count. */
+  def tokenRegexCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint over per-token values. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val vals = transform(toks, t => (length(t).cast("long") * 256L + ascii(t)))
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(vals).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal metadata: text treated as an opaque byte payload —
+    * size, first code unit, additive checksum (the deterministic part
+    * of the decode-stub pipeline in graft.operators.Multimodal). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(col("text")).cast("long").as("first_code"),
+        (aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L), (s, v) => s + v) % 65521L).as("checksum"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- oracles
+
+  private def simhashSumsSql: String =
+    (0 until 32).map(b =>
+      s"sum(CASE WHEN ((tid * ${Dedup.simA(b)} + ${Dedup.simB(b)}) % $P) % 2 = 1 THEN cnt ELSE -cnt END) AS s$b")
+      .mkString(", ")
+  private def simhashBitsSql: String =
+    (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+         |       count(*) AS n_copies, list_sort(list(doc_id)) AS member_ids
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin,
+    "q41_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q42_minhash_signatures" ->
+      s"""WITH ${shinglesCte("documents")},
+         |$shingleVocabCte
+         |SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q43_minhash_lsh" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleVocabCte,
+         |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
+         |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM cand WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q44_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+         |          FROM (SELECT DISTINCT token FROM tok)),
+         |dtc AS (SELECT doc_id, tid, cnt FROM counts JOIN vocab USING (token)),
+         |sums AS (SELECT doc_id, $simhashSumsSql FROM dtc GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin,
+    "q45_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |        (SQRT(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |         SQRT(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) + 0.0 AS cos_sim
+        |FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q46_text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS n_chars, $toksSql AS t FROM documents),
+         |stats AS (
+         |  SELECT doc_id, n_chars,
+         |    len(t) AS n_tokens,
+         |    len(list_distinct(t)) AS n_distinct_tokens,
+         |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |    ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+         |    ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio
+         |  FROM base)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, distinct_ratio, avg_token_len, stopword_ratio,
+         |  ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |FROM stats ORDER BY doc_id""".stripMargin,
+    "q47_langid" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS score_$l"
+      }.mkString(",\n    ")
+      val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val pred = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |scored AS (SELECT doc_id,
+         |    $scoreCols
+         |  FROM base)
+         |SELECT doc_id, ${TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+         |       $pred AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q48_token_regex_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q49_fingerprint" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(t) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(t, s -> length(s) * 256 + unicode(s)),
+         |                        (h, x) -> (h * 31 + x) % 1000000007) END AS fingerprint
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "q50_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, unicode(text) AS first_code,
+        |       CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))) % 65521 AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (dedupExact _),
+    "q41_ngram_jaccard" -> (ngramJaccard _),
+    "q42_minhash_signatures" -> (minhashSignatures _),
+    "q43_minhash_lsh" -> (minhashLsh _),
+    "q44_simhash" -> (simhash _),
+    "q45_embedding_neardup" -> (embeddingNearDup _),
+    "q46_text_stats" -> (textStats _),
+    "q47_langid" -> (langId _),
+    "q48_token_regex_count" -> (tokenRegexCount _),
+    "q49_fingerprint" -> (fingerprint _),
+    "q50_multimodal_meta" -> (multimodalMeta _)
+  )
+}
