@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.index.VectorIndex
+
+/** Structured Streaming operators — the engine's continuous-ingestion
+  * surface. The reference's online mutability (one-at-a-time
+  * ann_insert!/ann_delete! on a live index,
+  * /root/reference/src/LMDiskANN.jl:531-646) maps to micro-batch
+  * streaming: `foreachBatch` appends commit new index snapshots, and
+  * the windowed/sessionized aggregations are the streaming twins of
+  * the batch EventQueries (same arithmetic, plus watermarks).
+  *
+  * Scale design: state is bounded by watermarks (dropped after
+  * `delayThreshold`), window aggregation is a streaming shuffle on
+  * (window, key) with partial aggregation, and sessionization keys
+  * state by user_id so it shards across executors. Index ingestion
+  * cost per micro-batch is O(batch · log index) — the insertBatch plan
+  * broadcasts the batch, never reshuffles the existing index.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(sessionCount: Long, eventCount: Long, lastMs: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling 1-hour window counts/sums per event_type with a 2-hour
+    * watermark (streaming twin of q60_event_window_agg). */
+  def eventWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity) via
+    * mapGroupsWithState — emits the running per-user session/event
+    * counts each micro-batch (streaming twin of q61_sessionize). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            val newSession = s.lastMs == Long.MinValue || ms - s.lastMs > gapMs
+            s = SessionState(
+              s.sessionCount + (if (newSession) 1 else 0),
+              s.eventCount + 1,
+              math.max(s.lastMs, ms))
+          }
+          state.update(s)
+          SessionUpdate(userId, s.sessionCount, s.eventCount)
+      }
+  }
+
+  /** Continuous vector-index ingestion: a stream of (key STRING,
+    * vec ARRAY<FLOAT>) rows is appended to the index at `indexPath`,
+    * one copy-on-write snapshot per micro-batch (reference ann_insert!
+    * as a stream). */
+  def indexIngest(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val idx = VectorIndex.load(spark, indexPath)
+          idx.insertBatch(batch.select(col("key"), col("vec")))
+          ()
+        }
+      }
+      .start()
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.index.{Metric, VectorIndex}
+import graft.streaming.StreamingOps.Event
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("eventWindowAgg: tumbling window counts under watermark") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.eventWindowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_agg").outputMode("update").start()
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 2.0),
+      Event(3, ts(70), 11, "view", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("win_agg").collect()
+    assert(out.length == 2)
+    val click = out.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2L)
+    assert(click.getDouble(3) == 3.0)
+    q.stop()
+  }
+
+  test("sessionize: 30-min gaps split sessions, state persists across batches") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("update").start()
+    mem.addData(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(5), 1, "click", 0.0),   // same session (5 min gap)
+      Event(3, ts(60), 1, "click", 0.0))  // new session (55 min gap)
+    q.processAllAvailable()
+    mem.addData(
+      Event(4, ts(65), 1, "click", 0.0),  // continues session 2
+      Event(5, ts(200), 1, "click", 0.0)) // session 3
+    q.processAllAvailable()
+    val fin = spark.table("sessions").collect()
+      .filter(_.getLong(0) == 1L).maxBy(_.getLong(2))
+    assert(fin.getLong(1) == 3L) // n_sessions
+    assert(fin.getLong(2) == 5L) // n_events
+    q.stop()
+  }
+
+  test("indexIngest: streamed vectors land in new index snapshots") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val path = tmpDir("stream-idx")
+    val ckpt = tmpDir("stream-ckpt")
+    VectorIndex.create(spark, path, dim = 4, maxDegree = 8, metric = Metric.Euclidean)
+    val mem = MemoryStream[(String, Seq[Float])]
+    val stream = mem.toDF().toDF("key", "vec")
+    mem.addData(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+    StreamingOps.indexIngest(spark, stream, path, ckpt).awaitTermination()
+    val idx1 = VectorIndex.load(spark, path)
+    assert(idx1.meta.version == 1)
+    assert(idx1.meta.numPoints == 2)
+    mem.addData(("c", Seq(0f, 0f, 1f, 0f)))
+    StreamingOps.indexIngest(spark, stream, path, ckpt).awaitTermination()
+    val idx2 = VectorIndex.load(spark, path)
+    assert(idx2.meta.numPoints == 3)
+    val s = idx2.toServing
+    assert(s.search(Array(0f, 0f, 1f, 0f), topk = 1).head._1.contains("c"))
+    assert(s.embeddingByKey("a").sameElements(Array(1f, 0f, 0f, 0f)))
+  }
+}
