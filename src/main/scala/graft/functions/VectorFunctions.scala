@@ -24,23 +24,43 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+
+  import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
+
   /** Sum of an `ARRAY<DOUBLE>` column, sequential left-to-right fold. */
   private def seqSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (s, v) => s + v)
 
-  /** Squared Euclidean distance between two float-array columns. */
+  /** Squared Euclidean distance — native fused-loop kernel. */
   def squaredEuclidean(a: Column, b: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }))
+    ExpressionUtils.column(SquaredL2(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Euclidean (L2) distance — the reference's default metric. */
   def euclidean(a: Column, b: Column): Column = sqrt(squaredEuclidean(a, b))
 
-  /** Dot product. */
+  /** Dot product — native fused-loop kernel. */
   def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** HOF (aggregate/zip_with) formulations — bit-identical to the
+    * native kernels; kept for plan comparison and as the portable
+    * fallback. */
+  def squaredEuclideanHof(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }))
+  def dotHof(a: Column, b: Column): Column =
     seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Per-group top-k by (dist, id): k smallest pairs ascending as
+    * ARRAY<STRUCT<dist,id>>. Map-side partial aggregation (bounded
+    * heap) — use instead of Window row_number for top-k at scale. */
+  def topKPairs(dist: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKPairsAgg(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -3,7 +3,6 @@ package graft.index
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -34,17 +33,17 @@ import graft.functions.VectorFunctions
 object GraphBuilder {
 
   /** Per-node top-k neighbor selection from a scored edge list
-    * (src, dst, dist), deterministic tie-break on dst. Returns
-    * (id, nbrs ARRAY<BIGINT> sorted by distance). */
-  private def topKPerNode(edges: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
-    edges
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .groupBy(col("src").as("id"))
-      .agg(transform(array_sort(collect_list(struct(col("rnk"), col("dst")))),
-        s => s.getField("dst")).as("nbrs"))
-  }
+    * (src, dst, dist), deterministic (dist, dst) tie-break. Returns
+    * (id, nbrs ARRAY<BIGINT> sorted by distance).
+    *
+    * Uses the bounded-heap topKPairs aggregate, not a window: partial
+    * (map-side) aggregation means the shuffle carries <= k pairs per
+    * (partition, node) instead of every candidate edge — the plan that
+    * survives a 100x scale-up. */
+  private def topKPerNode(edges: DataFrame, k: Int): DataFrame =
+    edges.groupBy(col("src").as("id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("id"), transform(col("tk"), p => p.getField("id")).as("nbrs"))
 
   /** Symmetrize + degree-bound: union both edge directions, then keep
     * the maxDegree closest per node (reference back-edge + prune,
@@ -61,17 +60,18 @@ object GraphBuilder {
     case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
   }
 
-  /** Exact kNN edge list via self cross-join. Input: (id, vec). */
+  /** Exact kNN edge list via self cross-join + bounded-heap top-k
+    * (no window sort, no full-edge shuffle). Input: (id, vec). */
   def exactKnnEdges(vectors: DataFrame, k: Int, metric: Metric): DataFrame = {
     val a = vectors.select(col("id").as("src"), col("vec").as("a_vec"))
     val b = vectors.select(col("id").as("dst"), col("vec").as("b_vec"))
-    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
     a.crossJoin(b)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), distCol(metric).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .drop("rnk")
+      .groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
   }
 
   /** Exact maxdegree-closest graph: edges + symmetrize + prune. */
@@ -126,8 +126,10 @@ object GraphBuilder {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
       .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
-    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
-    val pruned = cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k).drop("rnk")
+    val pruned = cand.groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
     // re-score with the true metric when cosine (dist column currently
     // euclidean-on-normalized; ranking equal, magnitudes differ)
     metric match {

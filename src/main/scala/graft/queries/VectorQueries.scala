@@ -36,20 +36,29 @@ object VectorQueries {
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Scan + broadcast-join + bounded-heap top-k: the exact-kNN plan
+    * shape that survives scale-up — the big side is scanned once,
+    * partial aggregation keeps <= k pairs per (partition, query), and
+    * the shuffle carries O(queries * k) rows. rnk = position in the
+    * sorted top-k array (identical to the window row_number ordering). */
+  private def knnTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topKPairs(col("dist"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"), col("p.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+
   /** Exact top-k nearest neighbors, Euclidean — op #8's exact path
     * (recall 1.0 baseline; reference search src/LMDiskANN.jl:455-481). */
   def knnExactL2(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val q = querySet(spark, dir)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
-    e.crossJoin(broadcast(q))
+    knnTopK(e.crossJoin(broadcast(q))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .orderBy(col("query_id"), col("rnk"))
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), K)
   }
 
   /** Exact top-k, cosine distance — the reference's second tested metric
@@ -57,15 +66,11 @@ object VectorQueries {
   def knnExactCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val q = querySet(spark, dir)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
-    e.crossJoin(broadcast(q))
+    knnTopK(e.crossJoin(broadcast(q))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (round(cosineDistance(col("qvec"), col("embedding")), 4) + lit(0.0)).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .orderBy(col("query_id"), col("rnk"))
+        (round(cosineDistance(col("qvec"), col("embedding")), 4) + lit(0.0)).as("dist")), K)
   }
 
   /** Point lookup: embedding by 1-based public ID (op #14). */
@@ -114,15 +119,11 @@ object VectorQueries {
     val e = t(spark, dir, "embeddings")
       .filter(!(col("vec_id") + 1).isin(deleted: _*))
     val q = querySet(spark, dir)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
-    e.crossJoin(broadcast(q))
+    knnTopK(e.crossJoin(broadcast(q))
       .select(
         col("query_id"),
         (col("vec_id") + 1).as("neighbor_id"),
-        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .orderBy(col("query_id"), col("rnk"))
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), 5)
   }
 
   /** Insert-then-search semantics (op #6): three new vectors (copies of
@@ -135,15 +136,11 @@ object VectorQueries {
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
     val all = e.unionByName(inserted)
     val q = inserted.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
-    all.crossJoin(broadcast(q))
+    knnTopK(all.crossJoin(broadcast(q))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .orderBy(col("query_id"), col("rnk"))
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), 3)
   }
 
   // ---------------------------------------------------------------- oracles

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native codegen kernels and the bounded-heap top-k aggregate
+  * must be BIT-IDENTICAL to the HOF / window formulations — the DuckDB
+  * oracle contract depends on it. */
+class VectorFunctionsSpec extends SparkSpec {
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("native SquaredL2/Dot kernels are bit-identical to the HOF formulation") {
+    val q = embeddings.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val pairs = embeddings.crossJoin(broadcast(q))
+    val diff = pairs.select(
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("native_l2"),
+        VectorFunctions.squaredEuclideanHof(col("qvec"), col("vec")).as("hof_l2"),
+        VectorFunctions.dot(col("qvec"), col("vec")).as("native_dot"),
+        VectorFunctions.dotHof(col("qvec"), col("vec")).as("hof_dot"))
+      .filter(col("native_l2") =!= col("hof_l2") || col("native_dot") =!= col("hof_dot"))
+    assert(diff.count() == 0)
+  }
+
+  test("topKPairs aggregate matches window row_number top-k exactly") {
+    val q = embeddings.filter(col("id") < 7)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .select(col("qid"), col("id").as("nid"),
+        VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .cache()
+    val k = 12
+    val viaAgg = scored.groupBy(col("qid"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p.id").as("nid"), col("p.dist").as("dist"),
+        (col("pos") + 1).as("rnk"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val viaWindow = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("dist"), col("rnk").cast("long").as("rnk"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.count() == 7L * k)
+  }
+
+  test("topKPairs handles groups smaller than k and merge across partitions") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 0.5, 10L), (1L, 0.5, 9L), (1L, 0.1, 11L), (2L, 3.0, 1L))
+      .toDF("g", "dist", "id").repartition(8)
+    val res = df.groupBy(col("g"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("id"), 2).as("tk"))
+      .orderBy(col("g")).collect()
+    val g1 = res(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.1, 11L), (0.5, 9L)))
+    val g2 = res(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(g2.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 1L)))
+  }
+}
