@@ -242,7 +242,8 @@ object VectorIndex {
       dim: Int,
       maxDegree: Int = ServingIndex.DefaultMaxDegree,
       metric: Metric = Metric.Euclidean,
-      exactThreshold: Long = 20000L): VectorIndex = {
+      exactThreshold: Long = 20000L,
+      eltype: String = "Float32"): VectorIndex = {
     val vecs = source.select(
       col("id").cast("long"),
       (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
@@ -258,7 +259,7 @@ object VectorIndex {
       case null => -1
       case l: Long => l.toInt
     }
-    val meta = IndexMeta(0L, n, dim, maxDegree, entry, "Float32", metric.name, Nil)
+    val meta = IndexMeta(0L, n, dim, maxDegree, entry, eltype, metric.name, Nil)
     val dir = s"$path/v=0"
     vecs.write.mode("overwrite").parquet(s"$dir/vectors")
     graph.select(col("id").cast("long"), col("nbrs").cast("array<long>"))

@@ -73,21 +73,25 @@ object VectorQueries {
         (round(cosineDistance(col("qvec"), col("embedding")), 4) + lit(0.0)).as("dist")), K)
   }
 
-  /** Point lookup: embedding by 1-based public ID (op #14). */
+  /** Point lookup: embedding by 1-based public ID (op #14). The
+    * predicate is phrased on the raw storage column so it reaches the
+    * parquet scan (`PushedFilters: In(vec_id, ...)`) — a filter on the
+    * derived `vec_id + 1` cannot push down. */
   def lookupById(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(0, 6, 41, 98, 249)) // public ids 1,7,42,99,250
       .select((col("vec_id") + 1).as("public_id"), col("embedding"), col("label"))
-      .filter(col("public_id").isin(1, 7, 42, 99, 250))
       .orderBy(col("public_id"))
 
-  /** Point lookup by key (ops #15/#19): auto-key = string(public_id). */
+  /** Point lookup by key (ops #15/#19): auto-key = string(public_id);
+    * key resolution folds to a pushed-down id predicate. */
   def lookupByKey(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(0, 6, 41, 98, 249))
       .select(
         (col("vec_id") + 1).cast("string").as("key"),
         (col("vec_id") + 1).as("public_id"),
         col("embedding"))
-      .filter(col("key").isin("1", "7", "42", "99", "250"))
       .orderBy(col("public_id"))
 
   /** Key <-> ID mapping table, both directions from one table

@@ -142,4 +142,30 @@ class VectorIndexSpec extends SparkSpec {
     info(f"LSH-built graph serving recall@10 = $avg%.3f")
     assert(avg >= 0.70)
   }
+
+  test("eltype parametrization: Float64/Float16 accepted, stored widened, " +
+      "round-trip within reference tolerances (runtests.jl:552-638)") {
+    val ss = spark
+    import ss.implicits._
+    // Float64 source: doubles narrow to Float32 storage; the reference's
+    // own Float64 round-trip asserts atol 1e-7 — Float32 gives ~1e-7
+    // relative precision, the documented narrowing divergence.
+    val doubles = Seq((0L, Seq(0.123456789012345, 0.987654321098765, 0.5, 0.25)))
+      .toDF("id", "dvec")
+    val src = doubles.select(col("id"), col("dvec").cast("array<float>").as("vec"))
+    val path = tmpDir("idx-eltype")
+    val idx = VectorIndex.build(spark, path, src, dim = 4, maxDegree = 4, eltype = "Float64")
+    assert(VectorIndex.load(spark, path).meta.eltype == "Float64")
+    val got = idx.toServing.embeddingById(1L)
+    val want = Seq(0.123456789012345, 0.987654321098765, 0.5, 0.25)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 1e-7 * math.max(1.0, math.abs(w)))
+    }
+    // Float16-style inputs (coarse values) round-trip exactly in Float32
+    val idx16 = VectorIndex.build(spark, tmpDir("idx-f16"),
+      Seq((0L, Seq(1.5f, -0.25f, 0f, 2f))).toDF("id", "vec"),
+      dim = 4, maxDegree = 4, eltype = "Float16")
+    assert(idx16.meta.eltype == "Float16")
+    assert(idx16.toServing.embeddingById(1L).sameElements(Array(1.5f, -0.25f, 0f, 2f)))
+  }
 }
