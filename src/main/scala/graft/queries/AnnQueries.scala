@@ -68,9 +68,41 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
   }
 
+  /** IVF (KMeans inverted-file) approximate top-k — the partition-
+    * pruned scale path (graft.operators.Similarity). */
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir).cache()
+    val (centroids, assigned) = graft.operators.Similarity.ivfFit(src, k = 16)
+    val queries = src.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+  }
+
+  /** Measured recall@10 of the IVF path vs exact, over 30 self-queries. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, dir).cache()
+    val (centroids, assigned) = graft.operators.Similarity.ivfFit(src, k = 16)
+    val queries = src.limit(30).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val ivf = graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = ivf.join(e, Seq("query_id", "neighbor_id")).count()
+    val nq = queries.count()
+    Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
-    "q31_ann_recall" -> (annRecall _)
+    "q31_ann_recall" -> (annRecall _),
+    "q32_ivf_search" -> (ivfSearch _),
+    "q33_ivf_recall" -> (ivfRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

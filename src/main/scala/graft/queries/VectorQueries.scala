@@ -147,6 +147,21 @@ object VectorQueries {
         round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), 3)
   }
 
+  /** Mapping after deletes (ops #21/#22 delete_by_key / delete_by_id):
+    * keys "3","7" removed by key, ids 10,20 removed by id; both
+    * directions resolve through the one surviving table. */
+  def mappingAfterDelete(spark: SparkSession, dir: String): DataFrame =
+    mappingTable(spark, dir)
+      .filter(!col("key").isin("3", "7") && !col("id").isin(10L, 20L))
+      .filter(col("id") <= 30)
+      .orderBy(col("id"))
+
+  /** Truncate semantics (ops #23/#24 clear): count after clearing is
+    * zero — the table-valued form of clear_all_databases!. */
+  def mappingClearCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").limit(0)
+      .agg(count(lit(1)).as("n_entries_after_clear"))
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB-side Euclidean distance between list columns a and b,
@@ -197,6 +212,12 @@ object VectorQueries {
          |      FROM live e CROSS JOIN q),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
          |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q14_mapping_after_delete" ->
+      """SELECT vec_id + 1 AS id, CAST(vec_id + 1 AS VARCHAR) AS key FROM embeddings
+        |WHERE CAST(vec_id + 1 AS VARCHAR) NOT IN ('3','7') AND vec_id + 1 NOT IN (10, 20)
+        |  AND vec_id + 1 <= 30 ORDER BY id""".stripMargin,
+    "q15_mapping_clear_count" ->
+      "SELECT COUNT(*) AS n_entries_after_clear FROM embeddings WHERE 1 = 0",
     "q10_insert_then_search" ->
       s"""WITH ins AS (SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3),
          |all_v AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM ins),
@@ -216,6 +237,8 @@ object VectorQueries {
     "q07_mapping_count" -> (mappingCount _),
     "q08_mapping_list_keys" -> (mappingListKeys _),
     "q09_delete_then_search" -> (deleteThenSearch _),
-    "q10_insert_then_search" -> (insertThenSearch _)
+    "q10_insert_then_search" -> (insertThenSearch _),
+    "q14_mapping_after_delete" -> (mappingAfterDelete _),
+    "q15_mapping_clear_count" -> (mappingClearCount _)
   )
 }

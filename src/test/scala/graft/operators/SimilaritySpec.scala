@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("IVF probe meets the recall gate vs exact top-k") {
+    val src = embeddings.cache()
+    val (centroids, assigned) = Similarity.ivfFit(src, k = 16)
+    assert(centroids.count() == 16)
+    assert(assigned.select(countDistinct(col("cluster"))).head().getLong(0) <= 16)
+    val queries = src.limit(20).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val ivf = Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+    assert(ivf.groupBy(col("query_id")).count().filter(col("count") =!= 10).count() == 0)
+    val exact = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = ivf.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = matched.toDouble / (20 * 10.0)
+    info(f"IVF recall@10 (k=16, nprobe=6) = $recall%.3f")
+    assert(recall >= 0.70)
+  }
+
+  test("IVF with nprobe = k is exact") {
+    val src = embeddings.filter(col("id") < 200).cache()
+    val (centroids, assigned) = Similarity.ivfFit(src, k = 8)
+    val queries = src.limit(5).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val ivf = Similarity.ivfTopK(assigned, centroids, queries, topk = 5, nprobe = 8)
+    val exact = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 5).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = ivf.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(matched == 25L)
+  }
+}
