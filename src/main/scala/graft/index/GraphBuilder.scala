@@ -63,7 +63,8 @@ object GraphBuilder {
   /** Exact kNN edge list via self cross-join + bounded-heap top-k
     * (no window sort, no full-edge shuffle). Input: (id, vec). */
   def exactKnnEdges(vectors: DataFrame, k: Int, metric: Metric): DataFrame = {
-    val a = vectors.select(col("id").as("src"), col("vec").as("a_vec"))
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val a = vectors.select(col("id").as("src"), col("vec").as("a_vec")).repartition(par)
     val b = vectors.select(col("id").as("dst"), col("vec").as("b_vec"))
     a.crossJoin(b)
       .filter(col("src") =!= col("dst"))
@@ -116,7 +117,8 @@ object GraphBuilder {
       .setNumHashTables(numHashTables).setBucketLength(bl)
       .setSeed(42L)
       .fit(featured)
-    val hashed = model.transform(featured)
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val hashed = model.transform(featured).repartition(par)
       .select(col("id"), col("vec"), posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
       .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
       .drop("bucketVec")

@@ -89,7 +89,8 @@ final class VectorIndex private (
       case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
       case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
     }
-    val winners = v.crossJoin(broadcast(q))
+    val vSpread = v.repartition(spark.sparkContext.defaultParallelism)
+    val winners = vSpread.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"), dcol.as("dist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("id"), topk).as("tk"))

@@ -66,10 +66,15 @@ object Dedup {
         array_sort(collect_list(col(idCol))).as("member_ids"))
       .filter(col("n_copies") > 1)
 
-  /** Exploded distinct (id, shingle) pairs for a corpus. */
+  /** Exploded distinct (id, shingle) pairs for a corpus. Tokens are
+    * materialized into a column FIRST: the shingle lambda references
+    * its token-array argument ~3k times, and if that argument is the
+    * `split(...)` expression itself (not a bound attribute) codegen
+    * re-tokenizes the document at every reference — O(len²) per doc. */
   def docShingles(docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
@@ -82,6 +87,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val ds = docShingles(docs, k, idCol, textCol)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val filtered =
       if (maxShingleFreq <= 0) ds
       else {
@@ -155,8 +161,10 @@ object Dedup {
     * [[graft.index.GraphBuilder.lshKnnEdges]]. */
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+      .repartition(par)
     val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

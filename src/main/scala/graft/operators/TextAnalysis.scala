@@ -53,15 +53,19 @@ object TextAnalysis {
 
   /** Per-document statistics block. Input column `text`; appends
     * n_chars, n_tokens, n_distinct_tokens, distinct_ratio,
-    * avg_token_len, stopword_ratio, quality_score. */
+    * avg_token_len, stopword_ratio, quality_score. Tokens are
+    * materialized once into a temp column — every stat references the
+    * token array several times, and an unbound `split(...)` argument
+    * would re-tokenize at each reference. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__graft_toks")
     val nTok = size(toks)
     val avgLen = round(
       aggregate(toks, lit(0L), (s, t) => s + length(t)).cast("double") / nTok.cast("double"), 4)
     val stopRatio = ratio(markerCount(toks, langMarkers.head._2), nTok)
     val distinctRatio = ratio(size(array_distinct(toks)), nTok)
-    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+    df.withColumn("__graft_toks", tokens(col(textCol)))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
       .withColumn("distinct_ratio", distinctRatio)
@@ -72,15 +76,17 @@ object TextAnalysis {
           + when(avgLen.between(3.0, 12.0), 0.25).otherwise(0.0)
           + when(distinctRatio >= 0.3, 0.25).otherwise(0.0)
           + when(stopRatio.between(0.01, 0.6), 0.25).otherwise(0.0)), 2))
+      .drop("__graft_toks")
   }
 
   /** Heuristic language ID: marker-token count per language, argmax
     * with fixed priority-order tie-break. Appends per-lang scores and
     * `lang_pred`. */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"score_$lang", markerCount(toks, markers))
+    val toks = col("__graft_toks")
+    val scored = langMarkers.foldLeft(df.withColumn("__graft_toks", tokens(col(textCol)))) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"score_$lang", markerCount(toks, markers))
     }
     val scores = langMarkers.map { case (l, _) => col(s"score_$l") }
     // argmax, ties resolved by declaration order (en,es,fr,de,zh)
@@ -89,7 +95,7 @@ object TextAnalysis {
         when(col(s"score_$lang") === greatest(scores: _*) && col(s"score_$lang") > 0, lit(lang))
           .otherwise(els)
     }
-    scored.withColumn("lang_pred", pred)
+    scored.withColumn("lang_pred", pred).drop("__graft_toks")
   }
 
   /** Rolling polynomial hash over token IDs:

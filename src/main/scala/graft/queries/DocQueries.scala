@@ -70,7 +70,7 @@ object DocQueries {
     * cache the exploded set; the vocabulary is small relative to the
     * corpus, so broadcast it into the id join. */
   private def shingleIds(source: DataFrame): DataFrame = {
-    val ds = Dedup.docShingles(source, 3).cache()
+    val ds = spread(Dedup.docShingles(source, 3)).cache()
     val vocab = Dedup.rankTerms(ds, "shingle")
     ds.join(broadcast(vocab), ds("shingle") === vocab("term"))
       .select(col("doc_id"), col("term_id").as("sid"))
@@ -89,7 +89,7 @@ object DocQueries {
   /** 32-bit SimHash per document over ranked token IDs. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token")).cache()
+    val tok = spread(d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))).cache()
     val counts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     val vocab = Dedup.rankTerms(tok, "token")
     val dtc = counts.join(broadcast(vocab), counts("token") === vocab("term"))
@@ -124,9 +124,9 @@ object DocQueries {
 
   /** Rolling-hash document fingerprint over per-token values. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val vals = transform(toks, t => (length(t).cast("long") * 256L + ascii(t)))
+    val vals = transform(col("toks"), t => (length(t).cast("long") * 256L + ascii(t)))
     docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(vals).as("fingerprint"))
       .orderBy(col("doc_id"))
   }

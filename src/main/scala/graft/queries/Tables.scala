@@ -19,4 +19,15 @@ object Tables {
 
   /** Final cast for an exact decimal aggregate back to double. */
   def asD(c: Column): Column = c.cast("double")
+
+  /** Partition by WORK, not bytes: a kilobyte-scale parquet scan yields
+    * 1 input split, so any O(n²) operator downstream (cross joins,
+    * shingle self-joins) would run single-threaded — and AQE's
+    * byte-based coalescing keeps it that way. Round-robin the rows to
+    * full core parallelism before compute-dense stages. On a cluster
+    * this is a cheap O(n) exchange that decouples compute parallelism
+    * from file layout; for TB-scale inputs the scan is already split
+    * and this becomes a no-op choice. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

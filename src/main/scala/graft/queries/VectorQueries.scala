@@ -52,7 +52,7 @@ object VectorQueries {
   /** Exact top-k nearest neighbors, Euclidean — op #8's exact path
     * (recall 1.0 baseline; reference search src/LMDiskANN.jl:455-481). */
   def knnExactL2(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = spread(t(spark, dir, "embeddings"))
     val q = querySet(spark, dir)
     knnTopK(e.crossJoin(broadcast(q))
       .select(
@@ -64,7 +64,7 @@ object VectorQueries {
   /** Exact top-k, cosine distance — the reference's second tested metric
     * (test/runtests.jl:37-67). */
   def knnExactCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = spread(t(spark, dir, "embeddings"))
     val q = querySet(spark, dir)
     knnTopK(e.crossJoin(broadcast(q))
       .select(
@@ -120,8 +120,8 @@ object VectorQueries {
     * test/runtests.jl:294-397). */
   def deleteThenSearch(spark: SparkSession, dir: String): DataFrame = {
     val deleted = Seq(2L, 3L, 5L, 8L) // 1-based public ids
-    val e = t(spark, dir, "embeddings")
-      .filter(!(col("vec_id") + 1).isin(deleted: _*))
+    val e = spread(t(spark, dir, "embeddings")
+      .filter(!(col("vec_id") + 1).isin(deleted: _*)))
     val q = querySet(spark, dir)
     knnTopK(e.crossJoin(broadcast(q))
       .select(
@@ -138,7 +138,7 @@ object VectorQueries {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val inserted = e.filter(col("vec_id") < 3)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
-    val all = e.unionByName(inserted)
+    val all = spread(e.unionByName(inserted))
     val q = inserted.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     knnTopK(all.crossJoin(broadcast(q))
       .select(
