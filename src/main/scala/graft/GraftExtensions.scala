@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
+
+import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
+
+/** SQL-surface registration for the engine's native functions, so they
+  * are usable from `spark.sql(...)` / `expr(...)` strings, not just
+  * the Scala Column API:
+  *
+  *   - graft_squared_l2(a, b)      — fused squared-L2 kernel
+  *   - graft_dot(a, b)             — fused dot-product kernel
+  *   - graft_l2(a, b)              — sqrt(graft_squared_l2)
+  *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
+  *
+  * Two wiring paths share the same builders:
+  * {{{
+  *   // at session build (or spark.sql.extensions=graft.GraftExtensions):
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // on a live session:
+  *   GraftExtensions.register(spark)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_squared_l2"),
+      info("graft_squared_l2", "squared Euclidean distance between two ARRAY<FLOAT>"),
+      (args: Seq[Expression]) => SquaredL2(args(0), args(1))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two ARRAY<FLOAT>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_l2"),
+      info("graft_l2", "Euclidean distance between two ARRAY<FLOAT>"),
+      (args: Seq[Expression]) => Sqrt(SquaredL2(args(0), args(1)))),
+    (FunctionIdentifier("graft_topk_pairs"),
+      info("graft_topk_pairs", "k smallest (dist, id) pairs per group, ascending"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_pairs k must be an integer literal, got $other")
+        }
+        TopKPairsAgg(args(0), args(1), k).toAggregateExpression()
+      }))
+
+  /** Register into an already-running session's function registry. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.FunctionRegistration.register(spark, builders)
+}

@@ -146,6 +146,49 @@ object GraphBuilder {
     }
   }
 
+  /** Deterministic connectivity backbone: each node links to its
+    * successor and predecessor in id-sorted ring order. Bulk kNN
+    * graphs disconnect when the data clusters (every nearest neighbor
+    * co-clusters, so greedy search cannot cross clusters — a failure
+    * mode the reference's entrypoint-seeded incremental build avoids
+    * implicitly). Reserving two adjacency slots for the ring makes the
+    * graph connected by construction at any scale. Returns
+    * (id, ring ARRAY<BIGINT> of 2). */
+  def ringEdges(vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = vectors.sparkSession
+    val rankSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    // global ranks without a single-partition window: range-partitioned
+    // sort + zipWithIndex (same pattern as Dedup.rankTerms)
+    val idRank = spark.createDataFrame(
+      vectors.select(col("id")).orderBy(col("id"))
+        .rdd.map(_.getLong(0)).zipWithIndex()
+        .map { case (id, i) => SqlRow(id, i) },
+      rankSchema)
+    val n = idRank.count()
+    if (n <= 1) {
+      return idRank.select(col("id"), array().cast("array<bigint>").as("ring"))
+    }
+    val succ = idRank.select((pmod(col("rank") + 1, lit(n))).as("rank"), col("id").as("succ_id"))
+    val prev = idRank.select((pmod(col("rank") - 1 + n, lit(n))).as("rank"), col("id").as("prev_id"))
+    idRank
+      .join(succ, "rank")
+      .join(prev, "rank")
+      .select(col("id"),
+        array_distinct(array(col("succ_id"), col("prev_id"))).as("ring"))
+  }
+
+  /** Merge a pruned graph with the ring backbone, capping total degree. */
+  def withRing(graph: DataFrame, ring: DataFrame, maxDegree: Int): DataFrame =
+    graph.join(ring, Seq("id"), "full_outer")
+      .select(col("id"),
+        slice(array_distinct(concat(
+          coalesce(col("ring"), array().cast("array<bigint>")),
+          coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, maxDegree).as("nbrs"))
+
   /** LSH-built maxdegree graph (the scale path). */
   def lshKnnGraph(
       vectors: DataFrame,

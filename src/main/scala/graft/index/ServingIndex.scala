@@ -38,7 +38,8 @@ final class ServingIndex(
     val dim: Int,
     val maxDegree: Int = ServingIndex.DefaultMaxDegree,
     val metric: Metric = Metric.Euclidean,
-    val defaultEf: Int = ServingIndex.DefaultEfSearch) extends Serializable {
+    val defaultEf: Int = ServingIndex.DefaultEfSearch,
+    val alpha: Double = 0.0) extends Serializable {
 
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
@@ -110,15 +111,23 @@ final class ServingIndex(
       .map(id => (idToKey.get(id), (id + 1).toLong))
   }
 
-  /** Truncation prune: keep the maxDegree closest to the node
-    * (reference `_prune_neighbors`, src/LMDiskANN.jl:491-505). */
+  /** Degree-bound prune. Default (alpha <= 1): plain truncation to the
+    * maxDegree closest — reference-faithful (`_prune_neighbors`,
+    * src/LMDiskANN.jl:491-505). With alpha > 1: the Vamana α-RNG
+    * diversifying prune ([[AlphaPrune]]), an opt-in improvement the
+    * reference lacks (SURVEY §4.2). */
   private def prune(nodeId: Int, candidates: Iterable[Int]): mutable.ArrayBuffer[Int] = {
     val base = vecs(nodeId)
     val distinct = candidates.toSeq.distinct.filter(c => c != nodeId && isLive(c))
-    val kept =
-      if (distinct.size <= maxDegree) distinct
-      else distinct.sortBy(c => (metric.dist(base, vecs(c)), c)).take(maxDegree)
-    mutable.ArrayBuffer.from(kept)
+    if (alpha > 1.0) {
+      val triples = distinct.map(c => (metric.dist(base, vecs(c)), c.toLong, vecs(c))).toIndexedSeq
+      mutable.ArrayBuffer.from(AlphaPrune.pruneOne(triples, maxDegree, alpha, metric).map(_.toInt))
+    } else {
+      val kept =
+        if (distinct.size <= maxDegree) distinct
+        else distinct.sortBy(c => (metric.dist(base, vecs(c)), c)).take(maxDegree)
+      mutable.ArrayBuffer.from(kept)
+    }
   }
 
   /** Insert a vector; returns (key, 1-based public id) — reference

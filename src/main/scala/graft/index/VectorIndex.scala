@@ -244,18 +244,33 @@ object VectorIndex {
       maxDegree: Int = ServingIndex.DefaultMaxDegree,
       metric: Metric = Metric.Euclidean,
       exactThreshold: Long = 20000L,
-      eltype: String = "Float32"): VectorIndex = {
+      eltype: String = "Float32",
+      alpha: Double = 0.0): VectorIndex = {
     val vecs = source.select(
       col("id").cast("long"),
       (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
        else (col("id") + 1).cast("string")).as("key"),
       col("vec").cast("array<float>"))
     val n = vecs.count()
-    val graph =
-      if (n <= exactThreshold)
-        GraphBuilder.exactKnnGraph(vecs.select(col("id"), col("vec")), maxDegree, metric)
-      else
-        GraphBuilder.lshKnnGraph(vecs.select(col("id"), col("vec")), maxDegree, metric)
+    val vv = vecs.select(col("id"), col("vec"))
+    // two adjacency slots are reserved for the ring backbone, which
+    // guarantees global connectivity on clustered data (see
+    // GraphBuilder.ringEdges)
+    val knnDegree = math.max(1, maxDegree - 2)
+    val pruned =
+      if (alpha > 1.0) {
+        // α-RNG build: gather 2x candidates, diversify-prune per node
+        val edges =
+          if (n <= exactThreshold) GraphBuilder.exactKnnEdges(vv, 2 * maxDegree, metric)
+          else GraphBuilder.lshKnnEdges(vv, 2 * maxDegree, metric)
+        val bidir = edges.select(col("src"), col("dst"), col("dist"))
+          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+        AlphaPrune.pruneGraph(bidir, vv, knnDegree, alpha, metric)
+      }
+      else if (n <= exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, metric)
+      else GraphBuilder.lshKnnGraph(vv, knnDegree, metric)
+    val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vv), maxDegree)
     val entry = vecs.agg(min(col("id"))).head().get(0) match {
       case null => -1
       case l: Long => l.toInt

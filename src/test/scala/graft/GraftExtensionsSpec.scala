@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The SQL registration path: graft functions must be callable from
+  * spark.sql(...) strings once registered. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_l2 / graft_squared_l2 / graft_dot / graft_topk_pairs via SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_squared_l2(array(1.0F, 2.0F), array(1.0F, 4.0F)) AS l2sq,
+        |       graft_l2(array(3.0F, 0.0F), array(0.0F, 4.0F)) AS l2,
+        |       graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 11.0)
+    val agg = spark.sql(
+      """SELECT g, graft_topk_pairs(d, id, 2) AS tk FROM VALUES
+        |  (1, 0.5D, 10L), (1, 0.1D, 11L), (1, 0.9D, 12L), (2, 3.0D, 1L)
+        |  AS t(g, d, id) GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = agg(0).getSeq[Row](1)
+    assert(g1.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((0.1, 11L), (0.5, 10L)))
+    val g2 = agg(1).getSeq[Row](1)
+    assert(g2.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((3.0, 1L)))
+  }
+}
