@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Fully-distributed batch ANN: beam search over the proximity graph
+  * expressed as iterative DataFrame joins (Pregel-style), for query
+  * sets too large to serve one-at-a-time through [[ServingIndex]].
+  *
+  * Per step, for every query in parallel:
+  *   frontier ⋈ adjacency → candidate neighbors → ⋈ vectors → score →
+  *   union with current beam → per-query top-B (bounded-heap
+  *   aggregate) → next frontier.
+  *
+  * Scale shape: each step is two equi-joins (adjacency on node id,
+  * vectors on node id — both co-partitionable by id at 100 TB via
+  * bucketing) plus one partial-aggregated top-B; state per query is
+  * bounded by the beam width B, so the working set is
+  * O(|queries| · B) rows regardless of index size. A fixed step count
+  * bounds the plan depth (no driver-side convergence loop over
+  * unbounded iterations); B·steps plays the role of ef.
+  *
+  * This is the batch complement of the reference's sequential greedy
+  * traversal (src/LMDiskANN.jl:383-431): same expansion rule, executed
+  * breadth-parallel for all queries at once.
+  */
+object DistributedSearch {
+
+  /** @param index    built index (vectors + adjacency snapshots)
+    * @param queries  (query_id BIGINT, qvec ARRAY<FLOAT>)
+    * @param topk     results per query
+    * @param beamWidth frontier size per query per step (default 32)
+    * @param steps    expansion rounds (default 6 — graph diameter of
+    *                 the ring-backboned kNN graph is small)
+    * @return (query_id, public_id, key, dist, rnk) nearest-first */
+  def beamSearch(
+      index: VectorIndex,
+      queries: DataFrame,
+      topk: Int,
+      beamWidth: Int = 32,
+      steps: Int = 6): DataFrame = {
+    val spark = index.spark
+    val vectors = index.vectors.select(col("id"), col("key"), col("vec")).cache()
+    val adjacency = index.adjacency.cache()
+    val metric = index.metric
+    val dcol = metric match {
+      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
+      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
+    }
+    val q = queries.select(col("query_id"), col("qvec"))
+
+    // seed: every query starts at the entrypoint
+    val entry = math.max(index.meta.entrypoint, 0).toLong
+    var beam = q
+      .join(vectors.filter(col("id") === entry).select(col("id"), col("vec")))
+      .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
+      .cache()
+
+    var step = 0
+    while (step < steps) {
+      val expanded = beam
+        .join(adjacency, Seq("id"))
+        .select(col("query_id"), col("qvec"), explode(col("nbrs")).as("id"))
+      val scored = expanded
+        .join(vectors.select(col("id"), col("vec")), Seq("id"))
+        .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
+        .unionByName(beam)
+        .groupBy(col("query_id"), col("id"))
+        .agg(min(col("dist")).as("dist"), first(col("qvec")).as("qvec"))
+      val next = scored
+        .groupBy(col("query_id"))
+        .agg(VectorFunctions.topKPairs(col("dist"), col("id"), beamWidth).as("tk"),
+          first(col("qvec")).as("qvec"))
+        .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
+        .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))
+        .cache()
+      next.count() // materialize per step: bounds lineage depth
+      beam.unpersist()
+      beam = next
+      step += 1
+    }
+
+    val winners = beam
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("id"), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("id"), col("p.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    winners.join(vectors.select(col("id"), col("key")), Seq("id"))
+      .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"),
+        col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

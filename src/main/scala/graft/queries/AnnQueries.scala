@@ -98,11 +98,24 @@ object AnnQueries {
     Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
   }
 
+  /** Fully-distributed batch ANN (iterative frontier joins) — the
+    * plan-parallel complement of the driver-side serving path. */
+  def beamSearch(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir)
+    val dim = src.select(size(col("vec"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("graft-beam").toString
+    val idx = VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32)
+    val queries = src.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
     "q32_ivf_search" -> (ivfSearch _),
-    "q33_ivf_recall" -> (ivfRecall _)
+    "q33_ivf_recall" -> (ivfRecall _),
+    "q34_beam_search" -> (beamSearch _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */
