@@ -62,6 +62,53 @@ object StreamingOps {
       }
   }
 
+  case class ClosedSession(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Production sessionization: emits CLOSED sessions once event time
+    * passes the gap, using flatMapGroupsWithState with an event-time
+    * timeout — state for idle users is reaped by the watermark, so
+    * state size is bounded by ACTIVE users only (the property that
+    * matters at 100 TB/day event volumes). Within-watermark reordering
+    * is absorbed by per-batch sorting; a user holds one open session. */
+  def sessionizeComplete(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.toList
+              .map(s => ClosedSession(userId, s.start, s.end, s.n))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            var closed = List.empty[ClosedSession]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              open = open match {
+                case Some(s) if ms - s.end <= gapMs =>
+                  Some(OpenSession(s.start, math.max(s.end, ms), s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.start, s.end, s.n)
+                  Some(OpenSession(ms, ms, 1L))
+                case None => Some(OpenSession(ms, ms, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Continuous vector-index ingestion: a stream of (key STRING,
     * vec ARRAY<FLOAT>) rows is appended to the index at `indexPath`,
     * one copy-on-write snapshot per micro-batch (reference ann_insert!

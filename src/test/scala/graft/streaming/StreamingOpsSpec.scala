@@ -78,4 +78,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s.search(Array(0f, 0f, 1f, 0f), topk = 1).head._1.contains("c"))
     assert(s.embeddingByKey("a").sameElements(Array(1f, 0f, 0f, 0f)))
   }
+
+  test("sessionizeComplete: closed sessions emitted after watermark passes the gap") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionizeComplete(mem.toDS())
+      .writeStream.format("memory").queryName("closed_sessions").outputMode("append").start()
+    // session 1: two events 5 min apart
+    mem.addData(Event(1, ts(0), 7, "click", 0.0), Event(2, ts(5), 7, "click", 0.0))
+    q.processAllAvailable()
+    // 2h later: new session for the same user; watermark (max ts - 1h)
+    // passes session 1's gap -> session 1 closes
+    mem.addData(Event(3, ts(120), 7, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(400), 8, "view", 0.0)) // push watermark further
+    q.processAllAvailable()
+    val out = spark.table("closed_sessions").collect()
+    val s1 = out.find(r => r.getLong(0) == 7L && r.getLong(1) == ts(0).getTime)
+    assert(s1.isDefined, s"expected closed session 1 in ${out.mkString(";")}")
+    assert(s1.get.getLong(2) == ts(5).getTime) // session_end
+    assert(s1.get.getLong(3) == 2L)            // n_events
+    q.stop()
+  }
 }
