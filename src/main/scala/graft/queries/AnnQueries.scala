@@ -21,17 +21,22 @@ object AnnQueries {
 
   /** One graph build per sf-dir per JVM: the index is a persistent
     * artifact queried many times (exactly the reference's usage
-    * pattern), so q30/q31 share it instead of rebuilding. */
+    * pattern), so q30/q31/q34 share it instead of rebuilding. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorIndex]()
   private val servingCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.ServingIndex]()
 
-  private def buildServing(spark: SparkSession, dir: String) =
-    servingCache.computeIfAbsent(dir, _ => {
+  private def builtIndex(spark: SparkSession, dir: String): VectorIndex =
+    indexCache.computeIfAbsent(dir, _ => {
       val src = source(spark, dir)
       val dim = src.select(size(col("vec"))).head().getInt(0)
       val path = java.nio.file.Files.createTempDirectory("graft-ann").toString
-      VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32).toServing
+      VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32)
     })
+
+  private def buildServing(spark: SparkSession, dir: String) =
+    servingCache.computeIfAbsent(dir, _ => builtIndex(spark, dir).toServing)
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
   def annSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -101,11 +106,8 @@ object AnnQueries {
   /** Fully-distributed batch ANN (iterative frontier joins) — the
     * plan-parallel complement of the driver-side serving path. */
   def beamSearch(spark: SparkSession, dir: String): DataFrame = {
-    val src = source(spark, dir)
-    val dim = src.select(size(col("vec"))).head().getInt(0)
-    val path = java.nio.file.Files.createTempDirectory("graft-beam").toString
-    val idx = VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32)
-    val queries = src.filter(col("id") < 10)
+    val idx = builtIndex(spark, dir)
+    val queries = source(spark, dir).filter(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
     graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10)
   }

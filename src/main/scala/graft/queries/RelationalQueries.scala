@@ -78,7 +78,78 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Customers with no orders since mid-1997 — anti-join shape. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Wide-format (pivot) aggregation: order counts per priority x
+    * status — the relational cross-tab shape. Pivot values are
+    * declared explicitly so the plan needs no pre-pass. */
+  def orderStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Supplier account-balance quartiles per nation — ntile window with
+    * deterministic tie-break. */
+  def supplierBalanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    t(spark, dir, "supplier")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("s_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        asD(max(dec(col("s_acctbal")))).as("max_acctbal"))
+      .orderBy(col("s_nationkey"), col("quartile"))
+  }
+
+  /** Salted (skew-mitigated) aggregation over lineitem by partkey —
+    * the ORACLE is the plain direct aggregation, proving the salted
+    * two-phase plan yields identical results. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      t(spark, dir, "lineitem"),
+      col("l_partkey"), dec(col("l_quantity")), salts = 16)
+      .select(col("key").as("l_partkey"), col("n_rows"), asD(col("sum_value")).as("sum_qty"))
+      .filter(col("l_partkey") <= 200)
+      .orderBy(col("l_partkey"))
+
   val oracles: Map[String, String] = Map(
+    "q16_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1997-06-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_order_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q18_supplier_quartiles" ->
+      """WITH r AS (SELECT s_nationkey, s_acctbal, s_suppkey,
+        |    ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS quartile
+        |  FROM supplier)
+        |SELECT s_nationkey, quartile, COUNT(*) AS n_suppliers,
+        |  CAST(MAX(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS max_acctbal
+        |FROM r GROUP BY s_nationkey, quartile ORDER BY s_nationkey, quartile""".stripMargin,
+    "q19_salted_agg" ->
+      """SELECT l_partkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey <= 200
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -113,6 +184,10 @@ object RelationalQueries {
     "q01_pricing_summary" -> (pricingSummary _),
     "q11_revenue_by_nation" -> (revenueByNation _),
     "q12_top_orders_per_customer" -> (topOrdersPerCustomer _),
-    "q13_order_priority_count" -> (orderPriorityCount _)
+    "q13_order_priority_count" -> (orderPriorityCount _),
+    "q16_customers_without_orders" -> (customersWithoutOrders _),
+    "q17_order_status_pivot" -> (orderStatusPivot _),
+    "q18_supplier_quartiles" -> (supplierBalanceQuartiles _),
+    "q19_salted_agg" -> (saltedAgg _)
   )
 }
