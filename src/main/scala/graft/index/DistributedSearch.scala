@@ -56,7 +56,7 @@ object DistributedSearch {
     var beam = q
       .join(vectors.filter(col("id") === entry).select(col("id"), col("vec")))
       .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
-      .cache()
+      .localCheckpoint(true)
 
     var step = 0
     while (step < steps) {
@@ -69,14 +69,16 @@ object DistributedSearch {
         .unionByName(beam)
         .groupBy(col("query_id"), col("id"))
         .agg(min(col("dist")).as("dist"), first(col("qvec")).as("qvec"))
+      // localCheckpoint truncates lineage: each step plans against a
+      // materialized leaf instead of the whole history (driver-side
+      // planning cost would otherwise grow superlinearly with steps)
       val next = scored
         .groupBy(col("query_id"))
         .agg(VectorFunctions.topKPairs(col("dist"), col("id"), beamWidth).as("tk"),
           first(col("qvec")).as("qvec"))
         .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
         .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))
-        .cache()
-      next.count() // materialize per step: bounds lineage depth
+        .localCheckpoint(true)
       beam.unpersist()
       beam = next
       step += 1

@@ -83,6 +83,59 @@ object Multimodal {
       encode(col(textCol), "UTF-8").cast("binary").as("content"),
       lit(null).cast("string").as("source"))
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Resize/transcode a payload to a byte budget. STUB transform:
+    * deterministic truncation + 4-byte length header (a real codec
+    * would decode, scale, re-encode); partition-local like decode. */
+  def resize(media: DataFrame, maxBytes: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select(col("media_id"), col("modality"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          if (content == null) Row(r.getLong(0), r.getString(1), null, 0L)
+          else {
+            val out = java.nio.ByteBuffer.allocate(4 + math.min(content.length, maxBytes))
+            out.putInt(content.length) // original size header
+            out.put(content, 0, math.min(content.length, maxBytes))
+            val bytes = out.array()
+            Row(r.getLong(0), r.getString(1), bytes, bytes.length.toLong)
+          }
+        }
+      }(enc)
+  }
+
+  /** Sample `n` evenly-spaced "frames" from a payload. STUB: fixed-size
+    * byte windows at even offsets (a real impl seeks keyframes); the
+    * exploded one-row-per-frame shape and frame indices are real. */
+  def frameSample(media: DataFrame, n: Int, frameBytes: Int = 16): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content = r.getAs[Array[Byte]](1)
+          val step = math.max(1, content.length / math.max(1, n))
+          (0 until n).iterator
+            .map(i => (i, math.min(i.toLong * step, math.max(0, content.length - 1))))
+            .map { case (i, off) =>
+              val end = math.min(content.length, off.toInt + frameBytes)
+              Row(r.getLong(0), i, off, java.util.Arrays.copyOfRange(content, off.toInt, end))
+            }
+        }
+      }(enc)
+  }
+
   /** Decode + feature-extract every payload. Decoder is initialized
     * once per partition; null payloads pass through with null features. */
   def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {

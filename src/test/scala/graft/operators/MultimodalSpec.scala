@@ -45,4 +45,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(col("feature").isNull).count() == 2)
     assert(feats.filter(col("feature").isNotNull).count() == 1)
   }
+
+  test("resize: byte-budget transform with original-size header") {
+    val media = Multimodal.packText(docs.limit(10), "doc_id", "text")
+    val resized = Multimodal.resize(media, maxBytes = 32)
+    assert(resized.count() == 10)
+    // every payload capped at header + budget
+    assert(resized.filter(col("n_bytes") > 36).count() == 0)
+    val row = resized.filter(col("media_id") === 0).head()
+    val bytes = row.getAs[Array[Byte]](2)
+    val orig = java.nio.ByteBuffer.wrap(bytes).getInt
+    val origLen = docs.filter(col("doc_id") === 0).head().getString(1)
+      .getBytes("UTF-8").length
+    assert(orig == origLen)
+  }
+
+  test("frameSample: n evenly-spaced frames per payload") {
+    val media = Multimodal.packText(docs.limit(5), "doc_id", "text")
+    val frames = Multimodal.frameSample(media, n = 4, frameBytes = 8)
+    assert(frames.count() == 20) // 5 payloads x 4 frames
+    val f0 = frames.filter(col("media_id") === 0).orderBy(col("frame_idx")).collect()
+    assert(f0.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    // offsets strictly increase and frames are non-empty
+    assert(f0.map(_.getLong(2)).toSeq == f0.map(_.getLong(2)).toSeq.sorted)
+    assert(f0.forall(_.getAs[Array[Byte]](3).nonEmpty))
+  }
 }
