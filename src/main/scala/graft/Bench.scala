@@ -26,7 +26,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Single-node ANN serving throughput at the reference's largest
+    // documented workload shape (10k x 100d, docs/src/index.md demo):
+    // seeded build + 1000 searches through the serving engine.
+    val annQps = try {
+      val rng = new scala.util.Random(1)
+      val serving = new graft.index.ServingIndex(dim = 100, maxDegree = 64)
+      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
+      vecs.foreach(v => serving.insert(v))
+      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
+      val t0 = System.nanoTime()
+      queries.foreach(q => serving.search(q, topk = 10))
+      1000.0 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ann_serving_qps_10k_100d":$annQps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
