@@ -65,16 +65,23 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Cosine similarity in [-1, 1]. Zero-norm vectors get similarity 0
+    * (Spark Divide yields NULL on a zero divisor, which would silently
+    * drop the row from top-k aggregates — Metric.Cosine likewise
+    * defines distance 1.0 for zero vectors, so the distributed and
+    * serving paths agree). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    coalesce(dot(a, b) / (l2Norm(a) * l2Norm(b)), lit(0.0))
 
   /** Cosine distance = 1 - cosine similarity (Distances.jl CosineDist). */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
   /** L2-normalize a float array column (returns ARRAY<DOUBLE>).
-    * Cosine search at scale = normalize once, then Euclidean/dot. */
+    * WARNING: the norm expression is re-evaluated per ELEMENT inside
+    * the transform lambda (O(d²) per row) — for hot paths materialize
+    * `l2Norm` into a column first and divide by it (see
+    * GraphBuilder.lshKnnEdges). Kept for small-d convenience. */
   def l2Normalize(a: Column): Column =
     transform(a, x => x.cast("double") / l2Norm(a))
 }

@@ -56,7 +56,11 @@ object AlphaPrune {
 
   /** Distributed α-prune: scored edges (src, dst, dist) + vectors
     * (id, vec) → (id, nbrs) with RNG-diverse neighbors, degree-bounded.
-    * `candidateCap` bounds the per-node pairwise work. */
+    * `candidateCap` bounds the per-node pairwise work AND the per-node
+    * gathered state: candidates are cut to the cap via the bounded-heap
+    * aggregate FIRST, and only the winners' vectors are joined and
+    * collected — a hub node with 10⁵ incident edges still gathers at
+    * most cap rows (no unbounded collect_list on skewed graphs). */
   def pruneGraph(
       edges: DataFrame,
       vectors: DataFrame,
@@ -65,19 +69,20 @@ object AlphaPrune {
       metric: Metric,
       candidateCap: Int = 128): DataFrame = {
     import graft.functions.VectorFunctions
-    val withVec = edges
-      .join(vectors.select(col("id").as("dst"), col("vec").as("dst_vec")), Seq("dst"))
-    val gathered = withVec
+    val winners = edges
       .groupBy(col("src"))
-      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), candidateCap).as("tk"),
-        collect_list(struct(col("dst"), col("dst_vec"))).as("vecs"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), candidateCap).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+    val gathered = winners
+      .join(vectors.select(col("id").as("dst"), col("vec").as("dst_vec")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("dist"), col("dst"), col("dst_vec"))).as("cands"))
     val enc = RowEncoder.encoderFor(outSchema)
     gathered.mapPartitions { rows =>
       rows.map { r =>
-        val tk = r.getSeq[org.apache.spark.sql.Row](1) // (dist, id) ascending
-        val vecMap = r.getSeq[org.apache.spark.sql.Row](2)
-          .map(v => v.getLong(0) -> v.getSeq[Float](1).toArray).toMap
-        val cands = tk.map(p => (p.getDouble(0), p.getLong(1), vecMap(p.getLong(1))))
+        val cands = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getDouble(0), p.getLong(1), p.getSeq[Float](2).toArray))
           .toIndexedSeq
         org.apache.spark.sql.Row(r.getLong(0),
           pruneOne(cands, maxDegree, alpha, metric).toSeq)

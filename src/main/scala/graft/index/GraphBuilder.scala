@@ -93,11 +93,18 @@ object GraphBuilder {
       numHashTables: Int = 8,
       bucketLength: Double = -1.0): DataFrame = {
     val spark = vectors.sparkSession
-    // cosine = euclidean ranking on L2-normalized copies
+    // cosine = euclidean ranking on L2-normalized copies; the norm is
+    // materialized once per row (inlining it into the transform lambda
+    // would re-evaluate the full dot product per element — O(d²)/row)
     val prepared = metric match {
       case Metric.Euclidean => vectors.select(col("id"), col("vec"))
-      case Metric.Cosine => vectors.select(col("id"),
-        VectorFunctions.l2Normalize(col("vec")).cast("array<float>").as("vec"))
+      case Metric.Cosine => vectors
+        .select(col("id"), col("vec"),
+          VectorFunctions.l2Norm(col("vec")).as("nrm"))
+        .select(col("id"),
+          when(col("nrm") === 0.0, col("vec").cast("array<float>"))
+            .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm")).cast("array<float>"))
+            .as("vec"))
     }
     val bl =
       if (bucketLength > 0) bucketLength

@@ -156,7 +156,11 @@ final class ServingIndex(
         i += 1
       }
     }
-    // key registration; re-registering a key remaps it atomically (Q7 fix)
+    // key registration; re-registering a key remaps it atomically (Q7
+    // fix: no stale reverse entry). The PREVIOUS vector stays live but
+    // keyless — same as the reference, where a re-used key leaves the
+    // old vector searchable and deletable only by its numeric id
+    // (src/LMDiskANN.jl:576-583 never unlinks the old vector either).
     keyToId.get(k).foreach(old => idToKey.remove(old))
     keyToId(k) = id
     idToKey(id) = k
@@ -220,8 +224,14 @@ final class ServingIndex(
     idToKey(id) = key
   }
   private[index] def finishLoad(entry: Int, free: Seq[Int]): Unit = {
-    freelist.clear(); freelist ++= free
-    freeSet.clear(); freeSet ++= free
+    // grow the arrays to cover freelist slots past the last live row
+    // (deleting the highest id leaves such a slot) and dedupe entries —
+    // a reused slot must exist and be poppable exactly once
+    val distinctFree = free.distinct
+    val maxSlot = (distinctFree.iterator ++ Iterator(vecs.length - 1)).max
+    while (vecs.length <= maxSlot) { vecs += null; adj += mutable.ArrayBuffer.empty[Int] }
+    freelist.clear(); freelist ++= distinctFree
+    freeSet.clear(); freeSet ++= distinctFree
     // any slot never loaded and not in freelist is free too
     (0 until vecs.length).foreach { i =>
       if (vecs(i) == null && !freeSet.contains(i)) { freelist += i; freeSet += i }

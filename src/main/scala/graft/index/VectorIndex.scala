@@ -21,7 +21,8 @@ final case class IndexMeta(
     entrypoint: Int,
     eltype: String,
     metric: String,
-    freelist: Seq[Int]) {
+    freelist: Seq[Int],
+    ingestBatchId: Long = -1L) {
   require(Set("Float16", "Float32", "Float64").contains(eltype), s"bad eltype $eltype")
   Metric.fromName(metric) // validate
 }
@@ -104,17 +105,55 @@ final class VectorIndex private (
   /** Batch insert: append vectors and rewire distributively, committing
     * a new snapshot. Wiring = each new node gets its maxdegree-closest
     * over (old ∪ new), existing nodes gain back-edges and are re-pruned
-    * — the batch analog of reference ann_insert! steps 5-6. */
-  def insertBatch(newVectors: DataFrame): VectorIndex = {
-    val startId = (vectors.agg(max(col("id"))).head().get(0) match {
+    * — the batch analog of reference ann_insert! steps 5-6.
+    *
+    * ID assignment matches the reference contract: freed slots are
+    * recycled LIFO first (src/LMDiskANN.jl:534), then fresh ids beyond
+    * every id ever used (live OR freed — a freed slot must never
+    * collide with an append). Batch rows are ranked by key via
+    * sort + zipWithIndex (no single-partition window). The ring
+    * connectivity backbone is re-derived over the grown id set so the
+    * build-time connectivity invariant survives mutation. */
+  def insertBatch(newVectors: DataFrame): VectorIndex = insertBatch(newVectors, -1L)
+
+  /** insertBatch carrying a streaming batch id: the id commits
+    * atomically with the snapshot pointer, making micro-batch
+    * ingestion exactly-once under at-least-once foreachBatch retries
+    * (a replayed batch compares <= meta.ingestBatchId and is skipped
+    * BEFORE any write — see StreamingOps.applyIngestBatch). */
+  def insertBatch(newVectors: DataFrame, batchId: Long): VectorIndex = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nBatch = newVectors.count()
+    if (nBatch == 0) return this
+    val liveMax = vectors.agg(max(col("id"))).head().get(0) match {
       case null => -1L
       case l: Long => l
-    }) + 1L
-    import org.apache.spark.sql.expressions.Window
-    val wNew = Window.orderBy(col("key"))
-    val incoming = newVectors
-      .select(col("key"), col("vec"))
-      .withColumn("id", row_number().over(wNew).cast("long") + lit(startId) - 1L)
+    }
+    val freeMax = if (meta.freelist.isEmpty) -1L else meta.freelist.max.toLong
+    val base = math.max(liveMax, freeMax) + 1L
+    // LIFO recycling: last freed first
+    val recycled = meta.freelist.reverse.take(math.min(nBatch, meta.freelist.size).toInt)
+    val rankedSchema = StructType(Seq(
+      StructField("key", StringType, nullable = true),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("rnk", LongType, nullable = false)))
+    val ranked = spark.createDataFrame(
+      newVectors.select(col("key").cast("string"), col("vec").cast("array<float>"))
+        .orderBy(col("key"))
+        .rdd.zipWithIndex()
+        .map { case (r, i) => Row(r.get(0), r.get(1), i) },
+      rankedSchema)
+    val slotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        recycled.zipWithIndex.map { case (slot, i) => Row(i.toLong, slot.toLong) }),
+      StructType(Seq(
+        StructField("rnk", LongType, nullable = false),
+        StructField("slot", LongType, nullable = false))))
+    val incoming = ranked.join(broadcast(slotDf), Seq("rnk"), "left")
+      .select(
+        coalesce(col("slot"), col("rnk") - recycled.size + base).as("id"),
+        col("key"), col("vec"))
       .select(col("id"),
         coalesce(col("key"), (col("id") + 1).cast("string")).as("key"),
         col("vec"))
@@ -126,10 +165,13 @@ final class VectorIndex private (
       case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
       case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
     }
-    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    val knnDegree = math.max(1, meta.maxDegree - 2)
     val newEdges = a.crossJoin(b).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), dcol.as("dist"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= meta.maxDegree).drop("rnk")
+      .groupBy(col("src"))
+      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
     // existing adjacency as an edge list with distances for re-pruning
     val vecById = allVecs.select(col("id"), col("vec"))
     val oldEdges = adjacency
@@ -137,18 +179,25 @@ final class VectorIndex private (
       .join(vecById.select(col("id").as("src"), col("vec").as("a_vec")), "src")
       .join(vecById.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
       .select(col("src"), col("dst"), dcol.as("dist"))
-    val graph = GraphBuilder.symmetrizeAndPrune(oldEdges.unionByName(newEdges), meta.maxDegree)
-    val nInserted = incoming.count()
+    val pruned = GraphBuilder.symmetrizeAndPrune(oldEdges.unionByName(newEdges), knnDegree)
+    val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vecById), meta.maxDegree)
     commit(allVecs, graph, meta.copy(
-      numPoints = meta.numPoints + nInserted,
-      entrypoint = if (meta.entrypoint < 0) 0 else meta.entrypoint))
+      numPoints = meta.numPoints + nBatch,
+      entrypoint = if (meta.entrypoint < 0) 0 else meta.entrypoint,
+      freelist = meta.freelist.dropRight(recycled.size),
+      ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId))
   }
 
   /** Batch delete by public (1-based) IDs: drop rows, strip victims
     * from every adjacency list, re-elect the entrypoint if needed
     * (reference ann_delete! semantics, Q3/Q4). */
   def deleteBatch(publicIds: Seq[Long]): VectorIndex = {
-    val victims = publicIds.map(_ - 1L).toSet
+    // only live rows become freelist entries: re-deleting an id (retry,
+    // overlapping delete sets) must not create duplicate free slots
+    val requested = publicIds.map(_ - 1L).toSet
+    val victims = vectors.filter(col("id").isin(requested.toSeq: _*))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    if (victims.isEmpty) return this
     val victimCol = victims.toSeq
     val remaining = vectors.filter(!col("id").isin(victimCol: _*))
     val repaired = adjacency
@@ -165,7 +214,7 @@ final class VectorIndex private (
     commit(remaining, repaired, meta.copy(
       numPoints = nLeft,
       entrypoint = newEntry,
-      freelist = meta.freelist ++ victims.map(_.toInt)))
+      freelist = (meta.freelist ++ victims.map(_.toInt)).distinct))
   }
 
   private def commit(vecs: DataFrame, adj: DataFrame, newMeta: IndexMeta): VectorIndex = {
@@ -292,6 +341,7 @@ object VectorIndex {
       s"""{"version":${m.version},"numPoints":${m.numPoints},"dim":${m.dim},""" +
         s""""maxDegree":${m.maxDegree},"entrypoint":${m.entrypoint},""" +
         s""""eltype":"${m.eltype}","metric":"${m.metric}",""" +
+        s""""ingestBatchId":${m.ingestBatchId},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
     // atomic pointer swap: write sidecar to a temp file, then move over
     val tmp = Paths.get(s"$path/.meta.json.tmp")
@@ -316,8 +366,10 @@ object VectorIndex {
     val freelist = """"freelist":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    val ingestId = """"ingestBatchId":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
     IndexMeta(longOf("version"), longOf("numPoints"), longOf("dim").toInt,
       longOf("maxDegree").toInt, longOf("entrypoint").toInt,
-      strOf("eltype"), strOf("metric"), freelist)
+      strOf("eltype"), strOf("metric"), freelist, ingestId)
   }
 }

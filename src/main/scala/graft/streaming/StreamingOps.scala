@@ -122,12 +122,28 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val idx = VectorIndex.load(spark, indexPath)
-          idx.insertBatch(batch.select(col("key"), col("vec")))
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(spark, indexPath, batch, batchId)
+        ()
       }
       .start()
+
+  /** Idempotent micro-batch apply: foreachBatch is at-least-once, so a
+    * replayed batch (crash between snapshot commit and checkpoint
+    * write) is detected via the batch id persisted INSIDE the index
+    * metadata — it commits atomically with the snapshot pointer.
+    * Returns true if the batch was applied, false if skipped. */
+  def applyIngestBatch(
+      spark: SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val idx = VectorIndex.load(spark, indexPath)
+    if (batchId <= idx.meta.ingestBatchId) false
+    else {
+      idx.insertBatch(batch.select(col("key"), col("vec")), batchId)
+      true
+    }
+  }
 }

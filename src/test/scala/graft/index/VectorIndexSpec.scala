@@ -168,4 +168,63 @@ class VectorIndexSpec extends SparkSpec {
     assert(idx16.meta.eltype == "Float16")
     assert(idx16.toServing.embeddingById(1L).sameElements(Array(1.5f, -0.25f, 0f, 2f)))
   }
+
+  test("regression: delete highest id, then serving insert reuses its slot (no crash)") {
+    val path = tmpDir("idx-highdel")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 10), dim = 64, maxDegree = 4)
+    val v1 = idx.deleteBatch(Seq(10L)) // highest public id -> freelist slot 9
+    val s = v1.toServing
+    assert(s.numPoints == 9)
+    val (_, reused) = s.insert(Array.fill(64)(0.25f)) // must not throw
+    assert(reused == 10L) // recycled the freed slot
+  }
+
+  test("regression: double delete does not duplicate freelist entries") {
+    val path = tmpDir("idx-dbldel")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 10), dim = 64, maxDegree = 4)
+    val v1 = idx.deleteBatch(Seq(5L))
+    val v2 = v1.deleteBatch(Seq(5L)) // retry / overlap
+    assert(v2.meta.freelist.count(_ == 4) == 1)
+    assert(v2.meta.numPoints == 9)
+    val s = v2.toServing
+    val (_, r1) = s.insert(Array.fill(64)(0.1f))
+    val (_, r2) = s.insert(Array.fill(64)(0.2f))
+    assert(r1 == 5L && r2 == 11L) // one recycle, then append
+  }
+
+  test("regression: insertBatch recycles freed slots and never collides with them") {
+    val ss = spark
+    import ss.implicits._
+    val path = tmpDir("idx-recycle")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 10), dim = 64, maxDegree = 4)
+    val v1 = idx.deleteBatch(Seq(10L)) // frees internal 9 (the max id)
+    val batch = embeddings.filter(col("id").between(20, 22))
+      .select(concat(lit("nb_"), col("id")).as("key"), col("vec"))
+    val v2 = v1.insertBatch(batch)
+    assert(v2.meta.numPoints == 12)
+    // freed slot 9 was recycled; fresh ids start past every id ever used
+    val ids = v2.vectors.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(9L))
+    assert(ids.size == 12) // no collisions
+    assert(v2.meta.freelist.isEmpty)
+    val s = v2.toServing
+    assert(s.numPoints == 12)
+  }
+
+  test("regression: insertBatch preserves the ring connectivity backbone") {
+    val path = tmpDir("idx-ringkeep")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 30), dim = 64, maxDegree = 6)
+    val batch = embeddings.filter(col("id").between(30, 34))
+      .select(col("id").cast("string").as("key"), col("vec"))
+    val v1 = idx.insertBatch(batch)
+    // every node keeps its ring successor or predecessor (id-sorted order)
+    val adj = v1.adjacency.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sorted = adj.keys.toSeq.sorted
+    val n = sorted.length
+    val missing = sorted.indices.filterNot { i =>
+      val succ = sorted((i + 1) % n); val prev = sorted((i - 1 + n) % n)
+      adj(sorted(i)).contains(succ) || adj(sorted(i)).contains(prev)
+    }
+    assert(missing.isEmpty, s"nodes without ring edges: ${missing.map(sorted)}")
+  }
 }

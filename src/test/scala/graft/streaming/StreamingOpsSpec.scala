@@ -102,4 +102,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s1.get.getLong(3) == 2L)            // n_events
     q.stop()
   }
+
+  test("applyIngestBatch is idempotent under at-least-once replay") {
+    val ss = spark
+    import ss.implicits._
+    val path = tmpDir("ingest-idem")
+    VectorIndex.create(spark, path, dim = 4, maxDegree = 8, metric = Metric.Euclidean)
+    val batch = Seq(("x", Seq(1f, 0f, 0f, 0f)), ("y", Seq(0f, 1f, 0f, 0f)))
+      .toDF("key", "vec")
+    assert(StreamingOps.applyIngestBatch(spark, path, batch, batchId = 0L))
+    // replay of the same micro-batch (crash between commit and
+    // checkpoint write) must be skipped
+    assert(!StreamingOps.applyIngestBatch(spark, path, batch, batchId = 0L))
+    val idx = VectorIndex.load(spark, path)
+    assert(idx.meta.numPoints == 2)
+    assert(idx.meta.ingestBatchId == 0L)
+    assert(StreamingOps.applyIngestBatch(spark, path, batch, batchId = 1L))
+    assert(VectorIndex.load(spark, path).meta.numPoints == 4)
+  }
 }
