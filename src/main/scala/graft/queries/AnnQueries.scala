@@ -27,13 +27,30 @@ object AnnQueries {
   private val servingCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.ServingIndex]()
 
-  private def builtIndex(spark: SparkSession, dir: String): VectorIndex =
-    indexCache.computeIfAbsent(dir, _ => {
+  private def builtIndex(spark: SparkSession, dir: String): VectorIndex = {
+    // a cached index is bound to the session that built it — rebuild if
+    // that session has been stopped since
+    val cached = indexCache.get(dir)
+    if (cached != null && !cached.spark.sparkContext.isStopped) cached
+    else {
       val src = source(spark, dir)
       val dim = src.select(size(col("vec"))).head().getInt(0)
-      val path = java.nio.file.Files.createTempDirectory("graft-ann").toString
-      VectorIndex.build(spark, path, src, dim = dim, maxDegree = 32)
-    })
+      val path = java.nio.file.Files.createTempDirectory("graft-ann")
+      // temp indexes are scratch artifacts: reap them on JVM exit
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+      val idx = VectorIndex.build(spark, path.toString, src, dim = dim, maxDegree = 32)
+      indexCache.put(dir, idx)
+      servingCache.remove(dir) // serving view of a stale session's index
+      idx
+    }
+  }
 
   private def buildServing(spark: SparkSession, dir: String) =
     servingCache.computeIfAbsent(dir, _ => builtIndex(spark, dir).toServing)
@@ -59,17 +76,31 @@ object AnnQueries {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val serving = buildServing(spark, dir)
-    val all = source(spark, dir).collect()
-      .map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toArray))
-    val rng = new scala.util.Random(1)
-    val queries = rng.shuffle(all.toList).take(30)
-    val recalls = queries.map { case (_, qv) =>
-      val truth = all.sortBy { case (pid, v) => (Metric.Euclidean.dist(qv, v), pid) }
-        .take(10).map(_._1).toSet
+    val src = source(spark, dir)
+    // deterministic query sample: 30 evenly spaced ids
+    val n = src.count()
+    val stride = math.max(1L, n / 30L)
+    val queryRows = src.filter(pmod(col("id"), lit(stride)) === 0).limit(30)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // exact truth computed DISTRIBUTED (crossJoin + bounded-heap top-k),
+    // not via a driver-side sort over a collected table
+    val queries = queryRows.map { case (id, _) => id }.toSeq.toDF("query_id")
+      .join(src.withColumnRenamed("id", "query_id"), "query_id")
+      .withColumnRenamed("vec", "qvec")
+    val truth = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), (col("p.id") + 1).as("neighbor_public_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queryRows.map { case (qid, qv) =>
       val got = serving.search(qv, topk = 10).map(_._2).toSet
-      truth.intersect(got).size.toDouble / 10.0
+      truth(qid).intersect(got).size.toDouble / 10.0
     }
-    Seq((queries.size, recalls.sum / recalls.size, recalls.min))
+    Seq((queryRows.length, recalls.sum / recalls.length, recalls.min))
       .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
   }
 
@@ -81,6 +112,9 @@ object AnnQueries {
     val queries = src.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
     graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+      // public 1-based ids, consistent with q30/q34 (SURVEY Q1 contract)
+      .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
+        col("dist"), col("rnk"))
   }
 
   /** Measured recall@10 of the IVF path vs exact, over 30 self-queries. */

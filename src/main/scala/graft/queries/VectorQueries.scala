@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -131,7 +130,7 @@ object VectorQueries {
   }
 
   /** Insert-then-search semantics (op #6): three new vectors (copies of
-    * vectors 0..2 under fresh IDs 10001..10003, matching freelist-free
+    * vectors 0..2 under fresh IDs 10000..10002, matching freelist-free
     * append) become findable; each new vector's nearest neighbor at
     * dist 0 is its source or itself. */
   def insertThenSearch(spark: SparkSession, dir: String): DataFrame = {
