@@ -46,6 +46,19 @@ abstract class FloatVecBinaryKernel extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  /** Mismatched dimensions are an ERROR, not a truncation: silently
+    * folding over min(len) returns a plausible-but-wrong distance and
+    * corrupts top-k results. The reference errors likewise
+    * (ServingIndex.search's require(q.length == dim) mirrors it). */
+  protected final def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch: $n vs ${b.numElements()}")
+    }
+    n
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
@@ -53,7 +66,10 @@ abstract class FloatVecBinaryKernel extends BinaryExpression {
       val acc = ctx.freshName("acc")
       s"""
          |int $n = $a.numElements();
-         |if ($b.numElements() < $n) $n = $b.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimension mismatch: " + $n + " vs " + $b.numElements());
+         |}
          |double $acc = 0.0;
          |${loopBody(a, b, n, i, acc)}
          |${ev.value} = $acc;
@@ -70,7 +86,7 @@ case class SquaredL2(left: Expression, right: Expression) extends FloatVecBinary
        |  $acc += d * d;
        |}""".stripMargin
   override protected def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var s = 0.0; var i = 0
     while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; s += d * d; i += 1 }
     s
@@ -86,7 +102,7 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
        |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}""".stripMargin
   override protected def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var s = 0.0; var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s

@@ -51,8 +51,27 @@ object DistributedSearch {
     }
     val q = queries.select(col("query_id"), col("qvec"))
 
-    // seed: every query starts at the entrypoint
-    val entry = math.max(index.meta.entrypoint, 0).toLong
+    // seed: every query starts at the entrypoint — but only if it is
+    // actually live. A stale/dead entrypoint (e.g. from an older
+    // snapshot) would otherwise produce an empty seed and silently
+    // return zero results for every query; fall back to the smallest
+    // live id, the same re-election rule ServingIndex.finishLoad uses.
+    val ep = index.meta.entrypoint.toLong
+    val entry: Long =
+      if (ep >= 0 && vectors.filter(col("id") === ep).limit(1).count() == 1L) ep
+      else vectors.agg(min(col("id"))).head().get(0) match {
+        case l: java.lang.Long => l.longValue()
+        case _ =>
+          vectors.unpersist(); adjacency.unpersist()
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("public_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.IntegerType))))
+      }
     var beam = q
       .join(vectors.filter(col("id") === entry).select(col("id"), col("vec")))
       .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
@@ -90,9 +109,17 @@ object DistributedSearch {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.id").as("id"), col("p.dist").as("dist"),
         (col("pos") + 1).cast("int").as("rnk"))
-    winners.join(vectors.select(col("id"), col("key")), Seq("id"))
+    // materialize the result BEFORE releasing the caches: a long-lived
+    // session calling beamSearch repeatedly must not accumulate cached
+    // vector/adjacency blocks (or per-step checkpoint blocks)
+    val result = winners.join(vectors.select(col("id"), col("key")), Seq("id"))
       .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"),
         col("dist"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+      .localCheckpoint(true)
+    beam.unpersist()
+    vectors.unpersist()
+    adjacency.unpersist()
+    result
   }
 }

@@ -181,9 +181,18 @@ final class VectorIndex private (
       .select(col("src"), col("dst"), dcol.as("dist"))
     val pruned = GraphBuilder.symmetrizeAndPrune(oldEdges.unionByName(newEdges), knnDegree)
     val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vecById), meta.maxDegree)
+    // entrypoint < 0 means the live set was empty, so every live id is an
+    // incoming one: the smallest incoming id is min(recycled) when slots
+    // were recycled (recycled ids always precede `base`), else `base`.
+    // A hardcoded 0 here could be a dead (freed-but-not-recycled) slot,
+    // which silently empties every DistributedSearch seed.
+    val newEntry =
+      if (meta.entrypoint >= 0) meta.entrypoint
+      else if (recycled.nonEmpty) recycled.min
+      else base.toInt
     commit(allVecs, graph, meta.copy(
       numPoints = meta.numPoints + nBatch,
-      entrypoint = if (meta.entrypoint < 0) 0 else meta.entrypoint,
+      entrypoint = newEntry,
       freelist = meta.freelist.dropRight(recycled.size),
       ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId))
   }

@@ -55,6 +55,28 @@ object AnnQueries {
   private def buildServing(spark: SparkSession, dir: String) =
     servingCache.computeIfAbsent(dir, _ => builtIndex(spark, dir).toServing)
 
+  /** One IVF fit per sf-dir per JVM, like the graph index: q32 and q33
+    * share the fitted (centroids, assigned) pair, and `assigned` is
+    * persisted exactly once here — repeated calls in a long-lived
+    * session reuse the same blocks instead of stacking a fresh
+    * `.cache()` per call (the round-1 leak). */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def ivfFitted(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cached = ivfCache.get(dir)
+    if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
+    else {
+      val (centroids, assignedRaw) =
+        graft.operators.Similarity.ivfFit(source(spark, dir), k = 16)
+      val assigned = assignedRaw.cache()
+      assigned.count() // materialize once, up front
+      val pair = (centroids, assigned)
+      ivfCache.put(dir, pair)
+      pair
+    }
+  }
+
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
   def annSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -107,9 +129,8 @@ object AnnQueries {
   /** IVF (KMeans inverted-file) approximate top-k — the partition-
     * pruned scale path (graft.operators.Similarity). */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val src = source(spark, dir).cache()
-    val (centroids, assigned) = graft.operators.Similarity.ivfFit(src, k = 16)
-    val queries = src.filter(col("id") < 10)
+    val (centroids, assigned) = ivfFitted(spark, dir)
+    val queries = assigned.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
     graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
       // public 1-based ids, consistent with q30/q34 (SURVEY Q1 contract)
@@ -120,9 +141,10 @@ object AnnQueries {
   /** Measured recall@10 of the IVF path vs exact, over 30 self-queries. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val src = source(spark, dir).cache()
-    val (centroids, assigned) = graft.operators.Similarity.ivfFit(src, k = 16)
-    val queries = src.limit(30).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val (centroids, assigned) = ivfFitted(spark, dir)
+    val src = assigned.select(col("id"), col("vec"))
+    // deterministic query sample (limit() order is file-layout luck)
+    val queries = src.filter(col("id") < 30).select(col("id").as("query_id"), col("vec").as("qvec"))
     val ivf = graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
       .select(col("query_id"), col("neighbor_id"))
     val e = src.crossJoin(broadcast(queries))

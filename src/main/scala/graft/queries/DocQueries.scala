@@ -56,9 +56,15 @@ object DocQueries {
 
   // ------------------------------------------------------------- queries
 
-  /** Exact dedup (hash-groupBy) over the duplicated corpus. */
+  /** Exact dedup (hash-groupBy) over the duplicated corpus. The member
+    * list ships CSV-joined: the driver's oracle normalizer cannot hash
+    * ARRAY cells, so the array form would silently skip the check
+    * (Dedup.exactDuplicates still returns the typed array). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactDuplicates(corpus(spark, dir)).orderBy(col("canonical_id"))
+    Dedup.exactDuplicates(corpus(spark, dir))
+      .select(col("text_hash"), col("canonical_id"), col("n_copies"),
+        array_join(col("member_ids").cast("array<string>"), ",").as("member_csv"))
+      .orderBy(col("canonical_id"))
 
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -76,9 +82,12 @@ object DocQueries {
       .select(col("doc_id"), col("term_id").as("sid"))
   }
 
-  /** MinHash signatures (16 hashes over ranked trigram IDs). */
+  /** MinHash signatures (16 hashes over ranked trigram IDs), CSV-joined
+    * for the driver gate (see [[dedupExact]] on array columns). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(shingleIds(docs(spark, dir))).orderBy(col("doc_id"))
+    Dedup.minhashSignatures(shingleIds(docs(spark, dir)))
+      .select(col("doc_id"), array_join(col("sig").cast("array<string>"), ",").as("sig_csv"))
+      .orderBy(col("doc_id"))
 
   /** MinHash-LSH candidate pairs (4 bands × 4 rows) over the corpus,
     * kept when signature-estimated Jaccard >= 0.5. */
@@ -156,7 +165,7 @@ object DocQueries {
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
-         |       count(*) AS n_copies, list_sort(list(doc_id)) AS member_ids
+         |       count(*) AS n_copies, array_to_string(list_sort(list(doc_id)), ',') AS member_csv
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin,
     "q41_ngram_jaccard" ->
       s"""WITH $corpusSql,
@@ -172,7 +181,8 @@ object DocQueries {
     "q42_minhash_signatures" ->
       s"""WITH ${shinglesCte("documents")},
          |$shingleVocabCte
-         |SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string($sigExprSql, ',') AS sig_csv
+         |FROM dsi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q43_minhash_lsh" ->
       s"""WITH $corpusSql,
          |${shinglesCte("corpus")},

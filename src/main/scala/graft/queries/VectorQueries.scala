@@ -75,22 +75,32 @@ object VectorQueries {
   /** Point lookup: embedding by 1-based public ID (op #14). The
     * predicate is phrased on the raw storage column so it reaches the
     * parquet scan (`PushedFilters: In(vec_id, ...)`) — a filter on the
-    * derived `vec_id + 1` cannot push down. */
+    * derived `vec_id + 1` cannot push down.
+    *
+    * The driver-checked output carries the embedding as (dim, L2 norm)
+    * scalars rather than the raw array: the driver's oracle normalizer
+    * cannot hash ARRAY cells, so an array column would silently skip
+    * the correctness check for this query. The full-array lookup stays
+    * available via the same pushed-down filter shape. */
   def lookupById(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .filter(col("vec_id").isin(0, 6, 41, 98, 249)) // public ids 1,7,42,99,250
-      .select((col("vec_id") + 1).as("public_id"), col("embedding"), col("label"))
+      .select((col("vec_id") + 1).as("public_id"),
+        size(col("embedding")).cast("long").as("emb_dim"),
+        (round(sqrt(dot(col("embedding"), col("embedding"))), 4) + lit(0.0)).as("emb_norm"),
+        col("label"))
       .orderBy(col("public_id"))
 
   /** Point lookup by key (ops #15/#19): auto-key = string(public_id);
-    * key resolution folds to a pushed-down id predicate. */
+    * key resolution folds to a pushed-down id predicate. Array-free
+    * output for the same reason as [[lookupById]]. */
   def lookupByKey(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .filter(col("vec_id").isin(0, 6, 41, 98, 249))
       .select(
         (col("vec_id") + 1).cast("string").as("key"),
         (col("vec_id") + 1).as("public_id"),
-        col("embedding"))
+        (round(sqrt(dot(col("embedding"), col("embedding"))), 4) + lit(0.0)).as("emb_norm"))
       .orderBy(col("public_id"))
 
   /** Key <-> ID mapping table, both directions from one table
@@ -191,12 +201,14 @@ object VectorQueries {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
          |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q04_lookup_by_id" ->
-      """SELECT vec_id + 1 AS public_id, embedding, label FROM embeddings
-        |WHERE vec_id + 1 IN (1, 7, 42, 99, 250) ORDER BY public_id""".stripMargin,
+      s"""SELECT vec_id + 1 AS public_id, CAST(len(embedding) AS BIGINT) AS emb_dim,
+         |ROUND(SQRT(${dotSql("embedding", "embedding")}), 4) + 0.0 AS emb_norm, label FROM embeddings
+         |WHERE vec_id + 1 IN (1, 7, 42, 99, 250) ORDER BY public_id""".stripMargin,
     "q05_lookup_by_key" ->
-      """SELECT CAST(vec_id + 1 AS VARCHAR) AS key, vec_id + 1 AS public_id, embedding
-        |FROM embeddings WHERE CAST(vec_id + 1 AS VARCHAR) IN ('1','7','42','99','250')
-        |ORDER BY public_id""".stripMargin,
+      s"""SELECT CAST(vec_id + 1 AS VARCHAR) AS key, vec_id + 1 AS public_id,
+         |ROUND(SQRT(${dotSql("embedding", "embedding")}), 4) + 0.0 AS emb_norm
+         |FROM embeddings WHERE CAST(vec_id + 1 AS VARCHAR) IN ('1','7','42','99','250')
+         |ORDER BY public_id""".stripMargin,
     "q06_mapping_table" ->
       "SELECT vec_id + 1 AS id, CAST(vec_id + 1 AS VARCHAR) AS key FROM embeddings ORDER BY id",
     "q07_mapping_count" ->

@@ -61,4 +61,32 @@ class VectorFunctionsSpec extends SparkSpec {
     val g2 = res(1).getSeq[org.apache.spark.sql.Row](1)
     assert(g2.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 1L)))
   }
+
+  test("distance kernels error on dimension mismatch instead of truncating") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    def messageChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).toSeq
+    val e1 = intercept[Throwable] {
+      df.select(VectorFunctions.squaredEuclidean(col("a"), col("b"))).collect()
+    }
+    assert(messageChain(e1).exists(_.contains("dimension mismatch")))
+    val e2 = intercept[Throwable] {
+      df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    assert(messageChain(e2).exists(_.contains("dimension mismatch")))
+  }
+
+  test("topKPairs coerces FLOAT dist / INT id at analysis time (no runtime CCE)") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1, 1.5f, 10), (1, 0.5f, 20)).toDF("g", "d", "i")
+    val out = df.groupBy(col("g"))
+      .agg(VectorFunctions.topKPairs(col("d"), col("i"), 1).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.dist"), col("p.id")).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(0) == 0.5 && out(0).getLong(1) == 20L)
+  }
 }

@@ -227,4 +227,38 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(missing.isEmpty, s"nodes without ring edges: ${missing.map(sorted)}")
   }
+
+  test("regression: delete-all + smaller insert re-elects a LIVE entrypoint") {
+    val path = tmpDir("idx-entry")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 10), dim = 64, maxDegree = 6)
+    // delete id 1 first so internal slot 0 sits at the BOTTOM of the
+    // freelist, then the rest: LIFO recycling of a smaller batch will
+    // NOT reuse slot 0 — the old hardcoded entrypoint=0 was a dead slot
+    val v1 = idx.deleteBatch(Seq(1L))
+    val v2 = v1.deleteBatch(2L to 10L)
+    assert(v2.meta.entrypoint == -1)
+    assert(v2.vectors.count() == 0)
+    val batch = embeddings.filter(col("id").between(20, 22))
+      .select(col("id").cast("string").as("key"), col("vec"))
+    val v3 = v2.insertBatch(batch)
+    val live = v3.vectors.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(v3.meta.entrypoint >= 0)
+    assert(live.contains(v3.meta.entrypoint.toLong),
+      s"entrypoint ${v3.meta.entrypoint} not live (live=$live)")
+    // the distributed beam search must seed and return results
+    val queries = v3.vectors.limit(2)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val res = DistributedSearch.beamSearch(v3, queries, topk = 2)
+    assert(res.count() == 4)
+  }
+
+  test("beamSearch on an empty index returns an empty, well-typed result") {
+    val path = tmpDir("idx-empty-beam")
+    val idx = VectorIndex.create(spark, path, dim = 64, maxDegree = 6)
+    val queries = embeddings.filter(col("id") < 2)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val res = DistributedSearch.beamSearch(idx, queries, topk = 3)
+    assert(res.count() == 0)
+    assert(res.columns.toSeq == Seq("query_id", "public_id", "key", "dist", "rnk"))
+  }
 }
