@@ -86,8 +86,14 @@ object Dedup {
       maxShingleFreq: Int = 0,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ds = docShingles(docs, k, idCol, textCol)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // spread the DOCUMENTS before shingling: tokenization + shingle
+    // explode is the compute-dense part, and on a kilobyte-scale input
+    // it would otherwise run inside the 1-3 raw file splits. The
+    // post-explode repartition is kept so the three consumers (sizes +
+    // both self-join sides) reuse one exchange instead of re-shingling.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ds = docShingles(docs.repartition(par), k, idCol, textCol)
+      .repartition(par)
     val filtered =
       if (maxShingleFreq <= 0) ds
       else {

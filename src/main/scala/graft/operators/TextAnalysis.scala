@@ -108,4 +108,17 @@ object TextAnalysis {
         slice(tokenIds, lit(2), greatest(size(tokenIds) - 1, lit(0))),
         element_at(tokenIds, 1),
         (h, x) => (h * 31L + x) % 1000000007L))
+
+  /** Deterministic cross-engine term id: rolling polynomial hash of the
+    * term's character codes (same fold contract as
+    * [[rollingFingerprint]], so DuckDB `list_reduce` reproduces it).
+    * Replaces ranked-vocabulary ids for MinHash/SimHash: no global
+    * distinct + sort + join pass — the id is a pure per-row expression,
+    * which is the only shape that scales to a 100 TB corpus (a ranked
+    * vocabulary is a cross-corpus bottleneck; a content hash shards
+    * freely). Collisions are harmless for sketching as long as both
+    * engines hash identically. */
+  def termHash(term: Column): Column =
+    when(length(term) === 0, lit(0L)).otherwise(
+      rollingFingerprint(transform(split(term, ""), c => ascii(c).cast("long"))))
 }

@@ -77,6 +77,24 @@ object AnnQueries {
     }
   }
 
+  /** Build the shared ANN artifacts up front and report their cost.
+    * The graph index and IVF fit are persistent artifacts queried many
+    * times (exactly the reference's create-once/search-many usage), so
+    * the bench accounts for their one-time construction explicitly
+    * instead of silently attributing it to whichever query happens to
+    * run first in map order. */
+  def prewarm(spark: SparkSession, dir: String): Map[String, Double] = {
+    val t0 = System.nanoTime(); builtIndex(spark, dir)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime(); buildServing(spark, dir)
+    val tServe = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime(); ivfFitted(spark, dir)
+    val tFit = (System.nanoTime() - t2) / 1e9
+    Map("ann_graph_build_sec" -> tBuild,
+      "ann_serving_load_sec" -> tServe,
+      "ivf_fit_sec" -> tFit)
+  }
+
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
   def annSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

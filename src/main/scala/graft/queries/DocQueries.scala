@@ -9,9 +9,9 @@ import Tables._
 /** Driver-checked queries for the training-data pipeline operators
   * (dedup, text analysis, similarity) over the `documents` and
   * `embeddings` fixtures. Every query has a DuckDB oracle: the
-  * operators are defined as deterministic arithmetic (ranked-vocabulary
-  * hashing instead of engine-private hash functions), so Spark and
-  * DuckDB produce bit-identical results.
+  * operators are defined as deterministic arithmetic (rolling
+  * char-hash term ids instead of engine-private hash functions), so
+  * Spark and DuckDB produce bit-identical results.
   *
   * `corpus` = documents ∪ exact copies (doc_id+100000, doc_id<25) ∪
   * mutated copies (doc_id+200000, text + a probe tail) — gives the
@@ -46,10 +46,13 @@ object DocQueries {
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
        |       FROM toks WHERE len(t) >= 3)""".stripMargin
-  private def shingleVocabCte =
-    """vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      |          FROM (SELECT DISTINCT shingle FROM sh)),
-      |dsi AS (SELECT sh.doc_id, vocab.sid FROM sh JOIN vocab USING (shingle))""".stripMargin
+  /** DuckDB twin of TextAnalysis.termHash (rolling char-code hash). */
+  private def termHashSql(x: String): String =
+    s"CASE WHEN length($x) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split($x, ''), c -> CAST(unicode(c) AS BIGINT)), " +
+      s"(h, y) -> (h * 31 + y) % 1000000007) END"
+  private def shingleIdsCte =
+    s"""dsi AS (SELECT doc_id, ${termHashSql("shingle")} AS sid FROM sh)""".stripMargin
   private def sigExprSql: String =
     (0 until NumHashes).map(j =>
       s"min((sid * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)").mkString("[", ", ", "]")
@@ -72,15 +75,16 @@ object DocQueries {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** Shingles are read twice (vocabulary ranking + the id join), so
-    * cache the exploded set; the vocabulary is small relative to the
-    * corpus, so broadcast it into the id join. */
-  private def shingleIds(source: DataFrame): DataFrame = {
-    val ds = spread(Dedup.docShingles(source, 3)).cache()
-    val vocab = Dedup.rankTerms(ds, "shingle")
-    ds.join(broadcast(vocab), ds("shingle") === vocab("term"))
-      .select(col("doc_id"), col("term_id").as("sid"))
-  }
+  /** (doc_id, sid) pairs: shingle ids are the deterministic rolling
+    * char-hash (TextAnalysis.termHash) — a pure per-row expression, so
+    * the whole pipeline is one scan + per-doc aggregation with no
+    * vocabulary pass (the ranked-vocabulary variant needed a global
+    * distinct + sort + broadcast join). The SOURCE is spread before
+    * shingling so tokenize/shingle runs at full parallelism rather
+    * than inside the raw file splits. */
+  private def shingleIds(source: DataFrame): DataFrame =
+    Dedup.docShingles(spread(source), 3)
+      .select(col("doc_id"), TextAnalysis.termHash(col("shingle")).as("sid"))
 
   /** MinHash signatures (16 hashes over ranked trigram IDs), CSV-joined
     * for the driver gate (see [[dedupExact]] on array columns). */
@@ -95,14 +99,13 @@ object DocQueries {
     Dedup.lshCandidatePairs(Dedup.minhashSignatures(shingleIds(corpus(spark, dir))), threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** 32-bit SimHash per document over ranked token IDs. */
+  /** 32-bit SimHash per document over char-hashed token IDs (one hash
+    * per distinct (doc, token) — computed after the count groupBy). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val tok = spread(d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))).cache()
+    val tok = spread(d).select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     val counts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-    val vocab = Dedup.rankTerms(tok, "token")
-    val dtc = counts.join(broadcast(vocab), counts("token") === vocab("term"))
-      .select(col("doc_id"), col("term_id").as("tid"), col("cnt"))
+    val dtc = counts.select(col("doc_id"), TextAnalysis.termHash(col("token")).as("tid"), col("cnt"))
     Dedup.simhash(dtc).orderBy(col("doc_id"))
   }
 
@@ -180,13 +183,13 @@ object DocQueries {
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q42_minhash_signatures" ->
       s"""WITH ${shinglesCte("documents")},
-         |$shingleVocabCte
+         |$shingleIdsCte
          |SELECT doc_id, array_to_string($sigExprSql, ',') AS sig_csv
          |FROM dsi GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q43_minhash_lsh" ->
       s"""WITH $corpusSql,
          |${shinglesCte("corpus")},
-         |$shingleVocabCte,
+         |$shingleIdsCte,
          |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
          |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
          |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
@@ -200,9 +203,7 @@ object DocQueries {
     "q44_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
-         |          FROM (SELECT DISTINCT token FROM tok)),
-         |dtc AS (SELECT doc_id, tid, cnt FROM counts JOIN vocab USING (token)),
+         |dtc AS (SELECT doc_id, ${termHashSql("token")} AS tid, cnt FROM counts),
          |sums AS (SELECT doc_id, $simhashSumsSql FROM dtc GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin,
     "q45_embedding_neardup" ->
