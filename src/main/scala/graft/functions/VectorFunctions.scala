@@ -62,6 +62,15 @@ object VectorFunctions {
       TopKPairsAgg(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k)
         .toAggregateExpression())
 
+  /** topKPairs that also de-duplicates ids inside the heap — for
+    * iterative consumers whose candidate stream repeats (id, dist)
+    * pairs deterministically (beam search frontiers), replacing a
+    * separate dedup shuffle. */
+  def topKPairsDistinct(dist: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKPairsAgg(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k,
+        distinctIds = true).toAggregateExpression())
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

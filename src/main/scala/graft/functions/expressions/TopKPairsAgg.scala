@@ -11,8 +11,15 @@ import org.apache.spark.sql.types._
 /** Bounded top-k buffer: keeps the k smallest (dist, id) pairs under
   * lexicographic (dist, id) order — exactly the ordering of
   * `row_number() OVER (ORDER BY dist, id) <= k`. Max-heap so the
-  * current worst is O(1) to test/evict. */
-final class TopKBuffer(val k: Int) {
+  * current worst is O(1) to test/evict.
+  *
+  * `distinct = true` skips a pair already present in the buffer —
+  * valid when the distance of a given id is deterministic (the same
+  * (dist, id) arrives for every duplicate), which lets iterative
+  * consumers (beam search) fold their dedup step into this aggregate
+  * instead of paying a separate groupBy shuffle. The containment scan
+  * is O(k) per add — k is a beam width, bounded and small. */
+final class TopKBuffer(val k: Int, val distinct: Boolean = false) {
   var size = 0
   val dists = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -20,7 +27,17 @@ final class TopKBuffer(val k: Int) {
   @inline private def gt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
 
+  private def containsPair(d: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < size) {
+      if (ids(i) == id && dists(i) == d) return true
+      i += 1
+    }
+    false
+  }
+
   def add(d: Double, id: Long): Unit = {
+    if (distinct && containsPair(d, id)) return
     if (size < k) {
       var c = size
       dists(c) = d; ids(c) = id; size += 1
@@ -67,6 +84,7 @@ case class TopKPairsAgg(
     distExpr: Expression,
     idExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
@@ -82,7 +100,7 @@ case class TopKPairsAgg(
     StructField("dist", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinctIds)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val d = distExpr.eval(input)
@@ -103,8 +121,8 @@ case class TopKPairsAgg(
     new GenericArrayData(buf.sorted.map { case (d, id) => InternalRow(d, id) })
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.size * 16)
-    bb.putInt(buf.k).putInt(buf.size)
+    val bb = ByteBuffer.allocate(9 + buf.size * 16)
+    bb.putInt(buf.k).putInt(buf.size).put(if (buf.distinct) 1.toByte else 0.toByte)
     var i = 0
     while (i < buf.size) { bb.putDouble(buf.dists(i)).putLong(buf.ids(i)); i += 1 }
     bb.array()
@@ -112,8 +130,8 @@ case class TopKPairsAgg(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val kk = bb.getInt; val n = bb.getInt
-    val buf = new TopKBuffer(kk)
+    val kk = bb.getInt; val n = bb.getInt; val dist = bb.get() == 1.toByte
+    val buf = new TopKBuffer(kk, dist)
     var i = 0
     while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
     buf

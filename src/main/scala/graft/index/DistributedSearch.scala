@@ -86,14 +86,16 @@ object DistributedSearch {
         .join(vectors.select(col("id"), col("vec")), Seq("id"))
         .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
         .unionByName(beam)
-        .groupBy(col("query_id"), col("id"))
-        .agg(min(col("dist")).as("dist"), first(col("qvec")).as("qvec"))
+      // ONE shuffle per step: the distinct-id top-k heap dedups
+      // repeated candidates inside the aggregate (distances are
+      // deterministic per id, so duplicates are exact equals) — the
+      // former groupBy(query_id, id) pre-dedup shuffle is gone.
       // localCheckpoint truncates lineage: each step plans against a
       // materialized leaf instead of the whole history (driver-side
       // planning cost would otherwise grow superlinearly with steps)
       val next = scored
         .groupBy(col("query_id"))
-        .agg(VectorFunctions.topKPairs(col("dist"), col("id"), beamWidth).as("tk"),
+        .agg(VectorFunctions.topKPairsDistinct(col("dist"), col("id"), beamWidth).as("tk"),
           first(col("qvec")).as("qvec"))
         .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
         .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))

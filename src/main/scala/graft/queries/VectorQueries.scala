@@ -61,15 +61,26 @@ object VectorQueries {
   }
 
   /** Exact top-k, cosine distance — the reference's second tested metric
-    * (test/runtests.jl:37-67). */
+    * (test/runtests.jl:37-67). Norms are materialized ONCE per side
+    * before the pair loop: `cosineDistance(q, v)` inline would
+    * recompute both self-dot-products for every candidate pair, tripling
+    * the flops — at 100 TB that's the difference between one scan's
+    * worth of arithmetic and three. Same doubles, same operation order,
+    * so the result is bit-identical to the inline form and the oracle. */
   def knnExactCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("vnrm"))
     val q = querySet(spark, dir)
+      .select(col("query_id"), col("qvec"),
+        sqrt(dot(col("qvec"), col("qvec"))).as("qnrm"))
     knnTopK(e.crossJoin(broadcast(q))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (round(cosineDistance(col("qvec"), col("embedding")), 4) + lit(0.0)).as("dist")), K)
+        (round(lit(1.0) - coalesce(
+          dot(col("qvec"), col("embedding")) / (col("qnrm") * col("vnrm")), lit(0.0)), 4)
+          + lit(0.0)).as("dist")), K)
   }
 
   /** Point lookup: embedding by 1-based public ID (op #14). The

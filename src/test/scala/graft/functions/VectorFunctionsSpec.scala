@@ -62,6 +62,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(g2.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 1L)))
   }
 
+  test("topKPairsDistinct dedups repeated (dist, id) pairs across partitions") {
+    val ss = spark
+    import ss.implicits._
+    // same candidate arrives from many frontier nodes: plain top-k
+    // would fill the heap with copies; distinct keeps one per id
+    val df = Seq.tabulate(40)(i => (1L, (i % 4) * 1.0, (i % 4).toLong + 100L))
+      .toDF("g", "dist", "id").repartition(8)
+    val res = df.groupBy(col("g"))
+      .agg(VectorFunctions.topKPairsDistinct(col("dist"), col("id"), 3).as("tk"))
+      .select(explode(col("tk")).as("p")).select(col("p.dist"), col("p.id")).collect()
+    assert(res.map(r => (r.getDouble(0), r.getLong(1))).toSeq ==
+      Seq((0.0, 100L), (1.0, 101L), (2.0, 102L)))
+  }
+
   test("distance kernels error on dimension mismatch instead of truncating") {
     val ss = spark
     import ss.implicits._
