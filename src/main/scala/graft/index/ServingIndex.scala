@@ -50,6 +50,11 @@ final class ServingIndex(
   private val idToKey = mutable.HashMap.empty[Int, String]
 
   def numPoints: Int = vecs.length - freelist.length
+
+  /** The slot the next insert will use (LIFO freelist top, else the
+    * append position) — lets routers compute an id-derived key before
+    * inserting. */
+  def peekNextId: Int = if (freelist.nonEmpty) freelist.last else vecs.length
   def entrypoint: Int = entryPoint
   def isEmpty: Boolean = numPoints == 0
 

@@ -1,0 +1,91 @@
+package graft.index
+
+/** Scatter-gather router over hash-of-insertion-order-partitioned
+  * [[ServingIndex]] shards — the serving-side scale path the 100 TB
+  * design calls for (one bounded-memory graph per shard, a thin
+  * router on top).
+  *
+  * Greedy graph search composes across shards: each shard's search is
+  * local and exact-re-ranked, so merging the per-shard top-k lists by
+  * (dist, id) yields the same quality as one big graph over the union
+  * (each true neighbor lives in exactly one shard and is found by that
+  * shard's traversal). In production the shards live inside executors
+  * (or separate serving nodes) and the scatter is an RPC fan-out; this
+  * in-process form demonstrates the routing/merge semantics and is what
+  * a `mapPartitions`-hosted deployment wraps.
+  *
+  * ID contract: global public ids interleave the shard index —
+  * `globalId = (localPublicId - 1) * numShards + shard + 1` — so ids
+  * stay unique and route back to their shard in O(1) without a lookup
+  * table. Ids are NOT sequential across the router (documented
+  * divergence from the reference's single-node sequential ids; keys
+  * behave identically).
+  */
+final class ShardedServing(
+    val dim: Int,
+    val numShards: Int,
+    maxDegree: Int = ServingIndex.DefaultMaxDegree,
+    metric: Metric = Metric.Euclidean) {
+
+  require(numShards > 0, "numShards must be positive")
+
+  private val shards = Array.fill(numShards)(new ServingIndex(dim, maxDegree, metric))
+  private var rr = 0 // round-robin insertion cursor
+
+  def numPoints: Int = shards.map(_.numPoints).sum
+
+  private def globalId(shard: Int, localPublic: Long): Long =
+    (localPublic - 1L) * numShards + shard + 1L
+  private def shardOf(gid: Long): Int = ((gid - 1L) % numShards).toInt
+  private def localPublic(gid: Long): Long = (gid - 1L) / numShards + 1L
+
+  /** Insert round-robin across shards. Auto-keys use the GLOBAL id so
+    * keys stay unique router-wide (reference Q2 contract, lifted to the
+    * sharded id space). Returns (key, global public id). */
+  def insert(v: Array[Float], key: Option[String] = None): (String, Long) = {
+    val s = rr
+    rr = (rr + 1) % numShards
+    // the auto-key needs the global id, which is derivable BEFORE the
+    // insert from the shard's next slot (LIFO freelist contract)
+    val localPid = shards(s).peekNextId + 1L
+    val gid = globalId(s, localPid)
+    val k = key.getOrElse(gid.toString)
+    val (_, actualPid) = shards(s).insert(v, Some(k))
+    require(actualPid == localPid, "insert must use the peeked slot")
+    (k, gid)
+  }
+
+  /** Scatter the query to every shard, gather and merge per-shard
+    * top-k by (dist, global id) — deterministic, and exact given each
+    * shard's own exact re-rank. */
+  def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
+    val merged = shards.iterator.zipWithIndex.flatMap { case (s, i) =>
+      s.search(q, topk, ef).map { case (key, localPid) =>
+        val gid = globalId(i, localPid)
+        (key, gid, s.metric.dist(q, s.embeddingById(localPid)))
+      }
+    }.toIndexedSeq
+    merged.sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)
+  }
+
+  /** Route a delete to the owning shard in O(1) from the id. */
+  def delete(gid: Long): Unit =
+    shards(shardOf(gid)).delete(localPublic(gid))
+
+  def deleteByKey(key: String): Boolean = shards.exists(_.deleteByKey(key))
+
+  def embeddingById(gid: Long): Array[Float] =
+    shards(shardOf(gid)).embeddingById(localPublic(gid))
+
+  def idForKey(key: String): Option[Long] = {
+    var i = 0
+    while (i < numShards) {
+      val hit = shards(i).idForKey(key)
+      if (hit.isDefined) return hit.map(globalId(i, _))
+      i += 1
+    }
+    None
+  }
+
+  def allKeys: Seq[String] = shards.flatMap(_.allKeys).sorted.toSeq
+}

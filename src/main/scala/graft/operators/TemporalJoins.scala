@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * point-in-interval join. Both are implemented in the shape that
+  * survives 100 TB — a bounded number of equi-shuffles, never a
+  * quadratic range join.
+  *
+  * (The reference engine has no temporal operators; these belong to the
+  * north-star pipeline surface in BASELINE.json — event/feature
+  * alignment for training-data assembly.)
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the payload of the single
+    * most recent right row with `right.ts <= left.ts` within the same
+    * key (NULLs when no prior right row exists).
+    *
+    * Implementation is the union + single-window pass, NOT a range
+    * join: tag both sides, sort each key partition by (ts, side) with
+    * right rows first on ties (<= semantics), and carry the latest
+    * right payload forward with last(ignoreNulls). One shuffle on the
+    * key and an O(n log n) partition sort — hot keys degrade
+    * log-linearly, where the naive `left.ts >= right.ts` join form
+    * explodes quadratically.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate to pick a
+    * deterministic winner first (the window's tie order among equal
+    * right rows is otherwise unspecified).
+    *
+    * @param left      point-in-time rows; all columns are preserved
+    * @param right     versioned rows to look up
+    * @param key       equi-join column name present on both sides
+    * @param leftTs    left ordering column (numeric, e.g. epoch millis)
+    * @param rightTs   right ordering column, same unit
+    * @param payload   right columns to carry; emitted as `asof_<name>`
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payload.contains(key), "payload must not repeat the key")
+    val rightTypes = payload.map(c => c -> right.schema(c).dataType).toMap
+    val leftTypes = leftCols.map(c => c -> left.schema(c).dataType).toMap
+    // common layout: key, __t, __side, <left cols minus key/ts>, <payload>
+    val carriedLeft = leftCols.filterNot(c => c == key || c == leftTs)
+    val lU = left.select(
+      (col(key) +: col(leftTs).cast("long").as("__t") +: lit(1).as("__side") +:
+        carriedLeft.map(col)) ++
+        payload.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+    val rU = right.select(
+      (col(key) +: col(rightTs).cast("long").as("__t") +: lit(0).as("__side") +:
+        carriedLeft.map(c => lit(null).cast(leftTypes(c)).as(c))) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lU.unionByName(rU)
+      .select((col(key) +: col("__t") +: col("__side") +: carriedLeft.map(col)) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    carried.filter(col("__side") === 1)
+      .select((col(key) +: col("__t").as(leftTs) +: carriedLeft.map(col)) ++
+        payload.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Point-in-interval join: pairs every point row with every interval
+    * row of the same key whose [start, end] range contains the point.
+    *
+    * Implementation is bucket expansion: each interval explodes to the
+    * time buckets it covers (bounded when `bucketWidth` ~ the typical
+    * interval length), each point maps to exactly one bucket, and the
+    * pairing becomes an equi-join on (key, bucket) + an exact range
+    * filter. A point's bucket is covered at most once per interval, so
+    * no post-join dedup is needed. This is the standard scalable form:
+    * shuffle volume is O(points + intervals · buckets_per_interval),
+    * while a raw BETWEEN theta-join degenerates to per-key cross
+    * products.
+    *
+    * @param points      rows with a `pointTs` instant (numeric)
+    * @param intervals   rows with [`startTs`, `endTs`] inclusive bounds
+    * @param key         equi-join column name present on both sides
+    * @param bucketWidth bucket size in the ts unit; choose close to the
+    *                    typical interval length (expansion factor =
+    *                    len/bucketWidth + 1)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      pointTs: String,
+      startTs: String,
+      endTs: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.withColumn("__b",
+      explode(sequence(
+        floor(col(startTs) / bucketWidth).cast("long"),
+        floor(col(endTs) / bucketWidth).cast("long"))))
+    val pt = points.withColumn("__b", floor(col(pointTs) / bucketWidth).cast("long"))
+    pt.join(iv, Seq(key, "__b"))
+      .filter(col(pointTs).between(col(startTs), col(endTs)))
+      .drop("__b")
+  }
+}

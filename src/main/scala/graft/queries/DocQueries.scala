@@ -143,6 +143,17 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide heavy hitters: the 20 most frequent tokens with exact
+    * counts — partial (map-side) aggregation means the shuffle carries
+    * one row per (partition, token), and the final top-20 is a
+    * TakeOrdered, so the plan is a single scan + one bounded shuffle
+    * at any corpus size. Deterministic (cnt DESC, token) tie-break. */
+  def tokenHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    spread(docs(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+
   /** Multimodal metadata: text treated as an opaque byte payload —
     * size, first code unit, additive checksum (the deterministic part
     * of the decode-stub pipeline in graft.operators.Multimodal). */
@@ -262,7 +273,11 @@ object DocQueries {
     "q50_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, unicode(text) AS first_code,
         |       CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))) % 65521 AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_token_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -276,6 +291,7 @@ object DocQueries {
     "q47_langid" -> (langId _),
     "q48_token_regex_count" -> (tokenRegexCount _),
     "q49_fingerprint" -> (fingerprint _),
-    "q50_multimodal_meta" -> (multimodalMeta _)
+    "q50_multimodal_meta" -> (multimodalMeta _),
+    "q51_token_heavy_hitters" -> (tokenHeavyHitters _)
   )
 }

@@ -17,15 +17,21 @@ object EventQueries {
   private val HourMs = 3600000L
   private val SessionGapMs = 1800000L // 30 min
 
-  /** Epoch-millis from the events `ts` column, robust to how the
+  /** Epoch-millis from a timestamp-ish column, robust to how the
     * session maps parquet NANOS timestamps: LongType nanos (under
     * spark.sql.legacy.parquet.nanosAsLong) or TimestampType. Integer
     * `div` — ns magnitudes overflow double precision. */
-  private def epochMs(df: DataFrame): org.apache.spark.sql.Column =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
+  private[queries] def epochMsCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$name div 1000000")
+      // NTZ values are wall-clock; the sessions pin timeZone=UTC, so the
+      // cast reads them as UTC instants — matching DuckDB epoch_ms()
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(name).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col(name))
     }
+
+  private def epochMs(df: DataFrame): org.apache.spark.sql.Column = epochMsCol(df, "ts")
 
   /** Tumbling 1-hour window: events + exact value sum per event_type. */
   def eventWindowAgg(spark: SparkSession, dir: String): DataFrame = {

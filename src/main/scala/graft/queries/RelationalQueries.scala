@@ -126,7 +126,32 @@ object RelationalQueries {
       .filter(col("l_partkey") <= 200)
       .orderBy(col("l_partkey"))
 
+  /** Exact interpolated quantiles of extended price per return flag —
+    * the distribution-profiling shape (data-quality checks in a
+    * training pipeline). `percentile` is the exact sort-based
+    * aggregate, identical semantics to DuckDB `quantile_cont`; at
+    * 100 TB the same query swaps to `percentile_approx` (t-digest,
+    * mergeable, one pass) — kept exact here so the oracle can
+    * hash-check it. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    def q(p: Double, name: String) =
+      (round(percentile(col("l_extendedprice"), lit(p)), 4) + lit(0.0)).as(name)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.95, "p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q20_price_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) + 0.0 AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) + 0.0 AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) + 0.0 AS p95,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q16_customers_without_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -188,6 +213,7 @@ object RelationalQueries {
     "q16_customers_without_orders" -> (customersWithoutOrders _),
     "q17_order_status_pivot" -> (orderStatusPivot _),
     "q18_supplier_quartiles" -> (supplierBalanceQuartiles _),
-    "q19_salted_agg" -> (saltedAgg _)
+    "q19_salted_agg" -> (saltedAgg _),
+    "q20_price_quantiles" -> (priceQuantiles _)
   )
 }

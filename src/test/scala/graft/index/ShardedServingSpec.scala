@@ -1,0 +1,73 @@
+package graft.index
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Scatter-gather router: merged per-shard search must meet the same
+  * recall gate as a single index, ids must route back to their shard,
+  * and deletes/keys must behave identically to the single-node engine. */
+class ShardedServingSpec extends SparkSpec {
+
+  private def mkVecs(n: Int, dim: Int, seed: Int): Array[Array[Float]] = {
+    val rng = new Random(seed)
+    Array.fill(n)(Array.fill(dim)(rng.nextFloat()))
+  }
+
+  test("sharded search meets the recall gate vs brute force (2000x100d, 4 shards)") {
+    val dim = 100
+    val vecs = mkVecs(2000, dim, 1)
+    val router = new ShardedServing(dim, numShards = 4)
+    val ids = vecs.map(v => router.insert(v)._2)
+    assert(router.numPoints == 2000)
+    // global ids are unique and route-decodable
+    assert(ids.toSet.size == 2000)
+    val rng = new Random(2)
+    val queries = rng.shuffle(vecs.indices.toList).take(30)
+    val recalls = queries.map { qi =>
+      val q = vecs(qi)
+      val truth = ids.zip(vecs)
+        .sortBy { case (gid, v) => (Metric.Euclidean.dist(q, v), gid) }
+        .take(10).map(_._1).toSet
+      val got = router.search(q, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"sharded (4-way) recall@10 = $avg%.3f")
+    assert(avg >= 0.70)
+  }
+
+  test("merged results are sorted by (dist, id) and sized min(topk, n)") {
+    val dim = 16
+    val vecs = mkVecs(40, dim, 3)
+    val router = new ShardedServing(dim, numShards = 3, maxDegree = 16)
+    vecs.foreach(v => router.insert(v))
+    val res = router.search(vecs(0), topk = 50)
+    assert(res.size == 40) // capped by live points
+    val dists = res.map(_._3)
+    assert(dists == dists.sorted)
+    assert(res.head._3 == 0.0) // self-query finds itself first
+  }
+
+  test("deletes route to the owning shard; auto-keys are global-id strings") {
+    val dim = 8
+    val vecs = mkVecs(30, dim, 4)
+    val router = new ShardedServing(dim, numShards = 4, maxDegree = 8)
+    val inserted = vecs.map(v => router.insert(v))
+    // auto-key equals the stringified global id (reference Q2, lifted)
+    inserted.foreach { case (k, gid) => assert(k == gid.toString) }
+    // keys resolve round-trip through the router
+    val (k7, gid7) = inserted(7)
+    assert(router.idForKey(k7).contains(gid7))
+    // delete by id: vector becomes unfindable
+    router.delete(gid7)
+    assert(router.numPoints == 29)
+    assert(!router.search(vecs(7), topk = 5).exists(_._2 == gid7))
+    // delete by key routes too
+    val (k11, gid11) = inserted(11)
+    assert(router.deleteByKey(k11))
+    assert(router.idForKey(k11).isEmpty)
+    assert(!router.search(vecs(11), topk = 5).exists(_._2 == gid11))
+    assert(router.numPoints == 28)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the temporal joins: as-of boundary behavior (<=, NULL
+  * before the first right row) and interval inclusivity / no-dup under
+  * bucket expansion. */
+class TemporalJoinsSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val ss = spark
+    import ss.implicits._
+    val left = Seq(
+      (1L, 5L, 100L), // before any right row -> NULL
+      (1L, 10L, 101L), // exactly at right ts 10 -> matches it (<=)
+      (1L, 14L, 102L), // between 10 and 20 -> 10
+      (1L, 25L, 103L), // after 20 -> 20
+      (2L, 50L, 104L) // other key, no right rows -> NULL
+    ).toDF("k", "t", "event")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoin(left, right, key = "k", leftTs = "t",
+        rightTs = "rt", payload = Seq("v"))
+      .orderBy(col("event"))
+      .select(col("event"), col("asof_v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq(
+      100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> None))
+  }
+
+  test("pointInInterval is inclusive on both bounds and never duplicates") {
+    val ss = spark
+    import ss.implicits._
+    val points = Seq(
+      (1L, 0L, 200L), // before -> no match
+      (1L, 10L, 201L), // at start -> match
+      (1L, 15L, 202L), // inside -> match
+      (1L, 30L, 203L), // at end -> match
+      (1L, 31L, 204L), // after -> no match
+      (2L, 15L, 205L) // other key -> no match
+    ).toDF("k", "t", "pid")
+    // interval spans several buckets (width 7 vs length 20): the
+    // bucket-expansion path must still yield exactly one pair per hit
+    val intervals = Seq((1L, 10L, 30L, 900L)).toDF("k", "s", "e", "iid")
+    val out = TemporalJoins.pointInInterval(points, intervals, key = "k",
+        pointTs = "t", startTs = "s", endTs = "e", bucketWidth = 7L)
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq(201L -> 900L, 202L -> 900L, 203L -> 900L))
+  }
+}
