@@ -160,6 +160,44 @@ object Dedup {
       .select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** Connected components over an undirected pair list — turns
+    * candidate near-dup PAIRS into dedup GROUPS (each doc labeled with
+    * the min doc id reachable from it). Iterative min-label
+    * propagation: per round, every node takes the minimum label in its
+    * closed neighborhood; converges in O(component diameter) rounds —
+    * near-dup clusters are shallow, so this is 2-4 rounds in practice.
+    * Each round is one equi-join + one aggregation shuffle over the
+    * EDGE list only (never a transitive closure materialization), the
+    * standard scalable CC formulation. Returns (node, component). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = edges.join(labels, edges("a") === labels("node"))
+        .select(col("b").as("node"), col("component"))
+        .unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs: top-N most similar pairs
     * (exact, self-join). Norms are computed once per row before the
     * join (O(n·d) instead of O(n²·d)); the pair loop is one fused dot

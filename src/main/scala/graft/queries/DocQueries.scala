@@ -57,6 +57,18 @@ object DocQueries {
     (0 until NumHashes).map(j =>
       s"min((sid * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)").mkString("[", ", ", "]")
 
+  /** Shared CTE chain: minhash signatures -> LSH bands -> candidate
+    * pairs (used by the q43 pair query and the q52 grouping query). */
+  private def lshCandCtes: String =
+    s"""sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
+       |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id)""".stripMargin
+  private def estJaccardSql: String =
+    s"CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes"
+
   // ------------------------------------------------------------- queries
 
   /** Exact dedup (hash-groupBy) over the duplicated corpus. The member
@@ -143,6 +155,18 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup GROUPS: LSH candidate pairs promoted to connected
+    * components (min-id label propagation) — the step that turns
+    * pairwise similarity into the keep-one-per-group decision a dedup
+    * pipeline actually needs. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(shingleIds(corpus(spark, dir))), threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component").as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide heavy hitters: the 20 most frequent tokens with exact
     * counts — partial (map-side) aggregation means the shuffle carries
     * one row per (partition, token), and the final top-20 is a
@@ -201,16 +225,25 @@ object DocQueries {
       s"""WITH $corpusSql,
          |${shinglesCte("corpus")},
          |$shingleIdsCte,
-         |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
-         |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |       CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes AS est_jaccard
-         |FROM cand WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes >= 0.5
+         |$lshCandCtes
+         |SELECT doc_a, doc_b, $estJaccardSql AS est_jaccard
+         |FROM cand WHERE $estJaccardSql >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q52_dedup_groups" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, min(lab) AS group_id FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
     "q44_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -292,6 +325,7 @@ object DocQueries {
     "q48_token_regex_count" -> (tokenRegexCount _),
     "q49_fingerprint" -> (fingerprint _),
     "q50_multimodal_meta" -> (multimodalMeta _),
-    "q51_token_heavy_hitters" -> (tokenHeavyHitters _)
+    "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
+    "q52_dedup_groups" -> (dedupGroups _)
   )
 }

@@ -167,6 +167,26 @@ object VectorQueries {
         round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), 3)
   }
 
+  /** The SQL-string surface end-to-end: the registered native
+    * functions (graft_l2, graft_topk_pairs) driving a kNN entirely
+    * from `spark.sql(...)` — proves the engine's custom Catalyst
+    * expressions are first-class SQL citizens, not just Column API
+    * helpers. Registration is idempotent on a live session. */
+  def sqlSurfaceKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM graft_embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.query_id, e.vec_id AS nid, graft_l2(q.qvec, e.embedding) AS dist
+        |      FROM graft_embeddings e CROSS JOIN q),
+        |tk AS (SELECT query_id, graft_topk_pairs(dist, nid, 5) AS tk FROM d GROUP BY query_id)
+        |SELECT query_id, p.id AS neighbor_id, ROUND(p.dist, 4) + 0.0 AS dist,
+        |       CAST(pos + 1 AS INT) AS rnk
+        |FROM tk LATERAL VIEW posexplode(tk) AS pos, p
+        |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Mapping after deletes (ops #21/#22 delete_by_key / delete_by_id):
     * keys "3","7" removed by key, ids 10,20 removed by id; both
     * directions resolve through the one surviving table. */
@@ -196,6 +216,12 @@ object VectorQueries {
     s"list_sum(list_transform(range(1, len($b)+1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Unrounded L2 (for ordering-then-display queries). */
+  private def l2RawSql(a: String, b: String): String =
+    s"SQRT(list_sum(list_transform(range(1, len($b)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+
   val oracles: Map[String, String] = Map(
     "q02_knn_exact_l2" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -220,6 +246,13 @@ object VectorQueries {
          |ROUND(SQRT(${dotSql("embedding", "embedding")}), 4) + 0.0 AS emb_norm
          |FROM embeddings WHERE CAST(vec_id + 1 AS VARCHAR) IN ('1','7','42','99','250')
          |ORDER BY public_id""".stripMargin,
+    "q21_sql_surface_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id AS nid, ${l2RawSql("q.qvec", "e.embedding")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, nid) AS rnk FROM d)
+         |SELECT query_id, nid AS neighbor_id, ROUND(dist, 4) + 0.0 AS dist, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q06_mapping_table" ->
       "SELECT vec_id + 1 AS id, CAST(vec_id + 1 AS VARCHAR) AS key FROM embeddings ORDER BY id",
     "q07_mapping_count" ->
@@ -261,6 +294,7 @@ object VectorQueries {
     "q09_delete_then_search" -> (deleteThenSearch _),
     "q10_insert_then_search" -> (insertThenSearch _),
     "q14_mapping_after_delete" -> (mappingAfterDelete _),
-    "q15_mapping_clear_count" -> (mappingClearCount _)
+    "q15_mapping_clear_count" -> (mappingClearCount _),
+    "q21_sql_surface_knn" -> (sqlSurfaceKnn _)
   )
 }

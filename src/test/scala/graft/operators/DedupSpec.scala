@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Connected-components semantics (the pairs -> groups step): chains
+  * need label propagation across multiple rounds, disjoint components
+  * must not merge. (End-to-end dedup numerics are oracle-checked by
+  * the driver via q40-q45/q52.) */
+class DedupSpec extends SparkSpec {
+
+  test("connectedComponents labels chains and keeps disjoint groups apart") {
+    val ss = spark
+    import ss.implicits._
+    // component A: chain 1-2-3-4 (diameter 3 -> multiple rounds)
+    // component B: triangle 10-11-12
+    // component C: pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+}
