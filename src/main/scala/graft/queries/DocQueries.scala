@@ -106,10 +106,16 @@ object DocQueries {
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH candidate pairs (4 bands × 4 rows) over the corpus,
-    * kept when signature-estimated Jaccard >= 0.5. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.lshCandidatePairs(Dedup.minhashSignatures(shingleIds(corpus(spark, dir))), threshold = 0.5)
+    * kept when signature-estimated Jaccard >= 0.5. Signatures are
+    * materialized before the banding self-join (see [[dedupGroups]]). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(shingleIds(corpus(spark, dir))).localCheckpoint(true)
+    val out = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
 
   /** 32-bit SimHash per document over char-hashed token IDs (one hash
     * per distinct (doc, token) — computed after the count groupBy). */
@@ -160,11 +166,18 @@ object DocQueries {
     * pairwise similarity into the keep-one-per-group decision a dedup
     * pipeline actually needs. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(shingleIds(corpus(spark, dir))), threshold = 0.5)
-    Dedup.connectedComponents(pairs)
+    // materialize signatures before the banding SELF-join: the sig
+    // subtree (16 min-aggs over the shingle explode) would otherwise
+    // be planned and executed on BOTH join sides and re-planned by
+    // every connected-components round
+    val sigs = Dedup.minhashSignatures(shingleIds(corpus(spark, dir))).localCheckpoint(true)
+    val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+    val out = Dedup.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("component").as("group_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** Corpus-wide heavy hitters: the 20 most frequent tokens with exact

@@ -39,6 +39,18 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (streaming twin of q40's hash-groupBy):
+    * each distinct document text is emitted ONCE; duplicates arriving
+    * within the watermark are dropped, and the per-hash state ages out
+    * past it — so state stays bounded on an unbounded feed (the
+    * dedup-state table would otherwise grow with the corpus). The
+    * dedup key is the 32-byte content hash, never the document body. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState — emits the running per-user session/event
     * counts each micro-batch (streaming twin of q61_sessionize). */

@@ -56,6 +56,27 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingDedup: duplicate texts within the watermark emit once") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.streamingDedup(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(
+      (1L, ts(0), "alpha doc"),
+      (2L, ts(1), "alpha doc"), // dup within watermark -> dropped
+      (3L, ts(2), "beta doc"))
+    q.processAllAvailable()
+    mem.addData((4L, ts(3), "alpha doc")) // still within watermark -> dropped
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(2)).sorted.toSeq == Seq("alpha doc", "beta doc"))
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L)) // first arrival wins
+    q.stop()
+  }
+
   test("indexIngest: streamed vectors land in new index snapshots") {
     val ss = spark
     implicit val sql = ss.sqlContext
