@@ -45,11 +45,24 @@ object Bench {
       queries.foreach(q => serving.search(q, topk = 10))
       1000.0 / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
+    // same workload through the scatter-gather router (4 shards): the
+    // serving-side scale path must not cost throughput vs one big graph
+    val shardedQps = try {
+      val rng = new scala.util.Random(1)
+      val router = new graft.index.ShardedServing(dim = 100, numShards = 4)
+      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
+      vecs.foreach(v => router.insert(v))
+      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
+      val t0 = System.nanoTime()
+      queries.foreach(q => router.search(q, topk = 10))
+      1000.0 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       buildsJson +
-      s""""ann_serving_qps_10k_100d":$annQps,"sf":"$sfDir"}""")
+      s""""ann_serving_qps_10k_100d":$annQps,""" +
+      s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

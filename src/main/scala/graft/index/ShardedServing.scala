@@ -55,17 +55,21 @@ final class ShardedServing(
     (k, gid)
   }
 
-  /** Scatter the query to every shard, gather and merge per-shard
-    * top-k by (dist, global id) — deterministic, and exact given each
-    * shard's own exact re-rank. */
+  /** Scatter the query to every shard CONCURRENTLY (searches only
+    * read the graph, so they are safe to fan out; in production each
+    * shard is its own node and the scatter is an RPC fan-out), gather
+    * and merge per-shard top-k by (dist, global id) — deterministic,
+    * and exact given each shard's own exact re-rank. */
   def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
-    val merged = shards.iterator.zipWithIndex.flatMap { case (s, i) =>
-      s.search(q, topk, ef).map { case (key, localPid) =>
-        val gid = globalId(i, localPid)
-        (key, gid, s.metric.dist(q, s.embeddingById(localPid)))
+    val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
+    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+      val s = shards(i)
+      perShard(i) = s.search(q, topk, ef).map { case (key, localPid) =>
+        (key, globalId(i, localPid), s.metric.dist(q, s.embeddingById(localPid)))
       }
-    }.toIndexedSeq
-    merged.sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)
+    }
+    perShard.toIndexedSeq.flatten
+      .sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)
   }
 
   /** Route a delete to the owning shard in O(1) from the id. */
