@@ -88,12 +88,22 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     // spread the DOCUMENTS before shingling: tokenization + shingle
     // explode is the compute-dense part, and on a kilobyte-scale input
-    // it would otherwise run inside the 1-3 raw file splits. The
-    // post-explode repartition is kept so the three consumers (sizes +
-    // both self-join sides) reuse one exchange instead of re-shingling.
+    // it would otherwise run inside the 1-3 raw file splits.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val ds = docShingles(docs.repartition(par), k, idCol, textCol)
-      .repartition(par)
+    ngramJaccardPairsFromShingles(
+      docShingles(docs.repartition(par), k, idCol, textCol), maxShingleFreq)
+  }
+
+  /** [[ngramJaccardPairs]] over a precomputed (doc_id, shingle) set —
+    * lets pipelines tokenize/shingle ONCE and feed several analyses
+    * (Jaccard, MinHash, LSH) from the same materialized table. */
+  def ngramJaccardPairsFromShingles(
+      shingles: DataFrame,
+      maxShingleFreq: Int = 0): DataFrame = {
+    val par = shingles.sparkSession.sparkContext.defaultParallelism
+    // the post-explode repartition lets the three consumers (sizes +
+    // both self-join sides) reuse one exchange instead of re-shingling
+    val ds = shingles.repartition(par)
     val filtered =
       if (maxShingleFreq <= 0) ds
       else {
