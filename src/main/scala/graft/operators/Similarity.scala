@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,19 +23,73 @@ object Similarity {
 
   /** KMeans-assign vectors (id, vec ARRAY<FLOAT>) to k clusters.
     * Returns (centroids(cluster, cvec), assigned(id, vec, cluster)).
-    * Seeded — deterministic for a fixed input. */
-  def ivfFit(vectors: DataFrame, k: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+    * Seeded — deterministic for a fixed input.
+    *
+    * Fit runs Lloyd's iterations on a bounded driver-side SAMPLE
+    * (k-means++ init), then assignment is one distributed pass:
+    * crossJoin against the broadcast k×dim centroid table + argmin.
+    * This is the shape that holds at 100 TB — you fit centroids on a
+    * sample (full-corpus Lloyd is never worth its shuffles) and only
+    * the embarrassingly-parallel assignment touches every row. It
+    * also replaces ~20 MLlib jobs with 2. */
+  def ivfFit(vectors: DataFrame, k: Int, seed: Long = 42L,
+      fitSampleRows: Int = 20000, iters: Int = 10): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val featured = vectors.withColumn("features", array_to_vector(col("vec")))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(featured)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cluster", "cvec")
-    val assigned = model.transform(featured)
-      .select(col("id"), col("vec"), col("cluster"))
+    // deterministic sample: first N in id order
+    val sample = vectors.select(col("id"), col("vec")).orderBy(col("id"))
+      .limit(fitSampleRows).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfFit needs at least one vector")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    while (centers.length < math.min(k, sample.length)) {
+      val d2 = sample.map(v => centers.iterator.map(c => sq(v, c)).min)
+      val total = d2.sum
+      var pick = rng.nextDouble() * total
+      var idx = 0
+      while (idx < d2.length - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
+      centers += sample(idx)
+    }
+    // Lloyd iterations over the sample
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          val d = sq(v, centers(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) centers(c) = sums(c).map(_ / counts(c))
+        c += 1
+      }
+      it += 1
+    }
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toDF("cluster", "cvec")
+    // one distributed pass: argmin over the broadcast centroid table,
+    // (dist, cluster) struct-min for a deterministic tie-break
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cluster"),
+        VectorFunctions.squaredEuclidean(col("vec"), col("cvec")).as("cdist"))
+    val assigned = scored.groupBy(col("id"))
+      .agg(min(struct(col("cdist"), col("cluster"))).as("m"), first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("m.cluster").as("cluster"))
     (centroids, assigned)
   }
 

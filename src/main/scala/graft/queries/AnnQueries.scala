@@ -150,7 +150,7 @@ object AnnQueries {
     val (centroids, assigned) = ivfFitted(spark, dir)
     val queries = assigned.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+    graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 8)
       // public 1-based ids, consistent with q30/q34 (SURVEY Q1 contract)
       .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
         col("dist"), col("rnk"))
@@ -163,7 +163,7 @@ object AnnQueries {
     val src = assigned.select(col("id"), col("vec"))
     // deterministic query sample (limit() order is file-layout luck)
     val queries = src.filter(col("id") < 30).select(col("id").as("query_id"), col("vec").as("qvec"))
-    val ivf = graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6)
+    val ivf = graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 8)
       .select(col("query_id"), col("neighbor_id"))
     val e = src.crossJoin(broadcast(queries))
       .select(col("query_id"), col("id").as("neighbor_id"),
