@@ -105,15 +105,23 @@ final class ServingIndex(
 
   /** Top-k ANN search. Returns (key, 1-based public id) pairs, nearest
     * first — reference `search` (src/LMDiskANN.jl:455-481). */
-  def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long)] = {
+  def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long)] =
+    searchWithDistances(q, topk, ef).map { case (key, pid, _) => (key, pid) }
+
+  /** [[search]] that also returns each hit's exact distance — the
+    * re-rank computes them anyway; routers (ShardedServing) need them
+    * for the cross-shard merge without recomputing per hit. */
+  def searchWithDistances(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     if (isEmpty) return IndexedSeq.empty
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
     val effEf = math.max(topk, if (ef <= 0) defaultEf else ef)
     val cand = searchGraph(q, effEf)
-    // exact re-rank (distances are already exact; sort for determinism)
-    cand.sortBy(id => (d(q, id), id))
+    // exact re-rank: compute each candidate's distance ONCE (sortBy
+    // with a keyed tuple, not a re-evaluating comparator)
+    cand.map(id => (d(q, id), id))
+      .sortBy { case (dist, id) => (dist, id) }
       .take(topk)
-      .map(id => (idToKey.get(id), (id + 1).toLong))
+      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
   }
 
   /** Degree-bound prune. Default (alpha <= 1): plain truncation to the

@@ -1,9 +1,10 @@
 package graft.index
 
-/** Scatter-gather router over hash-of-insertion-order-partitioned
-  * [[ServingIndex]] shards — the serving-side scale path the 100 TB
-  * design calls for (one bounded-memory graph per shard, a thin
-  * router on top).
+/** Scatter-gather router over partitioned [[ServingIndex]] shards —
+  * the serving-side scale path the 100 TB design calls for (one
+  * bounded-memory graph per shard, a thin router on top). Keyed
+  * vectors route by key hash (so key re-registration keeps the
+  * single-node remap semantics); auto-keyed vectors round-robin.
   *
   * Greedy graph search composes across shards: each shard's search is
   * local and exact-re-ranked, so merging the per-shard top-k lists by
@@ -39,12 +40,23 @@ final class ShardedServing(
   private def shardOf(gid: Long): Int = ((gid - 1L) % numShards).toInt
   private def localPublic(gid: Long): Long = (gid - 1L) / numShards + 1L
 
-  /** Insert round-robin across shards. Auto-keys use the GLOBAL id so
-    * keys stay unique router-wide (reference Q2 contract, lifted to the
-    * sharded id space). Returns (key, global public id). */
+  /** Shard that owns a user key: deterministic key-hash routing, so
+    * re-registering a key always lands in the SAME shard and the
+    * single-node remap semantics (Q7) survive sharding — round-robin
+    * placement of an existing key would leave it mapped in two shards,
+    * with lookups resolving the stale copy. */
+  private def shardForKey(key: String): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numShards)
+
+  /** Insert: keyed vectors route by key hash (see [[shardForKey]]);
+    * auto-keyed vectors round-robin, with the auto-key = the GLOBAL id
+    * string (reference Q2 contract, lifted to the sharded id space).
+    * Returns (key, global public id). */
   def insert(v: Array[Float], key: Option[String] = None): (String, Long) = {
-    val s = rr
-    rr = (rr + 1) % numShards
+    val s = key match {
+      case Some(k) => shardForKey(k)
+      case None => val c = rr; rr = (rr + 1) % numShards; c
+    }
     // the auto-key needs the global id, which is derivable BEFORE the
     // insert from the shard's next slot (LIFO freelist contract)
     val localPid = shards(s).peekNextId + 1L
@@ -63,9 +75,10 @@ final class ShardedServing(
   def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
     java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
-      val s = shards(i)
-      perShard(i) = s.search(q, topk, ef).map { case (key, localPid) =>
-        (key, globalId(i, localPid), s.metric.dist(q, s.embeddingById(localPid)))
+      // the shard's re-rank already computed every hit's exact
+      // distance — reuse it rather than re-evaluating per hit
+      perShard(i) = shards(i).searchWithDistances(q, topk, ef).map {
+        case (key, localPid, dist) => (key, globalId(i, localPid), dist)
       }
     }
     perShard.toIndexedSeq.flatten
@@ -76,16 +89,28 @@ final class ShardedServing(
   def delete(gid: Long): Unit =
     shards(shardOf(gid)).delete(localPublic(gid))
 
-  def deleteByKey(key: String): Boolean = shards.exists(_.deleteByKey(key))
+  /** Key lookups try the hash-routed shard first (explicit keys always
+    * live there), then fall back to a scan for auto-keys, which were
+    * placed round-robin. */
+  def deleteByKey(key: String): Boolean = {
+    val s = shardForKey(key)
+    shards(s).deleteByKey(key) ||
+      shards.indices.exists(i => i != s && shards(i).deleteByKey(key))
+  }
 
   def embeddingById(gid: Long): Array[Float] =
     shards(shardOf(gid)).embeddingById(localPublic(gid))
 
   def idForKey(key: String): Option[Long] = {
+    val s = shardForKey(key)
+    val primary = shards(s).idForKey(key).map(globalId(s, _))
+    if (primary.isDefined) return primary
     var i = 0
     while (i < numShards) {
-      val hit = shards(i).idForKey(key)
-      if (hit.isDefined) return hit.map(globalId(i, _))
+      if (i != s) {
+        val hit = shards(i).idForKey(key)
+        if (hit.isDefined) return hit.map(globalId(i, _))
+      }
       i += 1
     }
     None

@@ -205,6 +205,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // the returned labels DataFrame is an eager localCheckpoint —
+    // callers that materialize a derived result should unpersist it
+    // (see DocQueries.dedupGroups) so repeated calls don't accumulate
+    // label blocks
     labels
   }
 

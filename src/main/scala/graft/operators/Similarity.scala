@@ -79,17 +79,25 @@ object Similarity {
       }
       it += 1
     }
-    val centroids = centers.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+    val centroidArrays = centers.toSeq.map(_.map(_.toFloat))
+    val centroids = centroidArrays.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("cluster", "cvec")
-    // one distributed pass: argmin over the broadcast centroid table,
-    // (dist, cluster) struct-min for a deterministic tie-break
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cluster"),
-        VectorFunctions.squaredEuclidean(col("vec"), col("cvec")).as("cdist"))
-    val assigned = scored.groupBy(col("id"))
-      .agg(min(struct(col("cdist"), col("cluster"))).as("m"), first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("m.cluster").as("cluster"))
+    // assignment is a PURE per-row expression — least() over one
+    // (dist, cluster) struct per centroid literal, deterministic
+    // tie-break by cluster id. Map-only: no crossJoin row explosion,
+    // no groupBy shuffle; at 100 TB only this narrow pass touches
+    // every row.
+    val candidates = centroidArrays.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.squaredEuclidean(col("vec"), typedLit(c)).as("cdist"),
+        lit(i).as("cluster"))
+    }
+    val best =
+      if (candidates.length == 1) candidates.head
+      else least(candidates: _*)
+    val assigned = vectors.select(col("id"), col("vec"),
+      best.getField("cluster").as("cluster"))
     (centroids, assigned)
   }
 

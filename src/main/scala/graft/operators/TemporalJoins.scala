@@ -47,27 +47,33 @@ object TemporalJoins {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payload.contains(key), "payload must not repeat the key")
-    val rightTypes = payload.map(c => c -> right.schema(c).dataType).toMap
     val leftTypes = leftCols.map(c => c -> left.schema(c).dataType).toMap
-    // common layout: key, __t, __side, <left cols minus key/ts>, <payload>
+    // the payload is carried as ONE struct, not per-column last()s: a
+    // NULL field in the newest right row must stay NULL (per-column
+    // ignoreNulls would backfill it from an OLDER row — a torn row
+    // mixing values that never co-existed). The struct itself is
+    // non-null exactly when a right row exists.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    // common layout: key, __t, __side, <left cols minus key/ts>, __p
     val carriedLeft = leftCols.filterNot(c => c == key || c == leftTs)
     val lU = left.select(
       (col(key) +: col(leftTs).cast("long").as("__t") +: lit(1).as("__side") +:
-        carriedLeft.map(col)) ++
-        payload.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+        carriedLeft.map(col)) :+
+        lit(null).cast(payloadStructType).as("__p"): _*)
     val rU = right.select(
       (col(key) +: col(rightTs).cast("long").as("__t") +: lit(0).as("__side") +:
-        carriedLeft.map(c => lit(null).cast(leftTypes(c)).as(c))) ++
-        payload.map(col): _*)
+        carriedLeft.map(c => lit(null).cast(leftTypes(c)).as(c))) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU)
-      .select((col(key) +: col("__t") +: col("__side") +: carriedLeft.map(col)) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .select((col(key) +: col("__t") +: col("__side") +: carriedLeft.map(col)) :+
+        last(col("__p"), ignoreNulls = true).over(w).as("__p"): _*)
     carried.filter(col("__side") === 1)
       .select((col(key) +: col("__t").as(leftTs) +: carriedLeft.map(col)) ++
-        payload.map(c => col(s"asof_$c")): _*)
+        payload.map(c => col(s"__p.$c").as(s"asof_$c")): _*)
   }
 
   /** Point-in-interval join: pairs every point row with every interval
@@ -90,6 +96,17 @@ object TemporalJoins {
     *                    typical interval length (expansion factor =
     *                    len/bucketWidth + 1)
     */
+  /** Exact floor-division in LONG arithmetic: `floor(col/width)` via
+    * doubles silently mis-buckets magnitudes above 2^53 (epoch nanos),
+    * which would DROP matches at the equi-join — the same trap the
+    * engine's epoch-ms helpers avoid with integer `div`. pmod is
+    * always non-negative, so this is floor (not truncate) for any
+    * sign. */
+  private def floorDivCol(c: org.apache.spark.sql.Column, w: Long) = {
+    val l = c.cast("long")
+    ((l - pmod(l, lit(w))).cast("decimal(38,0)") / w).cast("long")
+  }
+
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -101,9 +118,9 @@ object TemporalJoins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val iv = intervals.withColumn("__b",
       explode(sequence(
-        floor(col(startTs) / bucketWidth).cast("long"),
-        floor(col(endTs) / bucketWidth).cast("long"))))
-    val pt = points.withColumn("__b", floor(col(pointTs) / bucketWidth).cast("long"))
+        floorDivCol(col(startTs), bucketWidth),
+        floorDivCol(col(endTs), bucketWidth))))
+    val pt = points.withColumn("__b", floorDivCol(col(pointTs), bucketWidth))
     pt.join(iv, Seq(key, "__b"))
       .filter(col(pointTs).between(col(startTs), col(endTs)))
       .drop("__b")

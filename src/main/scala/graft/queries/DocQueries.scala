@@ -107,6 +107,19 @@ object DocQueries {
   private def documentShingles(spark: SparkSession, dir: String): DataFrame =
     cachedShingles(s"$dir#documents", Dedup.docShingles(spread(docs(spark, dir)), 3))
 
+  /** Materialize the shared tokenization artifacts up front and report
+    * their cost (same contract as AnnQueries.prewarm): otherwise the
+    * build lands on whichever of q41/q42/q43/q52 runs first in map
+    * order and per-query bench numbers stop being comparable. */
+  def prewarm(spark: SparkSession, dir: String): Map[String, Double] = {
+    val t0 = System.nanoTime(); corpusShingles(spark, dir)
+    val tCorpus = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime(); documentShingles(spark, dir)
+    val tDocs = (System.nanoTime() - t1) / 1e9
+    Map("shingle_corpus_build_sec" -> tCorpus,
+      "shingle_documents_build_sec" -> tDocs)
+  }
+
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsFromShingles(corpusShingles(spark, dir))
@@ -195,10 +208,14 @@ object DocQueries {
     // every connected-components round
     val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir))).localCheckpoint(true)
     val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
-    val out = Dedup.connectedComponents(pairs)
+    val labels = Dedup.connectedComponents(pairs)
+    val out = labels
       .select(col("node").as("doc_id"), col("component").as("group_id"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
+    // release the intermediates once the result is materialized — a
+    // long-lived session must not accumulate label/sig blocks per call
+    labels.unpersist()
     sigs.unpersist()
     out
   }

@@ -70,4 +70,22 @@ class ShardedServingSpec extends SparkSpec {
     assert(!router.search(vecs(11), topk = 5).exists(_._2 == gid11))
     assert(router.numPoints == 28)
   }
+
+  test("re-registering an explicit key remaps it router-wide (single-node Q7 semantics)") {
+    val dim = 8
+    val vecs = mkVecs(8, dim, 5)
+    val router = new ShardedServing(dim, numShards = 4, maxDegree = 8)
+    val (_, gid1) = router.insert(vecs(0), Some("user-42"))
+    // interleave other inserts so round-robin would have moved shards
+    vecs.drop(1).take(5).foreach(v => router.insert(v))
+    val (_, gid2) = router.insert(vecs(6), Some("user-42"))
+    // the key now resolves to the NEW vector only (old stays live, keyless)
+    assert(router.idForKey("user-42").contains(gid2))
+    assert(gid1 != gid2)
+    assert(router.numPoints == 7)
+    // deleting by key removes the new mapping, not the old vector
+    assert(router.deleteByKey("user-42"))
+    assert(router.idForKey("user-42").isEmpty)
+    assert(router.numPoints == 6)
+  }
 }

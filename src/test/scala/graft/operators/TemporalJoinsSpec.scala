@@ -30,6 +30,40 @@ class TemporalJoinsSpec extends SparkSpec {
       103L -> Some("b"), 104L -> None))
   }
 
+  test("asofJoin carries the newest right row ATOMICALLY (no torn multi-column payload)") {
+    val ss = spark
+    import ss.implicits._
+    val left = Seq((1L, 12L, 100L)).toDF("k", "t", "event")
+    // newest right row has b = NULL: it must STAY null, not backfill
+    // from the older row — and a/b must come from the same row
+    val right = Seq(
+      (1L, 5L, Some(0L), Some(7L)),
+      (1L, 10L, Some(1L), None)
+    ).toDF("k", "rt", "a", "b")
+    val out = TemporalJoins.asofJoin(left, right, key = "k", leftTs = "t",
+        rightTs = "rt", payload = Seq("a", "b")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("asof_a") == 1L)
+    assert(r.isNullAt(r.fieldIndex("asof_b")), "NULL in the newest right row must be preserved")
+  }
+
+  test("pointInInterval buckets exactly at nanosecond magnitudes (beyond double precision)") {
+    val ss = spark
+    import ss.implicits._
+    // epoch-nanos scale: 1.7e18 is far above 2^53, where double
+    // division mis-buckets near boundaries
+    val base = 1700000000000000000L
+    val w = 3600000000000L // 1h in ns
+    val points = Seq((1L, base + w - 1L, 1L), (1L, base + w, 2L), (1L, base + 2 * w, 3L))
+      .toDF("k", "t", "pid")
+    val intervals = Seq((1L, base, base + w, 900L)).toDF("k", "s", "e", "iid")
+    val out = TemporalJoins.pointInInterval(points, intervals, key = "k",
+        pointTs = "t", startTs = "s", endTs = "e", bucketWidth = w)
+      .select(col("pid")).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L)) // inclusive end; base+2w outside
+  }
+
   test("pointInInterval is inclusive on both bounds and never duplicates") {
     val ss = spark
     import ss.implicits._
