@@ -304,12 +304,17 @@ object VectorIndex {
       exactThreshold: Long = 20000L,
       eltype: String = "Float32",
       alpha: Double = 0.0): VectorIndex = {
+    // materialize the normalized source ONCE: the build pipeline reads
+    // it from ~6 sub-plans (count, kNN both sides, ring, entry, write)
+    // and would otherwise re-scan + re-plan the source each time
     val vecs = source.select(
       col("id").cast("long"),
       (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
        else (col("id") + 1).cast("string")).as("key"),
       col("vec").cast("array<float>"))
-    val n = vecs.count()
+      .localCheckpoint(true)
+    val stats = vecs.agg(count(lit(1)), min(col("id"))).head()
+    val n = stats.getLong(0)
     val vv = vecs.select(col("id"), col("vec"))
     // two adjacency slots are reserved for the ring backbone, which
     // guarantees global connectivity on clustered data (see
@@ -329,7 +334,7 @@ object VectorIndex {
       else if (n <= exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, metric)
       else GraphBuilder.lshKnnGraph(vv, knnDegree, metric)
     val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vv), maxDegree)
-    val entry = vecs.agg(min(col("id"))).head().get(0) match {
+    val entry = stats.get(1) match {
       case null => -1
       case l: Long => l.toInt
     }
@@ -339,6 +344,7 @@ object VectorIndex {
     graph.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
       .write.mode("overwrite").parquet(s"$dir/adjacency")
     writeMeta(path, meta)
+    vecs.unpersist()
     new VectorIndex(spark, path, meta)
   }
 
