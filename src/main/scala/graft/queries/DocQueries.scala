@@ -231,6 +231,22 @@ object DocQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
 
+  /** Deterministic train/val/test split (80/10/10): the split of a
+    * document is a pure function of its id (multiplicative hash mod
+    * 100), so it is stable across runs, engines, and cluster sizes —
+    * the property a training pipeline needs so no example ever
+    * migrates between splits. Zero shuffle except the 3-row agg. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * 2654435761L, lit(1000000007L)), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    docs(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+  }
+
   /** Multimodal metadata: text treated as an opaque byte payload —
     * size, first code unit, additive checksum (the deterministic part
     * of the decode-stub pipeline in graft.operators.Multimodal). */
@@ -363,7 +379,14 @@ object DocQueries {
     "q51_token_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM tok GROUP BY token
-         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q53_dataset_split" ->
+      """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 % 100 AS bucket FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+        |                          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +402,7 @@ object DocQueries {
     "q49_fingerprint" -> (fingerprint _),
     "q50_multimodal_meta" -> (multimodalMeta _),
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
-    "q52_dedup_groups" -> (dedupGroups _)
+    "q52_dedup_groups" -> (dedupGroups _),
+    "q53_dataset_split" -> (datasetSplit _)
   )
 }
