@@ -100,7 +100,7 @@ object DistributedSearch {
         .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
         .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))
         .localCheckpoint(true)
-      beam.unpersist()
+      graft.plans.Blocks.release(beam) // checkpoint blocks; unpersist is a no-op
       beam = next
       step += 1
     }
@@ -119,7 +119,7 @@ object DistributedSearch {
         col("dist"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
       .localCheckpoint(true)
-    beam.unpersist()
+    graft.plans.Blocks.release(beam)
     vectors.unpersist()
     adjacency.unpersist()
     result

@@ -304,15 +304,21 @@ object VectorIndex {
       exactThreshold: Long = 20000L,
       eltype: String = "Float32",
       alpha: Double = 0.0): VectorIndex = {
-    // materialize the normalized source ONCE: the build pipeline reads
-    // it from ~6 sub-plans (count, kNN both sides, ring, entry, write)
-    // and would otherwise re-scan + re-plan the source each time
-    val vecs = source.select(
-      col("id").cast("long"),
-      (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
-       else (col("id") + 1).cast("string")).as("key"),
-      col("vec").cast("array<float>"))
-      .localCheckpoint(true)
+    // materialize the normalized source ONCE by writing the final
+    // vectors table FIRST and reading it back: the build pipeline
+    // consumes it from ~6 sub-plans (count, kNN both sides, ring,
+    // entry) and would otherwise re-scan + re-plan the source each
+    // time. Writing (which must happen anyway) instead of
+    // localCheckpoint also pins nothing: a checkpointed Dataset's
+    // blocks survive Dataset.unpersist (CacheManager never sees them).
+    val dir = s"$path/v=0"
+    source.select(
+        col("id").cast("long"),
+        (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
+         else (col("id") + 1).cast("string")).as("key"),
+        col("vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    val vecs = spark.read.schema(vectorsSchema).parquet(s"$dir/vectors")
     val stats = vecs.agg(count(lit(1)), min(col("id"))).head()
     val n = stats.getLong(0)
     val vv = vecs.select(col("id"), col("vec"))
@@ -339,12 +345,9 @@ object VectorIndex {
       case l: Long => l.toInt
     }
     val meta = IndexMeta(0L, n, dim, maxDegree, entry, eltype, metric.name, Nil)
-    val dir = s"$path/v=0"
-    vecs.write.mode("overwrite").parquet(s"$dir/vectors")
     graph.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
       .write.mode("overwrite").parquet(s"$dir/adjacency")
     writeMeta(path, meta)
-    vecs.unpersist()
     new VectorIndex(spark, path, meta)
   }
 

@@ -199,16 +199,16 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      graft.plans.Blocks.release(labels) // checkpoint blocks; unpersist is a no-op
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    graft.plans.Blocks.release(edges)
     // the returned labels DataFrame is an eager localCheckpoint —
-    // callers that materialize a derived result should unpersist it
-    // (see DocQueries.dedupGroups) so repeated calls don't accumulate
-    // label blocks
+    // callers that materialize a derived result should release it via
+    // graft.plans.Blocks (see DocQueries.dedupGroups) so repeated
+    // calls don't accumulate label blocks
     labels
   }
 

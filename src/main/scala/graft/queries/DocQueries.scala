@@ -149,7 +149,7 @@ object DocQueries {
     val out = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    sigs.unpersist()
+    graft.plans.Blocks.release(sigs)
     out
   }
 
@@ -215,8 +215,8 @@ object DocQueries {
       .localCheckpoint(true)
     // release the intermediates once the result is materialized — a
     // long-lived session must not accumulate label/sig blocks per call
-    labels.unpersist()
-    sigs.unpersist()
+    graft.plans.Blocks.release(labels)
+    graft.plans.Blocks.release(sigs)
     out
   }
 
@@ -237,7 +237,13 @@ object DocQueries {
     * the property a training pipeline needs so no example ever
     * migrates between splits. Zero shuffle except the 3-row agg. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id") * 2654435761L, lit(1000000007L)), lit(100))
+    // reduce mod p BEFORE multiplying: doc_id * 2654435761 overflows
+    // int64 from doc_id ~3.5e9 (well inside the billions-of-docs
+    // target) — ANSI engines throw, non-ANSI silently wraps and
+    // diverges from the oracle. (p-1) * (A mod p) stays under 2^63.
+    val p = 1000000007L
+    val a = 2654435761L % p
+    val bucket = pmod(pmod(pmod(col("doc_id"), lit(p)) * a, lit(p)), lit(100))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     docs(spark, dir)
       .select(col("doc_id"), split.as("split"))
@@ -381,7 +387,7 @@ object DocQueries {
          |SELECT token, count(*) AS cnt FROM tok GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q53_dataset_split" ->
-      """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 % 100 AS bucket FROM documents),
+      """WITH b AS (SELECT doc_id, ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
         |                          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
