@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt, Subtract}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
 
@@ -33,6 +34,16 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Same composition as VectorFunctions.cosineSimilarity: zero-norm
+    * pairs yield 0.0. TRY division — ANSI-mode Divide THROWS on a zero
+    * divisor instead of returning the NULL the coalesce expects. */
+  private def cosineSim(a: Expression, b: Expression): Expression =
+    Coalesce(Seq(
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY),
+      Literal(0.0, DoubleType)))
+
   val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_squared_l2"),
       info("graft_squared_l2", "squared Euclidean distance between two ARRAY<FLOAT>"),
@@ -43,6 +54,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_l2"),
       info("graft_l2", "Euclidean distance between two ARRAY<FLOAT>"),
       (args: Seq[Expression]) => Sqrt(SquaredL2(args(0), args(1)))),
+    (FunctionIdentifier("graft_cosine_sim"),
+      info("graft_cosine_sim", "cosine similarity of two ARRAY<FLOAT> (0.0 for zero-norm)"),
+      (args: Seq[Expression]) => cosineSim(args(0), args(1))),
+    (FunctionIdentifier("graft_cosine_dist"),
+      info("graft_cosine_dist", "cosine distance (1 - similarity) of two ARRAY<FLOAT>"),
+      (args: Seq[Expression]) =>
+        Subtract(Literal(1.0, DoubleType), cosineSim(args(0), args(1)))),
     (FunctionIdentifier("graft_topk_pairs"),
       info("graft_topk_pairs", "k smallest (dist, id) pairs per group, ascending"),
       (args: Seq[Expression]) => {

@@ -75,12 +75,13 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]. Zero-norm vectors get similarity 0
-    * (Spark Divide yields NULL on a zero divisor, which would silently
-    * drop the row from top-k aggregates — Metric.Cosine likewise
-    * defines distance 1.0 for zero vectors, so the distributed and
-    * serving paths agree). */
+    * — via try_divide, which yields NULL on a zero divisor under BOTH
+    * ANSI and legacy modes (plain `/` THROWS under ANSI, the Spark 4
+    * default, so the coalesce alone would never see the row) —
+    * Metric.Cosine likewise defines distance 1.0 for zero vectors, so
+    * the distributed and serving paths agree. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    coalesce(dot(a, b) / (l2Norm(a) * l2Norm(b)), lit(0.0))
+    coalesce(try_divide(dot(a, b), l2Norm(a) * l2Norm(b)), lit(0.0))
 
   /** Cosine distance = 1 - cosine similarity (Distances.jl CosineDist). */
   def cosineDistance(a: Column, b: Column): Column =

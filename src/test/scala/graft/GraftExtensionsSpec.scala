@@ -25,4 +25,18 @@ class GraftExtensionsSpec extends SparkSpec {
     val g2 = agg(1).getSeq[Row](1)
     assert(g2.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((3.0, 1L)))
   }
+
+  test("graft_cosine_sim / graft_cosine_dist via SQL, zero-norm -> 0.0 similarity") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS self,
+        |       graft_cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS ortho,
+        |       graft_cosine_sim(array(0.0F, 0.0F), array(1.0F, 0.0F)) AS zero,
+        |       graft_cosine_dist(array(1.0F, 0.0F), array(-1.0F, 0.0F)) AS opposite""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0) // zero-norm contract (matches Metric.Cosine)
+    assert(r.getDouble(3) == 2.0)
+  }
 }
