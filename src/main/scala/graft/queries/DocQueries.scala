@@ -265,6 +265,22 @@ object DocQueries {
           lit(0L), (s, v) => s + v) % 65521L).as("checksum"))
       .orderBy(col("doc_id"))
 
+  /** The REAL multimodal decode plumbing (mapPartitions with
+    * per-partition decoder init) driven end-to-end and oracle-checked:
+    * the stub decoder's 8 byte-statistics features are reproduced in
+    * SQL, so the whole pack -> decode -> feature path gets a hash
+    * check, not just a row count. Feature floats are widened
+    * float32 -> double identically on both sides. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.packText(docs(spark, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .select(Seq(col("media_id").as("doc_id"), col("n_bytes"), col("checksum")) ++
+        (0 until Multimodal.StubDecoder.FeatureDim).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -386,6 +402,21 @@ object DocQueries {
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM tok GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q54_multimodal_features" ->
+      """WITH codes AS (SELECT doc_id, strlen(text) AS n,
+        |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(cs) % 65521 AS BIGINT) AS checksum,
+        |  CAST(CAST(n AS FLOAT) AS DOUBLE) AS f0,
+        |  CAST(CAST(CAST(list_sum(cs) AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f1,
+        |  CAST(CAST(list_min(cs) AS FLOAT) AS DOUBLE) AS f2,
+        |  CAST(CAST(list_max(cs) AS FLOAT) AS DOUBLE) AS f3,
+        |  CAST(CAST(len(list_filter(cs, x -> x = 0)) AS FLOAT) AS DOUBLE) AS f4,
+        |  CAST(CAST(cs[1] AS FLOAT) AS DOUBLE) AS f5,
+        |  CAST(CAST(cs[n] AS FLOAT) AS DOUBLE) AS f6,
+        |  CAST(CAST(4 AS FLOAT) AS DOUBLE) AS f7
+        |FROM codes ORDER BY doc_id""".stripMargin,
     "q53_dataset_split" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
@@ -409,6 +440,7 @@ object DocQueries {
     "q50_multimodal_meta" -> (multimodalMeta _),
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
     "q52_dedup_groups" -> (dedupGroups _),
-    "q53_dataset_split" -> (datasetSplit _)
+    "q53_dataset_split" -> (datasetSplit _),
+    "q54_multimodal_features" -> (multimodalFeatures _)
   )
 }
