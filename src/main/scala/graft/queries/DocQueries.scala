@@ -281,6 +281,20 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling through the real mapPartitions path, value-checked:
+    * 4 evenly-spaced 16-byte windows per payload, with offsets and an
+    * md5 of each frame's bytes reproduced in SQL. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.packText(
+      docs(spark, dir).filter(col("doc_id") < 100), "doc_id", "text")
+    Multimodal.frameSample(media, n = 4, frameBytes = 16)
+      .select(col("media_id").as("doc_id"), col("frame_idx"), col("offset"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -417,6 +431,16 @@ object DocQueries {
         |  CAST(CAST(cs[n] AS FLOAT) AS DOUBLE) AS f6,
         |  CAST(CAST(4 AS FLOAT) AS DOUBLE) AS f7
         |FROM codes ORDER BY doc_id""".stripMargin,
+    "q55_frame_sample" ->
+      """WITH f AS (SELECT doc_id, strlen(text) AS n, text FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id, i AS frame_idx,
+        |        least(CAST(i AS BIGINT) * greatest(1, n // 4), greatest(0, CAST(n AS BIGINT) - 1)) AS "offset",
+        |        n, text
+        |      FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+        |SELECT doc_id, frame_idx, "offset",
+        |  CAST(strlen(substr(text, CAST("offset" + 1 AS INT), 16)) AS BIGINT) AS frame_len,
+        |  md5(substr(text, CAST("offset" + 1 AS INT), 16)) AS frame_md5
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     "q53_dataset_split" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
@@ -441,6 +465,7 @@ object DocQueries {
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
-    "q54_multimodal_features" -> (multimodalFeatures _)
+    "q54_multimodal_features" -> (multimodalFeatures _),
+    "q55_frame_sample" -> (multimodalFrames _)
   )
 }
