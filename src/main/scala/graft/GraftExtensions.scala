@@ -14,6 +14,8 @@ import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
   *   - graft_squared_l2(a, b)      — fused squared-L2 kernel
   *   - graft_dot(a, b)             — fused dot-product kernel
   *   - graft_l2(a, b)              — sqrt(graft_squared_l2)
+  *   - graft_cosine_sim(a, b)      — cosine similarity (0.0 on zero norm)
+  *   - graft_cosine_dist(a, b)     — 1 - graft_cosine_sim
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
   *
   * Two wiring paths share the same builders:

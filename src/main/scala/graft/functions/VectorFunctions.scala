@@ -81,17 +81,25 @@ object VectorFunctions {
     * Metric.Cosine likewise defines distance 1.0 for zero vectors, so
     * the distributed and serving paths agree. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    coalesce(try_divide(dot(a, b), l2Norm(a) * l2Norm(b)), lit(0.0))
+    cosineSimFromNorms(dot(a, b), l2Norm(a), l2Norm(b))
+
+  /** The single source of the zero-norm/ANSI contract, for callers
+    * that precompute norms (exact-kNN, near-dup pair loops): TRY
+    * division + coalesce — four hand-rolled copies of this previously
+    * drifted (one site kept plain `/`, which THROWS under ANSI). */
+  def cosineSimFromNorms(dotAB: Column, nrmA: Column, nrmB: Column): Column =
+    coalesce(try_divide(dotAB, nrmA * nrmB), lit(0.0))
 
   /** Cosine distance = 1 - cosine similarity (Distances.jl CosineDist). */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
-  /** L2-normalize a float array column (returns ARRAY<DOUBLE>).
-    * WARNING: the norm expression is re-evaluated per ELEMENT inside
-    * the transform lambda (O(d²) per row) — for hot paths materialize
-    * `l2Norm` into a column first and divide by it (see
-    * GraphBuilder.lshKnnEdges). Kept for small-d convenience. */
+  /** L2-normalize a float array column (returns ARRAY<DOUBLE>);
+    * all-zero vectors normalize to all-zero (TRY division — plain `/`
+    * throws under ANSI). WARNING: the norm expression is re-evaluated
+    * per ELEMENT inside the transform lambda (O(d²) per row) — for hot
+    * paths materialize `l2Norm` into a column first and divide by it
+    * (see GraphBuilder.lshKnnEdges). Kept for small-d convenience. */
   def l2Normalize(a: Column): Column =
-    transform(a, x => x.cast("double") / l2Norm(a))
+    transform(a, x => coalesce(try_divide(x.cast("double"), l2Norm(a)), lit(0.0)))
 }

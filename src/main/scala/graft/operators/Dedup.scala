@@ -227,11 +227,11 @@ object Dedup {
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        // try_divide: ANSI mode (Spark 4 default) THROWS on a zero-norm
-        // pair; define its similarity as 0 like Metric.Cosine
-        (round(coalesce(
-          try_divide(VectorFunctions.dot(col("vec_a"), col("vec_b")),
-            col("nrm_a") * col("nrm_b")), lit(0.0)), 4)
+        // zero-norm pairs get similarity 0 (ANSI-safe TRY division —
+        // single-sourced in VectorFunctions)
+        (round(VectorFunctions.cosineSimFromNorms(
+          VectorFunctions.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")), 4)
           + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(topN)

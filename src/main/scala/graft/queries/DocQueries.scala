@@ -270,7 +270,10 @@ object DocQueries {
     * the stub decoder's 8 byte-statistics features are reproduced in
     * SQL, so the whole pack -> decode -> feature path gets a hash
     * check, not just a row count. Feature floats are widened
-    * float32 -> double identically on both sides. */
+    * float32 -> double identically on both sides. NOTE: the SQL twin
+    * works per CHARACTER (unicode codepoints) while the Scala side is
+    * per UTF-8 BYTE — equivalent only because the fixture text is
+    * pure ASCII (q50's byte/codepoint checksum match pins that). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     val media = Multimodal.packText(docs(spark, dir), "doc_id", "text")
@@ -357,12 +360,12 @@ object DocQueries {
          |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin,
     "q45_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |  ROUND(COALESCE(list_sum(list_transform(range(1, len(a.embedding)+1),
         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |        (SQRT(list_sum(list_transform(range(1, len(a.embedding)+1),
         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
         |         SQRT(list_sum(list_transform(range(1, len(b.embedding)+1),
-        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) + 0.0 AS cos_sim
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 0.0), 4) + 0.0 AS cos_sim
         |FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q46_text_stats" ->
@@ -432,7 +435,8 @@ object DocQueries {
         |  CAST(CAST(4 AS FLOAT) AS DOUBLE) AS f7
         |FROM codes ORDER BY doc_id""".stripMargin,
     "q55_frame_sample" ->
-      """WITH f AS (SELECT doc_id, strlen(text) AS n, text FROM documents WHERE doc_id < 100),
+      """WITH f AS (SELECT doc_id, strlen(text) AS n, text FROM documents
+        |           WHERE doc_id < 100 AND text IS NOT NULL),
         |g AS (SELECT doc_id, i AS frame_idx,
         |        least(CAST(i AS BIGINT) * greatest(1, n // 4), greatest(0, CAST(n AS BIGINT) - 1)) AS "offset",
         |        n, text

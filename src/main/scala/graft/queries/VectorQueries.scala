@@ -78,8 +78,8 @@ object VectorQueries {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (round(lit(1.0) - coalesce(
-          dot(col("qvec"), col("embedding")) / (col("qnrm") * col("vnrm")), lit(0.0)), 4)
+        (round(lit(1.0) - cosineSimFromNorms(
+          dot(col("qvec"), col("embedding")), col("qnrm"), col("vnrm")), 4)
           + lit(0.0)).as("dist")), K)
   }
 
@@ -232,8 +232,8 @@ object VectorQueries {
     "q03_knn_exact_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          |d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |             ROUND(1.0 - ${dotSql("q.qvec", "e.embedding")} /
-         |                   (SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 4) + 0.0 AS dist
+         |             ROUND(1.0 - COALESCE(${dotSql("q.qvec", "e.embedding")} /
+         |                   (SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 0.0), 4) + 0.0 AS dist
          |      FROM embeddings e CROSS JOIN q),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
          |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
