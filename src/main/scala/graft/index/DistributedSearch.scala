@@ -34,7 +34,13 @@ object DistributedSearch {
     * @param beamWidth frontier size per query per step (default 32)
     * @param steps    expansion rounds (default 6 — graph diameter of
     *                 the ring-backboned kNN graph is small)
-    * @return (query_id, public_id, key, dist, rnk) nearest-first */
+    * @return (query_id, public_id, key, dist, rnk) nearest-first.
+    *
+    * IMPORTANT: the result is a localCheckpoint'ed DataFrame, and
+    * `Dataset.unpersist` cannot release checkpoint blocks (see
+    * [[graft.plans.Blocks]]). A caller that invokes beamSearch
+    * repeatedly in one session MUST free each consumed result via
+    * [[release]] or the pinned result blocks accumulate. */
   def beamSearch(
       index: VectorIndex,
       queries: DataFrame,
@@ -124,4 +130,8 @@ object DistributedSearch {
     adjacency.unpersist()
     result
   }
+
+  /** Free the checkpoint blocks behind a consumed [[beamSearch]]
+    * result (safe on any DataFrame — no-op when nothing is pinned). */
+  def release(result: DataFrame): Unit = graft.plans.Blocks.release(result)
 }

@@ -217,6 +217,16 @@ final class ServingIndex(
     embeddingById(keyToId.getOrElse(key,
       throw new NoSuchElementException(s"unknown key: $key")) + 1L)
 
+  /** Drop a key's mapping without touching its vector (the re-register
+    * contract: the previous vector stays live but keyless). Used by
+    * routers to keep a key unique across shards. Returns true if the
+    * key was mapped. */
+  private[index] def unregisterKey(key: String): Boolean =
+    keyToId.remove(key) match {
+      case Some(id) => idToKey.remove(id); true
+      case None => false
+    }
+
   def idForKey(key: String): Option[Long] = keyToId.get(key).map(_ + 1L)
   def keyForId(publicId: Long): Option[String] = idToKey.get(publicId.toInt - 1)
   def allKeys: Seq[String] = keyToId.keys.toSeq.sorted

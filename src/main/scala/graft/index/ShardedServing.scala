@@ -64,6 +64,19 @@ final class ShardedServing(
     val k = key.getOrElse(gid.toString)
     val (_, actualPid) = shards(s).insert(v, Some(k))
     require(actualPid == localPid, "insert must use the peeked slot")
+    // an explicit key may textually equal another vector's auto-key in a
+    // DIFFERENT shard (auto-keys are global-id strings, e.g. "9"); key
+    // lookups resolve the hash-routed shard first, so without clearing
+    // the other copy the re-registration remap contract (Q7) would
+    // silently break for numeric-string keys. Single-node semantics are
+    // preserved: the other shard's vector stays live, just keyless.
+    if (key.isDefined) {
+      var i = 0
+      while (i < numShards) {
+        if (i != s) shards(i).unregisterKey(k)
+        i += 1
+      }
+    }
     (k, gid)
   }
 

@@ -57,13 +57,21 @@ object Dedup {
 
   /** Exact duplicate groups: documents with byte-identical text.
     * Returns (text_hash, canonical_id = min id, n_copies, member_ids)
-    * for groups with more than one member. */
-  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    * for groups with more than one member. `member_ids` holds the
+    * `maxMembers` SMALLEST ids, ascending, via the bounded-heap
+    * aggregate — a pathological 10^7-copy group (think boilerplate
+    * pages at web scale) costs a k-heap per partition, never a
+    * 10^7-element array in one aggregation buffer; `n_copies` stays
+    * exact. */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxMembers: Int = 1000): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies"),
-        array_sort(collect_list(col(idCol))).as("member_ids"))
+        transform(
+          VectorFunctions.topKPairs(col(idCol).cast("double"), col(idCol), maxMembers),
+          p => p.getField("id")).as("member_ids"))
       .filter(col("n_copies") > 1)
 
   /** Exploded distinct (id, shingle) pairs for a corpus. Tokens are
@@ -172,13 +180,17 @@ object Dedup {
 
   /** Connected components over an undirected pair list — turns
     * candidate near-dup PAIRS into dedup GROUPS (each doc labeled with
-    * the min doc id reachable from it). Iterative min-label
-    * propagation: per round, every node takes the minimum label in its
-    * closed neighborhood; converges in O(component diameter) rounds —
-    * near-dup clusters are shallow, so this is 2-4 rounds in practice.
-    * Each round is one equi-join + one aggregation shuffle over the
-    * EDGE list only (never a transitive closure materialization), the
-    * standard scalable CC formulation. Returns (node, component). */
+    * the min doc id reachable from it). Iterative min-label propagation
+    * PLUS pointer doubling: per round every node takes the minimum
+    * label in its closed neighborhood, then every label is shortcut to
+    * its label's label — so convergence needs O(log diameter) rounds,
+    * not O(diameter) (a 20-round cap covers diameters past 10^6, where
+    * plain propagation would silently stop at 20 hops). Each round is
+    * two equi-join shuffles over the EDGE/label lists only (never a
+    * transitive closure materialization). Throws IllegalStateException
+    * if the cap is somehow still hit with labels in motion — wrong
+    * group ids must never be returned silently. Returns
+    * (node, component). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
@@ -191,12 +203,25 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = edges.join(labels, edges("a") === labels("node"))
+      // min over closed neighborhood; checkpointed because the shortcut
+      // step self-joins it (both sides would otherwise re-plan and
+      // re-execute the propagate subtree — the q52 lesson)
+      val propagated = edges.join(labels, edges("a") === labels("node"))
         .select(col("b").as("node"), col("component"))
         .unionByName(labels)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
+      // pointer doubling: component ids are themselves node ids, so
+      // looking a label up in the label table jumps two hops at once
+      val next = propagated
+        .join(
+          propagated.select(col("node").as("component"), col("component").as("cc")),
+          Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      graft.plans.Blocks.release(propagated)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).limit(1).count()
       graft.plans.Blocks.release(labels) // checkpoint blocks; unpersist is a no-op
@@ -204,6 +229,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(pointer doubling covers diameter 2^rounds — this indicates a bug, not a deep graph)")
     graft.plans.Blocks.release(edges)
     // the returned labels DataFrame is an eager localCheckpoint —
     // callers that materialize a derived result should release it via

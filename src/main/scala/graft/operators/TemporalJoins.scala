@@ -47,6 +47,14 @@ object TemporalJoins {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payload.contains(key), "payload must not repeat the key")
+    // __t/__side/__p are internal layout names; a caller column with
+    // one of these names would silently alias into the window pass
+    val reserved = Set("__t", "__side", "__p")
+    val collisions = (leftCols ++ right.columns).filter(reserved.contains).distinct
+    require(collisions.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${collisions.mkString(", ")}")
+    val leftTsType = left.schema(leftTs).dataType
     val leftTypes = leftCols.map(c => c -> left.schema(c).dataType).toMap
     // the payload is carried as ONE struct, not per-column last()s: a
     // NULL field in the newest right row must stay NULL (per-column
@@ -71,8 +79,10 @@ object TemporalJoins {
     val carried = lU.unionByName(rU)
       .select((col(key) +: col("__t") +: col("__side") +: carriedLeft.map(col)) :+
         last(col("__p"), ignoreNulls = true).over(w).as("__p"): _*)
+    // restore the caller's ts type — __t was coerced to long for the
+    // cross-side ordering, but the output column is the caller's
     carried.filter(col("__side") === 1)
-      .select((col(key) +: col("__t").as(leftTs) +: carriedLeft.map(col)) ++
+      .select((col(key) +: col("__t").cast(leftTsType).as(leftTs) +: carriedLeft.map(col)) ++
         payload.map(c => col(s"__p.$c").as(s"asof_$c")): _*)
   }
 

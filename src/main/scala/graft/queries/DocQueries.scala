@@ -311,7 +311,8 @@ object DocQueries {
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
-         |       count(*) AS n_copies, array_to_string(list_sort(list(doc_id)), ',') AS member_csv
+         |       count(*) AS n_copies,
+         |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 1000), ',') AS member_csv
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin,
     "q41_ngram_jaccard" ->
       s"""WITH $corpusSql,

@@ -88,4 +88,29 @@ class ShardedServingSpec extends SparkSpec {
     assert(router.idForKey("user-42").isEmpty)
     assert(router.numPoints == 6)
   }
+
+  test("an explicit key equal to another shard's auto-key stays unique router-wide") {
+    val dim = 8
+    val vecs = mkVecs(12, dim, 6)
+    val router = new ShardedServing(dim, numShards = 4, maxDegree = 8)
+    // round-robin auto-keyed inserts: auto-keys are "1","2","3",...
+    val auto = vecs.take(8).map(v => router.insert(v))
+    // pick an auto-key whose HASH-routed shard differs from where the
+    // auto-keyed vector actually lives (round-robin placement), then
+    // register it explicitly
+    val victim = auto.find { case (k, gid) =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), 4) != ((gid - 1) % 4).toInt
+    }.getOrElse(fail("no auto-key with divergent hash route in the first 8 — adjust fixture"))
+    val (vKey, vGid) = victim
+    val (_, newGid) = router.insert(vecs(10), Some(vKey))
+    assert(newGid != vGid)
+    // the key must resolve to the NEW vector (not the stale auto-keyed
+    // copy in the round-robin shard), exactly like single-node Q7
+    assert(router.idForKey(vKey).contains(newGid))
+    // the old vector stays live, just keyless
+    assert(router.numPoints == 9)
+    // deleteByKey removes only the new mapping and never resurrects the old
+    assert(router.deleteByKey(vKey))
+    assert(router.idForKey(vKey).isEmpty)
+  }
 }

@@ -28,4 +28,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("connectedComponents converges on a chain deeper than the round cap (pointer doubling)") {
+    val ss = spark
+    import ss.implicits._
+    // path graph 0-1-2-...-60: diameter 60 > maxIter 20, so plain
+    // min-label propagation could NOT finish in 20 rounds — pointer
+    // doubling must (and the guard must not fire)
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 61 && cc.values.forall(_ == 0L))
+  }
 }

@@ -48,6 +48,27 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("asof_b")), "NULL in the newest right row must be preserved")
   }
 
+  test("asofJoin rejects reserved internal column names and preserves the ts type") {
+    val ss = spark
+    import ss.implicits._
+    // reserved-name collision must fail fast, not mis-plan
+    val badLeft = Seq((1L, 5L, 9L)).toDF("k", "t", "__side")
+    val right = Seq((1L, 3L, "a")).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(badLeft, right, key = "k", leftTs = "t",
+        rightTs = "rt", payload = Seq("v"))
+    }
+    assert(e.getMessage.contains("__side"))
+    // an INT left ts must come back as INT, not silently widened to long
+    val left = Seq((1, 5, 100L)).toDF("k", "t", "event")
+      .select(col("k").cast("long").as("k"), col("t").cast("int").as("t"), col("event"))
+    val r2 = Seq((1L, 3, "a")).toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoin(left, r2, key = "k", leftTs = "t",
+      rightTs = "rt", payload = Seq("v"))
+    assert(out.schema("t").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.select(col("asof_v")).head().getString(0) == "a")
+  }
+
   test("pointInInterval buckets exactly at nanosecond magnitudes (beyond double precision)") {
     val ss = spark
     import ss.implicits._
