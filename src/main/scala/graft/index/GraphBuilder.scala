@@ -40,7 +40,7 @@ object GraphBuilder {
     * (map-side) aggregation means the shuffle carries <= k pairs per
     * (partition, node) instead of every candidate edge — the plan that
     * survives a 100x scale-up. */
-  private def topKPerNode(edges: DataFrame, k: Int): DataFrame =
+  private[index] def topKPerNode(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("src").as("id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
       .select(col("id"), transform(col("tk"), p => p.getField("id")).as("nbrs"))
@@ -79,33 +79,30 @@ object GraphBuilder {
   def exactKnnGraph(vectors: DataFrame, maxDegree: Int, metric: Metric): DataFrame =
     symmetrizeAndPrune(exactKnnEdges(vectors, maxDegree, metric), maxDegree)
 
-  /** LSH-bucketed kNN edge list: same-bucket candidate pairs only.
-    *
-    * @param bucketLength width of the random-projection quantization
-    *                     bucket; if <= 0 it is estimated from a sample
-    *                     (mean pairwise distance / 2 — wide enough that
-    *                     near neighbors co-bucket in several tables).
-    */
-  def lshKnnEdges(
+  /** L2-normalized copy when cosine (ranking-equivalent under
+    * Euclidean); the norm is materialized once per row (inlining it
+    * into the transform lambda would re-evaluate the full dot product
+    * per element — O(d²)/row). */
+  private def prepare(vectors: DataFrame, metric: Metric): DataFrame = metric match {
+    case Metric.Euclidean => vectors.select(col("id"), col("vec"))
+    case Metric.Cosine => vectors
+      .select(col("id"), col("vec"),
+        VectorFunctions.l2Norm(col("vec")).as("nrm"))
+      .select(col("id"),
+        when(col("nrm") === 0.0, col("vec").cast("array<float>"))
+          .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm")).cast("array<float>"))
+          .as("vec"))
+  }
+
+  /** Random-projection bucketing pass shared by the full and batch LSH
+    * edge builders: returns (tbl, bucket, id, vec) with one row per
+    * (vector, hash table). */
+  private def lshHashed(
       vectors: DataFrame,
-      k: Int,
       metric: Metric,
-      numHashTables: Int = 8,
-      bucketLength: Double = -1.0): DataFrame = {
-    val spark = vectors.sparkSession
-    // cosine = euclidean ranking on L2-normalized copies; the norm is
-    // materialized once per row (inlining it into the transform lambda
-    // would re-evaluate the full dot product per element — O(d²)/row)
-    val prepared = metric match {
-      case Metric.Euclidean => vectors.select(col("id"), col("vec"))
-      case Metric.Cosine => vectors
-        .select(col("id"), col("vec"),
-          VectorFunctions.l2Norm(col("vec")).as("nrm"))
-        .select(col("id"),
-          when(col("nrm") === 0.0, col("vec").cast("array<float>"))
-            .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm")).cast("array<float>"))
-            .as("vec"))
-    }
+      numHashTables: Int,
+      bucketLength: Double): DataFrame = {
+    val prepared = prepare(vectors, metric)
     val bl =
       if (bucketLength > 0) bucketLength
       else {
@@ -125,22 +122,16 @@ object GraphBuilder {
       .setSeed(42L)
       .fit(featured)
     val par = vectors.sparkSession.sparkContext.defaultParallelism
-    val hashed = model.transform(featured).repartition(par)
+    model.transform(featured).repartition(par)
       .select(col("id"), col("vec"), posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
       .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
       .drop("bucketVec")
-    val left = hashed.select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
-    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
-    val cand = left.join(right, Seq("tbl", "bucket"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
-      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
-    val pruned = cand.groupBy(col("src"))
-      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
-      .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
-    // re-score with the true metric when cosine (dist column currently
-    // euclidean-on-normalized; ranking equal, magnitudes differ)
+  }
+
+  /** Re-score an edge list with the true metric when cosine (the LSH
+    * dist column is euclidean-on-normalized; ranking equal, magnitudes
+    * differ). */
+  private def rescore(pruned: DataFrame, vectors: DataFrame, metric: Metric): DataFrame =
     metric match {
       case Metric.Euclidean => pruned
       case Metric.Cosine =>
@@ -151,50 +142,117 @@ object GraphBuilder {
           .select(col("src"), col("dst"),
             VectorFunctions.cosineDistance(col("a_vec"), col("b_vec")).as("dist"))
     }
+
+  /** LSH-bucketed kNN edge list: same-bucket candidate pairs only.
+    *
+    * @param bucketLength width of the random-projection quantization
+    *                     bucket; if <= 0 it is estimated from a sample
+    *                     (mean pairwise distance / 2 — wide enough that
+    *                     near neighbors co-bucket in several tables).
+    */
+  def lshKnnEdges(
+      vectors: DataFrame,
+      k: Int,
+      metric: Metric,
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0): DataFrame = {
+    val hashed = lshHashed(vectors, metric, numHashTables, bucketLength)
+    val left = hashed.select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
+    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
+    val cand = left.join(right, Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val pruned = cand.groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+    rescore(pruned, vectors, metric)
   }
 
-  /** Deterministic connectivity backbone: each node links to its
-    * successor and predecessor in id-sorted ring order. Bulk kNN
-    * graphs disconnect when the data clusters (every nearest neighbor
+  /** Batch-wiring edge list for index mutation: top-k candidates from
+    * each BATCH node to the whole set (old ∪ batch), via the same LSH
+    * bucketing as the bulk build — the batch side of the bucket join is
+    * broadcast, so the plan is one map-only hashing pass over the index
+    * plus a broadcast equi-join, never a crossJoin. This is what keeps
+    * `insertBatch` wiring O(batch · bucket occupancy) instead of
+    * O(batch × index) (the reference wires one vector at a time via
+    * self-search, src/LMDiskANN.jl:531-584; this is its bulk analog). */
+  def lshBatchEdges(
+      all: DataFrame,
+      batchIds: DataFrame,
+      k: Int,
+      metric: Metric,
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0): DataFrame = {
+    val hashed = lshHashed(all, metric, numHashTables, bucketLength)
+    val left = hashed.join(broadcast(batchIds.select(col("id"))), Seq("id"))
+      .select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
+    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
+    val cand = broadcast(left).join(right, Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val pruned = cand.groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+    rescore(pruned, all, metric)
+  }
+
+  /** Exact batch-wiring edge list (small-index tier): the batch is
+    * broadcast against a single scan of the full set — a
+    * BroadcastNestedLoopJoin, so the big side never shuffles. */
+  def exactBatchEdges(all: DataFrame, batch: DataFrame, k: Int, metric: Metric): DataFrame = {
+    val a = batch.select(col("id").as("src"), col("vec").as("a_vec"))
+    val b = all.select(col("id").as("dst"), col("vec").as("b_vec"))
+    broadcast(a).crossJoin(b)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), distCol(metric).as("dist"))
+      .groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+  }
+
+  /** Explicit ring LINKS (id, succ, prev) in id-sorted cyclic order —
+    * the deterministic connectivity backbone. Bulk kNN graphs
+    * disconnect when the data clusters (every nearest neighbor
     * co-clusters, so greedy search cannot cross clusters — a failure
     * mode the reference's entrypoint-seeded incremental build avoids
-    * implicitly). Reserving two adjacency slots for the ring makes the
-    * graph connected by construction at any scale. Returns
-    * (id, ring ARRAY<BIGINT> of 2). */
-  def ringEdges(vectors: DataFrame): DataFrame = {
+    * implicitly); reserving two adjacency slots for the ring makes the
+    * graph connected by construction at any scale.
+    *
+    * the persisted form of the connectivity backbone. Storing the
+    * links (instead of only the merged adjacency) is what makes index
+    * mutation O(batch): an insert splices new ids into the gaps they
+    * fall in, touching only the gap endpoints, instead of re-deriving
+    * the whole ring. A single node links to itself. */
+  def ringLinks(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Row => SqlRow}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = vectors.sparkSession
     val rankSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("rank", LongType, nullable = false)))
-    // global ranks without a single-partition window: range-partitioned
-    // sort + zipWithIndex (same pattern as Dedup.rankTerms)
     val idRank = spark.createDataFrame(
       vectors.select(col("id")).orderBy(col("id"))
         .rdd.map(_.getLong(0)).zipWithIndex()
         .map { case (id, i) => SqlRow(id, i) },
       rankSchema)
     val n = idRank.count()
-    if (n <= 1) {
-      return idRank.select(col("id"), array().cast("array<bigint>").as("ring"))
+    if (n == 0) {
+      return idRank.select(col("id"), col("id").as("succ"), col("id").as("prev"))
     }
-    val succ = idRank.select((pmod(col("rank") + 1, lit(n))).as("rank"), col("id").as("succ_id"))
-    val prev = idRank.select((pmod(col("rank") - 1 + n, lit(n))).as("rank"), col("id").as("prev_id"))
+    // the node holding rank s is the SUCCESSOR of the node at rank s-1
+    // (key it at s-1) and the predecessor of the node at s+1
+    val succ = idRank.select((pmod(col("rank") - 1 + n, lit(n))).as("rank"), col("id").as("succ"))
+    val prev = idRank.select((pmod(col("rank") + 1, lit(n))).as("rank"), col("id").as("prev"))
     idRank
       .join(succ, "rank")
       .join(prev, "rank")
-      .select(col("id"),
-        array_distinct(array(col("succ_id"), col("prev_id"))).as("ring"))
+      .select(col("id"), col("succ"), col("prev"))
   }
-
-  /** Merge a pruned graph with the ring backbone, capping total degree. */
-  def withRing(graph: DataFrame, ring: DataFrame, maxDegree: Int): DataFrame =
-    graph.join(ring, Seq("id"), "full_outer")
-      .select(col("id"),
-        slice(array_distinct(concat(
-          coalesce(col("ring"), array().cast("array<bigint>")),
-          coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, maxDegree).as("nbrs"))
 
   /** LSH-built maxdegree graph (the scale path). */
   def lshKnnGraph(

@@ -3,7 +3,7 @@ package graft.index
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,7 +12,15 @@ import org.apache.spark.sql.types._
   * Unlike the reference, the metric IS persisted (SURVEY §4.3 Q6 fix)
   * and eltype is whitelist-validated (Q8 fix). `eltype` "Float16" is
   * accepted and stored widened to Float (documented divergence,
-  * SURVEY §1.4). */
+  * SURVEY §1.4).
+  *
+  * `segments` lists the version directories whose files make up the
+  * CURRENT state (newest last): mutations append a delta segment
+  * instead of rewriting the tables, and readers resolve latest-wins
+  * per id (see [[VectorIndex.resolved]]). `exactThreshold` is the
+  * index size above which batch wiring switches from exact to
+  * LSH-bucketed candidates (persisted so mutations of a loaded index
+  * keep the build-time policy). */
 final case class IndexMeta(
     version: Long,
     numPoints: Long,
@@ -22,7 +30,9 @@ final case class IndexMeta(
     eltype: String,
     metric: String,
     freelist: Seq[Int],
-    ingestBatchId: Long = -1L) {
+    ingestBatchId: Long = -1L,
+    segments: Seq[Long] = Seq(0L),
+    exactThreshold: Long = 20000L) {
   require(Set("Float16", "Float32", "Float64").contains(eltype), s"bad eltype $eltype")
   Metric.fromName(metric) // validate
 }
@@ -32,32 +42,86 @@ final case class IndexMeta(
   *
   * Layout:
   * {{{
-  *   <path>/meta.json                  — current IndexMeta (commit pointer)
-  *   <path>/v=<N>/vectors/             — id BIGINT, key STRING, vec ARRAY<FLOAT>
-  *   <path>/v=<N>/adjacency/           — id BIGINT, nbrs ARRAY<BIGINT>
+  *   <path>/meta.json      — current IndexMeta (atomic commit pointer)
+  *   <path>/v=<N>/vectors/ — id BIGINT, key STRING, vec ARRAY<FLOAT>
+  *   <path>/v=<N>/graph/   — id BIGINT, nbrs ARRAY<BIGINT>   (kNN edges)
+  *   <path>/v=<N>/ring/    — id BIGINT, succ BIGINT, prev BIGINT
   * }}}
   *
   * Mutability on immutable storage (SURVEY §7 hard part a): every
-  * mutation writes a NEW version directory and then atomically swaps
-  * the `meta.json` pointer — readers of version N are never disturbed,
-  * a crashed writer leaves only an orphaned directory. This is the
-  * copy-on-write snapshot pattern; at 100 TB the vectors table is
-  * partitioned (hash by id) and an insert batch only appends new files,
-  * re-listing old ones in the manifest, so commit cost is O(batch) not
-  * O(index).
+  * mutation writes a NEW segment directory holding ONLY the rows it
+  * adds or changes (a deleted row is a tombstone with NULL payload)
+  * and then atomically swaps the `meta.json` pointer, whose `segments`
+  * list names the directories that make up the current state. Readers
+  * of the previous snapshot are never disturbed; a crashed writer
+  * leaves only an orphaned directory. Commit cost is O(batch), not
+  * O(index): a 1k-row micro-batch into a 100 TB index writes kilobytes
+  * — the vectors delta, the O(batch · degree) rewired adjacency rows,
+  * and the O(batch) spliced ring links. Reads resolve latest-wins per
+  * id across segments (a plain scan when there is one segment); past
+  * [[VectorIndex.MaxSegments]] segments a commit compacts back to a
+  * single directory, bounding read amplification.
+  *
+  * The connectivity ring is persisted as explicit (succ, prev) LINKS
+  * so an insert can splice new ids into their id-order gaps touching
+  * only the gap endpoints — the public `adjacency` view merges ring +
+  * kNN edges, so search code is layout-agnostic.
   */
 final class VectorIndex private (
     val spark: SparkSession,
     val path: String,
     val meta: IndexMeta) {
 
-  private def versionDir: String = s"$path/v=${meta.version}"
+  import VectorIndex._
+
+  private def segDir(table: String, v: Long): String = s"$path/v=$v/$table"
+
+  /** Latest-wins resolution across segments, tombstones dropped. One
+    * segment (the common, post-compaction state) is a plain pushed-down
+    * parquet scan; k segments union + group by id, taking each id's row
+    * from its newest segment (each segment holds at most one row per
+    * id, so max_by is deterministic). At scale the segments are
+    * co-partitioned by id (bucketed writes), making the resolve a
+    * shuffle-free merge. */
+  private def resolved(table: String, schema: StructType, liveCol: String): DataFrame = {
+    val segs = meta.segments
+    val dataCols = schema.fieldNames.filter(_ != "id").toSeq
+    if (segs.length == 1)
+      spark.read.schema(schema).parquet(segDir(table, segs.head))
+        .filter(col(liveCol).isNotNull)
+    else {
+      val union = segs.map(v =>
+          spark.read.schema(schema).parquet(segDir(table, v)).withColumn("__seg", lit(v)))
+        .reduce(_.unionByName(_))
+      union
+        .groupBy(col("id"))
+        .agg(max_by(struct(dataCols.map(col): _*), col("__seg")).as("__r"))
+        .select(col("id") +: dataCols.map(c => col(s"__r.$c").as(c)): _*)
+        .filter(col(liveCol).isNotNull)
+    }
+  }
 
   /** id BIGINT, key STRING, vec ARRAY<FLOAT> — live vectors only. */
-  def vectors: DataFrame = spark.read.schema(VectorIndex.vectorsSchema).parquet(s"$versionDir/vectors")
+  def vectors: DataFrame = resolved("vectors", vectorsSchema, "vec")
 
-  /** id BIGINT, nbrs ARRAY<BIGINT>. */
-  def adjacency: DataFrame = spark.read.schema(VectorIndex.adjacencySchema).parquet(s"$versionDir/adjacency")
+  /** kNN-pruned graph edges (no ring), live rows only. */
+  private[index] def graphTable: DataFrame = resolved("graph", graphSchema, "nbrs")
+
+  /** Ring links (id, succ, prev), live rows only. */
+  private[index] def ringTable: DataFrame = resolved("ring", ringSchema, "succ")
+
+  /** id BIGINT, nbrs ARRAY<BIGINT> — the merged adjacency view (ring
+    * links first so connectivity survives the degree cap, then kNN
+    * edges by distance). */
+  def adjacency: DataFrame = {
+    val ringArr = filter(array(col("succ"), col("prev")),
+      x => x.isNotNull && x =!= col("id"))
+    ringTable.join(graphTable, Seq("id"), "full_outer")
+      .select(col("id"),
+        slice(array_distinct(concat(
+          ringArr,
+          coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
+  }
 
   def metric: Metric = Metric.fromName(meta.metric)
 
@@ -102,18 +166,21 @@ final class VectorIndex private (
       .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), col("dist"), col("rnk"))
   }
 
-  /** Batch insert: append vectors and rewire distributively, committing
-    * a new snapshot. Wiring = each new node gets its maxdegree-closest
-    * over (old ∪ new), existing nodes gain back-edges and are re-pruned
-    * — the batch analog of reference ann_insert! steps 5-6.
+  /** Batch insert: append vectors and rewire, committing a DELTA
+    * segment whose size is O(batch), never a table rewrite. Wiring =
+    * each new node gets its maxdegree-closest candidates over
+    * (old ∪ new) — exact below `meta.exactThreshold`, LSH-bucketed
+    * above (the same tier switch as the bulk build) — and each touched
+    * OLD node merges the new back-edges into its existing list and
+    * re-prunes; untouched nodes are not read, not rewritten. The ring
+    * backbone is SPLICED: new ids slot into their id-order gaps,
+    * updating only the gap endpoints (the batch analog of reference
+    * ann_insert! steps 5-6, src/LMDiskANN.jl:531-584).
     *
     * ID assignment matches the reference contract: freed slots are
     * recycled LIFO first (src/LMDiskANN.jl:534), then fresh ids beyond
     * every id ever used (live OR freed — a freed slot must never
-    * collide with an append). Batch rows are ranked by key via
-    * sort + zipWithIndex (no single-partition window). The ring
-    * connectivity backbone is re-derived over the grown id set so the
-    * build-time connectivity invariant survives mutation. */
+    * collide with an append). */
   def insertBatch(newVectors: DataFrame): VectorIndex = insertBatch(newVectors, -1L)
 
   /** insertBatch carrying a streaming batch id: the id commits
@@ -122,8 +189,6 @@ final class VectorIndex private (
     * (a replayed batch compares <= meta.ingestBatchId and is skipped
     * BEFORE any write — see StreamingOps.applyIngestBatch). */
   def insertBatch(newVectors: DataFrame, batchId: Long): VectorIndex = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val nBatch = newVectors.count()
     if (nBatch == 0) return this
     val liveMax = vectors.agg(max(col("id"))).head().get(0) match {
@@ -157,30 +222,62 @@ final class VectorIndex private (
       .select(col("id"),
         coalesce(col("key"), (col("id") + 1).cast("string")).as("key"),
         col("vec"))
-    val allVecs = vectors.unionByName(incoming)
-    // new edges: each incoming node scored against all points
-    val a = incoming.select(col("id").as("src"), col("vec").as("a_vec"))
-    val b = allVecs.select(col("id").as("dst"), col("vec").as("b_vec"))
+
+    // write the vectors DELTA first and read it back: the wiring below
+    // consumes the batch from several sub-plans, and the delta file is
+    // the materialization that must be written anyway
+    val newVersion = meta.version + 1
+    val dir = s"$path/v=$newVersion"
+    incoming.select(col("id").cast("long"), col("key").cast("string"),
+      col("vec").cast("array<float>")).write.mode("overwrite").parquet(s"$dir/vectors")
+    val inc = spark.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+    val batchIds = inc.select(col("id")).collect().map(_.getLong(0)).sorted
+
+    val allVecs = vectors.unionByName(inc)
+    val knnDegree = math.max(1, meta.maxDegree - 2)
+    // candidate edges: src ∈ batch, dst ∈ (old ∪ batch). Bounded
+    // output O(batch · k); checkpointed because three consumers below
+    // would otherwise re-execute the wiring scan.
+    val rawEdges =
+      if (meta.numPoints + nBatch <= meta.exactThreshold)
+        GraphBuilder.exactBatchEdges(allVecs, inc, knnDegree, metric)
+      else
+        GraphBuilder.lshBatchEdges(allVecs, inc.select(col("id")), knnDegree, metric)
+    val edges = rawEdges.localCheckpoint(true)
+
+    // batch nodes: own candidates + reversed batch↔batch edges
+    val batchRev = edges.filter(col("dst").isin(batchIds: _*))
+      .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
+    val batchGraph = GraphBuilder.topKPerNode(edges.unionByName(batchRev), knnDegree)
+
+    // touched old nodes: merge new back-edges with their EXISTING edges
+    // (distances recomputed for just those rows) and re-prune — the
+    // reference's add-backedge-then-truncate, restricted to the
+    // O(batch · k) touched set
+    val toOld = edges.filter(!col("dst").isin(batchIds: _*))
+      .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
+    val touchedIds = toOld.select(col("src").as("id")).distinct()
+    val oldEdges = graphTable.join(broadcast(touchedIds), Seq("id"))
+      .select(col("id").as("src"), explode(col("nbrs")).as("dst"))
     val dcol = metric match {
       case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
       case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
     }
-    val knnDegree = math.max(1, meta.maxDegree - 2)
-    val newEdges = a.crossJoin(b).filter(col("src") =!= col("dst"))
+    val oldScored = broadcast(oldEdges)
+      .join(allVecs.select(col("id").as("src"), col("vec").as("a_vec")), "src")
+      .join(allVecs.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
       .select(col("src"), col("dst"), dcol.as("dist"))
-      .groupBy(col("src"))
-      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
-      .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
-    // existing adjacency as an edge list with distances for re-pruning
-    val vecById = allVecs.select(col("id"), col("vec"))
-    val oldEdges = adjacency
-      .select(col("id").as("src"), explode(col("nbrs")).as("dst"))
-      .join(vecById.select(col("id").as("src"), col("vec").as("a_vec")), "src")
-      .join(vecById.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
-      .select(col("src"), col("dst"), dcol.as("dist"))
-    val pruned = GraphBuilder.symmetrizeAndPrune(oldEdges.unionByName(newEdges), knnDegree)
-    val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vecById), meta.maxDegree)
+    val touchedGraph = GraphBuilder.topKPerNode(oldScored.unionByName(toOld), knnDegree)
+
+    batchGraph.unionByName(touchedGraph)
+      .select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
+      .write.mode("overwrite").parquet(s"$dir/graph")
+
+    // ring splice: O(batch) changed links
+    spliceRing(batchIds)
+      .write.mode("overwrite").parquet(s"$dir/ring")
+    graft.plans.Blocks.release(edges)
+
     // entrypoint < 0 means the live set was empty, so every live id is an
     // incoming one: the smallest incoming id is min(recycled) when slots
     // were recycled (recycled ids always precede `base`), else `base`.
@@ -190,80 +287,231 @@ final class VectorIndex private (
       if (meta.entrypoint >= 0) meta.entrypoint
       else if (recycled.nonEmpty) recycled.min
       else base.toInt
-    commit(allVecs, graph, meta.copy(
+    val next = meta.copy(
+      version = newVersion,
+      segments = meta.segments :+ newVersion,
       numPoints = meta.numPoints + nBatch,
       entrypoint = newEntry,
       freelist = meta.freelist.dropRight(recycled.size),
-      ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId))
+      ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId)
+    VectorIndex.writeMeta(path, next)
+    maybeCompact(new VectorIndex(spark, path, next))
   }
 
-  /** Batch delete by public (1-based) IDs: drop rows, strip victims
-    * from every adjacency list, re-elect the entrypoint if needed
-    * (reference ann_delete! semantics, Q3/Q4). */
+  /** New ring rows for a batch of ids spliced into the id-sorted ring.
+    * One map-only pass over the ring table finds, per existing link
+    * (a → succ), the batch ids falling in that cyclic gap; the emitted
+    * partial updates (O(batch) of them) are merged driver-side. */
+  private def spliceRing(batchIdsSorted: Array[Long]): DataFrame = {
+    import spark.implicits._
+    if (meta.numPoints == 0) {
+      // fresh ring among the batch only
+      val n = batchIdsSorted.length
+      val rows = batchIdsSorted.indices.map { i =>
+        (batchIdsSorted(i), batchIdsSorted((i + 1) % n), batchIdsSorted((i - 1 + n) % n))
+      }
+      return rows.toDF("id", "succ", "prev")
+        .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+    }
+    val bc = batchIdsSorted
+    // per link (a → b): batch ids in the cyclic gap; emit the chain
+    // a → x1 → … → xk → b as partial (id, succ, prev) updates with -1
+    // meaning "unchanged" (a keeps its prev, b keeps its succ)
+    val updates = ringTable.select(col("id"), col("succ"), col("prev"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (a, b, _) =>
+        val xs = VectorIndex.idsInGap(a, b, bc)
+        if (xs.isEmpty) Nil
+        else {
+          val mids = xs.indices.map { i =>
+            (xs(i),
+              if (i == xs.length - 1) b else xs(i + 1),
+              if (i == 0) a else xs(i - 1))
+          }
+          ((a, xs.head, -1L) +: mids) :+ ((b, -1L, xs.last))
+        }
+      }
+      .collect() // bounded: <= 3 · batch rows
+    val batchSet = batchIdsSorted.toSet
+    val merged = updates.groupBy(_._1).map { case (id, us) =>
+      (id, us.map(_._2).max, us.map(_._3).max)
+    }.toSeq
+    // fill unchanged fields of touched OLD endpoints from the old ring
+    val oldTouched = merged.map(_._1).filterNot(batchSet.contains)
+    val oldVals = ringTable.filter(col("id").isin(oldTouched: _*))
+      .select(col("id"), col("succ"), col("prev"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = merged.map { case (id, s, p) =>
+      val (os, op) = oldVals.getOrElse(id, (-1L, -1L))
+      (id, if (s >= 0) s else os, if (p >= 0) p else op)
+    }.sortBy(_._1)
+    rows.toDF("id", "succ", "prev")
+      .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+  }
+
+  /** Batch delete by public (1-based) IDs, committing a DELTA segment:
+    * tombstones for the victims, repaired rows for ONLY the nodes that
+    * referenced a victim (found by one map-only scan, O(in-degree)
+    * rows written), spliced ring links for the victims' neighbors, and
+    * entrypoint re-election if needed (reference ann_delete!
+    * semantics, Q3/Q4). */
   def deleteBatch(publicIds: Seq[Long]): VectorIndex = {
+    import spark.implicits._
     // only live rows become freelist entries: re-deleting an id (retry,
     // overlapping delete sets) must not create duplicate free slots
     val requested = publicIds.map(_ - 1L).toSet
     val victims = vectors.filter(col("id").isin(requested.toSeq: _*))
       .select(col("id")).collect().map(_.getLong(0)).toSet
     if (victims.isEmpty) return this
-    val victimCol = victims.toSeq
-    val remaining = vectors.filter(!col("id").isin(victimCol: _*))
-    val repaired = adjacency
-      .filter(!col("id").isin(victimCol: _*))
-      .select(col("id"),
-        filter(col("nbrs"), n => !n.isin(victimCol: _*)).as("nbrs"))
-    val nLeft = remaining.count()
+    val victimSeq = victims.toSeq.sorted
+    val victimArr = typedLit(victimSeq)
+    val newVersion = meta.version + 1
+    val dir = s"$path/v=$newVersion"
+
+    // vectors: tombstones only
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(victimSeq.map(id => Row(id, null, null))),
+        vectorsSchema)
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+
+    // graph: strip victims from the rows that reference them (one scan,
+    // bounded writes — no further repair, Q3) + victim tombstones
+    val repaired = graphTable
+      .filter(!col("id").isin(victimSeq: _*))
+      .filter(arrays_overlap(col("nbrs"), victimArr))
+      .select(col("id"), array_except(col("nbrs"), victimArr).as("nbrs"))
+    val graphTombs = spark.createDataFrame(
+      spark.sparkContext.parallelize(victimSeq.map(id => Row(id, null))),
+      graphSchema)
+    repaired.unionByName(graphTombs)
+      .write.mode("overwrite").parquet(s"$dir/graph")
+
+    // ring: relink around the victims (bounded driver-side splice over
+    // the collected victim neighborhoods) + victim tombstones
+    val nLeft = meta.numPoints - victims.size
+    val touched = ringTable
+      .filter(col("id").isin(victimSeq: _*) ||
+        col("succ").isin(victimSeq: _*) || col("prev").isin(victimSeq: _*))
+      .select(col("id"), col("succ"), col("prev"))
+      .as[(Long, Long, Long)].collect()
+    val succOf = touched.map(r => r._1 -> r._2).toMap
+    val prevOf = touched.map(r => r._1 -> r._3).toMap
+    @annotation.tailrec
+    def liveSucc(x: Long): Long = if (!victims.contains(x)) x else liveSucc(succOf(x))
+    @annotation.tailrec
+    def livePrev(x: Long): Long = if (!victims.contains(x)) x else livePrev(prevOf(x))
+    val survivorUpdates =
+      if (nLeft == 0) Seq.empty
+      else touched.filter(r => !victims.contains(r._1)).map { case (id, s, p) =>
+        (id, liveSucc(s), livePrev(p))
+      }.toSeq
+    val ringTombs = spark.createDataFrame(
+      spark.sparkContext.parallelize(victimSeq.map(id => Row(id, null, null))),
+      ringSchema)
+    survivorUpdates.toDF("id", "succ", "prev")
+      .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+      .unionByName(ringTombs)
+      .write.mode("overwrite").parquet(s"$dir/ring")
+
     val newEntry =
       if (!victims.contains(meta.entrypoint.toLong)) meta.entrypoint
-      else remaining.agg(min(col("id"))).head().get(0) match {
+      else vectors.filter(!col("id").isin(victimSeq: _*))
+        .agg(min(col("id"))).head().get(0) match {
         case null => -1
         case l: Long => l.toInt
       }
-    commit(remaining, repaired, meta.copy(
+    val next = meta.copy(
+      version = newVersion,
+      segments = meta.segments :+ newVersion,
       numPoints = nLeft,
       entrypoint = newEntry,
-      freelist = (meta.freelist ++ victims.map(_.toInt)).distinct))
+      freelist = (meta.freelist ++ victims.map(_.toInt)).distinct)
+    VectorIndex.writeMeta(path, next)
+    maybeCompact(new VectorIndex(spark, path, next))
   }
 
-  private def commit(vecs: DataFrame, adj: DataFrame, newMeta: IndexMeta): VectorIndex = {
-    val next = newMeta.copy(version = meta.version + 1)
-    val dir = s"$path/v=${next.version}"
-    vecs.select(col("id").cast("long"), col("key").cast("string"),
-      col("vec").cast("array<float>")).write.mode("overwrite").parquet(s"$dir/vectors")
-    adj.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
-      .write.mode("overwrite").parquet(s"$dir/adjacency")
+  /** Rewrite the resolved state into a single fresh segment — run
+    * automatically when the segment list exceeds
+    * [[VectorIndex.MaxSegments]] (bounding read amplification), or
+    * explicitly by maintenance jobs. Old directories are left on disk
+    * for readers of previous snapshots. */
+  def compact(): VectorIndex = {
+    val newVersion = meta.version + 1
+    val dir = s"$path/v=$newVersion"
+    vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    graphTable.write.mode("overwrite").parquet(s"$dir/graph")
+    ringTable.write.mode("overwrite").parquet(s"$dir/ring")
+    val next = meta.copy(version = newVersion, segments = Seq(newVersion))
     VectorIndex.writeMeta(path, next)
     new VectorIndex(spark, path, next)
   }
 
-  /** Persist a mutated serving index back as a new snapshot. */
+  private def maybeCompact(idx: VectorIndex): VectorIndex =
+    if (idx.meta.segments.length > MaxSegments) idx.compact() else idx
+
+  /** Persist a mutated serving index back as a new (single-segment)
+    * snapshot — the rows are already driver-resident, so this is a
+    * full rewrite by construction. */
   def commitServing(s: ServingIndex): VectorIndex = {
     import spark.implicits._
     val rows = s.liveRows.map { case (id, key, vec, nbrs) =>
       (id, key, vec.toSeq, nbrs.map(_.toLong).toSeq)
     }.toSeq
+    val newVersion = meta.version + 1
+    val dir = s"$path/v=$newVersion"
     val df = rows.toDF("id", "key", "vec", "nbrs")
-    commit(
-      df.select(col("id"), col("key"), col("vec").cast("array<float>")),
-      df.select(col("id"), col("nbrs")),
-      meta.copy(
-        numPoints = s.numPoints,
-        entrypoint = s.entrypoint,
-        freelist = s.freeSlots))
+    df.select(col("id").cast("long"), col("key").cast("string"),
+        col("vec").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    df.select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
+      .write.mode("overwrite").parquet(s"$dir/graph")
+    val ids = rows.map(_._1).sorted
+    val n = ids.length
+    val ringRows = ids.indices.map(i => (ids(i), ids((i + 1) % n), ids((i - 1 + n) % n)))
+    ringRows.toDF("id", "succ", "prev")
+      .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/ring")
+    val next = meta.copy(
+      version = newVersion,
+      segments = Seq(newVersion),
+      numPoints = s.numPoints,
+      entrypoint = s.entrypoint,
+      freelist = s.freeSlots)
+    VectorIndex.writeMeta(path, next)
+    new VectorIndex(spark, path, next)
   }
 }
 
 object VectorIndex {
 
+  /** Compaction threshold: a commit that would leave more than this
+    * many delta segments rewrites instead. */
+  val MaxSegments = 8
+
   val vectorsSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("key", StringType, nullable = true),
-    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = true)))
 
-  val adjacencySchema: StructType = StructType(Seq(
+  val graphSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("nbrs", ArrayType(LongType, containsNull = false), nullable = false)))
+    StructField("nbrs", ArrayType(LongType, containsNull = false), nullable = true)))
+
+  val ringSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("succ", LongType, nullable = true),
+    StructField("prev", LongType, nullable = true)))
+
+  /** Batch ids inside the cyclic id-order gap (a, b) — ascending from
+    * just after `a`. `a == b` is the single-node ring (the gap is the
+    * whole space); `a > b` is the wrap-around link. */
+  private[index] def idsInGap(a: Long, b: Long, sorted: Array[Long]): Seq[Long] =
+    if (a == b) {
+      val (hi, lo) = sorted.partition(_ > a)
+      (hi ++ lo).toSeq
+    } else if (a < b) sorted.filter(x => x > a && x < b).toSeq
+    else (sorted.filter(_ > a) ++ sorted.filter(_ < b)).toSeq
 
   /** Create an empty index (reference create_index, src/LMDiskANN.jl:239-264). */
   def create(
@@ -275,10 +523,12 @@ object VectorIndex {
       eltype: String = "Float32"): VectorIndex = {
     val meta = IndexMeta(0L, 0L, dim, maxDegree, -1, eltype, metric.name, Nil)
     val dir = s"$path/v=0"
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorsSchema)
-      .write.mode("overwrite").parquet(s"$dir/vectors")
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], adjacencySchema)
-      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    def empty(schema: StructType, table: String): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.mode("overwrite").parquet(s"$dir/$table")
+    empty(vectorsSchema, "vectors")
+    empty(graphSchema, "graph")
+    empty(ringSchema, "ring")
     writeMeta(path, meta)
     new VectorIndex(spark, path, meta)
   }
@@ -287,7 +537,10 @@ object VectorIndex {
   def load(spark: SparkSession, path: String): VectorIndex = {
     val meta = readMeta(path)
     val v = new VectorIndex(spark, path, meta)
-    require(Files.exists(Paths.get(s"$path/v=${meta.version}/vectors")), s"missing vectors table at $path")
+    meta.segments.foreach { s =>
+      require(Files.exists(Paths.get(s"$path/v=$s/vectors")),
+        s"missing vectors segment v=$s at $path")
+    }
     v
   }
 
@@ -324,7 +577,7 @@ object VectorIndex {
     val vv = vecs.select(col("id"), col("vec"))
     // two adjacency slots are reserved for the ring backbone, which
     // guarantees global connectivity on clustered data (see
-    // GraphBuilder.ringEdges)
+    // GraphBuilder.ringLinks)
     val knnDegree = math.max(1, maxDegree - 2)
     val pruned =
       if (alpha > 1.0) {
@@ -339,14 +592,17 @@ object VectorIndex {
       }
       else if (n <= exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, metric)
       else GraphBuilder.lshKnnGraph(vv, knnDegree, metric)
-    val graph = GraphBuilder.withRing(pruned, GraphBuilder.ringEdges(vv), maxDegree)
     val entry = stats.get(1) match {
       case null => -1
       case l: Long => l.toInt
     }
-    val meta = IndexMeta(0L, n, dim, maxDegree, entry, eltype, metric.name, Nil)
-    graph.select(col("id").cast("long"), col("nbrs").cast("array<long>"))
-      .write.mode("overwrite").parquet(s"$dir/adjacency")
+    val meta = IndexMeta(0L, n, dim, maxDegree, entry, eltype, metric.name, Nil,
+      exactThreshold = exactThreshold)
+    pruned.select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
+      .write.mode("overwrite").parquet(s"$dir/graph")
+    GraphBuilder.ringLinks(vv)
+      .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/ring")
     writeMeta(path, meta)
     new VectorIndex(spark, path, meta)
   }
@@ -360,6 +616,8 @@ object VectorIndex {
         s""""maxDegree":${m.maxDegree},"entrypoint":${m.entrypoint},""" +
         s""""eltype":"${m.eltype}","metric":"${m.metric}",""" +
         s""""ingestBatchId":${m.ingestBatchId},""" +
+        s""""segments":[${m.segments.mkString(",")}],""" +
+        s""""exactThreshold":${m.exactThreshold},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
     // atomic pointer swap: write sidecar to a temp file, then move over
     val tmp = Paths.get(s"$path/.meta.json.tmp")
@@ -381,13 +639,19 @@ object VectorIndex {
         .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))
       m.group(1)
     }
-    val freelist = """"freelist":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    def longListOf(k: String): Option[Seq[Long]] =
+      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
+        .map(_.group(1)).map(g =>
+          if (g.isEmpty) Nil else g.split(",").map(_.trim.toLong).toSeq)
+    val version = longOf("version")
+    val freelist = longListOf("freelist").getOrElse(Nil).map(_.toInt)
+    val segments = longListOf("segments").getOrElse(Seq(version))
     val ingestId = """"ingestBatchId":(-?\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(-1L)
-    IndexMeta(longOf("version"), longOf("numPoints"), longOf("dim").toInt,
+    val exactThr = """"exactThreshold":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(20000L)
+    IndexMeta(version, longOf("numPoints"), longOf("dim").toInt,
       longOf("maxDegree").toInt, longOf("entrypoint").toInt,
-      strOf("eltype"), strOf("metric"), freelist, ingestId)
+      strOf("eltype"), strOf("metric"), freelist, ingestId, segments, exactThr)
   }
 }

@@ -252,6 +252,100 @@ class VectorIndexSpec extends SparkSpec {
     assert(res.count() == 4)
   }
 
+  private def dirBytes(p: String): Long = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(p)
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  test("insertBatch commits O(batch) bytes — a delta segment, not a table rewrite") {
+    val path = tmpDir("idx-delta")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    val baseBytes = dirBytes(s"$path/v=0")
+    val batch = embeddings.filter(col("id") < 5)
+      .select(concat(lit("d_"), col("id")).as("key"), col("vec"))
+    val v1 = idx.insertBatch(batch)
+    assert(v1.meta.segments == Seq(0L, 1L))
+    val deltaBytes = dirBytes(s"$path/v=1")
+    info(s"base=$baseBytes bytes, delta=$deltaBytes bytes")
+    // 5 rows into 500: the delta must be a small fraction of the base
+    // (parquet per-file overhead keeps it from being 1%)
+    assert(deltaBytes < baseBytes / 3,
+      s"delta segment $deltaBytes bytes is not O(batch) vs base $baseBytes")
+    // the delta holds only the batch + touched rows, not the table
+    val deltaVecRows = spark.read.schema(VectorIndex.vectorsSchema)
+      .parquet(s"$path/v=1/vectors").count()
+    assert(deltaVecRows == 5)
+    val deltaGraphRows = spark.read.schema(VectorIndex.graphSchema)
+      .parquet(s"$path/v=1/graph").count()
+    assert(deltaGraphRows <= 5 * (2 * 16 + 1), s"graph delta $deltaGraphRows rows not bounded by batch·degree")
+    // resolved state is correct and searchable
+    assert(v1.vectors.count() == 505)
+    val qv = embeddings.filter(col("id") === 2)
+      .select(lit(2L).as("query_id"), col("vec").as("qvec"))
+    val hit = v1.searchExact(qv, topk = 1).collect().head
+    assert(hit.getDouble(3) == 0.0)
+    // deletes are delta-sized too (tombstones + repaired referrers)
+    val v2 = v1.deleteBatch(Seq(1L, 2L, 3L))
+    assert(dirBytes(s"$path/v=2") < baseBytes / 3)
+    assert(v2.vectors.count() == 502)
+  }
+
+  test("segments compact back to one past the threshold; state survives") {
+    val path = tmpDir("idx-compact")
+    var idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 40), dim = 64, maxDegree = 8)
+    // 8 mutations: the 8th commit crosses MaxSegments=8 and compacts
+    (0 until 8).foreach { i =>
+      val b = embeddings.filter(col("id") === (50 + i).toLong)
+        .select(concat(lit("c_"), col("id")).as("key"), col("vec"))
+      idx = idx.insertBatch(b)
+    }
+    assert(idx.meta.segments.length == 1, s"expected compaction, got ${idx.meta.segments}")
+    assert(idx.meta.numPoints == 48)
+    assert(idx.vectors.count() == 48)
+    // reload resolves the compacted layout
+    val re = VectorIndex.load(spark, path)
+    assert(re.vectors.count() == 48)
+    assert(re.toServing.numPoints == 48)
+    // ring survives compaction: every node keeps a ring edge
+    val adj = re.adjacency.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sorted = adj.keys.toSeq.sorted
+    val n = sorted.length
+    val missing = sorted.indices.filterNot { i =>
+      adj(sorted(i)).contains(sorted((i + 1) % n)) || adj(sorted(i)).contains(sorted((i - 1 + n) % n))
+    }
+    assert(missing.isEmpty, s"nodes without ring edges after compaction: ${missing.map(sorted)}")
+  }
+
+  test("batch wiring above exactThreshold is LSH-bucketed — no crossJoin in the plan") {
+    val all = embeddings.select(col("id"), col("vec"))
+    val batchIds = embeddings.filter(col("id") >= 495).select(col("id"))
+    val edges = GraphBuilder.lshBatchEdges(all, batchIds, k = 8, metric = Metric.Euclidean)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH batch wiring must not cross join")
+    // and it actually wires: every batch node gets candidates
+    val srcs = edges.select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    assert(srcs == Set(495L, 496L, 497L, 498L, 499L))
+    // end-to-end: an index past its exactThreshold takes this path and
+    // the inserted vectors are findable
+    val path = tmpDir("idx-lshins")
+    val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 480),
+      dim = 64, maxDegree = 16, exactThreshold = 100L)
+    val batch = embeddings.filter(col("id").between(480, 489))
+      .select(concat(lit("lsh_"), col("id")).as("key"), col("vec"))
+    val v1 = idx.insertBatch(batch)
+    assert(v1.meta.numPoints == 490)
+    val s = v1.toServing
+    val probe = embeddings.filter(col("id") === 485).head().getSeq[Float](1).toArray
+    val got = s.search(probe, topk = 5).flatMap(_._1)
+    assert(got.contains("lsh_485"), s"inserted vector not found via graph search: $got")
+  }
+
   test("beamSearch on an empty index returns an empty, well-typed result") {
     val path = tmpDir("idx-empty-beam")
     val idx = VectorIndex.create(spark, path, dim = 64, maxDegree = 6)
