@@ -1,5 +1,7 @@
 package graft.index
 
+import org.apache.spark.sql.functions._
+
 /** Scatter-gather router over partitioned [[ServingIndex]] shards —
   * the serving-side scale path the 100 TB design calls for (one
   * bounded-memory graph per shard, a thin router on top). Keyed
@@ -130,4 +132,79 @@ final class ShardedServing(
   }
 
   def allKeys: Seq[String] = shards.flatMap(_.allKeys).sorted.toSeq
+}
+
+object ShardedServing {
+
+  /** Bulk-load a built [[VectorIndex]] snapshot into a sharded router —
+    * the build-once/serve-many path (reference load_index,
+    * /root/reference/src/LMDiskANN.jl:271-306, lifted to a shard
+    * fleet). The snapshot is partitioned by id (`shard = id mod
+    * numShards`, the router's O(1) routing rule) and each shard's
+    * proximity graph is built DISTRIBUTIVELY over its own subset
+    * (exact kNN below the snapshot's exactThreshold, LSH-bucketed
+    * above, ring-backboned like the bulk build) — the full-index
+    * single-graph `toServing` collect never happens.
+    *
+    * With this partitioning the router's global ids coincide with the
+    * snapshot's public ids (`(id/num)*num + id mod num + 1 = id + 1`),
+    * so keys AND ids look exactly like the single-graph serving view.
+    * Per-shard freelists preserve the snapshot's LIFO recycling order.
+    *
+    * In production each shard's load runs inside its serving node
+    * (mapPartitions over the id-hash-partitioned snapshot); this
+    * in-process form streams one shard at a time (toLocalIterator), so
+    * peak driver memory is one shard's rows, not the index. */
+  def fromIndex(index: VectorIndex, numShards: Int): ShardedServing = {
+    val meta = index.meta
+    val router = new ShardedServing(meta.dim, numShards, meta.maxDegree, index.metric)
+    val knnDegree = math.max(1, meta.maxDegree - 2)
+    // per-shard freelists, preserving global LIFO order
+    val freeByShard = Array.fill(numShards)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    meta.freelist.foreach { g =>
+      freeByShard(math.floorMod(g, numShards)) += g / numShards
+    }
+    val base = index.vectors
+      .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
+      .withColumn("lid", (col("id") / numShards).cast("long"))
+    var s = 0
+    while (s < numShards) {
+      val sv = base.filter(col("shard") === s)
+        .select(col("lid").as("id"), col("key"), col("vec"))
+        .cache()
+      val n = sv.count()
+      if (n > 0) {
+        val vv = sv.select(col("id"), col("vec"))
+        val pruned =
+          if (n <= meta.exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, index.metric)
+          else GraphBuilder.lshKnnGraph(vv, knnDegree, index.metric)
+        val ringArr = filter(array(col("succ"), col("prev")),
+          x => x.isNotNull && x =!= col("id"))
+        val adj = GraphBuilder.ringLinks(vv).join(pruned, Seq("id"), "full_outer")
+          .select(col("id"),
+            slice(array_distinct(concat(
+              ringArr,
+              coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
+        val rows = sv.join(adj, Seq("id"), "left")
+          .select(col("id"), col("key"), col("vec"),
+            coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+          .toLocalIterator()
+        rows.forEachRemaining { r =>
+          router.shards(s).loadRow(
+            r.getLong(0).toInt,
+            r.getString(1),
+            r.getSeq[Float](2).toArray,
+            r.getSeq[Long](3).map(_.toInt).toArray)
+        }
+      }
+      val entryLocal =
+        if (meta.entrypoint >= 0 && math.floorMod(meta.entrypoint, numShards) == s)
+          meta.entrypoint / numShards
+        else -1
+      router.shards(s).finishLoad(entryLocal, freeByShard(s).toSeq)
+      sv.unpersist()
+      s += 1
+    }
+    router
+  }
 }

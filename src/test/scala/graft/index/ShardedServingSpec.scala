@@ -89,6 +89,39 @@ class ShardedServingSpec extends SparkSpec {
     assert(router.numPoints == 6)
   }
 
+  test("fromIndex bulk-loads a built snapshot: ids preserved, recall gate met") {
+    import org.apache.spark.sql.functions._
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = tmpDir("sharded-from")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    val router = ShardedServing.fromIndex(idx, numShards = 4)
+    assert(router.numPoints == 500)
+    // router global ids coincide with the snapshot's public ids
+    val all = embeddings.collect().map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toArray))
+    assert(router.idForKey("7").contains(7L))
+    assert(router.embeddingById(7L).sameElements(all.find(_._1 == 7L).get._2))
+    // recall vs brute force over the snapshot
+    val rng = new Random(11)
+    val queries = rng.shuffle(all.toList).take(20)
+    val recalls = queries.map { case (_, q) =>
+      val truth = all.sortBy { case (gid, v) => (Metric.Euclidean.dist(q, v), gid) }
+        .take(10).map(_._1).toSet
+      val got = router.search(q, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"fromIndex sharded recall@10 = $avg%.3f")
+    assert(avg >= 0.70)
+    // mutations compose with the loaded state
+    assert(router.deleteByKey("7"))
+    assert(router.numPoints == 499)
+    assert(router.idForKey("7").isEmpty)
+    val (_, gid) = router.insert(all.head._2, Some("fresh"))
+    assert(router.idForKey("fresh").contains(gid))
+  }
+
   test("an explicit key equal to another shard's auto-key stays unique router-wide") {
     val dim = 8
     val vecs = mkVecs(12, dim, 6)
