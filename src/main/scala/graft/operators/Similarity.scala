@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.index.Metric
 
 /** Similarity-search operators over embedding columns.
   *
@@ -21,6 +22,14 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** L2-normalized copy of a float-array column, zero vectors passed
+    * through; the norm must already be materialized in `nrmCol` (an
+    * inline norm inside the transform lambda re-evaluates per
+    * element). */
+  private def normalized(vecCol: Column, nrmCol: Column): Column =
+    when(nrmCol === 0.0, vecCol.cast("array<float>"))
+      .otherwise(transform(vecCol, x => x.cast("double") / nrmCol).cast("array<float>"))
+
   /** KMeans-assign vectors (id, vec ARRAY<FLOAT>) to k clusters.
     * Returns (centroids(cluster, cvec), assigned(id, vec, cluster)).
     * Seeded — deterministic for a fixed input.
@@ -31,15 +40,30 @@ object Similarity {
     * This is the shape that holds at 100 TB — you fit centroids on a
     * sample (full-corpus Lloyd is never worth its shuffles) and only
     * the embarrassingly-parallel assignment touches every row. It
-    * also replaces ~20 MLlib jobs with 2. */
+    * also replaces ~20 MLlib jobs with 2.
+    *
+    * `metric` = Cosine fits and assigns on L2-NORMALIZED vectors
+    * (for unit vectors ||a-b||² = 2 - 2·cos — same partition geometry
+    * as spherical k-means), mirroring the reference's metric
+    * parameter (src/LMDiskANN.jl:242, cosine tested end-to-end in
+    * test/runtests.jl:37-67). `assigned` keeps the ORIGINAL vectors;
+    * only the cluster geometry is spherical. */
   def ivfFit(vectors: DataFrame, k: Int, seed: Long = 42L,
-      fitSampleRows: Int = 20000, iters: Int = 10): (DataFrame, DataFrame) = {
+      fitSampleRows: Int = 20000, iters: Int = 10,
+      metric: Metric = Metric.Euclidean): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // deterministic sample: first N in id order
-    val sample = vectors.select(col("id"), col("vec")).orderBy(col("id"))
+    val rawSample = vectors.select(col("id"), col("vec")).orderBy(col("id"))
       .limit(fitSampleRows).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val sample = metric match {
+      case Metric.Euclidean => rawSample
+      case Metric.Cosine => rawSample.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    }
     require(sample.nonEmpty, "ivfFit needs at least one vector")
     val dim = sample.head.length
     val rng = new scala.util.Random(seed)
@@ -90,31 +114,50 @@ object Similarity {
     // every row.
     val candidates = centroidArrays.zipWithIndex.map { case (c, i) =>
       struct(
-        VectorFunctions.squaredEuclidean(col("vec"), typedLit(c)).as("cdist"),
+        VectorFunctions.squaredEuclidean(col("__avec"), typedLit(c)).as("cdist"),
         lit(i).as("cluster"))
     }
     val best =
       if (candidates.length == 1) candidates.head
       else least(candidates: _*)
-    val assigned = vectors.select(col("id"), col("vec"),
+    val prepared = metric match {
+      case Metric.Euclidean => vectors.select(col("id"), col("vec"), col("vec").as("__avec"))
+      case Metric.Cosine => vectors
+        .select(col("id"), col("vec"), VectorFunctions.l2Norm(col("vec")).as("__nrm"))
+        .select(col("id"), col("vec"), normalized(col("vec"), col("__nrm")).as("__avec"))
+    }
+    val assigned = prepared.select(col("id"), col("vec"),
       best.getField("cluster").as("cluster"))
     (centroids, assigned)
   }
 
   /** IVF probe: for each query, find the `nprobe` nearest centroids,
     * then exact top-k within those clusters only. Queries must be
-    * (query_id, qvec). */
+    * (query_id, qvec). Pass the SAME metric the fit used: cosine
+    * probes on the normalized query (the centroids live on the unit
+    * sphere) and re-scores hits with true cosine distance. */
   def ivfTopK(
       assigned: DataFrame,
       centroids: DataFrame,
       queries: DataFrame,
       topk: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      metric: Metric = Metric.Euclidean): DataFrame = {
+    val q = metric match {
+      case Metric.Euclidean => queries.select(col("query_id"), col("qvec"), col("qvec").as("__qprobe"))
+      case Metric.Cosine => queries
+        .select(col("query_id"), col("qvec"), VectorFunctions.l2Norm(col("qvec")).as("__nrm"))
+        .select(col("query_id"), col("qvec"), normalized(col("qvec"), col("__nrm")).as("__qprobe"))
+    }
+    val dcol = metric match {
+      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
+      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
+    }
     // step 1: nprobe nearest clusters per query (tiny crossJoin:
     // |queries| x k centroids, both broadcastable)
-    val probe = queries.crossJoin(broadcast(centroids))
+    val probe = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("cluster"),
-        VectorFunctions.squaredEuclidean(col("qvec"), col("cvec")).as("cdist"))
+        VectorFunctions.squaredEuclidean(col("__qprobe"), col("cvec")).as("cdist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("cdist"), col("cluster").cast("long"), nprobe).as("tk"),
         first(col("qvec")).as("qvec"))
@@ -123,8 +166,7 @@ object Similarity {
     // step 2: equi-join on cluster (partition-pruned at scale), exact
     // distance within probed clusters, global top-k per query
     probe.join(assigned, Seq("cluster"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .select(col("query_id"), col("id").as("neighbor_id"), dcol.as("dist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))

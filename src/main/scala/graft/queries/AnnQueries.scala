@@ -63,16 +63,20 @@ object AnnQueries {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
-  private def ivfFitted(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cached = ivfCache.get(dir)
+  private def ivfFitted(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfFittedWith(spark, dir, Metric.Euclidean)
+
+  private def ivfFittedWith(spark: SparkSession, dir: String, metric: Metric): (DataFrame, DataFrame) = {
+    val key = s"$dir#${metric.name}"
+    val cached = ivfCache.get(key)
     if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
     else {
       val (centroids, assignedRaw) =
-        graft.operators.Similarity.ivfFit(source(spark, dir), k = 16)
+        graft.operators.Similarity.ivfFit(source(spark, dir), k = 16, metric = metric)
       val assigned = assignedRaw.cache()
       assigned.count() // materialize once, up front
       val pair = (centroids, assigned)
-      ivfCache.put(dir, pair)
+      ivfCache.put(key, pair)
       pair
     }
   }
@@ -90,9 +94,12 @@ object AnnQueries {
     val tServe = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime(); ivfFitted(spark, dir)
     val tFit = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime(); ivfFittedWith(spark, dir, Metric.Cosine)
+    val tFitCos = (System.nanoTime() - t3) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
-      "ivf_fit_sec" -> tFit)
+      "ivf_fit_sec" -> tFit,
+      "ivf_cosine_fit_sec" -> tFitCos)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
@@ -177,6 +184,75 @@ object AnnQueries {
     Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
   }
 
+  /** Measured recall@10 of the distributed beam search vs the exact
+    * in-Spark oracle, over 30 self-queries — the q31/q33 twin for the
+    * plan-parallel path, so its quality lands in the round artifacts
+    * instead of only in ScalaTest. */
+  def beamRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = builtIndex(spark, dir)
+    val src = source(spark, dir)
+    val n = src.count()
+    val stride = math.max(1L, n / 30L)
+    val queries = src.filter(pmod(col("id"), lit(stride)) === 0).limit(30)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+      .localCheckpoint(true)
+    val got = graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10)
+    val gotPairs = got.select(col("query_id"), col("public_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    graft.index.DistributedSearch.release(got)
+    val truth = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), (col("p.id") + 1).as("neighbor_public_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    graft.plans.Blocks.release(queries)
+    val recalls = truth.keys.toSeq.sorted.map { q =>
+      truth(q).intersect(gotPairs.getOrElse(q, Set.empty)).size / 10.0
+    }
+    Seq((recalls.length.toLong, recalls.sum / recalls.length, recalls.min))
+      .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
+  }
+
+  /** Cosine IVF top-k (reference metric parameter, src/LMDiskANN.jl:242):
+    * spherical clusters, normalized probe, true-cosine re-score. */
+  def ivfCosineSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
+    val queries = assigned.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    graft.operators.Similarity.ivfTopK(assigned, centroids, queries,
+        topk = 10, nprobe = 8, metric = Metric.Cosine)
+      .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
+        col("dist"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the cosine IVF path vs exact cosine, over
+    * 30 self-queries (the reference's cosine gate, test/runtests.jl:37-67). */
+  def ivfCosineRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
+    val src = assigned.select(col("id"), col("vec"))
+    val queries = src.filter(col("id") < 30).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val ivf = graft.operators.Similarity.ivfTopK(assigned, centroids, queries,
+        topk = 10, nprobe = 8, metric = Metric.Cosine)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.VectorFunctions.cosineDistance(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = ivf.join(e, Seq("query_id", "neighbor_id")).count()
+    val nq = queries.count()
+    Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
+  }
+
   /** Fully-distributed batch ANN (iterative frontier joins) — the
     * plan-parallel complement of the driver-side serving path. */
   def beamSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -191,7 +267,10 @@ object AnnQueries {
     "q31_ann_recall" -> (annRecall _),
     "q32_ivf_search" -> (ivfSearch _),
     "q33_ivf_recall" -> (ivfRecall _),
-    "q34_beam_search" -> (beamSearch _)
+    "q34_beam_search" -> (beamSearch _),
+    "q35_beam_recall" -> (beamRecall _),
+    "q36_ivf_cosine" -> (ivfCosineSearch _),
+    "q37_ivf_cosine_recall" -> (ivfCosineRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

@@ -167,6 +167,44 @@ object DocQueries {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = 20)
 
+  /** The SCALE tier of q45: LSH-bucketed near-dup candidates
+    * (GraphBuilder.lshKnnEdges — bucketed equi-join, never all-pairs)
+    * self-scored against the exact tier's top-20. Reports pair recall
+    * so the round artifacts expose the bucketed path's quality; the
+    * exact tier stays the oracle-checked twin (q45). */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.index.{GraphBuilder, Metric}
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val topN = 20
+    val exact = Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = GraphBuilder.lshKnnEdges(emb, k = 10, metric = Metric.Cosine)
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"),
+        col("dist"))
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("dist")).as("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(topN)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exact.intersect(lshPairs).size
+    Seq((exact.size.toLong, lshPairs.size.toLong, hit.toLong,
+        math.round(hit.toDouble / exact.size * 10000.0) / 10000.0))
+      .toDF("n_exact", "n_lsh", "n_hit", "pair_recall")
+  }
+
+  /** q41 with the hot-shingle cap ENGAGED (maxShingleFreq = 6): the
+    * skew guard that bounds a boilerplate shingle's f² join
+    * contribution at web scale, oracle-checked so the cap provably
+    * preserves semantics on the surviving shingle sets. */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsFromShingles(corpusShingles(spark, dir), maxShingleFreq = 6)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextStats(docs(spark, dir))
@@ -325,6 +363,20 @@ object DocQueries {
          |       ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q57_ngram_jaccard_capped" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+         |kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq fq ON s.shingle = fq.shingle
+         |         WHERE fq.f <= 6),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ni
+         |          FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q42_minhash_signatures" ->
       s"""WITH ${shinglesCte("documents")},
          |$shingleIdsCte
@@ -471,6 +523,8 @@ object DocQueries {
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),
-    "q55_frame_sample" -> (multimodalFrames _)
+    "q55_frame_sample" -> (multimodalFrames _),
+    "q56_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
+    "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _)
   )
 }

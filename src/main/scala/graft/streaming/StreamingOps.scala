@@ -158,4 +158,52 @@ object StreamingOps {
       true
     }
   }
+
+  /** Continuous index MUTATION: a stream of mixed operations —
+    * `op` = "insert" (key, vec) or "delete" (public_id) — applied per
+    * micro-batch, the streaming twin of reference
+    * ann_insert!/ann_delete! (src/LMDiskANN.jl:531-646). Within a
+    * batch deletes apply before inserts (so a slot freed and refilled
+    * in one batch behaves like the reference's sequential
+    * delete-then-insert, LIFO recycling included). */
+  def indexMutations(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMutationBatch(spark, indexPath, batch, batchId)
+        ()
+      }
+      .start()
+
+  /** Idempotent mixed-op micro-batch apply. Ordering makes replay
+    * safe: the delete snapshot commits WITHOUT the batch id and the
+    * insert snapshot commits WITH it, so a crash anywhere replays the
+    * whole batch — re-deleting already-freed ids is a no-op by
+    * [[VectorIndex.deleteBatch]]'s live-victims-only contract, and the
+    * insert either never happened (applies now) or carried the batch
+    * id (skipped at the guard). Returns true if anything applied. */
+  def applyMutationBatch(
+      spark: SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val idx = VectorIndex.load(spark, indexPath)
+    if (batchId <= idx.meta.ingestBatchId) return false
+    val deletes = batch.filter(col("op") === "delete")
+      .select(col("public_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val afterDel = if (deletes.nonEmpty) idx.deleteBatch(deletes) else idx
+    val inserts = batch.filter(col("op") === "insert").select(col("key"), col("vec"))
+    if (inserts.isEmpty) deletes.nonEmpty
+    else {
+      afterDel.insertBatch(inserts, batchId)
+      true
+    }
+  }
 }

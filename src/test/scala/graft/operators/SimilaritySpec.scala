@@ -33,6 +33,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.70)
   }
 
+  test("cosine IVF meets the recall gate vs exact cosine (reference runtests.jl:37-67 gate)") {
+    import graft.index.Metric
+    val src = embeddings.cache()
+    val (centroids, assigned) = Similarity.ivfFit(src, k = 16, metric = Metric.Cosine)
+    assert(centroids.count() == 16)
+    val queries = src.limit(20).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val ivf = Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 6,
+      metric = Metric.Cosine)
+    // distances are true cosine distances (within [0, 2])
+    assert(ivf.filter(col("dist") < -1e-9 || col("dist") > 2.0 + 1e-9).count() == 0)
+    val exact = src.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.cosineDistance(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = ivf.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = matched.toDouble / (20 * 10.0)
+    info(f"cosine IVF recall@10 (k=16, nprobe=6) = $recall%.3f")
+    assert(recall >= 0.70)
+  }
+
   test("IVF with nprobe = k is exact") {
     val src = embeddings.filter(col("id") < 200).cache()
     val (centroids, assigned) = Similarity.ivfFit(src, k = 8)

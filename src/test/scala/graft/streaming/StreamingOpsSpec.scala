@@ -124,6 +124,66 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("indexMutations: interleaved streamed inserts and deletes maintain the index") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val path = tmpDir("stream-mut")
+    val ckpt = tmpDir("stream-mut-ckpt")
+    VectorIndex.create(spark, path, dim = 4, maxDegree = 8, metric = Metric.Euclidean)
+    // op, key, vec, public_id
+    val mem = MemoryStream[(String, String, Seq[Float], Long)]
+    val stream = mem.toDF().toDF("op", "key", "vec", "public_id")
+    mem.addData(
+      ("insert", "a", Seq(1f, 0f, 0f, 0f), -1L),
+      ("insert", "b", Seq(0f, 1f, 0f, 0f), -1L),
+      ("insert", "c", Seq(0f, 0f, 1f, 0f), -1L))
+    StreamingOps.indexMutations(spark, stream, path, ckpt).awaitTermination()
+    val idx1 = VectorIndex.load(spark, path)
+    assert(idx1.meta.numPoints == 3)
+    // batch 2: delete "b" (public id 2) and insert "d" — the freed slot
+    // recycles within the SAME batch (deletes first, LIFO)
+    mem.addData(
+      ("delete", null, null, 2L),
+      ("insert", "d", Seq(0f, 0f, 0f, 1f), -1L))
+    StreamingOps.indexMutations(spark, stream, path, ckpt).awaitTermination()
+    val idx2 = VectorIndex.load(spark, path)
+    assert(idx2.meta.numPoints == 3)
+    val s = idx2.toServing
+    // "b" is gone and unreachable (Q5); "d" recycled its slot
+    assert(s.idForKey("b").isEmpty)
+    assert(s.idForKey("d").contains(2L))
+    assert(s.search(Array(0f, 1f, 0f, 0f), topk = 3).forall(_._1 != Some("b")))
+    assert(s.embeddingByKey("d").sameElements(Array(0f, 0f, 0f, 1f)))
+    // delete-only batch
+    mem.addData(("delete", null, null, 1L))
+    StreamingOps.indexMutations(spark, stream, path, ckpt).awaitTermination()
+    assert(VectorIndex.load(spark, path).meta.numPoints == 2)
+  }
+
+  test("applyMutationBatch replays safely: deletes idempotent, insert guarded by batch id") {
+    val ss = spark
+    import ss.implicits._
+    val path = tmpDir("mut-idem")
+    VectorIndex.create(spark, path, dim = 4, maxDegree = 8, metric = Metric.Euclidean)
+    assert(StreamingOps.applyMutationBatch(spark, path,
+      Seq(("insert", "x", Seq(1f, 0f, 0f, 0f), -1L), ("insert", "y", Seq(0f, 1f, 0f, 0f), -1L))
+        .toDF("op", "key", "vec", "public_id"), batchId = 0L))
+    val mixed = Seq(
+      ("delete", null.asInstanceOf[String], null.asInstanceOf[Seq[Float]], 1L),
+      ("insert", "z", Seq(0f, 0f, 1f, 0f), -1L)
+    ).toDF("op", "key", "vec", "public_id")
+    assert(StreamingOps.applyMutationBatch(spark, path, mixed, batchId = 1L))
+    val n1 = VectorIndex.load(spark, path).meta.numPoints
+    // full replay of batch 1 (crash between delete commit and insert
+    // commit replays BOTH ops): re-delete no-ops, insert is skipped
+    assert(!StreamingOps.applyMutationBatch(spark, path, mixed, batchId = 1L))
+    val idx = VectorIndex.load(spark, path)
+    assert(idx.meta.numPoints == n1)
+    assert(idx.toServing.idForKey("z").contains(1L)) // recycled x's slot
+    assert(idx.toServing.idForKey("x").isEmpty)
+  }
+
   test("applyIngestBatch is idempotent under at-least-once replay") {
     val ss = spark
     import ss.implicits._
