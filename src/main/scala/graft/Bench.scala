@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: per-query steady-state medians over the sf dir in
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Every query runs SPARK_GRAFT_REPEAT times (default 3) and reports
+  * the MEDIAN — the host this runs on shows up-to-10x scheduler noise,
+  * so one-shot timings routinely misattribute a noisy run to a plan
+  * regression. One-time artifact builds (graph index, IVF fits,
+  * shingle sets) are prewarmed and reported as explicit metrics; the
+  * serving QPS loops get an untimed JIT warmup and a median over
+  * repeated timed loops for the same reason. */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) -1.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,25 +49,41 @@ object Bench {
       (try { graft.queries.DocQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] })
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          // queries returning checkpointed results (beam search) must
+          // be released per run or repeated timing accumulates blocks
+          graft.plans.Blocks.release(df)
+        } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Single-node ANN serving throughput at the reference's largest
     // documented workload shape (10k x 100d, docs/src/index.md demo):
-    // seeded build + 1000 searches through the serving engine.
+    // seeded build, untimed warmup, then the median QPS of `repeat`
+    // timed 1000-query loops through the serving engine.
+    def qpsLoops(search: Array[Float] => Unit, queries: Array[Array[Float]]): Double = {
+      queries.take(200).foreach(search) // JIT warmup, untimed
+      median((0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        queries.foreach(search)
+        queries.length.toDouble / ((System.nanoTime() - t0) / 1e9)
+      })
+    }
     val annQps = try {
       val rng = new scala.util.Random(1)
       val serving = new graft.index.ServingIndex(dim = 100, maxDegree = 64)
       val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
       vecs.foreach(v => serving.insert(v))
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      val t0 = System.nanoTime()
-      queries.foreach(q => serving.search(q, topk = 10))
-      1000.0 / ((System.nanoTime() - t0) / 1e9)
+      qpsLoops(q => serving.search(q, topk = 10), queries)
     } catch { case _: Throwable => -1.0 }
     // same workload through the scatter-gather router (4 shards): the
     // serving-side scale path must not cost throughput vs one big graph
@@ -56,14 +93,13 @@ object Bench {
       val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
       vecs.foreach(v => router.insert(v))
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      val t0 = System.nanoTime()
-      queries.foreach(q => router.search(q, topk = 10))
-      1000.0 / ((System.nanoTime() - t0) / 1e9)
+      qpsLoops(q => router.search(q, topk = 10), queries)
     } catch { case _: Throwable => -1.0 }
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       buildsJson +
+      s""""repeats":$repeat,""" +
       s""""ann_serving_qps_10k_100d":$annQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,"sf":"$sfDir"}""")
     spark.stop()
