@@ -102,4 +102,13 @@ object VectorFunctions {
     * (see GraphBuilder.lshKnnEdges). Kept for small-d convenience. */
   def l2Normalize(a: Column): Column =
     transform(a, x => coalesce(try_divide(x.cast("double"), l2Norm(a)), lit(0.0)))
+
+  /** ARRAY<FLOAT> → BINARY binary16 packing (2 bytes per component) —
+    * the storage form of eltype="Float16" indexes. */
+  def halfPack(a: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.FloatArrayToHalf(ExpressionUtils.expression(a)))
+
+  /** BINARY binary16 packing → ARRAY<FLOAT> (exact decode). */
+  def halfUnpack(a: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.HalfToFloatArray(ExpressionUtils.expression(a)))
 }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
 /** Index metadata — the Spark replacement for the reference's
   * Julia-serialized `.meta` Dict (`/root/reference/src/LMDiskANN.jl:69-100`).
   * Unlike the reference, the metric IS persisted (SURVEY §4.3 Q6 fix)
-  * and eltype is whitelist-validated (Q8 fix). `eltype` "Float16" is
-  * accepted and stored widened to Float (documented divergence,
-  * SURVEY §1.4).
+  * and eltype is whitelist-validated (Q8 fix). `eltype` "Float16"
+  * stores binary16-packed vectors (2 bytes/component — reference
+  * storage parity) decoded to Float32 for compute; "Float64" narrows
+  * to Float32 (documented divergence, SURVEY §1.4).
   *
   * `segments` lists the version directories whose files make up the
   * CURRENT state (newest last): mutations append a delta segment
@@ -101,8 +102,33 @@ final class VectorIndex private (
     }
   }
 
+  /** True when vectors are stored binary16-packed (eltype Float16):
+    * 2 bytes per component on disk — the reference's parametric-type
+    * storage footprint (src/LMDiskANN.jl:239 `T=Float16`) — decoded to
+    * Float32 for compute. */
+  private def isHalf: Boolean = meta.eltype == "Float16"
+
+  private def storedVectorsSchema: StructType =
+    if (isHalf) vectorsSchemaHalf else vectorsSchema
+
+  /** Vectors in their on-disk form (BINARY packed when Float16). */
+  private def rawVectors: DataFrame = resolved("vectors", storedVectorsSchema, "vec")
+
+  /** Encode an (id, key, vec ARRAY<FLOAT>) frame to the storage form. */
+  private def encodeVectors(df: DataFrame): DataFrame =
+    if (isHalf)
+      df.select(col("id").cast("long"), col("key").cast("string"),
+        graft.functions.VectorFunctions.halfPack(col("vec").cast("array<float>")).as("vec"))
+    else
+      df.select(col("id").cast("long"), col("key").cast("string"),
+        col("vec").cast("array<float>"))
+
   /** id BIGINT, key STRING, vec ARRAY<FLOAT> — live vectors only. */
-  def vectors: DataFrame = resolved("vectors", vectorsSchema, "vec")
+  def vectors: DataFrame =
+    if (isHalf)
+      rawVectors.select(col("id"), col("key"),
+        graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+    else rawVectors
 
   /** kNN-pruned graph edges (no ring), live rows only. */
   private[index] def graphTable: DataFrame = resolved("graph", graphSchema, "nbrs")
@@ -225,12 +251,16 @@ final class VectorIndex private (
 
     // write the vectors DELTA first and read it back: the wiring below
     // consumes the batch from several sub-plans, and the delta file is
-    // the materialization that must be written anyway
+    // the materialization that must be written anyway (for Float16 the
+    // read-back is the QUANTIZED value — wiring distances match storage)
     val newVersion = meta.version + 1
     val dir = s"$path/v=$newVersion"
-    incoming.select(col("id").cast("long"), col("key").cast("string"),
-      col("vec").cast("array<float>")).write.mode("overwrite").parquet(s"$dir/vectors")
-    val inc = spark.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+    encodeVectors(incoming).write.mode("overwrite").parquet(s"$dir/vectors")
+    val incRaw = spark.read.schema(storedVectorsSchema).parquet(s"$dir/vectors")
+    val inc =
+      if (isHalf) incRaw.select(col("id"), col("key"),
+        graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+      else incRaw
     val batchIds = inc.select(col("id")).collect().map(_.getLong(0)).sorted
 
     val allVecs = vectors.unionByName(inc)
@@ -372,7 +402,7 @@ final class VectorIndex private (
     // vectors: tombstones only
     spark.createDataFrame(
         spark.sparkContext.parallelize(victimSeq.map(id => Row(id, null, null))),
-        vectorsSchema)
+        storedVectorsSchema)
       .write.mode("overwrite").parquet(s"$dir/vectors")
 
     // graph: strip victims from the rows that reference them (one scan,
@@ -439,7 +469,7 @@ final class VectorIndex private (
   def compact(): VectorIndex = {
     val newVersion = meta.version + 1
     val dir = s"$path/v=$newVersion"
-    vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    rawVectors.write.mode("overwrite").parquet(s"$dir/vectors")
     graphTable.write.mode("overwrite").parquet(s"$dir/graph")
     ringTable.write.mode("overwrite").parquet(s"$dir/ring")
     val next = meta.copy(version = newVersion, segments = Seq(newVersion))
@@ -461,8 +491,7 @@ final class VectorIndex private (
     val newVersion = meta.version + 1
     val dir = s"$path/v=$newVersion"
     val df = rows.toDF("id", "key", "vec", "nbrs")
-    df.select(col("id").cast("long"), col("key").cast("string"),
-        col("vec").cast("array<float>"))
+    encodeVectors(df.select(col("id"), col("key"), col("vec")))
       .write.mode("overwrite").parquet(s"$dir/vectors")
     df.select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
       .write.mode("overwrite").parquet(s"$dir/graph")
@@ -493,6 +522,12 @@ object VectorIndex {
     StructField("id", LongType, nullable = false),
     StructField("key", StringType, nullable = true),
     StructField("vec", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** eltype="Float16" storage form: binary16-packed BINARY column. */
+  val vectorsSchemaHalf: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("vec", BinaryType, nullable = true)))
 
   val graphSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -526,7 +561,7 @@ object VectorIndex {
     def empty(schema: StructType, table: String): Unit =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .write.mode("overwrite").parquet(s"$dir/$table")
-    empty(vectorsSchema, "vectors")
+    empty(if (eltype == "Float16") vectorsSchemaHalf else vectorsSchema, "vectors")
     empty(graphSchema, "graph")
     empty(ringSchema, "ring")
     writeMeta(path, meta)
@@ -565,13 +600,26 @@ object VectorIndex {
     // localCheckpoint also pins nothing: a checkpointed Dataset's
     // blocks survive Dataset.unpersist (CacheManager never sees them).
     val dir = s"$path/v=0"
-    source.select(
-        col("id").cast("long"),
-        (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
-         else (col("id") + 1).cast("string")).as("key"),
-        col("vec").cast("array<float>"))
+    val half = eltype == "Float16"
+    val normalized = source.select(
+      col("id").cast("long"),
+      (if (source.columns.contains("key")) coalesce(col("key"), (col("id") + 1).cast("string"))
+       else (col("id") + 1).cast("string")).as("key"),
+      col("vec").cast("array<float>"))
+    (if (half)
+       normalized.select(col("id"), col("key"),
+         graft.functions.VectorFunctions.halfPack(col("vec")).as("vec"))
+     else normalized)
       .write.mode("overwrite").parquet(s"$dir/vectors")
-    val vecs = spark.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+    val stored = spark.read
+      .schema(if (half) vectorsSchemaHalf else vectorsSchema)
+      .parquet(s"$dir/vectors")
+    // Float16 compute reads the QUANTIZED values back — graph wiring
+    // distances match what the index will serve
+    val vecs =
+      if (half) stored.select(col("id"), col("key"),
+        graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+      else stored
     val stats = vecs.agg(count(lit(1)), min(col("id"))).head()
     val n = stats.getLong(0)
     val vv = vecs.select(col("id"), col("vec"))

@@ -161,12 +161,50 @@ class VectorIndexSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) =>
       assert(math.abs(g - w) <= 1e-7 * math.max(1.0, math.abs(w)))
     }
-    // Float16-style inputs (coarse values) round-trip exactly in Float32
+    // Float16-representable inputs round-trip exactly through the
+    // binary16-packed storage
     val idx16 = VectorIndex.build(spark, tmpDir("idx-f16"),
       Seq((0L, Seq(1.5f, -0.25f, 0f, 2f))).toDF("id", "vec"),
       dim = 4, maxDegree = 4, eltype = "Float16")
     assert(idx16.meta.eltype == "Float16")
     assert(idx16.toServing.embeddingById(1L).sameElements(Array(1.5f, -0.25f, 0f, 2f)))
+  }
+
+  test("Float16 indexes store binary16-packed vectors: half the bytes, " +
+      "reference tolerance round-trip (runtests.jl:611-638), mutations compose") {
+    import graft.functions.expressions.Half
+    val subset = embeddings.filter(col("id") < 200)
+    val p16 = tmpDir("idx-half")
+    val p32 = tmpDir("idx-full")
+    val idx16 = VectorIndex.build(spark, p16, subset, dim = 64, maxDegree = 8, eltype = "Float16")
+    VectorIndex.build(spark, p32, subset, dim = 64, maxDegree = 8)
+    // storage parity: the packed vectors table is substantially smaller
+    // (2 vs 4 bytes per component; parquet framing overhead is shared)
+    val b16 = dirBytes(s"$p16/v=0/vectors")
+    val b32 = dirBytes(s"$p32/v=0/vectors")
+    info(s"vectors table: Float16=$b16 bytes vs Float32=$b32 bytes")
+    assert(b16 < (b32 * 3) / 4, s"binary16 packing not smaller: $b16 vs $b32")
+    // round-trip within half precision (reference atol 1e-2 on [0,1)
+    // data; binary16 is far tighter: rel 2^-11), and exactly the
+    // scalar quantization
+    val want = subset.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    val got = idx16.toServing.embeddingById(8L)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 1e-2)
+      assert(g == Half.halfBitsToFloat(Half.floatToHalfBits(w)))
+    }
+    // search serves the quantized values with intact recall on self-query
+    val hit = idx16.toServing.search(want, topk = 1).head
+    assert(hit._2 == 8L)
+    // delta mutations keep the packed form end-to-end
+    val batch = embeddings.filter(col("id").between(300, 304))
+      .select(concat(lit("h_"), col("id")).as("key"), col("vec"))
+    val v1 = idx16.insertBatch(batch)
+    assert(v1.meta.numPoints == 205)
+    val probe = embeddings.filter(col("id") === 302).head().getSeq[Float](1).toArray
+    val found = v1.toServing.search(probe, topk = 3).flatMap(_._1)
+    assert(found.contains("h_302"), s"half-packed insert not found: $found")
+    assert(v1.deleteBatch(Seq(8L)).vectors.count() == 204)
   }
 
   test("regression: delete highest id, then serving insert reuses its slot (no crash)") {
