@@ -646,11 +646,24 @@ object VectorIndex {
     }
     val meta = IndexMeta(0L, n, dim, maxDegree, entry, eltype, metric.name, Nil,
       exactThreshold = exactThreshold)
-    pruned.select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
-      .write.mode("overwrite").parquet(s"$dir/graph")
-    GraphBuilder.ringLinks(vv)
-      .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
-      .write.mode("overwrite").parquet(s"$dir/ring")
+    // graph and ring are independent job chains over the same
+    // materialized vectors table — run them concurrently (Spark
+    // schedules jobs from separate threads side by side), halving the
+    // build's sequential-small-job latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fGraph = Future {
+      pruned.select(col("id").cast("long"), col("nbrs").cast("array<bigint>"))
+        .write.mode("overwrite").parquet(s"$dir/graph")
+    }
+    val fRing = Future {
+      GraphBuilder.ringLinks(vv)
+        .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/ring")
+    }
+    Await.result(fGraph, Duration.Inf)
+    Await.result(fRing, Duration.Inf)
     writeMeta(path, meta)
     new VectorIndex(spark, path, meta)
   }

@@ -52,8 +52,18 @@ object AnnQueries {
     }
   }
 
-  private def buildServing(spark: SparkSession, dir: String) =
-    servingCache.computeIfAbsent(dir, _ => builtIndex(spark, dir).toServing)
+  private def buildServing(spark: SparkSession, dir: String) = {
+    // resolve the index BEFORE touching servingCache: builtIndex
+    // mutates servingCache on a rebuild, and mutating a
+    // ConcurrentHashMap inside its own computeIfAbsent throws
+    // IllegalStateException("Recursive update")
+    val hit = servingCache.get(dir)
+    if (hit != null) hit
+    else {
+      val idx = builtIndex(spark, dir)
+      servingCache.computeIfAbsent(dir, _ => idx.toServing)
+    }
+  }
 
   /** One IVF fit per sf-dir per JVM, like the graph index: q32 and q33
     * share the fitted (centroids, assigned) pair, and `assigned` is
