@@ -95,13 +95,38 @@ object Bench {
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
       qpsLoops(q => router.search(q, topk = 10), queries)
     } catch { case _: Throwable => -1.0 }
+    // production serving path: distributed build -> fromIndex bulk load
+    // into the shard fleet (never an insert loop), then the same query
+    // workload. Load time is its own metric.
+    val (fromIndexLoadSec, fromIndexQps) = try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val rng = new scala.util.Random(1)
+      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
+      val src = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v.toSeq)
+        }, 32),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+      val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
+      val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 32)
+      val t0 = System.nanoTime()
+      val router = graft.index.ShardedServing.fromIndex(idx, numShards = 4)
+      val load = (System.nanoTime() - t0) / 1e9
+      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
+      (load, qpsLoops(q => router.search(q, topk = 10), queries))
+    } catch { case _: Throwable => (-1.0, -1.0) }
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       buildsJson +
       s""""repeats":$repeat,""" +
       s""""ann_serving_qps_10k_100d":$annQps,""" +
-      s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,"sf":"$sfDir"}""")
+      s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
+      s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
+      s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -167,8 +167,14 @@ object ShardedServing {
     val base = index.vectors
       .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
       .withColumn("lid", (col("id") / numShards).cast("long"))
-    var s = 0
-    while (s < numShards) {
+    // shard loads are fully independent (disjoint id ranges, disjoint
+    // ServingIndex instances) — build them concurrently; Spark
+    // schedules jobs from separate threads side by side, so the
+    // numShards small-job chains overlap instead of serializing
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val loads = (0 until numShards).map { s => Future {
       val sv = base.filter(col("shard") === s)
         .select(col("lid").as("id"), col("key"), col("vec"))
         .cache()
@@ -203,8 +209,8 @@ object ShardedServing {
         else -1
       router.shards(s).finishLoad(entryLocal, freeByShard(s).toSeq)
       sv.unpersist()
-      s += 1
-    }
+    } }
+    loads.foreach(Await.result(_, Duration.Inf))
     router
   }
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.index.{IndexMeta, Metric, VectorIndex}
 
 /** Interchange sources/sinks for index data beyond the native Parquet
-  * snapshots: JSON-lines (self-describing, arrays native) and CSV
-  * (flat interchange; the vector column is encoded as a
-  * semicolon-joined string since CSV has no array type).
+  * snapshots: JSON-lines (self-describing, arrays native), ORC
+  * (columnar with native arrays — the other warehouse-standard
+  * container), and CSV (flat interchange; the vector column is encoded
+  * as a semicolon-joined string since CSV has no array type).
   *
   * The reference's only "formats" are raw mmap bytes + LevelDB
   * (SURVEY §2.2 scans/sources: no connectors); these exist so engine
@@ -17,10 +18,12 @@ import graft.index.{IndexMeta, Metric, VectorIndex}
   * inference jobs at scale. */
 object IndexExchange {
 
-  /** Export a snapshot's vectors table. Format: "json" or "csv". */
+  /** Export a snapshot's vectors table. Format: "json", "orc" or "csv". */
   def exportVectors(index: VectorIndex, path: String, format: String): Unit = format match {
     case "json" =>
       index.vectors.write.mode("overwrite").json(path)
+    case "orc" =>
+      index.vectors.write.mode("overwrite").orc(path)
     case "csv" =>
       index.vectors
         .select(col("id"), col("key"),
@@ -36,6 +39,10 @@ object IndexExchange {
       spark.read
         .schema("id BIGINT, key STRING, vec ARRAY<FLOAT>")
         .json(path)
+    case "orc" =>
+      spark.read
+        .schema("id BIGINT, key STRING, vec ARRAY<FLOAT>")
+        .orc(path)
     case "csv" =>
       spark.read
         .schema("id BIGINT, key STRING, vec STRING")

@@ -159,6 +159,37 @@ object StreamingOps {
     }
   }
 
+  /** Continuous batch SEARCH: a stream of (query_id BIGINT,
+    * qvec ARRAY<FLOAT>) rows answered per micro-batch against the
+    * CURRENT index snapshot via the distributed exact top-k plan
+    * (recall 1.0; swap in DistributedSearch.beamSearch for the
+    * graph-approximate tier at larger index sizes). Results append to
+    * `outPath` with the micro-batch id, so a query's answer records
+    * which snapshot generation served it — the streaming twin of the
+    * reference's serve loop, with the snapshot reloaded per batch so
+    * concurrent ingestion is picked up between batches. */
+  def streamingSearch(
+      spark: SparkSession,
+      queryStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      topk: Int = 10): StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = VectorIndex.load(spark, indexPath)
+          idx.searchExact(batch.select(col("query_id"), col("qvec")), topk)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Continuous index MUTATION: a stream of mixed operations —
     * `op` = "insert" (key, vec) or "delete" (public_id) — applied per
     * micro-batch, the streaming twin of reference

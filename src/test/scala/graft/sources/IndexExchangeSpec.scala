@@ -12,10 +12,10 @@ class IndexExchangeSpec extends SparkSpec {
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
     .filter(col("id") < 100)
 
-  test("JSON and CSV vector export/import round-trip exactly") {
+  test("JSON, ORC and CSV vector export/import round-trip exactly") {
     val idxPath = tmpDir("idx-exchange")
     val idx = VectorIndex.build(spark, idxPath, embeddings, dim = 64, maxDegree = 8)
-    for (fmt <- Seq("json", "csv")) {
+    for (fmt <- Seq("json", "orc", "csv")) {
       val out = tmpDir(s"export-$fmt")
       IndexExchange.exportVectors(idx, out, fmt)
       val back = IndexExchange.readVectors(spark, out, fmt)

@@ -161,6 +161,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.numPoints == 2)
   }
 
+  test("streamingSearch answers query micro-batches against the live snapshot") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val path = tmpDir("stream-search-idx")
+    val out = tmpDir("stream-search-out")
+    val ckpt = tmpDir("stream-search-ckpt")
+    val src = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("id", "vec")
+    VectorIndex.build(spark, path, src, dim = 4, maxDegree = 4)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("query_id", "qvec")
+    mem.addData((100L, Seq(1f, 0.1f, 0f, 0f)))
+    StreamingOps.streamingSearch(spark, stream, path, out, ckpt, topk = 2).awaitTermination()
+    // the index mutates between micro-batches; the next batch sees it
+    VectorIndex.load(spark, path)
+      .insertBatch(Seq(("probe", Seq(0.9f, 0.1f, 0f, 0f))).toDF("key", "vec"))
+    mem.addData((101L, Seq(0.9f, 0.1f, 0f, 0f)))
+    StreamingOps.streamingSearch(spark, stream, path, out, ckpt, topk = 2).awaitTermination()
+    val res = spark.read.parquet(out)
+    assert(res.filter(col("query_id") === 100L).count() == 2)
+    val top100 = res.filter(col("query_id") === 100L && col("rnk") === 1).head()
+    assert(top100.getAs[Long]("public_id") == 1L) // nearest to (1,0,0,0)
+    val top101 = res.filter(col("query_id") === 101L && col("rnk") === 1).head()
+    assert(top101.getAs[String]("key") == "probe") // sees the new snapshot
+    // batch ids record which generation served each query
+    assert(res.select(col("batch_id")).distinct().count() == 2)
+  }
+
   test("applyMutationBatch replays safely: deletes idempotent, insert guarded by batch id") {
     val ss = spark
     import ss.implicits._
