@@ -103,6 +103,14 @@ object VectorFunctions {
   def l2Normalize(a: Column): Column =
     transform(a, x => coalesce(try_divide(x.cast("double"), l2Norm(a)), lit(0.0)))
 
+  /** L2-normalized ARRAY<FLOAT> copy given a PRE-MATERIALIZED norm
+    * column; zero vectors pass through unchanged. The norm must be its
+    * own column — inlining `l2Norm(vec)` into the transform lambda
+    * re-evaluates the full dot product per element (O(d²)/row). */
+  def normalizedByNorm(vec: Column, nrm: Column): Column =
+    when(nrm === 0.0, vec.cast("array<float>"))
+      .otherwise(transform(vec, x => x.cast("double") / nrm).cast("array<float>"))
+
   /** ARRAY<FLOAT> → BINARY binary16 packing (2 bytes per component) —
     * the storage form of eltype="Float16" indexes. */
   def halfPack(a: Column): Column =

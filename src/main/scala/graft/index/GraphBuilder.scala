@@ -80,18 +80,14 @@ object GraphBuilder {
     symmetrizeAndPrune(exactKnnEdges(vectors, maxDegree, metric), maxDegree)
 
   /** L2-normalized copy when cosine (ranking-equivalent under
-    * Euclidean); the norm is materialized once per row (inlining it
-    * into the transform lambda would re-evaluate the full dot product
-    * per element — O(d²)/row). */
+    * Euclidean). */
   private def prepare(vectors: DataFrame, metric: Metric): DataFrame = metric match {
     case Metric.Euclidean => vectors.select(col("id"), col("vec"))
     case Metric.Cosine => vectors
       .select(col("id"), col("vec"),
         VectorFunctions.l2Norm(col("vec")).as("nrm"))
       .select(col("id"),
-        when(col("nrm") === 0.0, col("vec").cast("array<float>"))
-          .otherwise(transform(col("vec"), x => x.cast("double") / col("nrm")).cast("array<float>"))
-          .as("vec"))
+        VectorFunctions.normalizedByNorm(col("vec"), col("nrm")).as("vec"))
   }
 
   /** Random-projection bucketing pass shared by the full and batch LSH

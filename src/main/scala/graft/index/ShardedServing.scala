@@ -66,18 +66,19 @@ final class ShardedServing(
     val k = key.getOrElse(gid.toString)
     val (_, actualPid) = shards(s).insert(v, Some(k))
     require(actualPid == localPid, "insert must use the peeked slot")
-    // an explicit key may textually equal another vector's auto-key in a
-    // DIFFERENT shard (auto-keys are global-id strings, e.g. "9"); key
-    // lookups resolve the hash-routed shard first, so without clearing
-    // the other copy the re-registration remap contract (Q7) would
-    // silently break for numeric-string keys. Single-node semantics are
-    // preserved: the other shard's vector stays live, just keyless.
-    if (key.isDefined) {
-      var i = 0
-      while (i < numShards) {
-        if (i != s) shards(i).unregisterKey(k)
-        i += 1
-      }
+    // the inserted key may textually equal a key living in a DIFFERENT
+    // shard (an explicit key vs another vector's auto-key — global-id
+    // strings like "9" — in either direction); key lookups resolve the
+    // hash-routed shard first, so without clearing the other copy the
+    // latest-registration-wins contract (Q7) would silently break for
+    // numeric-string keys. This applies to AUTO keys too: a minted gid
+    // string must displace an equal explicit key, exactly as the
+    // single-node engine remaps it. The other shard's vector stays
+    // live, just keyless.
+    var i = 0
+    while (i < numShards) {
+      if (i != s) shards(i).unregisterKey(k)
+      i += 1
     }
     (k, gid)
   }

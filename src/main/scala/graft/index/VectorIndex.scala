@@ -575,6 +575,13 @@ object VectorIndex {
     meta.segments.foreach { s =>
       require(Files.exists(Paths.get(s"$path/v=$s/vectors")),
         s"missing vectors segment v=$s at $path")
+      // fail HERE, not at first query: a pre-segmented snapshot
+      // (v=N/adjacency, no graph/ring split) would otherwise pass load
+      // and die with PATH_NOT_FOUND mid-plan
+      require(Files.exists(Paths.get(s"$path/v=$s/graph")) &&
+          Files.exists(Paths.get(s"$path/v=$s/ring")),
+        s"index at $path v=$s uses an unsupported layout " +
+          "(expected graph/ + ring/ tables; pre-segmented snapshots must be rebuilt)")
     }
     v
   }

@@ -22,14 +22,6 @@ import graft.index.Metric
   */
 object Similarity {
 
-  /** L2-normalized copy of a float-array column, zero vectors passed
-    * through; the norm must already be materialized in `nrmCol` (an
-    * inline norm inside the transform lambda re-evaluates per
-    * element). */
-  private def normalized(vecCol: Column, nrmCol: Column): Column =
-    when(nrmCol === 0.0, vecCol.cast("array<float>"))
-      .otherwise(transform(vecCol, x => x.cast("double") / nrmCol).cast("array<float>"))
-
   /** KMeans-assign vectors (id, vec ARRAY<FLOAT>) to k clusters.
     * Returns (centroids(cluster, cvec), assigned(id, vec, cluster)).
     * Seeded — deterministic for a fixed input.
@@ -124,7 +116,7 @@ object Similarity {
       case Metric.Euclidean => vectors.select(col("id"), col("vec"), col("vec").as("__avec"))
       case Metric.Cosine => vectors
         .select(col("id"), col("vec"), VectorFunctions.l2Norm(col("vec")).as("__nrm"))
-        .select(col("id"), col("vec"), normalized(col("vec"), col("__nrm")).as("__avec"))
+        .select(col("id"), col("vec"), VectorFunctions.normalizedByNorm(col("vec"), col("__nrm")).as("__avec"))
     }
     val assigned = prepared.select(col("id"), col("vec"),
       best.getField("cluster").as("cluster"))
@@ -147,7 +139,7 @@ object Similarity {
       case Metric.Euclidean => queries.select(col("query_id"), col("qvec"), col("qvec").as("__qprobe"))
       case Metric.Cosine => queries
         .select(col("query_id"), col("qvec"), VectorFunctions.l2Norm(col("qvec")).as("__nrm"))
-        .select(col("query_id"), col("qvec"), normalized(col("qvec"), col("__nrm")).as("__qprobe"))
+        .select(col("query_id"), col("qvec"), VectorFunctions.normalizedByNorm(col("qvec"), col("__nrm")).as("__qprobe"))
     }
     val dcol = metric match {
       case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))

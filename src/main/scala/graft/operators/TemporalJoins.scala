@@ -54,6 +54,19 @@ object TemporalJoins {
     require(collisions.isEmpty,
       s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
         s"rename input column(s) ${collisions.mkString(", ")}")
+    // ts columns must be integral: the cross-side ordering runs on
+    // cast-to-long values, and a silent cast from timestamp (seconds!)
+    // or double would TRUNCATE sub-unit ordering and mis-match rows.
+    // Callers convert timestamps explicitly (e.g. epoch millis/micros).
+    locally {
+      import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+      val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      Seq(left.schema(leftTs).dataType -> leftTs, right.schema(rightTs).dataType -> rightTs)
+        .foreach { case (dt, name) =>
+          require(integral.contains(dt),
+            s"asofJoin ts column '$name' must be integral (epoch units), got ${dt.simpleString}")
+        }
+    }
     val leftTsType = left.schema(leftTs).dataType
     val leftTypes = leftCols.map(c => c -> left.schema(c).dataType).toMap
     // the payload is carried as ONE struct, not per-column last()s: a

@@ -191,8 +191,12 @@ object DocQueries {
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hit = exact.intersect(lshPairs).size
-    Seq((exact.size.toLong, lshPairs.size.toLong, hit.toLong,
-        math.round(hit.toDouble / exact.size * 10000.0) / 10000.0))
+    // vacuously perfect when the exact tier finds nothing — a 0/0 NaN
+    // would silently void the recall gate
+    val recall =
+      if (exact.isEmpty) 1.0
+      else math.round(hit.toDouble / exact.size * 10000.0) / 10000.0
+    Seq((exact.size.toLong, lshPairs.size.toLong, hit.toLong, recall))
       .toDF("n_exact", "n_lsh", "n_hit", "pair_recall")
   }
 

@@ -182,9 +182,16 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val idx = VectorIndex.load(spark, indexPath)
+          // idempotent under at-least-once replay: results land in a
+          // batch_id partition with DYNAMIC overwrite, so a replayed
+          // micro-batch (crash between write and checkpoint commit)
+          // replaces its own partition instead of appending duplicates
           idx.searchExact(batch.select(col("query_id"), col("qvec")), topk)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
         }
         ()
       }

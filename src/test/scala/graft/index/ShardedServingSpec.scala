@@ -89,6 +89,36 @@ class ShardedServingSpec extends SparkSpec {
     assert(router.numPoints == 6)
   }
 
+  test("a minted auto-key displaces an equal explicit key in another shard (Q7, reverse direction)") {
+    val dim = 8
+    val vecs = mkVecs(12, dim, 8)
+    val router = new ShardedServing(dim, numShards = 4, maxDegree = 8)
+    // pick an explicit key "g" whose hash shard differs from the shard
+    // that will mint gid g ( (g-1) mod 4 ) — so the two copies would
+    // live in different shards
+    val k = (1 to 8).map(_.toString).find { s =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s), 4) != (s.toInt - 1) % 4
+    }.getOrElse(fail("no divergent key in 1..8 — adjust fixture"))
+    val (_, gidExplicit) = router.insert(vecs(0), Some(k))
+    // round-robin auto inserts until the auto-key equal to k is minted
+    var minted = -1L
+    var i = 1
+    while (minted < 0 && i < 12) {
+      val (ak, g) = router.insert(vecs(i))
+      if (ak == k) minted = g
+      i += 1
+    }
+    assert(minted > 0, s"auto-key $k never minted")
+    assert(minted != gidExplicit)
+    // latest registration wins router-wide — exactly the single-node
+    // remap contract; the explicit-keyed vector stays live but keyless
+    assert(router.idForKey(k).contains(minted))
+    // the key resolves to an auto-inserted vector, not the explicit one
+    assert(!router.embeddingById(minted).sameElements(vecs(0)))
+    assert(router.deleteByKey(k))
+    assert(router.idForKey(k).isEmpty)
+  }
+
   test("fromIndex bulk-loads a built snapshot: ids preserved, recall gate met") {
     import org.apache.spark.sql.functions._
     val embeddings = spark.read
