@@ -112,13 +112,7 @@ object Dedup {
     // the post-explode repartition lets the three consumers (sizes +
     // both self-join sides) reuse one exchange instead of re-shingling
     val ds = shingles.repartition(par)
-    val filtered =
-      if (maxShingleFreq <= 0) ds
-      else {
-        val hot = ds.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-          .filter(col("f") > maxShingleFreq).select(col("shingle"))
-        ds.join(hot, Seq("shingle"), "left_anti")
-      }
+    val filtered = dropHotShingles(ds, maxShingleFreq)
     val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = filtered.as("x").join(filtered.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -131,6 +125,20 @@ object Dedup {
         round(col("n_inter").cast("double") /
           (col("sa") + col("sb") - col("n_inter")).cast("double"), 4).as("jaccard"))
   }
+
+  /** Drop shingles present in more than `maxFreq` docs — the prefix-
+    * filtering skew guard (a shingle shared by f docs contributes f²
+    * join rows). <= 0 disables. The result feeds MULTIPLE consumers in
+    * the Jaccard pipeline (sizes + both self-join sides); callers on a
+    * hot path should materialize it once (localCheckpoint + release)
+    * rather than re-executing the anti-join per consumer. */
+  def dropHotShingles(shingles: DataFrame, maxFreq: Int): DataFrame =
+    if (maxFreq <= 0) shingles
+    else {
+      val hot = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+        .filter(col("f") > maxFreq).select(col("shingle"))
+      shingles.join(hot, Seq("shingle"), "left_anti")
+    }
 
   /** MinHash signatures over ranked shingle IDs:
     * sig[j] = min over shingles of (a_j * sid + b_j) mod P.

@@ -203,11 +203,20 @@ object DocQueries {
   /** q41 with the hot-shingle cap ENGAGED (maxShingleFreq = 6): the
     * skew guard that bounds a boilerplate shingle's f² join
     * contribution at web scale, oracle-checked so the cap provably
-    * preserves semantics on the surviving shingle sets. */
-  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsFromShingles(corpusShingles(spark, dir), maxShingleFreq = 6)
+    * preserves semantics on the surviving shingle sets. The capped set
+    * is materialized ONCE — it feeds sizes and both self-join sides,
+    * which would otherwise each re-execute the anti-join (the q52
+    * self-join-over-huge-subtree lesson). */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val capped = Dedup.dropHotShingles(corpusShingles(spark, dir), maxFreq = 6)
+      .localCheckpoint(true)
+    val out = Dedup.ngramJaccardPairsFromShingles(capped)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(capped)
+    out
+  }
 
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
