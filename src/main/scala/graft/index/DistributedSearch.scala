@@ -46,10 +46,17 @@ object DistributedSearch {
       queries: DataFrame,
       topk: Int,
       beamWidth: Int = 32,
-      steps: Int = 6): DataFrame = {
+      steps: Int = 6,
+      shared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = index.spark
-    val vectors = index.vectors.select(col("id"), col("key"), col("vec")).cache()
-    val adjacency = index.adjacency.cache()
+    // `shared`: already-cached (vectors, adjacency) owned by the caller
+    // — a session searching the same snapshot repeatedly keeps ONE
+    // cached copy alive instead of paying a re-cache per call (and this
+    // function then must not unpersist what it does not own)
+    val vectors = shared.map(_._1).getOrElse(
+      index.vectors.select(col("id"), col("key"), col("vec")).cache())
+    val adjacency = shared.map(_._2).getOrElse(index.adjacency.cache())
+    val ownsCaches = shared.isEmpty
     val metric = index.metric
     val dcol = metric match {
       case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
@@ -68,7 +75,7 @@ object DistributedSearch {
       else vectors.agg(min(col("id"))).head().get(0) match {
         case l: java.lang.Long => l.longValue()
         case _ =>
-          vectors.unpersist(); adjacency.unpersist()
+          if (ownsCaches) { vectors.unpersist(); adjacency.unpersist() }
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -84,6 +91,7 @@ object DistributedSearch {
       .localCheckpoint(true)
 
     var step = 0
+    var lastCk = beam // most recent materialized checkpoint
     while (step < steps) {
       val expanded = beam
         .join(adjacency, Seq("id"))
@@ -96,17 +104,25 @@ object DistributedSearch {
       // repeated candidates inside the aggregate (distances are
       // deterministic per id, so duplicates are exact equals) — the
       // former groupBy(query_id, id) pre-dedup shuffle is gone.
-      // localCheckpoint truncates lineage: each step plans against a
-      // materialized leaf instead of the whole history (driver-side
-      // planning cost would otherwise grow superlinearly with steps)
-      val next = scored
+      val topb = scored
         .groupBy(col("query_id"))
         .agg(VectorFunctions.topKPairsDistinct(col("dist"), col("id"), beamWidth).as("tk"),
           first(col("qvec")).as("qvec"))
         .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
         .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))
-        .localCheckpoint(true)
-      graft.plans.Blocks.release(beam) // checkpoint blocks; unpersist is a no-op
+      // localCheckpoint truncates lineage so each step plans against a
+      // recent materialized leaf instead of the whole history
+      // (driver-side planning cost would otherwise grow superlinearly
+      // with steps) — but each checkpoint is also a full job barrier,
+      // so do it every OTHER step: plan depth stays bounded at two
+      // steps while the job count halves. The prior checkpoint's
+      // blocks are only released once the next one is materialized.
+      val doCk = step % 2 == 1 || step == steps - 1
+      val next = if (doCk) topb.localCheckpoint(true) else topb
+      if (doCk) {
+        graft.plans.Blocks.release(lastCk) // checkpoint blocks; unpersist is a no-op
+        lastCk = next
+      }
       beam = next
       step += 1
     }
@@ -126,8 +142,10 @@ object DistributedSearch {
       .orderBy(col("query_id"), col("rnk"))
       .localCheckpoint(true)
     graft.plans.Blocks.release(beam)
-    vectors.unpersist()
-    adjacency.unpersist()
+    if (ownsCaches) {
+      vectors.unpersist()
+      adjacency.unpersist()
+    }
     result
   }
 

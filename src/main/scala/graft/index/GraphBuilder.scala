@@ -45,12 +45,27 @@ object GraphBuilder {
       .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
       .select(col("id"), transform(col("tk"), p => p.getField("id")).as("nbrs"))
 
-  /** Symmetrize + degree-bound: union both edge directions, then keep
+  /** Both directions of a (src, dst, dist) edge list in ONE pass over
+    * its lineage. A self-union (`edges union edges.swapped`) re-executes
+    * the edge subplan once per branch unless the caller materializes it
+    * — and the edge subplan is the all-pairs/LSH scoring pass, the most
+    * expensive stage of a graph build. Exploding a 2-element struct
+    * array per row emits both directions from a single computation.
+    * `extra` names grouping columns (e.g. `shard`) carried through. */
+  private[graft] def bothDirections(edges: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
+    edges.select(ex :+ explode(array(
+        struct(col("src"), col("dst"), col("dist")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("dist")))).as("e"): _*)
+      .select(ex ++ Seq(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dist").as("dist")): _*)
+  }
+
+  /** Symmetrize + degree-bound: both edge directions, then keep
     * the maxDegree closest per node (reference back-edge + prune,
     * src/LMDiskANN.jl:567-573). */
   def symmetrizeAndPrune(edges: DataFrame, maxDegree: Int): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"), col("dist"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+    val bidir = bothDirections(edges)
       .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
     topKPerNode(bidir, maxDegree)
   }
@@ -120,6 +135,50 @@ object GraphBuilder {
     val par = vectors.sparkSession.sparkContext.defaultParallelism
     model.transform(featured).repartition(par)
       .select(col("id"), col("vec"), posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
+      .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
+      .drop("bucketVec")
+  }
+
+  /** [[lshHashed]] variant that carries a grouping column (`shard`)
+    * through the hashing pass, for planners that build many disjoint
+    * graphs in one plan (per-shard serving loads): the caller joins on
+    * (shard, tbl, bucket) so only same-shard same-bucket pairs are
+    * scored. For cosine the returned `vec` is L2-normalized (ranking-
+    * equivalent under euclidean). Input: (shard, id, vec). */
+  private[index] def lshHashedKeyed(
+      vectors: DataFrame,
+      metric: Metric,
+      numHashTables: Int,
+      bucketLength: Double): DataFrame = {
+    val prepared = metric match {
+      case Metric.Euclidean => vectors.select(col("shard"), col("id"), col("vec"))
+      case Metric.Cosine => vectors
+        .select(col("shard"), col("id"), col("vec"),
+          VectorFunctions.l2Norm(col("vec")).as("nrm"))
+        .select(col("shard"), col("id"),
+          VectorFunctions.normalizedByNorm(col("vec"), col("nrm")).as("vec"))
+    }
+    val bl =
+      if (bucketLength > 0) bucketLength
+      else {
+        val sample = prepared.select(col("id"), col("vec")).limit(200)
+          .withColumnRenamed("id", "src").withColumnRenamed("vec", "a_vec")
+        val sample2 = sample.select(col("src").as("dst"), col("a_vec").as("b_vec"))
+        val mean = sample.crossJoin(sample2).filter(col("src") < col("dst"))
+          .select(avg(VectorFunctions.euclidean(col("a_vec"), col("b_vec"))).as("m"))
+          .head().getDouble(0)
+        math.max(mean / 2.0, 1e-6)
+      }
+    val featured = prepared.withColumn("features", array_to_vector(col("vec")))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setBucketLength(bl)
+      .setSeed(42L)
+      .fit(featured)
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    model.transform(featured).repartition(par)
+      .select(col("shard"), col("id"), col("vec"),
+        posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
       .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
       .drop("bucketVec")
   }

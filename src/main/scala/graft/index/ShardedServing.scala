@@ -147,6 +147,14 @@ object ShardedServing {
     * above, ring-backboned like the bulk build) — the full-index
     * single-graph `toServing` collect never happens.
     *
+    * Every shard's graph and ring are derived in ONE plan with `shard`
+    * as a grouping/join column (per-shard kNN = a shard-equi-join,
+    * never a cross product; per-shard ring = one window pass) instead
+    * of numShards independent job chains — the small-job scheduling
+    * alone dominated the load at 10k rows, and at scale one
+    * shuffle-partitioned plan is exactly what a 1000-executor cluster
+    * wants.
+    *
     * With this partitioning the router's global ids coincide with the
     * snapshot's public ids (`(id/num)*num + id mod num + 1 = id + 1`),
     * so keys AND ids look exactly like the single-graph serving view.
@@ -154,9 +162,11 @@ object ShardedServing {
     *
     * In production each shard's load runs inside its serving node
     * (mapPartitions over the id-hash-partitioned snapshot); this
-    * in-process form streams one shard at a time (toLocalIterator), so
-    * peak driver memory is one shard's rows, not the index. */
+    * in-process form streams the merged rows (toLocalIterator), so
+    * peak driver memory is one partition's rows, not the index. */
   def fromIndex(index: VectorIndex, numShards: Int): ShardedServing = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
     val meta = index.meta
     val router = new ShardedServing(meta.dim, numShards, meta.maxDegree, index.metric)
     val knnDegree = math.max(1, meta.maxDegree - 2)
@@ -167,51 +177,102 @@ object ShardedServing {
     }
     val base = index.vectors
       .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
-      .withColumn("lid", (col("id") / numShards).cast("long"))
-    // shard loads are fully independent (disjoint id ranges, disjoint
-    // ServingIndex instances) — build them concurrently; Spark
-    // schedules jobs from separate threads side by side, so the
-    // numShards small-job chains overlap instead of serializing
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val loads = (0 until numShards).map { s => Future {
-      val sv = base.filter(col("shard") === s)
-        .select(col("lid").as("id"), col("key"), col("vec"))
-        .cache()
-      val n = sv.count()
-      if (n > 0) {
-        val vv = sv.select(col("id"), col("vec"))
-        val pruned =
-          if (n <= meta.exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, index.metric)
-          else GraphBuilder.lshKnnGraph(vv, knnDegree, index.metric)
-        val ringArr = filter(array(col("succ"), col("prev")),
-          x => x.isNotNull && x =!= col("id"))
-        val adj = GraphBuilder.ringLinks(vv).join(pruned, Seq("id"), "full_outer")
-          .select(col("id"),
-            slice(array_distinct(concat(
-              ringArr,
-              coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
-        val rows = sv.join(adj, Seq("id"), "left")
-          .select(col("id"), col("key"), col("vec"),
-            coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
-          .toLocalIterator()
-        rows.forEachRemaining { r =>
-          router.shards(s).loadRow(
-            r.getLong(0).toInt,
-            r.getString(1),
-            r.getSeq[Float](2).toArray,
-            r.getSeq[Long](3).map(_.toInt).toArray)
-        }
+      .select(col("shard"), (col("id") / numShards).cast("long").as("id"),
+        col("key"), col("vec"))
+      .cache()
+    val maxShardN = base.groupBy(col("shard")).count()
+      .agg(max(col("count"))).head().get(0) match {
+      case null => 0L
+      case l: Long => l
+    }
+    if (maxShardN > 0) {
+      val vv = base.select(col("shard"), col("id"), col("vec"))
+      val dcol = index.metric match {
+        case Metric.Euclidean => VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
+        case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
       }
+      // per-shard kNN edges, all shards in one plan: the shard column
+      // joins the pair space down to same-shard pairs (an equi-join,
+      // so each shard's O((n/numShards)^2) block lands in its own
+      // shuffle partitions); above the exact threshold, same-bucket
+      // LSH pairs additionally keyed by shard
+      val edges =
+        if (maxShardN <= meta.exactThreshold) {
+          val a = vv.select(col("shard"), col("id").as("src"), col("vec").as("a_vec"))
+          val b = vv.select(col("shard"), col("id").as("dst"), col("vec").as("b_vec"))
+          a.join(b, Seq("shard"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("shard"), col("src"), col("dst"), dcol.as("dist"))
+        } else {
+          // LSH tier: same-(shard, table, bucket) pairs only; min(dist)
+          // dedups pairs co-bucketed in several hash tables. For cosine
+          // the bucketing/pruning distance is euclidean-on-normalized
+          // (ranking-equivalent); the serving engine re-ranks exact.
+          val hashed = GraphBuilder.lshHashedKeyed(vv, index.metric, 8, -1.0)
+          val a = hashed.select(col("shard"), col("tbl"), col("bucket"),
+            col("id").as("src"), col("vec").as("a_vec"))
+          val b = hashed.select(col("shard"), col("tbl"), col("bucket"),
+            col("id").as("dst"), col("vec").as("b_vec"))
+          a.join(b, Seq("shard", "tbl", "bucket"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("shard"), col("src"), col("dst"),
+              VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+            .groupBy(col("shard"), col("src"), col("dst"))
+            .agg(min(col("dist")).as("dist"))
+        }
+      val knn = edges
+        .groupBy(col("shard"), col("src"))
+        .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
+        .select(col("shard"), col("src"), explode(col("tk")).as("p"))
+        .select(col("shard"), col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+      // symmetrize + degree-bound within each shard (reference
+      // back-edge + prune, src/LMDiskANN.jl:567-573); bothDirections
+      // emits both edge orientations in one pass so the pair-scoring
+      // aggregate above — the expensive stage — executes exactly once
+      val bidir = GraphBuilder.bothDirections(knn, Seq("shard"))
+        .groupBy(col("shard"), col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+      val pruned = bidir
+        .groupBy(col("shard"), col("src").as("id"))
+        .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
+        .select(col("shard"), col("id"),
+          transform(col("tk"), p => p.getField("id")).as("nbrs"))
+      // per-shard ring links in one window pass (each window partition
+      // is one shard — bounded by construction, a serving node's worth);
+      // a single-node shard links to itself via the coalesce fallbacks
+      val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      val wf = Window.partitionBy(col("shard"))
+        .orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ring = vv.select(col("shard"), col("id"),
+        coalesce(lead(col("id"), 1).over(w), first(col("id")).over(wf)).as("succ"),
+        coalesce(lag(col("id"), 1).over(w), last(col("id")).over(wf)).as("prev"))
+      val ringArr = filter(array(col("succ"), col("prev")),
+        x => x.isNotNull && x =!= col("id"))
+      val adj = ring.join(pruned, Seq("shard", "id"), "full_outer")
+        .select(col("shard"), col("id"),
+          slice(array_distinct(concat(
+            ringArr,
+            coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
+      val rows = base.join(adj, Seq("shard", "id"), "left")
+        .select(col("shard"), col("id"), col("key"), col("vec"),
+          coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+        .toLocalIterator()
+      rows.forEachRemaining { r =>
+        router.shards(r.getInt(0)).loadRow(
+          r.getLong(1).toInt,
+          r.getString(2),
+          r.getSeq[Float](3).toArray,
+          r.getSeq[Long](4).map(_.toInt).toArray)
+      }
+    }
+    (0 until numShards).foreach { s =>
       val entryLocal =
         if (meta.entrypoint >= 0 && math.floorMod(meta.entrypoint, numShards) == s)
           meta.entrypoint / numShards
         else -1
       router.shards(s).finishLoad(entryLocal, freeByShard(s).toSeq)
-      sv.unpersist()
-    } }
-    loads.foreach(Await.result(_, Duration.Inf))
+    }
+    base.unpersist()
     router
   }
 }

@@ -91,6 +91,28 @@ object AnnQueries {
     }
   }
 
+  /** One cached (vectors, adjacency) pair per sf-dir for the beam
+    * path: q34 and q35 both call beamSearch, and without a shared
+    * cache every call pays a fresh cache + materialize of the same
+    * snapshot (then unpersists it — so bench repeats re-read Parquet
+    * every time). */
+  private val beamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def beamShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cached = beamCache.get(dir)
+    if (cached != null && !cached._1.sparkSession.sparkContext.isStopped) cached
+    else {
+      val idx = builtIndex(spark, dir)
+      val v = idx.vectors.select(col("id"), col("key"), col("vec")).cache()
+      val a = idx.adjacency.cache()
+      v.count(); a.count()
+      val pair = (v, a)
+      beamCache.put(dir, pair)
+      pair
+    }
+  }
+
   /** Build the shared ANN artifacts up front and report their cost.
     * The graph index and IVF fit are persistent artifacts queried many
     * times (exactly the reference's create-once/search-many usage), so
@@ -207,7 +229,8 @@ object AnnQueries {
     val queries = src.filter(pmod(col("id"), lit(stride)) === 0).limit(30)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
       .localCheckpoint(true)
-    val got = graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10)
+    val got = graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10,
+      shared = Some(beamShared(spark, dir)))
     val gotPairs = got.select(col("query_id"), col("public_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
@@ -269,7 +292,8 @@ object AnnQueries {
     val idx = builtIndex(spark, dir)
     val queries = source(spark, dir).filter(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10)
+    graft.index.DistributedSearch.beamSearch(idx, queries, topk = 10,
+      shared = Some(beamShared(spark, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
