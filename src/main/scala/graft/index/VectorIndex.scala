@@ -79,27 +79,48 @@ final class VectorIndex private (
 
   /** Latest-wins resolution across segments, tombstones dropped. One
     * segment (the common, post-compaction state) is a plain pushed-down
-    * parquet scan; k segments union + group by id, taking each id's row
-    * from its newest segment (each segment holds at most one row per
-    * id, so max_by is deterministic). At scale the segments are
-    * co-partitioned by id (bucketed writes), making the resolve a
-    * shuffle-free merge. */
+    * parquet scan. With delta segments present, the normal path
+    * exploits their size asymmetry: deltas are O(batch) by construction
+    * (a mutation writes only its own rows), so the base — segments are
+    * ordered, and the head is always a build/compact/clear output,
+    * live-only and typically ~the whole index — is resolved by a
+    * BROADCAST anti-join on the displaced ids and never shuffled. A
+    * 100 TB base with a 1k-row delta reads map-side only; the former
+    * union + groupBy(id) resolve shuffled the full index on every read.
+    * Deltas latest-win among themselves via max_by on segment number
+    * (each segment holds at most one row per id, so it's
+    * deterministic). If the deltas are abnormally large (file bytes
+    * past [[VectorIndex.BroadcastResolveBytes]] — e.g. a giant
+    * insertBatch just before compaction), fall back to the shuffle
+    * resolve rather than broadcast something executor-memory-sized. */
   private def resolved(table: String, schema: StructType, liveCol: String): DataFrame = {
     val segs = meta.segments
     val dataCols = schema.fieldNames.filter(_ != "id").toSeq
+    def read(v: Long): DataFrame = spark.read.schema(schema).parquet(segDir(table, v))
+    def deltaResolved(tail: Seq[Long]): DataFrame = tail.map(v => read(v).withColumn("__seg", lit(v)))
+      .reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(max_by(struct(dataCols.map(col): _*), col("__seg")).as("__r"))
+      .select(col("id") +: dataCols.map(c => col(s"__r.$c").as(c)): _*)
     if (segs.length == 1)
-      spark.read.schema(schema).parquet(segDir(table, segs.head))
+      read(segs.head).filter(col(liveCol).isNotNull)
+    else if (segs.tail.map(v => dirBytes(segDir(table, v))).sum <= BroadcastResolveBytes) {
+      val delta = deltaResolved(segs.tail)
+      read(segs.head)
+        .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
+        .unionByName(delta)
         .filter(col(liveCol).isNotNull)
-    else {
-      val union = segs.map(v =>
-          spark.read.schema(schema).parquet(segDir(table, v)).withColumn("__seg", lit(v)))
-        .reduce(_.unionByName(_))
-      union
-        .groupBy(col("id"))
-        .agg(max_by(struct(dataCols.map(col): _*), col("__seg")).as("__r"))
-        .select(col("id") +: dataCols.map(c => col(s"__r.$c").as(c)): _*)
+    } else {
+      deltaResolved(segs)
         .filter(col(liveCol).isNotNull)
     }
+  }
+
+  /** Driver-side metadata listing — no Spark job. */
+  private def dirBytes(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
   /** True when vectors are stored binary16-packed (eltype Float16):
@@ -518,6 +539,12 @@ object VectorIndex {
     * many delta segments rewrites instead. */
   val MaxSegments = 8
 
+  /** Combined delta-segment size (parquet bytes on disk) up to which
+    * the read path resolves via broadcast anti-join instead of a
+    * full-index shuffle. Compressed parquet expands in memory, so this
+    * is deliberately well under typical executor headroom. */
+  val BroadcastResolveBytes: Long = 32L << 20
+
   val vectorsSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("key", StringType, nullable = true),
@@ -640,8 +667,7 @@ object VectorIndex {
         val edges =
           if (n <= exactThreshold) GraphBuilder.exactKnnEdges(vv, 2 * maxDegree, metric)
           else GraphBuilder.lshKnnEdges(vv, 2 * maxDegree, metric)
-        val bidir = edges.select(col("src"), col("dst"), col("dist"))
-          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+        val bidir = GraphBuilder.bothDirections(edges)
           .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
         AlphaPrune.pruneGraph(bidir, vv, knnDegree, alpha, metric)
       }

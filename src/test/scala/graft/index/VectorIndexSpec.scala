@@ -332,6 +332,15 @@ class VectorIndexSpec extends SparkSpec {
     val v2 = v1.deleteBatch(Seq(1L, 2L, 3L))
     assert(dirBytes(s"$path/v=2") < baseBytes / 3)
     assert(v2.vectors.count() == 502)
+    // multi-segment READS must not shuffle the base: small deltas are
+    // resolved via a broadcast anti-join on the displaced ids, so the
+    // base scan stays map-side (no SortMergeJoin / base-side Exchange
+    // feeding a groupBy(id) over the whole index)
+    val plan = v2.vectors.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"multi-segment resolve should broadcast-anti-join the deltas:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "multi-segment resolve must not shuffle the base for small deltas")
   }
 
   test("segments compact back to one past the threshold; state survives") {
