@@ -112,9 +112,15 @@ object Bench {
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
       val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
       val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 32)
-      val t0 = System.nanoTime()
-      val router = graft.index.ShardedServing.fromIndex(idx, numShards = 4)
-      val load = (System.nanoTime() - t0) / 1e9
+      // median over `repeat` loads, like every per-query number — a
+      // one-shot load time on this host misreads scheduler noise as a
+      // regression (each load is independent; no state carries over)
+      var router: graft.index.ShardedServing = null
+      val load = median((0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        router = graft.index.ShardedServing.fromIndex(idx, numShards = 4)
+        (System.nanoTime() - t0) / 1e9
+      })
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
       (load, qpsLoops(q => router.search(q, topk = 10), queries))
     } catch { case _: Throwable => (-1.0, -1.0) }

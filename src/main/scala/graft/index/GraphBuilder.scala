@@ -139,50 +139,6 @@ object GraphBuilder {
       .drop("bucketVec")
   }
 
-  /** [[lshHashed]] variant that carries a grouping column (`shard`)
-    * through the hashing pass, for planners that build many disjoint
-    * graphs in one plan (per-shard serving loads): the caller joins on
-    * (shard, tbl, bucket) so only same-shard same-bucket pairs are
-    * scored. For cosine the returned `vec` is L2-normalized (ranking-
-    * equivalent under euclidean). Input: (shard, id, vec). */
-  private[index] def lshHashedKeyed(
-      vectors: DataFrame,
-      metric: Metric,
-      numHashTables: Int,
-      bucketLength: Double): DataFrame = {
-    val prepared = metric match {
-      case Metric.Euclidean => vectors.select(col("shard"), col("id"), col("vec"))
-      case Metric.Cosine => vectors
-        .select(col("shard"), col("id"), col("vec"),
-          VectorFunctions.l2Norm(col("vec")).as("nrm"))
-        .select(col("shard"), col("id"),
-          VectorFunctions.normalizedByNorm(col("vec"), col("nrm")).as("vec"))
-    }
-    val bl =
-      if (bucketLength > 0) bucketLength
-      else {
-        val sample = prepared.select(col("id"), col("vec")).limit(200)
-          .withColumnRenamed("id", "src").withColumnRenamed("vec", "a_vec")
-        val sample2 = sample.select(col("src").as("dst"), col("a_vec").as("b_vec"))
-        val mean = sample.crossJoin(sample2).filter(col("src") < col("dst"))
-          .select(avg(VectorFunctions.euclidean(col("a_vec"), col("b_vec"))).as("m"))
-          .head().getDouble(0)
-        math.max(mean / 2.0, 1e-6)
-      }
-    val featured = prepared.withColumn("features", array_to_vector(col("vec")))
-    val model = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setBucketLength(bl)
-      .setSeed(42L)
-      .fit(featured)
-    val par = vectors.sparkSession.sparkContext.defaultParallelism
-    model.transform(featured).repartition(par)
-      .select(col("shard"), col("id"), col("vec"),
-        posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
-      .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
-      .drop("bucketVec")
-  }
-
   /** Re-score an edge list with the true metric when cosine (the LSH
     * dist column is euclidean-on-normalized; ranking equal, magnitudes
     * differ). */

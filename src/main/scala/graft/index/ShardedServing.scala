@@ -142,16 +142,19 @@ object ShardedServing {
     * /root/reference/src/LMDiskANN.jl:271-306, lifted to a shard
     * fleet). The snapshot is partitioned by id (`shard = id mod
     * numShards`, the router's O(1) routing rule) and each shard's
-    * proximity graph is built DISTRIBUTIVELY over its own subset
-    * (exact kNN below the snapshot's exactThreshold, LSH-bucketed
-    * above, ring-backboned like the bulk build) — the full-index
+    * proximity graph is PROJECTED from the snapshot's already-built
+    * global graph instead of being recomputed: each node's same-shard
+    * 1-hop ∪ 2-hop neighborhood is re-scored with the true metric and
+    * the closest knnDegree kept, ring-backboned like the bulk build.
+    * Loading is therefore O(n · degree²) candidate ids — never the
+    * O(n²/shards) all-pairs rebuild, which at 100 TB would redo the
+    * build's dominant work on every fleet restart — and the full-index
     * single-graph `toServing` collect never happens.
     *
     * Every shard's graph and ring are derived in ONE plan with `shard`
-    * as a grouping/join column (per-shard kNN = a shard-equi-join,
-    * never a cross product; per-shard ring = one window pass) instead
-    * of numShards independent job chains — the small-job scheduling
-    * alone dominated the load at 10k rows, and at scale one
+    * as a grouping/join column (per-shard ring = one window pass)
+    * instead of numShards independent job chains — the small-job
+    * scheduling alone dominated the load at 10k rows, and at scale one
     * shuffle-partitioned plan is exactly what a 1000-executor cluster
     * wants.
     *
@@ -180,46 +183,35 @@ object ShardedServing {
       .select(col("shard"), (col("id") / numShards).cast("long").as("id"),
         col("key"), col("vec"))
       .cache()
-    val maxShardN = base.groupBy(col("shard")).count()
-      .agg(max(col("count"))).head().get(0) match {
-      case null => 0L
-      case l: Long => l
-    }
-    if (maxShardN > 0) {
+    if (base.head(1).nonEmpty) {
       val vv = base.select(col("shard"), col("id"), col("vec"))
       val dcol = index.metric match {
         case Metric.Euclidean => VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
         case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
       }
-      // per-shard kNN edges, all shards in one plan: the shard column
-      // joins the pair space down to same-shard pairs (an equi-join,
-      // so each shard's O((n/numShards)^2) block lands in its own
-      // shuffle partitions); above the exact threshold, same-bucket
-      // LSH pairs additionally keyed by shard
-      val edges =
-        if (maxShardN <= meta.exactThreshold) {
-          val a = vv.select(col("shard"), col("id").as("src"), col("vec").as("a_vec"))
-          val b = vv.select(col("shard"), col("id").as("dst"), col("vec").as("b_vec"))
-          a.join(b, Seq("shard"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("shard"), col("src"), col("dst"), dcol.as("dist"))
-        } else {
-          // LSH tier: same-(shard, table, bucket) pairs only; min(dist)
-          // dedups pairs co-bucketed in several hash tables. For cosine
-          // the bucketing/pruning distance is euclidean-on-normalized
-          // (ranking-equivalent); the serving engine re-ranks exact.
-          val hashed = GraphBuilder.lshHashedKeyed(vv, index.metric, 8, -1.0)
-          val a = hashed.select(col("shard"), col("tbl"), col("bucket"),
-            col("id").as("src"), col("vec").as("a_vec"))
-          val b = hashed.select(col("shard"), col("tbl"), col("bucket"),
-            col("id").as("dst"), col("vec").as("b_vec"))
-          a.join(b, Seq("shard", "tbl", "bucket"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("shard"), col("src"), col("dst"),
-              VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
-            .groupBy(col("shard"), col("src"), col("dst"))
-            .agg(min(col("dist")).as("dist"))
-        }
+      // Candidate edges come from the BUILT graph, not a fresh kNN: a
+      // node's same-shard near neighbors are (with high probability)
+      // within two hops of it in the global proximity graph, so the
+      // same-shard subset of the 1-hop ∪ 2-hop neighborhood re-scored
+      // with the true metric recovers a per-shard kNN graph for ~deg²
+      // id-pair candidates per node instead of n/shards distance evals.
+      // All in global-id space; mapped to (shard, local) at the end.
+      val e1 = index.adjacency
+        .select(col("id").as("u"), explode(col("nbrs")).as("v"))
+      val e2 = e1.join(e1.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+        .select(col("u"), col("w").as("v"))
+      val cand = e1.unionByName(e2)
+        .filter(col("u") =!= col("v") &&
+          pmod(col("u"), lit(numShards)) === pmod(col("v"), lit(numShards)))
+        .distinct()
+      val gv = base.select((col("id") * numShards + col("shard")).as("u"), col("vec"))
+      val edges = cand
+        .join(gv.select(col("u"), col("vec").as("a_vec")), Seq("u"))
+        .join(gv.select(col("u").as("v"), col("vec").as("b_vec")), Seq("v"))
+        .select(pmod(col("u"), lit(numShards)).cast("int").as("shard"),
+          (col("u") / numShards).cast("long").as("src"),
+          (col("v") / numShards).cast("long").as("dst"),
+          dcol.as("dist"))
       val knn = edges
         .groupBy(col("shard"), col("src"))
         .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
