@@ -124,15 +124,40 @@ object Bench {
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
       (load, qpsLoops(q => router.search(q, topk = 10), queries))
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // Two output lines. The driver keeps only the LAST ~2000 chars of
+    // stdout and json-parses what it finds there, so the final line must
+    // be (a) prefix-free (build.sbt sets run/outputStrategy) and
+    // (b) short enough to survive the tail cut with the trailing sbt
+    // "[success]" line — hence 2-decimal rounding and the basename sf.
+    // Full-precision numbers go on the preceding "detail:" line, which
+    // is deliberately NOT bare JSON so a tail-truncated copy of it can
+    // never be mistaken for the summary.
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println("detail: " +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       buildsJson +
       s""""repeats":$repeat,""" +
       s""""ann_serving_qps_10k_100d":$annQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
+    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val buildsShort = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString(",")
+    val buildsShortJson = if (buildsShort.isEmpty) "" else buildsShort + ","
+    val sfShort = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +
+      buildsShortJson +
+      s""""repeats":$repeat,""" +
+      s""""ann_serving_qps_10k_100d":${r1(annQps)},""" +
+      s""""ann_sharded_qps_10k_100d_4shards":${r1(shardedQps)},""" +
+      s""""ann_fromindex_load_sec_10k_100d_4shards":${r2(fromIndexLoadSec)},""" +
+      s""""ann_fromindex_qps_10k_100d_4shards":${r1(fromIndexQps)},"sf":"$sfShort"}"""
+    println(line)
     spark.stop()
   }
 }
