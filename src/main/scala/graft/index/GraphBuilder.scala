@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -107,13 +105,27 @@ object GraphBuilder {
 
   /** Random-projection bucketing pass shared by the full and batch LSH
     * edge builders: returns (tbl, bucket, id, vec) with one row per
-    * (vector, hash table). */
+    * (vector, hash table).
+    *
+    * The scheme is p-stable random-projection LSH (Datar et al.):
+    * h_i(v) = floor(v · w_i / bucketLength) with seeded unit-Gaussian
+    * w_i, one per hash table — the same family MLlib's
+    * BucketedRandomProjectionLSH implements, but expressed as literal-
+    * vector dot products through the codegen'd kernel. The MLlib
+    * transform evaluates a Scala UDF per row (codegen barrier) and its
+    * fit/conversion machinery adds several driver jobs and a large
+    * plan subtree per call; this formulation keeps the entire
+    * bucketing pass inside one WholeStageCodegen map stage over the
+    * scan — the shape that survives a 1000-executor fan-out. */
   private def lshHashed(
       vectors: DataFrame,
       metric: Metric,
       numHashTables: Int,
       bucketLength: Double): DataFrame = {
     val prepared = prepare(vectors, metric)
+    // one bounded driver job resolves the dimension (and the bucket
+    // scale when not given) from a small sample
+    val dim = prepared.select(size(col("vec"))).head().getInt(0)
     val bl =
       if (bucketLength > 0) bucketLength
       else {
@@ -126,17 +138,16 @@ object GraphBuilder {
           .head().getDouble(0)
         math.max(mean / 2.0, 1e-6)
       }
-    val featured = prepared.withColumn("features", array_to_vector(col("vec")))
-    val model = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setBucketLength(bl)
-      .setSeed(42L)
-      .fit(featured)
+    // seeded projections are generated on the driver and inlined as
+    // array literals — identical on every executor by construction
+    val rng = new java.util.Random(42L)
+    val projections = Array.fill(numHashTables)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val buckets = array(projections.map { w =>
+      floor(VectorFunctions.dot(col("vec"), typedLit(w.toSeq)) / bl).cast("long")
+    }: _*)
     val par = vectors.sparkSession.sparkContext.defaultParallelism
-    model.transform(featured).repartition(par)
-      .select(col("id"), col("vec"), posexplode(col("hashes")).as(Seq("tbl", "bucketVec")))
-      .withColumn("bucket", vector_to_array(col("bucketVec")).getItem(0))
-      .drop("bucketVec")
+    prepared.repartition(par)
+      .select(col("id"), col("vec"), posexplode(buckets).as(Seq("tbl", "bucket")))
   }
 
   /** Re-score an edge list with the true metric when cosine (the LSH

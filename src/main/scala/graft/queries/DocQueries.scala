@@ -116,8 +116,11 @@ object DocQueries {
     val tCorpus = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime(); documentShingles(spark, dir)
     val tDocs = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime(); exactNearDupPairs(spark, dir, 20)
+    val tTruth = (System.nanoTime() - t2) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
-      "shingle_documents_build_sec" -> tDocs)
+      "shingle_documents_build_sec" -> tDocs,
+      "neardup_truth_build_sec" -> tTruth)
   }
 
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
@@ -167,6 +170,21 @@ object DocQueries {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = 20)
 
+  /** Exact near-dup top-20 pair set per sf-dir — the ground truth the
+    * LSH tier (q56) scores against. Cached like the shingle sets /
+    * graph index: truth is a one-time evaluation artifact, so bench
+    * repeats of q56 measure the bucketed path, not a re-derivation of
+    * the exact O(n²) tier (which q45 itself measures, oracled). The
+    * value is a collected 20-pair set, valid across sessions. */
+  private val exactNearDupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[(Long, Long)]]()
+
+  private def exactNearDupPairs(spark: SparkSession, dir: String, topN: Int): Set[(Long, Long)] =
+    exactNearDupCache.computeIfAbsent(s"$dir#$topN", _ =>
+      Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
   /** The SCALE tier of q45: LSH-bucketed near-dup candidates
     * (GraphBuilder.lshKnnEdges — bucketed equi-join, never all-pairs)
     * self-scored against the exact tier's top-20. Reports pair recall
@@ -178,9 +196,7 @@ object DocQueries {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val topN = 20
-    val exact = Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN)
-      .select(col("id_a"), col("id_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactNearDupPairs(spark, dir, topN)
     val lshPairs = GraphBuilder.lshKnnEdges(emb, k = 10, metric = Metric.Cosine)
       .select(least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"),
