@@ -56,6 +56,29 @@ def main(sf_dir, out_dir):
             print("  spark:", spark_df[bad].head(3).to_dict("records"))
             print("  oracle:", ora_df[bad].head(3).to_dict("records"))
             n_fail += 1
+    # Rows-only queries (no oracle SQL): sane output + recall gates.
+    # Any column named like a recall self-report must clear the
+    # reference's 0.70 threshold — this is what catches a broken
+    # truth/scoring path that row counts alone would hide.
+    all_dirs = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(f"{out_dir}/{d}") and d not in oracles)
+    for name in all_dirs:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if len(df) == 0:
+            print(f"FAIL {name}: empty result"); n_fail += 1; continue
+        recall_cols = [c for c in df.columns if "recall" in c.lower()]
+        # avg/pair recall: the reference's 0.70 gate; min over queries:
+        # looser (a single hard query may dip without the path being broken)
+        bad = [(c, float(df[c].min())) for c in recall_cols
+               if float(df[c].min()) < (0.30 if c.lower().startswith("min_") else 0.70)]
+        if bad:
+            print(f"FAIL {name}: recall below 0.70 gate: {bad}"); n_fail += 1
+        else:
+            extra = f", recall {[f'{c}={float(df[c].min()):.2f}' for c in recall_cols]}" if recall_cols else ""
+            print(f"PASS {name} ({len(df)} rows, rows-only{extra})"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

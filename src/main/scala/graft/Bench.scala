@@ -132,8 +132,17 @@ object Bench {
     // Full-precision numbers go on the preceding "detail:" line, which
     // is deliberately NOT bare JSON so a tail-truncated copy of it can
     // never be mistaken for the summary.
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    // JSON-valid minimal formatting: trailing zeros trimmed ("0.50" ->
+    // "0.5", "1.00" -> "1"), one decimal above 10 — every byte counts
+    // against the tail window as the query set grows
+    def trim(s: String): String =
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    def r2(v: Double): String = trim(BigDecimal(v)
+      .setScale(if (math.abs(v) >= 10) 1 else 2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.toPlainString)
+    def r1(v: Double): String = trim(BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString)
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
     println("detail: " +
@@ -146,8 +155,12 @@ object Bench {
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
     val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val buildsShort = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString(",")
-    val buildsShortJson = if (buildsShort.isEmpty) "" else buildsShort + ","
+    // the summary line carries ONE aggregate build cost; the per-build
+    // breakdown lives on the full-precision detail line (the summary
+    // must survive the ~2000-char tail window next to ~55 query keys)
+    val buildsShortJson =
+      if (buildMetrics.isEmpty) ""
+      else s""""builds_sec":${r2(buildMetrics.values.sum)},"""
     val sfShort = new java.io.File(sfDir).getName
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +

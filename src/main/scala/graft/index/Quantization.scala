@@ -1,0 +1,224 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.functions.VectorFunctions
+import graft.functions.expressions.{PQAdc, PQEncode}
+
+/** Product quantization — the Spark-native realization of
+  * LM-DiskANN's low-memory principle (reference
+  * `/root/reference/paper/paper.md:23,27`: keep the RAM/IO-hot side of
+  * search small; the Julia package does it with mmap'd adjacency, a
+  * single-node mechanism — at cluster scale the equivalent is making
+  * the SCANNED bytes small, which PQ does by replacing the d*4-byte
+  * vector column with an m-byte code column, 32x smaller at d=64/m=8).
+  *
+  * Shapes, and why they scale:
+  *  - FIT is sample-bounded on the driver (same pattern as
+  *    `Similarity.ivfFit`): per-subspace Lloyd k-means over <= sampleN
+  *    rows. The model is m*k*subDim floats (~0.5 MB at d=64, k=256) —
+  *    broadcast-trivial.
+  *  - ENCODE is one map-only pass (`PQEncode`, codegen'd, codebook as
+  *    a reference object). No shuffle; pipelines into the scan.
+  *  - SEARCH (ADC) broadcasts per-query lookup tables (built on the
+  *    driver, m*k*subDim work per query) against the CODE column only:
+  *    the per-row cost is m byte-indexed lookups, and the scan reads
+  *    the 32x-smaller codes. Candidates then optionally REFINE with
+  *    exact distances over the top refineFactor*k ids — a semi-join
+  *    against the full vectors by id, which at 100 TB is a broadcast
+  *    of a few thousand candidate ids, never a second full scan
+  *    without pushdown.
+  */
+object Quantization {
+
+  /** Trained PQ model. `codebook` is flat row-major:
+    * centroid (subspace j, code c) at `(j*k + c) * subDim`. */
+  case class PQModel(m: Int, k: Int, subDim: Int, codebook: Array[Float]) {
+    def dim: Int = m * subDim
+    def compressionRatio: Double = (dim * 4.0) / m
+
+    /** Codegen'd encode column: ARRAY<FLOAT> vec -> ARRAY<TINYINT>. */
+    def encode(vec: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        PQEncode(org.apache.spark.sql.graft.ColumnBridge.expression(vec), codebook, m, k))
+
+    /** Squared-L2 lookup table for one query, flat float[m*k]. */
+    def lutFor(q: Array[Float]): Array[Float] = {
+      require(q.length == dim, s"query dim ${q.length} != model dim $dim")
+      val lut = new Array[Float](m * k)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          val base = (j * k + c) * subDim
+          var d = 0.0; var s = 0
+          while (s < subDim) {
+            val diff = q(j * subDim + s).toDouble - codebook(base + s).toDouble
+            d += diff * diff
+            s += 1
+          }
+          lut(j * k + c) = d.toFloat
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+
+    /** Decode codes back to the centroid concatenation (test/debug). */
+    def reconstruct(codes: Array[Byte]): Array[Float] = {
+      require(codes.length == m, s"code length ${codes.length} != m $m")
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < m) {
+        val base = ((j * k) + (codes(j) & 0xFF)) * subDim
+        System.arraycopy(codebook, base, out, j * subDim, subDim)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Fit per-subspace codebooks with Lloyd k-means over a bounded
+    * driver-side sample. Deterministic: seeded init from evenly spaced
+    * sample rows, fixed iteration count, empty clusters keep their old
+    * centroid. kEff = min(k, sample size) guards tiny inputs. */
+  def pqFit(
+      vectors: DataFrame,
+      m: Int,
+      k: Int = 256,
+      sampleN: Int = 4096,
+      iters: Int = 12,
+      vecCol: String = "vec"): PQModel = {
+    val sample = vectors.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqFit: empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val n = sample.length
+    val kEff = math.min(k, n)
+    val codebook = new Array[Float](m * kEff * subDim)
+    var j = 0
+    while (j < m) {
+      // subspace views
+      val sub = Array.tabulate(n) { i =>
+        val v = new Array[Double](subDim)
+        var s = 0
+        while (s < subDim) { v(s) = sample(i)(j * subDim + s).toDouble; s += 1 }
+        v
+      }
+      // evenly spaced init — deterministic, spread across the sample
+      val cent = Array.tabulate(kEff)(c => sub((c.toLong * n / kEff).toInt).clone())
+      val assign = new Array[Int](n)
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var d = 0.0; var s = 0
+            while (s < subDim) { val diff = sub(i)(s) - cent(c)(s); d += diff * diff; s += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.fill(kEff)(new Array[Double](subDim))
+        val counts = new Array[Int](kEff)
+        i = 0
+        while (i < n) {
+          val c = assign(i); counts(c) += 1
+          var s = 0
+          while (s < subDim) { sums(c)(s) += sub(i)(s); s += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0) {
+            var s = 0
+            while (s < subDim) { cent(c)(s) = sums(c)(s) / counts(c); s += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      var c = 0
+      while (c < kEff) {
+        var s = 0
+        while (s < subDim) {
+          codebook((j * kEff + c) * subDim + s) = cent(c)(s).toFloat
+          s += 1
+        }
+        c += 1
+      }
+      j += 1
+    }
+    PQModel(m, kEff, subDim, codebook)
+  }
+
+  /** Map-only encode pass: (id, vec) -> (id, codes). */
+  def pqEncode(vectors: DataFrame, model: PQModel,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    vectors.select(col(idCol).as("id"), model.encode(col(vecCol)).as("codes"))
+
+  /** ADC top-k over the code column for a small collected query set,
+    * with optional exact re-rank. Returns
+    * (query_id, neighbor_id, dist, rnk); `dist` is the ADC
+    * approximation, or the exact distance when `refine` is given. */
+  def pqTopK(
+      codes: DataFrame,
+      model: PQModel,
+      queries: Array[(Long, Array[Float])],
+      topk: Int,
+      refine: Option[DataFrame] = None,
+      refineFactor: Int = 4): DataFrame = {
+    val spark = codes.sparkSession
+    val lutSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("lut", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val luts = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, qv) =>
+        Row(qid, model.lutFor(qv).toSeq)
+      }: _*),
+      lutSchema)
+    val fetchK = if (refine.isDefined) topk * refineFactor else topk
+    val adc = codes.crossJoin(broadcast(luts))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          PQAdc(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
+            model.k)).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), fetchK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    refine match {
+      case None => adc
+      case Some(vectors) =>
+        // exact re-rank: candidates only — a join by id against the
+        // full-precision vectors, then true distance + final top-k
+        val qvecs = spark.createDataFrame(
+          java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+        adc.select(col("query_id"), col("neighbor_id"))
+          .join(vectors.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+          .join(broadcast(qvecs), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+          .groupBy(col("query_id"))
+          .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    }
+  }
+}

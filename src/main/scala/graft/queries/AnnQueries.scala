@@ -91,6 +91,28 @@ object AnnQueries {
     }
   }
 
+  /** One PQ (model, codes) pair per sf-dir, like the IVF fit: the
+    * codebooks and the encoded column are create-once artifacts; q38
+    * and q39 measure the ADC search path over them. The code column is
+    * 32x smaller than the vector column (d=64 floats -> m=8 bytes) —
+    * the scan-side win PQ exists for. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Quantization.PQModel, DataFrame)]()
+
+  private def pqFitted(spark: SparkSession, dir: String): (graft.index.Quantization.PQModel, DataFrame) = {
+    val cached = pqCache.get(dir)
+    if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
+    else {
+      val src = source(spark, dir)
+      val model = graft.index.Quantization.pqFit(src, m = 8)
+      val codes = graft.index.Quantization.pqEncode(src, model).cache()
+      codes.count() // materialize the one cached copy up front
+      val pair = (model, codes)
+      pqCache.put(dir, pair)
+      pair
+    }
+  }
+
   /** Exact top-10 ground truth per (dir, metric, query-sample) —
     * the EVALUATION oracle the recall queries (q31/q33/q35/q37) score
     * against. Computed distributed (crossJoin against the broadcast
@@ -182,11 +204,14 @@ object AnnQueries {
     exactTruth(spark, dir, Metric.Euclidean, "head")
     exactTruth(spark, dir, Metric.Cosine, "head")
     val tTruth = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime(); pqFitted(spark, dir)
+    val tPq = (System.nanoTime() - t5) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
       "ivf_fit_sec" -> tFit,
       "ivf_cosine_fit_sec" -> tFitCos,
-      "exact_truth_build_sec" -> tTruth)
+      "truth_build_sec" -> tTruth,
+      "pq_fit_sec" -> tPq)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
@@ -250,7 +275,7 @@ object AnnQueries {
       .select(col("query_id"), col("neighbor_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    val matched = truth.keys.map(q =>
+    val matched = truth.keysIterator.map(q =>
       truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
     val nq = truth.size.toLong
     Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
@@ -307,7 +332,7 @@ object AnnQueries {
       .select(col("query_id"), col("neighbor_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    val matched = truth.keys.map(q =>
+    val matched = truth.keysIterator.map(q =>
       truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
     val nq = truth.size.toLong
     Seq((nq, matched.toDouble / (nq * 10.0))).toDF("n_queries", "avg_recall_at_10")
@@ -323,6 +348,43 @@ object AnnQueries {
       shared = Some(beamShared(spark, dir)))
   }
 
+  /** PQ-compressed ADC top-10 with exact re-rank for the first 10
+    * vectors — the low-memory search tier (rows-only; approximate). */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (model, codes) = pqFitted(spark, dir)
+    val src = source(spark, dir)
+    val queries = src.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.index.Quantization.pqTopK(codes, model, queries, topk = 10,
+        refine = Some(src))
+      .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
+        col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the PQ+refine path vs the cached exact
+    * oracle over 30 head queries, plus the storage compression the
+    * code column achieves (the LM-DiskANN low-memory axis, made
+    * visible in the round artifacts). */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (model, codes) = pqFitted(spark, dir)
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = graft.index.Quantization.pqTopK(codes, model, queries, topk = 10,
+        refine = Some(src))
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val matched = truth.keysIterator.map(q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+    val nq = truth.size.toLong
+    Seq((nq, matched.toDouble / (nq * 10.0), model.compressionRatio))
+      .toDF("n_queries", "avg_recall_at_10", "compression_ratio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
@@ -331,7 +393,9 @@ object AnnQueries {
     "q34_beam_search" -> (beamSearch _),
     "q35_beam_recall" -> (beamRecall _),
     "q36_ivf_cosine" -> (ivfCosineSearch _),
-    "q37_ivf_cosine_recall" -> (ivfCosineRecall _)
+    "q37_ivf_cosine_recall" -> (ivfCosineRecall _),
+    "q38_pq_search" -> (pqSearch _),
+    "q39_pq_recall" -> (pqRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

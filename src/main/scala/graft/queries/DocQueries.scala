@@ -120,7 +120,7 @@ object DocQueries {
     val tTruth = (System.nanoTime() - t2) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
       "shingle_documents_build_sec" -> tDocs,
-      "neardup_truth_build_sec" -> tTruth)
+      "neardup_truth_sec" -> tTruth)
   }
 
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */

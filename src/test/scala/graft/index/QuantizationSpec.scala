@@ -1,0 +1,133 @@
+package graft.index
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+/** Product-quantization kernels + search path: encode determinism,
+  * ADC-vs-driver agreement, reconstruction quality, and the recall
+  * gate at the reference's 2000x(dim) scale point (threshold 0.70,
+  * reference test/runtests.jl recall style). */
+class QuantizationSpec extends SparkSpec {
+
+  private val dim = 64
+  private val n = 2000
+
+  private lazy val data: Array[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(7)
+    Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rng.nextFloat())))
+  }
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(data.map { case (i, v) => Row(i, v.toSeq) }: _*), schema)
+  }
+
+  private lazy val model = Quantization.pqFit(df, m = 8)
+  private lazy val codes = Quantization.pqEncode(df, model).cache()
+
+  test("fit shapes: m*k*subDim codebook, 32x compression at d=64/m=8") {
+    assert(model.m == 8 && model.subDim == 8 && model.k == 256)
+    assert(model.codebook.length == model.m * model.k * model.subDim)
+    assert(model.compressionRatio == 32.0)
+  }
+
+  test("encode is deterministic and emits m bytes per row") {
+    val a = codes.orderBy("id").collect().map(r => r.getSeq[Byte](1).toArray)
+    val b = Quantization.pqEncode(df, model).orderBy("id").collect()
+      .map(r => r.getSeq[Byte](1).toArray)
+    assert(a.length == n)
+    assert(a.forall(_.length == model.m))
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+  }
+
+  test("ADC distance equals the driver-side LUT sum and approximates true distance") {
+    val q = data(3)._2
+    val lut = model.lutFor(q)
+    // driver-side expectation for row 17
+    val c17 = codes.filter(col("id") === 17L).head().getSeq[Byte](1).toArray
+    val expected = c17.indices.map(j => lut(j * model.k + (c17(j) & 0xFF)).toDouble).sum
+    val lutDf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, lut.toSeq)),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("lut", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val adc = codes.filter(col("id") === 17L).crossJoin(lutDf)
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.PQAdc(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
+          model.k)).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(adc - expected) < 1e-4)
+    // the ADC value is the distance to the RECONSTRUCTION — close to the
+    // true squared distance relative to its own magnitude at this dim
+    val trueSq = data(17)._2.zip(q).map { case (x, y) =>
+      val d = x.toDouble - y.toDouble; d * d
+    }.sum
+    assert(math.abs(adc - trueSq) / trueSq < 0.5)
+  }
+
+  test("reconstruction error is far below data variance") {
+    val sample = data.take(200)
+    val codeById = codes.filter(col("id") < 200).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val mse = sample.map { case (id, v) =>
+      val rec = model.reconstruct(codeById(id))
+      v.zip(rec).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum / dim
+    }.sum / sample.length
+    // uniform [0,1) per-dim variance is 1/12 ~ 0.083; 256-centroid PQ on
+    // 8-dim subspaces must do materially better than no quantization info
+    assert(mse < 0.05, s"per-dim reconstruction MSE $mse too high")
+  }
+
+  test("PQ+refine recall@10 >= 0.70 on 2000 vectors (reference gate)") {
+    val queries = data.take(30).map { case (i, v) => (i, v) }
+    val got = Quantization.pqTopK(codes, model, queries, topk = 10, refine = Some(df))
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    // exact truth, distributed
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (i, v) => Row(i, v.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val truth = df.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.map { case (qid, _) =>
+      truth(qid).intersect(got.getOrElse(qid, Set.empty)).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"PQ+refine avg recall $avg below the 0.70 gate")
+  }
+
+  test("pqFit rejects a dimension not divisible by m") {
+    val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Quantization.pqFit(bad, m = 8)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("encode errors on dimension mismatch instead of truncating") {
+    val bad = df.select(col("id"), slice(col("vec"), 1, 32).as("vec"))
+    val e = intercept[Exception] {
+      Quantization.pqEncode(bad, model).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
