@@ -124,6 +124,57 @@ final class ServingIndex(
       .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
   }
 
+  /** Filtered top-k: like [[searchWithDistances]] but only hits whose
+    * 1-based public id satisfies `allow` are returned. The graph is
+    * traversed UNFILTERED (navigation must route through disallowed
+    * nodes or a selective predicate strands the search), then the
+    * candidate pool is post-filtered; if fewer than topk allowed
+    * candidates survive, the expansion bound doubles and the search
+    * retries until the pool is exhausted — the standard filtered-ANN
+    * compromise between recall and traversal cost. */
+  def searchFiltered(
+      q: Array[Float],
+      topk: Int,
+      allow: Long => Boolean,
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
+    if (isEmpty) return IndexedSeq.empty
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    var effEf = math.max(topk * 4, if (ef <= 0) defaultEf else ef)
+    var filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
+    while (filtered.size < topk && effEf < numPoints) {
+      effEf = math.min(effEf * 2, math.max(numPoints, 1))
+      filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
+    }
+    filtered.map(id => (d(q, id), id))
+      .sortBy { case (dist, id) => (dist, id) }
+      .take(topk)
+      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
+  }
+
+  /** Range search: every hit within `radius` of the query, nearest
+    * first. The expansion bound grows until the pool's WORST kept
+    * candidate is outside the radius (then the frontier provably moved
+    * past the ball for this traversal) or the pool covers the index —
+    * the graph generalization of top-k to radius queries. */
+  def rangeSearch(
+      q: Array[Float],
+      radius: Double,
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
+    if (isEmpty) return IndexedSeq.empty
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    var effEf = math.max(16, if (ef <= 0) defaultEf else ef)
+    var cand = searchGraph(q, effEf)
+    var scored = cand.map(id => (d(q, id), id))
+    while (cand.size >= effEf && scored.map(_._1).max <= radius && effEf < numPoints) {
+      effEf = math.min(effEf * 2, math.max(numPoints, 1))
+      cand = searchGraph(q, effEf)
+      scored = cand.map(id => (d(q, id), id))
+    }
+    scored.filter(_._1 <= radius)
+      .sortBy { case (dist, id) => (dist, id) }
+      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
+  }
+
   /** Degree-bound prune. Default (alpha <= 1): plain truncation to the
     * maxDegree closest — reference-faithful (`_prune_neighbors`,
     * src/LMDiskANN.jl:491-505). With alpha > 1: the Vamana α-RNG

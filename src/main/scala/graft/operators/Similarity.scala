@@ -128,13 +128,19 @@ object Similarity {
     * (query_id, qvec). Pass the SAME metric the fit used: cosine
     * probes on the normalized query (the centroids live on the unit
     * sphere) and re-scores hits with true cosine distance. */
+  /** Optional `filter` restricts the candidate set (filtered ANN): the
+    * predicate is applied to `assigned` BEFORE the probe join, so it
+    * prunes the scan (and, phrased on a partition/storage column,
+    * pushes down to the source) instead of discarding scored rows.
+    * `assigned` may carry extra metadata columns for it to reference. */
   def ivfTopK(
       assigned: DataFrame,
       centroids: DataFrame,
       queries: DataFrame,
       topk: Int,
       nprobe: Int,
-      metric: Metric = Metric.Euclidean): DataFrame = {
+      metric: Metric = Metric.Euclidean,
+      filter: Column = lit(true)): DataFrame = {
     val q = metric match {
       case Metric.Euclidean => queries.select(col("query_id"), col("qvec"), col("qvec").as("__qprobe"))
       case Metric.Cosine => queries
@@ -157,7 +163,7 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("p.id").cast("int").as("cluster"))
     // step 2: equi-join on cluster (partition-pruned at scale), exact
     // distance within probed clusters, global top-k per query
-    probe.join(assigned, Seq("cluster"))
+    probe.join(assigned.filter(filter), Seq("cluster"))
       .select(col("query_id"), col("id").as("neighbor_id"), dcol.as("dist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))

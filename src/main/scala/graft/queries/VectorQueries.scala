@@ -187,6 +187,45 @@ object VectorQueries {
         |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Filtered kNN (exact tier): top-5 neighbors restricted to the
+    * query's OWN label — the metadata-predicate search a training-data
+    * pipeline runs constantly ("nearest within my class/shard/
+    * language"). The predicate is an equi-condition on the join, so at
+    * scale it prunes candidate pairs before distance evaluation; with
+    * the table partitioned by label it becomes partition pruning. The
+    * approximate twins are ServingIndex.searchFiltered (graph) and
+    * Similarity.ivfTopK(filter=...) (IVF), both spec-gated. */
+  def filteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(t(spark, dir, "embeddings"))
+    val q = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    knnTopK(e.join(broadcast(q), col("label") === col("qlabel"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), 5)
+  }
+
+  /** Range search (exact tier): every neighbor within radius 1.25 of
+    * the first 5 vectors — the reference's search surface generalized
+    * from top-k to radius (DiskANN-family range query). One scan +
+    * broadcast of the query set; the radius predicate keeps the
+    * shuffle O(hits), and hits are bounded by the radius, not the
+    * corpus. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(t(spark, dir, "embeddings"))
+    val q = querySet(spark, dir).filter(col("query_id") < 5)
+    e.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
+      .filter(col("dist") <= 1.25)
+      .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
+  }
+
   /** Mapping after deletes (ops #21/#22 delete_by_key / delete_by_id):
     * keys "3","7" removed by key, ids 10,20 removed by id; both
     * directions resolve through the one surviving table. */
@@ -273,6 +312,19 @@ object VectorQueries {
         |  AND vec_id + 1 <= 30 ORDER BY id""".stripMargin,
     "q15_mapping_clear_count" ->
       "SELECT COUNT(*) AS n_entries_after_clear FROM embeddings WHERE 1 = 0",
+    "q22_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM embeddings e JOIN q ON e.label = q.qlabel),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q23_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT query_id, neighbor_id, dist FROM d WHERE dist <= 1.25
+         |ORDER BY query_id, dist, neighbor_id""".stripMargin,
     "q10_insert_then_search" ->
       s"""WITH ins AS (SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3),
          |all_v AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM ins),
@@ -295,6 +347,8 @@ object VectorQueries {
     "q10_insert_then_search" -> (insertThenSearch _),
     "q14_mapping_after_delete" -> (mappingAfterDelete _),
     "q15_mapping_clear_count" -> (mappingClearCount _),
-    "q21_sql_surface_knn" -> (sqlSurfaceKnn _)
+    "q21_sql_surface_knn" -> (sqlSurfaceKnn _),
+    "q22_filtered_knn" -> (filteredKnn _),
+    "q23_range_search" -> (rangeSearch _)
   )
 }
