@@ -85,6 +85,20 @@ object Bench {
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
       qpsLoops(q => serving.search(q, topk = 10), queries)
     } catch { case _: Throwable => -1.0 }
+    // LM-DiskANN low-memory mode: same workload, traversal scored by
+    // ADC over m=10-byte PQ codes (40x less hot data than d=100 floats),
+    // exact re-rank on the ef pool — the compute/memory tradeoff made
+    // visible next to the full-precision number
+    val pqQps = try {
+      val rng = new scala.util.Random(1)
+      val serving = new graft.index.ServingIndex(dim = 100, maxDegree = 64)
+      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
+      vecs.foreach(v => serving.insert(v))
+      serving.enableLowMemoryTraversal(
+        graft.index.Quantization.pqFitLocal(vecs.take(4096), m = 10))
+      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
+      qpsLoops(q => serving.search(q, topk = 10), queries)
+    } catch { case _: Throwable => -1.0 }
     // same workload through the scatter-gather router (4 shards): the
     // serving-side scale path must not cost throughput vs one big graph
     val shardedQps = try {
@@ -150,6 +164,7 @@ object Bench {
       buildsJson +
       s""""repeats":$repeat,""" +
       s""""ann_serving_qps_10k_100d":$annQps,""" +
+      s""""ann_pq_serving_qps_10k_100d":$pqQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
@@ -167,6 +182,7 @@ object Bench {
       buildsShortJson +
       s""""repeats":$repeat,""" +
       s""""ann_serving_qps_10k_100d":${r1(annQps)},""" +
+      s""""ann_pq_serving_qps_10k_100d":${r1(pqQps)},""" +
       s""""ann_sharded_qps_10k_100d_4shards":${r1(shardedQps)},""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":${r2(fromIndexLoadSec)},""" +
       s""""ann_fromindex_qps_10k_100d_4shards":${r1(fromIndexQps)},"sf":"$sfShort"}"""

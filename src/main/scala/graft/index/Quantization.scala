@@ -67,6 +67,32 @@ object Quantization {
       lut
     }
 
+    /** Driver-side encode of one vector (the serving engine's
+      * per-insert path; the distributed path is [[encode]]). */
+    def encodeOne(v: Array[Float]): Array[Byte] = {
+      require(v.length == dim, s"vector dim ${v.length} != model dim $dim")
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val base = (j * k + c) * subDim
+          var d = 0.0; var s = 0
+          while (s < subDim) {
+            val diff = v(j * subDim + s).toDouble - codebook(base + s).toDouble
+            d += diff * diff
+            s += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      out
+    }
+
     /** Decode codes back to the centroid concatenation (test/debug). */
     def reconstruct(codes: Array[Byte]): Array[Float] = {
       require(codes.length == m, s"code length ${codes.length} != m $m")
@@ -91,9 +117,18 @@ object Quantization {
       k: Int = 256,
       sampleN: Int = 4096,
       iters: Int = 12,
-      vecCol: String = "vec"): PQModel = {
-    val sample = vectors.select(col(vecCol)).limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray)
+      vecCol: String = "vec"): PQModel =
+    pqFitLocal(
+      vectors.select(col(vecCol)).limit(sampleN).collect().map(_.getSeq[Float](0).toArray),
+      m, k, iters)
+
+  /** Driver-side fit over an in-memory sample (the serving engine's
+    * path; [[pqFit]] delegates here after bounding the sample). */
+  def pqFitLocal(
+      sample: Array[Array[Float]],
+      m: Int,
+      k: Int = 256,
+      iters: Int = 12): PQModel = {
     require(sample.nonEmpty, "pqFit: empty input")
     val dim = sample.head.length
     require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
@@ -159,6 +194,18 @@ object Quantization {
       j += 1
     }
     PQModel(m, kEff, subDim, codebook)
+  }
+
+  /** Driver-side ADC: sum of LUT entries selected by the codes —
+    * the scoring loop [[graft.functions.expressions.PQAdc]] runs
+    * distributed, exposed here for the serving engine's traversal. */
+  def adc(codes: Array[Byte], lut: Array[Float], k: Int): Double = {
+    var sum = 0.0; var j = 0
+    while (j < codes.length) {
+      sum += lut(j * k + (codes(j) & 0xFF)).toDouble
+      j += 1
+    }
+    sum
   }
 
   /** Map-only encode pass: (id, vec) -> (id, codes). */

@@ -48,6 +48,12 @@ final class ServingIndex(
   private var entryPoint: Int = -1
   private val keyToId = mutable.HashMap.empty[String, Int]
   private val idToKey = mutable.HashMap.empty[Int, String]
+  // Low-memory traversal (LM-DiskANN's node layout, paper.md:23): when
+  // enabled, greedy traversal scores candidates by ADC over m-byte PQ
+  // codes — the RAM-hot structure is codes + adjacency; full vectors
+  // are touched only by the final exact re-rank (the "disk" tier).
+  private var pq: Quantization.PQModel = null
+  private val pqCodes = mutable.ArrayBuffer.empty[Array[Byte]]
 
   def numPoints: Int = vecs.length - freelist.length
 
@@ -63,15 +69,53 @@ final class ServingIndex(
 
   private def d(q: Array[Float], id: Int): Double = metric.dist(q, vecs(id))
 
+  /** Switch greedy traversal to PQ-compressed scoring (LM-DiskANN's
+    * low-memory mode): every existing vector is encoded to m bytes;
+    * inserts encode incrementally. Traversal then reads codes only
+    * (32x less hot data at d=64/m=8) and the exact re-rank restores
+    * precision over the ef-bounded candidate pool. Euclidean only:
+    * ADC approximates squared L2, which is ranking-compatible with
+    * the traversal's needs; cosine callers pre-normalize. */
+  def enableLowMemoryTraversal(model: Quantization.PQModel): Unit = {
+    require(metric == Metric.Euclidean,
+      "PQ traversal supports the Euclidean metric (normalize for cosine)")
+    require(model.dim == dim, s"model dim ${model.dim} != index dim $dim")
+    pq = model
+    pqCodes.clear()
+    var i = 0
+    while (i < vecs.length) {
+      pqCodes += (if (vecs(i) != null) model.encodeOne(vecs(i)) else null)
+      i += 1
+    }
+  }
+
+  /** The code slot for a live id, encoding lazily if the code column
+    * lags the vector column (a slot reused after enable). */
+  private def codeFor(id: Int): Array[Byte] = {
+    while (pqCodes.length <= id) pqCodes += null
+    var c = pqCodes(id)
+    if (c == null) { c = pq.encodeOne(vecs(id)); pqCodes(id) = c }
+    c
+  }
+
   /** Greedy best-first expansion bounded by ef (reference `_search_graph`,
-    * src/LMDiskANN.jl:383-431). Returns internal IDs sorted by distance. */
+    * src/LMDiskANN.jl:383-431). Returns internal IDs sorted by distance.
+    * With PQ enabled, candidate scoring is ADC over the code column —
+    * every distance in one traversal comes from the same (squared,
+    * approximate) domain, so the heap ordering stays consistent. */
   private def searchGraph(q: Array[Float], ef: Int): IndexedSeq[Int] = {
     if (entryPoint < 0 || !isLive(entryPoint)) return IndexedSeq.empty
+    val dist: Int => Double =
+      if (pq == null) id => d(q, id)
+      else {
+        val lut = pq.lutFor(q)
+        id => Quantization.adc(codeFor(id), lut, pq.k)
+      }
     // min-heap of candidates to expand; max-heap of kept results
     val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
     val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
     val visited = mutable.HashSet.empty[Int]
-    val d0 = d(q, entryPoint)
+    val d0 = dist(entryPoint)
     candidates.enqueue((d0, entryPoint))
     results.enqueue((d0, entryPoint))
     visited += entryPoint
@@ -88,7 +132,7 @@ final class ServingIndex(
           val nb = nbrs(i)
           if (!visited.contains(nb) && isLive(nb)) {
             visited += nb
-            val nd = d(q, nb)
+            val nd = dist(nb)
             if (results.size < ef || nd < results.head._1) {
               candidates.enqueue((nd, nb))
               results.enqueue((nd, nb))
@@ -202,6 +246,10 @@ final class ServingIndex(
       if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet -= r; r }
       else { vecs += null; adj += mutable.ArrayBuffer.empty[Int]; vecs.length - 1 }
     vecs(id) = v.clone()
+    if (pq != null) {
+      while (pqCodes.length < vecs.length) pqCodes += null
+      pqCodes(id) = pq.encodeOne(vecs(id))
+    }
     val publicId = (id + 1).toLong
     val k = key.getOrElse(publicId.toString)
     if (entryPoint < 0 || numPoints == 1) {
@@ -242,6 +290,7 @@ final class ServingIndex(
     freelist += id
     freeSet += id
     vecs(id) = null
+    if (pq != null && id < pqCodes.length) pqCodes(id) = null
     if (entryPoint == id) {
       // first-live-ascending re-election (Q4)
       entryPoint = (0 until vecs.length).find(isLive).getOrElse(-1)

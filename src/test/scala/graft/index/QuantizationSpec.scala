@@ -115,6 +115,27 @@ class QuantizationSpec extends SparkSpec {
     assert(avg >= 0.70, s"PQ+refine avg recall $avg below the 0.70 gate")
   }
 
+  test("low-memory PQ traversal in the serving engine: recall@10 >= 0.70") {
+    val serving = new ServingIndex(dim = dim, maxDegree = 32)
+    data.foreach { case (_, v) => serving.insert(v) }
+    serving.enableLowMemoryTraversal(
+      Quantization.pqFitLocal(data.take(2000).map(_._2), m = 8))
+    val recalls = (0 until 30).map { qi =>
+      val qv = data(qi)._2
+      val truth = data.map { case (i, v) =>
+        (v.zip(qv).map { case (x, y) => val dd = x.toDouble - y.toDouble; dd * dd }.sum, i)
+      }.sortBy { case (dd, i) => (dd, i) }.take(10).map(_._2).toSet
+      val got = serving.search(qv, topk = 10).map(_._2 - 1).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"PQ-traversal recall $avg below the 0.70 gate")
+    // inserts after enabling keep the code column in sync
+    val (_, pid) = serving.insert(data(5)._2)
+    val hits = serving.search(data(5)._2, topk = 2).map(_._2)
+    assert(hits.contains(pid) || hits.contains(data(5)._1 + 1))
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
