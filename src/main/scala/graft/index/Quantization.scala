@@ -196,6 +196,53 @@ object Quantization {
     PQModel(m, kEff, subDim, codebook)
   }
 
+  /** Persist a fitted model as a `pq.json` sidecar next to the index
+    * tables (same atomic-move idiom as VectorIndex.writeMeta): small
+    * JSON header + base64 little-endian float payload (~64 KB at
+    * d=64/k=256). Codebooks are create-once artifacts — the reference's
+    * save/load contract (create_index/load_index) extended to the
+    * compression model. */
+  def save(model: PQModel, path: String): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(path))
+    val buf = java.nio.ByteBuffer.allocate(model.codebook.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    model.codebook.foreach(buf.putFloat)
+    val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
+    val json =
+      s"""{"m":${model.m},"k":${model.k},"subDim":${model.subDim},"codebook":"$b64"}"""
+    val tmp = Paths.get(s"$path/.pq.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$path/pq.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load a model saved by [[save]]. */
+  def load(path: String): PQModel = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val json = new String(
+      Files.readAllBytes(Paths.get(s"$path/pq.json")), StandardCharsets.UTF_8)
+    def intOf(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"pq.json missing $k"))
+        .group(1).toInt
+    val b64 = """"codebook":"([^"]*)"""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException("pq.json missing codebook"))
+      .group(1)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cb = new Array[Float](bytes.length / 4)
+    var i = 0
+    while (i < cb.length) { cb(i) = buf.getFloat(); i += 1 }
+    val m = intOf("m"); val k = intOf("k"); val subDim = intOf("subDim")
+    require(cb.length == m * k * subDim,
+      s"pq.json codebook length ${cb.length} != m*k*subDim (${m * k * subDim})")
+    PQModel(m, k, subDim, cb)
+  }
+
   /** Driver-side ADC: sum of LUT entries selected by the codes —
     * the scoring loop [[graft.functions.expressions.PQAdc]] runs
     * distributed, exposed here for the serving engine's traversal. */

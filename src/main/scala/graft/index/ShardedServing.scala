@@ -101,6 +101,40 @@ final class ShardedServing(
       .sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)
   }
 
+  /** Filtered scatter-gather: each shard runs its filtered search with
+    * the predicate translated to its local id space, then the merge is
+    * the same (dist, gid) order. The predicate sees GLOBAL ids, so one
+    * allow-function serves any shard count. */
+  def searchFiltered(
+      q: Array[Float],
+      topk: Int,
+      allow: Long => Boolean,
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
+    val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
+    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+      perShard(i) = shards(i).searchFiltered(q, topk,
+          allow = localPid => allow(globalId(i, localPid)), ef = ef)
+        .map { case (key, localPid, dist) => (key, globalId(i, localPid), dist) }
+    }
+    perShard.toIndexedSeq.flatten
+      .sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)
+  }
+
+  /** Range scatter-gather: union of per-shard range results (exact
+    * given each shard's own radius contract), nearest first. */
+  def rangeSearch(
+      q: Array[Float],
+      radius: Double,
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
+    val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
+    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+      perShard(i) = shards(i).rangeSearch(q, radius, ef)
+        .map { case (key, localPid, dist) => (key, globalId(i, localPid), dist) }
+    }
+    perShard.toIndexedSeq.flatten
+      .sortBy { case (_, gid, dist) => (dist, gid) }
+  }
+
   /** Route a delete to the owning shard in O(1) from the id. */
   def delete(gid: Long): Unit =
     shards(shardOf(gid)).delete(localPublic(gid))

@@ -77,6 +77,37 @@ class FilteredSearchSpec extends SparkSpec {
     assert(avg >= 0.70, s"range recall $avg below gate")
   }
 
+  test("sharded router: filtered + range scatter-gather match the gates") {
+    val router = new ShardedServing(dim = dim, numShards = 4)
+    val gids = data.map { case (_, v, _) => router.insert(v)._2 }
+    val labelOf = gids.zipWithIndex.map { case (g, i) => g -> data(i)._3 }.toMap
+    // filtered: same-label top-10, predicate over GLOBAL ids
+    val recalls = (0 until 10).map { qi =>
+      val (_, qv, ql) = data(qi)
+      val got = router.searchFiltered(qv, topk = 10,
+        allow = gid => labelOf(gid) == ql).map(_._2)
+      assert(got.forall(g => labelOf(g) == ql))
+      val truthIdx = exactFilteredTopK(qv, _ == ql, 10)
+      val truthGids = truthIdx.map(i => gids(i.toInt))
+      truthGids.intersect(got.toSet).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"sharded filtered recall $avg below gate")
+    // range: every hit within radius, high recall vs exact
+    val radius = 0.9
+    val rangeRecalls = (0 until 10).map { qi =>
+      val qv = data(qi)._2
+      val hits = router.rangeSearch(qv, radius)
+      hits.foreach { case (_, _, dist) => assert(dist <= radius) }
+      val truth = data.filter { case (_, v, _) => math.sqrt(sq(qv, v)) <= radius }
+        .map { case (i, _, _) => gids(i.toInt) }.toSet
+      if (truth.isEmpty) 1.0
+      else truth.intersect(hits.map(_._2).toSet).size.toDouble / truth.size
+    }
+    val rAvg = rangeRecalls.sum / rangeRecalls.length
+    assert(rAvg >= 0.70, s"sharded range recall $rAvg below gate")
+  }
+
   test("IVF filtered: predicate prunes candidates before scoring; recall >= 0.70") {
     val (centroids, assignedRaw) = graft.operators.Similarity.ivfFit(
       df.select(col("id"), col("vec")), k = 16)

@@ -136,6 +136,17 @@ class QuantizationSpec extends SparkSpec {
     assert(hits.contains(pid) || hits.contains(data(5)._1 + 1))
   }
 
+  test("save/load round-trips the model bit-exactly") {
+    val dir = tmpDir("pq-roundtrip")
+    Quantization.save(model, dir)
+    val loaded = Quantization.load(dir)
+    assert(loaded.m == model.m && loaded.k == model.k && loaded.subDim == model.subDim)
+    assert(java.util.Arrays.equals(loaded.codebook, model.codebook))
+    // encodes agree
+    val v = data(42)._2
+    assert(java.util.Arrays.equals(loaded.encodeOne(v), model.encodeOne(v)))
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
