@@ -234,6 +234,34 @@ object DocQueries {
     out
   }
 
+  /** TF-IDF top-3 terms per document — the vocabulary-statistics
+    * primitive (quality scoring, keyword extraction, retrieval
+    * weighting). Two bounded shuffles: per-(doc, term) counts with
+    * map-side partial aggregation, then the document-frequency join on
+    * term (the classic term-stats shuffle — partial-agg'd, and at 100
+    * TB the df table is Zipf-small and broadcastable). Ranking uses
+    * the ROUNDED score (both engines order the same column) with a
+    * term tie-break; the per-doc window is bounded by document length,
+    * not corpus size. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val n = d.count()
+    val tok = spread(d).select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (round(col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))), 4) + lit(0.0))
+          .as("tfidf"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextStats(docs(spark, dir))
@@ -486,6 +514,17 @@ object DocQueries {
     "q48_token_regex_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |             ROUND(tf * LN((nn.n + 1.0) / (df + 1.0)), 4) + 0.0 AS tfidf
+         |      FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q49_fingerprint" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents)
          |SELECT doc_id,
@@ -554,6 +593,7 @@ object DocQueries {
     "q54_multimodal_features" -> (multimodalFeatures _),
     "q55_frame_sample" -> (multimodalFrames _),
     "q56_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
+    "q58_tfidf" -> (tfidfTopTerms _),
     "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _)
   )
 }
