@@ -190,6 +190,31 @@ final class VectorIndex private (
     s
   }
 
+  /** Fit PQ codebooks from this index's vectors and persist them as a
+    * `pq.json` sidecar next to the snapshot — the compression model is
+    * part of the index artifact, created once with it (reference
+    * create/save contract extended to LM-DiskANN's compressed-node
+    * axis). `m` must divide the dimension. */
+  def fitPQ(m: Int, k: Int = 256): Quantization.PQModel = {
+    val model = Quantization.pqFit(vectors, m = m, k = k)
+    Quantization.save(model, path)
+    model
+  }
+
+  /** The persisted PQ model, if one was fit for this index. */
+  def loadPQ(): Option[Quantization.PQModel] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
+      Some(Quantization.load(path))
+    else None
+
+  /** [[toServing]] with low-memory PQ traversal enabled from the
+    * persisted sidecar (fits-and-saves on first use when absent). */
+  def toServingLowMemory(m: Int = 8): ServingIndex = {
+    val s = toServing
+    s.enableLowMemoryTraversal(loadPQ().getOrElse(fitPQ(m)))
+    s
+  }
+
   /** Distributed exact top-k over the snapshot (recall-1.0 path).
     * Broadcast queries, scan vectors once, bounded-heap partial top-k;
     * keys join back against only the O(queries·k) winners. */

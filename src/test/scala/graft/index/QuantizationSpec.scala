@@ -147,6 +147,18 @@ class QuantizationSpec extends SparkSpec {
     assert(java.util.Arrays.equals(loaded.encodeOne(v), model.encodeOne(v)))
   }
 
+  test("index lifecycle: fitPQ persists a sidecar; toServingLowMemory searches") {
+    val dir = tmpDir("pq-lifecycle")
+    val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 500),
+      dim = dim, maxDegree = 16)
+    val s = idx.toServingLowMemory(m = 8)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq.json")))
+    // reload path: the sidecar round-trips through loadPQ
+    assert(idx.loadPQ().isDefined)
+    val hits = s.search(data(7)._2, topk = 5)
+    assert(hits.nonEmpty && hits.head._2 == 8L) // self is public id 8 (1-based)
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
