@@ -262,6 +262,23 @@ object DocQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Benchmark decontamination — the LLM-pipeline op that removes
+    * training documents overlapping an evaluation set. Docs 0-4 stand
+    * in for the benchmark; a training doc is contaminated when it
+    * shares any word-trigram with them. Shape: the benchmark's shingle
+    * set is eval-set-sized (tiny) and BROADCAST; the corpus side is
+    * one scan of the shared shingle artifact + partial-agg count — at
+    * 100 TB the big side never shuffles for the membership test. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documentShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < 5).select(col("shingle")).distinct()
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextStats(docs(spark, dir))
@@ -514,6 +531,13 @@ object DocQueries {
     "q48_token_regex_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_decontaminate" ->
+      s"""WITH ${shinglesCte("documents")},
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+         |SELECT doc_id, COUNT(*) AS n_shared_shingles
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE doc_id >= 5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q58_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -594,6 +618,7 @@ object DocQueries {
     "q55_frame_sample" -> (multimodalFrames _),
     "q56_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "q58_tfidf" -> (tfidfTopTerms _),
+    "q59_decontaminate" -> (decontaminate _),
     "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _)
   )
 }
