@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt, Subtract}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
+import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, TopKPairsAgg}
 
 /** SQL-surface registration for the engine's native functions, so they
   * are usable from `spark.sql(...)` / `expr(...)` strings, not just
@@ -17,6 +17,8 @@ import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
   *   - graft_cosine_sim(a, b)      — cosine similarity (0.0 on zero norm)
   *   - graft_cosine_dist(a, b)     — 1 - graft_cosine_sim
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
+  *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
+  *                                   a flattened per-query LUT)
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -72,6 +74,17 @@ object GraftExtensions {
             s"graft_topk_pairs k must be an integer literal, got $other")
         }
         TopKPairsAgg(args(0), args(1), k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc",
+        "PQ asymmetric distance: ARRAY<TINYINT> codes scored against a flattened ARRAY<FLOAT> LUT of k entries per subspace"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_adc k must be an integer literal, got $other")
+        }
+        PQAdc(args(0), args(1), k)
       }))
 
   /** Register into an already-running session's function registry. */

@@ -135,6 +135,13 @@ final class ShardedServing(
       .sortBy { case (_, gid, dist) => (dist, gid) }
   }
 
+  /** Switch every shard to PQ-compressed traversal with one shared
+    * model (codebooks are corpus-level artifacts — id-mod sharding is
+    * distribution-preserving, so one model serves all shards). See
+    * [[ServingIndex.enableLowMemoryTraversal]]. */
+  def enableLowMemoryTraversal(model: Quantization.PQModel): Unit =
+    shards.foreach(_.enableLowMemoryTraversal(model))
+
   /** Route a delete to the owning shard in O(1) from the id. */
   def delete(gid: Long): Unit =
     shards(shardOf(gid)).delete(localPublic(gid))

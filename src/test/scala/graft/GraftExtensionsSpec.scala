@@ -26,6 +26,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(g2.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((3.0, 1L)))
   }
 
+  test("graft_pq_adc via SQL: m byte-indexed LUT lookups") {
+    GraftExtensions.register(spark)
+    // m=2 subspaces, k=4: codes [1, 3] pick lut[0*4+1]=0.5 and lut[1*4+3]=2.0
+    val r = spark.sql(
+      """SELECT graft_pq_adc(
+        |  array(CAST(1 AS TINYINT), CAST(3 AS TINYINT)),
+        |  array(0.0F, 0.5F, 1.0F, 1.5F, 0.25F, 0.75F, 1.25F, 2.0F),
+        |  4) AS d""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-9)
+  }
+
   test("graft_cosine_sim / graft_cosine_dist via SQL, zero-norm -> 0.0 similarity") {
     GraftExtensions.register(spark)
     val r = spark.sql(

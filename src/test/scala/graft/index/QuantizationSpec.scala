@@ -159,6 +159,23 @@ class QuantizationSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.head._2 == 8L) // self is public id 8 (1-based)
   }
 
+  test("sharded router low-memory traversal: recall@10 >= 0.70") {
+    val router = new ShardedServing(dim = dim, numShards = 4)
+    val gids = data.map { case (_, v) => router.insert(v)._2 }
+    router.enableLowMemoryTraversal(
+      Quantization.pqFitLocal(data.take(2000).map(_._2), m = 8))
+    val recalls = (0 until 20).map { qi =>
+      val qv = data(qi)._2
+      val truth = data.map { case (i, v) =>
+        (v.zip(qv).map { case (x, y) => val dd = x.toDouble - y.toDouble; dd * dd }.sum, i)
+      }.sortBy { case (dd, i) => (dd, i) }.take(10).map { case (_, i) => gids(i.toInt) }.toSet
+      val got = router.search(qv, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"sharded PQ-traversal recall $avg below the 0.70 gate")
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
