@@ -207,6 +207,23 @@ final class VectorIndex private (
       Some(Quantization.load(path))
     else None
 
+  /** The persisted PQ code column for the CURRENT snapshot version —
+    * the artifact that delivers PQ's scan-side win (an ADC pass reads
+    * these m-byte codes instead of the d·4-byte vectors, 32x fewer
+    * bytes at d=64/m=8). Codes are a DERIVED artifact keyed by
+    * snapshot version: first use after a mutation re-encodes (one
+    * map-only pass over the mutated snapshot); older versions' code
+    * dirs are left for readers of those versions and reaped with
+    * them. */
+  def pqCodes(model: Quantization.PQModel): DataFrame = {
+    val dir = s"$path/pq_codes/v=${meta.version}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      Quantization.pqEncode(vectors, model)
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** [[toServing]] with low-memory PQ traversal enabled from the
     * persisted sidecar (fits-and-saves on first use when absent). */
   def toServingLowMemory(m: Int = 8): ServingIndex = {

@@ -176,6 +176,29 @@ class QuantizationSpec extends SparkSpec {
     assert(avg >= 0.70, s"sharded PQ-traversal recall $avg below the 0.70 gate")
   }
 
+  test("pqCodes persists per snapshot version and re-derives after mutation") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("pq-codes")
+    val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 300),
+      dim = dim, maxDegree = 16)
+    val model = idx.fitPQ(m = 8)
+    val codes0 = idx.pqCodes(model)
+    assert(codes0.count() == 300)
+    val v0 = idx.meta.version
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq_codes/v=$v0")))
+    // ADC over persisted codes finds the self-match first
+    val q = Seq((7L, data(7)._2))
+    val top = Quantization.pqTopK(codes0, model, q.toArray, topk = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect()
+    assert(top.head.getLong(1) == 7L)
+    // a mutation bumps the version; codes re-derive for the new state
+    val idx2 = idx.deleteBatch(Seq(3L)) // public id 3 = internal 2
+    val codes1 = idx2.pqCodes(model)
+    assert(codes1.count() == 299)
+    assert(codes1.filter(col("id") === 2L).count() == 0)
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
