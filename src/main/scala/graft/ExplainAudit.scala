@@ -11,7 +11,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.tail.toSeq else
       Seq("q04_lookup_by_id", "q02_knn_exact_l2", "q11_revenue_by_nation",
         "q41_ngram_jaccard", "q60_event_window_agg", "q62_asof_join",
-        "q63_interval_join", "q20_price_quantiles", "q52_dedup_groups")
+        "q63_interval_join", "q20_price_quantiles", "q52_dedup_groups",
+        "q22_filtered_knn", "q58_tfidf", "q59_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

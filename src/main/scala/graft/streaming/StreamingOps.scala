@@ -51,6 +51,22 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming decontamination (streaming twin of q59): documents
+    * arriving on the stream are DROPPED when they share any
+    * word-trigram with the benchmark shingle set. The benchmark set is
+    * eval-set-sized by definition, so it inlines as a literal array
+    * and the whole check is ONE stateless per-row expression
+    * (`arrays_overlap` over the document's shingle array) — no joins,
+    * no streaming state, the shape an unbounded feed wants. A
+    * self-join formulation (shingle-explode + anti-join back) would be
+    * an unsupported stream-stream self-join. */
+  def streamingDecontaminate(docs: DataFrame, benchShingles: Set[String]): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.filter(!arrays_overlap(
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
+      typedLit(benchShingles.toSeq.sorted)))
+  }
+
   /** Gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState — emits the running per-user session/event
     * counts each micro-batch (streaming twin of q61_sessionize). */

@@ -77,6 +77,26 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingDecontaminate: docs sharing a benchmark trigram are dropped statelessly") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val bench = Set("the quick brown", "quick brown fox")
+    val q = StreamingOps.streamingDecontaminate(
+        mem.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam_out").outputMode("append").start()
+    mem.addData(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" -> dropped
+      (2L, "a clean training document"), // no overlap -> kept
+      (3L, "short"), // < 3 tokens, no shingles -> kept
+      (4L, "totally quick brown fox here")) // shares "quick brown fox" -> dropped
+    q.processAllAvailable()
+    val out = spark.table("decontam_out").collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    q.stop()
+  }
+
   test("indexIngest: streamed vectors land in new index snapshots") {
     val ss = spark
     implicit val sql = ss.sqlContext
