@@ -234,10 +234,14 @@ final class VectorIndex private (
 
   /** Distributed exact top-k over the snapshot (recall-1.0 path).
     * Broadcast queries, scan vectors once, bounded-heap partial top-k;
-    * keys join back against only the O(queries·k) winners. */
-  def searchExact(queries: DataFrame, topk: Int): DataFrame = {
+    * keys join back against only the O(queries·k) winners. Optional
+    * `filter` restricts candidates BEFORE distance evaluation
+    * (filtered ANN on the exact tier — phrased on a storage column it
+    * pushes down to the scan). */
+  def searchExact(queries: DataFrame, topk: Int,
+      filter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import graft.functions.VectorFunctions
-    val v = vectors
+    val v = vectors.filter(filter)
     val q = queries.select(col("query_id"), col("qvec"))
     val dcol = metric match {
       case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
@@ -253,6 +257,25 @@ final class VectorIndex private (
         (col("pos") + 1).cast("int").as("rnk"))
     winners.join(v.select(col("id"), col("key")), Seq("id"))
       .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), col("dist"), col("rnk"))
+  }
+
+  /** Distributed exact range search over the snapshot: every (query,
+    * neighbor) pair within `radius`, nearest first per query. One
+    * scan, broadcast queries, O(hits) shuffle — the index-level twin
+    * of the serving engine's rangeSearch. */
+  def rangeSearchExact(queries: DataFrame, radius: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = vectors
+    val q = queries.select(col("query_id"), col("qvec"))
+    val dcol = metric match {
+      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
+      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
+    }
+    v.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), dcol.as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("query_id"), col("dist"), col("public_id"))
   }
 
   /** Batch insert: append vectors and rewire, committing a DELTA

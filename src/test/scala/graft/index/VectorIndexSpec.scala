@@ -35,6 +35,31 @@ class VectorIndexSpec extends SparkSpec {
       IndexMeta(0, 0, 4, 16, -1, "Float32", "no-such-metric", Nil))
   }
 
+  test("searchExact filter + rangeSearchExact on the distributed exact tier") {
+    val path = tmpDir("idx-exact-fr")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    val all = embeddings.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = all.toMap
+    val queries = embeddings.filter(col("id") === 0L)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    // filtered: even internal ids only
+    val got = idx.searchExact(queries, topk = 5, filter = col("id") % 2 === 0)
+      .select(col("public_id")).collect().map(_.getLong(0))
+    assert(got.forall(pid => (pid - 1) % 2 == 0))
+    val truth = all.filter(_._1 % 2 == 0)
+      .map { case (i, v) => (Metric.Euclidean.dist(byId(0L), v), i + 1) }
+      .sortBy { case (dd, pid) => (dd, pid) }.take(5).map(_._2)
+    assert(got.toSeq == truth.toSeq)
+    // range: exactly the within-radius set, nearest first
+    val radius = 1.3
+    val hits = idx.rangeSearchExact(queries, radius)
+      .select(col("public_id"), col("dist")).collect()
+    val expect = all.map { case (i, v) => (Metric.Euclidean.dist(byId(0L), v), i + 1) }
+      .filter(_._1 <= radius).sortBy { case (dd, pid) => (dd, pid) }.map(_._2)
+    assert(hits.map(_.getLong(0)).toSeq == expect.toSeq)
+    assert(hits.forall(_.getDouble(1) <= radius))
+  }
+
   test("bulk build over embeddings fixture: graph invariants + serving recall") {
     val path = tmpDir("idx-build")
     val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
