@@ -260,6 +260,78 @@ object Quantization {
       idCol: String = "id", vecCol: String = "vec"): DataFrame =
     vectors.select(col(idCol).as("id"), model.encode(col(vecCol)).as("codes"))
 
+  /** IVF-PQ composite top-k — the canonical billion-scale layout
+    * (coarse quantizer prunes the scan to nprobe clusters, PQ codes
+    * make the scanned bytes 32x smaller, exact re-rank restores
+    * precision): at 100 TB a query touches `nprobe/k` of the data AND
+    * reads only m bytes per row of it. `assignedCodes` carries
+    * (id, cluster, codes) — join [[pqEncode]] output with the IVF
+    * assignment once, store partitioned by cluster. The cluster probe
+    * runs on the driver (centroids are k×dim — tiny by construction),
+    * then one equi-join on cluster + ADC + bounded-heap top-k. */
+  def ivfPqTopK(
+      assignedCodes: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      model: PQModel,
+      queries: Array[(Long, Array[Float])],
+      topk: Int,
+      nprobe: Int,
+      refine: Option[DataFrame] = None,
+      refineFactor: Int = 4): DataFrame = {
+    val spark = assignedCodes.sparkSession
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    // driver-side probe: nprobe nearest centroids per query, LUT per
+    // (query, cluster) row — duplicated nprobe times, still tiny
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val lut = model.lutFor(qv).toSeq
+      centroids.map { case (c, cv) => (sq(qv, cv), c) }
+        .sortBy { case (d, c) => (d, c) }.take(nprobe)
+        .map { case (_, c) => Row(qid, c, lut) }
+    }
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("cluster", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("lut", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val fetchK = if (refine.isDefined) topk * refineFactor else topk
+    val adc = assignedCodes.join(broadcast(probe), Seq("cluster"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          PQAdc(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
+            model.k)).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), fetchK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    refine match {
+      case None => adc
+      case Some(vectors) =>
+        val qvecs = spark.createDataFrame(
+          java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+        adc.select(col("query_id"), col("neighbor_id"))
+          .join(vectors.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+          .join(broadcast(qvecs), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+          .groupBy(col("query_id"))
+          .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+          .select(col("query_id"), col("p.id").as("neighbor_id"),
+            col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    }
+  }
+
   /** ADC top-k over the code column for a small collected query set,
     * with optional exact re-rank. Returns
     * (query_id, neighbor_id, dist, rnk); `dist` is the ADC

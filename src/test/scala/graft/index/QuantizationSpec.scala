@@ -199,6 +199,30 @@ class QuantizationSpec extends SparkSpec {
     assert(codes1.filter(col("id") === 2L).count() == 0)
   }
 
+  test("IVF-PQ composite: probe + ADC + refine recall@10 >= 0.70") {
+    import org.apache.spark.sql.functions.col
+    val (centroidsDf, assigned) = graft.operators.Similarity.ivfFit(
+      df.select(col("id"), col("vec")), k = 16)
+    val centroids = centroidsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val assignedCodes = assigned.select(col("id"), col("cluster"))
+      .join(codes, "id")
+    val queries = data.take(30)
+    val got = Quantization.ivfPqTopK(assignedCodes, centroids, model, queries,
+        topk = 10, nprobe = 8, refine = Some(df.select(col("id"), col("vec"))))
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.map { case (qid, qv) =>
+      val truth = data.map { case (i, v) =>
+        (v.zip(qv).map { case (x, y) => val dd = x.toDouble - y.toDouble; dd * dd }.sum, i)
+      }.sortBy { case (dd, i) => (dd, i) }.take(10).map(_._2).toSet
+      truth.intersect(got.getOrElse(qid, Set.empty)).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"IVF-PQ recall $avg below the 0.70 gate")
+  }
+
   test("pqFit rejects a dimension not divisible by m") {
     val bad = df.select(col("id"), slice(col("vec"), 1, 63).as("vec"))
     val e = intercept[IllegalArgumentException] {
