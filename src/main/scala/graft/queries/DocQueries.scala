@@ -365,6 +365,38 @@ object DocQueries {
       .orderBy(col("split"))
   }
 
+  /** Leakage-safe train/val/test split: the q53 split keyed by the
+    * near-dup GROUP id instead of the doc id, so an entire duplicate
+    * cluster lands in one split — the guard against test-set leakage
+    * through near-duplicates that a per-doc split cannot give. Docs in
+    * no LSH pair are their own singleton group. The no-straddling
+    * invariant holds BY CONSTRUCTION (split is a pure function of
+    * group_id); the oracle re-derives groups via the recursive CTE and
+    * applies the same hash. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir))).localCheckpoint(true)
+    val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs)
+    val grouped = corpus(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
+    val p = 1000000007L
+    val a = 2654435761L % p
+    val bucket = pmod(pmod(pmod(col("group_id"), lit(p)) * a, lit(p)), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val out = grouped
+      .select(col("doc_id"), col("group_id"), split.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(labels)
+    graft.plans.Blocks.release(sigs)
+    out
+  }
+
   /** Multimodal metadata: text treated as an opaque byte payload —
     * size, first code unit, additive checksum (the deterministic part
     * of the decode-stub pipeline in graft.operators.Multimodal). */
@@ -479,6 +511,29 @@ object DocQueries {
          |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node)
          |SELECT node AS doc_id, min(lab) AS group_id FROM reach
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q65_leakage_safe_split" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node),
+         |grouped AS (SELECT c.doc_id, COALESCE(comp.group_id, c.doc_id) AS group_id
+         |            FROM corpus c LEFT JOIN comp USING (doc_id)),
+         |s AS (SELECT doc_id, group_id,
+         |  CASE WHEN ((group_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 % 100 < 80 THEN 'train'
+         |       WHEN ((group_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM grouped)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q44_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -619,6 +674,7 @@ object DocQueries {
     "q56_embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "q58_tfidf" -> (tfidfTopTerms _),
     "q59_decontaminate" -> (decontaminate _),
-    "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _)
+    "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "q65_leakage_safe_split" -> (leakageSafeSplit _)
   )
 }
