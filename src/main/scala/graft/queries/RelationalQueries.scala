@@ -34,6 +34,23 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** ROLLUP totals over (returnflag, linestatus) — the grouping-sets
+    * surface (subtotals + grand total in one pass; Spark plans one
+    * Expand + single aggregation, so the fact table is still scanned
+    * once). Grouping nulls are coalesced to 'ALL' on both engines —
+    * cross-engine null normalization is the driver gate's weak spot. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("count_order"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** Revenue by nation: fact table joined to broadcast dims
     * (customer -> nation), grouped. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -183,6 +200,14 @@ object RelationalQueries {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q24_rollup_summary" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q11_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
@@ -207,6 +232,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (pricingSummary _),
+    "q24_rollup_summary" -> (rollupSummary _),
     "q11_revenue_by_nation" -> (revenueByNation _),
     "q12_top_orders_per_customer" -> (topOrdersPerCustomer _),
     "q13_order_priority_count" -> (orderPriorityCount _),
