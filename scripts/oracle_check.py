@@ -71,11 +71,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: empty result"); n_fail += 1; continue
         recall_cols = [c for c in df.columns if "recall" in c.lower()]
         # avg/pair recall: the reference's 0.70 gate; min over queries:
-        # looser (a single hard query may dip without the path being broken)
-        bad = [(c, float(df[c].min())) for c in recall_cols
-               if float(df[c].min()) < (0.30 if c.lower().startswith("min_") else 0.70)]
+        # looser (a single hard query may dip without the path being
+        # broken). NaN FAILS explicitly — "NaN < gate" is False, so a
+        # 0/0 recall would otherwise print PASS, the exact broken-
+        # scoring case this gate exists to catch.
+        import math
+        bad = []
+        for c in recall_cols:
+            v = float(df[c].min())
+            gate = 0.30 if c.lower().startswith("min_") else 0.70
+            if math.isnan(v) or v < gate:
+                bad.append((c, v, f"gate {gate}"))
         if bad:
-            print(f"FAIL {name}: recall below 0.70 gate: {bad}"); n_fail += 1
+            print(f"FAIL {name}: recall gate failed: {bad}"); n_fail += 1
         else:
             extra = f", recall {[f'{c}={float(df[c].min()):.2f}' for c in recall_cols]}" if recall_cols else ""
             print(f"PASS {name} ({len(df)} rows, rows-only{extra})"); n_pass += 1

@@ -139,9 +139,18 @@ object GraphBuilder {
         math.max(mean / 2.0, 1e-6)
       }
     // seeded projections are generated on the driver and inlined as
-    // array literals — identical on every executor by construction
+    // array literals — identical on every executor by construction.
+    // Each w_i is UNIT-normalized (p-stable LSH convention, and what
+    // MLlib's randUnitVectors did): a raw Gaussian vector has
+    // E[||w||] ~ sqrt(dim), which would shrink the effective bucket
+    // width by that factor and desert the sample-estimated
+    // bucketLength's calibration.
     val rng = new java.util.Random(42L)
-    val projections = Array.fill(numHashTables)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val projections = Array.fill(numHashTables) {
+      val w = Array.fill(dim)(rng.nextGaussian())
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      w.map(x => (x / nrm).toFloat)
+    }
     val buckets = array(projections.map { w =>
       floor(VectorFunctions.dot(col("vec"), typedLit(w.toSeq)) / bl).cast("long")
     }: _*)

@@ -117,9 +117,15 @@ object Quantization {
       k: Int = 256,
       sampleN: Int = 4096,
       iters: Int = 12,
+      idCol: String = "id",
       vecCol: String = "vec"): PQModel =
+    // deterministic sample: first N in id order (the ivfFit pattern —
+    // a bare limit() pulls scheduling-dependent rows and the fitted
+    // codebook, its pq.json sidecar, and every code column derived
+    // from it would differ run to run)
     pqFitLocal(
-      vectors.select(col(vecCol)).limit(sampleN).collect().map(_.getSeq[Float](0).toArray),
+      vectors.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleN)
+        .collect().map(_.getSeq[Float](1).toArray),
       m, k, iters)
 
   /** Driver-side fit over an in-memory sample (the serving engine's
@@ -260,6 +266,44 @@ object Quantization {
       idCol: String = "id", vecCol: String = "vec"): DataFrame =
     vectors.select(col(idCol).as("id"), model.encode(col(vecCol)).as("codes"))
 
+  /** Shared tail of the PQ search paths: per-query top-`fetchK` over
+    * an ADC-scored (query_id, neighbor_id, dist) frame. */
+  private def adcTopK(scored: DataFrame, fetchK: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), fetchK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+
+  /** Shared exact-refine tier: re-rank the O(queries·fetchK) ADC
+    * candidates with true distances. The candidate side is BROADCAST —
+    * without the hint Spark has no size estimate for the aggregated
+    * frame and would sort-merge-shuffle the full vectors table, the
+    * exact second-full-scan the refine contract rules out. */
+  private def refineTopK(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      topk: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val qvecs = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    broadcast(candidates.select(col("query_id"), col("neighbor_id")))
+      .join(vectors.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+  }
+
   /** IVF-PQ composite top-k — the canonical billion-scale layout
     * (coarse quantizer prunes the scan to nprobe clusters, PQ codes
     * make the scanned bytes 32x smaller, exact re-rank restores
@@ -299,36 +343,18 @@ object Quantization {
         StructField("cluster", org.apache.spark.sql.types.IntegerType, nullable = false),
         StructField("lut", ArrayType(FloatType, containsNull = false), nullable = false))))
     val fetchK = if (refine.isDefined) topk * refineFactor else topk
-    val adc = assignedCodes.join(broadcast(probe), Seq("cluster"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          PQAdc(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
-            model.k)).as("dist"))
-      .groupBy(col("query_id"))
-      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), fetchK).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
-      .select(col("query_id"), col("p.id").as("neighbor_id"),
-        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    val adc = adcTopK(
+      assignedCodes.join(broadcast(probe), Seq("cluster"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            PQAdc(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
+              model.k)).as("dist")),
+      fetchK)
     refine match {
       case None => adc
-      case Some(vectors) =>
-        val qvecs = spark.createDataFrame(
-          java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
-          StructType(Seq(
-            StructField("query_id", LongType, nullable = false),
-            StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
-        adc.select(col("query_id"), col("neighbor_id"))
-          .join(vectors.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
-          .join(broadcast(qvecs), "query_id")
-          .select(col("query_id"), col("neighbor_id"),
-            VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
-          .groupBy(col("query_id"))
-          .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
-          .select(col("query_id"), col("p.id").as("neighbor_id"),
-            col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+      case Some(vectors) => refineTopK(adc, vectors, queries, topk)
     }
   }
 
@@ -353,38 +379,18 @@ object Quantization {
       }: _*),
       lutSchema)
     val fetchK = if (refine.isDefined) topk * refineFactor else topk
-    val adc = codes.crossJoin(broadcast(luts))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          PQAdc(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
-            model.k)).as("dist"))
-      .groupBy(col("query_id"))
-      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), fetchK).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
-      .select(col("query_id"), col("p.id").as("neighbor_id"),
-        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+    val adc = adcTopK(
+      codes.crossJoin(broadcast(luts))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            PQAdc(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("lut")),
+              model.k)).as("dist")),
+      fetchK)
     refine match {
       case None => adc
-      case Some(vectors) =>
-        // exact re-rank: candidates only — a join by id against the
-        // full-precision vectors, then true distance + final top-k
-        val qvecs = spark.createDataFrame(
-          java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
-          StructType(Seq(
-            StructField("query_id", LongType, nullable = false),
-            StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
-        adc.select(col("query_id"), col("neighbor_id"))
-          .join(vectors.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
-          .join(broadcast(qvecs), "query_id")
-          .select(col("query_id"), col("neighbor_id"),
-            VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
-          .groupBy(col("query_id"))
-          .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
-          .select(col("query_id"), col("p.id").as("neighbor_id"),
-            col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+      case Some(vectors) => refineTopK(adc, vectors, queries, topk)
     }
   }
 }

@@ -211,13 +211,17 @@ final class VectorIndex private (
     * the artifact that delivers PQ's scan-side win (an ADC pass reads
     * these m-byte codes instead of the d·4-byte vectors, 32x fewer
     * bytes at d=64/m=8). Codes are a DERIVED artifact keyed by
-    * snapshot version: first use after a mutation re-encodes (one
-    * map-only pass over the mutated snapshot); older versions' code
-    * dirs are left for readers of those versions and reaped with
-    * them. */
+    * (snapshot version, MODEL): the dir name carries the model's
+    * shape and a codebook content hash, so refitting — even with the
+    * same m — never serves stale codes against a new model's LUTs.
+    * Completeness is gated on the `_SUCCESS` marker, not bare dir
+    * existence: an interrupted write leaves a partial dir that a bare
+    * exists() check would trust forever. Older versions' code dirs
+    * are reaped with their snapshot versions. */
   def pqCodes(model: Quantization.PQModel): DataFrame = {
-    val dir = s"$path/pq_codes/v=${meta.version}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+    val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(model.codebook))
+    val dir = s"$path/pq_codes/v=${meta.version}-m${model.m}k${model.k}-$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
       Quantization.pqEncode(vectors, model)
         .write.mode("overwrite").parquet(dir)
     }
@@ -225,10 +229,14 @@ final class VectorIndex private (
   }
 
   /** [[toServing]] with low-memory PQ traversal enabled from the
-    * persisted sidecar (fits-and-saves on first use when absent). */
+    * persisted sidecar — reused only when its subspace count matches
+    * the request (a persisted m=8 model silently serving an m=16 call
+    * would halve the compression/accuracy tradeoff the caller asked
+    * for); otherwise refit-and-save with the requested m. */
   def toServingLowMemory(m: Int = 8): ServingIndex = {
     val s = toServing
-    s.enableLowMemoryTraversal(loadPQ().getOrElse(fitPQ(m)))
+    val model = loadPQ().filter(_.m == m).getOrElse(fitPQ(m))
+    s.enableLowMemoryTraversal(model)
     s
   }
 

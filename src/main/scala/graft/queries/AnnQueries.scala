@@ -127,15 +127,19 @@ object AnnQueries {
 
   /** Deterministic query samples shared by the approximate paths and
     * their truth: "stride" = 30 evenly spaced ids (q31/q35), "head" =
-    * ids < 30 (q33/q37). `limit` after an id filter is deterministic
-    * here because the filter already bounds the set to ~30 rows. */
+    * ids < 30 (q33/q37). The stride set is pinned by PREDICATE alone
+    * (ids 0, stride, ..., 29·stride — all exist since stride·30 <= n),
+    * never by limit(): the stride filter passes 31-32 rows on the
+    * shipped fixtures, and limit(30) over that picks a
+    * scheduling-dependent subset — the cached truth and a recall
+    * query's own collect could then sample DIFFERENT queries. */
   private def querySample(src: DataFrame, sample: String): DataFrame = sample match {
     case "head" =>
       src.filter(col("id") < 30).select(col("id").as("query_id"), col("vec").as("qvec"))
     case _ =>
       val n = src.count()
       val stride = math.max(1L, n / 30L)
-      src.filter(pmod(col("id"), lit(stride)) === 0).limit(30)
+      src.filter(pmod(col("id"), lit(stride)) === 0 && col("id") < lit(stride * 30L))
         .select(col("id").as("query_id"), col("vec").as("qvec"))
   }
 

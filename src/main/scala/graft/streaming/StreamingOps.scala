@@ -62,9 +62,14 @@ object StreamingOps {
     * an unsupported stream-stream self-join. */
   def streamingDecontaminate(docs: DataFrame, benchShingles: Set[String]): DataFrame = {
     import graft.operators.TextAnalysis
-    docs.filter(!arrays_overlap(
-      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
-      typedLit(benchShingles.toSeq.sorted)))
+    // NULL text => NULL overlap => filter would DROP the row; the
+    // contract drops only docs that provably share a trigram, so
+    // null-text records are kept (like docs too short to shingle)
+    docs.filter(coalesce(
+      !arrays_overlap(
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
+        typedLit(benchShingles.toSeq.sorted)),
+      lit(true)))
   }
 
   /** Gap-based sessionization (30-min inactivity) via

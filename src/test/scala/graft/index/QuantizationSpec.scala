@@ -185,7 +185,13 @@ class QuantizationSpec extends SparkSpec {
     val codes0 = idx.pqCodes(model)
     assert(codes0.count() == 300)
     val v0 = idx.meta.version
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq_codes/v=$v0")))
+    // dir is keyed by (version, model shape, codebook hash) + _SUCCESS
+    val codeDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pq_codes"))
+      .toArray.map(_.toString)
+    assert(codeDirs.exists(_.contains(s"v=$v0-m${model.m}k${model.k}-")))
+    // refitting a DIFFERENT shape must not reuse these codes
+    val model4 = idx.fitPQ(m = 4)
+    assert(idx.pqCodes(model4).head().getSeq[Byte](1).length == 4)
     // ADC over persisted codes finds the self-match first
     val q = Seq((7L, data(7)._2))
     val top = Quantization.pqTopK(codes0, model, q.toArray, topk = 3)
