@@ -125,7 +125,11 @@ object Bench {
           org.apache.spark.sql.types.StructField("vec",
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
       val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
-      val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 32)
+      // maxDegree matches the insert-built router above (its default,
+      // 64) so the two QPS numbers compare the LOAD PATH, not graph
+      // degree — sparser graphs search slower (more hops to converge),
+      // which a 32-degree build here misread as a fromIndex regression
+      val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 64)
       // median over `repeat` loads, like every per-query number — a
       // one-shot load time on this host misreads scheduler noise as a
       // regression (each load is independent; no state carries over)

@@ -32,8 +32,13 @@ object BenchOne {
     })
     (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
       println(f"run $i: $name -> $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // SPARK_GRAFT_SHOW=1: print the result head (recall self-reports
+      // are 1-row frames — this is how their gate values get eyeballed)
+      if (i == repeat && sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
+        df.show(20, truncate = false)
     }
     spark.stop()
   }

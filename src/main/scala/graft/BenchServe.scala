@@ -44,20 +44,47 @@ object BenchServe {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
     val tmp = java.nio.file.Files.createTempDirectory("bench-serve").toString
     val t0 = System.nanoTime()
-    val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 32)
+    val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 64)
     println(f"build: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
+    def qps(router: graft.index.ShardedServing, ef: Int): Double = {
+      queries.take(200).foreach(q => router.search(q, topk = 10, ef = ef))
+      val t = System.nanoTime()
+      queries.foreach(q => router.search(q, topk = 10, ef = ef))
+      queries.length.toDouble / ((System.nanoTime() - t) / 1e9)
+    }
+    // exact truth for the first 100 queries (driver-side; 1M dist evals)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val evalQ = queries.take(100)
+    val truth = evalQ.map { q =>
+      vecs.zipWithIndex.map { case (v, i) => (sq(q, v), i.toLong + 1) }
+        .sortBy(_._1).take(10).map(_._2).toSet
+    }
+    def recall(router: graft.index.ShardedServing, ef: Int): Double =
+      evalQ.zip(truth).map { case (q, t) =>
+        t.intersect(router.search(q, topk = 10, ef = ef).map(_._2).toSet).size / 10.0
+      }.sum / evalQ.length
+    var loaded: graft.index.ShardedServing = null
     (1 to repeat).foreach { i =>
       val t1 = System.nanoTime()
-      val router = graft.index.ShardedServing.fromIndex(idx, numShards)
+      loaded = graft.index.ShardedServing.fromIndex(idx, numShards)
       println(f"fromIndex($numShards) run $i: ${(System.nanoTime() - t1) / 1e9}%.2f s " +
-        s"(${router.numPoints} points)")
-      if (i == repeat) {
-        val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-        queries.take(200).foreach(q => router.search(q, topk = 10))
-        val t2 = System.nanoTime()
-        queries.foreach(q => router.search(q, topk = 10))
-        println(f"qps: ${queries.length.toDouble / ((System.nanoTime() - t2) / 1e9)}%.1f")
-      }
+        s"(${loaded.numPoints} points)")
+    }
+    // insert-built twin over the SAME vectors and degree — the
+    // apples-to-apples baseline; the ef sweep maps each router's
+    // quality/throughput frontier (loaded graphs are global-kNN
+    // projections, insert-built are self-search truncations — equal ef
+    // does NOT mean equal work or equal recall)
+    val insertRouter = new graft.index.ShardedServing(100, numShards)
+    vecs.foreach(v => insertRouter.insert(v))
+    Seq(50, 100, 200, 300).foreach { ef =>
+      println(f"ef=$ef%3d  fromIndex: ${qps(loaded, ef)}%6.1f q/s r@10=${recall(loaded, ef)}%.3f" +
+        f"   insert-built: ${qps(insertRouter, ef)}%6.1f q/s r@10=${recall(insertRouter, ef)}%.3f")
     }
     spark.stop()
   }

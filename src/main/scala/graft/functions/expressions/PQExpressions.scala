@@ -36,10 +36,18 @@ case class PQEncode(child: Expression, codebook: Array[Float], m: Int, k: Int)
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if k <= 256 && codebook.length == m * k * subDim =>
-      TypeCheckResult.TypeCheckSuccess
-    case ArrayType(FloatType, _) =>
+    case ArrayType(FloatType, _) if k > 256 =>
       TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be <= 256 (byte codes)")
+    case ArrayType(FloatType, _) if codebook.length % (m * k) != 0 =>
+      // subDim comes from integer division, so a bare == m*k*subDim
+      // check passes trivially on a truncated codebook — test
+      // divisibility explicitly to catch a mis-sized one
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebook length ${codebook.length} is not divisible by m*k (${m * k})")
+    case ArrayType(FloatType, _) if codebook.length == 0 =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: empty codebook")
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")

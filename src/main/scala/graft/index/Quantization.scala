@@ -208,7 +208,7 @@ object Quantization {
     * d=64/k=256). Codebooks are create-once artifacts — the reference's
     * save/load contract (create_index/load_index) extended to the
     * compression model. */
-  def save(model: PQModel, path: String): Unit = {
+  def save(model: PQModel, path: String, file: String = "pq.json"): Unit = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(path))
@@ -218,19 +218,19 @@ object Quantization {
     val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
     val json =
       s"""{"m":${model.m},"k":${model.k},"subDim":${model.subDim},"codebook":"$b64"}"""
-    val tmp = Paths.get(s"$path/.pq.json.tmp")
+    val tmp = Paths.get(s"$path/.$file.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$path/pq.json"),
+    Files.move(tmp, Paths.get(s"$path/$file"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Load a model saved by [[save]]. */
-  def load(path: String): PQModel = {
+  def load(path: String, file: String = "pq.json"): PQModel = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     val json = new String(
-      Files.readAllBytes(Paths.get(s"$path/pq.json")), StandardCharsets.UTF_8)
+      Files.readAllBytes(Paths.get(s"$path/$file")), StandardCharsets.UTF_8)
     def intOf(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalArgumentException(s"pq.json missing $k"))

@@ -69,32 +69,54 @@ final class ServingIndex(
 
   private def d(q: Array[Float], id: Int): Double = metric.dist(q, vecs(id))
 
+  /** The value PQ encodes/scores for a vector: the vector itself under
+    * Euclidean; its L2-normalized copy under cosine (for unit vectors
+    * ||a-b||² = 2 - 2·cos, so ADC over normalized codes ranks cosine
+    * correctly; the exact re-rank stays true cosine on raw vectors). */
+  private def pqInput(v: Array[Float]): Array[Float] = metric match {
+    case Metric.Cosine =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v
+      else {
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+        out
+      }
+    case _ => v
+  }
+
   /** Switch greedy traversal to PQ-compressed scoring (LM-DiskANN's
     * low-memory mode): every existing vector is encoded to m bytes;
     * inserts encode incrementally. Traversal then reads codes only
     * (32x less hot data at d=64/m=8) and the exact re-rank restores
-    * precision over the ef-bounded candidate pool. Euclidean only:
-    * ADC approximates squared L2, which is ranking-compatible with
-    * the traversal's needs; cosine callers pre-normalize. */
+    * precision over the ef-bounded candidate pool. Cosine indexes
+    * encode L2-NORMALIZED vectors (see [[pqInput]] — the model must
+    * have been fit on normalized values too) and re-rank in true
+    * cosine, mirroring the reference's cosine parameter
+    * (/root/reference/src/LMDiskANN.jl:242, test/runtests.jl:37-67). */
   def enableLowMemoryTraversal(model: Quantization.PQModel): Unit = {
-    require(metric == Metric.Euclidean,
-      "PQ traversal supports the Euclidean metric (normalize for cosine)")
     require(model.dim == dim, s"model dim ${model.dim} != index dim $dim")
     pq = model
     pqCodes.clear()
     var i = 0
     while (i < vecs.length) {
-      pqCodes += (if (vecs(i) != null) model.encodeOne(vecs(i)) else null)
+      pqCodes += (if (vecs(i) != null) model.encodeOne(pqInput(vecs(i))) else null)
       i += 1
     }
   }
 
-  /** The code slot for a live id, encoding lazily if the code column
-    * lags the vector column (a slot reused after enable). */
+  /** The code slot for a live id. Codes are written ONLY by
+    * enableLowMemoryTraversal (all live rows) and insert (one row) —
+    * never here: a lazy fill would turn concurrent read-only searches
+    * into racing writers of the shared buffer. */
   private def codeFor(id: Int): Array[Byte] = {
-    while (pqCodes.length <= id) pqCodes += null
-    var c = pqCodes(id)
-    if (c == null) { c = pq.encodeOne(vecs(id)); pqCodes(id) = c }
+    val c = if (id < pqCodes.length) pqCodes(id) else null
+    if (c == null)
+      throw new IllegalStateException(
+        s"PQ code missing for live id $id — was the index mutated outside insert/delete?")
     c
   }
 
@@ -108,7 +130,7 @@ final class ServingIndex(
     val dist: Int => Double =
       if (pq == null) id => d(q, id)
       else {
-        val lut = pq.lutFor(q)
+        val lut = pq.lutFor(pqInput(q))
         id => Quantization.adc(codeFor(id), lut, pq.k)
       }
     // min-heap of candidates to expand; max-heap of kept results
@@ -175,7 +197,9 @@ final class ServingIndex(
     * candidate pool is post-filtered; if fewer than topk allowed
     * candidates survive, the expansion bound doubles and the search
     * retries until the pool is exhausted — the standard filtered-ANN
-    * compromise between recall and traversal cost. */
+    * compromise between recall and traversal cost. An EXPLICIT ef is
+    * honored down to topk (the caller may trade recall for latency);
+    * the topk*4 floor applies only when ef is defaulted. */
   def searchFiltered(
       q: Array[Float],
       topk: Int,
@@ -183,7 +207,7 @@ final class ServingIndex(
       ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     if (isEmpty) return IndexedSeq.empty
     require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    var effEf = math.max(topk * 4, if (ef <= 0) defaultEf else ef)
+    var effEf = if (ef <= 0) math.max(topk * 4, defaultEf) else math.max(topk, ef)
     var filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
     while (filtered.size < topk && effEf < numPoints) {
       effEf = math.min(effEf * 2, math.max(numPoints, 1))
@@ -248,7 +272,7 @@ final class ServingIndex(
     vecs(id) = v.clone()
     if (pq != null) {
       while (pqCodes.length < vecs.length) pqCodes += null
-      pqCodes(id) = pq.encodeOne(vecs(id))
+      pqCodes(id) = pq.encodeOne(pqInput(vecs(id)))
     }
     val publicId = (id + 1).toLong
     val k = key.getOrElse(publicId.toString)

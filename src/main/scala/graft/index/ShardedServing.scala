@@ -237,13 +237,23 @@ object ShardedServing {
       // with the true metric recovers a per-shard kNN graph for ~deg²
       // id-pair candidates per node instead of n/shards distance evals.
       // All in global-id space; mapped to (shard, local) at the end.
-      val e1 = index.adjacency
+      val adjE = index.adjacency
         .select(col("id").as("u"), explode(col("nbrs")).as("v"))
-      val e2 = e1.join(e1.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      // same-shard condition folded INTO the 2-hop equi-join (composite
+      // key: middle node + shard of the endpoints), so cross-shard
+      // (u, w) pairs — ~ (numShards-1)/numShards of the naive explode —
+      // never materialize before the distinct
+      val left = adjE.select(col("u"), col("v"),
+        pmod(col("u"), lit(numShards)).as("s"))
+      val hop2 = left.join(
+          adjE.select(col("u").as("mid"), col("v").as("w"),
+            pmod(col("v"), lit(numShards)).as("ws")),
+          col("v") === col("mid") && col("s") === col("ws"))
         .select(col("u"), col("w").as("v"))
-      val cand = e1.unionByName(e2)
-        .filter(col("u") =!= col("v") &&
-          pmod(col("u"), lit(numShards)) === pmod(col("v"), lit(numShards)))
+      val hop1 = left.filter(pmod(col("v"), lit(numShards)) === col("s"))
+        .select(col("u"), col("v"))
+      val cand = hop1.unionByName(hop2)
+        .filter(col("u") =!= col("v"))
         .distinct()
       val gv = base.select((col("id") * numShards + col("shard")).as("u"), col("vec"))
       val edges = cand

@@ -93,10 +93,16 @@ final class VectorIndex private (
     * past [[VectorIndex.BroadcastResolveBytes]] — e.g. a giant
     * insertBatch just before compaction), fall back to the shuffle
     * resolve rather than broadcast something executor-memory-sized. */
-  private def resolved(table: String, schema: StructType, liveCol: String): DataFrame = {
+  private def resolved(table: String, schema: StructType, liveCol: String): DataFrame =
+    resolvedFrom(v => segDir(table, v), schema, liveCol)
+
+  /** [[resolved]] over an arbitrary segment->directory mapping — the
+    * same latest-wins/broadcast-anti-join read serves derived
+    * per-segment artifacts (the PQ code dirs) as well as the tables. */
+  private def resolvedFrom(dirOf: Long => String, schema: StructType, liveCol: String): DataFrame = {
     val segs = meta.segments
     val dataCols = schema.fieldNames.filter(_ != "id").toSeq
-    def read(v: Long): DataFrame = spark.read.schema(schema).parquet(segDir(table, v))
+    def read(v: Long): DataFrame = spark.read.schema(schema).parquet(dirOf(v))
     def deltaResolved(tail: Seq[Long]): DataFrame = tail.map(v => read(v).withColumn("__seg", lit(v)))
       .reduce(_.unionByName(_))
       .groupBy(col("id"))
@@ -104,7 +110,7 @@ final class VectorIndex private (
       .select(col("id") +: dataCols.map(c => col(s"__r.$c").as(c)): _*)
     if (segs.length == 1)
       read(segs.head).filter(col(liveCol).isNotNull)
-    else if (segs.tail.map(v => dirBytes(segDir(table, v))).sum <= BroadcastResolveBytes) {
+    else if (segs.tail.map(v => dirBytes(dirOf(v))).sum <= BroadcastResolveBytes) {
       val delta = deltaResolved(segs.tail)
       read(segs.head)
         .join(broadcast(delta.select(col("id"))), Seq("id"), "left_anti")
@@ -190,52 +196,95 @@ final class VectorIndex private (
     s
   }
 
+  /** What PQ encodes for this index: raw vectors under Euclidean,
+    * L2-normalized copies under cosine — ADC over unit vectors ranks
+    * cosine correctly (||a-b||² = 2 - 2·cos), and exact re-ranks stay
+    * true cosine on the raw values. */
+  private def pqFitSource: DataFrame = pqPrepare(vectors)
+
+  private def pqPrepare(df: DataFrame): DataFrame = metric match {
+    case Metric.Cosine =>
+      import graft.functions.VectorFunctions
+      df.select(col("id"), col("key"),
+        when(col("vec").isNotNull,
+          VectorFunctions.normalizedByNorm(col("vec"), VectorFunctions.l2Norm(col("vec"))))
+          .as("vec"))
+    case _ => df
+  }
+
   /** Fit PQ codebooks from this index's vectors and persist them as a
-    * `pq.json` sidecar next to the snapshot — the compression model is
-    * part of the index artifact, created once with it (reference
-    * create/save contract extended to LM-DiskANN's compressed-node
-    * axis). `m` must divide the dimension. */
+    * per-m `pq-m<m>.json` sidecar next to the snapshot — the
+    * compression model is part of the index artifact, created once
+    * with it (reference create/save contract extended to LM-DiskANN's
+    * compressed-node axis). Per-m sidecars let callers with different
+    * m values coexist instead of thrashing one shared file. Cosine
+    * indexes fit on NORMALIZED vectors (see [[pqFitSource]]). `m` must
+    * divide the dimension. */
   def fitPQ(m: Int, k: Int = 256): Quantization.PQModel = {
-    val model = Quantization.pqFit(vectors, m = m, k = k)
-    Quantization.save(model, path)
+    val model = Quantization.pqFit(pqFitSource, m = m, k = k)
+    Quantization.save(model, path, s"pq-m$m.json")
     model
   }
 
-  /** The persisted PQ model, if one was fit for this index. */
-  def loadPQ(): Option[Quantization.PQModel] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
-      Some(Quantization.load(path))
+  /** The persisted PQ model for subspace count `m`, if one was fit for
+    * this index (legacy single `pq.json` sidecars are honored when
+    * their m matches). */
+  def loadPQ(m: Int = 8): Option[Quantization.PQModel] = {
+    val perM = java.nio.file.Paths.get(s"$path/pq-m$m.json")
+    if (java.nio.file.Files.exists(perM)) Some(Quantization.load(path, s"pq-m$m.json"))
+    else if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
+      Some(Quantization.load(path)).filter(_.m == m)
     else None
+  }
 
-  /** The persisted PQ code column for the CURRENT snapshot version —
-    * the artifact that delivers PQ's scan-side win (an ADC pass reads
+  /** The persisted PQ code column for the CURRENT snapshot state — the
+    * artifact that delivers PQ's scan-side win (an ADC pass reads
     * these m-byte codes instead of the d·4-byte vectors, 32x fewer
     * bytes at d=64/m=8). Codes are a DERIVED artifact keyed by
-    * (snapshot version, MODEL): the dir name carries the model's
-    * shape and a codebook content hash, so refitting — even with the
-    * same m — never serves stale codes against a new model's LUTs.
-    * Completeness is gated on the `_SUCCESS` marker, not bare dir
-    * existence: an interrupted write leaves a partial dir that a bare
-    * exists() check would trust forever. Older versions' code dirs
-    * are reaped with their snapshot versions. */
+    * (SEGMENT, MODEL): each table segment gets its own code dir (the
+    * dir name carries the model's shape and a codebook content hash,
+    * so refitting — even with the same m — never serves stale codes
+    * against a new model's LUTs), and the read resolves latest-wins
+    * across segments exactly like the tables do. A delta commit
+    * therefore encodes ONLY its own rows — O(batch), never the
+    * O(index) full re-encode a version-keyed dir forced — and
+    * compaction re-keys codes with the tables. Completeness is gated
+    * on the `_SUCCESS` marker, not bare dir existence: an interrupted
+    * write leaves a partial dir that a bare exists() check would trust
+    * forever. Code dirs for segments no longer in `meta.segments`
+    * stay on disk for readers of previous snapshots, like the table
+    * dirs themselves. Cosine indexes encode normalized vectors. */
   def pqCodes(model: Quantization.PQModel): DataFrame = {
     val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(model.codebook))
-    val dir = s"$path/pq_codes/v=${meta.version}-m${model.m}k${model.k}-$fp"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
-      Quantization.pqEncode(vectors, model)
-        .write.mode("overwrite").parquet(dir)
+    val suffix = s"m${model.m}k${model.k}-$fp"
+    def codesDir(v: Long) = s"$path/pq_codes/seg=$v-$suffix"
+    meta.segments.foreach { v =>
+      val dir = codesDir(v)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
+        val raw = spark.read.schema(storedVectorsSchema).parquet(segDir("vectors", v))
+        val dec =
+          if (isHalf) raw.select(col("id"), col("key"),
+            graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+          else raw
+        // tombstone rows (null vec) become null-code tombstones, so the
+        // latest-wins resolve drops deleted ids exactly like the tables
+        pqPrepare(dec)
+          .select(col("id"), when(col("vec").isNotNull, model.encode(col("vec"))).as("codes"))
+          .write.mode("overwrite").parquet(dir)
+      }
     }
-    spark.read.parquet(dir)
+    resolvedFrom(codesDir, pqCodesSchema, "codes")
   }
 
   /** [[toServing]] with low-memory PQ traversal enabled from the
-    * persisted sidecar — reused only when its subspace count matches
-    * the request (a persisted m=8 model silently serving an m=16 call
-    * would halve the compression/accuracy tradeoff the caller asked
-    * for); otherwise refit-and-save with the requested m. */
+    * persisted per-m sidecar; fit-and-save on first use. Works for
+    * BOTH metrics: cosine fits/encodes normalized vectors and the
+    * serving engine re-ranks in true cosine (the reference's cosine
+    * parameter, src/LMDiskANN.jl:242, combined with LM-DiskANN's
+    * low-memory principle). */
   def toServingLowMemory(m: Int = 8): ServingIndex = {
     val s = toServing
-    val model = loadPQ().filter(_.m == m).getOrElse(fitPQ(m))
+    val model = loadPQ(m).getOrElse(fitPQ(m))
     s.enableLowMemoryTraversal(model)
     s
   }
@@ -637,6 +686,11 @@ object VectorIndex {
     StructField("id", LongType, nullable = false),
     StructField("succ", LongType, nullable = true),
     StructField("prev", LongType, nullable = true)))
+
+  /** Per-segment PQ code artifact schema (null codes = tombstone). */
+  val pqCodesSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = true)))
 
   /** Batch ids inside the cyclic id-order gap (a, b) — ascending from
     * just after `a`. `a == b` is the single-node ring (the gap is the

@@ -113,6 +113,35 @@ object AnnQueries {
     }
   }
 
+  /** One IVF-PQ composite per sf-dir — the canonical billion-scale
+    * layout (paper.md:23,27 at its composite best: the coarse IVF
+    * assignment prunes the scan to nprobe clusters AND the PQ code
+    * column shrinks the scanned bytes 32x). Built from the two cached
+    * artifacts it composes: `assignedCodes` = (id, cluster, codes) is
+    * the join of the IVF assignment with the code column — at 100 TB
+    * this is the table you'd physically store, partitioned by cluster. */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[(Int, Array[Float])], graft.index.Quantization.PQModel, DataFrame)]()
+
+  private def ivfPqFitted(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Float])], graft.index.Quantization.PQModel, DataFrame) = {
+    val cached = ivfPqCache.get(dir)
+    if (cached != null && !cached._3.sparkSession.sparkContext.isStopped) cached
+    else {
+      val (centroids, assigned) = ivfFitted(spark, dir)
+      val (model, codes) = pqFitted(spark, dir)
+      val centroidArr = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val assignedCodes = assigned.select(col("id"), col("cluster"))
+        .join(codes, Seq("id")).cache()
+      assignedCodes.count() // materialize the one cached copy up front
+      val triple = (centroidArr, model, assignedCodes)
+      ivfPqCache.put(dir, triple)
+      triple
+    }
+  }
+
   /** Exact top-10 ground truth per (dir, metric, query-sample) —
     * the EVALUATION oracle the recall queries (q31/q33/q35/q37) score
     * against. Computed distributed (crossJoin against the broadcast
@@ -210,12 +239,15 @@ object AnnQueries {
     val tTruth = (System.nanoTime() - t4) / 1e9
     val t5 = System.nanoTime(); pqFitted(spark, dir)
     val tPq = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime(); ivfPqFitted(spark, dir)
+    val tIvfPq = (System.nanoTime() - t6) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
       "ivf_fit_sec" -> tFit,
       "ivf_cosine_fit_sec" -> tFitCos,
       "truth_build_sec" -> tTruth,
-      "pq_fit_sec" -> tPq)
+      "pq_fit_sec" -> tPq,
+      "ivfpq_join_sec" -> tIvfPq)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
@@ -389,6 +421,49 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "compression_ratio")
   }
 
+  /** IVF-PQ composite top-10 with exact re-rank for the first 10
+    * vectors — coarse pruning (nprobe of 16 clusters) over the
+    * 32x-smaller code column, refine in full precision (rows-only;
+    * approximate). */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (centroidArr, model, assignedCodes) = ivfPqFitted(spark, dir)
+    val src = source(spark, dir)
+    val queries = src.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.index.Quantization.ivfPqTopK(assignedCodes, centroidArr, model, queries,
+        topk = 10, nprobe = 8, refine = Some(src))
+      .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
+        col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the IVF-PQ composite vs the cached exact
+    * oracle over 30 head queries, with the knobs (nprobe, refine
+    * factor) and the code column's compression visible in the round
+    * artifacts — the billion-scale layout's quality, gated >= 0.70 by
+    * scripts/oracle_check.py like every other approximate tier. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (centroidArr, model, assignedCodes) = ivfPqFitted(spark, dir)
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nprobe = 8
+    val refineFactor = 4
+    val got = graft.index.Quantization.ivfPqTopK(assignedCodes, centroidArr, model,
+        queries, topk = 10, nprobe = nprobe,
+        refine = Some(src), refineFactor = refineFactor)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val matched = truth.keysIterator.map(q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+    val nq = truth.size.toLong
+    Seq((nq, matched.toDouble / (nq * 10.0), nprobe, refineFactor, model.compressionRatio))
+      .toDF("n_queries", "avg_recall_at_10", "nprobe", "refine_factor", "compression_ratio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
@@ -399,7 +474,9 @@ object AnnQueries {
     "q36_ivf_cosine" -> (ivfCosineSearch _),
     "q37_ivf_cosine_recall" -> (ivfCosineRecall _),
     "q38_pq_search" -> (pqSearch _),
-    "q39_pq_recall" -> (pqRecall _)
+    "q39_pq_recall" -> (pqRecall _),
+    "q66_ivfpq_search" -> (ivfPqSearch _),
+    "q67_ivfpq_recall" -> (ivfPqRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

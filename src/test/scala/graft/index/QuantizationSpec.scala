@@ -147,16 +147,45 @@ class QuantizationSpec extends SparkSpec {
     assert(java.util.Arrays.equals(loaded.encodeOne(v), model.encodeOne(v)))
   }
 
-  test("index lifecycle: fitPQ persists a sidecar; toServingLowMemory searches") {
+  test("index lifecycle: fitPQ persists a per-m sidecar; toServingLowMemory searches") {
     val dir = tmpDir("pq-lifecycle")
     val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 500),
       dim = dim, maxDegree = 16)
     val s = idx.toServingLowMemory(m = 8)
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pq-m8.json")))
     // reload path: the sidecar round-trips through loadPQ
-    assert(idx.loadPQ().isDefined)
+    assert(idx.loadPQ(8).isDefined)
     val hits = s.search(data(7)._2, topk = 5)
     assert(hits.nonEmpty && hits.head._2 == 8L) // self is public id 8 (1-based)
+    // a second m coexists instead of thrashing the first one's sidecar
+    idx.toServingLowMemory(m = 4)
+    assert(idx.loadPQ(8).isDefined && idx.loadPQ(4).isDefined)
+    assert(idx.loadPQ(4).get.m == 4)
+  }
+
+  test("cosine low-memory serving: normalized-PQ traversal recall@10 >= 0.70") {
+    val dir = tmpDir("pq-cosine")
+    val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 1000),
+      dim = dim, maxDegree = 32, metric = Metric.Cosine)
+    val s = idx.toServingLowMemory(m = 8)
+    val sub = data.take(1000)
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    }
+    val recalls = (0 until 30).map { qi =>
+      val qv = sub(qi)._2
+      val truth = sub.map { case (i, v) => (cosDist(qv, v), i) }
+        .sortBy { case (dd, i) => (dd, i) }.take(10).map(_._2 + 1).toSet
+      val got = s.search(qv, topk = 10).map(_._2).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.70, s"cosine PQ-traversal recall $avg below the 0.70 gate")
   }
 
   test("sharded router low-memory traversal: recall@10 >= 0.70") {
@@ -176,7 +205,7 @@ class QuantizationSpec extends SparkSpec {
     assert(avg >= 0.70, s"sharded PQ-traversal recall $avg below the 0.70 gate")
   }
 
-  test("pqCodes persists per snapshot version and re-derives after mutation") {
+  test("pqCodes persists per segment and mutations encode O(batch), not O(index)") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("pq-codes")
     val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 300),
@@ -184,11 +213,10 @@ class QuantizationSpec extends SparkSpec {
     val model = idx.fitPQ(m = 8)
     val codes0 = idx.pqCodes(model)
     assert(codes0.count() == 300)
-    val v0 = idx.meta.version
-    // dir is keyed by (version, model shape, codebook hash) + _SUCCESS
-    val codeDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pq_codes"))
-      .toArray.map(_.toString)
-    assert(codeDirs.exists(_.contains(s"v=$v0-m${model.m}k${model.k}-")))
+    // dir is keyed by (segment, model shape, codebook hash) + _SUCCESS
+    def codeDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pq_codes"))
+      .toArray.map(_.toString).sorted
+    assert(codeDirs().exists(_.contains(s"seg=0-m${model.m}k${model.k}-")))
     // refitting a DIFFERENT shape must not reuse these codes
     val model4 = idx.fitPQ(m = 4)
     assert(idx.pqCodes(model4).head().getSeq[Byte](1).length == 4)
@@ -198,11 +226,36 @@ class QuantizationSpec extends SparkSpec {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
       .collect()
     assert(top.head.getLong(1) == 7L)
-    // a mutation bumps the version; codes re-derive for the new state
+    // a delete commits a delta segment; its code dir holds ONLY the
+    // tombstone row (O(batch)), and the resolve drops the victim
+    val before = codeDirs().length
     val idx2 = idx.deleteBatch(Seq(3L)) // public id 3 = internal 2
     val codes1 = idx2.pqCodes(model)
     assert(codes1.count() == 299)
     assert(codes1.filter(col("id") === 2L).count() == 0)
+    val newDirs = codeDirs().filterNot(d => d.contains("seg=0-"))
+      .filter(_.contains(s"m${model.m}k${model.k}-"))
+    assert(newDirs.nonEmpty, "delta segment must get its own code dir")
+    val deltaRows = spark.read.schema(VectorIndex.pqCodesSchema)
+      .parquet(newDirs.head).count()
+    assert(deltaRows == 1, s"delta code dir must hold O(batch)=1 rows, had $deltaRows")
+    // an insert batch likewise encodes only its own rows
+    val add = spark.createDataFrame(
+      java.util.Arrays.asList((0 until 5).map(i =>
+        Row(null, data(1000 + i)._2.toSeq)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("vec",
+          ArrayType(FloatType, containsNull = false), nullable = false))))
+    val idx3 = idx2.insertBatch(add)
+    val codes2 = idx3.pqCodes(model)
+    assert(codes2.count() == 304)
+    val insDirs = codeDirs().filter(_.contains(s"seg=${idx3.meta.version}-m${model.m}"))
+    assert(insDirs.nonEmpty)
+    val insRows = spark.read.schema(VectorIndex.pqCodesSchema)
+      .parquet(insDirs.head).count()
+    assert(insRows == 5, s"insert delta code dir must hold O(batch)=5 rows, had $insRows")
   }
 
   test("IVF-PQ composite: probe + ADC + refine recall@10 >= 0.70") {
