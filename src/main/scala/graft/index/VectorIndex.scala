@@ -122,6 +122,26 @@ final class VectorIndex private (
     }
   }
 
+  /** An id set as a single-column frame, for join-phrased membership. */
+  private def idSetDf(ids: Seq[Long], name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_)),
+        math.max(1, ids.size / 500000)),
+      StructType(Seq(StructField(name, LongType, nullable = false))))
+
+  /** Membership filter that scales past literal lists: small id sets
+    * compile to an In/InSet predicate (cheap to analyze, pushable),
+    * but past [[VectorIndex.InListMaxIds]] the same semantics switch
+    * to a BROADCAST semi/anti join — a 10^6-row batch must not inline
+    * 10^6 literals into the plan (multi-MB plan serialization,
+    * analyzer cost), mirroring the BroadcastResolveBytes pattern in
+    * [[resolved]]. */
+  private[index] def filterByIds(df: DataFrame, idCol: String, ids: Seq[Long], keep: Boolean): DataFrame =
+    if (ids.size <= InListMaxIds)
+      df.filter(if (keep) col(idCol).isin(ids: _*) else !col(idCol).isin(ids: _*))
+    else
+      df.join(broadcast(idSetDf(ids, idCol)), Seq(idCol), if (keep) "left_semi" else "left_anti")
+
   /** Driver-side metadata listing — no Spark job. */
   private def dirBytes(dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -419,7 +439,7 @@ final class VectorIndex private (
     val edges = rawEdges.localCheckpoint(true)
 
     // batch nodes: own candidates + reversed batch↔batch edges
-    val batchRev = edges.filter(col("dst").isin(batchIds: _*))
+    val batchRev = filterByIds(edges, "dst", batchIds, keep = true)
       .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
     val batchGraph = GraphBuilder.topKPerNode(edges.unionByName(batchRev), knnDegree)
 
@@ -427,7 +447,7 @@ final class VectorIndex private (
     // (distances recomputed for just those rows) and re-prune — the
     // reference's add-backedge-then-truncate, restricted to the
     // O(batch · k) touched set
-    val toOld = edges.filter(!col("dst").isin(batchIds: _*))
+    val toOld = filterByIds(edges, "dst", batchIds, keep = false)
       .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
     val touchedIds = toOld.select(col("src").as("id")).distinct()
     val oldEdges = graphTable.join(broadcast(touchedIds), Seq("id"))
@@ -486,14 +506,17 @@ final class VectorIndex private (
       return rows.toDF("id", "succ", "prev")
         .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
     }
-    val bc = batchIdsSorted
+    // the sorted batch rides a real Broadcast handle, not a closure
+    // capture — tasks share one torrent-distributed copy instead of
+    // re-serializing a multi-MB array into every task binary
+    val bc = spark.sparkContext.broadcast(batchIdsSorted)
     // per link (a → b): batch ids in the cyclic gap; emit the chain
     // a → x1 → … → xk → b as partial (id, succ, prev) updates with -1
     // meaning "unchanged" (a keeps its prev, b keeps its succ)
     val updates = ringTable.select(col("id"), col("succ"), col("prev"))
       .as[(Long, Long, Long)]
       .flatMap { case (a, b, _) =>
-        val xs = VectorIndex.idsInGap(a, b, bc)
+        val xs = VectorIndex.idsInGap(a, b, bc.value)
         if (xs.isEmpty) Nil
         else {
           val mids = xs.indices.map { i =>
@@ -505,13 +528,14 @@ final class VectorIndex private (
         }
       }
       .collect() // bounded: <= 3 · batch rows
+    bc.destroy()
     val batchSet = batchIdsSorted.toSet
     val merged = updates.groupBy(_._1).map { case (id, us) =>
       (id, us.map(_._2).max, us.map(_._3).max)
     }.toSeq
     // fill unchanged fields of touched OLD endpoints from the old ring
     val oldTouched = merged.map(_._1).filterNot(batchSet.contains)
-    val oldVals = ringTable.filter(col("id").isin(oldTouched: _*))
+    val oldVals = filterByIds(ringTable, "id", oldTouched, keep = true)
       .select(col("id"), col("succ"), col("prev"))
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
@@ -534,11 +558,10 @@ final class VectorIndex private (
     // only live rows become freelist entries: re-deleting an id (retry,
     // overlapping delete sets) must not create duplicate free slots
     val requested = publicIds.map(_ - 1L).toSet
-    val victims = vectors.filter(col("id").isin(requested.toSeq: _*))
+    val victims = filterByIds(vectors, "id", requested.toSeq, keep = true)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     if (victims.isEmpty) return this
     val victimSeq = victims.toSeq.sorted
-    val victimArr = typedLit(victimSeq)
     val newVersion = meta.version + 1
     val dir = s"$path/v=$newVersion"
 
@@ -549,11 +572,37 @@ final class VectorIndex private (
       .write.mode("overwrite").parquet(s"$dir/vectors")
 
     // graph: strip victims from the rows that reference them (one scan,
-    // bounded writes — no further repair, Q3) + victim tombstones
-    val repaired = graphTable
-      .filter(!col("id").isin(victimSeq: _*))
-      .filter(arrays_overlap(col("nbrs"), victimArr))
-      .select(col("id"), array_except(col("nbrs"), victimArr).as("nbrs"))
+    // bounded writes — no further repair, Q3) + victim tombstones.
+    // Small victim sets inline as array literals; large ones switch to
+    // a posexplode + broadcast-join shape so the plan never carries a
+    // million-element literal array (same threshold as filterByIds).
+    val repaired =
+      if (victimSeq.size <= InListMaxIds) {
+        val victimArr = typedLit(victimSeq)
+        graphTable
+          .filter(!col("id").isin(victimSeq: _*))
+          .filter(arrays_overlap(col("nbrs"), victimArr))
+          .select(col("id"), array_except(col("nbrs"), victimArr).as("nbrs"))
+      } else {
+        val vdf = idSetDf(victimSeq, "nbr")
+        val expl = filterByIds(graphTable, "id", victimSeq, keep = false)
+          .select(col("id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+        val touched = expl.join(broadcast(vdf), Seq("nbr"), "left_semi")
+          .select(col("id")).distinct()
+        val pruned = expl.join(touched, Seq("id"), "left_semi")
+          .join(broadcast(vdf), Seq("nbr"), "left_anti")
+          .groupBy(col("id"))
+          // sort by original position so pruned lists keep their
+          // distance order (array_except is order-preserving too)
+          .agg(sort_array(collect_list(struct(col("pos"), col("nbr")))).as("ps"))
+          .select(col("id"), col("ps.nbr").as("nbrs"))
+        // a touched row whose every neighbor was a victim must still
+        // write an EMPTY list (left-joining from `touched` keeps it) —
+        // dropping it would let the stale neighbor row latest-win
+        touched.join(pruned, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+      }
     val graphTombs = spark.createDataFrame(
       spark.sparkContext.parallelize(victimSeq.map(id => Row(id, null))),
       graphSchema)
@@ -563,9 +612,19 @@ final class VectorIndex private (
     // ring: relink around the victims (bounded driver-side splice over
     // the collected victim neighborhoods) + victim tombstones
     val nLeft = meta.numPoints - victims.size
-    val touched = ringTable
-      .filter(col("id").isin(victimSeq: _*) ||
-        col("succ").isin(victimSeq: _*) || col("prev").isin(victimSeq: _*))
+    // one semi-join per link column (an OR-condition against a joined
+    // set would degrade to a nested-loop join), deduped on id
+    val touchedRing =
+      if (victimSeq.size <= InListMaxIds)
+        ringTable.filter(col("id").isin(victimSeq: _*) ||
+          col("succ").isin(victimSeq: _*) || col("prev").isin(victimSeq: _*))
+      else
+        Seq("id", "succ", "prev")
+          .map(c => filterByIds(ringTable, c, victimSeq, keep = true)
+            .select(col("id"), col("succ"), col("prev")))
+          .reduce(_.unionByName(_))
+          .dropDuplicates("id")
+    val touched = touchedRing
       .select(col("id"), col("succ"), col("prev"))
       .as[(Long, Long, Long)].collect()
     val succOf = touched.map(r => r._1 -> r._2).toMap
@@ -589,7 +648,7 @@ final class VectorIndex private (
 
     val newEntry =
       if (!victims.contains(meta.entrypoint.toLong)) meta.entrypoint
-      else vectors.filter(!col("id").isin(victimSeq: _*))
+      else filterByIds(vectors, "id", victimSeq, keep = false)
         .agg(min(col("id"))).head().get(0) match {
         case null => -1
         case l: Long => l.toInt
@@ -666,6 +725,10 @@ object VectorIndex {
     * full-index shuffle. Compressed parquet expands in memory, so this
     * is deliberately well under typical executor headroom. */
   val BroadcastResolveBytes: Long = 32L << 20
+
+  /** Largest id set phrased as a literal In list in mutation plans;
+    * bigger sets become broadcast semi/anti joins (filterByIds). */
+  val InListMaxIds: Int = 10000
 
   val vectorsSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),

@@ -70,7 +70,10 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies"),
         transform(
-          VectorFunctions.topKPairs(col(idCol).cast("double"), col(idCol), maxMembers),
+          // constant dist: the heap's (dist, id) order degenerates to
+          // the exact LONG id order — a cast-to-double key would
+          // collapse ids above 2^53 onto one double
+          VectorFunctions.topKPairs(lit(0d), col(idCol), maxMembers),
           p => p.getField("id")).as("member_ids"))
       .filter(col("n_copies") > 1)
 

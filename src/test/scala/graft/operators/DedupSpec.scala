@@ -10,6 +10,26 @@ import graft.SparkSpec
   * the driver via q40-q45/q52.) */
 class DedupSpec extends SparkSpec {
 
+  test("exactDuplicates orders member ids exactly near 2^63 (no double collapse)") {
+    val ss = spark
+    import ss.implicits._
+    // ulp(2^63) = 2048, so consecutive ids near Long.MaxValue all
+    // round to the SAME double — a double-keyed ordering collapses
+    // them; the long-keyed heap must keep them distinct and ascending
+    val base = Long.MaxValue - 10L
+    val docs = (0 until 8).map(i => (base + i, "same-text")) ++
+      Seq((1L, "same-text"), (42L, "other"))
+    val out = Dedup.exactDuplicates(docs.toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("canonical_id") == 1L)
+    assert(r.getAs[Long]("n_copies") == 9L)
+    val members = r.getSeq[Long](r.fieldIndex("member_ids"))
+    assert(members == (1L +: (0 until 8).map(i => base + i)),
+      s"member ids must be exact ascending longs, got $members")
+  }
+
   test("connectedComponents labels chains and keeps disjoint groups apart") {
     val ss = spark
     import ss.implicits._
