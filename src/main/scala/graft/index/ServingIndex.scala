@@ -269,6 +269,35 @@ final class ServingIndex(
     val id =
       if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet -= r; r }
       else { vecs += null; adj += mutable.ArrayBuffer.empty[Int]; vecs.length - 1 }
+    wireAndRegister(id, v, key)
+  }
+
+  /** [[insert]] into a SPECIFIC internal slot — the router-maintenance
+    * path mirrors the durable snapshot's id assignment into a live
+    * fleet, so the fleet and a later fromIndex rebuild agree on every
+    * id. The slot must not be live: either a freed slot (claimed out
+    * of LIFO order — the snapshot's global LIFO interleaves shards, so
+    * a shard's recycling order is dictated externally) or at/past the
+    * append end (intermediate slots created by the extension join the
+    * freelist, like finishLoad's never-loaded rule). Wiring is
+    * identical to [[insert]]. */
+  def insertAt(slot: Int, v: Array[Float], key: Option[String] = None): (String, Long) = {
+    require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
+    require(slot >= 0 && !isLive(slot), s"slot $slot is live or invalid")
+    if (freeSet.contains(slot)) {
+      freeSet -= slot
+      freelist.remove(freelist.lastIndexOf(slot))
+    } else {
+      while (vecs.length <= slot) {
+        vecs += null; adj += mutable.ArrayBuffer.empty[Int]
+        val filler = vecs.length - 1
+        if (filler != slot) { freelist += filler; freeSet += filler }
+      }
+    }
+    wireAndRegister(slot, v, key)
+  }
+
+  private def wireAndRegister(id: Int, v: Array[Float], key: Option[String]): (String, Long) = {
     vecs(id) = v.clone()
     if (pq != null) {
       while (pqCodes.length < vecs.length) pqCodes += null

@@ -83,6 +83,25 @@ final class ShardedServing(
     (k, gid)
   }
 
+  /** Apply a SNAPSHOT-ASSIGNED insert to the live fleet: the durable
+    * [[VectorIndex]] chose internal id `snapshotId`, which maps to
+    * (shard = id mod numShards, local slot = id div numShards) under
+    * the [[ShardedServing.fromIndex]] partitioning — so a fleet
+    * maintained this way and a fleet rebuilt from the snapshot agree
+    * on every id and key. Cross-shard key uniqueness is enforced like
+    * [[insert]]. Returns the global public id (= snapshotId + 1). */
+  def insertAtGlobal(snapshotId: Long, v: Array[Float], key: String): Long = {
+    val s = math.floorMod(snapshotId, numShards.toLong).toInt
+    val local = (snapshotId / numShards).toInt
+    shards(s).insertAt(local, v, Some(key))
+    var i = 0
+    while (i < numShards) {
+      if (i != s) shards(i).unregisterKey(key)
+      i += 1
+    }
+    globalId(s, local + 1L)
+  }
+
   /** Scatter the query to every shard CONCURRENTLY (searches only
     * read the graph, so they are safe to fan out; in production each
     * shard is its own node and the scatter is an RPC fan-out), gather

@@ -177,6 +177,21 @@ final class VectorIndex private (
         graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
     else rawVectors
 
+  /** ONE committed segment's vector rows (id, key, vec), decoded,
+    * tombstones dropped — lets maintenance jobs replay exactly what a
+    * delta commit wrote (e.g. into a live serving fleet,
+    * [[graft.streaming.StreamingOps.applyRouterBatch]]) without
+    * re-deriving the id assignment. Valid for any version ever
+    * committed: segment dirs stay on disk after compaction. */
+  def segmentVectors(version: Long): DataFrame = {
+    val raw = spark.read.schema(storedVectorsSchema).parquet(segDir("vectors", version))
+    val dec =
+      if (isHalf) raw.select(col("id"), col("key"),
+        graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+      else raw
+    dec.filter(col("vec").isNotNull)
+  }
+
   /** kNN-pruned graph edges (no ring), live rows only. */
   private[index] def graphTable: DataFrame = resolved("graph", graphSchema, "nbrs")
 

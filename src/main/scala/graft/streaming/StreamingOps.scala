@@ -240,6 +240,72 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous maintenance of a LIVE shard fleet alongside its
+    * durable snapshot: the same mixed-op stream as [[indexMutations]],
+    * but each micro-batch ALSO lands in a running
+    * [[graft.index.ShardedServing]] router — the serving tier keeps
+    * answering at memory latency between snapshots instead of waiting
+    * for the next fromIndex reload. The router must have been produced
+    * by `ShardedServing.fromIndex(index, numShards)` (or maintained by
+    * this op since), because id agreement leans on that partitioning. */
+  def routerMaintenance(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexPath: String,
+      router: graft.index.ShardedServing,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRouterBatch(spark, indexPath, router, batch, batchId)
+        ()
+      }
+      .start()
+
+  /** One maintenance micro-batch: deletes apply to the snapshot and
+    * route to the router by the SAME global public id; inserts commit
+    * to the snapshot FIRST (the durable store owns id assignment —
+    * LIFO recycling included), then the committed delta segment's rows
+    * are replayed into the fleet at exactly those ids
+    * ([[graft.index.ShardedServing.insertAtGlobal]]) — so the live
+    * fleet and a later `fromIndex` rebuild of the snapshot agree on
+    * every id and key.
+    *
+    * Replay contract: a replayed batch (id <= persisted ingestBatchId)
+    * is skipped WITHOUT touching the router. That is correct for the
+    * crash it guards against — an in-memory fleet doesn't survive the
+    * crash either, and the restart path is a fromIndex reload of the
+    * (already-committed) snapshot. Returns true if anything applied. */
+  def applyRouterBatch(
+      spark: SparkSession,
+      indexPath: String,
+      router: graft.index.ShardedServing,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val idx = VectorIndex.load(spark, indexPath)
+    if (batchId <= idx.meta.ingestBatchId) return false
+    val deletes = batch.filter(col("op") === "delete")
+      .select(col("public_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val afterDel = if (deletes.nonEmpty) idx.deleteBatch(deletes) else idx
+    deletes.foreach(router.delete)
+    val inserts = batch.filter(col("op") === "insert").select(col("key"), col("vec"))
+    if (inserts.isEmpty) return deletes.nonEmpty
+    // capture the delta version BEFORE the commit: a commit that
+    // triggers compaction moves meta.version past the delta segment
+    val segV = afterDel.meta.version + 1
+    val next = afterDel.insertBatch(inserts, batchId)
+    next.segmentVectors(segV)
+      .select(col("id"), col("key"), col("vec"))
+      .collect() // bounded: exactly this micro-batch's rows
+      .foreach { r =>
+        router.insertAtGlobal(r.getLong(0), r.getSeq[Float](2).toArray, r.getString(1))
+      }
+    true
+  }
+
   /** Idempotent mixed-op micro-batch apply. Ordering makes replay
     * safe: the delete snapshot commits WITHOUT the batch id and the
     * insert snapshot commits WITH it, so a crash anywhere replays the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.index.{Metric, VectorIndex}
+import graft.index.{Metric, ShardedServing, VectorIndex}
 import graft.streaming.StreamingOps.Event
 
 class StreamingOpsSpec extends SparkSpec {
@@ -179,6 +179,64 @@ class StreamingOpsSpec extends SparkSpec {
     mem.addData(("delete", null, null, 1L))
     StreamingOps.indexMutations(spark, stream, path, ckpt).awaitTermination()
     assert(VectorIndex.load(spark, path).meta.numPoints == 2)
+  }
+
+  test("routerMaintenance: live fleet matches a rebuilt-from-snapshot fleet") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val path = tmpDir("rmaint-idx")
+    val ckpt = tmpDir("rmaint-ckpt")
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rng.nextFloat())
+    val base = (0L until 200L).map(i => (i, s"base$i", vec()))
+    VectorIndex.build(spark, path, base.toDF("id", "key", "vec"),
+      dim = 8, maxDegree = 16)
+    val router = ShardedServing.fromIndex(VectorIndex.load(spark, path), 4)
+    assert(router.numPoints == 200)
+
+    val mem = MemoryStream[(String, String, Seq[Float], Long)]
+    val stream = mem.toDF().toDF("op", "key", "vec", "public_id")
+
+    // batch 1: pure inserts land in both the snapshot and the fleet
+    mem.addData((0 until 20).map(i => ("insert", s"new$i", vec(), -1L)): _*)
+    StreamingOps.routerMaintenance(spark, stream, path, router, ckpt)
+      .awaitTermination()
+    assert(router.numPoints == 220)
+    assert(router.idForKey("new0").isDefined)
+
+    // batch 2: deletes (old AND just-inserted ids) + inserts that
+    // recycle the freed slots within the same batch, LIFO
+    mem.addData(
+      Seq(("delete", null, null, 3L),
+        ("delete", null, null, 7L),
+        ("delete", null, null, 205L)) ++
+        (0 until 10).map(i => ("insert", s"re$i", vec(), -1L)): _*)
+    StreamingOps.routerMaintenance(spark, stream, path, router, ckpt)
+      .awaitTermination()
+
+    val idx2 = VectorIndex.load(spark, path)
+    assert(router.numPoints == idx2.meta.numPoints)
+    val rebuilt = ShardedServing.fromIndex(idx2, 4)
+    assert(router.allKeys == rebuilt.allKeys)
+    // searches agree EXACTLY: ef covers the whole graph, so both
+    // fleets' exact re-ranks see every live vector — same ids, same
+    // keys, same distances, despite independently-wired graphs
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(8)(rng.nextFloat())
+      val a = router.search(q, topk = 5, ef = 1000)
+      val b = rebuilt.search(q, topk = 5, ef = 1000)
+      assert(a == b, s"live fleet and rebuilt fleet disagree: $a vs $b")
+    }
+    // keys resolve to the same global ids in both fleets, and the
+    // deleted rows' keys are gone from both (allKeys equality above
+    // covers the full key sets)
+    Seq("new0", "re3", "base42").foreach { k =>
+      assert(router.idForKey(k).isDefined && router.idForKey(k) == rebuilt.idForKey(k))
+    }
+    Seq("base2", "base6").foreach { k => // gids 3 and 7 pre-delete
+      assert(router.idForKey(k).isEmpty && rebuilt.idForKey(k).isEmpty)
+    }
   }
 
   test("streamingSearch answers query micro-batches against the live snapshot") {
