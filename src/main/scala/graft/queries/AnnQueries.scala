@@ -165,6 +165,18 @@ object AnnQueries {
   private def querySample(src: DataFrame, sample: String): DataFrame = sample match {
     case "head" =>
       src.filter(col("id") < 30).select(col("id").as("query_id"), col("vec").as("qvec"))
+    case "perturb" =>
+      // OUT-OF-SAMPLE queries: the stride vectors deterministically
+      // warped per component (±35%, phase keyed on id and position).
+      // Self-queries sit ON a graph node and saturate recall at any
+      // ef; comparative quality artifacts (q68) need queries that land
+      // BETWEEN nodes, where prune/edge quality actually decides what
+      // the traversal finds.
+      querySample(src, "stride")
+        .select(col("query_id"),
+          transform(col("qvec"), (x, i) =>
+            (x * (lit(1.0f) + lit(0.35f) *
+              sin(col("query_id") * 31 + i))).cast("float")).as("qvec"))
     case _ =>
       val n = src.count()
       val stride = math.max(1L, n / 30L)
@@ -193,6 +205,50 @@ object AnnQueries {
         .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
       graft.plans.Blocks.release(queries)
       truth
+    })
+
+  /** Matched graph PAIR for the prune comparison (q68): truncation
+    * prune (reference-faithful default) vs α-RNG prune (alpha = 1.2,
+    * opt-in) over the SAME vectors at the SAME deliberately LOW degree
+    * — at the main graph's degree 32 both prunes keep an exact-kNN-
+    * quality edge set on these corpora and the difference is invisible;
+    * a tight degree budget is precisely where DiskANN's diversifying
+    * prune argument applies (SURVEY §4.2 flags the reference's
+    * truncation as the recall-limiting deviation — this artifact makes
+    * that measurable per round, not just in AlphaPruneSpec). */
+  private val AlphaCmpDegree = 8
+  private val alphaCmpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.index.ServingIndex, graft.index.ServingIndex, Long)]()
+
+  private def alphaComparison(spark: SparkSession, dir: String)
+      : (graft.index.ServingIndex, graft.index.ServingIndex, Long) =
+    alphaCmpCache.computeIfAbsent(dir, _ => {
+      val src = source(spark, dir)
+      val dim = src.select(size(col("vec"))).head().getInt(0)
+      def one(alpha: Double): VectorIndex = {
+        val path = java.nio.file.Files.createTempDirectory("graft-ann-alpha")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }))
+        VectorIndex.build(spark, path.toString, src, dim = dim,
+          maxDegree = AlphaCmpDegree, alpha = alpha)
+      }
+      val (i0, i1) = (one(0.0), one(1.2))
+      // structural diff between the two edge sets, so the artifact
+      // explains its own recall numbers: on a corpus with strong
+      // distance concentration the α-condition rarely fires and the
+      // prunes coincide (diff ~ 0 -> equal recall is the TRUE result;
+      // AlphaPruneSpec demonstrates the clustered regime where they
+      // diverge)
+      val nDiff = i0.adjacency.select(col("id"), sort_array(col("nbrs")).as("a"))
+        .join(i1.adjacency.select(col("id"), sort_array(col("nbrs")).as("b")), Seq("id"))
+        .filter(col("a") =!= col("b")).count()
+      (i0.toServing, i1.toServing, nDiff)
     })
 
   /** One cached (vectors, adjacency) pair per sf-dir for the beam
@@ -241,13 +297,16 @@ object AnnQueries {
     val tPq = (System.nanoTime() - t5) / 1e9
     val t6 = System.nanoTime(); ivfPqFitted(spark, dir)
     val tIvfPq = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime(); alphaComparison(spark, dir)
+    val tAlpha = (System.nanoTime() - t7) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
       "ivf_fit_sec" -> tFit,
       "ivf_cosine_fit_sec" -> tFitCos,
       "truth_build_sec" -> tTruth,
       "pq_fit_sec" -> tPq,
-      "ivfpq_join_sec" -> tIvfPq)
+      "ivfpq_join_sec" -> tIvfPq,
+      "alpha_graph_build_sec" -> tAlpha)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
@@ -464,6 +523,35 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "nprobe", "refine_factor", "compression_ratio")
   }
 
+  /** Head-to-head recall@10 of the truncation prune (reference-
+    * faithful default) vs the α-RNG prune (alpha = 1.2, opt-in) over
+    * the SAME vectors at the SAME low degree and a tight ef, measured
+    * on OUT-OF-SAMPLE (perturbed) queries — the regime where edge
+    * diversity decides what a small expansion finds (DiskANN's
+    * argument for α-RNG; see [[alphaComparison]]). Both columns carry
+    * the 0.70 gate. */
+  def alphaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (trunc, alpha, nDiff) = alphaComparison(spark, dir)
+    val src = source(spark, dir)
+    val queryRows = querySample(src, "perturb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "perturb")
+      .map { case (q, ids) => q -> ids.map(_ + 1) }
+    val ef = 14
+    def recallOf(s: graft.index.ServingIndex): Double = {
+      val rs = queryRows.map { case (qid, qv) =>
+        truth(qid).intersect(s.search(qv, topk = 10, ef = ef).map(_._2).toSet).size / 10.0
+      }
+      rs.sum / rs.length
+    }
+    Seq((queryRows.length, AlphaCmpDegree, ef, 1.2,
+        recallOf(trunc), recallOf(alpha), nDiff))
+      .toDF("n_queries", "max_degree", "ef", "alpha",
+        "avg_recall_at_10_trunc", "avg_recall_at_10_alpha",
+        "n_nodes_adjacency_differs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
@@ -476,7 +564,8 @@ object AnnQueries {
     "q38_pq_search" -> (pqSearch _),
     "q39_pq_recall" -> (pqRecall _),
     "q66_ivfpq_search" -> (ivfPqSearch _),
-    "q67_ivfpq_recall" -> (ivfPqRecall _)
+    "q67_ivfpq_recall" -> (ivfPqRecall _),
+    "q68_alpha_recall" -> (alphaRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */
