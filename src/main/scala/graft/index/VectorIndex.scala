@@ -288,7 +288,8 @@ final class VectorIndex private (
     * write leaves a partial dir that a bare exists() check would trust
     * forever. Code dirs for segments no longer in `meta.segments`
     * stay on disk for readers of previous snapshots, like the table
-    * dirs themselves. Cosine indexes encode normalized vectors. */
+    * dirs themselves, until [[vacuum]] reaps them. Cosine indexes
+    * encode normalized vectors. */
   def pqCodes(model: Quantization.PQModel): DataFrame = {
     val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(model.codebook))
     val suffix = s"m${model.m}k${model.k}-$fp"
@@ -696,6 +697,59 @@ final class VectorIndex private (
 
   private def maybeCompact(idx: VectorIndex): VectorIndex =
     if (idx.meta.segments.length > MaxSegments) idx.compact() else idx
+
+  /** Reap on-disk artifacts unreachable from the CURRENT snapshot:
+    * table segment dirs (`v=N`) not in `meta.segments`, and `pq_codes`
+    * dirs whose segment is dead OR whose model (shape + codebook
+    * content hash) no longer matches any persisted sidecar. Mutations
+    * deliberately never delete — old dirs keep serving readers of
+    * previous snapshots — so disk growth is bounded by explicit
+    * maintenance, exactly like VACUUM in any snapshot store; the
+    * caller owns the no-readers-on-old-snapshots contract. Returns the
+    * number of directories deleted. */
+  def vacuum(): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    val live = meta.segments.map(v => s"v=$v").toSet
+    def deleteTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(x => Files.deleteIfExists(x))
+    def children(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList finally s.close()
+      } else Nil
+    var reaped = 0
+    val segRe = "^v=\\d+$".r
+    children(root).foreach { p =>
+      val name = p.getFileName.toString
+      if (segRe.matches(name) && !live.contains(name)) {
+        deleteTree(p); reaped += 1
+      }
+    }
+    val codesRoot = root.resolve("pq_codes")
+    if (Files.exists(codesRoot)) {
+      val activeSuffixes = children(root)
+        .map(_.getFileName.toString)
+        .filter(f => f == "pq.json" || f.matches("^pq-m\\d+\\.json$"))
+        .map { f =>
+          val m = Quantization.load(path, f)
+          val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
+          s"m${m.m}k${m.k}-$fp"
+        }.toSet
+      val codeRe = "^seg=(\\d+)-(.+)$".r
+      children(codesRoot).foreach { p =>
+        p.getFileName.toString match {
+          case codeRe(seg, suffix)
+              if !live.contains(s"v=$seg") || !activeSuffixes.contains(suffix) =>
+            deleteTree(p); reaped += 1
+          case _ => ()
+        }
+      }
+    }
+    reaped
+  }
 
   /** Persist a mutated serving index back as a new (single-segment)
     * snapshot — the rows are already driver-resident, so this is a

@@ -256,6 +256,28 @@ class QuantizationSpec extends SparkSpec {
     val insRows = spark.read.schema(VectorIndex.pqCodesSchema)
       .parquet(insDirs.head).count()
     assert(insRows == 5, s"insert delta code dir must hold O(batch)=5 rows, had $insRows")
+
+    // vacuum reaps what the current snapshot can no longer reach:
+    // compact() strands the delta segments, and refitting m=8 on the
+    // mutated corpus strands the old codebook hash's code dirs
+    val idx4 = idx3.compact()
+    val model8b = idx4.fitPQ(m = 8) // new data -> new codebook hash
+    assert(idx4.pqCodes(model8b).count() == 304)
+    val segDirs = () => java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.matches(".*/v=\\d+$")).sorted
+    assert(segDirs().length > 1, "pre-vacuum: old segment dirs still on disk")
+    val reaped = idx4.vacuum()
+    assert(reaped > 0)
+    assert(segDirs().toSeq == Seq(s"$dir/v=${idx4.meta.version}"),
+      "vacuum must leave exactly the live segment dir")
+    // every surviving code dir belongs to the live segment and a model
+    // still persisted as a sidecar (m=4 and the REFIT m=8)
+    val liveSeg = s"seg=${idx4.meta.version}-"
+    assert(codeDirs().forall(_.contains(liveSeg)), s"stale code dirs: ${codeDirs().toSeq}")
+    // reads after vacuum stay intact
+    assert(idx4.pqCodes(model8b).count() == 304)
+    assert(idx4.vectors.count() == 304)
+    assert(idx4.pqCodes(idx4.loadPQ(4).get).count() == 304)
   }
 
   test("IVF-PQ composite: probe + ADC + refine recall@10 >= 0.70") {
