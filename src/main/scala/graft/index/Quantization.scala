@@ -342,9 +342,16 @@ object Quantization {
         StructField("query_id", LongType, nullable = false),
         StructField("cluster", org.apache.spark.sql.types.IntegerType, nullable = false),
         StructField("lut", ArrayType(FloatType, containsNull = false), nullable = false))))
+    // the probed cluster set is known DRIVER-SIDE, so phrase it as a
+    // STATIC IN filter ahead of the join: on a store partitioned by
+    // cluster this is planning-time partition pruning — the scan lists
+    // only the nprobe directories per batch, no dynamic pruning or
+    // join execution needed to skip the rest of 100 TB
+    val probedClusters = probeRows.map(_.getInt(1)).distinct.toSeq
+    val prunedCodes = assignedCodes.filter(col("cluster").isInCollection(probedClusters))
     val fetchK = if (refine.isDefined) topk * refineFactor else topk
     val adc = adcTopK(
-      assignedCodes.join(broadcast(probe), Seq("cluster"))
+      prunedCodes.join(broadcast(probe), Seq("cluster"))
         .select(col("query_id"), col("id").as("neighbor_id"),
           org.apache.spark.sql.graft.ColumnBridge.column(
             PQAdc(

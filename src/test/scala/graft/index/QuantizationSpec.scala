@@ -280,6 +280,48 @@ class QuantizationSpec extends SparkSpec {
     assert(idx4.pqCodes(idx4.loadPQ(4).get).count() == 304)
   }
 
+  test("IVF-PQ over a cluster-partitioned store: scan is partition-pruned to the probe set") {
+    import org.apache.spark.sql.functions.col
+    val (centroidsDf, assigned) = graft.operators.Similarity.ivfFit(
+      df.select(col("id"), col("vec")), k = 16)
+    val centroids = centroidsDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val store = tmpDir("ivfpq-store")
+    // the physical layout the 100 TB story stores: codes partitioned
+    // by coarse cluster
+    assigned.select(col("id"), col("cluster")).join(codes, "id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(store)
+    val onDisk = spark.read.parquet(store)
+    val queries = data.take(3)
+    val nprobe = 4
+    val out = Quantization.ivfPqTopK(onDisk, centroids, model, queries,
+      topk = 10, nprobe = nprobe)
+    // the probed-cluster IN filter must reach the scan as a
+    // planning-time PartitionFilter (static pruning, not DPP)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains(store.split('/').last))
+      .orElse(plan.linesIterator.find(_.contains("PartitionFilters")))
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"cluster IN filter must prune partitions statically:\n${scanLine.getOrElse(plan)}")
+    // and only nprobe-per-query clusters' directories are read
+    val expectedClusters = queries.flatMap { case (_, qv) =>
+      centroids.map { case (c, cv) =>
+        (cv.zip(qv).map { case (x, y) => val d = x.toDouble - y; d * d }.sum, c)
+      }.sortBy { case (dd, c) => (dd, c) }.take(nprobe).map(_._2)
+    }.distinct.sorted.toSeq
+    val readClusters = out.join(
+        onDisk.select(col("id").as("neighbor_id"), col("cluster")), "neighbor_id")
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(readClusters.forall(expectedClusters.contains),
+      s"hits outside the probe set: $readClusters vs $expectedClusters")
+    // self-match sanity on the pruned path
+    val top1 = out.filter(col("query_id") === 0L && col("rnk") === 1)
+      .head().getLong(1)
+    assert(top1 == 0L)
+  }
+
   test("IVF-PQ composite: probe + ADC + refine recall@10 >= 0.70") {
     import org.apache.spark.sql.functions.col
     val (centroidsDf, assigned) = graft.operators.Similarity.ivfFit(
