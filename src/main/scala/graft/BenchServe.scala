@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object BenchServe {
   def main(args: Array[String]): Unit = {
     val numShards = if (args.length > 0) args(0).toInt else 4
-    val repeat = if (args.length > 1) args(1).toInt else 1
+    val repeat = math.max(1, if (args.length > 1) args(1).toInt else 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -41,6 +41,23 @@ final class ServingIndex(
     val defaultEf: Int = ServingIndex.DefaultEfSearch,
     val alpha: Double = 0.0) extends Serializable {
 
+  // One writer XOR many readers: searches take the read lock, mutations
+  // (insert/insertAt/delete/enable/unregister) the write lock — a live
+  // router maintained by StreamingOps.routerMaintenance keeps serving
+  // concurrent queries while micro-batches land (an unguarded reader
+  // could otherwise observe an ArrayBuffer mid-resize or a code slot
+  // mid-null). Reentrant, so deleteByKey->delete nests fine. Lock cost
+  // is nanoseconds against a graph traversal. Mutations themselves are
+  // expected from ONE maintenance thread (the streaming foreachBatch
+  // contract); the lock makes reads safe against that writer.
+  private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  @inline private def withRead[T](f: => T): T = {
+    rw.readLock().lock(); try f finally rw.readLock().unlock()
+  }
+  @inline private def withWrite[T](f: => T): T = {
+    rw.writeLock().lock(); try f finally rw.writeLock().unlock()
+  }
+
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
   private val freelist = mutable.ArrayBuffer.empty[Int] // LIFO via last
@@ -55,12 +72,17 @@ final class ServingIndex(
   private var pq: Quantization.PQModel = null
   private val pqCodes = mutable.ArrayBuffer.empty[Array[Byte]]
 
-  def numPoints: Int = vecs.length - freelist.length
+  def numPoints: Int = withRead { vecs.length - freelist.length }
+
+  /** True when an internal slot currently holds a live vector —
+    * replay convergence checks (applyRouterBatch) probe this before
+    * re-inserting. */
+  private[index] def isLiveSlot(slot: Int): Boolean = withRead { isLive(slot) }
 
   /** The slot the next insert will use (LIFO freelist top, else the
     * append position) — lets routers compute an id-derived key before
     * inserting. */
-  def peekNextId: Int = if (freelist.nonEmpty) freelist.last else vecs.length
+  def peekNextId: Int = withRead { if (freelist.nonEmpty) freelist.last else vecs.length }
   def entrypoint: Int = entryPoint
   def isEmpty: Boolean = numPoints == 0
 
@@ -97,7 +119,7 @@ final class ServingIndex(
     * have been fit on normalized values too) and re-rank in true
     * cosine, mirroring the reference's cosine parameter
     * (/root/reference/src/LMDiskANN.jl:242, test/runtests.jl:37-67). */
-  def enableLowMemoryTraversal(model: Quantization.PQModel): Unit = {
+  def enableLowMemoryTraversal(model: Quantization.PQModel): Unit = withWrite {
     require(model.dim == dim, s"model dim ${model.dim} != index dim $dim")
     pq = model
     pqCodes.clear()
@@ -177,17 +199,19 @@ final class ServingIndex(
   /** [[search]] that also returns each hit's exact distance — the
     * re-rank computes them anyway; routers (ShardedServing) need them
     * for the cross-shard merge without recomputing per hit. */
-  def searchWithDistances(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
-    if (isEmpty) return IndexedSeq.empty
-    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    val effEf = math.max(topk, if (ef <= 0) defaultEf else ef)
-    val cand = searchGraph(q, effEf)
-    // exact re-rank: compute each candidate's distance ONCE (sortBy
-    // with a keyed tuple, not a re-evaluating comparator)
-    cand.map(id => (d(q, id), id))
-      .sortBy { case (dist, id) => (dist, id) }
-      .take(topk)
-      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
+  def searchWithDistances(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = withRead {
+    if (isEmpty) IndexedSeq.empty
+    else {
+      require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+      val effEf = math.max(topk, if (ef <= 0) defaultEf else ef)
+      val cand = searchGraph(q, effEf)
+      // exact re-rank: compute each candidate's distance ONCE (sortBy
+      // with a keyed tuple, not a re-evaluating comparator)
+      cand.map(id => (d(q, id), id))
+        .sortBy { case (dist, id) => (dist, id) }
+        .take(topk)
+        .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
+    }
   }
 
   /** Filtered top-k: like [[searchWithDistances]] but only hits whose
@@ -204,19 +228,21 @@ final class ServingIndex(
       q: Array[Float],
       topk: Int,
       allow: Long => Boolean,
-      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
-    if (isEmpty) return IndexedSeq.empty
-    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    var effEf = if (ef <= 0) math.max(topk * 4, defaultEf) else math.max(topk, ef)
-    var filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
-    while (filtered.size < topk && effEf < numPoints) {
-      effEf = math.min(effEf * 2, math.max(numPoints, 1))
-      filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = withRead {
+    if (isEmpty) IndexedSeq.empty
+    else {
+      require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+      var effEf = if (ef <= 0) math.max(topk * 4, defaultEf) else math.max(topk, ef)
+      var filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
+      while (filtered.size < topk && effEf < numPoints) {
+        effEf = math.min(effEf * 2, math.max(numPoints, 1))
+        filtered = searchGraph(q, effEf).filter(id => allow((id + 1).toLong))
+      }
+      filtered.map(id => (d(q, id), id))
+        .sortBy { case (dist, id) => (dist, id) }
+        .take(topk)
+        .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
     }
-    filtered.map(id => (d(q, id), id))
-      .sortBy { case (dist, id) => (dist, id) }
-      .take(topk)
-      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
   }
 
   /** Range search: every hit within `radius` of the query, nearest
@@ -227,20 +253,22 @@ final class ServingIndex(
   def rangeSearch(
       q: Array[Float],
       radius: Double,
-      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
-    if (isEmpty) return IndexedSeq.empty
-    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
-    var effEf = math.max(16, if (ef <= 0) defaultEf else ef)
-    var cand = searchGraph(q, effEf)
-    var scored = cand.map(id => (d(q, id), id))
-    while (cand.size >= effEf && scored.map(_._1).max <= radius && effEf < numPoints) {
-      effEf = math.min(effEf * 2, math.max(numPoints, 1))
-      cand = searchGraph(q, effEf)
-      scored = cand.map(id => (d(q, id), id))
+      ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = withRead {
+    if (isEmpty) IndexedSeq.empty
+    else {
+      require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+      var effEf = math.max(16, if (ef <= 0) defaultEf else ef)
+      var cand = searchGraph(q, effEf)
+      var scored = cand.map(id => (d(q, id), id))
+      while (cand.size >= effEf && scored.map(_._1).max <= radius && effEf < numPoints) {
+        effEf = math.min(effEf * 2, math.max(numPoints, 1))
+        cand = searchGraph(q, effEf)
+        scored = cand.map(id => (d(q, id), id))
+      }
+      scored.filter(_._1 <= radius)
+        .sortBy { case (dist, id) => (dist, id) }
+        .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
     }
-    scored.filter(_._1 <= radius)
-      .sortBy { case (dist, id) => (dist, id) }
-      .map { case (dist, id) => (idToKey.get(id), (id + 1).toLong, dist) }
   }
 
   /** Degree-bound prune. Default (alpha <= 1): plain truncation to the
@@ -264,7 +292,7 @@ final class ServingIndex(
 
   /** Insert a vector; returns (key, 1-based public id) — reference
     * `ann_insert!` (src/LMDiskANN.jl:531-584). */
-  def insert(v: Array[Float], key: Option[String] = None): (String, Long) = {
+  def insert(v: Array[Float], key: Option[String] = None): (String, Long) = withWrite {
     require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
     val id =
       if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet -= r; r }
@@ -281,7 +309,7 @@ final class ServingIndex(
     * append end (intermediate slots created by the extension join the
     * freelist, like finishLoad's never-loaded rule). Wiring is
     * identical to [[insert]]. */
-  def insertAt(slot: Int, v: Array[Float], key: Option[String] = None): (String, Long) = {
+  def insertAt(slot: Int, v: Array[Float], key: Option[String] = None): (String, Long) = withWrite {
     require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
     require(slot >= 0 && !isLive(slot), s"slot $slot is live or invalid")
     if (freeSet.contains(slot)) {
@@ -334,32 +362,34 @@ final class ServingIndex(
 
   /** Delete by 1-based public ID — reference `ann_delete!`
     * (src/LMDiskANN.jl:605-646). Silently ignores missing IDs. */
-  def delete(publicId: Long): Unit = {
+  def delete(publicId: Long): Unit = withWrite {
     val id = publicId.toInt - 1
-    if (!isLive(id)) return
-    // unlink from every neighbor's list (no further repair — Q3)
-    adj(id).foreach { nb => if (isLive(nb)) adj(nb) = adj(nb).filter(_ != id) }
-    adj(id) = mutable.ArrayBuffer.empty[Int]
-    freelist += id
-    freeSet += id
-    vecs(id) = null
-    if (pq != null && id < pqCodes.length) pqCodes(id) = null
-    if (entryPoint == id) {
-      // first-live-ascending re-election (Q4)
-      entryPoint = (0 until vecs.length).find(isLive).getOrElse(-1)
+    if (isLive(id)) {
+      // unlink from every neighbor's list (no further repair — Q3)
+      adj(id).foreach { nb => if (isLive(nb)) adj(nb) = adj(nb).filter(_ != id) }
+      adj(id) = mutable.ArrayBuffer.empty[Int]
+      freelist += id
+      freeSet += id
+      vecs(id) = null
+      if (pq != null && id < pqCodes.length) pqCodes(id) = null
+      if (entryPoint == id) {
+        // first-live-ascending re-election (Q4)
+        entryPoint = (0 until vecs.length).find(isLive).getOrElse(-1)
+      }
+      idToKey.remove(id).foreach(keyToId.remove)
     }
-    idToKey.remove(id).foreach(keyToId.remove)
   }
 
   /** Delete by key; returns false if the key is unknown. */
-  def deleteByKey(key: String): Boolean =
+  def deleteByKey(key: String): Boolean = withWrite {
     keyToId.get(key) match {
       case Some(id) => delete(id + 1L); true
       case None => false
     }
+  }
 
   /** Embedding by 1-based public ID (reference src/LMDiskANN.jl:658-667). */
-  def embeddingById(publicId: Long): Array[Float] = {
+  def embeddingById(publicId: Long): Array[Float] = withRead {
     val id = publicId.toInt - 1
     require(isLive(id), s"id $publicId is not a live vector")
     vecs(id).clone()
@@ -374,23 +404,27 @@ final class ServingIndex(
     * contract: the previous vector stays live but keyless). Used by
     * routers to keep a key unique across shards. Returns true if the
     * key was mapped. */
-  private[index] def unregisterKey(key: String): Boolean =
+  private[index] def unregisterKey(key: String): Boolean = withWrite {
     keyToId.remove(key) match {
       case Some(id) => idToKey.remove(id); true
       case None => false
     }
+  }
 
-  def idForKey(key: String): Option[Long] = keyToId.get(key).map(_ + 1L)
-  def keyForId(publicId: Long): Option[String] = idToKey.get(publicId.toInt - 1)
-  def allKeys: Seq[String] = keyToId.keys.toSeq.sorted
-  def countKeys: Int = keyToId.size
+  def idForKey(key: String): Option[Long] = withRead { keyToId.get(key).map(_ + 1L) }
+  def keyForId(publicId: Long): Option[String] = withRead { idToKey.get(publicId.toInt - 1) }
+  def allKeys: Seq[String] = withRead { keyToId.keys.toSeq.sorted }
+  def countKeys: Int = withRead { keyToId.size }
 
-  /** Internal snapshot accessors for persistence ([[VectorIndex]]). */
-  private[index] def liveRows: Iterator[(Long, String, Array[Float], Array[Int])] =
-    (0 until vecs.length).iterator.filter(isLive).map { id =>
+  /** Internal snapshot accessors for persistence ([[VectorIndex]]).
+    * liveRows materializes eagerly under the read lock — a lazy
+    * iterator would walk the buffers after the lock is released. */
+  private[index] def liveRows: Iterator[(Long, String, Array[Float], Array[Int])] = withRead {
+    (0 until vecs.length).filter(isLive).map { id =>
       (id.toLong, idToKey.getOrElse(id, (id + 1).toString), vecs(id), adj(id).toArray)
-    }
-  private[index] def freeSlots: Seq[Int] = freelist.toSeq
+    }.iterator
+  }
+  private[index] def freeSlots: Seq[Int] = withRead { freelist.toSeq }
 
   private[index] def loadRow(id: Int, key: String, v: Array[Float], nbrs: Array[Int]): Unit = {
     while (vecs.length <= id) { vecs += null; adj += mutable.ArrayBuffer.empty[Int] }

@@ -102,6 +102,14 @@ final class ShardedServing(
     globalId(s, local + 1L)
   }
 
+  /** True when the fleet slot a SNAPSHOT internal id maps to (under
+    * the [[ShardedServing.fromIndex]] partitioning) is live — replay
+    * convergence (StreamingOps.applyRouterBatch) probes this before
+    * re-inserting a row a crashed batch may have already applied. */
+  def hasSnapshotId(snapshotId: Long): Boolean =
+    shards(math.floorMod(snapshotId, numShards.toLong).toInt)
+      .isLiveSlot((snapshotId / numShards).toInt)
+
   /** Scatter the query to every shard CONCURRENTLY (searches only
     * read the graph, so they are safe to fan out; in production each
     * shard is its own node and the scatter is an RPC fan-out), gather

@@ -33,7 +33,11 @@ final case class IndexMeta(
     freelist: Seq[Int],
     ingestBatchId: Long = -1L,
     segments: Seq[Long] = Seq(0L),
-    exactThreshold: Long = 20000L) {
+    exactThreshold: Long = 20000L,
+    // the delta segment the LAST id-carrying ingest batch committed —
+    // lets a replayed micro-batch re-derive exactly its own rows and
+    // converge a live serving fleet idempotently (applyRouterBatch)
+    ingestSegment: Long = -1L) {
   require(Set("Float16", "Float32", "Float64").contains(eltype), s"bad eltype $eltype")
   Metric.fromName(metric) // validate
 }
@@ -262,12 +266,17 @@ final class VectorIndex private (
   }
 
   /** The persisted PQ model for subspace count `m`, if one was fit for
-    * this index (legacy single `pq.json` sidecars are honored when
-    * their m matches). */
+    * this index. Legacy single `pq.json` sidecars are honored when
+    * their m matches AND the metric is Euclidean: legacy models were
+    * always fit on RAW vectors, but a cosine index now encodes
+    * L2-normalized values — serving a raw-fit codebook against
+    * normalized inputs would silently degrade recall, so a cosine
+    * index refits instead. */
   def loadPQ(m: Int = 8): Option[Quantization.PQModel] = {
     val perM = java.nio.file.Paths.get(s"$path/pq-m$m.json")
     if (java.nio.file.Files.exists(perM)) Some(Quantization.load(path, s"pq-m$m.json"))
-    else if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
+    else if (metric == Metric.Euclidean &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
       Some(Quantization.load(path)).filter(_.m == m)
     else None
   }
@@ -502,7 +511,8 @@ final class VectorIndex private (
       numPoints = meta.numPoints + nBatch,
       entrypoint = newEntry,
       freelist = meta.freelist.dropRight(recycled.size),
-      ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId)
+      ingestBatchId = if (batchId >= 0) batchId else meta.ingestBatchId,
+      ingestSegment = if (batchId >= 0) newVersion else meta.ingestSegment)
     VectorIndex.writeMeta(path, next)
     maybeCompact(new VectorIndex(spark, path, next))
   }
@@ -698,20 +708,30 @@ final class VectorIndex private (
   private def maybeCompact(idx: VectorIndex): VectorIndex =
     if (idx.meta.segments.length > MaxSegments) idx.compact() else idx
 
-  /** Reap on-disk artifacts unreachable from the CURRENT snapshot:
-    * table segment dirs (`v=N`) not in `meta.segments`, and `pq_codes`
-    * dirs whose segment is dead OR whose model (shape + codebook
-    * content hash) no longer matches any persisted sidecar. Mutations
-    * deliberately never delete — old dirs keep serving readers of
-    * previous snapshots — so disk growth is bounded by explicit
-    * maintenance, exactly like VACUUM in any snapshot store; the
-    * caller owns the no-readers-on-old-snapshots contract. Returns the
-    * number of directories deleted. */
+  /** Reap on-disk artifacts unreachable from the current snapshot:
+    * table segment dirs (`v=N`) not in the live segment set, and
+    * `pq_codes` dirs whose segment is dead, whose model (shape +
+    * codebook content hash) no longer matches any persisted sidecar,
+    * or that use the retired version-keyed naming (never read by the
+    * per-segment resolve). Mutations deliberately never delete — old
+    * dirs keep serving readers of previous snapshots — so disk growth
+    * is bounded by explicit maintenance, exactly like VACUUM in any
+    * snapshot store; the caller owns the no-readers-on-old-snapshots
+    * contract.
+    *
+    * Safety: the live set is re-read FROM DISK, not taken from this
+    * (possibly stale) handle — a handle held across someone else's
+    * `insertBatch` must not delete the newer snapshot's segments — and
+    * versions ABOVE the on-disk maximum are never touched (an
+    * in-flight commit writes its segment dir before swapping the meta
+    * pointer). Returns the number of directories deleted. */
   def vacuum(): Int = {
     import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
-    val live = meta.segments.map(v => s"v=$v").toSet
+    val current = VectorIndex.readMeta(path)
+    val live = current.segments.toSet
+    val maxLive = if (live.isEmpty) -1L else live.max
     def deleteTree(p: Path): Unit =
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(x => Files.deleteIfExists(x))
@@ -720,12 +740,13 @@ final class VectorIndex private (
         val s = Files.list(p)
         try s.iterator().asScala.toList finally s.close()
       } else Nil
+    def dead(v: Long): Boolean = !live.contains(v) && v < maxLive
     var reaped = 0
-    val segRe = "^v=\\d+$".r
+    val segRe = "^v=(\\d+)$".r
     children(root).foreach { p =>
-      val name = p.getFileName.toString
-      if (segRe.matches(name) && !live.contains(name)) {
-        deleteTree(p); reaped += 1
+      p.getFileName.toString match {
+        case segRe(v) if dead(v.toLong) => deleteTree(p); reaped += 1
+        case _ => ()
       }
     }
     val codesRoot = root.resolve("pq_codes")
@@ -739,10 +760,13 @@ final class VectorIndex private (
           s"m${m.m}k${m.k}-$fp"
         }.toSet
       val codeRe = "^seg=(\\d+)-(.+)$".r
+      val legacyRe = "^v=\\d+-.+$".r
       children(codesRoot).foreach { p =>
         p.getFileName.toString match {
           case codeRe(seg, suffix)
-              if !live.contains(s"v=$seg") || !activeSuffixes.contains(suffix) =>
+              if dead(seg.toLong) || !activeSuffixes.contains(suffix) =>
+            deleteTree(p); reaped += 1
+          case name if legacyRe.matches(name) =>
             deleteTree(p); reaped += 1
           case _ => ()
         }
@@ -969,6 +993,7 @@ object VectorIndex {
         s""""maxDegree":${m.maxDegree},"entrypoint":${m.entrypoint},""" +
         s""""eltype":"${m.eltype}","metric":"${m.metric}",""" +
         s""""ingestBatchId":${m.ingestBatchId},""" +
+        s""""ingestSegment":${m.ingestSegment},""" +
         s""""segments":[${m.segments.mkString(",")}],""" +
         s""""exactThreshold":${m.exactThreshold},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
@@ -1001,10 +1026,13 @@ object VectorIndex {
     val segments = longListOf("segments").getOrElse(Seq(version))
     val ingestId = """"ingestBatchId":(-?\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(-1L)
+    val ingestSeg = """"ingestSegment":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
     val exactThr = """"exactThreshold":(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(20000L)
     IndexMeta(version, longOf("numPoints"), longOf("dim").toInt,
       longOf("maxDegree").toInt, longOf("entrypoint").toInt,
-      strOf("eltype"), strOf("metric"), freelist, ingestId, segments, exactThr)
+      strOf("eltype"), strOf("metric"), freelist, ingestId, segments, exactThr,
+      ingestSeg)
   }
 }

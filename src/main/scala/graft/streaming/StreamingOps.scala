@@ -273,11 +273,17 @@ object StreamingOps {
     * fleet and a later `fromIndex` rebuild of the snapshot agree on
     * every id and key.
     *
-    * Replay contract: a replayed batch (id <= persisted ingestBatchId)
-    * is skipped WITHOUT touching the router. That is correct for the
-    * crash it guards against — an in-memory fleet doesn't survive the
-    * crash either, and the restart path is a fromIndex reload of the
-    * (already-committed) snapshot. Returns true if anything applied. */
+    * Replay contract: when a batch arrives whose id the snapshot has
+    * ALREADY committed (crash or retry between the snapshot commit and
+    * the checkpoint commit), the snapshot is not touched again, but
+    * the ROUTER is converged idempotently — deletes re-route (no-ops
+    * on freed slots) and the committed delta segment's rows
+    * (`meta.ingestSegment`) re-insert only where the fleet slot is not
+    * already live. A re-delivered batch therefore never diverges a
+    * surviving router from the snapshot, whether the crash hit before,
+    * during, or after the original router apply. (A full-process crash
+    * loses the in-memory fleet anyway; its restart path is a fromIndex
+    * reload.) Returns true if anything applied. */
   def applyRouterBatch(
       spark: SparkSession,
       indexPath: String,
@@ -286,9 +292,29 @@ object StreamingOps {
       batchId: Long): Boolean = {
     if (batch.isEmpty) return false
     val idx = VectorIndex.load(spark, indexPath)
-    if (batchId <= idx.meta.ingestBatchId) return false
-    val deletes = batch.filter(col("op") === "delete")
+    def deleteIds: Seq[Long] = batch.filter(col("op") === "delete")
       .select(col("public_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    def replayInserts(from: VectorIndex, segV: Long): Unit =
+      from.segmentVectors(segV)
+        .select(col("id"), col("key"), col("vec"))
+        .collect() // bounded: exactly this micro-batch's rows
+        .foreach { r =>
+          if (!router.hasSnapshotId(r.getLong(0)))
+            router.insertAtGlobal(r.getLong(0), r.getSeq[Float](2).toArray, r.getString(1))
+        }
+    if (batchId <= idx.meta.ingestBatchId) {
+      // snapshot already has this batch — converge the router only.
+      // Only the LAST committed batch can be re-delivered (checkpoint
+      // commit is what advances the stream past it); older ids mean
+      // the checkpoint committed, which implies the router apply
+      // finished in this process too.
+      if (batchId == idx.meta.ingestBatchId && idx.meta.ingestSegment >= 0) {
+        deleteIds.foreach(router.delete)
+        replayInserts(idx, idx.meta.ingestSegment)
+      }
+      return false
+    }
+    val deletes = deleteIds
     val afterDel = if (deletes.nonEmpty) idx.deleteBatch(deletes) else idx
     deletes.foreach(router.delete)
     val inserts = batch.filter(col("op") === "insert").select(col("key"), col("vec"))
@@ -297,12 +323,7 @@ object StreamingOps {
     // triggers compaction moves meta.version past the delta segment
     val segV = afterDel.meta.version + 1
     val next = afterDel.insertBatch(inserts, batchId)
-    next.segmentVectors(segV)
-      .select(col("id"), col("key"), col("vec"))
-      .collect() // bounded: exactly this micro-batch's rows
-      .foreach { r =>
-        router.insertAtGlobal(r.getLong(0), r.getSeq[Float](2).toArray, r.getString(1))
-      }
+    replayInserts(next, segV)
     true
   }
 

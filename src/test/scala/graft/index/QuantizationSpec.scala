@@ -278,6 +278,13 @@ class QuantizationSpec extends SparkSpec {
     assert(idx4.pqCodes(model8b).count() == 304)
     assert(idx4.vectors.count() == 304)
     assert(idx4.pqCodes(idx4.loadPQ(4).get).count() == 304)
+    // a STALE handle must not delete the current snapshot: vacuum
+    // re-reads meta from disk (and never touches versions above the
+    // on-disk max), so idx3 — whose meta predates the compaction —
+    // reaps nothing and the live dir survives
+    assert(idx3.vacuum() == 0)
+    assert(segDirs().toSeq == Seq(s"$dir/v=${idx4.meta.version}"))
+    assert(VectorIndex.load(spark, dir).vectors.count() == 304)
   }
 
   test("IVF-PQ over a cluster-partitioned store: scan is partition-pruned to the probe set") {

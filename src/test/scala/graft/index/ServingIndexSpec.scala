@@ -185,4 +185,34 @@ class ServingIndexSpec extends AnyFunSuite {
     idx.delete(2L)
     assert(idx.entrypoint == 2)
   }
+
+  test("concurrent searches stay safe while one maintenance thread mutates (rw lock)") {
+    val idx = new ServingIndex(dim = 8, maxDegree = 8)
+    val rng = new scala.util.Random(5)
+    (0 until 500).foreach(_ => idx.insert(Array.fill(8)(rng.nextFloat())))
+    val error = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val searchers = (0 until 4).map { s =>
+      new Thread(() => {
+        val r = new scala.util.Random(s)
+        try while (!stop.get()) {
+          val hits = idx.search(Array.fill(8)(r.nextFloat()), topk = 5)
+          assert(hits.size <= 5)
+        } catch { case t: Throwable => error.compareAndSet(null, t) }
+      })
+    }
+    searchers.foreach(_.start())
+    try {
+      // the routerMaintenance shape: ONE writer thread, many readers
+      (0 until 300).foreach { i =>
+        val (_, pid) = idx.insert(Array.fill(8)(rng.nextFloat()))
+        if (i % 3 == 0) idx.delete(pid)
+      }
+    } finally {
+      stop.set(true)
+      searchers.foreach(_.join(10000))
+    }
+    assert(error.get() == null, s"concurrent search failed: ${error.get()}")
+    assert(idx.numPoints == 500 + 300 - 100)
+  }
 }

@@ -239,6 +239,45 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("applyRouterBatch replay converges a router that missed the batch") {
+    val ss = spark
+    import ss.implicits._
+    val path = tmpDir("rmaint-replay")
+    val rng = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rng.nextFloat())
+    val base = (0L until 100L).map(i => (i, s"b$i", vec()))
+    VectorIndex.build(spark, path, base.toDF("id", "key", "vec"),
+      dim = 8, maxDegree = 16)
+    val router = ShardedServing.fromIndex(VectorIndex.load(spark, path), 4)
+
+    val batch = Seq(
+      ("delete", null: String, null: Seq[Float], 5L),
+      ("insert", "x1", vec(), -1L),
+      ("insert", "x2", vec(), -1L)
+    ).toDF("op", "key", "vec", "public_id")
+
+    // crash simulation: the SNAPSHOT commits batch 1 (ingestBatchId +
+    // ingestSegment recorded) but the router never saw it
+    assert(StreamingOps.applyMutationBatch(spark, path, batch, 1L))
+    assert(router.numPoints == 100) // router is behind
+
+    // re-delivery of the same batch id: snapshot untouched, router
+    // converged (deletes idempotent, inserts land at the committed ids)
+    val applied = StreamingOps.applyRouterBatch(spark, path, router, batch, 1L)
+    assert(!applied) // snapshot side correctly skipped
+    val idx = VectorIndex.load(spark, path)
+    assert(router.numPoints == idx.meta.numPoints)
+    val rebuilt = ShardedServing.fromIndex(idx, 4)
+    assert(router.allKeys == rebuilt.allKeys)
+    assert(router.idForKey("x1").isDefined)
+    assert(router.idForKey("x1") == rebuilt.idForKey("x1"))
+    assert(router.idForKey("b4").isEmpty) // gid 5 pre-delete
+
+    // a second replay is a no-op (every slot already live)
+    assert(!StreamingOps.applyRouterBatch(spark, path, router, batch, 1L))
+    assert(router.numPoints == idx.meta.numPoints)
+  }
+
   test("streamingSearch answers query micro-batches against the live snapshot") {
     val ss = spark
     implicit val sql = ss.sqlContext
