@@ -87,6 +87,52 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.shingles(col("toks"), k))).as("shingle"))
 
+  /** Substring-level duplication stats: the chunk-hash detection tier
+    * of exact-substring dedup (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" — the suffix-array pass is the
+    * removal tier; stride-1 k-token chunk fingerprints are the standard
+    * scalable detector). A document's `dup_frac` is the fraction of its
+    * DISTINCT k-token chunks that also occur in at least one other
+    * document — high values mean copy-paste containment that shingle
+    * Jaccard (whole-doc similarity) under-reports.
+    *
+    * Scale shape: chunks become per-row rolling hashes immediately
+    * (64-bit ids, never strings, cross the shuffles); the shared-chunk
+    * table is a partial-agg groupBy on the hash plus one equi-join
+    * back. No self-join, no cross product; hot boilerplate chunks cost
+    * one counter each. Hash collisions can only over-count duplication,
+    * identically in any engine applying the same hash. Chunk ids are
+    * composed from PER-TOKEN hashes (each token's chars hashed once,
+    * then a k-long polynomial fold per window) — a chunk-string hash
+    * would re-walk every character k times. */
+  def chunkDupStats(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
+    val cidArr = transform(sequence(lit(0), size(h) - k), i =>
+      aggregate(slice(h, i + lit(2), lit(k - 1)), element_at(h, i + lit(1)),
+        (a, b) => (a * 31L + b) % 1000000007L))
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"))
+      .filter(size(h) >= k)
+      .select(col("doc_id"), explode(array_distinct(cidArr)).as("cid"))
+    val shared = chunks.groupBy(col("cid"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("cid"), lit(1L).as("dup"))
+    chunks.join(shared, Seq("cid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"))
+      .filter(col("n_dup_chunks") > 0)
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 4))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
     * shingles present in more than that many docs (skew/scale guard;

@@ -121,4 +121,88 @@ object TextAnalysis {
   def termHash(term: Column): Column =
     when(length(term) === 0, lit(0L)).otherwise(
       rollingFingerprint(transform(split(term, ""), c => ascii(c).cast("long"))))
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use
+    * most-common-n-gram character fractions as quality filters; this is
+    * the token-count analogue): for n = 1..maxN, the fraction of a
+    * document's n-gram occurrences taken by its single most frequent
+    * n-gram, plus a `repetitive` flag over fixed thresholds. The flag
+    * compares the ROUNDED fractions so an oracle engine computing the
+    * same rounded values flags identically.
+    *
+    * Scale shape: all n-gram streams ride ONE scan (each token array is
+    * expanded into tagged (n, gram) structs and exploded once), then
+    * two partial-aggregating shuffles keyed by (doc, n, gram) and
+    * (doc, n) — no self-joins, no windows over the corpus. */
+  def repetitionStats(
+      docs: DataFrame,
+      maxN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val toks = col("__graft_toks")
+    val tagged = concat((1 to maxN).map { n =>
+      val g = if (n == 1) toks else shingles(toks, n)
+      transform(g, x => struct(lit(n).as("n"), x.as("gram")))
+    }: _*)
+    val fracs = docs
+      .select(col(idCol), tokens(col(textCol)).as("__graft_toks"))
+      .select(col(idCol), explode(tagged).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col(idCol), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 4).as("frac"))
+    // pivot over the statically-known 1..maxN — no value-discovery job
+    val wide = fracs.groupBy(col(idCol))
+      .pivot("n", (1 to maxN).map(_.toString))
+      .agg(first(col("frac")))
+    val named = (1 to maxN).foldLeft(wide) { (d, n) =>
+      d.withColumnRenamed(n.toString, s"top${n}gram_frac")
+        .withColumn(s"top${n}gram_frac", coalesce(col(s"top${n}gram_frac"), lit(0.0)))
+    }
+    named.withColumn("repetitive",
+      RepetitionThresholds.take(maxN).zipWithIndex
+        .map { case (thr, i) => col(s"top${i + 1}gram_frac") > thr }
+        .reduce(_ || _))
+  }
+
+  /** Flag thresholds for [[repetitionStats]]: most-common 1/2/3-gram
+    * fraction above which a document counts as repetitive. */
+  val RepetitionThresholds: Seq[Double] = Seq(0.12, 0.06, 0.03)
+
+  /** CCNet-style unigram language-model quality score (Wenzek et al.
+    * 2020 filter corpora by LM perplexity; the unigram NLL is its
+    * engine-neutral, vocabulary-free analogue): per document, the mean
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution. High avg_nll = rare-token-heavy (noise / junk); low
+    * = boilerplate-common tokens.
+    *
+    * Bit-identity across engines: per-token NLL sums are ORDER
+    * dependent in floating point, so each term's -ln(p) is fixed-pointed
+    * to 1e-4 (ROUND(x*10000) as a long) first; the per-doc sum is then
+    * exact integer arithmetic, independent of aggregation order — the
+    * only shape that hash-matches a single-node oracle at any
+    * parallelism.
+    *
+    * Scale shape: one scan + (doc, term) partial agg; the corpus term
+    * table is Zipf-small and broadcast, so the big side never shuffles
+    * twice. */
+  def unigramNllScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = freq.agg(sum(col("cf")).as("n_total"))
+    val nllFp = round(-log(col("cf").cast("double") / col("n_total").cast("double")) * 10000d, 0)
+      .cast("long")
+    tf.join(broadcast(freq.crossJoin(total)), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * nllFp).as("nll_fp_sum"))
+      .select(col(idCol), col("n_tokens"),
+        (round(col("nll_fp_sum").cast("double") / 10000.0 / col("n_tokens").cast("double"), 4)
+          + lit(0.0)).as("avg_nll"))
+  }
 }

@@ -464,6 +464,30 @@ object DocQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Gopher-style repetition metrics per document (q64). The flag is
+    * computed from the ROUNDED fractions so the oracle engine flags
+    * identically; int-cast because the gate's normalizer hashes ints
+    * more portably than booleans. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(spread(docs(spark, dir)))
+      .withColumn("repetitive", col("repetitive").cast("int"))
+      .select(col("doc_id"), col("top1gram_frac"), col("top2gram_frac"),
+        col("top3gram_frac"), col("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Substring-level (8-token chunk-hash) duplication stats (q69):
+    * the 50 most chunk-contaminated documents. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDupStats(spread(docs(spark, dir)), k = 8)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
+      .orderBy(col("dup_frac").desc, col("doc_id"))
+      .limit(50)
+
+  /** Corpus-unigram NLL quality score per document (q70). */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramNllScores(spread(docs(spark, dir)))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -667,6 +691,68 @@ object DocQueries {
         |  CAST(strlen(substr(text, CAST("offset" + 1 AS INT), 16)) AS BIGINT) AS frame_len,
         |  md5(substr(text, CAST("offset" + 1 AS INT), 16)) AS frame_md5
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "q64_repetition" -> {
+      def gramsCte(n: Int): String =
+        if (n == 1) s"(SELECT doc_id, unnest(t) AS gram FROM base)"
+        else {
+          val join = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+          s"(SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}), i -> $join)) AS gram " +
+            s"FROM base WHERE len(t) >= $n)"
+        }
+      def fCtes(n: Int): String =
+        s"""c$n AS (SELECT doc_id, gram, count(*) AS c FROM ${gramsCte(n)} GROUP BY 1, 2),
+           |f$n AS (SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS f
+           |        FROM c$n GROUP BY doc_id)""".stripMargin
+      val thr = TextAnalysis.RepetitionThresholds
+      s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |${fCtes(1)},
+         |${fCtes(2)},
+         |${fCtes(3)}
+         |SELECT b.doc_id,
+         |  COALESCE(f1.f, 0.0) AS top1gram_frac,
+         |  COALESCE(f2.f, 0.0) AS top2gram_frac,
+         |  COALESCE(f3.f, 0.0) AS top3gram_frac,
+         |  CAST(COALESCE(f1.f, 0.0) > ${thr(0)} OR COALESCE(f2.f, 0.0) > ${thr(1)}
+         |       OR COALESCE(f3.f, 0.0) > ${thr(2)} AS INT) AS repetitive
+         |FROM base b
+         |LEFT JOIN f1 ON f1.doc_id = b.doc_id
+         |LEFT JOIN f2 ON f2.doc_id = b.doc_id
+         |LEFT JOIN f3 ON f3.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
+    "q69_chunk_dedup" -> {
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h
+         |         FROM toks WHERE len(t) >= 8),
+         |ids AS (SELECT DISTINCT doc_id, cid FROM (
+         |          SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
+         |            i -> list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007))) AS cid
+         |          FROM tids)),
+         |shared AS (SELECT cid FROM ids GROUP BY cid HAVING count(DISTINCT doc_id) > 1),
+         |per AS (SELECT i.doc_id, count(*) AS n_chunks,
+         |               sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks
+         |        FROM ids i LEFT JOIN shared s ON i.cid = s.cid
+         |        GROUP BY i.doc_id)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+         |       ROUND(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4) AS dup_frac
+         |FROM per WHERE n_dup_chunks > 0
+         |ORDER BY dup_frac DESC, doc_id LIMIT 50""".stripMargin
+    },
+    "q70_doc_nll" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |freq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+         |nn AS (SELECT sum(cf) AS n_total FROM freq),
+         |fp AS (SELECT term,
+         |         CAST(ROUND(-LN(CAST(cf AS DOUBLE) / CAST(n_total AS DOUBLE)) * 10000) AS BIGINT) AS nll_fp
+         |       FROM freq CROSS JOIN nn),
+         |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |             sum(tf * nll_fp) AS fpsum
+         |      FROM tf JOIN fp USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |       ROUND(CAST(fpsum AS DOUBLE) / 10000.0 / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS avg_nll
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q53_dataset_split" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
@@ -697,6 +783,9 @@ object DocQueries {
     "q58_tfidf" -> (tfidfTopTerms _),
     "q59_decontaminate" -> (decontaminate _),
     "q57_ngram_jaccard_capped" -> (ngramJaccardCapped _),
-    "q65_leakage_safe_split" -> (leakageSafeSplit _)
+    "q64_repetition" -> (repetitionStats _),
+    "q65_leakage_safe_split" -> (leakageSafeSplit _),
+    "q69_chunk_dedup" -> (chunkDedup _),
+    "q70_doc_nll" -> (unigramNll _)
   )
 }

@@ -30,6 +30,25 @@ class DedupSpec extends SparkSpec {
       s"member ids must be exact ascending longs, got $members")
   }
 
+  test("chunkDupStats counts cross-doc chunks once per doc, ignores within-doc repeats") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "p q r s"), // chunks: "p q r", "q r s"
+      (2L, "z p q r"), // chunks: "z p q", "p q r"  -> shares "p q r" with doc 1
+      (3L, "m n o"), // one chunk, unshared
+      (4L, "a b c a b c a b c") // repeats its OWN chunks only -> not a dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Long]("n_chunks") == 2L)
+      assert(out(id).getAs[Long]("n_dup_chunks") == 1L)
+      assert(out(id).getAs[Double]("dup_frac") == 0.5)
+    }
+  }
+
   test("connectedComponents labels chains and keeps disjoint groups apart") {
     val ss = spark
     import ss.implicits._

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computable cases for the corpus-statistics operators added for
+  * the training-data pipeline: Gopher-style repetition fractions and
+  * the CCNet-style unigram NLL score. (End-to-end numerics are
+  * oracle-checked by the driver via q64/q70; these pin the operator
+  * definitions on inputs small enough to verify by hand.)
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("repetitionStats computes top-n-gram fractions and the flag by definition") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), // top1 3/4, top2 "a a" 2/3, top3 1/2 -> repetitive
+      (2L, (0 until 36).map(i => s"t$i").mkString(" ")), // all distinct, long enough -> clean
+      (3L, "solo") // shorter than the gram sizes -> coalesced zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Double]("top1gram_frac") == 0.75)
+    assert(out(1L).getAs[Double]("top2gram_frac") == round4(2.0 / 3.0))
+    assert(out(1L).getAs[Double]("top3gram_frac") == 0.5)
+    assert(out(1L).getAs[Boolean]("repetitive"))
+
+    assert(out(2L).getAs[Double]("top1gram_frac") == round4(1.0 / 36.0))
+    assert(out(2L).getAs[Double]("top2gram_frac") == round4(1.0 / 35.0))
+    assert(out(2L).getAs[Double]("top3gram_frac") == round4(1.0 / 34.0))
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+
+    assert(out(3L).getAs[Double]("top1gram_frac") == 1.0)
+    assert(out(3L).getAs[Double]("top2gram_frac") == 0.0)
+    assert(out(3L).getAs[Double]("top3gram_frac") == 0.0)
+    assert(out(3L).getAs[Boolean]("repetitive"))
+  }
+
+  test("unigramNllScores: order-independent fixed-point sum matches hand arithmetic") {
+    val ss = spark
+    import ss.implicits._
+    // corpus: a=2, b=2, c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNllScores(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val fpA = math.round(-math.log(2.0 / 5.0) * 10000) // = fpB
+    val fpC = math.round(-math.log(1.0 / 5.0) * 10000)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("avg_nll") == round4(3 * fpA / 10000.0 / 3))
+    assert(out(2L).getAs[Long]("n_tokens") == 2L)
+    assert(out(2L).getAs[Double]("avg_nll") == round4((fpA + fpC) / 10000.0 / 2))
+  }
+}
