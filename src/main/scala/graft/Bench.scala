@@ -184,16 +184,20 @@ object Bench {
     // serving-metric keys are ABBREVIATED here (full self-describing
     // names — ann_*_10k_100d_4shards — live on the detail line): the
     // query set grew past the point where the long names fit the
-    // driver's ~2000-char tail window next to ~62 query keys
+    // driver's ~2000-char tail window next to ~70 query keys.
+    // qps = single-graph serving, pq_qps = PQ low-memory serving,
+    // shard_qps = insert-built 4-shard router, fi_* = fromIndex-loaded
+    // 4-shard router (load seconds + QPS)
+    // "repeats" lives on the detail line only — every summary byte
+    // counts against the tail window
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +
       buildsShortJson +
-      s""""repeats":$repeat,""" +
-      s""""serving_qps":${r1(annQps)},""" +
-      s""""pq_serving_qps":${r1(pqQps)},""" +
-      s""""sharded_qps":${r1(shardedQps)},""" +
-      s""""fromindex_load_sec":${r2(fromIndexLoadSec)},""" +
-      s""""fromindex_qps":${r1(fromIndexQps)},"sf":"$sfShort"}"""
+      s""""qps":${r1(annQps)},""" +
+      s""""pq_qps":${r1(pqQps)},""" +
+      s""""shard_qps":${r1(shardedQps)},""" +
+      s""""fi_load_sec":${r2(fromIndexLoadSec)},""" +
+      s""""fi_qps":${r1(fromIndexQps)},"sf":"$sfShort"}"""
     println(line)
     spark.stop()
   }

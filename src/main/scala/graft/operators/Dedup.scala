@@ -114,6 +114,14 @@ object Dedup {
     val cidArr = transform(sequence(lit(0), size(h) - k), i =>
       aggregate(slice(h, i + lit(2), lit(k - 1)), element_at(h, i + lit(1)),
         (a, b) => (a * 31L + b) % 1000000007L))
+    // The chunk pass is deliberately computed TWICE (once under the
+    // shared-chunk aggregate, once as the probe side): both consumers
+    // collapse to partial aggregates / a broadcast join, so the only
+    // shuffled bytes are the tiny per-cid and per-doc aggregates. The
+    // single-pass alternative (repartition on cid + ReuseExchange)
+    // materializes an input-sized shuffle of every chunk row — measured
+    // slower here and strictly worse at scale, where a full-width
+    // shuffle of the token stream dwarfs one extra map-side CPU pass.
     val chunks = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
       .select(col("doc_id"),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation sampling: the data-mixing operators a
+  * pretraining pipeline applies after filtering/dedup — rebalance the
+  * stratum mixture (downsample a dominant language or source) and cap
+  * any single source's contribution (the per-domain quota of
+  * web-corpus curation). Both are pure functions of the row id, so a
+  * sample is reproducible across engines, partitionings, and reruns,
+  * and auditable by re-running the same arithmetic in any SQL engine.
+  */
+object Sampling {
+
+  /** Deterministic per-row sampling bucket in [0, gran): the q53
+    * multiplicative-hash family. The id is reduced mod p BEFORE the
+    * multiply — id * A overflows int64 from id ~3.5e9 (inside the
+    * billions-of-docs target); ANSI engines throw, non-ANSI wrap and
+    * diverge from the oracle. (p-1) * (A mod p) stays under 2^63. */
+  def bucket(id: Column, gran: Int = 10000): Column = {
+    val p = 1000000007L
+    val a = 2654435761L % p
+    pmod(pmod(pmod(id, lit(p)) * a, lit(p)), lit(gran.toLong))
+  }
+
+  /** Mixture resampling: keep each row iff its id-bucket clears the
+    * keep-rate threshold of its stratum (language, source, quality
+    * band). Strata absent from `rates` are dropped — a mixture spec is
+    * exhaustive by construction. Adds the decided `bucket` column so
+    * the sample is auditable.
+    *
+    * Scale shape: one per-row comparison against a literal CASE over
+    * the (small) strata map — no shuffle, no sampling state, no RNG;
+    * executors never coordinate. Exact-fraction guarantees are
+    * per-bucket-uniformity (multiplicative hashing), not per-run
+    * randomness — which is what reproducible training mixtures need. */
+  def mixtureSample(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      stratumCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be a non-empty map into [0,1], got $rates")
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket(col(idCol))).filter(col("bucket") < thr)
+  }
+
+  /** Per-group contribution cap: the ≤ `maxPerGroup` rows of each
+    * group with the smallest (bucket, id) — i.e. a deterministic
+    * uniform quota per source/domain. Returns the keep-list
+    * (`groupCol`, `idCol`, `bucket`); callers semi-join it back when
+    * they need the full rows.
+    *
+    * Phrased as the bounded-heap top-k aggregate, NOT a window:
+    * partial aggregation caps per-group state at `maxPerGroup` on the
+    * map side, so a hot group (one domain = half the crawl) shuffles
+    * `maxPerGroup` rows per input partition instead of sorting every
+    * row of the group under a window. Selection order matches
+    * `row_number() OVER (PARTITION BY group ORDER BY bucket, id)
+    * <= maxPerGroup` exactly: bucket < 10^4 is exact as a double and
+    * the heap tie-breaks on the long id. */
+  def quotaCap(
+      docs: DataFrame,
+      maxPerGroup: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    docs
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorFunctions.topKPairs(
+        bucket(col(idCol)).cast("double"), col(idCol), maxPerGroup).as("tk"))
+      .select(col(groupCol), explode(col("tk")).as("p"))
+      .select(col(groupCol), col("p.id").as(idCol), col("p.dist").cast("long").as("bucket"))
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are laid out
+    * end-to-end in id order and cut into fixed `budget`-token training
+    * sequences; each doc gets its global token offset, the bin (=
+    * training sequence) its first token lands in, and the offset
+    * within that bin. Deterministic in (id order, token counts) alone,
+    * so the data loader's epoch layout is reproducible run-to-run.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window: a
+    * global `SUM OVER (ORDER BY id)` would pull the corpus through one
+    * partition. Instead: range-partition by id (so partition order =
+    * id order), per-partition local prefix sums under a window KEYED
+    * by partition, and stitch with per-partition totals — numPartitions
+    * longs, the one driver-side collect, bounded by cluster
+    * parallelism, not data. The range partitioner's sampled bounds are
+    * deterministic for identical input (seeded per partition index),
+    * so the totals job and the output job see the same layout — and
+    * ANY bounds give the same offsets, since ranges only have to be
+    * ordered, not balanced. */
+  def packSequences(
+      docs: DataFrame,
+      budget: Long = 512L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs
+      .select(col(idCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val totals = counts.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("tok_offset",
+        coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        floor(col("tok_offset") / budget).cast("long").as("bin_id"),
+        pmod(col("tok_offset"), lit(budget)).as("bin_offset"))
+  }
+}

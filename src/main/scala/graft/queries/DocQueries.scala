@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 import Tables._
 
 /** Driver-checked queries for the training-data pipeline operators
@@ -488,6 +488,32 @@ object DocQueries {
     TextAnalysis.unigramNllScores(spread(docs(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** Per-language keep rates for q71: downsample the dominant English,
+    * thin Chinese, keep the rest — a typical mixture-rebalancing spec. */
+  val MixtureRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.75, "zh" -> 0.25)
+
+  /** Deterministic mixture resampling over `lang` (q71). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+      MixtureRates)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source contribution quota (q72): at most 15 docs per source,
+    * chosen deterministically by (bucket, doc_id). */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaCap(
+      t(spark, dir, "documents").select(col("doc_id"), col("source")),
+      maxPerGroup = 15)
+      .orderBy(col("source"), col("bucket"), col("doc_id"))
+
+  /** Sequence packing into 512-token training bins (q73). */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(docs(spark, dir), budget = 512L)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -753,6 +779,32 @@ object DocQueries {
          |SELECT doc_id, n_tokens,
          |       ROUND(CAST(fpsum AS DOUBLE) / 10000.0 / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS avg_nll
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q71_mix_sample" -> {
+      val cases = MixtureRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 10000)}" }.mkString(" ")
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |  ((doc_id % 1000000007) * 654435747) % 1000000007 % 10000 AS bucket FROM documents)
+         |SELECT doc_id, lang, source, bucket FROM b
+         |WHERE bucket < CASE lang $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q73_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+         |  CAST(tok_offset % 512 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q72_src_quota" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ((doc_id % 1000000007) * 654435747) % 1000000007 % 10000 AS bucket FROM documents),
+        |r AS (SELECT source, doc_id, bucket,
+        |  row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn FROM b)
+        |SELECT source, doc_id, bucket FROM r WHERE rn <= 15
+        |ORDER BY source, bucket, doc_id""".stripMargin,
     "q53_dataset_split" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket FROM documents),
         |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
@@ -786,6 +838,9 @@ object DocQueries {
     "q64_repetition" -> (repetitionStats _),
     "q65_leakage_safe_split" -> (leakageSafeSplit _),
     "q69_chunk_dedup" -> (chunkDedup _),
-    "q70_doc_nll" -> (unigramNll _)
+    "q70_doc_nll" -> (unigramNll _),
+    "q71_mix_sample" -> (mixtureSample _),
+    "q72_src_quota" -> (sourceQuota _),
+    "q73_pack" -> (seqPack _)
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling semantics: mixture thresholds and quota
+  * selection must equal a brute-force recompute of the same hash
+  * arithmetic. (End-to-end numerics vs DuckDB are oracle-checked by
+  * the driver via q71/q72.) */
+class SamplingSpec extends SparkSpec {
+
+  private val P = 1000000007L
+  private val A = 2654435761L % P
+  private def bucketOf(id: Long): Long = ((id % P) * A) % P % 10000L
+
+  test("mixtureSample keeps exactly the rows whose bucket clears the stratum rate") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    val rates = Map("en" -> 0.5, "zh" -> 0.1)
+    val kept = Sampling.mixtureSample(rows.toDF("doc_id", "lang"), rates)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val expected = rows.collect {
+      case (id, s) if bucketOf(id) < math.round(rates(s) * 10000) => id -> bucketOf(id)
+    }.toMap
+    assert(kept == expected)
+    assert(expected.nonEmpty && expected.size < rows.size)
+  }
+
+  test("mixtureSample drops strata absent from the rates map") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, "en"), (2L, "xx"), (3L, "xx")).toDF("doc_id", "lang")
+    val kept = Sampling.mixtureSample(df, Map("en" -> 1.0))
+      .select("lang").as[String].collect()
+    assert(kept.forall(_ == "en"))
+  }
+
+  test("packSequences offsets equal a sequential scan regardless of partitioning") {
+    val ss = spark
+    import ss.implicits._
+    // ids deliberately unsorted in the input; token counts 1..13 words
+    val rows = Seq(7L, 2L, 11L, 5L, 1L, 9L, 3L, 12L, 8L, 4L, 10L, 6L)
+      .map(id => (id, Seq.fill((id % 13 + 1).toInt)("w").mkString(" ")))
+    val out = Sampling.packSequences(rows.toDF("doc_id", "text").repartition(5), budget = 10L)
+      .select("doc_id", "n_tokens", "tok_offset", "bin_id", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val expected = rows.sortBy(_._1).map { case (id, text) =>
+      val n = text.split("\\s+").length.toLong
+      val r = (id, n, cum, cum / 10L, cum % 10L)
+      cum += n
+      r
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("quotaCap keeps the maxPerGroup smallest (bucket, id) per group, all of a small group") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 60L).map(i => (i, "big")) ++ Seq((1000L, "small"), (1001L, "small"))
+    val out = Sampling.quotaCap(rows.toDF("doc_id", "source"), maxPerGroup = 5)
+      .select("source", "doc_id", "bucket").as[(String, Long, Long)].collect()
+    val big = out.filter(_._1 == "big").map(r => (r._3, r._2)).sorted
+    val expectedBig = (0L until 60L).map(i => (bucketOf(i), i)).sorted.take(5)
+    assert(big.toSeq == expectedBig)
+    assert(out.filter(_._1 == "small").map(_._2).sorted.toSeq == Seq(1000L, 1001L))
+    out.foreach { case (_, id, b) => assert(b == bucketOf(id)) }
+  }
+}
