@@ -128,8 +128,11 @@ object Dedup {
         transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"))
       .filter(size(h) >= k)
       .select(col("doc_id"), explode(array_distinct(cidArr)).as("cid"))
+    // (doc_id, cid) rows are unique by construction (array_distinct
+    // before the explode), so count(1) == countDistinct(doc_id)
+    // without the distinct-aggregate expand
     val shared = chunks.groupBy(col("cid"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select(col("cid"), lit(1L).as("dup"))
     chunks.join(shared, Seq("cid"), "left")

@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Default bucket granularity; [[mixtureSample]]'s fixed-point rate
+    * thresholds are expressed in this scale, so the two must agree. */
+  val Gran: Int = 10000
+
   /** Deterministic per-row sampling bucket in [0, gran): the q53
     * multiplicative-hash family. The id is reduced mod p BEFORE the
     * multiply — id * A overflows int64 from id ~3.5e9 (inside the
     * billions-of-docs target); ANSI engines throw, non-ANSI wrap and
     * diverge from the oracle. (p-1) * (A mod p) stays under 2^63. */
-  def bucket(id: Column, gran: Int = 10000): Column = {
+  def bucket(id: Column, gran: Int = Gran): Column = {
     val p = 1000000007L
     val a = 2654435761L % p
     pmod(pmod(pmod(id, lit(p)) * a, lit(p)), lit(gran.toLong))
@@ -43,8 +47,10 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(rates.nonEmpty && rates.values.forall(r => r >= 0.0 && r <= 1.0),
       s"rates must be a non-empty map into [0,1], got $rates")
+    require(!docs.columns.contains("bucket"),
+      "input already has a 'bucket' column; rename it before sampling")
     val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(math.round(r * 10000))).otherwise(acc)
+      when(col(stratumCol) === s, lit(math.round(r * Gran))).otherwise(acc)
     }
     docs.withColumn("bucket", bucket(col(idCol))).filter(col("bucket") < thr)
   }
@@ -90,11 +96,17 @@ object Sampling {
     * id order), per-partition local prefix sums under a window KEYED
     * by partition, and stitch with per-partition totals — numPartitions
     * longs, the one driver-side collect, bounded by cluster
-    * parallelism, not data. The range partitioner's sampled bounds are
-    * deterministic for identical input (seeded per partition index),
-    * so the totals job and the output job see the same layout — and
-    * ANY bounds give the same offsets, since ranges only have to be
-    * ordered, not balanced. */
+    * parallelism, not data. The (id, n_tokens, pid) frame is
+    * checkpointed BEFORE the totals collect: the offsets map is keyed
+    * by the partition layout, so the totals job and the output job
+    * must read the same materialization, not two recomputations of a
+    * lineage that may not replay identically (sampled range bounds
+    * are seeded, but upstream operators make no such promise). The
+    * checkpointed frame is 16 bytes/doc — the full text never
+    * materializes. Null text counts as 0 tokens (COALESCE on both
+    * engines). bin_id uses integral `div`: double division drifts one
+    * bin off the oracle once offsets pass 2^53 (~9e15 tokens — a real
+    * corpus size for this operator). */
   def packSequences(
       docs: DataFrame,
       budget: Long = 512L,
@@ -102,9 +114,12 @@ object Sampling {
       textCol: String = "text"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = docs
-      .select(col(idCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(col(idCol),
+        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val totals = counts.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
@@ -116,8 +131,8 @@ object Sampling {
       .withColumn("tok_offset",
         coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)) +
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col(idCol), col("n_tokens"), col("tok_offset"),
-        floor(col("tok_offset") / budget).cast("long").as("bin_id"),
+      .withColumn("bin_id", expr(s"tok_offset div $budget"))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"), col("bin_id"),
         pmod(col("tok_offset"), lit(budget)).as("bin_offset"))
   }
 }

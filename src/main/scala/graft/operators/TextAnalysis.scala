@@ -139,7 +139,8 @@ object TextAnalysis {
       maxN: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(maxN >= 1 && maxN <= RepetitionThresholds.length,
+      s"maxN must be in [1, ${RepetitionThresholds.length}] (one flag threshold per n), got $maxN")
     val toks = col("__graft_toks")
     val tagged = concat((1 to maxN).map { n =>
       val g = if (n == 1) toks else shingles(toks, n)
@@ -152,10 +153,16 @@ object TextAnalysis {
       .groupBy(col(idCol), col("n"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol), col("n"))
       .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 4).as("frac"))
-    // pivot over the statically-known 1..maxN — no value-discovery job
-    val wide = fracs.groupBy(col(idCol))
-      .pivot("n", (1 to maxN).map(_.toString))
-      .agg(first(col("frac")))
+    // pivot over the statically-known 1..maxN — no value-discovery job.
+    // Left-join back onto the full doc-id set: a NULL-text doc
+    // contributes no n-grams and would otherwise vanish through the
+    // explode, but the operator (like its oracle) is total over the
+    // input — such docs report all-zero fractions.
+    val wide = docs.select(col(idCol)).join(
+      fracs.groupBy(col(idCol))
+        .pivot("n", (1 to maxN).map(_.toString))
+        .agg(first(col("frac"))),
+      Seq(idCol), "left")
     val named = (1 to maxN).foldLeft(wide) { (d, n) =>
       d.withColumnRenamed(n.toString, s"top${n}gram_frac")
         .withColumn(s"top${n}gram_frac", coalesce(col(s"top${n}gram_frac"), lit(0.0)))

@@ -374,13 +374,7 @@ object DocQueries {
     * the property a training pipeline needs so no example ever
     * migrates between splits. Zero shuffle except the 3-row agg. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    // reduce mod p BEFORE multiplying: doc_id * 2654435761 overflows
-    // int64 from doc_id ~3.5e9 (well inside the billions-of-docs
-    // target) — ANSI engines throw, non-ANSI silently wraps and
-    // diverges from the oracle. (p-1) * (A mod p) stays under 2^63.
-    val p = 1000000007L
-    val a = 2654435761L % p
-    val bucket = pmod(pmod(pmod(col("doc_id"), lit(p)) * a, lit(p)), lit(100))
+    val bucket = Sampling.bucket(col("doc_id"), gran = 100)
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     docs(spark, dir)
       .select(col("doc_id"), split.as("split"))
@@ -403,9 +397,7 @@ object DocQueries {
     val grouped = corpus(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("group_id", "component"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
-    val p = 1000000007L
-    val a = 2654435761L % p
-    val bucket = pmod(pmod(pmod(col("group_id"), lit(p)) * a, lit(p)), lit(100))
+    val bucket = Sampling.bucket(col("group_id"), gran = 100)
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     // detached like dedupGroups: Blocks.release on this result must
     // not free the shared label artifact's blocks
@@ -789,7 +781,7 @@ object DocQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "q73_pack" ->
-      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+      s"""WITH t AS (SELECT doc_id, COALESCE(len($toksSql), 0) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, n_tokens,
          |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset FROM t)

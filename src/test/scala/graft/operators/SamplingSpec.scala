@@ -41,14 +41,16 @@ class SamplingSpec extends SparkSpec {
     val ss = spark
     import ss.implicits._
     // ids deliberately unsorted in the input; token counts 1..13 words
-    val rows = Seq(7L, 2L, 11L, 5L, 1L, 9L, 3L, 12L, 8L, 4L, 10L, 6L)
-      .map(id => (id, Seq.fill((id % 13 + 1).toInt)("w").mkString(" ")))
+    val rows: Seq[(Long, String)] =
+      Seq(7L, 2L, 11L, 5L, 1L, 9L, 3L, 12L, 8L, 4L, 10L, 6L)
+        .map(id => (id, Seq.fill((id % 13 + 1).toInt)("w").mkString(" "))) :+
+        (13L, null) // NULL text packs as 0 tokens, stays in the output
     val out = Sampling.packSequences(rows.toDF("doc_id", "text").repartition(5), budget = 10L)
       .select("doc_id", "n_tokens", "tok_offset", "bin_id", "bin_offset")
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     var cum = 0L
     val expected = rows.sortBy(_._1).map { case (id, text) =>
-      val n = text.split("\\s+").length.toLong
+      val n = if (text == null) 0L else text.split("\\s+").length.toLong
       val r = (id, n, cum, cum / 10L, cum % 10L)
       cum += n
       r

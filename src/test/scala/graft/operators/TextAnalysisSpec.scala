@@ -40,6 +40,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("repetitive"))
   }
 
+  test("repetitionStats is total over the input: a NULL-text doc reports all-zero fracs") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "x y"), (2L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L).getAs[Double]("top1gram_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+  }
+
+  test("repetitionStats rejects maxN without a matching flag threshold") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetitionStats(docs, maxN = TextAnalysis.RepetitionThresholds.length + 1)
+    }
+  }
+
   test("unigramNllScores: order-independent fixed-point sum matches hand arithmetic") {
     val ss = spark
     import ss.implicits._
