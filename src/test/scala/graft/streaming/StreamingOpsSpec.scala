@@ -97,6 +97,28 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("mixtureSample runs unchanged on a stream: stateless per-row filter") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val rates = Map("en" -> 0.5, "zh" -> 0.1)
+    val q = graft.operators.Sampling.mixtureSample(
+        mem.toDF().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val kept = spark.table("mix_out").collect().map(_.getLong(0)).toSet
+    val p = 1000000007L
+    val expected = rows.collect {
+      case (id, s) if ((id % p) * (2654435761L % p)) % p % 10000 <
+        math.round(rates(s) * 10000) => id
+    }.toSet
+    assert(kept == expected && kept.nonEmpty)
+    q.stop()
+  }
+
   test("indexIngest: streamed vectors land in new index snapshots") {
     val ss = spark
     implicit val sql = ss.sqlContext
