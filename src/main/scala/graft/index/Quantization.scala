@@ -119,13 +119,26 @@ object Quantization {
       iters: Int = 12,
       idCol: String = "id",
       vecCol: String = "vec"): PQModel =
-    // deterministic sample: first N in id order (the ivfFit pattern —
-    // a bare limit() pulls scheduling-dependent rows and the fitted
-    // codebook, its pq.json sidecar, and every code column derived
-    // from it would differ run to run)
+    // deterministic UNIFORM sample: top-N by multiplicative id-hash
+    // (Sampling.bucket at fine granularity). A bare limit() pulls
+    // scheduling-dependent rows; an id-prefix is deterministic but
+    // biased when ids correlate with content (crawl order, source
+    // grouping). Hash order keeps run-to-run stability of the fitted
+    // codebook/pq.json sidecar and is corpus-uniform; compiles to
+    // TakeOrderedAndProject (bounded heap), never a full sort.
+    // …then fit in id order: the evenly-spaced init is order-sensitive,
+    // so the fit must be a canonical function of the sample SET (and
+    // identical to the pre-hash-order fit when the sample covers the
+    // input, e.g. every unit fixture)
     pqFitLocal(
-      vectors.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleN)
-        .collect().map(_.getSeq[Float](1).toArray),
+      vectors.select(col(idCol), col(vecCol))
+        .orderBy(
+          graft.operators.Sampling.bucket(col(idCol), gran = 1000000000),
+          col(idCol))
+        .limit(sampleN)
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray),
       m, k, iters)
 
   /** Driver-side fit over an in-memory sample (the serving engine's

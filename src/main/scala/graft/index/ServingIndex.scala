@@ -308,7 +308,16 @@ final class ServingIndex(
     * a shard's recycling order is dictated externally) or at/past the
     * append end (intermediate slots created by the extension join the
     * freelist, like finishLoad's never-loaded rule). Wiring is
-    * identical to [[insert]]. */
+    * identical to [[insert]].
+    *
+    * CONTRACT: once a fleet is driven through insertAt (snapshot-owned
+    * id assignment), plain [[insert]] must NOT be mixed in. The
+    * extension path below pushes filler slots onto the freelist in
+    * ascending order, so a later insert() (LIFO) would recycle the
+    * highest filler — a different order than a fromIndex rebuild of
+    * the snapshot's global freelist would produce, silently diverging
+    * auto-key/id assignment from the snapshot. The id-agreement
+    * guarantee only holds while the snapshot owns ALL id assignment. */
   def insertAt(slot: Int, v: Array[Float], key: Option[String] = None): (String, Long) = withWrite {
     require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
     require(slot >= 0 && !isLive(slot), s"slot $slot is live or invalid")

@@ -730,7 +730,12 @@ final class VectorIndex private (
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
     val current = VectorIndex.readMeta(path)
-    val live = current.segments.toSet
+    // meta.ingestSegment stays live even when compaction has dropped it
+    // from meta.segments: StreamingOps.applyRouterBatch's crash-replay
+    // convergence path re-reads it when the last committed batch is
+    // re-delivered, so reaping it would wedge the stream on restart
+    val live = current.segments.toSet ++
+      Some(current.ingestSegment).filter(_ >= 0)
     val maxLive = if (live.isEmpty) -1L else live.max
     def deleteTree(p: Path): Unit =
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -751,20 +756,29 @@ final class VectorIndex private (
     }
     val codesRoot = root.resolve("pq_codes")
     if (Files.exists(codesRoot)) {
-      val activeSuffixes = children(root)
+      // a corrupt or mid-write sidecar must not abort the vacuum; and
+      // with an unreadable sidecar the active-model set is UNKNOWN, so
+      // suffix-based reaping is disabled for the pass (dead-segment
+      // reaping stays safe — it never depends on the sidecars)
+      val sidecarLoads = children(root)
         .map(_.getFileName.toString)
         .filter(f => f == "pq.json" || f.matches("^pq-m\\d+\\.json$"))
         .map { f =>
-          val m = Quantization.load(path, f)
-          val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
-          s"m${m.m}k${m.k}-$fp"
-        }.toSet
+          scala.util.Try {
+            val m = Quantization.load(path, f)
+            val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
+            s"m${m.m}k${m.k}-$fp"
+          }
+        }
+      val suffixReapOk = sidecarLoads.forall(_.isSuccess)
+      val activeSuffixes = sidecarLoads.collect { case scala.util.Success(s) => s }.toSet
       val codeRe = "^seg=(\\d+)-(.+)$".r
       val legacyRe = "^v=\\d+-.+$".r
       children(codesRoot).foreach { p =>
         p.getFileName.toString match {
           case codeRe(seg, suffix)
-              if dead(seg.toLong) || !activeSuffixes.contains(suffix) =>
+              if dead(seg.toLong) ||
+                (suffixReapOk && !activeSuffixes.contains(suffix)) =>
             deleteTree(p); reaped += 1
           case name if legacyRe.matches(name) =>
             deleteTree(p); reaped += 1

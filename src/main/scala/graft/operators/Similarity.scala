@@ -45,9 +45,20 @@ object Similarity {
       metric: Metric = Metric.Euclidean): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // deterministic sample: first N in id order
-    val rawSample = vectors.select(col("id"), col("vec")).orderBy(col("id"))
+    // deterministic UNIFORM sample: top-N by multiplicative id-hash
+    // (the q53 Sampling.bucket family at fine granularity), not
+    // first-N in id order — ids correlate with content in practice
+    // (crawl order, source grouping), so an id-prefix fit sees a
+    // biased slice of the corpus. Hash order keeps the determinism
+    // and compiles to TakeOrderedAndProject (bounded heap per
+    // partition + single merge), never a full sort shuffle.
+    // …then fit in id order: k-means++ init is order-sensitive, so the
+    // fit must be a canonical function of the sample SET (and identical
+    // to the pre-hash-order fit whenever the sample covers the input)
+    val rawSample = vectors.select(col("id"), col("vec"))
+      .orderBy(Sampling.bucket(col("id"), gran = 1000000000), col("id"))
       .limit(fitSampleRows).collect()
+      .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val sample = metric match {
       case Metric.Euclidean => rawSample

@@ -481,7 +481,7 @@ object AnnQueries {
   }
 
   /** IVF-PQ composite top-10 with exact re-rank for the first 10
-    * vectors — coarse pruning (nprobe of 16 clusters) over the
+    * vectors — coarse pruning (nprobe of 8 clusters) over the
     * 32x-smaller code column, refine in full precision (rows-only;
     * approximate). */
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -287,6 +287,34 @@ class QuantizationSpec extends SparkSpec {
     assert(VectorIndex.load(spark, dir).vectors.count() == 304)
   }
 
+  test("vacuum never reaps the ingest segment the streaming replay path reads") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("vacuum-ingest")
+    val idx = VectorIndex.build(spark, dir, df.filter(col("id") < 100),
+      dim = dim, maxDegree = 16)
+    // streaming-style commit: the batch id (and its segment) ride the
+    // snapshot pointer — this is the segment applyRouterBatch re-reads
+    // when the last committed batch is re-delivered after a crash
+    val add = spark.createDataFrame(
+      java.util.Arrays.asList((0 until 5).map(i =>
+        Row(null, data(500 + i)._2.toSeq)): _*),
+      StructType(Seq(
+        StructField("key", org.apache.spark.sql.types.StringType, nullable = true),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val idx2 = idx.insertBatch(add, batchId = 7L)
+    assert(idx2.meta.ingestBatchId == 7L && idx2.meta.ingestSegment >= 0)
+    val ingestSeg = idx2.meta.ingestSegment
+    // compaction strands the ingest segment from the live segment set…
+    val idx3 = idx2.compact()
+    assert(!idx3.meta.segments.contains(ingestSeg))
+    assert(idx3.meta.ingestSegment == ingestSeg)
+    idx3.vacuum()
+    // …but vacuum must keep it: the replay-convergence path reads it
+    // when the checkpoint commit raced the crash
+    assert(idx3.segmentVectors(ingestSeg).count() == 5,
+      "ingest segment must survive vacuum for streaming replay")
+  }
+
   test("IVF-PQ over a cluster-partitioned store: scan is partition-pruned to the probe set") {
     import org.apache.spark.sql.functions.col
     val (centroidsDf, assigned) = graft.operators.Similarity.ivfFit(
