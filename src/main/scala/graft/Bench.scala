@@ -68,46 +68,23 @@ object Bench {
     // Single-node ANN serving throughput at the reference's largest
     // documented workload shape (10k x 100d, docs/src/index.md demo):
     // seeded build, untimed warmup, then the median QPS of `repeat`
-    // timed 1000-query loops through the serving engine.
-    def qpsLoops(search: Array[Float] => Unit, queries: Array[Array[Float]]): Double = {
-      queries.take(200).foreach(search) // JIT warmup, untimed
-      median((0 until repeat).map { _ =>
-        val t0 = System.nanoTime()
-        queries.foreach(search)
-        queries.length.toDouble / ((System.nanoTime() - t0) / 1e9)
-      })
-    }
+    // timed 1000-query loops through the serving engine. The workloads
+    // are single-sourced in QpsWorkloads so the solo re-measure tool
+    // (BenchQps) times exactly the same loops.
     val annQps = try {
-      val rng = new scala.util.Random(1)
-      val serving = new graft.index.ServingIndex(dim = 100, maxDegree = 64)
-      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
-      vecs.foreach(v => serving.insert(v))
-      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      qpsLoops(q => serving.search(q, topk = 10), queries)
+      QpsWorkloads.qps(QpsWorkloads.singleGraph(), repeat)
     } catch { case _: Throwable => -1.0 }
     // LM-DiskANN low-memory mode: same workload, traversal scored by
     // ADC over m=10-byte PQ codes (40x less hot data than d=100 floats),
     // exact re-rank on the ef pool — the compute/memory tradeoff made
     // visible next to the full-precision number
     val pqQps = try {
-      val rng = new scala.util.Random(1)
-      val serving = new graft.index.ServingIndex(dim = 100, maxDegree = 64)
-      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
-      vecs.foreach(v => serving.insert(v))
-      serving.enableLowMemoryTraversal(
-        graft.index.Quantization.pqFitLocal(vecs.take(4096), m = 10))
-      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      qpsLoops(q => serving.search(q, topk = 10), queries)
+      QpsWorkloads.qps(QpsWorkloads.pqLowMemory(), repeat)
     } catch { case _: Throwable => -1.0 }
     // same workload through the scatter-gather router (4 shards): the
     // serving-side scale path must not cost throughput vs one big graph
     val shardedQps = try {
-      val rng = new scala.util.Random(1)
-      val router = new graft.index.ShardedServing(dim = 100, numShards = 4)
-      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
-      vecs.foreach(v => router.insert(v))
-      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      qpsLoops(q => router.search(q, topk = 10), queries)
+      QpsWorkloads.qps(QpsWorkloads.shardedRouter(), repeat)
     } catch { case _: Throwable => -1.0 }
     // production serving path: distributed build -> fromIndex bulk load
     // into the shard fleet (never an insert loop), then the same query
@@ -140,7 +117,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       })
       val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      (load, qpsLoops(q => router.search(q, topk = 10), queries))
+      (load, QpsWorkloads.qps(
+        QpsWorkloads.Workload(q => router.search(q, topk = 10), queries), repeat))
     } catch { case _: Throwable => (-1.0, -1.0) }
     // Two output lines. The driver keeps only the LAST ~2000 chars of
     // stdout and json-parses what it finds there, so the final line must

@@ -129,12 +129,14 @@ object Quantization {
     // …then fit in id order: the evenly-spaced init is order-sensitive,
     // so the fit must be a canonical function of the sample SET (and
     // identical to the pre-hash-order fit when the sample covers the
-    // input, e.g. every unit fixture)
+    // input, e.g. every unit fixture). The id casts to LONG up front —
+    // Sampling.bucket's modular arithmetic and the getLong sort would
+    // otherwise throw on an Int/String id source.
     pqFitLocal(
-      vectors.select(col(idCol), col(vecCol))
+      vectors.select(col(idCol).cast("long").as("id"), col(vecCol))
         .orderBy(
-          graft.operators.Sampling.bucket(col(idCol), gran = 1000000000),
-          col(idCol))
+          graft.operators.Sampling.bucket(col("id"), gran = 1000000000),
+          col("id"))
         .limit(sampleN)
         .collect()
         .sortBy(_.getLong(0))

@@ -764,14 +764,22 @@ final class VectorIndex private (
         .map(_.getFileName.toString)
         .filter(f => f == "pq.json" || f.matches("^pq-m\\d+\\.json$"))
         .map { f =>
-          scala.util.Try {
+          f -> scala.util.Try {
             val m = Quantization.load(path, f)
             val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
             s"m${m.m}k${m.k}-$fp"
           }
         }
-      val suffixReapOk = sidecarLoads.forall(_.isSuccess)
-      val activeSuffixes = sidecarLoads.collect { case scala.util.Success(s) => s }.toSet
+      val unreadable = sidecarLoads.collect { case (f, scala.util.Failure(_)) => f }
+      val suffixReapOk = unreadable.isEmpty
+      // an operator watching stale code dirs accumulate must be able to
+      // tell "working vacuum" from "suffix reaping disabled" — name the
+      // sidecar(s) that disabled it
+      if (!suffixReapOk)
+        VectorIndex.log.warn(
+          s"vacuum at $path: unreadable PQ sidecar(s) [${unreadable.mkString(", ")}] — " +
+            "suffix-based pq_codes reaping disabled this pass (dead-segment reaping unaffected)")
+      val activeSuffixes = sidecarLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
       val codeRe = "^seg=(\\d+)-(.+)$".r
       val legacyRe = "^v=\\d+-.+$".r
       children(codesRoot).foreach { p =>
@@ -822,6 +830,8 @@ final class VectorIndex private (
 }
 
 object VectorIndex {
+
+  private[index] val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorIndex])
 
   /** Compaction threshold: a commit that would leave more than this
     * many delta segments rewrites instead. */

@@ -54,8 +54,11 @@ object Similarity {
     // partition + single merge), never a full sort shuffle.
     // …then fit in id order: k-means++ init is order-sensitive, so the
     // fit must be a canonical function of the sample SET (and identical
-    // to the pre-hash-order fit whenever the sample covers the input)
-    val rawSample = vectors.select(col("id"), col("vec"))
+    // to the pre-hash-order fit whenever the sample covers the input).
+    // The id is cast to LONG up front: Sampling.bucket does modular
+    // arithmetic and the driver-side sort reads getLong, so an Int- or
+    // String-id source would otherwise throw mid-collect.
+    val rawSample = vectors.select(col("id").cast("long").as("id"), col("vec"))
       .orderBy(Sampling.bucket(col("id"), gran = 1000000000), col("id"))
       .limit(fitSampleRows).collect()
       .sortBy(_.getLong(0))
