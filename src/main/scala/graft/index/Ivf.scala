@@ -1,0 +1,84 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Persisted coarse-quantizer (IVF) model — the index-lifecycle twin of
+  * [[Quantization.PQModel]]. The reference's create/save/load contract
+  * (`/root/reference/src/LMDiskANN.jl:239-306`) covers the whole search
+  * artifact; at cluster scale the acceleration tiers (IVF centroids,
+  * their per-row assignments, PQ codebooks and codes) are part of that
+  * artifact too: they are fit ONCE per corpus generation, served many
+  * times, and must survive a process restart without a re-fit — a
+  * session-level cache silently refits (new fingerprints, reaped code
+  * dirs) on every cold start.
+  *
+  * `centroids` is flat row-major: centroid `c` occupies
+  * `[c*dim, (c+1)*dim)`. `metricName` records the geometry the fit used
+  * (cosine fits on L2-normalized vectors); assignment and probe must
+  * use the same metric, so it travels with the model.
+  */
+final case class IvfModel(k: Int, dim: Int, metricName: String, centroids: Array[Float]) {
+  require(centroids.length == k * dim,
+    s"centroid payload ${centroids.length} != k*dim (${k * dim})")
+  Metric.fromName(metricName) // validate eagerly (whitelist, SURVEY Q8)
+
+  def metric: Metric = Metric.fromName(metricName)
+
+  /** (cluster id, centroid) pairs — the driver-side probe input shape
+    * ([[Quantization.ivfPqTopK]]). */
+  def centroidPairs: Array[(Int, Array[Float])] =
+    Array.tabulate(k)(c =>
+      c -> java.util.Arrays.copyOfRange(centroids, c * dim, (c + 1) * dim))
+
+  /** Content fingerprint — keys derived per-segment artifacts (the
+    * assignment and composite-code dirs) to THIS model, so a re-fit
+    * can never serve stale assignments against new centroids (the same
+    * scheme as the PQ code dirs). */
+  def fingerprint: String =
+    java.lang.Integer.toHexString(java.util.Arrays.hashCode(centroids))
+
+  /** Directory-name suffix carrying shape + metric + content hash. */
+  def suffix: String = s"k$k-$metricName-$fingerprint"
+}
+
+/** Sidecar I/O for [[IvfModel]] — same atomic-move JSON + base64
+  * little-endian float payload idiom as [[Quantization.save]]. */
+object Ivf {
+
+  def save(model: IvfModel, path: String, file: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val buf = java.nio.ByteBuffer.allocate(model.centroids.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    model.centroids.foreach(buf.putFloat)
+    val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
+    val json =
+      s"""{"k":${model.k},"dim":${model.dim},"metric":"${model.metricName}","centroids":"$b64"}"""
+    val tmp = Paths.get(s"$path/.$file.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$path/$file"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(path: String, file: String): IvfModel = {
+    val json = new String(
+      Files.readAllBytes(Paths.get(s"$path/$file")), StandardCharsets.UTF_8)
+    def intOf(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"$file missing $key"))
+        .group(1).toInt
+    val metricName = """"metric":"([^"]*)"""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"$file missing metric"))
+      .group(1)
+    val b64 = """"centroids":"([^"]*)"""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"$file missing centroids"))
+      .group(1)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cs = new Array[Float](bytes.length / 4)
+    var i = 0
+    while (i < cs.length) { cs(i) = buf.getFloat(); i += 1 }
+    IvfModel(intOf("k"), intOf("dim"), metricName, cs)
+  }
+}

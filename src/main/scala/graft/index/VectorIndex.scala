@@ -187,13 +187,18 @@ final class VectorIndex private (
     * [[graft.streaming.StreamingOps.applyRouterBatch]]) without
     * re-deriving the id assignment. Valid for any version ever
     * committed: segment dirs stay on disk after compaction. */
-  def segmentVectors(version: Long): DataFrame = {
+  def segmentVectors(version: Long): DataFrame =
+    segmentDecoded(version).filter(col("vec").isNotNull)
+
+  /** ONE segment's decoded vector rows INCLUDING tombstones (null vec)
+    * — the input shape for derived per-segment artifacts (PQ codes,
+    * IVF assignments), whose null rows must mirror the tables'
+    * tombstones so the latest-wins resolve drops deleted ids. */
+  private def segmentDecoded(version: Long): DataFrame = {
     val raw = spark.read.schema(storedVectorsSchema).parquet(segDir("vectors", version))
-    val dec =
-      if (isHalf) raw.select(col("id"), col("key"),
-        graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
-      else raw
-    dec.filter(col("vec").isNotNull)
+    if (isHalf) raw.select(col("id"), col("key"),
+      graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
+    else raw
   }
 
   /** kNN-pruned graph edges (no ring), live rows only. */
@@ -243,13 +248,20 @@ final class VectorIndex private (
 
   private def pqPrepare(df: DataFrame): DataFrame = metric match {
     case Metric.Cosine =>
-      import graft.functions.VectorFunctions
-      df.select(col("id"), col("key"),
-        when(col("vec").isNotNull,
-          VectorFunctions.normalizedByNorm(col("vec"), VectorFunctions.l2Norm(col("vec"))))
-          .as("vec"))
+      df.select(col("id"), col("key"), normalizeForPq(col("vec")).as("vec"))
     case _ => df
   }
+
+  /** What PQ encodes, as a column: the raw vector under Euclidean, its
+    * L2-normalized copy under cosine (null-safe for tombstones). */
+  private def normalizeForPq(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    metric match {
+      case Metric.Cosine =>
+        import graft.functions.VectorFunctions
+        when(vec.isNotNull,
+          VectorFunctions.normalizedByNorm(vec, VectorFunctions.l2Norm(vec)))
+      case _ => vec
+    }
 
   /** Fit PQ codebooks from this index's vectors and persist them as a
     * per-m `pq-m<m>.json` sidecar next to the snapshot — the
@@ -306,19 +318,98 @@ final class VectorIndex private (
     meta.segments.foreach { v =>
       val dir = codesDir(v)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
-        val raw = spark.read.schema(storedVectorsSchema).parquet(segDir("vectors", v))
-        val dec =
-          if (isHalf) raw.select(col("id"), col("key"),
-            graft.functions.VectorFunctions.halfUnpack(col("vec")).as("vec"))
-          else raw
         // tombstone rows (null vec) become null-code tombstones, so the
         // latest-wins resolve drops deleted ids exactly like the tables
-        pqPrepare(dec)
+        pqPrepare(segmentDecoded(v))
           .select(col("id"), when(col("vec").isNotNull, model.encode(col("vec"))).as("codes"))
           .write.mode("overwrite").parquet(dir)
       }
     }
     resolvedFrom(codesDir, pqCodesSchema, "codes")
+  }
+
+  // ------------------------------------------------- IVF lifecycle tier
+
+  private def ivfFile(k: Int, m: Metric): String = s"ivf-k$k-${m.name}.json"
+
+  /** Fit the coarse quantizer (IVF) from this index's vectors and
+    * persist it as a metric-tagged `ivf-k<K>-<metric>.json` sidecar —
+    * the create-once/serve-many contract (reference
+    * create_index/load_index, src/LMDiskANN.jl:239-306) applied to the
+    * acceleration tier, exactly like [[fitPQ]] for the compression
+    * model. `searchMetric` defaults to the index metric but may differ:
+    * the coarse quantizer is a SEARCH-tier artifact, and serving cosine
+    * queries over a Euclidean-stored index is the reference's metric
+    * parameter (src/LMDiskANN.jl:242) at the IVF tier — per-metric
+    * sidecars let both coexist. */
+  def fitIVF(k: Int = 16, searchMetric: Metric = metric): IvfModel = {
+    val model = graft.operators.Similarity.ivfFitModel(
+      vectors, k, metric = searchMetric)
+    Ivf.save(model, path, ivfFile(k, searchMetric))
+    model
+  }
+
+  /** The persisted IVF model for (k, metric), if one was fit. */
+  def loadIVF(k: Int = 16, searchMetric: Metric = metric): Option[IvfModel] = {
+    val f = ivfFile(k, searchMetric)
+    if (Files.exists(Paths.get(s"$path/$f"))) Some(Ivf.load(path, f)) else None
+  }
+
+  /** [[loadIVF]] falling back to a fit-and-persist on first use. */
+  def loadOrFitIVF(k: Int = 16, searchMetric: Metric = metric): IvfModel =
+    loadIVF(k, searchMetric).getOrElse(fitIVF(k, searchMetric))
+
+  /** The persisted IVF assignment (id, cluster) for the CURRENT
+    * snapshot state — the partition-pruning side of the inverted file,
+    * maintained INCREMENTALLY: assignments are a derived artifact keyed
+    * by (SEGMENT, MODEL) like the PQ code dirs, so a delta commit
+    * assigns ONLY its own rows (one map pass against the persisted
+    * centroids — O(batch), never a corpus re-scan), tombstone rows
+    * carry a null cluster, and the read resolves latest-wins across
+    * segments exactly like the tables. At 100 TB the materialized form
+    * of this table is what you physically cluster the store by; the
+    * composite [[ivfPqCodes]] below IS that table, partitioned by
+    * cluster. */
+  def ivfAssignments(model: IvfModel): DataFrame = {
+    def dir(v: Long) = s"$path/ivf_assign/seg=$v-${model.suffix}"
+    meta.segments.foreach { v =>
+      val d = dir(v)
+      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+        graft.operators.Similarity.assignClusters(segmentDecoded(v), model)
+          .select(col("id"), col("cluster"))
+          .write.mode("overwrite").parquet(d)
+      }
+    }
+    resolvedFrom(dir, ivfAssignSchema, "cluster")
+  }
+
+  /** The persisted IVF-PQ composite (id, codes, cluster) — the
+    * billion-scale serving table (coarse assignment prunes the scan to
+    * nprobe clusters AND the m-byte code column shrinks the scanned
+    * bytes ~32x), written per segment PARTITIONED BY cluster so a
+    * probe's static `cluster IN (...)` filter becomes planning-time
+    * partition pruning: the scan lists only the nprobe directories, no
+    * join or dynamic pruning needed to skip the rest of 100 TB. Keyed
+    * by (segment, IVF model, PQ model) content fingerprints — a re-fit
+    * of either model can never serve stale composite rows — and
+    * resolved latest-wins like every other per-segment artifact;
+    * tombstones carry null codes/cluster. Cosine indexes encode
+    * normalized vectors (matching [[pqCodes]]). */
+  def ivfPqCodes(ivfModel: IvfModel, pqModel: Quantization.PQModel): DataFrame = {
+    val pqFp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(pqModel.codebook))
+    val suffix = s"${ivfModel.suffix}--m${pqModel.m}k${pqModel.k}-$pqFp"
+    def dir(v: Long) = s"$path/ivfpq/seg=$v-$suffix"
+    meta.segments.foreach { v =>
+      val d = dir(v)
+      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+        graft.operators.Similarity.assignClusters(segmentDecoded(v), ivfModel)
+          .select(col("id"), col("cluster"),
+            when(col("vec").isNotNull,
+              pqModel.encode(normalizeForPq(col("vec")))).as("codes"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(d)
+      }
+    }
+    resolvedFrom(dir, ivfPqSchema, "codes")
   }
 
   /** [[toServing]] with low-memory PQ traversal enabled from the
@@ -754,39 +845,49 @@ final class VectorIndex private (
         case _ => ()
       }
     }
-    val codesRoot = root.resolve("pq_codes")
-    if (Files.exists(codesRoot)) {
-      // a corrupt or mid-write sidecar must not abort the vacuum; and
-      // with an unreadable sidecar the active-model set is UNKNOWN, so
-      // suffix-based reaping is disabled for the pass (dead-segment
-      // reaping stays safe — it never depends on the sidecars)
-      val sidecarLoads = children(root)
-        .map(_.getFileName.toString)
-        .filter(f => f == "pq.json" || f.matches("^pq-m\\d+\\.json$"))
-        .map { f =>
-          f -> scala.util.Try {
-            val m = Quantization.load(path, f)
-            val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
-            s"m${m.m}k${m.k}-$fp"
-          }
+    // a corrupt or mid-write sidecar must not abort the vacuum; and
+    // with an unreadable sidecar the active-model set is UNKNOWN, so
+    // suffix-based reaping of the affected artifact family is disabled
+    // for the pass (dead-segment reaping stays safe — it never depends
+    // on the sidecars)
+    val pqLoads = children(root)
+      .map(_.getFileName.toString)
+      .filter(f => f == "pq.json" || f.matches("^pq-m\\d+\\.json$"))
+      .map { f =>
+        f -> scala.util.Try {
+          val m = Quantization.load(path, f)
+          val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
+          s"m${m.m}k${m.k}-$fp"
         }
-      val unreadable = sidecarLoads.collect { case (f, scala.util.Failure(_)) => f }
-      val suffixReapOk = unreadable.isEmpty
-      // an operator watching stale code dirs accumulate must be able to
-      // tell "working vacuum" from "suffix reaping disabled" — name the
-      // sidecar(s) that disabled it
-      if (!suffixReapOk)
-        VectorIndex.log.warn(
-          s"vacuum at $path: unreadable PQ sidecar(s) [${unreadable.mkString(", ")}] — " +
-            "suffix-based pq_codes reaping disabled this pass (dead-segment reaping unaffected)")
-      val activeSuffixes = sidecarLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
-      val codeRe = "^seg=(\\d+)-(.+)$".r
-      val legacyRe = "^v=\\d+-.+$".r
-      children(codesRoot).foreach { p =>
+      }
+    val ivfLoads = children(root)
+      .map(_.getFileName.toString)
+      .filter(_.matches("^ivf-k\\d+-[a-z0-9]+\\.json$"))
+      .map(f => f -> scala.util.Try(Ivf.load(path, f).suffix))
+    val unreadable = (pqLoads ++ ivfLoads).collect { case (f, scala.util.Failure(_)) => f }
+    // an operator watching stale code dirs accumulate must be able to
+    // tell "working vacuum" from "suffix reaping disabled" — name the
+    // sidecar(s) that disabled it
+    if (unreadable.nonEmpty)
+      VectorIndex.log.warn(
+        s"vacuum at $path: unreadable model sidecar(s) [${unreadable.mkString(", ")}] — " +
+          "suffix-based artifact reaping disabled this pass (dead-segment reaping unaffected)")
+    val pqReapOk = pqLoads.forall(_._2.isSuccess)
+    val ivfReapOk = ivfLoads.forall(_._2.isSuccess)
+    val pqActive = pqLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
+    val ivfActive = ivfLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
+    val codeRe = "^seg=(\\d+)-(.+)$".r
+    val legacyRe = "^v=\\d+-.+$".r
+    // one reaping rule for all three per-segment artifact families:
+    // dead segment, or (sidecars readable AND) model suffix no longer
+    // matching any persisted sidecar. The composite's suffix is
+    // "<ivfSfx>--<pqSfx>" and needs BOTH halves active.
+    def reapDerived(rootName: String, reapOk: Boolean, active: String => Boolean): Unit = {
+      val artRoot = root.resolve(rootName)
+      if (Files.exists(artRoot)) children(artRoot).foreach { p =>
         p.getFileName.toString match {
           case codeRe(seg, suffix)
-              if dead(seg.toLong) ||
-                (suffixReapOk && !activeSuffixes.contains(suffix)) =>
+              if dead(seg.toLong) || (reapOk && !active(suffix)) =>
             deleteTree(p); reaped += 1
           case name if legacyRe.matches(name) =>
             deleteTree(p); reaped += 1
@@ -794,6 +895,12 @@ final class VectorIndex private (
         }
       }
     }
+    reapDerived("pq_codes", pqReapOk, pqActive.contains)
+    reapDerived("ivf_assign", ivfReapOk, ivfActive.contains)
+    reapDerived("ivfpq", pqReapOk && ivfReapOk, s => s.split("--", 2) match {
+      case Array(i, p) => ivfActive.contains(i) && pqActive.contains(p)
+      case _ => false
+    })
     reaped
   }
 
@@ -871,6 +978,19 @@ object VectorIndex {
   val pqCodesSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("codes", ArrayType(ByteType, containsNull = false), nullable = true)))
+
+  /** Per-segment IVF assignment artifact schema (null cluster = tombstone). */
+  val ivfAssignSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cluster", IntegerType, nullable = true)))
+
+  /** Per-segment IVF-PQ composite schema — `cluster` is the PARTITION
+    * column of the written dirs (null lands in the Hive default
+    * partition, read back as null = tombstone). */
+  val ivfPqSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = true),
+    StructField("cluster", IntegerType, nullable = true)))
 
   /** Batch ids inside the cyclic id-order gap (a, b) — ascending from
     * just after `a`. `a == b` is the single-node ring (the gap is the

@@ -43,8 +43,17 @@ object Similarity {
   def ivfFit(vectors: DataFrame, k: Int, seed: Long = 42L,
       fitSampleRows: Int = 20000, iters: Int = 10,
       metric: Metric = Metric.Euclidean): (DataFrame, DataFrame) = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
+    val model = ivfFitModel(vectors, k, seed, fitSampleRows, iters, metric)
+    (centroidsDf(vectors.sparkSession, model), assignClusters(vectors, model))
+  }
+
+  /** The fit itself, returning the persistable [[graft.index.IvfModel]]
+    * — [[ivfFit]] composes this with [[assignClusters]]; the index
+    * lifecycle ([[graft.index.VectorIndex.fitIVF]]) persists the model
+    * as a sidecar and derives per-segment assignments from it. */
+  def ivfFitModel(vectors: DataFrame, k: Int, seed: Long = 42L,
+      fitSampleRows: Int = 20000, iters: Int = 10,
+      metric: Metric = Metric.Euclidean): graft.index.IvfModel = {
     // deterministic UNIFORM sample: top-N by multiplicative id-hash
     // (the q53 Sampling.bucket family at fine granularity), not
     // first-N in id order — ids correlate with content in practice
@@ -110,31 +119,48 @@ object Similarity {
       it += 1
     }
     val centroidArrays = centers.toSeq.map(_.map(_.toFloat))
-    val centroids = centroidArrays.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }
+    graft.index.IvfModel(centroidArrays.length, dim,
+      metric.name, centroidArrays.flatten.toArray)
+  }
+
+  /** The model's centroid table (cluster, cvec) — the broadcast probe
+    * side of [[ivfTopK]]. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      model: graft.index.IvfModel): DataFrame = {
+    import spark.implicits._
+    model.centroidPairs.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("cluster", "cvec")
-    // assignment is a PURE per-row expression — least() over one
-    // (dist, cluster) struct per centroid literal, deterministic
-    // tie-break by cluster id. Map-only: no crossJoin row explosion,
-    // no groupBy shuffle; at 100 TB only this narrow pass touches
-    // every row.
-    val candidates = centroidArrays.zipWithIndex.map { case (c, i) =>
+  }
+
+  /** Nearest-centroid assignment as a PURE per-row expression — least()
+    * over one (dist, cluster) struct per centroid literal, deterministic
+    * tie-break by cluster id. Map-only: no crossJoin row explosion, no
+    * groupBy shuffle; at 100 TB only this narrow pass touches every row.
+    * Cosine models assign on the L2-NORMALIZED vector (the centroids
+    * live on the unit sphere); the output keeps the ORIGINAL vector.
+    * NULL vectors (index tombstones) get a NULL cluster, so per-segment
+    * assignment artifacts inherit the tables' tombstone convention. */
+  def assignClusters(vectors: DataFrame, model: graft.index.IvfModel,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val candidates = model.centroidPairs.map { case (c, cv) =>
       struct(
-        VectorFunctions.squaredEuclidean(col("__avec"), typedLit(c)).as("cdist"),
-        lit(i).as("cluster"))
+        VectorFunctions.squaredEuclidean(col("__avec"), typedLit(cv.toSeq)).as("cdist"),
+        lit(c).as("cluster"))
     }
     val best =
       if (candidates.length == 1) candidates.head
-      else least(candidates: _*)
-    val prepared = metric match {
-      case Metric.Euclidean => vectors.select(col("id"), col("vec"), col("vec").as("__avec"))
+      else least(candidates.toSeq: _*)
+    val prepared = model.metric match {
+      case Metric.Euclidean =>
+        vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), col(vecCol).as("__avec"))
       case Metric.Cosine => vectors
-        .select(col("id"), col("vec"), VectorFunctions.l2Norm(col("vec")).as("__nrm"))
-        .select(col("id"), col("vec"), VectorFunctions.normalizedByNorm(col("vec"), col("__nrm")).as("__avec"))
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          VectorFunctions.l2Norm(col(vecCol)).as("__nrm"))
+        .select(col("id"), col("vec"),
+          VectorFunctions.normalizedByNorm(col("vec"), col("__nrm")).as("__avec"))
     }
-    val assigned = prepared.select(col("id"), col("vec"),
-      best.getField("cluster").as("cluster"))
-    (centroids, assigned)
+    prepared.select(col("id"), col("vec"),
+      when(col("vec").isNotNull, best.getField("cluster")).as("cluster"))
   }
 
   /** IVF probe: for each query, find the `nprobe` nearest centroids,

@@ -65,11 +65,17 @@ object AnnQueries {
     }
   }
 
-  /** One IVF fit per sf-dir per JVM, like the graph index: q32 and q33
-    * share the fitted (centroids, assigned) pair, and `assigned` is
-    * persisted exactly once here — repeated calls in a long-lived
-    * session reuse the same blocks instead of stacking a fresh
-    * `.cache()` per call (the round-1 leak). */
+  /** One IVF (centroids, assigned) pair per (sf-dir, metric) per JVM.
+    * Since round 7 the fit and the assignment are INDEX-LIFECYCLE
+    * artifacts, not session state: the model persists as an
+    * `ivf-k16-<metric>.json` sidecar next to the graph index's snapshot
+    * and the per-segment assignment dirs persist under `ivf_assign/`
+    * ([[graft.index.VectorIndex.fitIVF]]/[[graft.index.VectorIndex.ivfAssignments]])
+    * — a fresh `VectorIndex.load` of the same path serves without any
+    * re-fit, and an `insertBatch` assigns only its own delta segment.
+    * The JVM-level cache below only pins the RESOLVED (vectors ⋈
+    * assignment) frame in block storage so bench repeats measure the
+    * probe, not the resolve. */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
@@ -81,21 +87,25 @@ object AnnQueries {
     val cached = ivfCache.get(key)
     if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
     else {
-      val (centroids, assignedRaw) =
-        graft.operators.Similarity.ivfFit(source(spark, dir), k = 16, metric = metric)
-      val assigned = assignedRaw.cache()
+      val idx = builtIndex(spark, dir)
+      val model = idx.loadOrFitIVF(16, metric)
+      val assigned = idx.vectors
+        .join(idx.ivfAssignments(model), Seq("id"))
+        .select(col("id"), col("vec"), col("cluster"))
+        .cache()
       assigned.count() // materialize once, up front
-      val pair = (centroids, assigned)
+      val pair = (graft.operators.Similarity.centroidsDf(spark, model), assigned)
       ivfCache.put(key, pair)
       pair
     }
   }
 
-  /** One PQ (model, codes) pair per sf-dir, like the IVF fit: the
-    * codebooks and the encoded column are create-once artifacts; q38
-    * and q39 measure the ADC search path over them. The code column is
-    * 32x smaller than the vector column (d=64 floats -> m=8 bytes) —
-    * the scan-side win PQ exists for. */
+  /** One PQ (model, codes) pair per sf-dir. Model and code column are
+    * index-lifecycle artifacts (per-m `pq-m8.json` sidecar + per-
+    * (segment, model) code dirs via [[graft.index.VectorIndex.pqCodes]]);
+    * the cache pins the resolved code column so q38/q39 repeats measure
+    * the ADC path over the 32x-smaller codes (d=64 floats -> m=8
+    * bytes), not the resolve. */
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Quantization.PQModel, DataFrame)]()
 
@@ -103,9 +113,9 @@ object AnnQueries {
     val cached = pqCache.get(dir)
     if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
     else {
-      val src = source(spark, dir)
-      val model = graft.index.Quantization.pqFit(src, m = 8)
-      val codes = graft.index.Quantization.pqEncode(src, model).cache()
+      val idx = builtIndex(spark, dir)
+      val model = idx.loadPQ(8).getOrElse(idx.fitPQ(8))
+      val codes = idx.pqCodes(model).cache()
       codes.count() // materialize the one cached copy up front
       val pair = (model, codes)
       pqCache.put(dir, pair)
@@ -116,10 +126,11 @@ object AnnQueries {
   /** One IVF-PQ composite per sf-dir — the canonical billion-scale
     * layout (paper.md:23,27 at its composite best: the coarse IVF
     * assignment prunes the scan to nprobe clusters AND the PQ code
-    * column shrinks the scanned bytes 32x). Built from the two cached
-    * artifacts it composes: `assignedCodes` = (id, cluster, codes) is
-    * the join of the IVF assignment with the code column — at 100 TB
-    * this is the table you'd physically store, partitioned by cluster. */
+    * column shrinks the scanned bytes 32x). Since round 7 the
+    * composite is PHYSICALLY PERSISTED per segment, partitioned by
+    * cluster ([[graft.index.VectorIndex.ivfPqCodes]]) — the table
+    * you'd store at 100 TB, with the probe's static cluster filter
+    * pruning partitions at planning time. */
   private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[(Int, Array[Float])], graft.index.Quantization.PQModel, DataFrame)]()
 
@@ -128,15 +139,12 @@ object AnnQueries {
     val cached = ivfPqCache.get(dir)
     if (cached != null && !cached._3.sparkSession.sparkContext.isStopped) cached
     else {
-      val (centroids, assigned) = ivfFitted(spark, dir)
-      val (model, codes) = pqFitted(spark, dir)
-      val centroidArr = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val assignedCodes = assigned.select(col("id"), col("cluster"))
-        .join(codes, Seq("id")).cache()
+      val idx = builtIndex(spark, dir)
+      val ivfModel = idx.loadOrFitIVF(16, Metric.Euclidean)
+      val (pqModel, _) = pqFitted(spark, dir)
+      val assignedCodes = idx.ivfPqCodes(ivfModel, pqModel).cache()
       assignedCodes.count() // materialize the one cached copy up front
-      val triple = (centroidArr, model, assignedCodes)
+      val triple = (ivfModel.centroidPairs, pqModel, assignedCodes)
       ivfPqCache.put(dir, triple)
       triple
     }

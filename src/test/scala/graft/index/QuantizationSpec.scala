@@ -32,6 +32,19 @@ class QuantizationSpec extends SparkSpec {
   private lazy val model = Quantization.pqFit(df, m = 8)
   private lazy val codes = Quantization.pqEncode(df, model).cache()
 
+  test("pqFit is canonical: when the sample covers the input, the hash-ordered " +
+      "sample yields the codebook of the id-ordered fit") {
+    // n=2000 < sampleN=4096, so the hash-ordered top-N IS the whole
+    // input; after the sort-back-by-id inside pqFit, the fit must be
+    // bit-identical to a direct id-ordered local fit — the contract
+    // that pins every pre-round-6 codebook fingerprint on covered
+    // inputs (fingerprints only move when sampling actually samples)
+    val idOrdered = Quantization.pqFitLocal(
+      data.sortBy(_._1).map(_._2), m = 8)
+    assert(model.k == idOrdered.k && model.subDim == idOrdered.subDim)
+    assert(java.util.Arrays.equals(model.codebook, idOrdered.codebook))
+  }
+
   test("fit shapes: m*k*subDim codebook, 32x compression at d=64/m=8") {
     assert(model.m == 8 && model.subDim == 8 && model.k == 256)
     assert(model.codebook.length == model.m * model.k * model.subDim)
