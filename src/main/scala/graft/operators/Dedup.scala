@@ -144,6 +144,66 @@ object Dedup {
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 4))
   }
 
+  /** Exact-substring span REMOVAL — the cut tier above
+    * [[chunkDupStats]]'s detection (Lee et al. 2022: dedup pipelines
+    * first detect duplicated substrings, then CUT them and keep one
+    * canonical occurrence). Every stride-1 k-token chunk occurring in
+    * more than one document is removed from every document EXCEPT the
+    * one with the smallest doc id containing it; a token is cut when
+    * ANY removable window covers it, so maximal duplicated runs (which
+    * are >= k tokens by construction — k is the length threshold) come
+    * out in one piece while the canonical copy survives verbatim.
+    * Returns one row per input document (TOTAL — null text stays a
+    * row with null stats): (doc_id, n_tokens, n_removed,
+    * cleaned_text = surviving tokens re-joined with single spaces).
+    *
+    * Scale shape — the same skeleton as [[chunkDupStats]]: chunk ids
+    * are 64-bit rolling hashes composed from per-token hashes (no
+    * strings cross a shuffle), the canonical table is one partial-agg
+    * groupBy on the hash, and the removable-window pass is an equi-join
+    * back on the hash followed by a per-document aggregate whose state
+    * is bounded by DOCUMENT length, never corpus size. The chunk pass
+    * is recomputed per consumer rather than shuffled whole
+    * (chunkDupStats' measured tradeoff, Dedup.scala:118-124). The cut
+    * itself is a pure per-row higher-order expression — at 100 TB only
+    * narrow passes touch every row. */
+  def removeDupSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
+    val cidArr = transform(sequence(lit(0), size(h) - k), i =>
+      aggregate(slice(h, i + lit(2), lit(k - 1)), element_at(h, i + lit(1)),
+        (a, b) => (a * 31L + b) % 1000000007L))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"), col("__graft_toks"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"))
+    // every window POSITION (not distinct cids — a chunk repeated
+    // within one doc covers several spans, all of which must cut)
+    val wins = toks.filter(size(h) >= k)
+      .select(col("doc_id"), posexplode(cidArr).as(Seq("pos", "cid")))
+    // canonical occurrence per cross-document chunk: smallest doc id
+    val canon = wins.select(col("doc_id"), col("cid")).distinct()
+      .groupBy(col("cid"))
+      .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+    // removable window starts per non-canonical document
+    val removable = wins.join(canon, Seq("cid"))
+      .filter(col("doc_id") =!= col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(col("__graft_toks"), (t, i) =>
+      !exists(starts, s => s <= i && i < s + k))
+    toks.join(removable, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__graft_toks")).as("n_tokens"),
+        (size(col("__graft_toks")) - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("cleaned_text"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
     * shingles present in more than that many docs (skew/scale guard;

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` columns with typed metadata, and run decode /
   * feature-extraction as partition-local batch operations.
   *
-  * The decode step is a STUB (this container has no image/audio
-  * codecs): `StubDecoder` produces deterministic byte-statistics
-  * "features". Everything AROUND the stub — schema, binary packing,
-  * per-partition decoder lifecycle, batch shape, and the declarative
-  * metadata path — is real and tested. Swapping `StubDecoder` for a
-  * JNI/FFI codec is a one-class change.
+  * IMAGE decode is REAL: [[ImageIoDecoder]] decodes PNG/BMP payloads
+  * through `javax.imageio` (pure-JVM codecs, no native libs) to pixels
+  * and emits deterministic features (dims, per-channel means, luminance
+  * histogram). Audio/video decode remains a STUB (`StubDecoder`, byte
+  * statistics — no codecs in this environment); the per-partition
+  * decoder lifecycle is shared, so swapping in an FFI codec for those
+  * stays a one-class change.
   *
   * Scale design: `mapPartitions` is the right boundary for this work —
   * the decoder is initialized once per partition (the expensive part
@@ -72,6 +73,84 @@ object Multimodal {
         (content(n - 1) & 0xff).toFloat,
         modality.length.toFloat)
     }
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG and BMP ship with the
+    * JVM — lossless RGB, so decoded pixels are exact). Features
+    * (14 floats): width, height, mean R/G/B, mean integer luminance
+    * (BT.601 fixed-point: (299r + 587g + 114b) / 1000), and an 8-bin
+    * luminance-histogram fraction vector. All statistics are computed
+    * in integer/long arithmetic and widened once at the end, so the
+    * result is bit-deterministic across JVMs and cluster sizes. */
+  object ImageIoDecoder extends Decoder {
+    val FeatureDim = 14
+    def decode(modality: String, content: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, s"undecodable $modality payload (${content.length} bytes)")
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          sl += luma
+          hist(luma / 32) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = (sr.toDouble / n).toFloat
+      out(3) = (sg.toDouble / n).toFloat
+      out(4) = (sb.toDouble / n).toFloat
+      out(5) = (sl.toDouble / n).toFloat
+      var i = 0
+      while (i < 8) { out(6 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic synthetic image corpus: one PNG/BMP per input id,
+    * dimensions and RGB values pure functions of (id, x, y) — so a SQL
+    * oracle can derive the DECODED features from arithmetic alone,
+    * which makes the real encode → decode → feature path hash-checkable
+    * end-to-end (lossless codecs round-trip the formula exactly).
+    * Encoding runs partition-local through the same mapPartitions seam
+    * as decode. */
+  def packSyntheticImages(ids: DataFrame, idCol: String, format: String = "png"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, format, baos)
+          Row(id, "image", baos.toByteArray, null)
+        }
+      }(enc)
   }
 
   /** Pack a text column as a UTF-8 binary payload — stand-in for real

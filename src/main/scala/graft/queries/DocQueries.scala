@@ -456,6 +456,25 @@ object DocQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** REAL image decode end-to-end (q76): a deterministic synthetic PNG
+    * per doc_id < 200 (pixels a pure function of id, x, y), encoded and
+    * then DECODED through javax.imageio — the oracle re-derives the
+    * decoded features (dims, channel means, luminance histogram) from
+    * the pixel formula alone, so a hash match proves the real codec
+    * round-trips pixels exactly (PNG is lossless). Encoded byte counts
+    * are deliberately NOT compared: PNG byte streams are
+    * encoder-specific; decoded pixels are not. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.packSyntheticImages(
+      docs(spark, dir).filter(col("doc_id") < 200).select(col("doc_id")), "doc_id")
+    Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .select(Seq(col("media_id").as("doc_id")) ++
+        (0 until Multimodal.ImageIoDecoder.FeatureDim).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition metrics per document (q64). The flag is
     * computed from the ROUNDED fractions so the oracle engine flags
     * identically; int-cast because the gate's normalizer hashes ints
@@ -474,6 +493,17 @@ object DocQueries {
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
       .orderBy(col("dup_frac").desc, col("doc_id"))
       .limit(50)
+
+  /** Exact-substring span removal (q74): cut every cross-document
+    * duplicated 8-token chunk span, keeping the smallest-doc-id
+    * canonical occurrence; the cleaned text ships as an md5 so the
+    * driver gate hashes a scalar, with the removal counts alongside.
+    * TOTAL over documents (null text stays a null-stat row). */
+  def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(spread(docs(spark, dir)), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("cleaned_text")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
 
   /** Corpus-unigram NLL quality score per document (q70). */
   def unigramNll(spark: SparkSession, dir: String): DataFrame =
@@ -757,6 +787,55 @@ object DocQueries {
          |FROM per WHERE n_dup_chunks > 0
          |ORDER BY dup_frac DESC, doc_id LIMIT 50""".stripMargin
     },
+    "q76_image_decode" -> {
+      val histCols = (0 until 8).map(i =>
+        s"sum(CASE WHEN luma // 32 = $i THEN 1 ELSE 0 END) AS hh$i").mkString(",\n         ")
+      def f(expr: String) = s"CAST(CAST($expr AS FLOAT) AS DOUBLE)"
+      def mean(s: String) = f(s"CAST($s AS DOUBLE) / n")
+      val histSel = (0 until 8).map(i =>
+        s"${mean(s"hh$i")} AS f${6 + i}").mkString(",\n       ")
+      s"""WITH ids AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         |                    CAST(8 + doc_id % 7 AS BIGINT) AS h
+         |             FROM documents WHERE doc_id < 200),
+         |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM ids),
+         |v AS (SELECT doc_id, w, h,
+         |        (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS r,
+         |        (doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256 AS g,
+         |        (doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256 AS b
+         |      FROM px),
+         |l AS (SELECT *, (r * 299 + g * 587 + b * 114) // 1000 AS luma FROM v),
+         |agg AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h, count(*) AS n,
+         |         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, sum(luma) AS sl,
+         |         $histCols
+         |        FROM l GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ${f("w")} AS f0, ${f("h")} AS f1,
+         |       ${mean("sr")} AS f2, ${mean("sg")} AS f3,
+         |       ${mean("sb")} AS f4, ${mean("sl")} AS f5,
+         |       $histSel
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q74_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h FROM toks),
+         |wins AS (SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
+         |           i -> struct_pack(pos := i, cid := list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007)))) AS w
+         |         FROM tids WHERE len(h) >= 8),
+         |w2 AS (SELECT doc_id, w.pos AS pos, w.cid AS cid FROM wins),
+         |canon AS (SELECT cid, min(doc_id) AS canon FROM w2
+         |          GROUP BY cid HAVING count(DISTINCT doc_id) > 1),
+         |rem AS (SELECT w2.doc_id, list_sort(list(DISTINCT w2.pos)) AS starts
+         |        FROM w2 JOIN canon USING (cid)
+         |        WHERE w2.doc_id <> canon.canon GROUP BY w2.doc_id),
+         |cut AS (SELECT t.doc_id, t.t,
+         |          list_filter(t.t, (x, i) -> len(list_filter(COALESCE(r.starts, []::BIGINT[]),
+         |            s -> s <= i - 1 AND i - 1 < s + 8)) = 0) AS kept
+         |        FROM tids t LEFT JOIN rem r USING (doc_id))
+         |SELECT doc_id, len(t) AS n_tokens,
+         |       len(t) - len(kept) AS n_removed,
+         |       md5(CASE WHEN t IS NULL THEN NULL
+         |                ELSE COALESCE(array_to_string(kept, ' '), '') END) AS cleaned_md5
+         |FROM cut ORDER BY doc_id""".stripMargin,
     "q70_doc_nll" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -830,6 +909,8 @@ object DocQueries {
     "q64_repetition" -> (repetitionStats _),
     "q65_leakage_safe_split" -> (leakageSafeSplit _),
     "q69_chunk_dedup" -> (chunkDedup _),
+    "q74_span_removal" -> (dedupSpanRemoval _),
+    "q76_image_decode" -> (imageDecode _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -30,6 +30,57 @@ class DedupSpec extends SparkSpec {
       s"member ids must be exact ascending longs, got $members")
   }
 
+  test("removeDupSpans cuts non-canonical duplicated spans; re-detection finds ~nothing") {
+    val ss = spark
+    import ss.implicits._
+    val shared = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),       // canonical holder (smallest id)
+      (2L, s"delta $shared epsilon zeta"),     // must lose the span
+      (3L, s"$shared"),                        // must lose everything
+      (4L, "unrelated text with no duplicated content at all here"),
+      (5L, null.asInstanceOf[String]))         // TOTAL: null stays a row
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    // canonical doc 1 keeps its text verbatim (tokens re-joined)
+    assert(out(1L).getAs[String]("cleaned_text") == s"alpha beta $shared gamma")
+    assert(out(1L).getAs[Int]("n_removed") == 0)
+    // doc 2 loses exactly the 8 shared tokens
+    assert(out(2L).getAs[String]("cleaned_text") == "delta epsilon zeta")
+    assert(out(2L).getAs[Int]("n_removed") == 8)
+    // doc 3 is cut to nothing
+    assert(out(3L).getAs[String]("cleaned_text") == "")
+    assert(out(3L).getAs[Int]("n_removed") == 8)
+    // untouched doc passes through; null text stays null
+    assert(out(4L).getAs[Int]("n_removed") == 0)
+    assert(out(5L).isNullAt(out(5L).fieldIndex("cleaned_text")))
+    // the done-criterion: re-running detection on the cleaned corpus
+    // finds no cross-document duplication left
+    val cleaned = Seq(
+      (1L, out(1L).getAs[String]("cleaned_text")),
+      (2L, out(2L).getAs[String]("cleaned_text")),
+      (3L, out(3L).getAs[String]("cleaned_text")),
+      (4L, out(4L).getAs[String]("cleaned_text"))).toDF("doc_id", "text")
+    assert(Dedup.chunkDupStats(cleaned, k = 8).count() == 0)
+  }
+
+  test("removeDupSpans cuts overlapping and within-doc repeated spans of a duplicated chunk") {
+    val ss = spark
+    import ss.implicits._
+    val span = "a b c d e f g h" // 8 tokens
+    val docs = Seq(
+      (1L, s"$span tail"),
+      // doc 2 repeats the duplicated chunk twice — BOTH occurrences cut
+      (2L, s"x $span y $span z")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("cleaned_text") == s"$span tail")
+    assert(out(2L).getAs[String]("cleaned_text") == "x y z")
+    assert(out(2L).getAs[Int]("n_removed") == 16)
+  }
+
   test("chunkDupStats counts cross-doc chunks once per doc, ignores within-doc repeats") {
     val ss = spark
     import ss.implicits._

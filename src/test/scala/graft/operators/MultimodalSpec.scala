@@ -38,6 +38,65 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getSeq[Float](4) == f)
   }
 
+  /** Expected ImageIoDecoder features for the synthetic image of `id`,
+    * derived from the pixel formula alone — decoded pixels must match
+    * because PNG/BMP are lossless. */
+  private def expectedImageFeatures(id: Long): Array[Float] = {
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    val n = w.toLong * h
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    val hist = new Array[Long](8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+      val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+      sr += r; sg += g; sb += b
+      val luma = (r * 299 + g * 587 + b * 114) / 1000
+      sl += luma; hist(luma / 32) += 1
+    }
+    Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+      (sb.toDouble / n).toFloat, (sl.toDouble / n).toFloat) ++
+      hist.map(c => (c.toDouble / n).toFloat)
+  }
+
+  test("ImageIoDecoder decodes REAL encoded PNG bytes to exact pixel statistics") {
+    val ss = spark
+    import ss.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L, 123L).toDF("doc_id")
+    val media = Multimodal.packSyntheticImages(ids, "doc_id")
+    // payloads are genuine PNG files (magic bytes), not passthroughs
+    val first = media.orderBy("media_id").head()
+    val bytes = first.getAs[Array[Byte]](2)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val feats = Multimodal.extractFeatures(media.repartition(3), Multimodal.ImageIoDecoder)
+      .select(col("media_id"), col("feature")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (id <- Seq(0L, 1L, 7L, 42L, 123L)) {
+      assert(feats(id).length == Multimodal.ImageIoDecoder.FeatureDim)
+      assert(feats(id).toSeq == expectedImageFeatures(id).toSeq,
+        s"decoded features for id=$id diverge from the pixel formula")
+    }
+  }
+
+  test("ImageIoDecoder handles BMP payloads identically (second pure-JVM codec)") {
+    val ss = spark
+    import ss.implicits._
+    val media = Multimodal.packSyntheticImages(Seq(5L, 9L).toDF("doc_id"), "doc_id", format = "bmp")
+    val first = media.orderBy("media_id").head()
+    val bytes = first.getAs[Array[Byte]](2)
+    assert(bytes(0) == 'B' && bytes(1) == 'M') // BMP magic
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .select(col("media_id"), col("feature")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(feats(5L).toSeq == expectedImageFeatures(5L).toSeq)
+    assert(feats(9L).toSeq == expectedImageFeatures(9L).toSeq)
+  }
+
+  test("ImageIoDecoder rejects undecodable payloads instead of fabricating features") {
+    assertThrows[IllegalArgumentException](
+      Multimodal.ImageIoDecoder.decode("image", Array[Byte](1, 2, 3, 4)))
+  }
+
   test("null payloads flow through with null features") {
     val media = Multimodal.packText(docs.limit(3), "doc_id", "text")
       .withColumn("content", when(col("media_id") === 1, col("content")))
