@@ -13,12 +13,55 @@ import org.apache.spark.sql.SparkSession
   * repeated timed loops for the same reason. */
 object Bench {
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n == 0) -1.0
-    else if (n % 2 == 1) s(n / 2)
-    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  private def median(xs: Seq[Double]): Double = QpsWorkloads.median(xs)
+
+  // JSON-valid minimal formatting: trailing zeros trimmed ("0.50" ->
+  // "0.5", "1.00" -> "1"), one decimal above 10 — every byte counts
+  // against the tail window as the query set grows
+  private[graft] def trim(s: String): String =
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+  private[graft] def r2(v: Double): String = trim(BigDecimal(v)
+    .setScale(if (math.abs(v) >= 10) 1 else 2, BigDecimal.RoundingMode.HALF_UP)
+    .bigDecimal.toPlainString)
+  private[graft] def r1(v: Double): String = trim(BigDecimal(v)
+    .setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString)
+
+  /** Summary key for a query: the bare `qNN` prefix. The full
+    * self-describing names live on the detail line; the summary must
+    * survive the driver's ~2000-char stdout tail window next to 70+
+    * query keys, and `"q41_ngram_jaccard":1.97` -> `"q41":1.97` is
+    * ~13 chars back per query — the difference between a parseable
+    * BENCH_rN.json and `parsed: null` (round 7's one real defect). */
+  private[graft] def shortKey(name: String): String = {
+    val i = name.indexOf('_')
+    if (i < 0) name else name.substring(0, i)
+  }
+
+  /** Renders the machine-parsed summary line. Pure so
+    * BenchSummarySpec can assert — against the REAL query set — that
+    * the rendered line stays under the tail-window budget and that
+    * the shortened keys stay unique. Falls back to full query names
+    * if shortening would collide (never silently drops a metric). */
+  private[graft] def summaryLine(
+      results: Seq[(String, Double)],
+      buildsSec: Option[Double],
+      annQps: Double, pqQps: Double, shardedQps: Double,
+      fiLoadSec: Double, fiQps: Double, sfShort: String): String = {
+    val keys = results.map { case (k, _) => shortKey(k) }
+    val useShort = keys.distinct.size == keys.size
+    val qsShort = results.map { case (k, v) =>
+      "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2(v)
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val buildsJson = buildsSec.map(b => s""""builds_sec":${r2(b)},""").getOrElse("")
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +
+      buildsJson +
+      s""""qps":${r1(annQps)},""" +
+      s""""pq_qps":${r1(pqQps)},""" +
+      s""""shard_qps":${r1(shardedQps)},""" +
+      s""""fi_load_sec":${r2(fiLoadSec)},""" +
+      s""""fi_qps":${r1(fiQps)},"sf":"$sfShort"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,56 +132,24 @@ object Bench {
     // production serving path: distributed build -> fromIndex bulk load
     // into the shard fleet (never an insert loop), then the same query
     // workload. Load time is its own metric.
-    val (fromIndexLoadSec, fromIndexQps) = try {
-      import org.apache.spark.sql.functions.{col, lit}
-      val rng = new scala.util.Random(1)
-      val vecs = Array.fill(10000)(Array.fill(100)(rng.nextFloat()))
-      val src = spark.createDataFrame(
-        spark.sparkContext.parallelize(vecs.zipWithIndex.map { case (v, i) =>
-          org.apache.spark.sql.Row(i.toLong, v.toSeq)
-        }, 32),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("vec",
-            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
-      val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
-      // maxDegree matches the insert-built router above (its default,
-      // 64) so the two QPS numbers compare the LOAD PATH, not graph
-      // degree — sparser graphs search slower (more hops to converge),
-      // which a 32-degree build here misread as a fromIndex regression
-      val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = 100, maxDegree = 64)
-      // median over `repeat` loads, like every per-query number — a
-      // one-shot load time on this host misreads scheduler noise as a
-      // regression (each load is independent; no state carries over)
-      var router: graft.index.ShardedServing = null
-      val load = median((0 until repeat).map { _ =>
-        val t0 = System.nanoTime()
-        router = graft.index.ShardedServing.fromIndex(idx, numShards = 4)
-        (System.nanoTime() - t0) / 1e9
-      })
-      val queries = Array.fill(1000)(vecs(rng.nextInt(vecs.length)))
-      (load, QpsWorkloads.qps(
-        QpsWorkloads.Workload(q => router.search(q, topk = 10), queries), repeat))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+    val (fromIndexLoadSec, fromIndexWorkload) = try {
+      QpsWorkloads.fromIndexRouter(spark, repeat)
+    } catch { case _: Throwable => (-1.0, null) }
+    val fromIndexQps =
+      if (fromIndexWorkload == null) -1.0
+      else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
+      catch { case _: Throwable => -1.0 }
     // Two output lines. The driver keeps only the LAST ~2000 chars of
     // stdout and json-parses what it finds there, so the final line must
     // be (a) prefix-free (build.sbt sets run/outputStrategy) and
     // (b) short enough to survive the tail cut with the trailing sbt
-    // "[success]" line — hence 2-decimal rounding and the basename sf.
-    // Full-precision numbers go on the preceding "detail:" line, which
+    // "[success]" line — hence 2-decimal rounding, bare-qNN query keys,
+    // abbreviated serving-metric keys (qps / pq_qps / shard_qps / fi_*),
+    // and the basename sf. Full-precision numbers with full
+    // self-describing names go on the preceding "detail:" line, which
     // is deliberately NOT bare JSON so a tail-truncated copy of it can
-    // never be mistaken for the summary.
-    // JSON-valid minimal formatting: trailing zeros trimmed ("0.50" ->
-    // "0.5", "1.00" -> "1"), one decimal above 10 — every byte counts
-    // against the tail window as the query set grows
-    def trim(s: String): String =
-      if (!s.contains('.')) s
-      else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-    def r2(v: Double): String = trim(BigDecimal(v)
-      .setScale(if (math.abs(v) >= 10) 1 else 2, BigDecimal.RoundingMode.HALF_UP)
-      .bigDecimal.toPlainString)
-    def r1(v: Double): String = trim(BigDecimal(v)
-      .setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString)
+    // never be mistaken for the summary. BenchSummarySpec pins the
+    // rendered summary length against the real query set.
     val builds = buildMetrics.map { case (k, v) => s"\"" + k + "\":" + v }.mkString(",")
     val buildsJson = if (builds.isEmpty) "" else builds + ","
     println("detail: " +
@@ -150,33 +161,11 @@ object Bench {
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
-    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
-    // the summary line carries ONE aggregate build cost; the per-build
-    // breakdown lives on the full-precision detail line (the summary
-    // must survive the ~2000-char tail window next to ~55 query keys)
-    val buildsShortJson =
-      if (buildMetrics.isEmpty) ""
-      else s""""builds_sec":${r2(buildMetrics.values.sum)},"""
-    val sfShort = new java.io.File(sfDir).getName
-    // serving-metric keys are ABBREVIATED here (full self-describing
-    // names — ann_*_10k_100d_4shards — live on the detail line): the
-    // query set grew past the point where the long names fit the
-    // driver's ~2000-char tail window next to ~70 query keys.
-    // qps = single-graph serving, pq_qps = PQ low-memory serving,
-    // shard_qps = insert-built 4-shard router, fi_* = fromIndex-loaded
-    // 4-shard router (load seconds + QPS)
-    // "repeats" lives on the detail line only — every summary byte
-    // counts against the tail window
-    val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +
-      buildsShortJson +
-      s""""qps":${r1(annQps)},""" +
-      s""""pq_qps":${r1(pqQps)},""" +
-      s""""shard_qps":${r1(shardedQps)},""" +
-      s""""fi_load_sec":${r2(fromIndexLoadSec)},""" +
-      s""""fi_qps":${r1(fromIndexQps)},"sf":"$sfShort"}"""
-    println(line)
+    println(summaryLine(
+      results.toSeq,
+      if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),
+      annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps,
+      new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

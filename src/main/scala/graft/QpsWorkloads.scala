@@ -74,4 +74,42 @@ object QpsWorkloads {
     vecs.foreach(v => router.insert(v))
     Workload(q => router.search(q, topk = 10), queries)
   }
+
+  /** Production serving path (summary keys `fi_load_sec` / `fi_qps`):
+    * distributed build -> fromIndex bulk load into the 4-shard fleet
+    * (never an insert loop), then the same query workload. Returns
+    * (median load seconds over `repeat` independent loads, workload).
+    * The only workload that needs a SparkSession — the distributed
+    * build is the point. maxDegree matches the insert-built router
+    * (64) so the two QPS numbers compare the LOAD PATH, not graph
+    * degree — sparser graphs search slower (more hops to converge),
+    * which a 32-degree build here once misread as a fromIndex
+    * regression. Load is a median like every per-query number: a
+    * one-shot load time on this host misreads scheduler noise as a
+    * regression (loads are independent; no state carries over). */
+  def fromIndexRouter(spark: org.apache.spark.sql.SparkSession,
+      repeat: Int): (Double, Workload) = {
+    val rng = new scala.util.Random(1)
+    val vecs = Array.fill(NumVectors)(Array.fill(Dim)(rng.nextFloat()))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v.toSeq)
+      }, 32),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
+    val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = Dim, maxDegree = MaxDegree)
+    var router: graft.index.ShardedServing = null
+    val load = median((0 until repeat).map { _ =>
+      val t0 = System.nanoTime()
+      router = graft.index.ShardedServing.fromIndex(idx, numShards = NumShards)
+      (System.nanoTime() - t0) / 1e9
+    })
+    // query draw AFTER the vector draws, matching the original loop's
+    // RNG stream position (and vectorsAndQueries' protocol)
+    val queries = Array.fill(NumQueries)(vecs(rng.nextInt(vecs.length)))
+    (load, Workload(q => router.search(q, topk = 10), queries))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench summary line against the driver's stdout tail
+  * window. The driver keeps only the LAST ~2000 chars of stdout and
+  * json-parses what it finds there; the trailing sbt "[success] ..."
+  * line eats ~75 of those, so the summary must stay under ~1925 or
+  * the head of the JSON falls off and the round's 2x perf gate goes
+  * dark (BENCH_r07.json "parsed": null). Budget here is 1850 to leave
+  * slack for query-set growth between the test run and the round run. */
+class BenchSummarySpec extends AnyFunSuite {
+
+  private val TailBudget = 1850
+
+  test("short query keys are unique across the real query set") {
+    val keys = SparkEntry.queries.keys.toSeq
+    val short = keys.map(Bench.shortKey)
+    assert(short.distinct.size === keys.size,
+      s"colliding short keys: ${short.diff(short.distinct).distinct.mkString(",")}")
+  }
+
+  test("summary line with worst-case widths fits the tail window") {
+    // worst-case numeric widths: 884.88 renders "884.9" (5 chars) per
+    // query and for builds_sec; five-digit QPS renders 7 chars
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 884.88)
+    val line = Bench.summaryLine(results, Some(884.88),
+      88888.8, 88888.8, 88888.8, 884.88, 88888.8, "sf0.001")
+    assert(line.length < TailBudget,
+      s"summary line is ${line.length} chars (budget $TailBudget) for " +
+        s"${results.size} queries — shorten keys before adding more queries")
+  }
+
+  test("summary line is valid JSON with the expected metric keys") {
+    val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
+    val line = Bench.summaryLine(results, Some(22.24),
+      398.44, 600.4, 572.0, 7.9, 370.81, "sf0.1")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
+    assert(keys === List("metric", "value", "unit", "queries", "builds_sec",
+      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "sf"))
+    val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
+    assert(qKeys === List("q01", "q41"))
+  }
+
+  test("colliding short keys fall back to full names, never drop a metric") {
+    val results = Seq("q01_a" -> 0.1, "q01_b" -> 0.2)
+    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, "sf")
+    assert(line.contains("\"q01_a\":0.1") && line.contains("\"q01_b\":0.2"))
+  }
+
+  test("numeric rendering trims trailing zeros and keeps JSON validity") {
+    assert(Bench.r2(0.50) === "0.5")
+    assert(Bench.r2(1.00) === "1")
+    assert(Bench.r2(27.4) === "27.4")
+    assert(Bench.r2(884.88) === "884.9")
+    assert(Bench.r1(398.44) === "398.4")
+    assert(Bench.r1(-1.0) === "-1")
+  }
+}
