@@ -38,16 +38,49 @@ object Bench {
     if (i < 0) name else name.substring(0, i)
   }
 
+  /** Fixed-work single-threaded spin loop (xorshift64, 2e8 steps),
+    * timed. On an uncontended host this is a stable per-machine
+    * constant (CPU-bound, no allocation, no I/O); inflation of the
+    * spin time directly measures scheduler/CPU contention during the
+    * bench run — the round-8 failure mode where byte-identical plans
+    * recorded 25-30x inflation and nothing in the artifact could
+    * adjudicate host noise vs regression. */
+  private[graft] def calSpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    calSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+  @volatile private var calSink: Long = 0L
+
+  /** Fixed tiny Spark job (2M-row range, mod-97 groupBy, 8 tasks),
+    * timed. Complements the spin loop: measures scheduler-lane and
+    * task-dispatch contention that a single-threaded loop can miss. */
+  private[graft] def calSpark(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 2000000L, 1L, 8)
+      .selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v").count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Renders the machine-parsed summary line. Pure so
     * BenchSummarySpec can assert — against the REAL query set — that
     * the rendered line stays under the tail-window budget and that
     * the shortened keys stay unique. Falls back to full query names
-    * if shortening would collide (never silently drops a metric). */
+    * if shortening would collide (never silently drops a metric).
+    * `cal` is [spin_before, spark_before, spin_after, spark_after]:
+    * a reader (human or driver) compares the spin entries to the
+    * machine's known-quiet constant and before-vs-after drift to tell
+    * a contended host from a plan regression. */
   private[graft] def summaryLine(
       results: Seq[(String, Double)],
       buildsSec: Option[Double],
       annQps: Double, pqQps: Double, shardedQps: Double,
-      fiLoadSec: Double, fiQps: Double, sfShort: String): String = {
+      fiLoadSec: Double, fiQps: Double, cal: Seq[Double],
+      sfShort: String): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val qsShort = results.map { case (k, v) =>
@@ -61,7 +94,8 @@ object Bench {
       s""""pq_qps":${r1(pqQps)},""" +
       s""""shard_qps":${r1(shardedQps)},""" +
       s""""fi_load_sec":${r2(fiLoadSec)},""" +
-      s""""fi_qps":${r1(fiQps)},"sf":"$sfShort"}"""
+      s""""fi_qps":${r1(fiQps)},""" +
+      s""""cal":${cal.map(r2).mkString("[", ",", "]")},"sf":"$sfShort"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,6 +117,12 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       SparkEntry.queries.get("q02_knn_exact_l2").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // host-contention calibration, taken AFTER warmup (so JIT/codegen
+    // don't pollute it) and again after the QPS loops: fixed work whose
+    // time moves only with host load, bracketing the whole sweep
+    try { calSpark(spark) } catch { case _: Throwable => () } // warm pass, discarded
+    val spinBefore = calSpin()
+    val sparkBefore = try { calSpark(spark) } catch { case _: Throwable => -1.0 }
     // one-time artifact construction (graph index, IVF fit), reported
     // as explicit metrics rather than folded into whichever ANN query
     // runs first — the index is created once and searched many times
@@ -139,6 +179,11 @@ object Bench {
       if (fromIndexWorkload == null) -1.0
       else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
       catch { case _: Throwable => -1.0 }
+    // closing calibration pair: drift vs the opening pair localizes
+    // contention to (part of) the sweep window
+    val spinAfter = calSpin()
+    val sparkAfter = try { calSpark(spark) } catch { case _: Throwable => -1.0 }
+    val cal = Seq(spinBefore, sparkBefore, spinAfter, sparkAfter)
     // Two output lines. The driver keeps only the LAST ~2000 chars of
     // stdout and json-parses what it finds there, so the final line must
     // be (a) prefix-free (build.sbt sets run/outputStrategy) and
@@ -160,11 +205,14 @@ object Bench {
       s""""ann_pq_serving_qps_10k_100d":$pqQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
-      s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,"sf":"$sfDir"}""")
+      s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,""" +
+      s""""cal_spin_before_sec":$spinBefore,"cal_spark_before_sec":$sparkBefore,""" +
+      s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
+      s""""sf":"$sfDir"}""")
     println(summaryLine(
       results.toSeq,
       if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),
-      annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps,
+      annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps, cal,
       new java.io.File(sfDir).getName))
     spark.stop()
   }

@@ -28,9 +28,16 @@ object BenchQps {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (fiLoad, fiWorkload) = QpsWorkloads.fromIndexRouter(spark, repeat)
-    println(f"fi_load_sec $fiLoad%8.1f")
-    println(f"fi_qps      ${QpsWorkloads.qps(fiWorkload, repeat)}%8.1f")
-    spark.stop()
+    // defensive like Bench: a fromIndex failure (temp-dir, build error)
+    // must still print sentinel lines and release the session
+    try {
+      val (fiLoad, fiWorkload) = QpsWorkloads.fromIndexRouter(spark, repeat)
+      println(f"fi_load_sec $fiLoad%8.1f")
+      println(f"fi_qps      ${QpsWorkloads.qps(fiWorkload, repeat)}%8.1f")
+    } catch {
+      case _: Throwable =>
+        println(f"fi_load_sec ${-1.0}%8.1f")
+        println(f"fi_qps      ${-1.0}%8.1f")
+    } finally spark.stop()
   }
 }

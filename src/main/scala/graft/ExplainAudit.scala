@@ -6,13 +6,35 @@ import org.apache.spark.sql.SparkSession
   * scan/pushdown/broadcast/codegen shape can be audited per round.
   * Usage: runMain graft.ExplainAudit [sfDir] [queryName...] */
 object ExplainAudit {
+
+  /** The beam path's per-step join shape over the BUCKETED serving
+    * layout (VectorIndex.bucketedServing): the plan must show the
+    * frontier side exchanged and the adjacency scan Exchange-free
+    * (its bucket layout satisfies the join's distribution). */
+  private def beamBucketedStep(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("audit-bkt").toString
+    val idx = graft.index.VectorIndex.build(spark, tmp, emb, dim = 64, maxDegree = 16)
+    val (_, ba) = idx.bucketedServing(numBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(0, 50).select(col("id")).join(ba, Seq("id"))
+        .select(col("id"), explode(col("nbrs")).as("nbr"))
+        .explain("formatted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else
       Seq("q04_lookup_by_id", "q02_knn_exact_l2", "q11_revenue_by_nation",
         "q41_ngram_jaccard", "q60_event_window_agg", "q62_asof_join",
         "q63_interval_join", "q20_price_quantiles", "q52_dedup_groups",
-        "q22_filtered_knn", "q58_tfidf", "q59_decontaminate")
+        "q22_filtered_knn", "q58_tfidf", "q59_decontaminate",
+        "q32_ivf_search", "q66_ivfpq_search", "beam_bucketed_step")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,7 +44,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries.get(n) match {
+      if (n == "beam_bucketed_step") beamBucketedStep(spark, sfDir)
+      else SparkEntry.queries.get(n) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None => println(s"unknown query $n")
       }

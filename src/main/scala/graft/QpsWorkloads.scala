@@ -29,8 +29,16 @@ object QpsWorkloads {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Median QPS over `repeat` timed loops, after an untimed warmup. */
+  /** Median QPS over `repeat` timed loops, after an untimed warmup.
+    * A GC settle runs first: the fromIndex workload in particular
+    * starts right after a 32-task distributed build whose garbage is
+    * still live-ish in the heap, and collector pauses landing inside
+    * the timed loops showed up as a 4x spread across otherwise
+    * identical solo runs (126-560 qps, round 9). One explicit
+    * collection before the warmup makes every loop start from a
+    * comparable heap state. */
   def qps(w: Workload, repeat: Int): Double = {
+    System.gc()
     w.queries.take(WarmupQueries).foreach(w.search) // JIT warmup, untimed
     median((0 until repeat).map { _ =>
       val t0 = System.nanoTime()

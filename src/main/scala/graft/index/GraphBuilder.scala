@@ -117,14 +117,33 @@ object GraphBuilder {
     * plan subtree per call; this formulation keeps the entire
     * bucketing pass inside one WholeStageCodegen map stage over the
     * scan — the shape that survives a 1000-executor fan-out. */
-  private def lshHashed(
+  /** A FITTED LSH bucketing model: seeded unit projections + bucket
+    * width + metric, frozen at fit time. Once fitted, bucketing is a
+    * pure per-row expression ([[lshBuckets]]) — the batch builders and
+    * the streaming near-dup tier bucket IDENTICALLY by construction,
+    * which is what makes a stream-vs-index candidate join meaningful. */
+  final case class LshModel(
+      metricName: String,
+      bucketLength: Double,
+      projections: Array[Array[Float]]) extends Serializable {
+    def metric: Metric = Metric.fromName(metricName)
+  }
+
+  /** Fit an [[LshModel]]: one bounded driver job resolves the
+    * dimension (and the bucket scale when not given) from a small
+    * sample; seeded projections are generated on the driver and
+    * inlined as array literals — identical on every executor by
+    * construction. Each w_i is UNIT-normalized (p-stable LSH
+    * convention, and what MLlib's randUnitVectors did): a raw
+    * Gaussian vector has E[||w||] ~ sqrt(dim), which would shrink the
+    * effective bucket width by that factor and desert the
+    * sample-estimated bucketLength's calibration. */
+  def fitLsh(
       vectors: DataFrame,
       metric: Metric,
-      numHashTables: Int,
-      bucketLength: Double): DataFrame = {
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0): LshModel = {
     val prepared = prepare(vectors, metric)
-    // one bounded driver job resolves the dimension (and the bucket
-    // scale when not given) from a small sample
     val dim = prepared.select(size(col("vec"))).head().getInt(0)
     val bl =
       if (bucketLength > 0) bucketLength
@@ -138,25 +157,42 @@ object GraphBuilder {
           .head().getDouble(0)
         math.max(mean / 2.0, 1e-6)
       }
-    // seeded projections are generated on the driver and inlined as
-    // array literals — identical on every executor by construction.
-    // Each w_i is UNIT-normalized (p-stable LSH convention, and what
-    // MLlib's randUnitVectors did): a raw Gaussian vector has
-    // E[||w||] ~ sqrt(dim), which would shrink the effective bucket
-    // width by that factor and desert the sample-estimated
-    // bucketLength's calibration.
     val rng = new java.util.Random(42L)
     val projections = Array.fill(numHashTables) {
       val w = Array.fill(dim)(rng.nextGaussian())
       val nrm = math.sqrt(w.map(x => x * x).sum)
       w.map(x => (x / nrm).toFloat)
     }
-    val buckets = array(projections.map { w =>
-      floor(VectorFunctions.dot(col("vec"), typedLit(w.toSeq)) / bl).cast("long")
+    LshModel(metric.name, bl, projections)
+  }
+
+  /** Stateless bucketing under a fitted model: (id, vec, tbl, bucket),
+    * one row per (vector, hash table), h_i(v) = floor(v · w_i / bl)
+    * (Datar et al. p-stable LSH — the family MLlib's
+    * BucketedRandomProjectionLSH implements, but expressed as
+    * literal-vector dot products through the codegen'd kernel; the
+    * MLlib transform evaluates a Scala UDF per row). A pure per-row
+    * column expression over one map stage — no state, no shuffle — so
+    * it runs unchanged over a STREAM (StreamingOps' near-dup tier). */
+  def lshBuckets(vectors: DataFrame, model: LshModel): DataFrame = {
+    val prepared = prepare(vectors, model.metric)
+    val buckets = array(model.projections.map { w =>
+      floor(VectorFunctions.dot(col("vec"), typedLit(w.toSeq)) / model.bucketLength)
+        .cast("long")
     }: _*)
+    prepared.select(col("id"), col("vec"), posexplode(buckets).as(Seq("tbl", "bucket")))
+  }
+
+  private def lshHashed(
+      vectors: DataFrame,
+      metric: Metric,
+      numHashTables: Int,
+      bucketLength: Double): DataFrame = {
+    val model = fitLsh(vectors, metric, numHashTables, bucketLength)
     val par = vectors.sparkSession.sparkContext.defaultParallelism
-    prepared.repartition(par)
-      .select(col("id"), col("vec"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    // spread BEFORE bucketing: the explode multiplies rows by
+    // numHashTables and the candidate join is the compute-dense part
+    lshBuckets(vectors.repartition(par), model)
   }
 
   /** Re-score an edge list with the true metric when cosine (the LSH

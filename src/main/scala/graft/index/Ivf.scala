@@ -34,9 +34,10 @@ final case class IvfModel(k: Int, dim: Int, metricName: String, centroids: Array
   /** Content fingerprint — keys derived per-segment artifacts (the
     * assignment and composite-code dirs) to THIS model, so a re-fit
     * can never serve stale assignments against new centroids (the same
-    * scheme as the PQ code dirs). */
-  def fingerprint: String =
-    java.lang.Integer.toHexString(java.util.Arrays.hashCode(centroids))
+    * scheme as the PQ code dirs). 64-bit ([[Fingerprint]]): identity
+    * and staleness decisions ride on this key, so 32 bits of
+    * collision resistance was not enough. */
+  def fingerprint: String = Fingerprint.ofFloats(centroids)
 
   /** Directory-name suffix carrying shape + metric + content hash. */
   def suffix: String = s"k$k-$metricName-$fingerprint"

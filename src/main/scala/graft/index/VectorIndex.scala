@@ -222,6 +222,49 @@ final class VectorIndex private (
 
   def metric: Metric = Metric.fromName(meta.metric)
 
+  /** Write-once BUCKETED serving layout for the distributed beam path:
+    * `vectors` and `adjacency` materialized `bucketBy(numBuckets, id)`
+    * + `sortBy(id)` under `$path/bucketed/` and registered as external
+    * tables — so the per-step `frontier ⋈ adjacency` and
+    * `candidates ⋈ vectors` joins see HashPartitioning(id) straight
+    * off the scan and the INDEX side of every step is Exchange-free.
+    * Only the O(queries·beam) frontier shuffles per step; the
+    * index-sized side never crosses the network — the property that
+    * decides whether the traversal survives a 100× scale-up (the
+    * unbucketed layout re-Exchanged the full index every step, and
+    * shuffle count is O(steps)).
+    *
+    * Keyed by (segment set, bucket count): a mutation commits a new
+    * segment set, so a stale bucketed copy can never serve a newer
+    * snapshot — the same identity discipline as the PQ/IVF artifact
+    * dirs. Re-opening an already-written layout in a fresh session is
+    * metadata-only (CREATE TABLE over the existing files). At cluster
+    * scale, set numBuckets to the serving parallelism (it is fixed at
+    * write time). */
+  def bucketedServing(numBuckets: Int = 32): (DataFrame, DataFrame) = {
+    val segKey = Fingerprint.ofString(meta.segments.mkString(","))
+    val base = s"$path/bucketed/$segKey-b$numBuckets"
+    val tag = s"graft_bkt_${Fingerprint.ofString(path)}_${segKey}_b$numBuckets"
+    def ensure(suffix: String, ddlCols: String, df: => DataFrame): DataFrame = {
+      val name = s"${tag}_$suffix"
+      val dir = s"$base/$suffix"
+      if (!spark.catalog.tableExists(name)) {
+        if (Files.exists(Paths.get(s"$dir/_SUCCESS"))) {
+          spark.sql(s"CREATE TABLE $name ($ddlCols) USING PARQUET " +
+            s"CLUSTERED BY (id) SORTED BY (id) INTO $numBuckets BUCKETS " +
+            s"LOCATION '$dir'")
+        } else {
+          df.write.format("parquet").bucketBy(numBuckets, "id").sortBy("id")
+            .option("path", dir).mode("overwrite").saveAsTable(name)
+        }
+      }
+      spark.table(name)
+    }
+    (ensure("vectors", "id BIGINT, key STRING, vec ARRAY<FLOAT>",
+      vectors.select(col("id"), col("key"), col("vec"))),
+      ensure("adjacency", "id BIGINT, nbrs ARRAY<BIGINT>", adjacency))
+  }
+
   /** Materialize the serving engine (driver-side graph traversal) from
     * the snapshot — the Spark analog of the reference's mmap open. */
   def toServing: ServingIndex = {
@@ -312,7 +355,7 @@ final class VectorIndex private (
     * dirs themselves, until [[vacuum]] reaps them. Cosine indexes
     * encode normalized vectors. */
   def pqCodes(model: Quantization.PQModel): DataFrame = {
-    val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(model.codebook))
+    val fp = Fingerprint.ofFloats(model.codebook)
     val suffix = s"m${model.m}k${model.k}-$fp"
     def codesDir(v: Long) = s"$path/pq_codes/seg=$v-$suffix"
     meta.segments.foreach { v =>
@@ -383,6 +426,27 @@ final class VectorIndex private (
     resolvedFrom(dir, ivfAssignSchema, "cluster")
   }
 
+  /** The persisted CLUSTER-PARTITIONED raw-vector table
+    * (id, vec, cluster) — the physically-clustered store the IVF
+    * serving tier reads: a probe's static `cluster IN (...)` filter
+    * prunes the scan to the nprobe directories at planning time, so
+    * full-precision IVF search (q32/q36) reads only the probed slice
+    * of a 100 TB store instead of a cached full copy. Same per-segment
+    * identity discipline as [[ivfPqCodes]]: dirs keyed by the model's
+    * content fingerprint, tombstones land null, latest-wins resolve. */
+  def ivfClusteredVectors(model: IvfModel): DataFrame = {
+    def dir(v: Long) = s"$path/ivf_vec/seg=$v-${model.suffix}"
+    meta.segments.foreach { v =>
+      val d = dir(v)
+      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+        graft.operators.Similarity.assignClusters(segmentDecoded(v), model)
+          .select(col("id"), col("vec"), col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(d)
+      }
+    }
+    resolvedFrom(dir, VectorIndex.ivfVecSchema, "vec")
+  }
+
   /** The persisted IVF-PQ composite (id, codes, cluster) — the
     * billion-scale serving table (coarse assignment prunes the scan to
     * nprobe clusters AND the m-byte code column shrinks the scanned
@@ -396,7 +460,17 @@ final class VectorIndex private (
     * tombstones carry null codes/cluster. Cosine indexes encode
     * normalized vectors (matching [[pqCodes]]). */
   def ivfPqCodes(ivfModel: IvfModel, pqModel: Quantization.PQModel): DataFrame = {
-    val pqFp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(pqModel.codebook))
+    // The code column's GEOMETRY follows the INDEX metric (cosine
+    // indexes encode normalized vectors, pqPrepare); an IVF model fit
+    // under a different metric would cluster one geometry and ADC-score
+    // another — a silent recall sink. Cross-metric IVF serving is
+    // legitimate, but through ivfAssignments + exact re-rank, never
+    // through this composite.
+    require(Metric.fromName(ivfModel.metricName) == metric,
+      s"ivfPqCodes requires the IVF model's metric (${ivfModel.metricName}) " +
+        s"to match the index metric (${metric.name}); use ivfAssignments for " +
+        "cross-metric IVF serving")
+    val pqFp = Fingerprint.ofFloats(pqModel.codebook)
     val suffix = s"${ivfModel.suffix}--m${pqModel.m}k${pqModel.k}-$pqFp"
     def dir(v: Long) = s"$path/ivfpq/seg=$v-$suffix"
     meta.segments.foreach { v =>
@@ -856,8 +930,7 @@ final class VectorIndex private (
       .map { f =>
         f -> scala.util.Try {
           val m = Quantization.load(path, f)
-          val fp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(m.codebook))
-          s"m${m.m}k${m.k}-$fp"
+          s"m${m.m}k${m.k}-${Fingerprint.ofFloats(m.codebook)}"
         }
       }
     val ivfLoads = children(root)
@@ -897,10 +970,22 @@ final class VectorIndex private (
     }
     reapDerived("pq_codes", pqReapOk, pqActive.contains)
     reapDerived("ivf_assign", ivfReapOk, ivfActive.contains)
+    reapDerived("ivf_vec", ivfReapOk, ivfActive.contains)
     reapDerived("ivfpq", pqReapOk && ivfReapOk, s => s.split("--", 2) match {
       case Array(i, p) => ivfActive.contains(i) && pqActive.contains(p)
       case _ => false
     })
+    // bucketed serving layouts are keyed by SEGMENT SET (not model):
+    // any layout not matching the current snapshot's key is stale
+    val bktRoot = root.resolve("bucketed")
+    if (Files.exists(bktRoot)) {
+      val liveKey = Fingerprint.ofString(meta.segments.mkString(","))
+      children(bktRoot).foreach { p =>
+        if (!p.getFileName.toString.startsWith(s"$liveKey-b")) {
+          deleteTree(p); reaped += 1
+        }
+      }
+    }
     reaped
   }
 
@@ -990,6 +1075,13 @@ object VectorIndex {
   val ivfPqSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("codes", ArrayType(ByteType, containsNull = false), nullable = true),
+    StructField("cluster", IntegerType, nullable = true)))
+
+  /** Per-segment cluster-partitioned vector artifact schema (`cluster`
+    * is the written dirs' partition column; null vec = tombstone). */
+  val ivfVecSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = true),
     StructField("cluster", IntegerType, nullable = true)))
 
   /** Batch ids inside the cyclic id-order gap (a, b) — ascending from

@@ -105,15 +105,30 @@ object Dedup {
     * composed from PER-TOKEN hashes (each token's chars hashed once,
     * then a k-long polynomial fold per window) — a chunk-string hash
     * would re-walk every character k times. */
+  /** ~60-bit chunk id at window start `i`: two independent k-long
+    * polynomial folds (multipliers 31/37, primes 1e9+7/999999937) over
+    * two independent per-token hash streams, packed as
+    * `fold1 * 1e9 + fold2` (max ≈ 1.0e18, inside BIGINT). A false
+    * chunk match now needs simultaneous collisions in both token-hash
+    * streams AND both folds — the single 30-bit id this replaces was
+    * fine for the detection tier's over-count but not for the
+    * DESTRUCTIVE cut tier, where one collision at corpus scale cuts a
+    * non-duplicate span (ADVICE r7/r8). Every intermediate stays small
+    * enough for DuckDB BIGINT, so the oracle mirrors it exactly. */
+  private def chunkIdArr(h1: Column, h2: Column, k: Int): Column =
+    transform(sequence(lit(0), size(h1) - k), i =>
+      aggregate(slice(h1, i + lit(2), lit(k - 1)), element_at(h1, i + lit(1)),
+        (a, b) => (a * 31L + b) % 1000000007L) * 1000000000L +
+      aggregate(slice(h2, i + lit(2), lit(k - 1)), element_at(h2, i + lit(1)),
+        (a, b) => (a * 37L + b) % 999999937L))
+
   def chunkDupStats(
       docs: DataFrame,
       k: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val h = col("__graft_tids")
-    val cidArr = transform(sequence(lit(0), size(h) - k), i =>
-      aggregate(slice(h, i + lit(2), lit(k - 1)), element_at(h, i + lit(1)),
-        (a, b) => (a * 31L + b) % 1000000007L))
+    val cidArr = chunkIdArr(h, col("__graft_tids2"), k)
     // The chunk pass is deliberately computed TWICE (once under the
     // shared-chunk aggregate, once as the probe side): both consumers
     // collapse to partial aggregates / a broadcast join, so the only
@@ -125,7 +140,8 @@ object Dedup {
     val chunks = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
       .select(col("doc_id"),
-        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"))
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
       .filter(size(h) >= k)
       .select(col("doc_id"), explode(array_distinct(cidArr)).as("cid"))
     // (doc_id, cid) rows are unique by construction (array_distinct
@@ -153,6 +169,15 @@ object Dedup {
     * ANY removable window covers it, so maximal duplicated runs (which
     * are >= k tokens by construction — k is the length threshold) come
     * out in one piece while the canonical copy survives verbatim.
+    * Canonical survival is GUARANTEED even under overlap: a token
+    * covered by a window this document is canonical for is protected
+    * from cuts by overlapping non-canonical windows (without the
+    * protection, a doc canonical for chunk X but non-canonical for an
+    * overlapping chunk Y would have X's canonical occurrence partially
+    * cut — and since every OTHER copy of X is removed too, X would
+    * vanish from the corpus, breaking the keep-one contract). The
+    * protected overlap tokens are duplicated text that survives in
+    * this one document — the price of the guarantee, not a missed cut.
     * Returns one row per input document (TOTAL — null text stays a
     * row with null stats): (doc_id, n_tokens, n_removed,
     * cleaned_text = surviving tokens re-joined with single spaces).
@@ -173,13 +198,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val h = col("__graft_tids")
-    val cidArr = transform(sequence(lit(0), size(h) - k), i =>
-      aggregate(slice(h, i + lit(2), lit(k - 1)), element_at(h, i + lit(1)),
-        (a, b) => (a * 31L + b) % 1000000007L))
+    val cidArr = chunkIdArr(h, col("__graft_tids2"), k)
     val toks = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
       .select(col("doc_id"), col("__graft_toks"),
-        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"))
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
     // every window POSITION (not distinct cids — a chunk repeated
     // within one doc covers several spans, all of which must cut)
     val wins = toks.filter(size(h) >= k)
@@ -189,15 +213,24 @@ object Dedup {
       .groupBy(col("cid"))
       .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
-    // removable window starts per non-canonical document
+    // removable window starts per non-canonical document, and protected
+    // (this-doc-is-canonical) window starts per canonical document —
+    // the same wins ⋈ canon equi-join feeds both partial aggregates
     val removable = wins.join(canon, Seq("cid"))
       .filter(col("doc_id") =!= col("canon"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val shielded = wins.join(canon, Seq("cid"))
+      .filter(col("doc_id") === col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("pstarts"))
     val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val pstarts = coalesce(col("pstarts"), array().cast("array<int>"))
     val kept = filter(col("__graft_toks"), (t, i) =>
-      !exists(starts, s => s <= i && i < s + k))
+      !exists(starts, s => s <= i && i < s + k) ||
+        exists(pstarts, s => s <= i && i < s + k))
     toks.join(removable, Seq("doc_id"), "left")
+      .join(shielded, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__graft_toks")).as("n_tokens"),
         (size(col("__graft_toks")) - size(kept)).as("n_removed"),

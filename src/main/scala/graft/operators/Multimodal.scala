@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoDecoder]] decodes PNG/BMP payloads
   * through `javax.imageio` (pure-JVM codecs, no native libs) to pixels
   * and emits deterministic features (dims, per-channel means, luminance
-  * histogram). Audio/video decode remains a STUB (`StubDecoder`, byte
-  * statistics — no codecs in this environment); the per-partition
-  * decoder lifecycle is shared, so swapping in an FFI codec for those
-  * stays a one-class change.
+  * histogram). AUDIO decode is REAL: [[WavPcmDecoder]] parses
+  * RIFF/WAVE 16-bit PCM (chunk walk, fmt, data) to samples and emits
+  * deterministic amplitude features. Video decode remains a STUB
+  * (`StubDecoder`, byte statistics — no video codecs in this
+  * environment); the per-partition decoder lifecycle is shared, so
+  * swapping in an FFI codec for it stays a one-class change.
   *
   * Scale design: `mapPartitions` is the right boundary for this work —
   * the decoder is initialized once per partition (the expensive part
@@ -48,8 +50,10 @@ object Multimodal {
   }
 
   /** Deterministic fake decode: 8-dim byte-statistics vector.
-    * ??? -> replace with a real image/audio codec (not available in
-    * this environment); the surrounding plumbing is production-shaped. */
+    * ??? -> replace with a real video codec (not available in this
+    * environment — images and audio already decode for real via
+    * [[ImageIoDecoder]]/[[WavPcmDecoder]]); the surrounding plumbing
+    * is production-shaped. */
   object StubDecoder extends Decoder {
     val FeatureDim = 8
     def decode(modality: String, content: Array[Byte]): Array[Float] = {
@@ -115,6 +119,117 @@ object Multimodal {
       while (i < 8) { out(6 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
       out
     }
+  }
+
+  /** REAL audio decode: a pure-JVM RIFF/WAVE parser for PCM payloads
+    * (16-bit signed little-endian, any channel count) — no native
+    * codec needed, which makes WAV the honest audio baseline the way
+    * PNG/BMP are for images. The parser walks the chunk list (skipping
+    * unknown chunks word-aligned, as the RIFF spec requires — real
+    * files carry LIST/INFO metadata before `data`), reads `fmt `, and
+    * decodes the `data` chunk. Features (14 floats): channels,
+    * sample rate, bits/sample, sample count, min, max, mean, mean
+    * absolute amplitude, zero-crossing count, mean energy (sum s²/n),
+    * and a 4-bin amplitude-histogram fraction vector. All statistics
+    * accumulate in integer/long arithmetic and widen once at the end —
+    * bit-deterministic across JVMs and cluster sizes, and re-derivable
+    * by a SQL oracle from a sample formula alone. */
+  object WavPcmDecoder extends Decoder {
+    val FeatureDim = 14
+    def decode(modality: String, content: Array[Byte]): Array[Float] = {
+      val buf = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(content.length >= 44 && buf.getInt(0) == 0x46464952 /* "RIFF" */ &&
+        buf.getInt(8) == 0x45564157 /* "WAVE" */,
+        s"not a RIFF/WAVE payload (${content.length} bytes)")
+      var channels = -1; var sampleRate = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      var off = 12
+      while (off + 8 <= content.length && (channels < 0 || dataOff < 0)) {
+        val ckId = buf.getInt(off)
+        val ckSize = buf.getInt(off + 4)
+        ckId match {
+          case 0x20746d66 /* "fmt " */ =>
+            require(buf.getShort(off + 8) == 1, "only PCM (format 1) supported")
+            channels = buf.getShort(off + 10)
+            sampleRate = buf.getInt(off + 12)
+            bits = buf.getShort(off + 22)
+            require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          case 0x61746164 /* "data" */ =>
+            dataOff = off + 8; dataLen = ckSize
+          case _ => () // LIST, fact, cue ... skip
+        }
+        off += 8 + ckSize + (ckSize & 1) // chunks are word-aligned
+      }
+      require(channels > 0 && dataOff >= 0 && dataOff + dataLen <= content.length,
+        "missing or truncated fmt/data chunk")
+      val n = dataLen / 2
+      require(n > 0, "empty data chunk")
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var sum = 0L; var sabs = 0L; var senergy = 0L; var zc = 0L
+      val hist = new Array[Long](4)
+      var prevNonNeg = false
+      var i = 0
+      while (i < n) {
+        val s: Int = buf.getShort(dataOff + 2 * i)
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        sum += s; sabs += math.abs(s); senergy += s.toLong * s
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        hist((s + 32768) / 16384) += 1
+        i += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = channels.toFloat; out(1) = sampleRate.toFloat; out(2) = bits.toFloat
+      out(3) = n.toFloat; out(4) = mn.toFloat; out(5) = mx.toFloat
+      out(6) = (sum.toDouble / n).toFloat
+      out(7) = (sabs.toDouble / n).toFloat
+      out(8) = zc.toFloat
+      out(9) = (senergy.toDouble / n).toFloat
+      var b = 0
+      while (b < 4) { out(10 + b) = (hist(b).toDouble / n).toFloat; b += 1 }
+      out
+    }
+  }
+
+  /** Deterministic synthetic WAV corpus: one 16-bit mono PCM file per
+    * input id, sample values a pure function of (id, t) — so a SQL
+    * oracle re-derives the DECODED features from arithmetic alone,
+    * proving the real encode → chunk-walk → decode path end-to-end
+    * (PCM is lossless; the formula round-trips exactly). A junk LIST
+    * chunk sits between `fmt ` and `data` so the oracle also covers
+    * the unknown-chunk skip every real-world WAV exercises. */
+  def packSyntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (256 + id % 97).toInt
+          val sampleRate = 8000
+          val dataLen = n * 2
+          val listLen = 4 // "INFO", no sub-chunks
+          val riffLen = 4 + (8 + 16) + (8 + listLen) + (8 + dataLen)
+          val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.putInt(0x46464952).putInt(riffLen).putInt(0x45564157) // RIFF/len/WAVE
+          buf.putInt(0x20746d66).putInt(16) // "fmt ", size
+          buf.putShort(1).putShort(1)       // PCM, mono
+          buf.putInt(sampleRate).putInt(sampleRate * 2) // rate, byte rate
+          buf.putShort(2).putShort(16)      // block align, bits
+          buf.putInt(0x5453494c).putInt(listLen).putInt(0x4f464e49) // LIST/4/INFO
+          buf.putInt(0x61746164).putInt(dataLen) // "data", size
+          var t = 0L
+          while (t < n) {
+            val s = ((id * 37 + t * 101 + ((t * t) % 9973) * 29) % 65536 - 32768).toShort
+            buf.putShort(s)
+            t += 1
+          }
+          Row(id, "audio", buf.array(), null)
+        }
+      }(enc)
   }
 
   /** Deterministic synthetic image corpus: one PNG/BMP per input id,

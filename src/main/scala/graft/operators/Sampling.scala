@@ -111,12 +111,18 @@ object Sampling {
       docs: DataFrame,
       budget: Long = 512L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCount: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // tokenCount plugs in any per-doc count expression (e.g. the real
+    // BPE count, TextAnalysis.bpeTokenCount summed over words) so the
+    // packed bins reflect the layout the TRAINING tokenizer will see —
+    // whitespace counts run ~30% off a BPE layout
     val counts = docs
       .select(col(idCol),
-        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"), lit(0L))
-          .as("n_tokens"))
+        coalesce(
+          tokenCount.getOrElse(size(TextAnalysis.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)

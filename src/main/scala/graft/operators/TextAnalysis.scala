@@ -122,6 +122,78 @@ object TextAnalysis {
     when(length(term) === 0, lit(0L)).otherwise(
       rollingFingerprint(transform(split(term, ""), c => ascii(c).cast("long"))))
 
+  /** Second INDEPENDENT rolling hash (multiplier 37, modulus
+    * 999999937 — a different prime), same fold contract as
+    * [[rollingFingerprint]]. Consumers that key DESTRUCTIVE decisions
+    * on content hashes (the exact-substring cut tier) combine both
+    * streams into one ~60-bit id: a false match then needs a
+    * simultaneous collision in two independent recurrences (~2^-60
+    * per pair) instead of one 30-bit space — while every fold still
+    * fits DuckDB BIGINT arithmetic, which 64-bit wrapping
+    * multiplication would not. */
+  def rollingFingerprint2(tokenIds: Column): Column =
+    when(size(tokenIds) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(tokenIds, lit(2), greatest(size(tokenIds) - 1, lit(0))),
+        element_at(tokenIds, 1),
+        (h, x) => (h * 37L + x) % 999999937L))
+
+  /** [[termHash]]'s independent twin over [[rollingFingerprint2]]. */
+  def termHash2(term: Column): Column =
+    when(length(term) === 0, lit(0L)).otherwise(
+      rollingFingerprint2(transform(split(term, ""), c => ascii(c).cast("long"))))
+
+  /** Ordered BPE merge table (rank = position). Fixed and shared with
+    * the SQL oracle, the way a production tokenizer ships a frozen
+    * `merges.txt`: each rule merges two existing symbols (characters
+    * or earlier merges) into one. Applying rules IN RANK ORDER, each
+    * exhaustively left-to-right, is exactly the classic BPE encode
+    * (Sennrich et al. 2016; GPT-2's min-rank-first loop is equivalent
+    * because a rule's operands can only be produced by strictly
+    * earlier rules). */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "h" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "e" -> "s",
+    "o" -> "r", "t" -> "e", "e" -> "d", "i" -> "s", "i" -> "t",
+    "a" -> "l", "a" -> "r", "s" -> "t", "t" -> "o", "n" -> "t",
+    "t" -> "i", "th" -> "e", "in" -> "g", "er" -> "s", "ti" -> "on",
+    "an" -> "d", "o" -> "u", "o" -> "f", "f" -> "or", "w" -> "h")
+
+  /** One BPE rule applied exhaustively, leftmost-first, as a pure
+    * fold: the accumulator is the merged-so-far symbol array; a step
+    * either fuses the incoming symbol into the accumulator's last
+    * element or appends it. An adjacent run like `a a a` under rule
+    * (a,a) merges pairs left-to-right (first two fuse; the third
+    * pairs with the fused symbol only if a LATER rule says so) —
+    * byte-for-byte the reference BPE behavior. */
+  private def applyBpeMerge(symbols: Column, l: String, r: String): Column = {
+    val m = l + r
+    // the fold seeds from an EMPTY accumulator so `symbols` is
+    // referenced exactly once per rule — a seed-with-first shape
+    // references the child subtree several times per level, and with
+    // 30 stacked rules that's an exponentially-sized expression tree
+    // (observed as a driver OOM while CONVERTING the column, before
+    // any row ran). On empty acc, try_element_at(acc, -1) is null
+    // (ANSI-safe), the merge predicate is null, and `otherwise`
+    // appends — the same leftmost-greedy semantics as seeding with
+    // the first symbol.
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) => when(try_element_at(acc, lit(-1)) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** A word's BPE symbol sequence: character split, then every
+    * [[BpeMerges]] rule in rank order. A pure per-row column
+    * expression — no UDF, no vocabulary shuffle; the merge table
+    * rides the plan like a broadcast literal, which is the only
+    * tokenizer shape that scales to a 100 TB corpus. */
+  def bpeSymbols(word: Column): Column =
+    BpeMerges.foldLeft(split(word, "")) { case (s, (l, r)) => applyBpeMerge(s, l, r) }
+
+  /** BPE token count for one word. */
+  def bpeTokenCount(word: Column): Column = size(bpeSymbols(word))
+
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use
     * most-common-n-gram character fractions as quality filters; this is
     * the token-count analogue): for n = 1..maxN, the fraction of a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{Metric, VectorIndex}
@@ -73,32 +73,80 @@ object AnnQueries {
     * ([[graft.index.VectorIndex.fitIVF]]/[[graft.index.VectorIndex.ivfAssignments]])
     * — a fresh `VectorIndex.load` of the same path serves without any
     * re-fit, and an `insertBatch` assigns only its own delta segment.
-    * The JVM-level cache below only pins the RESOLVED (vectors ⋈
-    * assignment) frame in block storage so bench repeats measure the
-    * probe, not the resolve. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    * Since round 9 the served frame is the PERSISTED cluster-
+    * partitioned vector table ([[graft.index.VectorIndex.ivfClusteredVectors]]),
+    * deliberately UN-cached: the probe's static `cluster IN (...)`
+    * filter then prunes the parquet scan to the nprobe directories at
+    * planning time — the actual 100 TB read path — instead of scanning
+    * a cached full copy. The JVM-level cache below pins the (model,
+    * frame) pair so repeats skip the fit/resolve, not the scan. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.index.IvfModel, DataFrame, DataFrame)]()
 
-  private def ivfFitted(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def ivfFitted(spark: SparkSession, dir: String)
+      : (graft.index.IvfModel, DataFrame, DataFrame) =
     ivfFittedWith(spark, dir, Metric.Euclidean)
 
-  private def ivfFittedWith(spark: SparkSession, dir: String, metric: Metric): (DataFrame, DataFrame) = {
+  private def ivfFittedWith(spark: SparkSession, dir: String, metric: Metric)
+      : (graft.index.IvfModel, DataFrame, DataFrame) = {
     val key = s"$dir#${metric.name}"
     val cached = ivfCache.get(key)
-    if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
+    if (cached != null && !cached._3.sparkSession.sparkContext.isStopped) cached
     else {
       val idx = builtIndex(spark, dir)
       val model = idx.loadOrFitIVF(16, metric)
-      val assigned = idx.vectors
-        .join(idx.ivfAssignments(model), Seq("id"))
-        .select(col("id"), col("vec"), col("cluster"))
-        .cache()
-      assigned.count() // materialize once, up front
-      val pair = (graft.operators.Similarity.centroidsDf(spark, model), assigned)
-      ivfCache.put(key, pair)
-      pair
+      val assigned = idx.ivfClusteredVectors(model)
+      assigned.count() // write + resolve the persisted layout up front
+      val triple = (model, graft.operators.Similarity.centroidsDf(spark, model), assigned)
+      ivfCache.put(key, triple)
+      triple
     }
   }
+
+  /** Driver-side mirror of [[graft.operators.Similarity.ivfTopK]]'s
+    * step-1 probe, used to phrase the probed cluster set as a STATIC
+    * `cluster IN (...)` filter — on the cluster-partitioned persisted
+    * layout that is planning-time partition pruning (the scan lists
+    * only the probed directories). The filter is the UNION of each
+    * query's nprobe set, so it can only widen, never drop, what the
+    * in-plan probe join would read. */
+  private def staticClusterFilter(
+      model: graft.index.IvfModel,
+      qvecs: Array[Array[Float]],
+      nprobe: Int,
+      metric: Metric): Column = {
+    val cps = model.centroidPairs
+    val probed = qvecs.flatMap { qv =>
+      val q: Array[Double] = metric match {
+        case Metric.Cosine =>
+          val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+          if (n == 0) qv.map(_.toDouble) else qv.map(_ / n)
+        case _ => qv.map(_.toDouble)
+      }
+      cps.map { case (c, cv) =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val d = q(i) - cv(i); s += d * d; i += 1 }
+        (s, c)
+      }.sortBy { case (d, c) => (d, c) }.take(nprobe).map(_._2)
+    }.distinct.toSeq
+    col("cluster").isInCollection(probed)
+  }
+
+  /** A driver-resident (query_id, qvec) frame — a LocalRelation, so
+    * the probe side of an IVF plan carries no second table scan. */
+  private def localQueries(
+      spark: SparkSession, rows: Array[(Long, Array[Float])]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
 
   /** One PQ (model, codes) pair per sf-dir. Model and code column are
     * index-lifecycle artifacts (per-m `pq-m8.json` sidecar + per-
@@ -142,8 +190,12 @@ object AnnQueries {
       val idx = builtIndex(spark, dir)
       val ivfModel = idx.loadOrFitIVF(16, Metric.Euclidean)
       val (pqModel, _) = pqFitted(spark, dir)
-      val assignedCodes = idx.ivfPqCodes(ivfModel, pqModel).cache()
-      assignedCodes.count() // materialize the one cached copy up front
+      // deliberately UN-cached since round 9: ivfPqTopK's static
+      // cluster IN filter prunes this parquet scan to the probed
+      // directories at planning time — the 100 TB read path — which a
+      // cached full copy would bypass
+      val assignedCodes = idx.ivfPqCodes(ivfModel, pqModel)
+      assignedCodes.count() // write + resolve the persisted dirs up front
       val triple = (ivfModel.centroidPairs, pqModel, assignedCodes)
       ivfPqCache.put(dir, triple)
       triple
@@ -272,8 +324,13 @@ object AnnQueries {
     if (cached != null && !cached._1.sparkSession.sparkContext.isStopped) cached
     else {
       val idx = builtIndex(spark, dir)
-      val v = idx.vectors.select(col("id"), col("key"), col("vec")).cache()
-      val a = idx.adjacency.cache()
+      // serve the BUCKETED layout (VectorIndex.bucketedServing): the
+      // scans report HashPartitioning(id), so each beam step shuffles
+      // only the frontier — the cache preserves the partitioning
+      // (InMemoryRelation keeps the child's outputPartitioning)
+      val (bv, ba) = idx.bucketedServing()
+      val v = bv.cache()
+      val a = ba.cache()
       v.count(); a.count()
       val pair = (v, a)
       beamCache.put(dir, pair)
@@ -356,10 +413,14 @@ object AnnQueries {
   /** IVF (KMeans inverted-file) approximate top-k — the partition-
     * pruned scale path (graft.operators.Similarity). */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val (centroids, assigned) = ivfFitted(spark, dir)
-    val queries = assigned.filter(col("id") < 10)
-      .select(col("id").as("query_id"), col("vec").as("qvec"))
-    graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 8)
+    val (model, centroids, assigned) = ivfFitted(spark, dir)
+    val qRows = assigned.filter(col("id") < 10)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pruned = staticClusterFilter(model,
+      qRows.map(_._2), nprobe = 8, metric = Metric.Euclidean)
+    graft.operators.Similarity.ivfTopK(assigned, centroids,
+        localQueries(spark, qRows), topk = 10, nprobe = 8, filter = pruned)
       // public 1-based ids, consistent with q30/q34 (SURVEY Q1 contract)
       .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
         col("dist"), col("rnk"))
@@ -368,13 +429,17 @@ object AnnQueries {
   /** Measured recall@10 of the IVF path vs exact, over 30 self-queries. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (centroids, assigned) = ivfFitted(spark, dir)
+    val (model, centroids, assigned) = ivfFitted(spark, dir)
     val src = assigned.select(col("id"), col("vec"))
     // deterministic query sample (limit() order is file-layout luck)
-    val queries = querySample(src, "head")
+    val qRows = querySample(src, "head").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pruned = staticClusterFilter(model,
+      qRows.map(_._2), nprobe = 8, metric = Metric.Euclidean)
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     // the IVF result is 30 queries x 10 rows — bounded by construction
-    val got = graft.operators.Similarity.ivfTopK(assigned, centroids, queries, topk = 10, nprobe = 8)
+    val got = graft.operators.Similarity.ivfTopK(assigned, centroids,
+        localQueries(spark, qRows), topk = 10, nprobe = 8, filter = pruned)
       .select(col("query_id"), col("neighbor_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
@@ -413,11 +478,15 @@ object AnnQueries {
   /** Cosine IVF top-k (reference metric parameter, src/LMDiskANN.jl:242):
     * spherical clusters, normalized probe, true-cosine re-score. */
   def ivfCosineSearch(spark: SparkSession, dir: String): DataFrame = {
-    val (centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
-    val queries = assigned.filter(col("id") < 10)
-      .select(col("id").as("query_id"), col("vec").as("qvec"))
-    graft.operators.Similarity.ivfTopK(assigned, centroids, queries,
-        topk = 10, nprobe = 8, metric = Metric.Cosine)
+    val (model, centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
+    val qRows = assigned.filter(col("id") < 10)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pruned = staticClusterFilter(model,
+      qRows.map(_._2), nprobe = 8, metric = Metric.Cosine)
+    graft.operators.Similarity.ivfTopK(assigned, centroids,
+        localQueries(spark, qRows), topk = 10, nprobe = 8,
+        metric = Metric.Cosine, filter = pruned)
       .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
         col("dist"), col("rnk"))
   }
@@ -426,12 +495,16 @@ object AnnQueries {
     * 30 self-queries (the reference's cosine gate, test/runtests.jl:37-67). */
   def ivfCosineRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
+    val (model, centroids, assigned) = ivfFittedWith(spark, dir, Metric.Cosine)
     val src = assigned.select(col("id"), col("vec"))
-    val queries = querySample(src, "head")
+    val qRows = querySample(src, "head").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pruned = staticClusterFilter(model,
+      qRows.map(_._2), nprobe = 8, metric = Metric.Cosine)
     val truth = exactTruth(spark, dir, Metric.Cosine, "head")
-    val got = graft.operators.Similarity.ivfTopK(assigned, centroids, queries,
-        topk = 10, nprobe = 8, metric = Metric.Cosine)
+    val got = graft.operators.Similarity.ivfTopK(assigned, centroids,
+        localQueries(spark, qRows), topk = 10, nprobe = 8,
+        metric = Metric.Cosine, filter = pruned)
       .select(col("query_id"), col("neighbor_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }

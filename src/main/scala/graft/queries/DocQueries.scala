@@ -51,6 +51,18 @@ object DocQueries {
     s"CASE WHEN length($x) = 0 THEN 0 ELSE " +
       s"list_reduce(list_transform(string_split($x, ''), c -> CAST(unicode(c) AS BIGINT)), " +
       s"(h, y) -> (h * 31 + y) % 1000000007) END"
+
+  /** DuckDB twin of TextAnalysis.termHash2 (independent second hash). */
+  private def termHash2Sql(x: String): String =
+    s"CASE WHEN length($x) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split($x, ''), c -> CAST(unicode(c) AS BIGINT)), " +
+      s"(h, y) -> (h * 37 + y) % 999999937) END"
+
+  /** DuckDB twin of Dedup.chunkIdArr's ~60-bit packed dual-fold chunk
+    * id over hash arrays `h`/`h2` at 1-based window start `i`, k=8. */
+  private def chunkIdSql: String =
+    "list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007) * 1000000000 + " +
+      "list_reduce(h2[i+1:i+8], (a, b) -> (a * 37 + b) % 999999937)"
   private def shingleIdsCte =
     s"""dsi AS (SELECT doc_id, ${termHashSql("shingle")} AS sid FROM sh)""".stripMargin
   private def sigExprSql: String =
@@ -475,6 +487,41 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode end-to-end (q77): a deterministic synthetic
+    * 16-bit PCM WAV per doc_id < 200 (samples a pure function of
+    * (id, t)), encoded with a junk LIST chunk and then DECODED through
+    * the RIFF chunk walk — the oracle re-derives the decoded features
+    * (format fields, amplitude stats, zero crossings, energy,
+    * histogram) from the sample formula alone, so a hash match proves
+    * the real encode → parse → decode path (PCM is lossless). */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.packSyntheticWavs(
+      docs(spark, dir).filter(col("doc_id") < 200).select(col("doc_id")), "doc_id")
+    Multimodal.extractFeatures(media, Multimodal.WavPcmDecoder)
+      .select(Seq(col("media_id").as("doc_id")) ++
+        (0 until Multimodal.WavPcmDecoder.FeatureDim).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL BPE token counting (q78): every word runs the frozen
+    * [[TextAnalysis.BpeMerges]] merge table in rank order — the
+    * classic BPE encode as a pure column fold — and the per-document
+    * word/BPE-token counts come out of one explode + one partial
+    * aggregate. The oracle replays the identical fold over the
+    * identical table in DuckDB, so a hash match pins the tokenizer
+    * MECHANISM (greedy leftmost merges, rank order), not just totals. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val words = spread(docs(spark, dir))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    words.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("w")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("c")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition metrics per document (q64). The flag is
     * computed from the ROUNDED fractions so the oracle engine flags
     * identically; int-cast because the gate's normalizer hashes ints
@@ -770,11 +817,12 @@ object DocQueries {
     },
     "q69_chunk_dedup" -> {
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h
+         |tids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2
          |         FROM toks WHERE len(t) >= 8),
          |ids AS (SELECT DISTINCT doc_id, cid FROM (
          |          SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
-         |            i -> list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007))) AS cid
+         |            i -> $chunkIdSql)) AS cid
          |          FROM tids)),
          |shared AS (SELECT cid FROM ids GROUP BY cid HAVING count(DISTINCT doc_id) > 1),
          |per AS (SELECT i.doc_id, count(*) AS n_chunks,
@@ -815,11 +863,63 @@ object DocQueries {
          |       $histSel
          |FROM agg ORDER BY doc_id""".stripMargin
     },
+    "q78_bpe_tokens" -> {
+      // the SAME merge table, rank order, replayed as nested DuckDB
+      // list_reduce folds; the accumulator is the space-joined symbol
+      // string (symbols never contain whitespace — words are
+      // whitespace-split), `ends_with` reads its last symbol
+      val fold = graft.operators.TextAnalysis.BpeMerges
+        .foldLeft("array_to_string(string_split(w, ''), ' ')") { case (prev, (l, r)) =>
+          val m = l + r
+          s"list_reduce(string_split($prev, ' '), (a, x) -> " +
+            s"CASE WHEN (a = '$l' OR ends_with(a, ' $l')) AND x = '$r' " +
+            s"THEN CASE WHEN a = '$l' THEN '$m' " +
+            s"ELSE left(a, length(a) - ${l.length}) || '$m' END " +
+            s"ELSE a || ' ' || x END)"
+        }
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |words AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+         |c AS (SELECT doc_id, len(string_split($fold, ' ')) AS c FROM words)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_bpe_tokens
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q77_audio_decode" -> {
+      def f(expr: String) = s"CAST(CAST($expr AS FLOAT) AS DOUBLE)"
+      def mean(s: String) = f(s"CAST($s AS DOUBLE) / n")
+      val histCols = (0 until 4).map(b =>
+        s"sum(CASE WHEN (s + 32768) // 16384 = $b THEN 1 ELSE 0 END) AS hb$b")
+        .mkString(",\n         ")
+      val histSel = (0 until 4).map(b => s"${mean(s"hb$b")} AS f${10 + b}")
+        .mkString(",\n       ")
+      s"""WITH ids AS (SELECT doc_id, CAST(256 + doc_id % 97 AS BIGINT) AS n
+         |             FROM documents WHERE doc_id < 200),
+         |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM ids),
+         |v AS (SELECT doc_id, n, t,
+         |        ((doc_id * 37 + t * 101 + ((t * t) % 9973) * 29) % 65536) - 32768 AS s
+         |      FROM smp),
+         |zrows AS (SELECT doc_id,
+         |        CASE WHEN (s >= 0) != (lag(s) OVER (PARTITION BY doc_id ORDER BY t) >= 0)
+         |             THEN 1 ELSE 0 END AS z
+         |      FROM v),
+         |zagg AS (SELECT doc_id, sum(z) AS zc FROM zrows GROUP BY doc_id),
+         |agg AS (SELECT doc_id, any_value(n) AS n, min(s) AS mn, max(s) AS mx,
+         |         sum(s) AS ssum, sum(abs(s)) AS sabs, sum(s * s) AS se,
+         |         $histCols
+         |        FROM v GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ${f("1")} AS f0, ${f("8000")} AS f1, ${f("16")} AS f2,
+         |       ${f("n")} AS f3, ${f("mn")} AS f4, ${f("mx")} AS f5,
+         |       ${mean("ssum")} AS f6, ${mean("sabs")} AS f7,
+         |       ${f("zc")} AS f8, ${mean("se")} AS f9,
+         |       $histSel
+         |FROM agg JOIN zagg USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "q74_span_removal" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h FROM toks),
+         |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2 FROM toks),
          |wins AS (SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
-         |           i -> struct_pack(pos := i, cid := list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007)))) AS w
+         |           i -> struct_pack(pos := i, cid := $chunkIdSql))) AS w
          |         FROM tids WHERE len(h) >= 8),
          |w2 AS (SELECT doc_id, w.pos AS pos, w.cid AS cid FROM wins),
          |canon AS (SELECT cid, min(doc_id) AS canon FROM w2
@@ -827,10 +927,16 @@ object DocQueries {
          |rem AS (SELECT w2.doc_id, list_sort(list(DISTINCT w2.pos)) AS starts
          |        FROM w2 JOIN canon USING (cid)
          |        WHERE w2.doc_id <> canon.canon GROUP BY w2.doc_id),
+         |prot AS (SELECT w2.doc_id, list_sort(list(DISTINCT w2.pos)) AS pstarts
+         |         FROM w2 JOIN canon USING (cid)
+         |         WHERE w2.doc_id = canon.canon GROUP BY w2.doc_id),
          |cut AS (SELECT t.doc_id, t.t,
          |          list_filter(t.t, (x, i) -> len(list_filter(COALESCE(r.starts, []::BIGINT[]),
-         |            s -> s <= i - 1 AND i - 1 < s + 8)) = 0) AS kept
-         |        FROM tids t LEFT JOIN rem r USING (doc_id))
+         |            s -> s <= i - 1 AND i - 1 < s + 8)) = 0
+         |            OR len(list_filter(COALESCE(p.pstarts, []::BIGINT[]),
+         |              s -> s <= i - 1 AND i - 1 < s + 8)) > 0) AS kept
+         |        FROM tids t LEFT JOIN rem r USING (doc_id)
+         |                    LEFT JOIN prot p USING (doc_id))
          |SELECT doc_id, len(t) AS n_tokens,
          |       len(t) - len(kept) AS n_removed,
          |       md5(CASE WHEN t IS NULL THEN NULL
@@ -911,6 +1017,8 @@ object DocQueries {
     "q69_chunk_dedup" -> (chunkDedup _),
     "q74_span_removal" -> (dedupSpanRemoval _),
     "q76_image_decode" -> (imageDecode _),
+    "q77_audio_decode" -> (audioDecode _),
+    "q78_bpe_tokens" -> (bpeTokens _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -72,6 +72,35 @@ object StreamingOps {
       lit(true)))
   }
 
+  /** Streaming LSH near-dup tier (streaming twin of the q56 batch
+    * path): bucketing under a FITTED
+    * [[graft.index.GraphBuilder.LshModel]] is a pure per-row
+    * expression — stateless — and candidate pairing is a
+    * stream-STATIC equi-join on (tbl, bucket) against the indexed
+    * corpus's materialized bucket table, the join shape Structured
+    * Streaming runs without state or watermark. Emits
+    * (id, corpus_id, tbl, bucket, dist) for every co-bucketed
+    * (arrival, corpus) pair within `maxDist` (L2 on the model's
+    * prepared geometry — normalized under cosine). A pair co-bucketed
+    * in several tables emits once per table: per-pair dedup is a
+    * stateful aggregation that would grow with the stream, so it
+    * stays a downstream batch/windowed concern, like the batch tier's
+    * groupBy. */
+  def streamingLshCandidates(
+      stream: DataFrame,
+      model: graft.index.GraphBuilder.LshModel,
+      corpusBuckets: DataFrame,
+      maxDist: Double = Double.MaxValue): DataFrame = {
+    import graft.functions.VectorFunctions
+    graft.index.GraphBuilder.lshBuckets(stream, model)
+      .join(corpusBuckets.select(col("tbl"), col("bucket"),
+        col("id").as("corpus_id"), col("vec").as("c_vec")), Seq("tbl", "bucket"))
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"), col("tbl"), col("bucket"),
+        VectorFunctions.euclidean(col("vec"), col("c_vec")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState — emits the running per-user session/event
     * counts each micro-batch (streaming twin of q61_sessionize). */

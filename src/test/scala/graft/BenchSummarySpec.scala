@@ -21,11 +21,14 @@ class BenchSummarySpec extends AnyFunSuite {
   }
 
   test("summary line with worst-case widths fits the tail window") {
-    // worst-case numeric widths: 884.88 renders "884.9" (5 chars) per
-    // query and for builds_sec; five-digit QPS renders 7 chars
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 884.88)
-    val line = Bench.summaryLine(results, Some(884.88),
-      88888.8, 88888.8, 88888.8, 884.88, 88888.8, "sf0.001")
+    // worst-case numeric widths: 8884.88 renders "8884.9" (6 chars) per
+    // query and for builds_sec — a 4-digit-seconds ceiling, so a query
+    // running into the thousands of seconds still fits the budget
+    // checked here; five-digit QPS renders 7 chars
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 8884.88)
+    val line = Bench.summaryLine(results, Some(8884.88),
+      88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
+      Seq(8884.88, 8884.88, 8884.88, 8884.88), "sf0.001")
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -34,19 +37,26 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line is valid JSON with the expected metric keys") {
     val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
     val line = Bench.summaryLine(results, Some(22.24),
-      398.44, 600.4, 572.0, 7.9, 370.81, "sf0.1")
+      398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44), "sf0.1")
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "queries", "builds_sec",
-      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "sf"))
+      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "cal", "sf"))
     val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(qKeys === List("q01", "q41"))
+    val cal = (parsed \ "cal").asInstanceOf[org.json4s.JArray].arr
+    assert(cal.size === 4)
   }
 
   test("colliding short keys fall back to full names, never drop a metric") {
     val results = Seq("q01_a" -> 0.1, "q01_b" -> 0.2)
-    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, "sf")
+    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), "sf")
     assert(line.contains("\"q01_a\":0.1") && line.contains("\"q01_b\":0.2"))
+  }
+
+  test("calibration spin loop returns a positive bounded time") {
+    val t = Bench.calSpin()
+    assert(t > 0.0 && t < 60.0, s"calSpin returned $t sec")
   }
 
   test("numeric rendering trims trailing zeros and keeps JSON validity") {

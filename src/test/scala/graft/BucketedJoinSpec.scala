@@ -33,9 +33,9 @@ class BucketedJoinSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
       val n = joined.count()
       assert(n > 0)
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case s: ShuffleExchangeLike => s
-      }
+      // collectShuffles descends through the AQE wrapper — a bare
+      // executedPlan.collect is vacuous under adaptive execution
+      val shuffles = collectShuffles(joined)
       // join AND the groupBy ride the bucket distribution: zero shuffles
       assert(shuffles.isEmpty,
         s"expected shuffle-free co-located join, found ${shuffles.size} exchange(s)")

@@ -25,4 +25,30 @@ trait SparkSpec extends AnyFunSuite {
   def spark: SparkSession = SparkSpec.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** All shuffle exchanges in an EXECUTED plan, descending through
+    * AQE wrappers — `executedPlan.collect` alone is vacuous under
+    * adaptive execution because AdaptiveSparkPlanExec is a leaf node
+    * (it hides the real tree behind a field), so a naive zero-shuffle
+    * assertion passes on any plan. Run an action on the frame first
+    * so the adaptive plan is final. */
+  def collectShuffles(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self: Seq[SparkPlan] = p match {
+        case _: ShuffleExchangeLike => Seq(p)
+        case _ => Nil
+      }
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      self ++ deeper
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

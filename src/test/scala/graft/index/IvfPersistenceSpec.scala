@@ -108,7 +108,7 @@ class IvfPersistenceSpec extends SparkSpec {
 
     // physically partitioned by cluster: the segment dir fans out into
     // cluster=<c> subdirectories (the partition-pruning layout)
-    val pqFp = java.lang.Integer.toHexString(java.util.Arrays.hashCode(pqModel.codebook))
+    val pqFp = Fingerprint.ofFloats(pqModel.codebook)
     val segDir = java.nio.file.Paths.get(
       s"$path/ivfpq/seg=0-${ivfModel.suffix}--m${pqModel.m}k${pqModel.k}-$pqFp")
     assert(java.nio.file.Files.exists(segDir.resolve("_SUCCESS")))
@@ -148,6 +148,55 @@ class IvfPersistenceSpec extends SparkSpec {
     }
     assert(recalls.sum / recalls.length >= 0.70,
       s"IVF-PQ recall over persisted composite = ${recalls.sum / recalls.length}")
+  }
+
+  test("ivfClusteredVectors persists cluster-partitioned vectors; a static probe filter prunes partitions") {
+    val path = tmpDir("ivf-vec")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    val model = idx.fitIVF(16)
+    val cv = idx.ivfClusteredVectors(model)
+    assert(cv.count() == 500)
+    // content = vectors ⋈ assignments, row for row
+    val viaJoin = idx.ivfAssignments(model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = cv.select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(direct == viaJoin)
+    // the static cluster IN filter prunes partitions at planning time
+    val pruned = cv.filter(col("cluster").isin(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"))
+    // and vacuum treats the family like the other per-model artifacts
+    val segDir = java.nio.file.Paths.get(s"$path/ivf_vec/seg=0-${model.suffix}")
+    assert(java.nio.file.Files.exists(segDir.resolve("_SUCCESS")))
+  }
+
+  test("model fingerprints are 64-bit: fixed 16-hex width, content-sensitive") {
+    val a = Array.tabulate(256)(i => i * 0.5f)
+    val b = a.clone(); b(255) = Math.nextUp(b(255)) // exactly one ULP
+    assert(Fingerprint.ofFloats(a).matches("^[0-9a-f]{16}$"))
+    assert(Fingerprint.ofFloats(b).matches("^[0-9a-f]{16}$"))
+    assert(Fingerprint.ofFloats(a) != Fingerprint.ofFloats(b))
+    assert(Fingerprint.ofFloats(a) == Fingerprint.ofFloats(a.clone()))
+    // the artifact suffixes (dir-name keys) carry the widened form
+    val m = IvfModel(2, 2, "euclidean", Array(0f, 0f, 1f, 1f))
+    assert(m.suffix.matches("^k2-euclidean-[0-9a-f]{16}$"))
+  }
+
+  test("ivfPqCodes rejects an IVF model whose metric disagrees with the index") {
+    val path = tmpDir("ivfpq-metric")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+    // index metric defaults to euclidean; a cosine-fit coarse quantizer
+    // clusters normalized geometry — composing it with this index's
+    // euclidean-encoded PQ codes must fail fast, not sink recall
+    val cosModel = idx.fitIVF(16, searchMetric = Metric.Cosine)
+    val pqModel = idx.fitPQ(8)
+    val e = intercept[IllegalArgumentException] {
+      idx.ivfPqCodes(cosModel, pqModel)
+    }
+    assert(e.getMessage.contains("metric"))
+    // the matched-metric composite still builds fine
+    assert(idx.ivfPqCodes(idx.fitIVF(16), pqModel).count() == 500)
   }
 
   test("vacuum reaps stale-model and dead-segment IVF artifact dirs, keeps live ones") {

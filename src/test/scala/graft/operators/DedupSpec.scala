@@ -81,6 +81,44 @@ class DedupSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("n_removed") == 16)
   }
 
+  test("removeDupSpans protects canonical occurrences from overlapping non-canonical cuts") {
+    val ss = spark
+    import ss.implicits._
+    // doc 1 is CANONICAL for X = (x1 x2 y1) — duplicated with doc 2 —
+    // but NON-canonical for the overlapping Y = (y1 y2 y3), canonical
+    // in doc 0. Without protection, cutting Y's window in doc 1
+    // removes y1 (position 2), partially destroying the canonical X
+    // occurrence; doc 2's X copy is cut too, so X would vanish from
+    // the corpus entirely. The protection keeps X verbatim in doc 1.
+    val docs = Seq(
+      (0L, "y1 y2 y3"),
+      (1L, "x1 x2 y1 y2 y3"),
+      (2L, "x1 x2 y1 z")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[String]("cleaned_text") == "y1 y2 y3") // canonical Y intact
+    assert(out(1L).getAs[String]("cleaned_text") == "x1 x2 y1") // canonical X survives verbatim
+    assert(out(1L).getAs[Int]("n_removed") == 2)                // y2 y3 still cut
+    assert(out(2L).getAs[String]("cleaned_text") == "z")        // non-canonical X cut
+  }
+
+  test("chunk ids are the widened dual-fold form (past 32-bit range, oracle-mirrorable)") {
+    val ss = spark
+    import ss.implicits._
+    // a chunk's id = fold31 * 1e9 + fold37 must exceed the old 30-bit
+    // space for any fold31 >= 2 — i.e. essentially every real chunk —
+    // while staying under 2^63 (DuckDB BIGINT)
+    val docs = Seq((1L, "aa bb cc"), (2L, "aa bb cc")).toDF("doc_id", "text")
+    val stats = Dedup.chunkDupStats(docs, k = 3).collect()
+    assert(stats.length == 2) // the widened ids still match across docs
+    // recompute one id by hand through the public column expressions
+    val row = ss.sql("SELECT 1").select(
+      graft.operators.TextAnalysis.termHash(lit("aa")).as("h1"),
+      graft.operators.TextAnalysis.termHash2(lit("aa")).as("h2")).collect()(0)
+    val (h1, h2) = (row.getLong(0), row.getLong(1))
+    assert(h1 != h2, "the two term-hash streams must be independent")
+  }
+
   test("chunkDupStats counts cross-doc chunks once per doc, ignores within-doc repeats") {
     val ss = spark
     import ss.implicits._

@@ -97,6 +97,60 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageIoDecoder.decode("image", Array[Byte](1, 2, 3, 4)))
   }
 
+  /** The (id, t) sample formula of packSyntheticWavs, independently
+    * re-implemented for the expectation. */
+  private def wavSamples(id: Long): Array[Int] = {
+    val n = (256 + id % 97).toInt
+    Array.tabulate(n)(t =>
+      ((id * 37 + t.toLong * 101 + ((t.toLong * t) % 9973) * 29) % 65536 - 32768).toInt)
+  }
+
+  test("WavPcmDecoder decodes REAL RIFF/PCM bytes (with a junk LIST chunk) to exact sample statistics") {
+    val ss = spark
+    import ss.implicits._
+    val ids = Seq(0L, 1L, 13L, 96L, 150L)
+    val media = Multimodal.packSyntheticWavs(ids.toDF("doc_id"), "doc_id")
+    // payloads are genuine RIFF/WAVE files, not passthroughs
+    val first = media.orderBy("media_id").head()
+    val bytes = first.getAs[Array[Byte]](2)
+    assert(bytes.slice(0, 4).map(_.toChar).mkString == "RIFF")
+    assert(bytes.slice(8, 12).map(_.toChar).mkString == "WAVE")
+    val feats = Multimodal.extractFeatures(media.repartition(3), Multimodal.WavPcmDecoder)
+      .select(col("media_id"), col("feature")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (id <- ids) {
+      val s = wavSamples(id)
+      val n = s.length
+      val zc = (1 until n).count(t => (s(t) >= 0) != (s(t - 1) >= 0))
+      val hist = new Array[Long](4)
+      s.foreach(v => hist((v + 32768) / 16384) += 1)
+      val expect = Array(1f, 8000f, 16f, n.toFloat, s.min.toFloat, s.max.toFloat,
+        (s.map(_.toLong).sum.toDouble / n).toFloat,
+        (s.map(v => math.abs(v).toLong).sum.toDouble / n).toFloat,
+        zc.toFloat,
+        (s.map(v => v.toLong * v).sum.toDouble / n).toFloat) ++
+        hist.map(c => (c.toDouble / n).toFloat)
+      assert(feats(id).length == Multimodal.WavPcmDecoder.FeatureDim)
+      assert(feats(id).toSeq == expect.toSeq,
+        s"decoded audio features for id=$id diverge from the sample formula")
+    }
+  }
+
+  test("WavPcmDecoder rejects non-WAV and truncated payloads") {
+    assertThrows[IllegalArgumentException](
+      Multimodal.WavPcmDecoder.decode("audio", Array[Byte](1, 2, 3, 4)))
+    // corrupt a real payload's data-chunk length so it overruns the file
+    val ss = spark
+    import ss.implicits._
+    val good = Multimodal.packSyntheticWavs(Seq(3L).toDF("doc_id"), "doc_id")
+      .head().getAs[Array[Byte]](2)
+    val bad = good.clone()
+    val dataSizeOff = 12 + 8 + 16 + 8 + 4 + 4 // RIFF hdr + fmt + LIST + "data"
+    bad(dataSizeOff) = -1; bad(dataSizeOff + 1) = -1 // data len -> huge
+    assertThrows[IllegalArgumentException](
+      Multimodal.WavPcmDecoder.decode("audio", bad))
+  }
+
   test("null payloads flow through with null features") {
     val media = Multimodal.packText(docs.limit(3), "doc_id", "text")
       .withColumn("content", when(col("media_id") === 1, col("content")))

@@ -58,6 +58,24 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("packSequences accepts a pluggable token-count column (BPE-real budgets)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "aa"), (2L, "bbbb"), (3L, null.asInstanceOf[String]), (4L, "cccccc"))
+    // count = text length: offsets must follow the plugged expression,
+    // not the default whitespace count (which would be 1 per doc)
+    val out = Sampling.packSequences(rows.toDF("doc_id", "text"), budget = 5L,
+        tokenCount = Some(length(col("text")).cast("long")))
+      .select("doc_id", "n_tokens", "tok_offset", "bin_id", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, 0L, 0L),
+      (2L, 4L, 2L, 0L, 2L),
+      (3L, 0L, 6L, 1L, 1L), // null text -> 0 via the same COALESCE
+      (4L, 6L, 6L, 1L, 1L)))
+  }
+
   test("quotaCap keeps the maxPerGroup smallest (bucket, id) per group, all of a small group") {
     val ss = spark
     import ss.implicits._

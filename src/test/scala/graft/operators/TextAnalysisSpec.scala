@@ -13,6 +13,41 @@ class TextAnalysisSpec extends SparkSpec {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Reference BPE encode in plain Scala: rules in rank order, each
+    * applied exhaustively leftmost-first — the independent twin the
+    * column fold must match. */
+  private def refBpe(word: String): Seq[String] = {
+    var syms = word.split("").toSeq
+    for ((l, r) <- TextAnalysis.BpeMerges) {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (s <- syms) {
+        if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+        else out += s
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("bpeSymbols runs the frozen merge table exactly like a reference BPE encode") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq("the", "there", "ingesting", "and", "information",
+      "a", "x", "zzz", "threshold", "ورد", "东西")
+    val got = words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeSymbols(col("w")).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(got(w) == refBpe(w), s"BPE of '$w': got ${got(w)}, want ${refBpe(w)}")
+    // pinned known cases: full merges and rank-order precedence
+    assert(got("the") == Seq("the"))
+    assert(refBpe("the") == Seq("the"))
+    assert(got("and") == Seq("and"))
+    // adjacent-run behavior: leftmost pair merges first
+    assert(got("zzz") == Seq("z", "z", "z")) // no rule for (z,z)
+  }
+
   test("repetitionStats computes top-n-gram fractions and the flag by definition") {
     val ss = spark
     import ss.implicits._

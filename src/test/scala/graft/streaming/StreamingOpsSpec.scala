@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.index.{Metric, ShardedServing, VectorIndex}
+import graft.index.{GraphBuilder, Metric, ShardedServing, VectorIndex}
 import graft.streaming.StreamingOps.Event
 
 class StreamingOpsSpec extends SparkSpec {
@@ -53,6 +53,44 @@ class StreamingOpsSpec extends SparkSpec {
       .filter(_.getLong(0) == 1L).maxBy(_.getLong(2))
     assert(fin.getLong(1) == 3L) // n_sessions
     assert(fin.getLong(2) == 5L) // n_events
+    q.stop()
+  }
+
+  test("streamingLshCandidates: stream output == the batch bucket join under one fitted model") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(16)(rng.nextFloat())
+    val corpus = (0L until 50L).map(i => (i, vec()))
+    // ten fresh arrivals plus one exact copy of corpus vector 3 — a
+    // planted near-dup that MUST co-bucket in every hash table
+    val arrivals = (100L until 110L).map(i => (i, vec())) :+ ((200L, corpus(3)._2))
+    val corpusDf = corpus.toDF("id", "vec")
+    val model = GraphBuilder.fitLsh(corpusDf, Metric.Cosine)
+    val corpusBuckets = GraphBuilder.lshBuckets(corpusDf, model)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.streamingLshCandidates(
+        mem.toDF().toDF("id", "vec"), model, corpusBuckets)
+      .writeStream.format("memory").queryName("lsh_cand").outputMode("append").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val got = spark.table("lsh_cand")
+      .select("id", "corpus_id", "tbl", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // the batch twin: the same operator over the same rows as a batch
+    // frame (bucketing is a fitted-model pure expression, so the two
+    // paths must agree row for row)
+    val batch = StreamingOps.streamingLshCandidates(
+        arrivals.toDF("id", "vec"), model, corpusBuckets)
+      .select("id", "corpus_id", "tbl", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // the planted duplicate co-buckets with its source in ALL tables
+    val dupTables = got.collect { case (200L, 3L, tbl, _) => tbl }
+    assert(dupTables.size == model.projections.length,
+      s"planted dup co-bucketed in ${dupTables.size}/${model.projections.length} tables")
     q.stop()
   }
 
