@@ -43,28 +43,40 @@ final case class IvfModel(k: Int, dim: Int, metricName: String, centroids: Array
   def suffix: String = s"k$k-$metricName-$fingerprint"
 }
 
-/** Sidecar I/O for [[IvfModel]] — same atomic-move JSON + base64
-  * little-endian float payload idiom as [[Quantization.save]]. */
+/** Sidecar I/O for [[IvfModel]] — same atomic-publish JSON + base64
+  * little-endian float payload idiom as [[Quantization.save]], routed
+  * through the [[ArtifactStore]] seam. */
 object Ivf {
 
   def save(model: IvfModel, path: String, file: String): Unit = {
-    Files.createDirectories(Paths.get(path))
+    val store = ArtifactStore.current
+    store.createDirs(path)
     val buf = java.nio.ByteBuffer.allocate(model.centroids.length * 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     model.centroids.foreach(buf.putFloat)
     val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
     val json =
       s"""{"k":${model.k},"dim":${model.dim},"metric":"${model.metricName}","centroids":"$b64"}"""
-    val tmp = Paths.get(s"$path/.$file.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$path/$file"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    store.writeAtomic(s"$path/$file", json.getBytes(StandardCharsets.UTF_8))
   }
 
-  def load(path: String, file: String): IvfModel = {
+  /** Load a model saved by [[save]]. Any parse/shape failure — a
+    * truncated file, mangled base64, k*dim mismatch — surfaces as one
+    * IllegalArgumentException naming the sidecar, not whatever the
+    * decoder happened to throw. */
+  def load(path: String, file: String): IvfModel =
+    try loadUnsafe(path, file)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith(s"$path/$file") => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"$path/$file: unparseable IVF sidecar (${e.getMessage})", e)
+    }
+
+  private def loadUnsafe(path: String, file: String): IvfModel = {
     val json = new String(
-      Files.readAllBytes(Paths.get(s"$path/$file")), StandardCharsets.UTF_8)
+      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
     def intOf(key: String): Int =
       s""""$key":(\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalArgumentException(s"$file missing $key"))

@@ -225,27 +225,22 @@ object Quantization {
     * compression model. */
   def save(model: PQModel, path: String, file: String = "pq.json"): Unit = {
     import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(Paths.get(path))
+    val store = ArtifactStore.current
+    store.createDirs(path)
     val buf = java.nio.ByteBuffer.allocate(model.codebook.length * 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     model.codebook.foreach(buf.putFloat)
     val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
     val json =
       s"""{"m":${model.m},"k":${model.k},"subDim":${model.subDim},"codebook":"$b64"}"""
-    val tmp = Paths.get(s"$path/.$file.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$path/$file"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    store.writeAtomic(s"$path/$file", json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Load a model saved by [[save]]. */
   def load(path: String, file: String = "pq.json"): PQModel = {
     import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
     val json = new String(
-      Files.readAllBytes(Paths.get(s"$path/$file")), StandardCharsets.UTF_8)
+      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
     def intOf(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalArgumentException(s"pq.json missing $k"))

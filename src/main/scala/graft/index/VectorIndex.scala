@@ -249,7 +249,7 @@ final class VectorIndex private (
       val name = s"${tag}_$suffix"
       val dir = s"$base/$suffix"
       if (!spark.catalog.tableExists(name)) {
-        if (Files.exists(Paths.get(s"$dir/_SUCCESS"))) {
+        if (ArtifactStore.current.exists(s"$dir/_SUCCESS")) {
           spark.sql(s"CREATE TABLE $name ($ddlCols) USING PARQUET " +
             s"CLUSTERED BY (id) SORTED BY (id) INTO $numBuckets BUCKETS " +
             s"LOCATION '$dir'")
@@ -329,9 +329,9 @@ final class VectorIndex private (
     * index refits instead. */
   def loadPQ(m: Int = 8): Option[Quantization.PQModel] = {
     val perM = java.nio.file.Paths.get(s"$path/pq-m$m.json")
-    if (java.nio.file.Files.exists(perM)) Some(Quantization.load(path, s"pq-m$m.json"))
+    if (ArtifactStore.current.exists(perM.toString)) Some(Quantization.load(path, s"pq-m$m.json"))
     else if (metric == Metric.Euclidean &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq.json")))
+        ArtifactStore.current.exists(s"$path/pq.json"))
       Some(Quantization.load(path)).filter(_.m == m)
     else None
   }
@@ -360,7 +360,7 @@ final class VectorIndex private (
     def codesDir(v: Long) = s"$path/pq_codes/seg=$v-$suffix"
     meta.segments.foreach { v =>
       val dir = codesDir(v)
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))) {
+      if (!ArtifactStore.current.exists(s"$dir/_SUCCESS")) {
         // tombstone rows (null vec) become null-code tombstones, so the
         // latest-wins resolve drops deleted ids exactly like the tables
         pqPrepare(segmentDecoded(v))
@@ -395,7 +395,7 @@ final class VectorIndex private (
   /** The persisted IVF model for (k, metric), if one was fit. */
   def loadIVF(k: Int = 16, searchMetric: Metric = metric): Option[IvfModel] = {
     val f = ivfFile(k, searchMetric)
-    if (Files.exists(Paths.get(s"$path/$f"))) Some(Ivf.load(path, f)) else None
+    if (ArtifactStore.current.exists(s"$path/$f")) Some(Ivf.load(path, f)) else None
   }
 
   /** [[loadIVF]] falling back to a fit-and-persist on first use. */
@@ -417,7 +417,7 @@ final class VectorIndex private (
     def dir(v: Long) = s"$path/ivf_assign/seg=$v-${model.suffix}"
     meta.segments.foreach { v =>
       val d = dir(v)
-      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+      if (!ArtifactStore.current.exists(s"$d/_SUCCESS")) {
         graft.operators.Similarity.assignClusters(segmentDecoded(v), model)
           .select(col("id"), col("cluster"))
           .write.mode("overwrite").parquet(d)
@@ -438,7 +438,7 @@ final class VectorIndex private (
     def dir(v: Long) = s"$path/ivf_vec/seg=$v-${model.suffix}"
     meta.segments.foreach { v =>
       val d = dir(v)
-      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+      if (!ArtifactStore.current.exists(s"$d/_SUCCESS")) {
         graft.operators.Similarity.assignClusters(segmentDecoded(v), model)
           .select(col("id"), col("vec"), col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(d)
@@ -475,7 +475,7 @@ final class VectorIndex private (
     def dir(v: Long) = s"$path/ivfpq/seg=$v-$suffix"
     meta.segments.foreach { v =>
       val d = dir(v)
-      if (!Files.exists(Paths.get(s"$d/_SUCCESS"))) {
+      if (!ArtifactStore.current.exists(s"$d/_SUCCESS")) {
         graft.operators.Similarity.assignClusters(segmentDecoded(v), ivfModel)
           .select(col("id"), col("cluster"),
             when(col("vec").isNotNull,
@@ -902,14 +902,9 @@ final class VectorIndex private (
     val live = current.segments.toSet ++
       Some(current.ingestSegment).filter(_ >= 0)
     val maxLive = if (live.isEmpty) -1L else live.max
-    def deleteTree(p: Path): Unit =
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(x => Files.deleteIfExists(x))
-    def children(p: Path): Seq[Path] =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.toList finally s.close()
-      } else Nil
+    val store = ArtifactStore.current
+    def deleteTree(p: Path): Unit = store.deleteTree(p.toString)
+    def children(p: Path): Seq[Path] = store.list(p.toString).map(p.resolve)
     def dead(v: Long): Boolean = !live.contains(v) && v < maxLive
     var reaped = 0
     val segRe = "^v=(\\d+)$".r
@@ -957,7 +952,7 @@ final class VectorIndex private (
     // "<ivfSfx>--<pqSfx>" and needs BOTH halves active.
     def reapDerived(rootName: String, reapOk: Boolean, active: String => Boolean): Unit = {
       val artRoot = root.resolve(rootName)
-      if (Files.exists(artRoot)) children(artRoot).foreach { p =>
+      if (store.exists(artRoot.toString)) children(artRoot).foreach { p =>
         p.getFileName.toString match {
           case codeRe(seg, suffix)
               if dead(seg.toLong) || (reapOk && !active(suffix)) =>
@@ -978,7 +973,7 @@ final class VectorIndex private (
     // bucketed serving layouts are keyed by SEGMENT SET (not model):
     // any layout not matching the current snapshot's key is stale
     val bktRoot = root.resolve("bucketed")
-    if (Files.exists(bktRoot)) {
+    if (store.exists(bktRoot.toString)) {
       val liveKey = Fingerprint.ofString(meta.segments.mkString(","))
       children(bktRoot).foreach { p =>
         if (!p.getFileName.toString.startsWith(s"$liveKey-b")) {
@@ -1119,13 +1114,13 @@ object VectorIndex {
     val meta = readMeta(path)
     val v = new VectorIndex(spark, path, meta)
     meta.segments.foreach { s =>
-      require(Files.exists(Paths.get(s"$path/v=$s/vectors")),
+      require(ArtifactStore.current.exists(s"$path/v=$s/vectors"),
         s"missing vectors segment v=$s at $path")
       // fail HERE, not at first query: a pre-segmented snapshot
       // (v=N/adjacency, no graph/ring split) would otherwise pass load
       // and die with PATH_NOT_FOUND mid-plan
-      require(Files.exists(Paths.get(s"$path/v=$s/graph")) &&
-          Files.exists(Paths.get(s"$path/v=$s/ring")),
+      require(ArtifactStore.current.exists(s"$path/v=$s/graph") &&
+          ArtifactStore.current.exists(s"$path/v=$s/ring"),
         s"index at $path v=$s uses an unsupported layout " +
           "(expected graph/ + ring/ tables; pre-segmented snapshots must be rebuilt)")
     }
@@ -1223,7 +1218,8 @@ object VectorIndex {
   // ------------------------------------------------------------- meta I/O
 
   private[index] def writeMeta(path: String, m: IndexMeta): Unit = {
-    Files.createDirectories(Paths.get(path))
+    val store = ArtifactStore.current
+    store.createDirs(path)
     val json =
       s"""{"version":${m.version},"numPoints":${m.numPoints},"dim":${m.dim},""" +
         s""""maxDegree":${m.maxDegree},"entrypoint":${m.entrypoint},""" +
@@ -1233,16 +1229,13 @@ object VectorIndex {
         s""""segments":[${m.segments.mkString(",")}],""" +
         s""""exactThreshold":${m.exactThreshold},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
-    // atomic pointer swap: write sidecar to a temp file, then move over
-    val tmp = Paths.get(s"$path/.meta.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$path/meta.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // atomic pointer swap (ArtifactStore.writeAtomic's contract)
+    store.writeAtomic(s"$path/meta.json", json.getBytes(StandardCharsets.UTF_8))
   }
 
   private[index] def readMeta(path: String): IndexMeta = {
-    val json = new String(Files.readAllBytes(Paths.get(s"$path/meta.json")), StandardCharsets.UTF_8)
+    val json = new String(
+      ArtifactStore.current.readBytes(s"$path/meta.json"), StandardCharsets.UTF_8)
     def longOf(k: String): Long = {
       val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))

@@ -199,6 +199,26 @@ class IvfPersistenceSpec extends SparkSpec {
     assert(idx.ivfPqCodes(idx.fitIVF(16), pqModel).count() == 500)
   }
 
+  test("Ivf.load names the sidecar on any parse failure (mangled base64, truncation, shape mismatch)") {
+    val dir = tmpDir("ivf-mangled")
+    def write(content: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // mangled base64
+    write("""{"k":2,"dim":2,"metric":"euclidean","centroids":"!!!notbase64!!!"}""")
+    val e1 = intercept[IllegalArgumentException](Ivf.load(dir, "bad.json"))
+    assert(e1.getMessage.contains("bad.json"))
+    // payload length disagrees with k*dim
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array[Byte](0, 0, 0, 0))
+    write(s"""{"k":2,"dim":2,"metric":"euclidean","centroids":"$b64"}""")
+    val e2 = intercept[IllegalArgumentException](Ivf.load(dir, "bad.json"))
+    assert(e2.getMessage.contains("bad.json"))
+    // truncated json
+    write("""{"k":2,"dim":""")
+    val e3 = intercept[IllegalArgumentException](Ivf.load(dir, "bad.json"))
+    assert(e3.getMessage.contains("bad.json"))
+  }
+
   test("vacuum reaps stale-model and dead-segment IVF artifact dirs, keeps live ones") {
     val path = tmpDir("ivf-vacuum")
     val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
