@@ -426,4 +426,50 @@ object Dedup {
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
+
+  /** CCNet/RefinedWeb-style boilerplate-line removal: a line occurring
+    * in ≥ `minDocFreq` DISTINCT documents is boilerplate (nav bars,
+    * cookie banners, license headers) and is dropped from EVERY
+    * document — unlike span dedup ([[removeDupSpans]]) there is no
+    * canonical survivor, because boilerplate is noise, not content.
+    *
+    * Input is pre-segmented `(id, line_no, line)` — segmentation is the
+    * caller's (newline split for real corpora; any deterministic
+    * splitter works), so the operator is segmentation-agnostic.
+    *
+    * Scale design: the frequency pass groups by `md5(line)` — a 32-byte
+    * shuffle key with partial aggregation (`approx` per-line payload
+    * never crosses the wire), and `count(DISTINCT id)` is a two-level
+    * partial agg. The surviving boilerplate set (freq ≥ K) is TINY by
+    * construction — it's the head of the line-frequency distribution —
+    * so tagging lines is a broadcast hash join, not a shuffle. One wide
+    * shuffle total (the per-doc reassembly groupBy), which a 100 TB
+    * corpus pays for any per-doc aggregate.
+    *
+    * Output: one row per document — `n_lines`, `n_removed`, and the
+    * cleaned text (surviving lines re-joined in original order). */
+  def removeBoilerplateLines(
+      lines: DataFrame,
+      minDocFreq: Int,
+      idCol: String = "doc_id",
+      lineNoCol: String = "line_no",
+      lineCol: String = "line",
+      sep: String = " "): DataFrame = {
+    val keyed = lines.select(
+      col(idCol).as("id"), col(lineNoCol).as("line_no"),
+      col(lineCol).as("line"), md5(col(lineCol)).as("lh"))
+    val boiler = keyed.groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("lh"), lit(true).as("is_boiler"))
+    keyed.join(broadcast(boiler), Seq("lh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(not(coalesce(col("is_boiler"), lit(false))),
+          struct(col("line_no"), col("line"))))).as("kept"))
+      .select(col("id"), col("n_lines"), col("n_removed"),
+        concat_ws(sep, col("kept.line")).as("cleaned"))
+  }
 }

@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * and emits deterministic features (dims, per-channel means, luminance
   * histogram). AUDIO decode is REAL: [[WavPcmDecoder]] parses
   * RIFF/WAVE 16-bit PCM (chunk walk, fmt, data) to samples and emits
-  * deterministic amplitude features. Video decode remains a STUB
-  * (`StubDecoder`, byte statistics — no video codecs in this
-  * environment); the per-partition decoder lifecycle is shared, so
-  * swapping in an FFI codec for it stays a one-class change.
+  * deterministic amplitude features. VIDEO decode is REAL:
+  * [[GifVideoDecoder]] walks a multi-frame animated-GIF container
+  * through `javax.imageio` (LZW + palette, pure JVM) and emits
+  * per-corpus and per-frame (first/last) features. `StubDecoder`
+  * remains as the byte-statistics fallback for codecs genuinely absent
+  * from the JVM (e.g. H.264); the per-partition decoder lifecycle is
+  * shared, so swapping in an FFI codec stays a one-class change.
   *
   * Scale design: `mapPartitions` is the right boundary for this work —
   * the decoder is initialized once per partition (the expensive part
@@ -50,10 +53,10 @@ object Multimodal {
   }
 
   /** Deterministic fake decode: 8-dim byte-statistics vector.
-    * ??? -> replace with a real video codec (not available in this
-    * environment — images and audio already decode for real via
-    * [[ImageIoDecoder]]/[[WavPcmDecoder]]); the surrounding plumbing
-    * is production-shaped. */
+    * ??? -> swap in an FFI codec for formats the JVM lacks (H.264,
+    * MP3, JPEG-lossy); every JVM-decodable modality already decodes
+    * for real via [[ImageIoDecoder]]/[[WavPcmDecoder]]/
+    * [[GifVideoDecoder]], and the surrounding plumbing is shared. */
   object StubDecoder extends Decoder {
     val FeatureDim = 8
     def decode(modality: String, content: Array[Byte]): Array[Float] = {
@@ -192,6 +195,143 @@ object Multimodal {
       while (b < 4) { out(10 + b) = (hist(b).toDouble / n).toFloat; b += 1 }
       out
     }
+  }
+
+  /** REAL video decode: multi-frame animated-GIF parsing through
+    * `javax.imageio` (the GIF codec ships with the JVM — LZW decode,
+    * frame sequence walk, palette lookup; no native libs). GIF is the
+    * honest video baseline the way PNG/BMP are for images and WAV is
+    * for audio: a true container with N full frames, losslessly
+    * round-trippable because frames are palette-indexed (≤256 colors).
+    * Features (16 floats): frame count, width, height, total pixels,
+    * mean R/G/B over all frames, mean integer luminance (BT.601
+    * fixed-point), first- and last-frame mean luminance (a real
+    * temporal signal — scene change detection reads exactly this), and
+    * a 6-bin luminance-histogram fraction vector. All statistics
+    * accumulate in long arithmetic and widen once at the end —
+    * bit-deterministic across JVMs and cluster sizes. */
+  object GifVideoDecoder extends Decoder {
+    val FeatureDim = 16
+    def decode(modality: String, content: Array[Byte]): Array[Float] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"undecodable $modality payload (${content.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        require(nFrames > 0, "container holds no frames")
+        var w = 0; var h = 0
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var firstL = 0L; var lastL = 0L
+        val hist = new Array[Long](6)
+        var f = 0
+        while (f < nFrames) {
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          require(img.getWidth == w && img.getHeight == h,
+            "variable-size frames not supported")
+          var fl = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              val luma = (r * 299 + g * 587 + b * 114) / 1000
+              sl += luma; fl += luma
+              hist(math.min(5, luma / 43)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (f == 0) firstL = fl
+          if (f == nFrames - 1) lastL = fl
+          f += 1
+        }
+        val nPix = nFrames.toLong * w * h
+        val nFrame = w.toLong * h
+        val out = new Array[Float](FeatureDim)
+        out(0) = nFrames.toFloat; out(1) = w.toFloat; out(2) = h.toFloat
+        out(3) = nPix.toFloat
+        out(4) = (sr.toDouble / nPix).toFloat
+        out(5) = (sg.toDouble / nPix).toFloat
+        out(6) = (sb.toDouble / nPix).toFloat
+        out(7) = (sl.toDouble / nPix).toFloat
+        out(8) = (firstL.toDouble / nFrame).toFloat
+        out(9) = (lastL.toDouble / nFrame).toFloat
+        var i = 0
+        while (i < 6) { out(10 + i) = (hist(i).toDouble / nPix).toFloat; i += 1 }
+        out
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** The fixed 256-entry palette shared by every synthetic GIF frame:
+    * channel values are pure functions of the palette index, so a SQL
+    * oracle maps pixel index → RGB with arithmetic alone. */
+  private def gifPalette(): java.awt.image.IndexColorModel = {
+    val rs = new Array[Byte](256); val gs = new Array[Byte](256); val bs = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      rs(i) = ((i * 37 + 11) % 256).toByte
+      gs(i) = ((i * 59 + 3) % 256).toByte
+      bs(i) = ((i * 83 + 7) % 256).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+  }
+
+  /** Deterministic synthetic animated-GIF corpus: one multi-frame GIF
+    * per input id — frame count, dimensions, and every pixel's palette
+    * index are pure functions of (id, frame, x, y), and the palette
+    * maps index → RGB by formula — so a SQL oracle re-derives the
+    * DECODED features from arithmetic alone. Frames are full-size and
+    * palette-indexed (TYPE_BYTE_INDEXED over [[gifPalette]]), which is
+    * what makes the GIF round trip lossless: the writer stores raster
+    * indices + the palette verbatim; LZW is lossless. Encoding runs
+    * partition-local through the same mapPartitions seam as decode. */
+  def packSyntheticGifs(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val palette = gifPalette()
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nFrames = (2 + id % 4).toInt
+          val w = (8 + id % 6).toInt; val h = (8 + id % 5).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0,
+                    ((id * 13 + f * 101 + x * 7 + y * 29) % 256).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          Row(id, "video", baos.toByteArray, null)
+        }
+      }(enc)
   }
 
   /** Deterministic synthetic WAV corpus: one 16-bit mono PCM file per

@@ -284,4 +284,41 @@ object TextAnalysis {
         (round(col("nll_fp_sum").cast("double") / 10000.0 / col("n_tokens").cast("double"), 4)
           + lit(0.0)).as("avg_nll"))
   }
+
+  /** PII detection/redaction patterns. Kept to the conservative regex
+    * subset Java (`java.util.regex`, Spark codegen) and RE2 (DuckDB,
+    * many scan-side pushdown engines) interpret identically — character
+    * classes, bounded repetition, alternation-free — so the same
+    * pattern string drives both the engine and the oracle, and a
+    * future scan-level pushdown can reuse it verbatim. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Number of matches of `pattern` in `text` — codegen'd
+    * `regexp_extract_all` + `size`, no UDF. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact PII in placement order: emails first (their local/domain
+    * parts can embed digit runs that the narrower patterns would
+    * otherwise half-match), then IPv4, then phone fragments. A single
+    * projection — three chained codegen `regexp_replace`s — so the scan
+    * stays one pass and whole-stage codegen keeps the row on-CPU. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-document PII census + redacted text: counts per category (on
+    * the ORIGINAL text) and the cleaned column. Pure narrow
+    * projection — no shuffle; at 100 TB this is scan-bound, exactly as
+    * a redaction pass should be. */
+  def withPiiRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", piiCount(col(textCol), EmailPattern))
+      .withColumn("n_ips", piiCount(col(textCol), Ipv4Pattern))
+      .withColumn("n_phones", piiCount(col(textCol), PhonePattern))
+      .withColumn("redacted", redactPii(col(textCol)))
 }

@@ -522,6 +522,70 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL video decode end-to-end (q79): a deterministic synthetic
+    * multi-frame animated GIF per doc_id < 150 (frame count, dims, and
+    * every pixel's palette index pure functions of (id, frame, x, y);
+    * the palette maps index → RGB by formula), encoded and then DECODED
+    * through the javax.imageio GIF container walk — the oracle
+    * re-derives the decoded features (frame count, dims, channel means,
+    * first/last-frame luminance, histogram) from arithmetic alone, so a
+    * hash match proves the real encode → LZW decode → frame walk path
+    * (palette-indexed GIF is lossless). */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.packSyntheticGifs(
+      docs(spark, dir).filter(col("doc_id") < 150).select(col("doc_id")), "doc_id")
+    Multimodal.extractFeatures(media, Multimodal.GifVideoDecoder)
+      .select(Seq(col("media_id").as("doc_id")) ++
+        (0 until Multimodal.GifVideoDecoder.FeatureDim).map(i =>
+          element_at(col("feature"), i + 1).cast("double").as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic PII suffix appended to each document so the
+    * redaction query has known-position entities to find: always an
+    * email, an IPv4 for doc_id % 3 != 1, a phone fragment for even
+    * doc_id. Mirrored verbatim in the oracle SQL. */
+  private def withPiiText(d: DataFrame): DataFrame =
+    d.withColumn("text", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 =!= 1,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+
+  /** PII census + redaction (q80): per-document entity counts on the
+    * original text and an md5 of the redacted text. A single narrow
+    * projection — three chained codegen regexp_replace + three
+    * regexp_extract_all counts; no shuffle, scan-bound at any scale. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withPiiRedaction(withPiiText(docs(spark, dir)))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate-line removal (q81): the duplicated corpus segmented
+    * into deterministic 8-token "lines" (the fixture text has no
+    * newlines; real corpora plug a newline split into the same
+    * operator), lines in ≥ 3 distinct docs dropped from every doc.
+    * One frequency agg on md5(line) + a broadcast tag join + one
+    * per-doc reassembly — two narrow-keyed shuffles total. */
+  def lineBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val lineArr = transform(
+      sequence(lit(0), (ceil(size(toks) / lit(8.0))).cast("int") - 1),
+      i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+    val lines = spread(corpus(spark, dir))
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
+    Dedup.removeBoilerplateLines(lines, minDocFreq = 3, idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition metrics per document (q64). The flag is
     * computed from the ROUNDED fractions so the oracle engine flags
     * identically; int-cast because the gate's normalizer hashes ints
@@ -914,6 +978,91 @@ object DocQueries {
          |       $histSel
          |FROM agg JOIN zagg USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q79_video_decode" -> {
+      // mirrors Multimodal.packSyntheticGifs (frame/pixel/palette
+      // formulas) + GifVideoDecoder feature arithmetic exactly
+      def f(expr: String) = s"CAST(CAST($expr AS FLOAT) AS DOUBLE)"
+      def mean(s: String) = f(s"CAST($s AS DOUBLE) / n")
+      val histCols = (0 until 6).map(i =>
+        s"sum(CASE WHEN least(luma // 43, 5) = $i THEN 1 ELSE 0 END) AS hh$i")
+        .mkString(",\n         ")
+      val histSel = (0 until 6).map(i => s"${mean(s"hh$i")} AS f${10 + i}")
+        .mkString(",\n       ")
+      s"""WITH ids AS (SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS nf,
+         |                    CAST(8 + doc_id % 6 AS BIGINT) AS w,
+         |                    CAST(8 + doc_id % 5 AS BIGINT) AS h
+         |             FROM documents WHERE doc_id < 150),
+         |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fidx FROM ids),
+         |px AS (SELECT doc_id, nf, w, h, fidx, unnest(range(0, w * h)) AS p FROM fr),
+         |pi AS (SELECT doc_id, nf, w, h, fidx,
+         |         (doc_id * 13 + fidx * 101 + (p % w) * 7 + (p // w) * 29) % 256 AS i
+         |       FROM px),
+         |v AS (SELECT doc_id, nf, w, h, fidx,
+         |        (i * 37 + 11) % 256 AS r, (i * 59 + 3) % 256 AS g,
+         |        (i * 83 + 7) % 256 AS b
+         |      FROM pi),
+         |l AS (SELECT *, (r * 299 + g * 587 + b * 114) // 1000 AS luma FROM v),
+         |agg AS (SELECT doc_id, any_value(nf) AS nf, any_value(w) AS w,
+         |         any_value(h) AS h, count(*) AS n,
+         |         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, sum(luma) AS sl,
+         |         sum(CASE WHEN fidx = 0 THEN luma ELSE 0 END) AS sl0,
+         |         sum(CASE WHEN fidx = nf - 1 THEN luma ELSE 0 END) AS sln,
+         |         $histCols
+         |        FROM l GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ${f("nf")} AS f0, ${f("w")} AS f1, ${f("h")} AS f2, ${f("n")} AS f3,
+         |       ${mean("sr")} AS f4, ${mean("sg")} AS f5, ${mean("sb")} AS f6,
+         |       ${mean("sl")} AS f7,
+         |       ${f("CAST(sl0 AS DOUBLE) / (w * h)")} AS f8,
+         |       ${f("CAST(sln AS DOUBLE) / (w * h)")} AS f9,
+         |       $histSel
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q80_pii_redact" -> {
+      // same injected suffix, same pattern strings (Java/RE2-common
+      // subset), same replace order as TextAnalysis.redactPii
+      val e = graft.operators.TextAnalysis.EmailPattern
+      val ip = graft.operators.TextAnalysis.Ipv4Pattern
+      val ph = graft.operators.TextAnalysis.PhonePattern
+      s"""WITH p AS (SELECT doc_id,
+         |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |        || CASE WHEN doc_id % 3 != 1
+         |             THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |             ELSE '' END
+         |        || CASE WHEN doc_id % 2 = 0
+         |             THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |             ELSE '' END AS text
+         |      FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$e', '<EMAIL>', 'g'),
+         |         '$ip', '<IP>', 'g'),
+         |         '$ph', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q81_line_boilerplate" ->
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |ln AS (SELECT doc_id,
+         |         unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+         |           i -> struct_pack(line_no := i,
+         |             line := array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')))) AS s
+         |       FROM toks),
+         |l2 AS (SELECT doc_id, s.line_no AS line_no, s.line AS line FROM ln),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM l2 GROUP BY line),
+         |tg AS (SELECT l2.doc_id, l2.line_no, l2.line, freq.df >= 3 AS is_boiler
+         |       FROM l2 JOIN freq USING (line)),
+         |agg AS (SELECT doc_id, count(*) AS n_lines,
+         |         CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |         coalesce(array_to_string(list(line ORDER BY line_no)
+         |           FILTER (WHERE NOT is_boiler), ' '), '') AS cleaned
+         |        FROM tg GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q74_span_removal" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h,
@@ -1019,6 +1168,9 @@ object DocQueries {
     "q76_image_decode" -> (imageDecode _),
     "q77_audio_decode" -> (audioDecode _),
     "q78_bpe_tokens" -> (bpeTokens _),
+    "q79_video_decode" -> (videoDecode _),
+    "q80_pii_redact" -> (piiRedact _),
+    "q81_line_boilerplate" -> (lineBoilerplate _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -168,4 +168,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 61 && cc.values.forall(_ == 0L))
   }
+
+  test("removeBoilerplateLines drops lines in >= minDocFreq distinct docs from EVERY doc, order preserved") {
+    val ss = spark
+    import ss.implicits._
+    // "cookie banner" appears in docs 1,2,3 (freq 3 -> boilerplate at K=3,
+    // including a repeat inside doc 1 that must not inflate doc-freq);
+    // "shared once" appears in docs 1,2 only (freq 2 -> kept)
+    val lines = Seq(
+      (1L, 0, "cookie banner"), (1L, 1, "doc one body"), (1L, 2, "cookie banner"),
+      (1L, 3, "shared once"),
+      (2L, 0, "shared once"), (2L, 1, "cookie banner"), (2L, 2, "doc two body"),
+      (3L, 0, "doc three body"), (3L, 1, "cookie banner"),
+      (4L, 0, "doc four body")
+    ).toDF("doc_id", "line_no", "line")
+    val out = Dedup.removeBoilerplateLines(lines, minDocFreq = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 2L, "doc one body\nshared once")))
+    assert(out(2L) == ((3L, 1L, "shared once\ndoc two body")))
+    assert(out(3L) == ((2L, 1L, "doc three body")))
+    assert(out(4L) == ((1L, 0L, "doc four body")))
+  }
+
+  test("removeBoilerplateLines: a fully-boilerplate doc survives as an empty row, not a dropped one") {
+    val ss = spark
+    import ss.implicits._
+    val lines = Seq(
+      (1L, 0, "x"), (2L, 0, "x"), (3L, 0, "x"))
+      .toDF("doc_id", "line_no", "line")
+    val out = Dedup.removeBoilerplateLines(lines, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L) && out.values.forall(_ == ""))
+  }
 }

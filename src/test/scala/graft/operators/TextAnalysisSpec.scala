@@ -110,4 +110,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_tokens") == 2L)
     assert(out(2L).getAs[Double]("avg_nll") == round4((fpA + fpC) / 10000.0 / 2))
   }
+
+  test("withPiiRedaction counts and redacts emails, IPv4s, and phone fragments") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.org then 192.168.0.1 and 555-0199 end"),
+      (2L, "two mails x@y.io and z@w.co no ip"),
+      (3L, "clean text with just words"),
+      (4L, "version 1.2 is not an ip, 12-345 is not a phone")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedaction(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_ips") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> then <IP> and <PHONE> end")
+    assert(out(2L).getAs[Long]("n_emails") == 2L)
+    assert(out(2L).getAs[Long]("n_ips") == 0L)
+    assert(out(2L).getAs[String]("redacted") == "two mails <EMAIL> and <EMAIL> no ip")
+    assert(out(3L).getAs[String]("redacted") == "clean text with just words")
+    // near-miss literals must NOT be redacted
+    assert(out(4L).getAs[String]("redacted") == out(4L).getAs[String]("text"))
+  }
 }
