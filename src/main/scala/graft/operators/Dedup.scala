@@ -472,4 +472,76 @@ object Dedup {
       .select(col("id"), col("n_lines"), col("n_removed"),
         concat_ws(sep, col("kept.line")).as("cleaned"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * embeddings, then prune within-cluster cosine near-duplicates,
+    * keeping the smallest id of each near-dup pair. The reference's
+    * index answers "what is near x" (src/LMDiskANN.jl:455-481); this is
+    * the corpus-curation complement — "drop everything that is near
+    * something we already kept".
+    *
+    * Clustering is deterministic seed-medoid assignment, not Lloyd's:
+    * the `k` seeds are the rows with the smallest (id-hash bucket, id)
+    * — i.e. a uniform pseudo-random draw reproducible in any SQL
+    * engine — and every vector joins the seed of maximum cosine
+    * similarity (ties → smallest seed id). That keeps the operator a
+    * pure function of the data, so the oracle can replay it exactly;
+    * swapping in Lloyd-refined centroids ([[graft.operators.Similarity.ivfFit]])
+    * changes only the seeds frame.
+    *
+    * Scale shape: seed selection is a global top-k (TakeOrdered, k
+    * rows); assignment is a broadcast nested-loop against the k seeds
+    * followed by a map-side-collapsing max_by groupBy (the k candidate
+    * rows per id never leave their partition, so the shuffle carries
+    * one row per vector); the pair scan equi-joins on cluster id — the
+    * SemDeDup point: O(Σ|cluster|²) instead of O(n²). At corpus scale
+    * `k` must grow with n (k ≈ n / targetClusterSize) so per-cluster
+    * pair blocks stay bounded; the cluster id is then a well-spread
+    * shuffle key. The threshold compares ROUND(sim, 6) so the
+    * keep/drop decision never hinges on a final-ulp divergence.
+    *
+    * Output: one row per vector — (id, cluster, n_dup_smaller, keep)
+    * where keep=false iff some same-cluster vector with a smaller id
+    * has rounded cosine similarity ≥ `simThreshold`. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      k: Int,
+      simThreshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("vec"), col("vec"))))
+    val seeds = e
+      .withColumn("b", Sampling.bucket(col("id")))
+      .orderBy(col("b"), col("id")).limit(k)
+      .select(col("id").as("seed_id"), col("vec").as("svec"), col("nrm").as("snrm"))
+    // every per-id group holds identical (vec, nrm) k times, so first()
+    // is deterministic here and saves the re-join against e
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("id"), col("vec"), col("nrm"), col("seed_id"),
+        VectorFunctions.cosineSimFromNorms(
+          VectorFunctions.dot(col("vec"), col("svec")), col("nrm"), col("snrm")).as("sim"))
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("seed_id"), struct(col("sim"), -col("seed_id"))).as("cluster"),
+        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val dupCounts = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosineSimFromNorms(
+        VectorFunctions.dot(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")), 6) >= simThreshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_dup_smaller"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
+        (coalesce(col("n_dup_smaller"), lit(0L)) === 0L).as("keep"))
+  }
 }

@@ -141,4 +141,81 @@ object Sampling {
       .select(col(idCol), col("n_tokens"), col("tok_offset"), col("bin_id"),
         pmod(col("tok_offset"), lit(budget)).as("bin_offset"))
   }
+
+  /** Temperature-scaled mixture weights (the GPT-3/Pile/mC4 recipe):
+    * stratum `s` gets sampling weight ∝ count(s)^α — α < 1 flattens the
+    * natural distribution toward uniform so head domains stop drowning
+    * the tail — and a per-stratum keep `rate` that realizes those
+    * weights inside a corpus budget of `budgetFrac` × total rows
+    * (capped at 1: a stratum cannot contribute more than it has; the
+    * cap is why realized mixtures deviate from the ideal weights for
+    * tiny strata). Feed the rates into [[mixtureSample]] to execute
+    * the plan.
+    *
+    * Determinism across engines: count^α is computed once per STRATUM
+    * (k values), immediately fixed-pointed (×10⁶, round, BIGINT), and
+    * all cross-stratum arithmetic (the normalizer Σ) runs on exact
+    * integers — so no float sum-order dependence anywhere. α = 0.5
+    * additionally uses `sqrt`, which IEEE 754 rounds correctly in
+    * every engine (`pow` only promises ~1 ulp).
+    *
+    * Scale shape: one partial-agg count shuffle to k stratum rows,
+    * then a broadcast of the 1-row normalizer — the per-row corpus
+    * never moves. */
+  def temperatureWeights(
+      docs: DataFrame,
+      alpha: Double,
+      budgetFrac: Double,
+      stratumCol: String = "source"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0, s"budgetFrac must be in (0,1], got $budgetFrac")
+    val powed =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    val c = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("zi", round(powed * 1000000.0).cast("long"))
+    val tot = c.agg(sum(col("zi")).as("z"), sum(col("n_docs")).as("total"))
+    c.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("zi").cast("double") / col("z").cast("double"), 6).as("weight"),
+        round(least(lit(1.0),
+          (col("zi").cast("double") / col("z").cast("double")) *
+            (col("total") * lit(budgetFrac)) / col("n_docs").cast("double")), 6).as("rate"))
+  }
+
+  /** Curriculum ordering: the global 1-based rank of every document
+    * under (`scoreCol` DESC, id ASC) — the deterministic total order a
+    * curriculum data loader feeds easy-to-hard (or clean-to-noisy)
+    * batches from.
+    *
+    * Scale shape — [[packSequences]]'s distributed prefix rank, NOT a
+    * single-partition window: `ROW_NUMBER() OVER (ORDER BY ...)` with
+    * no PARTITION BY pulls the corpus through one task. Instead:
+    * range-partition on the sort key (partition order = global order),
+    * rank locally per partition, stitch with per-partition counts —
+    * numPartitions longs through the driver, bounded by parallelism.
+    * The (id, score, pid) frame is checkpointed before the counts
+    * collect for the same reason as packSequences: the offsets map is
+    * keyed by the sampled range bounds, so the counts job and the
+    * output job must read one materialization. */
+  def curriculumRank(
+      docs: DataFrame,
+      scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), scoreCol.as("score"))
+      .repartitionByRange(col("score").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = scored.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank",
+        coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)) +
+          row_number().over(w).cast("long"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
 }

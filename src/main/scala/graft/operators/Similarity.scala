@@ -212,4 +212,43 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Per-label embedding centroids (class prototypes): the element-wise
+    * mean vector of every label group — the building block of
+    * prototype classifiers, per-domain embedding drift monitors, and
+    * cluster-quality probes over a labeled corpus.
+    *
+    * Scale shape: one groupBy(label) whose aggregate list is `dim`
+    * per-component sums — ALL of them partial-aggregate map-side, so
+    * the shuffle carries k × (dim+1) longs per input partition instead
+    * of n × dim floats (the explode-then-group formulation every SQL
+    * engine reaches for first shuffles the full corpus × dim). The
+    * k × dim result is then unpivoted driver-free with one posexplode
+    * over an already-tiny frame.
+    *
+    * Determinism: each component is fixed-pointed per ROW (×10⁶,
+    * round, BIGINT) before summing, so group sums are exact integers —
+    * independent of partitioning, engine, and add order. Overflow
+    * bound: |group| × max|x| × 10⁶ < 2⁶³ ⇒ fine to ~9×10¹² rows per
+    * label at |x| ≤ 1000.
+    *
+    * `dim` is read from one row (a driver action bounded by a single
+    * vector) — embedding dims are schema-stable in practice. */
+  def labelCentroids(
+      embeddings: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val sums = (1 to dim).map(i =>
+      sum(round(element_at(col(vecCol), i).cast("double") * 1000000.0).cast("long"))
+        .as(s"s$i"))
+    val aggs = count(lit(1)).as("n_vecs") +: sums
+    embeddings.groupBy(col(labelCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(labelCol), col("n_vecs"),
+        posexplode(array((1 to dim).map(i => col(s"s$i")): _*)).as(Seq("p", "fpsum")))
+      .select(col(labelCol), col("n_vecs"), (col("p") + 1).as("pos"),
+        round(col("fpsum").cast("double") / (col("n_vecs").cast("double") * 1000000.0), 4)
+          .as("centroid"))
+  }
 }

@@ -321,4 +321,43 @@ object TextAnalysis {
       .withColumn("n_ips", piiCount(col(textCol), Ipv4Pattern))
       .withColumn("n_phones", piiCount(col(textCol), PhonePattern))
       .withColumn("redacted", redactPii(col(textCol)))
+
+  // ---------------------------------------------------------------------
+  // Hashed linear quality classifier (fastText-shaped scoring)
+
+  /** Feature-hash dimensionality of the linear scorer. */
+  val HashedDim = 64
+
+  /** Integer weight of hashed feature index `i` ∈ [0, HashedDim): a
+    * deterministic multiplicative formula into [-1000, 1000] standing
+    * in for trained weights (the container ships no model files; a
+    * production deployment replaces this one expression with a
+    * broadcast lookup of its trained vector — the surrounding plan is
+    * identical). Integral weights make the per-doc score an exact
+    * BIGINT sum — order-independent across partitionings and engines,
+    * the same fixed-point trick as [[unigramNllScores]]. */
+  def hashedWeight(idx: Column): Column =
+    pmod((idx + 1L) * 48271L, lit(2001L)) - 1000L
+
+  /** fastText-shaped hashed linear document scorer: each token hashes
+    * to one of [[HashedDim]] feature buckets ([[termHash]] mod D — the
+    * classic hashing trick, no vocabulary pass), the document score is
+    * the mean bucket weight over its tokens, and `keep` is the
+    * sign-of-score decision a quality-filter pipeline gates on.
+    *
+    * Scale shape: the whole scorer is one pure column expression
+    * (transform + aggregate over the token array) — no explode, no
+    * join, no shuffle; at 100 TB it pipelines inside the Parquet scan
+    * with the rest of the per-row filters. `score_fp` is the exact
+    * integer sum (fixed-point, 1000 = 1.0); `score` its rounded
+    * per-token mean. */
+  def withHashedLinearScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val weights = transform(toks, t => hashedWeight(pmod(termHash(t), lit(HashedDim.toLong))))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("score_fp", coalesce(aggregate(weights, lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("score",
+        round(col("score_fp").cast("double") / (col("n_tokens").cast("double") * 1000.0), 4))
+      .withColumn("keep", col("score_fp") > 0L)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Driver-checked queries for the training-data pipeline operators
@@ -647,6 +647,64 @@ object DocQueries {
     Sampling.packSequences(docs(spark, dir), budget = 512L)
       .orderBy(col("doc_id"))
 
+  /** Dup-planted embeddings corpus for q82: exact copies of vec_id < 25
+    * under shifted ids. Semantic dedup must drop each copy (cosine 1.0
+    * to its original, same cluster by construction) and keep the
+    * natural corpus (max natural pair similarity ≈ 0.51 at sf0.01,
+    * far under the 0.9 threshold). */
+  private def embCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** SemDeDup-style semantic dedup (q82): deterministic seed-medoid
+    * clustering (k=8) + within-cluster cosine pruning at 0.9. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(embCorpus(spark, dir), k = 8, simThreshold = 0.9)
+      .withColumn("keep", col("keep").cast("int"))
+      .orderBy(col("vec_id"))
+
+  /** Hashed linear quality scorer (q83): fastText-shaped feature-hash
+    * scoring as one pure column expression — no explode, no shuffle.
+    * The gate checks the exact integer `score_fp` (the rounded
+    * per-token mean can land on a .5 tie that HALF_UP and libm-style
+    * rounding resolve differently across engines — one such row exists
+    * at sf0.01). */
+  def hashedQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withHashedLinearScore(spread(docs(spark, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("score_fp"),
+        col("keep").cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Temperature-scaled language mixture weights (q84): α = 0.5 over
+    * the (skewed) language distribution, corpus budget 50% — English
+    * dominance flattens toward the tail languages. */
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      alpha = 0.5, budgetFrac = 0.5, stratumCol = "lang")
+      .select(col("lang"), col("n_docs"),
+        (col("weight") + lit(0.0)).as("weight"), (col("rate") + lit(0.0)).as("rate"))
+      .orderBy(col("lang"))
+
+  /** Curriculum ordering (q85): global rank by (quality_score DESC,
+    * doc_id) via the distributed prefix rank — no single-partition
+    * window. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumRank(
+      TextAnalysis.withTextStats(spread(docs(spark, dir))), col("quality_score"))
+      .select(col("doc_id"), (col("score") + lit(0.0)).as("quality_score"),
+        col("rank").as("curriculum_rank"))
+      .orderBy(col("curriculum_rank"))
+
+  /** Per-label embedding centroids (q86): class prototypes via map-side
+    * fixed-point component sums. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(t(spark, dir, "embeddings"))
+      .withColumn("centroid", col("centroid") + lit(0.0))
+      .orderBy(col("label"), col("pos"))
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -1137,7 +1195,79 @@ object DocQueries {
         |                          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM s GROUP BY split ORDER BY split""".stripMargin
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q82_semantic_dedup" ->
+      """WITH ec AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+        |e AS (SELECT vec_id, embedding,
+        |  SQRT(list_sum(list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |  ((vec_id % 1000000007) * 654435747) % 1000000007 % 10000 AS b
+        |  FROM ec),
+        |seeds AS (SELECT vec_id AS seed_id, embedding AS svec, nrm AS snrm
+        |          FROM e ORDER BY b, vec_id LIMIT 8),
+        |sims AS (SELECT e.vec_id, s.seed_id,
+        |  COALESCE(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.svec[i] AS DOUBLE))) / (e.nrm * s.snrm), 0.0) AS sim
+        |  FROM e CROSS JOIN seeds s),
+        |assign AS (SELECT vec_id, seed_id AS cluster FROM (
+        |  SELECT vec_id, seed_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+        |  FROM sims) WHERE rn = 1),
+        |cl AS (SELECT e.vec_id, a.cluster, e.embedding, e.nrm FROM e JOIN assign a USING (vec_id)),
+        |pairs AS (SELECT b.vec_id AS id_b, CAST(count(*) AS BIGINT) AS n_dup_smaller
+        |  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE ROUND(COALESCE(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 0.0), 6) >= 0.9
+        |  GROUP BY b.vec_id)
+        |SELECT c.vec_id, c.cluster, CAST(COALESCE(p.n_dup_smaller, 0) AS BIGINT) AS n_dup_smaller,
+        |  CAST(COALESCE(p.n_dup_smaller, 0) = 0 AS INT) AS keep
+        |FROM cl c LEFT JOIN pairs p ON c.vec_id = p.id_b ORDER BY c.vec_id""".stripMargin,
+    "q83_hashed_quality" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |w AS (SELECT doc_id, ((${termHashSql("token")} % 64 + 1) * 48271) % 2001 - 1000 AS wt FROM tok),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_fp
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, score_fp,
+         |  CAST(score_fp > 0 AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q84_lang_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |z AS (SELECT lang, n_docs,
+        |      CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS zi FROM c),
+        |t AS (SELECT CAST(SUM(zi) AS BIGINT) AS z, CAST(SUM(n_docs) AS BIGINT) AS total FROM z)
+        |SELECT lang, n_docs,
+        |  ROUND(CAST(zi AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0 AS weight,
+        |  ROUND(LEAST(1.0, (CAST(zi AS DOUBLE) / CAST(z AS DOUBLE)) * (total * 0.5) / CAST(n_docs AS DOUBLE)), 6) + 0.0 AS rate
+        |FROM z CROSS JOIN t ORDER BY lang""".stripMargin,
+    "q85_curriculum" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |stats AS (SELECT doc_id,
+         |    len(t) AS n_tokens,
+         |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |    ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+         |    ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio
+         |  FROM base),
+         |sc AS (SELECT doc_id,
+         |  ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |FROM stats)
+         |SELECT doc_id, quality_score + 0.0 AS quality_score,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS curriculum_rank
+         |FROM sc ORDER BY curriculum_rank""".stripMargin,
+    "q86_label_centroids" ->
+      """WITH p AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS pos),
+        |x AS (SELECT label, pos,
+        |      CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS fp
+        |      FROM embeddings CROSS JOIN p),
+        |s AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |      CAST(SUM(fp) AS BIGINT) AS fpsum FROM x GROUP BY label, pos)
+        |SELECT label, n_vecs, CAST(pos AS INT) AS pos,
+        |  ROUND(CAST(fpsum AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 4) + 0.0 AS centroid
+        |FROM s ORDER BY label, pos""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1174,6 +1304,11 @@ object DocQueries {
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),
-    "q73_pack" -> (seqPack _)
+    "q73_pack" -> (seqPack _),
+    "q82_semantic_dedup" -> (semanticDedup _),
+    "q83_hashed_quality" -> (hashedQuality _),
+    "q84_lang_temperature" -> (sourceTemperature _),
+    "q85_curriculum" -> (curriculumOrder _),
+    "q86_label_centroids" -> (labelCentroids _)
   )
 }

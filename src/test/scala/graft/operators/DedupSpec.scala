@@ -200,4 +200,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out.keySet == Set(1L, 2L, 3L) && out.values.forall(_ == ""))
   }
+
+  test("semanticDedup drops exact copies, keeps mutually-orthogonal originals") {
+    val ss = spark
+    import ss.implicits._
+    // 40 pairwise-orthogonal unit vectors (basis vectors of R^40) plus
+    // exact copies of ids 0..4 under shifted ids: every copy has cosine
+    // 1.0 to its original (and lands in the same cluster — identical
+    // vectors get identical seed similarities), every other pair 0.0
+    val dim = 40
+    val base = (0 until dim).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)))
+    val rows = base ++ (0 until 5).map(i => (1000L + i, base(i)._2))
+    val out = Dedup.semanticDedup(rows.toDF("vec_id", "embedding"),
+        k = 4, simThreshold = 0.95)
+      .select("vec_id", "cluster", "n_dup_smaller", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 45)
+    (0 until 5).foreach { i =>
+      assert(out(i.toLong)._4, s"original $i must survive")
+      assert(!out(1000L + i)._4 && out(1000L + i)._3 == 1L,
+        s"copy of $i must be dropped with exactly one smaller-id dup")
+      assert(out(1000L + i)._2 == out(i.toLong)._2,
+        s"copy of $i must share its original's cluster")
+    }
+    assert(out.values.count(!_._4) == 5)
+  }
 }

@@ -88,4 +88,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == "small").map(_._2).sorted.toSeq == Seq(1000L, 1001L))
     out.foreach { case (_, id, b) => assert(b == bucketOf(id)) }
   }
+
+  test("temperatureWeights flattens the mixture and caps tiny-stratum rates at 1") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 100L).map(i => (i, "en")) ++
+      (100L until 125L).map(i => (i, "de")) :+ (999L, "xx")
+    val out = Sampling.temperatureWeights(rows.toDF("doc_id", "src"),
+        alpha = 0.5, budgetFrac = 0.5, stratumCol = "src")
+      .select("src", "n_docs", "weight", "rate")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // zi = round(sqrt(n)*1e6): en 10e6, de 5e6, xx 1e6; z = 16e6, total = 126
+    assert(out("en")._2 == 100L && out("de")._2 == 25L && out("xx")._2 == 1L)
+    assert(out("en")._3 == math.rint(10.0 / 16.0 * 1e6) / 1e6)
+    assert(out("de")._3 == math.rint(5.0 / 16.0 * 1e6) / 1e6)
+    // α=0.5 flattens: head stratum weight below natural share, tail above
+    assert(out("en")._3 < 100.0 / 126.0 && out("de")._3 > 25.0 / 126.0)
+    // rate realizes the stratum's share of the 63-doc budget, capped at 1
+    assert(out("en")._4 == math.rint(10.0 / 16.0 * 63.0 / 100.0 * 1e6) / 1e6)
+    assert(out("xx")._4 == 1.0) // ideal allocation 3.9 docs > its 1 doc
+  }
+
+  test("curriculumRank equals the global (score DESC, id) row number on any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (1L to 50L).map(i => (i, (i % 5).toDouble / 4.0))
+    val out = Sampling.curriculumRank(
+        rows.toDF("doc_id", "s").repartition(7), col("s"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(out == expected)
+  }
 }

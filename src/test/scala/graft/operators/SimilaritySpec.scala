@@ -73,4 +73,29 @@ class SimilaritySpec extends SparkSpec {
       .join(exact, Seq("query_id", "neighbor_id")).count()
     assert(matched == 25L)
   }
+
+  test("labelCentroids equals the fixed-point per-component mean on any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, 0, Array(1.0f, -2.0f, 0.5f)),
+      (2L, 0, Array(2.0f, 2.0f, -0.5f)),
+      (3L, 0, Array(0.25f, 0.125f, 1.0f)),
+      (4L, 1, Array(-1.5f, 0.0f, 3.0f)))
+    val out = Similarity.labelCentroids(
+        rows.toDF("vec_id", "label", "embedding").repartition(3))
+      .select("label", "n_vecs", "pos", "centroid")
+      .as[(Int, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(out.size == 6)
+    def expect(label: Int, xs: Seq[Seq[Float]]): Unit =
+      (0 until 3).foreach { p =>
+        val fpsum = xs.map(v => math.rint(v(p).toDouble * 1e6).toLong).sum
+        val want = math.rint(fpsum.toDouble / (xs.size * 1e6) * 1e4) / 1e4
+        val (n, c) = out((label, p + 1))
+        assert(n == xs.size && c == want, s"label=$label pos=${p + 1}: got $c want $want")
+      }
+    expect(0, rows.filter(_._2 == 0).map(_._3.toSeq))
+    expect(1, rows.filter(_._2 == 1).map(_._3.toSeq))
+  }
 }

@@ -134,4 +134,34 @@ class TextAnalysisSpec extends SparkSpec {
     // near-miss literals must NOT be redacted
     assert(out(4L).getAs[String]("redacted") == out(4L).getAs[String]("text"))
   }
+
+  test("withHashedLinearScore equals an independent recompute of the hash arithmetic") {
+    val ss = spark
+    import ss.implicits._
+    def refHash(term: String): Long =
+      if (term.isEmpty) 0L
+      else term.map(_.toLong).reduceLeft((h, c) => (h * 31 + c) % 1000000007L)
+    def refScore(text: String): (Long, Long) = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val fp = toks.map { t =>
+        val idx = refHash(t) % TextAnalysis.HashedDim
+        ((idx + 1) * 48271L) % 2001L - 1000L
+      }.sum
+      (toks.size.toLong, fp)
+    }
+    val texts = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "to be or not to be that is the question"),
+      (3L, "zzz"),
+      (4L, ""))
+    val out = TextAnalysis.withHashedLinearScore(texts.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "score_fp", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    texts.foreach { case (id, text) =>
+      val (n, fp) = refScore(text)
+      assert(out(id)._2 == n && out(id)._3 == fp,
+        s"doc $id: got ${out(id)}, want (n=$n, fp=$fp)")
+      assert(out(id)._4 == (fp > 0))
+    }
+  }
 }
