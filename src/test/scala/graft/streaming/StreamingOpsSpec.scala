@@ -157,6 +157,32 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("quality gate runs unchanged on a stream: hashed score + PII redaction are stateless") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    import graft.operators.TextAnalysis
+    val mem = MemoryStream[(Long, String)]
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.withPiiRedaction(TextAnalysis.withHashedLinearScore(df))
+        .select(col("doc_id"), col("score_fp"), col("keep"), col("n_emails"), col("redacted"))
+    val q = gate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_out").outputMode("append").start()
+    val rows = Seq(
+      (1L, "the the the the the quick brown fox"),
+      (2L, "mail me at a@b.com for details"),
+      (3L, "zzz qqq vvv"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("quality_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4))).toMap
+    val batch = gate(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4))).toMap
+    assert(streamed == batch && streamed.size == 3)
+    assert(streamed(2L)._3 == 1L && streamed(2L)._4.contains("<EMAIL>"))
+    q.stop()
+  }
+
   test("indexIngest: streamed vectors land in new index snapshots") {
     val ss = spark
     implicit val sql = ss.sqlContext
