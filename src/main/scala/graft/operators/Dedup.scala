@@ -160,6 +160,106 @@ object Dedup {
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 4))
   }
 
+  /** Winnowing minimizer selection + duplication stats (Schleimer,
+    * Wilkerson & Aiken 2003 — the MOSS fingerprinting scheme). Instead
+    * of keeping EVERY stride-1 k-token chunk hash ([[chunkDupStats]]),
+    * each sliding window of `w` consecutive chunk hashes contributes
+    * only its minimum — guaranteeing (the winnowing theorem) that any
+    * shared run of at least k + w - 1 tokens still shares at least one
+    * selected fingerprint, while the stored/shuffled fingerprint count
+    * drops to ~2/(w+1) of the chunk count. That density knob is the
+    * 100 TB lever: the shared-fingerprint aggregate and the probe join
+    * shuffle w-fold fewer 64-bit ids for the same containment signal
+    * on runs >= the guarantee length.
+    *
+    * Same scale shape as [[chunkDupStats]]: ~60-bit minimizer ids
+    * (never strings) cross the shuffles; shared table = partial-agg
+    * groupBy + one equi-join back; the chunk pass is recomputed on the
+    * probe side rather than materializing an input-sized shuffle.
+    * Plain `array_min` over BIGINT windows is engine-deterministic
+    * (no float keys, ties resolve to the equal value itself). Docs
+    * shorter than k + w - 1 tokens contribute no windows and are
+    * absent from the output — consistent with the guarantee bound. */
+  def winnowDupStats(
+      docs: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
+    val cids = col("__graft_cids")
+    val minimizers = array_distinct(transform(sequence(lit(0), size(cids) - w), j =>
+      array_min(slice(cids, j + lit(1), lit(w)))))
+    val mins = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
+      .filter(size(h) >= k + w - 1)
+      .withColumn("__graft_cids", chunkIdArr(h, col("__graft_tids2"), k))
+      .select(col("doc_id"),
+        size(array_distinct(cids)).cast("long").as("n_chunks"),
+        explode(minimizers).as("mid"))
+    val shared = mins.groupBy(col("mid"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("mid"), lit(1L).as("dup"))
+    mins.join(shared, Seq("mid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_minimizers"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_minimizers"))
+      .filter(col("n_dup_minimizers") > 0)
+      .withColumn("dup_frac",
+        round(col("n_dup_minimizers").cast("double") / col("n_minimizers").cast("double"), 4))
+  }
+
+  /** Cross-source shingle-overlap matrix: for every pair of corpus
+    * sources, the number of distinct k-shingles (by 64-bit term hash)
+    * present in BOTH, plus the Jaccard overlap of their shingle sets —
+    * the standard corpus-forensics view for spotting mirror sites,
+    * syndicated boilerplate, and cross-source contamination before
+    * mixing weights are chosen.
+    *
+    * Scale shape: one distinct partial-agg on (source, sid); per-sid
+    * source sets via `collect_set` (bounded by the number of distinct
+    * sources — this operator is meant for coarse source labels, tens
+    * to thousands; for domain-granularity run a quota first); pair
+    * expansion happens AFTER the aggregate, on sets, never as a
+    * row-level self-join — a boilerplate shingle in every source costs
+    * one set, not |rows|² join output. Totals are a broadcast-sized
+    * frame joined twice for the Jaccard denominators. */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      k: Int = 3,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sids = docs
+      .select(col(srcCol).as("source"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.shingles(col("__graft_toks"), k))).as("shingle"))
+      .select(col("source"), TextAnalysis.termHash(col("shingle")).as("sid"))
+      .distinct()
+    val sizes = sids.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val srcs = col("srcs")
+    val pairs = sids.groupBy(col("sid"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(srcs) >= 2)
+      .select(explode(flatten(transform(sequence(lit(1), size(srcs) - 1), i =>
+        transform(sequence(i + 1, size(srcs)), j =>
+          struct(element_at(srcs, i).as("src_a"), element_at(srcs, j).as("src_b"))))))
+        .as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Exact-substring span REMOVAL — the cut tier above
     * [[chunkDupStats]]'s detection (Lee et al. 2022: dedup pipelines
     * first detect duplicated substrings, then CUT them and keep one

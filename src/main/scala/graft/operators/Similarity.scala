@@ -251,4 +251,43 @@ object Similarity {
         round(col("fpsum").cast("double") / (col("n_vecs").cast("double") * 1000000.0), 4)
           .as("centroid"))
   }
+
+  /** Symmetric per-dimension int8 scalar quantization of an embedding
+    * column — the storage tier below PQ (4× smaller than float32 with
+    * no codebook to fit; the standard first compression step before
+    * int8 rescoring in large retrieval corpora).
+    *
+    * Fit = one global aggregate producing `dim` per-dimension max-abs
+    * scales (map-side partial max; one row crosses the network), then
+    * quantization is a narrow per-row map: `code_i = floor(x_i * 127 /
+    * s_i + 0.5)` ∈ [-127, 127], dequant `code_i * s_i / 127`. At
+    * 100 TB: zero shuffle beyond the dim-double fit row; codes append
+    * as a column, never rewriting vectors.
+    *
+    * Determinism: max is add-order independent; the quantize/dequant
+    * arithmetic is correctly-rounded IEEE double ops on identical
+    * inputs, and `floor(x + 0.5)` pins the rounding rule (engines
+    * disagree on round-half semantics, not on floor). An all-zero
+    * dimension (s_i = 0) quantizes to 0. `mse` is the per-vector mean
+    * squared reconstruction error accumulated in array order, so the
+    * fold matches DuckDB's `list_reduce` bit-for-bit. */
+  def int8Quantize(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val maxAbs = (1 to dim).map(i =>
+      max(abs(element_at(col(vecCol), i).cast("double"))).as(s"m$i"))
+    val row = embeddings.agg(maxAbs.head, maxAbs.tail: _*).head()
+    val scales = (0 until dim).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    val sArr = array(scales.map(lit): _*)
+    val x = (i: Column) => element_at(col(vecCol), i).cast("double")
+    val s = (i: Column) => element_at(sArr, i)
+    val codes = transform(sequence(lit(1), lit(dim)), i =>
+      when(s(i) === 0.0, lit(0))
+        .otherwise(floor(x(i) * 127.0 / s(i) + 0.5).cast("int")))
+    val withCodes = embeddings.withColumn("codes", codes)
+    val err = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
+      val d = x(i) - element_at(col("codes"), i).cast("double") * s(i) / 127.0
+      acc + d * d
+    })
+    withCodes.withColumn("mse", round(err / lit(dim.toDouble), 6))
+  }
 }

@@ -705,6 +705,34 @@ object DocQueries {
       .withColumn("centroid", col("centroid") + lit(0.0))
       .orderBy(col("label"), col("pos"))
 
+  /** Int8 scalar quantization of the embeddings corpus (q87): symmetric
+    * per-dimension max-abs scales, codes in [-127, 127], per-vector
+    * reconstruction MSE. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8Quantize(t(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+        (col("mse") + lit(0.0)).as("mse"))
+      .orderBy(col("vec_id"))
+
+  /** Winnowing-minimizer duplication stats (q88) over the dup-planted
+    * corpus: the chunk-dedup signal of q69 at ~2/(w+1) of the
+    * fingerprint volume. */
+  def winnowDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowDupStats(corpus(spark, dir), k = 8, w = 4)
+      .select(col("doc_id"), col("n_chunks"), col("n_minimizers").cast("long").as("n_minimizers"),
+        col("n_dup_minimizers"), (col("dup_frac") + lit(0.0)).as("dup_frac"))
+      .orderBy(col("dup_frac").desc, col("doc_id")).limit(50)
+
+  /** Cross-source shingle-overlap matrix (q89): shared distinct
+    * 3-shingles and Jaccard per source pair. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceOverlap(
+      t(spark, dir, "documents").select(col("source"), col("text")), k = 3)
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("jaccard") + lit(0.0)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -1267,7 +1295,64 @@ object DocQueries {
         |      CAST(SUM(fp) AS BIGINT) AS fpsum FROM x GROUP BY label, pos)
         |SELECT label, n_vecs, CAST(pos AS INT) AS pos,
         |  ROUND(CAST(fpsum AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 4) + 0.0 AS centroid
-        |FROM s ORDER BY label, pos""".stripMargin
+        |FROM s ORDER BY label, pos""".stripMargin,
+    "q87_int8_quantize" ->
+      """WITH p AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+        |m AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+        |      FROM embeddings CROSS JOIN p GROUP BY i),
+        |sl AS (SELECT list(s ORDER BY i) AS sl FROM m),
+        |q AS (SELECT vec_id, embedding, sl,
+        |        list_transform(range(1, len(embedding) + 1), i ->
+        |          CASE WHEN sl[i] = 0 THEN 0
+        |               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / sl[i] + 0.5) AS INT)
+        |          END) AS codes
+        |      FROM embeddings CROSS JOIN sl)
+        |SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
+        |  ROUND(list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+        |          (CAST(embedding[i] AS DOUBLE) - codes[i] * sl[i] / 127.0)
+        |          * (CAST(embedding[i] AS DOUBLE) - codes[i] * sl[i] / 127.0)),
+        |        (a, b) -> a + b) / len(embedding), 6) + 0.0 AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q88_winnow_dedup" -> {
+      val guard = 8 + 4 - 1 // k + w - 1
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |tids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2
+         |         FROM toks WHERE len(t) >= $guard),
+         |cds AS (SELECT doc_id,
+         |          list_transform(range(0, len(h) - 7), i -> $chunkIdSql) AS c
+         |        FROM tids),
+         |mins AS (SELECT doc_id, len(list_distinct(c)) AS n_chunks,
+         |           unnest(list_distinct(list_transform(range(0, len(c) - 3),
+         |             j -> list_min(c[j+1:j+4])))) AS mid
+         |         FROM cds),
+         |shared AS (SELECT mid FROM mins GROUP BY mid HAVING count(*) > 1),
+         |per AS (SELECT m.doc_id, any_value(n_chunks) AS n_chunks, count(*) AS n_minimizers,
+         |               sum(CASE WHEN s.mid IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+         |        FROM mins m LEFT JOIN shared s ON m.mid = s.mid
+         |        GROUP BY m.doc_id)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(n_minimizers AS BIGINT) AS n_minimizers,
+         |       CAST(n_dup AS BIGINT) AS n_dup_minimizers,
+         |       ROUND(CAST(n_dup AS DOUBLE) / CAST(n_minimizers AS DOUBLE), 4) + 0.0 AS dup_frac
+         |FROM per WHERE n_dup > 0
+         |ORDER BY dup_frac DESC, doc_id LIMIT 50""".stripMargin
+    },
+    "q89_source_overlap" ->
+      s"""WITH toks AS (SELECT source, $toksSql AS t FROM documents),
+         |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
+         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |       FROM toks WHERE len(t) >= 3),
+         |sid AS (SELECT DISTINCT source, ${termHashSql("shingle")} AS sid FROM sh),
+         |sizes AS (SELECT source, count(*) AS n FROM sid GROUP BY source),
+         |inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+         |          FROM sid x JOIN sid y ON x.sid = y.sid AND x.source < y.source
+         |          GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) + 0.0 AS jaccard
+         |FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
+         |ORDER BY jaccard DESC, src_a, src_b""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1309,6 +1394,9 @@ object DocQueries {
     "q83_hashed_quality" -> (hashedQuality _),
     "q84_lang_temperature" -> (sourceTemperature _),
     "q85_curriculum" -> (curriculumOrder _),
-    "q86_label_centroids" -> (labelCentroids _)
+    "q86_label_centroids" -> (labelCentroids _),
+    "q87_int8_quantize" -> (int8Quantize _),
+    "q88_winnow_dedup" -> (winnowDedup _),
+    "q89_source_overlap" -> (sourceOverlap _)
   )
 }

@@ -60,6 +60,44 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user outlier detection (q90): events whose value deviates
+    * more than 3 population standard deviations from that user's mean.
+    * The z-test is evaluated as an EXACT integer inequality — value is
+    * fixed-pointed (×1000, floor+0.5), and `z² > 9` is algebraically
+    * cleared of divisions: `(n·x − S)² > 9·(n·SS − S²)` over
+    * DECIMAL(38,0), so no float sum order or sqrt rounding can flip a
+    * borderline event differently across engines or partitionings.
+    *
+    * Scale shape: per-user moments are one partial-agg groupBy (three
+    * longs per user cross the shuffle); the per-event test is a
+    * broadcast join of that tiny stats frame back onto the scan —
+    * events are never shuffled. Only flagged rows (rare by
+    * construction) reach the second, anomaly-list aggregate.
+    * Overflow headroom: all products stay under 10³⁸ for |value| ≤
+    * 10⁶ and up to ~10¹³ events per user. */
+  def userAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val base = ev.select(col("user_id"), col("event_id"),
+      floor(col("value") * 1000.0 + 0.5).cast("long").as("fp"))
+    val stats = base.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      sum(col("fp")).as("s"),
+      sum(col("fp") * col("fp")).as("ss"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lhs = d(col("n_events")) * d(col("fp")) - d(col("s"))
+    val anomalous = base.join(broadcast(stats), Seq("user_id"))
+      .filter(lhs * lhs > d(lit(9)) * (d(col("n_events")) * d(col("ss")) - d(col("s")) * d(col("s"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        array_join(sort_array(collect_list(col("event_id"))).cast("array<string>"), ",")
+          .as("anomaly_csv"))
+    stats.join(anomalous, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"),
+        coalesce(col("anomaly_csv"), lit("")).as("anomaly_csv"))
+      .orderBy(col("user_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -73,11 +111,32 @@ object EventQueries {
          |             THEN 1 ELSE 0 END AS new_s
          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
          |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
-         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q90_event_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |            CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS fp FROM events),
+        |st AS (SELECT user_id, count(*) AS n_events,
+        |         CAST(sum(fp) AS DECIMAL(38,0)) AS s,
+        |         CAST(sum(fp * fp) AS DECIMAL(38,0)) AS ss
+        |       FROM e GROUP BY user_id),
+        |a AS (SELECT e.user_id, e.event_id
+        |      FROM e JOIN st USING (user_id)
+        |      WHERE (CAST(n_events AS DECIMAL(38,0)) * fp - s)
+        |            * (CAST(n_events AS DECIMAL(38,0)) * fp - s)
+        |            > 9 * (CAST(n_events AS DECIMAL(38,0)) * ss - s * s)),
+        |an AS (SELECT user_id, count(*) AS n_anomalies,
+        |         array_to_string(list_sort(list(event_id)), ',') AS anomaly_csv
+        |       FROM a GROUP BY user_id)
+        |SELECT st.user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(COALESCE(n_anomalies, 0) AS BIGINT) AS n_anomalies,
+        |  COALESCE(anomaly_csv, '') AS anomaly_csv
+        |FROM st LEFT JOIN an ON st.user_id = an.user_id
+        |ORDER BY st.user_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_event_window_agg" -> (eventWindowAgg _),
-    "q61_sessionize" -> (sessionize _)
+    "q61_sessionize" -> (sessionize _),
+    "q90_event_anomaly" -> (userAnomalies _)
   )
 }

@@ -226,4 +226,45 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.values.count(!_._4) == 5)
   }
+
+  test("winnowDupStats: shared runs >= k+w-1 tokens co-flag, exact copies reach dup_frac 1.0, uniques are absent") {
+    val ss = spark
+    import ss.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val run = words("c", 30) // shared run, far above the k+w-1=11 guarantee
+    val docs = Seq(
+      (1L, words("a", 10) + " " + run + " " + words("b", 5)),
+      (2L, words("z", 7) + " " + run + " " + words("y", 3)),
+      (3L, words("u", 20)),  // unique — must not appear
+      (4L, words("v", 20)),  // exact copies of each other
+      (5L, words("v", 20)))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowDupStats(docs, k = 8, w = 4)
+      .select("doc_id", "n_chunks", "n_minimizers", "n_dup_minimizers", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L), s"got ${out.keySet}")
+    // winnowing theorem: the 30-token shared run guarantees >= 1 shared minimizer
+    assert(out(1L)._4 >= 1 && out(2L)._4 >= 1)
+    // exact copies share every minimizer
+    assert(out(4L)._5 == 1.0 && out(5L)._5 == 1.0)
+    assert(out(4L)._3 == out(5L)._3)
+    // selection only ever shrinks the fingerprint set
+    out.values.foreach(r => assert(r._3 <= r._2, s"doc ${r._1}: minimizers ${r._3} > chunks ${r._2}"))
+  }
+
+  test("crossSourceOverlap: engineered shingle overlap yields exact pair counts and Jaccard") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      ("a", "t1 t2 t3 t4"),   // shingles {t1 t2 t3, t2 t3 t4}
+      ("b", "t2 t3 t4 t5"),   // shingles {t2 t3 t4, t3 t4 t5}
+      ("c", "x1 x2 x3"))      // disjoint
+      .toDF("source", "text")
+    val out = Dedup.crossSourceOverlap(docs, k = 3)
+      .select("src_a", "src_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("a", "b", 1L, 0.333333)),
+      s"got ${out.toSeq}")
+  }
 }

@@ -98,4 +98,26 @@ class SimilaritySpec extends SparkSpec {
     expect(0, rows.filter(_._2 == 0).map(_._3.toSeq))
     expect(1, rows.filter(_._2 == 1).map(_._3.toSeq))
   }
+
+  test("int8Quantize: exact codes at the scale extremes, zero-variance dims quantize to 0") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, -2.0f, 0.0f)),
+      (2L, Array(0.5f, 2.0f, 0.0f)),
+      (3L, Array(-1.0f, -4.0f, 0.0f)))
+    val out = Similarity.int8Quantize(rows.toDF("vec_id", "embedding"))
+      .select("vec_id", "codes", "mse")
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> r).toMap
+    // scales: dim1 max|x|=1.0, dim2 max|x|=4.0, dim3 all-zero
+    assert(out(1L)._2 == Seq(127, -63, 0))
+    assert(out(2L)._2 == Seq(64, 64, 0))
+    assert(out(3L)._2 == Seq(-127, -127, 0))
+    // vec 3 sits exactly on the scale extremes -> perfect reconstruction
+    assert(out(3L)._3 == 0.0)
+    // vec 1 dim2: dequant -63*4/127 = -1.98425..., mse = diff^2/3 rounded to 6
+    val diff = -2.0 - (-63.0 * 4.0 / 127.0)
+    assert(math.abs(out(1L)._3 - math.rint(diff * diff / 3.0 * 1e6) / 1e6) < 1e-12)
+    out.values.foreach(r => r._2.foreach(c => assert(c >= -127 && c <= 127)))
+  }
 }
