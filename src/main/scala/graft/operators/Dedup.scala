@@ -227,8 +227,15 @@ object Dedup {
     * to thousands; for domain-granularity run a quota first); pair
     * expansion happens AFTER the aggregate, on sets, never as a
     * row-level self-join — a boilerplate shingle in every source costs
-    * one set, not |rows|² join output. Totals are a broadcast-sized
-    * frame joined twice for the Jaccard denominators. */
+    * one set, not |rows|² join output. Per-source totals are collected
+    * once into a literal map for the Jaccard denominators (a driver
+    * action bounded by #sources) — joining the totals frame twice
+    * instead would replay the whole distinct-aggregate subtree per
+    * join side, since a referenced DataFrame duplicates its plan
+    * branch. The shingle pass still runs twice (totals + pairs);
+    * recomputing a scan-side projection beats caching the full
+    * distinct frame at corpus scale, the same trade
+    * [[chunkDupStats]] documents. */
   def crossSourceOverlap(
       docs: DataFrame,
       k: Int = 3,
@@ -240,9 +247,11 @@ object Dedup {
         explode(array_distinct(TextAnalysis.shingles(col("__graft_toks"), k))).as("shingle"))
       .select(col("source"), TextAnalysis.termHash(col("shingle")).as("sid"))
       .distinct()
-    val sizes = sids.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sizeMap: Map[String, Long] = sids.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizeOf = typedLit(sizeMap)
     val srcs = col("srcs")
-    val pairs = sids.groupBy(col("sid"))
+    sids.groupBy(col("sid"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(srcs) >= 2)
       .select(explode(flatten(transform(sequence(lit(1), size(srcs) - 1), i =>
@@ -252,12 +261,10 @@ object Dedup {
       .select(col("p.src_a"), col("p.src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
-          (col("na") + col("nb") - col("n_shared")).cast("double"), 6).as("jaccard"))
+          (element_at(sizeOf, col("src_a")) + element_at(sizeOf, col("src_b"))
+            - col("n_shared")).cast("double"), 6).as("jaccard"))
   }
 
   /** Exact-substring span REMOVAL — the cut tier above

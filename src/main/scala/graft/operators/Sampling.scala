@@ -218,4 +218,30 @@ object Sampling {
           row_number().over(w).cast("long"))
       .select(col(idCol), col("score"), col("rank"))
   }
+
+  /** Balanced training-shard assignment: rank documents by size
+    * (descending, id tie-break) and deal them round-robin across
+    * `nShards` output shards — the classic longest-processing-time
+    * greedy, which bounds the heaviest shard at (1 + 1/nShards)× the
+    * lightest for any size distribution, so no training worker
+    * stalls on a fat shard. Assignment is a pure function of the
+    * global size order: deterministic across engines, partitionings,
+    * and reruns (the property a resumable 100 TB shard-writing job
+    * needs — re-running assigns every doc to the same shard).
+    *
+    * Built on [[curriculumRank]]'s distributed prefix rank, so no
+    * single-partition window; the only driver traffic is the
+    * numPartitions-bounded offset map. Returns (id, size, shard) —
+    * the caller hands `shard` to `partitionBy` at write time. */
+  def shardAssign(
+      docs: DataFrame,
+      nShards: Int,
+      sizeCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    curriculumRank(docs.select(col(idCol), sizeCol.as("__graft_size")),
+        col("__graft_size"), idCol)
+      .select(col(idCol), col("score").as("size"),
+        ((col("rank") - 1) % nShards).cast("int").as("shard"))
+  }
 }

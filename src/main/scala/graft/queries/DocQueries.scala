@@ -733,6 +733,17 @@ object DocQueries {
         (col("jaccard") + lit(0.0)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
 
+  /** Balanced shard assignment (q91): size-ranked round-robin deal of
+    * the corpus into 8 training shards, summarized per shard. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val sized = docs(spark, dir)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.shardAssign(sized, nShards = 8, sizeCol = col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("sum_tokens"))
+      .orderBy(col("shard"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def simhashSumsSql: String =
@@ -1352,7 +1363,15 @@ object DocQueries {
          |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
          |  ROUND(CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) + 0.0 AS jaccard
          |FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
-         |ORDER BY jaccard DESC, src_a, src_b""".stripMargin
+         |ORDER BY jaccard DESC, src_a, src_b""".stripMargin,
+    "q91_shard_plan" ->
+      s"""WITH sized AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+         |      FROM sized)
+         |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1397,6 +1416,7 @@ object DocQueries {
     "q86_label_centroids" -> (labelCentroids _),
     "q87_int8_quantize" -> (int8Quantize _),
     "q88_winnow_dedup" -> (winnowDedup _),
-    "q89_source_overlap" -> (sourceOverlap _)
+    "q89_source_overlap" -> (sourceOverlap _),
+    "q91_shard_plan" -> (shardPlan _)
   )
 }

@@ -98,6 +98,34 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Winsorized value statistics per event type (q92): exact 5th/95th
+    * percentiles, then values clamped into that band before the sum —
+    * the standard heavy-tail taming step before a metric feeds a
+    * training signal or a mixing weight. `percentile` is the exact
+    * sort-based aggregate (identical interpolation to DuckDB
+    * `quantile_cont`, the q20 precedent); at 100 TB the same query
+    * swaps to `percentile_approx` (mergeable t-digest) — kept exact
+    * here so the oracle can hash-check. The tiny per-type quantile
+    * frame broadcasts back onto the scan; the winsorized sum is exact
+    * decimal(18,4), so add order never shows. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val qs = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.05)).as("p05raw"),
+      percentile(col("value"), lit(0.95)).as("p95raw"))
+    ev.join(broadcast(qs), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("p05raw")), col("p95raw")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("p05raw"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") > col("p95raw"), 1L).otherwise(0L)).as("n_above"),
+        (round(first(col("p05raw")), 4) + lit(0.0)).as("p05"),
+        (round(first(col("p95raw")), 4) + lit(0.0)).as("p95"),
+        asD(sum(dec(col("w")))).as("sum_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -131,12 +159,28 @@ object EventQueries {
         |  CAST(COALESCE(n_anomalies, 0) AS BIGINT) AS n_anomalies,
         |  COALESCE(anomaly_csv, '') AS anomaly_csv
         |FROM st LEFT JOIN an ON st.user_id = an.user_id
-        |ORDER BY st.user_id""".stripMargin
+        |ORDER BY st.user_id""".stripMargin,
+    "q92_winsorized" ->
+      """WITH q AS (SELECT event_type,
+        |             quantile_cont(value, 0.05) AS p05raw,
+        |             quantile_cont(value, 0.95) AS p95raw
+        |           FROM events GROUP BY event_type),
+        |j AS (SELECT e.event_type, value, p05raw, p95raw,
+        |        least(greatest(value, p05raw), p95raw) AS w
+        |      FROM events e JOIN q USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN value < p05raw THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN value > p95raw THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  ROUND(any_value(p05raw), 4) + 0.0 AS p05,
+        |  ROUND(any_value(p95raw), 4) + 0.0 AS p95,
+        |  CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS sum_winsorized
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_event_window_agg" -> (eventWindowAgg _),
     "q61_sessionize" -> (sessionize _),
-    "q90_event_anomaly" -> (userAnomalies _)
+    "q90_event_anomaly" -> (userAnomalies _),
+    "q92_winsorized" -> (winsorizedStats _)
   )
 }

@@ -171,6 +171,49 @@ object StreamingOps {
       }
   }
 
+  case class MomentState(n: Long, s: Long, ss: Long)
+  case class AnomalyEvent(user_id: Long, event_id: Long, value: Double, n_so_far: Long)
+
+  /** Streaming per-user 3σ outlier detection — the streaming twin of
+    * the batch q90 (`EventQueries.userAnomalies`), with RUNNING
+    * moments instead of corpus-global ones: each arriving event is
+    * judged against its user's statistics over the prefix seen so far
+    * (including itself), via the same division-free exact-integer test
+    * `(n·x − S)² > 9·(n·SS − S²)` on ×1000 fixed-point values
+    * (products in BigInt, so the comparison never overflows).
+    *
+    * State is three longs per user — constant-size, never a sample
+    * buffer — so the operator holds at any event volume; keying by
+    * user shards state across executors. Per-batch input is sorted by
+    * (ts, event_id) and the flag decision depends only on the event's
+    * prefix, so results are independent of micro-batch boundaries: any
+    * batch split of the same event order yields the same flags (pinned
+    * by StreamingOpsSpec). Sum headroom: Σfp² stays inside a long for
+    * ~4·10⁷ events/user at |value| ≤ 500; beyond that, widen the state
+    * sums before the products. An early prefix (n ≤ 2) can never flag:
+    * the inequality is algebraically false at n ≤ 2 for any values. */
+  def streamingAnomalies(events: Dataset[Event]): Dataset[AnomalyEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, AnomalyEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[MomentState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val flagged = Seq.newBuilder[AnomalyEvent]
+          sorted.foreach { e =>
+            val fp = math.floor(e.value * 1000.0 + 0.5).toLong
+            st = MomentState(st.n + 1, st.s + fp, st.ss + fp * fp)
+            val n = BigInt(st.n)
+            val lhs = n * fp - st.s
+            if (lhs * lhs > 9 * (n * st.ss - BigInt(st.s) * st.s))
+              flagged += AnomalyEvent(userId, e.event_id, e.value, st.n)
+          }
+          state.update(st)
+          flagged.result().iterator
+      }
+  }
+
   /** Continuous vector-index ingestion: a stream of (key STRING,
     * vec ARRAY<FLOAT>) rows is appended to the index at `indexPath`,
     * one copy-on-write snapshot per micro-batch (reference ann_insert!

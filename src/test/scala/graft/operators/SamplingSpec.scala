@@ -120,4 +120,20 @@ class SamplingSpec extends SparkSpec {
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     assert(out == expected)
   }
+
+  test("shardAssign deals size-rank round-robin: exact assignment, balanced totals, any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (1L to 100L).map(i => (i, 101L - i)) // sizes 100..1
+    val out = Sampling.shardAssign(
+        rows.toDF("doc_id", "sz").repartition(7), nShards = 4, sizeCol = col("sz"))
+      .select("doc_id", "size", "shard").as[(Long, Long, Int)].collect()
+    val expected = rows.sortBy { case (id, sz) => (-sz, id) }
+      .zipWithIndex.map { case ((id, sz), i) => (id, sz, i % 4) }
+    assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // LPT round-robin balance: shard totals within nShards * max-size slack
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    assert(totals.size == 4 && totals.max - totals.min <= 100L,
+      s"unbalanced shard totals: $totals")
+  }
 }

@@ -435,4 +435,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.applyIngestBatch(spark, path, batch, batchId = 1L))
     assert(VectorIndex.load(spark, path).meta.numPoints == 4)
   }
+
+  test("streamingAnomalies: running 3-sigma flags match a prefix replay and ignore batch boundaries") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    // user 1: a stable band then one extreme spike; user 2: constant
+    val evs = (1 to 30).map(i => Event(i.toLong, ts(i), 1L, "m", 10.0 + (i % 3))) ++
+      Seq(Event(31L, ts(31), 1L, "m", 900.0)) ++
+      (101 to 110).map(i => Event(i.toLong, ts(i), 2L, "m", 5.0))
+    // reference: prefix replay with the same exact-integer test
+    def prefixFlags(events: Seq[Event]): Seq[Long] = {
+      val flags = Seq.newBuilder[Long]
+      val st = collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      events.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val fp = math.floor(e.value * 1000.0 + 0.5).toLong
+        val (n0, s0, ss0) = st.getOrElse(e.user_id, (0L, 0L, 0L))
+        val (n, s, sq) = (n0 + 1, s0 + fp, ss0 + fp * fp)
+        st(e.user_id) = (n, s, sq)
+        val lhs = BigInt(n) * fp - s
+        if (lhs * lhs > 9 * (BigInt(n) * sq - BigInt(s) * s)) flags += e.event_id
+      }
+      flags.result()
+    }
+    val expected = prefixFlags(evs)
+    assert(expected.contains(31L) && !expected.exists(_ > 100L), s"bad fixture: $expected")
+
+    def run(batches: Seq[Seq[Event]], name: String): Seq[Long] = {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.streamingAnomalies(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(_.getLong(1)).toSeq.sorted
+    }
+    val oneBatch = run(Seq(evs), "anom_one")
+    val split = run(Seq(evs.take(12), evs.slice(12, 31), evs.drop(31)), "anom_split")
+    assert(oneBatch == expected.sorted)
+    assert(split == oneBatch)
+  }
 }
