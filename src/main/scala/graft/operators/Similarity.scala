@@ -272,22 +272,88 @@ object Similarity {
     * squared reconstruction error accumulated in array order, so the
     * fold matches DuckDB's `list_reduce` bit-for-bit. */
   def int8Quantize(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val maxAbs = (1 to dim).map(i =>
-      max(abs(element_at(col(vecCol), i).cast("double"))).as(s"m$i"))
-    val row = embeddings.agg(maxAbs.head, maxAbs.tail: _*).head()
-    val scales = (0 until dim).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    val scales = int8Scales(embeddings, vecCol)
+    val dim = scales.length
     val sArr = array(scales.map(lit): _*)
     val x = (i: Column) => element_at(col(vecCol), i).cast("double")
     val s = (i: Column) => element_at(sArr, i)
-    val codes = transform(sequence(lit(1), lit(dim)), i =>
-      when(s(i) === 0.0, lit(0))
-        .otherwise(floor(x(i) * 127.0 / s(i) + 0.5).cast("int")))
-    val withCodes = embeddings.withColumn("codes", codes)
+    val withCodes = embeddings.withColumn("codes", int8Codes(col(vecCol), scales))
     val err = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
       val d = x(i) - element_at(col("codes"), i).cast("double") * s(i) / 127.0
       acc + d * d
     })
     withCodes.withColumn("mse", round(err / lit(dim.toDouble), 6))
+  }
+
+  /** Per-dimension max-abs scales for [[int8Quantize]]/[[int8TopK]]:
+    * one global partial-max aggregate, dim doubles through the
+    * driver. */
+  def int8Scales(embeddings: DataFrame, vecCol: String = "embedding"): Seq[Double] = {
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val maxAbs = (1 to dim).map(i =>
+      max(abs(element_at(col(vecCol), i).cast("double"))).as(s"m$i"))
+    val row = embeddings.agg(maxAbs.head, maxAbs.tail: _*).head()
+    (0 until dim).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
+
+  /** Quantize a vector column to int8 codes under fitted `scales`. */
+  def int8Codes(vec: Column, scales: Seq[Double]): Column = {
+    val sArr = array(scales.map(lit): _*)
+    transform(sequence(lit(1), lit(scales.length)), i =>
+      when(element_at(sArr, i) === 0.0, lit(0))
+        .otherwise(floor(element_at(vec, i).cast("double") * 127.0
+          / element_at(sArr, i) + 0.5).cast("int")))
+  }
+
+  /** Int8-compressed top-k serving tier: candidate generation scans
+    * the 4×-smaller code column (approximate squared L2 against the
+    * dequantized codes), then an exact re-rank of the O(queries ·
+    * topk · refineFactor) candidate set restores precision — the same
+    * two-tier contract as the PQ path ([[graft.index.Quantization
+    * .pqTopK]]) with a codebook-free code column. At serving scale
+    * the win is the resident set: the scan stage reads 1 byte/dim
+    * instead of 4, and the full-precision table is touched only for
+    * the tiny candidate join (broadcast — never a second full scan).
+    * Queries are collected driver-side by contract (a query batch is
+    * small); candidates broadcast back for the refine join. */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      topk: Int,
+      refineFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val spark = corpus.sparkSession
+    val scales = int8Scales(corpus, "vec")
+    val dim = scales.length
+    val tArr = array(scales.map(s => lit(s / 127.0)): _*)
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val approx = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
+      val d = element_at(col("qvec"), i).cast("double") -
+        element_at(col("codes"), i) * element_at(tArr, i)
+      acc + d * d
+    })
+    val candidates = corpus
+      .select(col("id"), int8Codes(col("vec"), scales).as("codes"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("id").as("neighbor_id"), approx.as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk * refineFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    broadcast(candidates)
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
   }
 }

@@ -561,6 +561,39 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "compression_ratio")
   }
 
+  /** Int8 scalar-quantized top-10 with exact re-rank for the first 10
+    * vectors (q93): candidate scan over the 4x-smaller codebook-free
+    * code column ([[graft.operators.Similarity.int8TopK]]), refine in
+    * full precision (rows-only; approximate). */
+  def int8Search(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir)
+    val queries = src.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.operators.Similarity.int8TopK(src, queries, topk = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the int8 + exact-refine tier vs the cached
+    * exact oracle over 30 head queries, with the fixed 4x compression
+    * of the int8 column visible in the round artifacts — gated >= 0.70
+    * by scripts/oracle_check.py like every approximate tier. */
+  def int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = graft.operators.Similarity.int8TopK(src, queries, topk = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val matched = truth.keysIterator.map(q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+    val nq = truth.size.toLong
+    Seq((nq, matched.toDouble / (nq * 10.0), 4.0))
+      .toDF("n_queries", "avg_recall_at_10", "compression_ratio")
+  }
+
   /** IVF-PQ composite top-10 with exact re-rank for the first 10
     * vectors — coarse pruning (nprobe of 8 clusters) over the
     * 32x-smaller code column, refine in full precision (rows-only;
@@ -646,7 +679,9 @@ object AnnQueries {
     "q39_pq_recall" -> (pqRecall _),
     "q66_ivfpq_search" -> (ivfPqSearch _),
     "q67_ivfpq_recall" -> (ivfPqRecall _),
-    "q68_alpha_recall" -> (alphaRecall _)
+    "q68_alpha_recall" -> (alphaRecall _),
+    "q93_int8_search" -> (int8Search _),
+    "q94_int8_recall" -> (int8Recall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

@@ -120,4 +120,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(1L)._3 - math.rint(diff * diff / 3.0 * 1e6) / 1e6) < 1e-12)
     out.values.foreach(r => r._2.foreach(c => assert(c >= -127 && c <= 127)))
   }
+
+  test("int8TopK with exact refine nearly matches exact top-k") {
+    val src = embeddings.cache()
+    val queries = src.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = Similarity.int8TopK(src, queries, topk = 10)
+    assert(got.groupBy(col("query_id")).count().filter(col("count") =!= 10).count() == 0)
+    val exact = src.crossJoin(broadcast(
+        src.limit(20).select(col("id").as("query_id"), col("vec").as("qvec"))))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.euclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    val matched = got.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = matched.toDouble / (20 * 10.0)
+    info(f"int8+refine recall@10 = $recall%.3f")
+    assert(recall >= 0.90)
+  }
 }
