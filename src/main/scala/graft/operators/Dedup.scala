@@ -176,10 +176,14 @@ object Dedup {
     * (never strings) cross the shuffles; shared table = partial-agg
     * groupBy + one equi-join back; the chunk pass is recomputed on the
     * probe side rather than materializing an input-sized shuffle.
-    * Plain `array_min` over BIGINT windows is engine-deterministic
-    * (no float keys, ties resolve to the equal value itself). Docs
-    * shorter than k + w - 1 tokens contribute no windows and are
-    * absent from the output — consistent with the guarantee bound. */
+    * Window minima are a `least()` chain over w direct element
+    * references — a `slice + array_min` formulation would allocate a
+    * w-element array per window, and the allocation (not the
+    * comparisons) dominated the measured cost. BIGINT `least` is
+    * engine-deterministic (no float keys, ties resolve to the equal
+    * value itself). Docs shorter than k + w - 1 tokens contribute no
+    * windows and are absent from the output — consistent with the
+    * guarantee bound. */
   def winnowDupStats(
       docs: DataFrame,
       k: Int = 8,
@@ -189,7 +193,7 @@ object Dedup {
     val h = col("__graft_tids")
     val cids = col("__graft_cids")
     val minimizers = array_distinct(transform(sequence(lit(0), size(cids) - w), j =>
-      array_min(slice(cids, j + lit(1), lit(w)))))
+      least((1 to w).map(o => element_at(cids, j + lit(o))): _*)))
     val mins = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
       .select(col("doc_id"),
@@ -215,44 +219,59 @@ object Dedup {
   }
 
   /** Cross-source shingle-overlap matrix: for every pair of corpus
-    * sources, the number of distinct k-shingles (by 64-bit term hash)
-    * present in BOTH, plus the Jaccard overlap of their shingle sets —
-    * the standard corpus-forensics view for spotting mirror sites,
-    * syndicated boilerplate, and cross-source contamination before
-    * mixing weights are chosen.
+    * sources, the number of distinct k-token shingles present in BOTH,
+    * plus the Jaccard overlap of their shingle sets — the standard
+    * corpus-forensics view for spotting mirror sites, syndicated
+    * boilerplate, and cross-source contamination before mixing weights
+    * are chosen.
     *
-    * Scale shape: one distinct partial-agg on (source, sid); per-sid
-    * source sets via `collect_set` (bounded by the number of distinct
-    * sources — this operator is meant for coarse source labels, tens
-    * to thousands; for domain-granularity run a quota first); pair
-    * expansion happens AFTER the aggregate, on sets, never as a
-    * row-level self-join — a boilerplate shingle in every source costs
-    * one set, not |rows|² join output. Per-source totals are collected
-    * once into a literal map for the Jaccard denominators (a driver
-    * action bounded by #sources) — joining the totals frame twice
-    * instead would replay the whole distinct-aggregate subtree per
-    * join side, since a referenced DataFrame duplicates its plan
-    * branch. The shingle pass still runs twice (totals + pairs);
-    * recomputing a scan-side projection beats caching the full
-    * distinct frame at corpus scale, the same trade
-    * [[chunkDupStats]] documents. */
+    * Shingle identity is the ~60-bit dual-fold chunk id over per-token
+    * hashes ([[chunkIdArr]] at window k) — no shingle STRING is ever
+    * built or shuffled. The string formulation this replaces allocated
+    * and char-hashed a k-word string per shingle and measured ~10× the
+    * per-pass cost of the hash fold at sf0.1; collisions at 60 bits
+    * are negligible for an overlap statistic and mirrored exactly by
+    * the oracle either way.
+    *
+    * Scale shape: ONE corpus pass — distinct partial-agg on
+    * (source, sid), then per-sid source sets via `collect_set`
+    * (bounded by the number of distinct sources — this operator is
+    * meant for coarse source labels, tens to thousands; for
+    * domain-granularity run a quota first). That per-sid frame is
+    * locally checkpointed and BOTH outputs derive from it: per-source
+    * totals (one explode + count, collected into a literal map for the
+    * Jaccard denominators — a driver action bounded by #sources) and
+    * the pair expansion, which happens AFTER the aggregate, on sets,
+    * never as a row-level self-join — a boilerplate shingle in every
+    * source costs one set, not |rows|² join output. The checkpoint
+    * materializes O(distinct shingles) rows of (id, small set) —
+    * always far below corpus bytes — where the two-branch alternative
+    * re-scanned and re-hashed the full corpus per branch (measured 2×
+    * the runtime at sf0.1). */
   def crossSourceOverlap(
       docs: DataFrame,
       k: Int = 3,
       srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
     val sids = docs
       .select(col(srcCol).as("source"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
       .select(col("source"),
-        explode(array_distinct(TextAnalysis.shingles(col("__graft_toks"), k))).as("shingle"))
-      .select(col("source"), TextAnalysis.termHash(col("shingle")).as("sid"))
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
+      .filter(size(h) >= k)
+      .select(col("source"),
+        explode(array_distinct(chunkIdArr(h, col("__graft_tids2"), k))).as("sid"))
       .distinct()
-    val sizeMap: Map[String, Long] = sids.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val srcs = col("srcs")
+    val bySid = sids.groupBy(col("sid"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint(true)
+    val sizeMap: Map[String, Long] = bySid
+      .select(explode(srcs).as("source")).groupBy(col("source")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sizeOf = typedLit(sizeMap)
-    val srcs = col("srcs")
-    sids.groupBy(col("sid"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    bySid
       .filter(size(srcs) >= 2)
       .select(explode(flatten(transform(sequence(lit(1), size(srcs) - 1), i =>
         transform(sequence(i + 1, size(srcs)), j =>

@@ -59,10 +59,11 @@ object DocQueries {
       s"(h, y) -> (h * 37 + y) % 999999937) END"
 
   /** DuckDB twin of Dedup.chunkIdArr's ~60-bit packed dual-fold chunk
-    * id over hash arrays `h`/`h2` at 1-based window start `i`, k=8. */
-  private def chunkIdSql: String =
-    "list_reduce(h[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007) * 1000000000 + " +
-      "list_reduce(h2[i+1:i+8], (a, b) -> (a * 37 + b) % 999999937)"
+    * id over hash arrays `h`/`h2` at 1-based window start `i`. */
+  private def chunkIdSqlK(k: Int): String =
+    s"list_reduce(h[i+1:i+$k], (a, b) -> (a * 31 + b) % 1000000007) * 1000000000 + " +
+      s"list_reduce(h2[i+1:i+$k], (a, b) -> (a * 37 + b) % 999999937)"
+  private def chunkIdSql: String = chunkIdSqlK(8)
   private def shingleIdsCte =
     s"""dsi AS (SELECT doc_id, ${termHashSql("shingle")} AS sid FROM sh)""".stripMargin
   private def sigExprSql: String =
@@ -719,7 +720,7 @@ object DocQueries {
     * corpus: the chunk-dedup signal of q69 at ~2/(w+1) of the
     * fingerprint volume. */
   def winnowDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowDupStats(corpus(spark, dir), k = 8, w = 4)
+    Dedup.winnowDupStats(spread(corpus(spark, dir)), k = 8, w = 4)
       .select(col("doc_id"), col("n_chunks"), col("n_minimizers").cast("long").as("n_minimizers"),
         col("n_dup_minimizers"), (col("dup_frac") + lit(0.0)).as("dup_frac"))
       .orderBy(col("dup_frac").desc, col("doc_id")).limit(50)
@@ -728,7 +729,7 @@ object DocQueries {
     * 3-shingles and Jaccard per source pair. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.crossSourceOverlap(
-      t(spark, dir, "documents").select(col("source"), col("text")), k = 3)
+      spread(t(spark, dir, "documents").select(col("source"), col("text"))), k = 3)
       .select(col("src_a"), col("src_b"), col("n_shared"),
         (col("jaccard") + lit(0.0)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
@@ -736,7 +737,7 @@ object DocQueries {
   /** Balanced shard assignment (q91): size-ranked round-robin deal of
     * the corpus into 8 training shards, summarized per shard. */
   def shardPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sized = docs(spark, dir)
+    val sized = spread(docs(spark, dir))
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     Sampling.shardAssign(sized, nShards = 8, sizeCol = col("n_tokens"))
       .groupBy(col("shard"))
@@ -1352,10 +1353,13 @@ object DocQueries {
     },
     "q89_source_overlap" ->
       s"""WITH toks AS (SELECT source, $toksSql AS t FROM documents),
-         |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
-         |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-         |       FROM toks WHERE len(t) >= 3),
-         |sid AS (SELECT DISTINCT source, ${termHashSql("shingle")} AS sid FROM sh),
+         |tids AS (SELECT source, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2
+         |         FROM toks WHERE len(t) >= 3),
+         |sid AS (SELECT DISTINCT source, sid FROM (
+         |          SELECT source, unnest(list_distinct(list_transform(range(0, len(h) - 2),
+         |            i -> ${chunkIdSqlK(3)}))) AS sid
+         |          FROM tids)),
          |sizes AS (SELECT source, count(*) AS n FROM sid GROUP BY source),
          |inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
          |          FROM sid x JOIN sid y ON x.sid = y.sid AND x.source < y.source
