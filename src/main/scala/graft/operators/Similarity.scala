@@ -356,4 +356,47 @@ object Similarity {
       .select(col("query_id"), col("p.id").as("neighbor_id"),
         col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
   }
+
+  /** Semantic decontamination: for every training vector, its maximum
+    * cosine similarity against a benchmark/eval embedding set, plus the
+    * `contaminated` flag at threshold `tau`. The embedding-space twin
+    * of the shingle-based `DocQueries.decontaminate` — catches
+    * paraphrased or re-tokenized benchmark leakage that exact n-gram
+    * overlap misses (the reason modern pipelines run BOTH checks).
+    *
+    * Scale shape: the benchmark set is broadcast (eval suites are
+    * thousands of rows — never corpus-sized); candidates = one
+    * broadcast nested-loop pass over the training scan. The per-row
+    * max collapses map-side (partial `max` over the |bench|
+    * multiplicity inside each partition), so the single shuffle
+    * carries one row per training vector, not |train|×|bench|.
+    * Training vectors never move: at 100 TB this is scan-bound, the
+    * only shape a contamination sweep can afford. `max_cos` is
+    * ROUND(·,4) AFTER the max (max selection is order-independent on
+    * the raw doubles), and zero-norm rows score 0 via the shared
+    * TRY-division contract. */
+  def semanticDecontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      tau: Double = 0.8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def withNorm(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as(nrm))
+    val t = withNorm(train, "id", "vec", "nrm")
+    val b = withNorm(bench, "bench_id", "bvec", "bnrm")
+    t.crossJoin(broadcast(b))
+      .select(col("id"),
+        VectorFunctions.cosineSimFromNorms(
+          VectorFunctions.dot(col("vec"), col("bvec")),
+          col("nrm"), col("bnrm")).as("cos"))
+      .groupBy(col("id"))
+      .agg(max(col("cos")).as("raw_max"))
+      // flag on the ROUNDED value: a final-ulp divergence between
+      // engines at the threshold boundary must not flip the decision
+      .select(col("id").as(idCol),
+        (round(col("raw_max"), 4) + lit(0.0)).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= tau)
+  }
 }

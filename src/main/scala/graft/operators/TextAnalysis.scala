@@ -285,6 +285,85 @@ object TextAnalysis {
           + lit(0.0)).as("avg_nll"))
   }
 
+  /** Corpus-bigram NLL quality score per document (KenLM-style, one
+    * order up from [[unigramNllScores]]): exact chain-rule NLL under
+    * the corpus MLE — the first token scored by the unigram
+    * distribution, every following token by the conditional bigram
+    * p(w | prev) = cf(prev,w) / Σ_w' cf(prev,w'). Because the corpus
+    * includes the document, every probability is strictly positive —
+    * no smoothing constant to pick or mirror. Low avg_nll = locally
+    * predictable prose; high = token soup. This is the signal a
+    * perplexity-based quality filter thresholds on.
+    *
+    * Identity/arithmetic contract: tokens enter as [[termHash]] /
+    * [[termHash2]] ids and bigrams as the packed ~60-bit dual fold
+    * (never strings — nothing non-numeric crosses a shuffle; a false
+    * bigram merge needs a simultaneous collision in two independent
+    * recurrences, and the oracle replays the identical fold either
+    * way). Each distinct event's -ln(p) is fixed-pointed to 1e-4
+    * BEFORE the per-doc sum (same trick as [[unigramNllScores]]), so
+    * the sum is exact integer arithmetic, independent of aggregation
+    * order and parallelism.
+    *
+    * Scale shape: the (doc, bigram) table partial-aggregates on the
+    * map side before its one shuffle; the corpus bigram LM
+    * (cf2 → per-context totals → nll) derives FROM that aggregate, so
+    * the token stream is never shuffled twice. The bigram-vocabulary
+    * join back is equi on the bigram id between two pre-aggregated
+    * tables (AQE broadcasts it when small; at 100 TB it is a
+    * shuffle join of vocabulary-sized — not corpus-sized — sides).
+    * The unigram leg for first tokens reuses the Zipf-small broadcast
+    * shape of [[unigramNllScores]]. Net: one extra scan pass + two
+    * vocabulary-sized shuffles over the unigram operator. */
+  def bigramNllScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol),
+        transform(col("__toks"), t => termHash(t)).as("h"),
+        transform(col("__toks"), t => termHash2(t)).as("h2"))
+    // (doc, prev-token hash, packed bigram id) stream, partial-agg'd
+    val pairs = base
+      .filter(size(col("h")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("h")) - 1), i =>
+        struct(
+          element_at(col("h"), i).as("prev"),
+          (((element_at(col("h"), i) * 31L + element_at(col("h"), i + 1)) % 1000000007L)
+            * 1000000000L +
+           ((element_at(col("h2"), i) * 37L + element_at(col("h2"), i + 1)) % 999999937L))
+            .as("bg")))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.bg").as("bg"))
+    val tf2 = pairs.groupBy(col(idCol), col("prev"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val cf2 = tf2.groupBy(col("prev"), col("bg")).agg(sum(col("tf")).as("cf"))
+    val ctx = cf2.groupBy(col("prev")).agg(sum(col("cf")).as("n_ctx"))
+    val nll2 = cf2.join(ctx, "prev")
+      .select(col("prev"), col("bg"),
+        round(-log(col("cf").cast("double") / col("n_ctx").cast("double")) * 10000d, 0)
+          .cast("long").as("nll_fp"))
+    val docBig = tf2.join(nll2, Seq("prev", "bg"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("nll_fp")).as("fp2"))
+    // first-token leg under the corpus unigram distribution
+    val uniTf = base.select(col(idCol), explode(col("h")).as("tid"))
+      .groupBy(col("tid")).agg(count(lit(1)).as("cf"))
+    val total = uniTf.agg(sum(col("cf")).as("n_total"))
+    val nll1 = uniTf.crossJoin(total)
+      .select(col("tid"),
+        round(-log(col("cf").cast("double") / col("n_total").cast("double")) * 10000d, 0)
+          .cast("long").as("nll_fp"))
+    val first = base.select(col(idCol), element_at(col("h"), 1).as("tid"),
+      size(col("h")).cast("long").as("n_tokens"))
+    first.join(broadcast(nll1), "tid")
+      .join(docBig, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (round((col("nll_fp") + coalesce(col("fp2"), lit(0L))).cast("double")
+          / 10000.0 / col("n_tokens").cast("double"), 4) + lit(0.0)).as("avg_nll"))
+  }
+
   /** PII detection/redaction patterns. Kept to the conservative regex
     * subset Java (`java.util.regex`, Spark codegen) and RE2 (DuckDB,
     * many scan-side pushdown engines) interpret identically — character

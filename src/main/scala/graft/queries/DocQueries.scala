@@ -734,6 +734,24 @@ object DocQueries {
         (col("jaccard") + lit(0.0)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
 
+  /** Semantic decontamination (q96): max embedding cosine of every
+    * training vector against the held-out benchmark slice
+    * (vec_id % 25 == 0), with the contamination flag at τ = 0.8 —
+    * the embedding-space twin of q59's shingle decontamination. */
+  def semanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Similarity.semanticDecontaminate(
+      spread(e.filter(col("vec_id") % 25 =!= 0)),
+      e.filter(col("vec_id") % 25 === 0), tau = 0.8)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Corpus-bigram NLL quality score per document (q95): chain-rule
+    * perplexity signal one order up from q70. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramNllScores(spread(docs(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** Balanced shard assignment (q91): size-ranked round-robin deal of
     * the corpus into 8 training shards, summarized per shard. */
   def shardPlan(spark: SparkSession, dir: String): DataFrame = {
@@ -1375,7 +1393,52 @@ object DocQueries {
          |      FROM sized)
          |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q95_bigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2
+         |         FROM toks WHERE len(t) >= 1),
+         |pairs AS (SELECT doc_id,
+         |            unnest(list_transform(range(1, len(h)), i -> h[i])) AS prev,
+         |            unnest(list_transform(range(1, len(h)), i ->
+         |              ((h[i] * 31 + h[i+1]) % 1000000007) * 1000000000
+         |              + ((h2[i] * 37 + h2[i+1]) % 999999937))) AS bg
+         |          FROM tids WHERE len(h) >= 2),
+         |tf2 AS (SELECT doc_id, prev, bg, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+         |cf2 AS (SELECT prev, bg, sum(tf) AS cf FROM tf2 GROUP BY 1, 2),
+         |ctx AS (SELECT prev, sum(cf) AS n_ctx FROM cf2 GROUP BY 1),
+         |nll2 AS (SELECT prev, bg,
+         |           CAST(ROUND(-LN(CAST(cf AS DOUBLE) / CAST(n_ctx AS DOUBLE)) * 10000) AS BIGINT) AS nll_fp
+         |         FROM cf2 JOIN ctx USING (prev)),
+         |docbig AS (SELECT doc_id, sum(tf * nll_fp) AS fp2
+         |           FROM tf2 JOIN nll2 USING (prev, bg) GROUP BY doc_id),
+         |uf AS (SELECT tid, count(*) AS cf
+         |       FROM (SELECT unnest(h) AS tid FROM tids) GROUP BY tid),
+         |nt AS (SELECT sum(cf) AS n_total FROM uf),
+         |nll1 AS (SELECT tid,
+         |           CAST(ROUND(-LN(CAST(cf AS DOUBLE) / CAST(n_total AS DOUBLE)) * 10000) AS BIGINT) AS nll_fp
+         |         FROM uf CROSS JOIN nt),
+         |f AS (SELECT doc_id, h[1] AS tid, len(h) AS n_tokens FROM tids)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       ROUND(CAST(nll_fp + COALESCE(fp2, 0) AS DOUBLE) / 10000.0
+         |             / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS avg_nll
+         |FROM f JOIN nll1 USING (tid) LEFT JOIN docbig USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q96_semantic_decon" ->
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+        |cos AS (SELECT tr.vec_id,
+        |  COALESCE(list_sum(list_transform(range(1, len(tr.embedding)+1),
+        |          i -> CAST(tr.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |        (SQRT(list_sum(list_transform(range(1, len(tr.embedding)+1),
+        |          i -> CAST(tr.embedding[i] AS DOUBLE) * CAST(tr.embedding[i] AS DOUBLE)))) *
+        |         SQRT(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 0.0) AS c
+        |  FROM tr CROSS JOIN b),
+        |m AS (SELECT vec_id, ROUND(MAX(c), 4) + 0.0 AS max_cos FROM cos GROUP BY vec_id)
+        |SELECT vec_id, max_cos, max_cos >= 0.8 AS contaminated
+        |FROM m ORDER BY vec_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1421,6 +1484,8 @@ object DocQueries {
     "q87_int8_quantize" -> (int8Quantize _),
     "q88_winnow_dedup" -> (winnowDedup _),
     "q89_source_overlap" -> (sourceOverlap _),
-    "q91_shard_plan" -> (shardPlan _)
+    "q91_shard_plan" -> (shardPlan _),
+    "q95_bigram_nll" -> (bigramNll _),
+    "q96_semantic_decon" -> (semanticDecon _)
   )
 }

@@ -121,6 +121,24 @@ class SimilaritySpec extends SparkSpec {
     out.values.foreach(r => r._2.foreach(c => assert(c >= -127 && c <= 127)))
   }
 
+  test("semanticDecontaminate: max-cos vs the bench set, flag on the rounded value") {
+    val ss = spark
+    import ss.implicits._
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 vs bench   -> contaminated
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.7071        -> clean at tau 0.8
+      (3L, Array(0.0f, 3.0f)),   // cos 0.0
+      (4L, Array(0.0f, 0.0f))    // zero norm -> cos 0 by contract
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, bench, tau = 0.8)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1.0, true)))
+    assert(out(2L) == ((2L, 0.7071, false)))
+    assert(out(3L) == ((3L, 0.0, false)))
+    assert(out(4L) == ((4L, 0.0, false)))
+  }
+
   test("int8TopK with exact refine nearly matches exact top-k") {
     val src = embeddings.cache()
     val queries = src.limit(20).collect()

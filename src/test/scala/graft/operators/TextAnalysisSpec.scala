@@ -111,6 +111,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("avg_nll") == round4((fpA + fpC) / 10000.0 / 2))
   }
 
+  test("bigramNllScores: chain-rule NLL (first token unigram, rest conditional bigram)") {
+    val ss = spark
+    import ss.implicits._
+    // corpus tokens: doc1 = a a b, doc2 = a b. Unigrams: a=3, b=2, N=5.
+    // Bigram events: (a,a) doc1, (a,b) doc1, (a,b) doc2.
+    // Contexts: a -> 3 events. p(a|a)=1/3, p(b|a)=2/3.
+    val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNllScores(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val fpUniA = math.round(-math.log(3.0 / 5.0) * 10000)
+    val fpAA = math.round(-math.log(1.0 / 3.0) * 10000)
+    val fpAB = math.round(-math.log(2.0 / 3.0) * 10000)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("avg_nll") == round4((fpUniA + fpAA + fpAB) / 10000.0 / 3))
+    assert(out(2L).getAs[Long]("n_tokens") == 2L)
+    assert(out(2L).getAs[Double]("avg_nll") == round4((fpUniA + fpAB) / 10000.0 / 2))
+  }
+
+  test("bigramNllScores: a single-token doc scores on the unigram leg alone") {
+    val ss = spark
+    import ss.implicits._
+    // corpus: doc1 = c (no bigrams anywhere -> docBig is empty)
+    val docs = Seq((1L, "c"), (2L, "d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNllScores(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val fpC = math.round(-math.log(1.0 / 3.0) * 10000)
+    assert(out(1L).getAs[Long]("n_tokens") == 1L)
+    assert(out(1L).getAs[Double]("avg_nll") == round4(fpC / 10000.0))
+    // doc2: first token d unigram 1/3; bigram (d,e) is the only d-context
+    // event -> p(e|d)=1 -> nll 0
+    assert(out(2L).getAs[Double]("avg_nll") == round4(fpC / 10000.0 / 2))
+  }
+
   test("withPiiRedaction counts and redacts emails, IPv4s, and phone fragments") {
     val ss = spark
     import ss.implicits._
