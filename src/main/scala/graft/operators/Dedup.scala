@@ -465,6 +465,53 @@ object Dedup {
       .select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS by banded hamming join (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 — the
+    * block-permutation trick): split the 32-bit [[simhash]] into
+    * `nBands` contiguous bit blocks; any pair within hamming distance
+    * `maxHamming` ≤ nBands−1 must agree EXACTLY on at least one block
+    * (pigeonhole), so candidate generation is an equi-join on
+    * (block index, block value) — never an all-pairs scan — and the
+    * exact hamming filter `bit_count(a XOR b) ≤ r` runs only on
+    * co-bucketed candidates. The result is EXACT (the banding is a
+    * complete cover, not probabilistic like MinHash LSH), which is why
+    * this operator can be value-oracled rather than recall-gated.
+    *
+    * Scale shape: explode is ×nBands on (id, 2 longs); the join keys
+    * on (block, value) — at web scale widen the fingerprint/blocks
+    * (64-bit hash, 16-bit blocks) so expected bucket sizes stay
+    * bounded; the 32/8 default matches this corpus' [[simhash]]. A
+    * pair sharing several blocks is produced once (`distinct` on the
+    * candidate ids before the hamming filter). */
+  def simhashNearDupPairs(
+      simhashes: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      idCol: String = "doc_id",
+      hashCol: String = "simhash"): DataFrame = {
+    require(nBands > 0 && 32 % nBands == 0, s"nBands=$nBands must divide 32")
+    require(maxHamming < nBands,
+      s"maxHamming=$maxHamming needs >= maxHamming+1 blocks for the pigeonhole " +
+        s"guarantee; got nBands=$nBands")
+    val w = 32 / nBands
+    val mask = (1L << w) - 1L
+    val h = simhashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    val banded = h.select(col("id"), col("sh"),
+      explode(array((0 until nBands).map(i => struct(
+        lit(i).as("blk"),
+        shiftright(col("sh"), i * w).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected pair list — turns
     * candidate near-dup PAIRS into dedup GROUPS (each doc labeled with
     * the min doc id reachable from it). Iterative min-label propagation

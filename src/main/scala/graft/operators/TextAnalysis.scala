@@ -194,6 +194,58 @@ object TextAnalysis {
   /** BPE token count for one word. */
   def bpeTokenCount(word: Column): Column = size(bpeSymbols(word))
 
+  /** BPE merge-table LEARNING (Sennrich et al. 2016 training loop) —
+    * the half of the tokenizer lifecycle [[bpeSymbols]]'s frozen table
+    * assumes: learn the top-`nMerges` rules from the corpus itself.
+    * Each round counts adjacent symbol pairs (weighted by word
+    * frequency, overlaps counted positionally — the classic
+    * definition), takes the global argmax with a deterministic
+    * (count DESC, left, right) tie-break, and re-symbolizes with the
+    * winning rule before the next round.
+    *
+    * Scale shape: training runs on the WORD-FREQUENCY table, not the
+    * corpus — the token stream collapses to (word, count) in one
+    * partial-agg pass (cached vocab-sized frame), and every round
+    * after that touches only the vocabulary: a pair partial-agg plus
+    * a 1-row argmax collect (the same driver-coordination shape as
+    * the IVF fit). The re-symbolize step is the shared
+    * [[applyBpeMerge]] column fold, so learned rules compose with the
+    * frozen-table apply path unchanged. Returns (left, right,
+    * pair_count) in rank order; stops early if the corpus runs out of
+    * repeated pairs. */
+  def learnBpeMerges(
+      docs: DataFrame,
+      nMerges: Int = 3,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    try {
+      var syms = words.select(split(col("w"), "").as("s"), col("cnt"))
+      val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var exhausted = false
+      while (learned.length < nMerges && !exhausted) {
+        val top = syms
+          .filter(size(col("s")) >= 2)
+          .select(col("cnt"), explode(transform(sequence(lit(1), size(col("s")) - 1), i =>
+            struct(element_at(col("s"), i).as("l"),
+              element_at(col("s"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((l, r, c))
+          syms = syms.select(applyBpeMerge(col("s"), l, r).as("s"), col("cnt"))
+        }
+      }
+      learned.toSeq
+    } finally { words.unpersist(); () }
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use
     * most-common-n-gram character fractions as quality filters; this is
     * the token-count analogue): for n = 1..maxN, the fraction of a

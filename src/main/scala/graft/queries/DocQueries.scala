@@ -182,6 +182,34 @@ object DocQueries {
     Dedup.simhash(dtc).orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs (q97) over the dup-planted corpus: banded
+    * hamming join on the 32-bit q44 fingerprint — exact (pigeonhole
+    * block cover), so value-oracled unlike the recall-gated LSH tiers.
+    * Parameterized at (hamming ≤ 1, two 16-bit blocks): this synthetic
+    * corpus is template-heavy, so 8-bit blocks co-bucket hundreds of
+    * docs and the classic (3, 4×8-bit) setting produces ~300k pairs at
+    * sf0.1 — exactly the "widen the blocks when clusters densify"
+    * tuning the operator documents. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = spread(corpus(spark, dir))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val dtc = counts.select(col("doc_id"), TextAnalysis.termHash(col("token")).as("tid"), col("cnt"))
+    Dedup.simhashNearDupPairs(Dedup.simhash(dtc), maxHamming = 1, nBands = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** BPE merge-table learning (q98): the top-3 learned rules from the
+    * documents word-frequency table, in rank order. */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.learnBpeMerges(spread(docs(spark, dir)), nMerges = 3)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("rnk", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rnk"))
+  }
+
   /** Embedding-cosine near-dup: 20 most-similar vector pairs. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = 20)
@@ -1438,7 +1466,53 @@ object DocQueries {
         |  FROM tr CROSS JOIN b),
         |m AS (SELECT vec_id, ROUND(MAX(c), 4) + 0.0 AS max_cos FROM cos GROUP BY vec_id)
         |SELECT vec_id, max_cos, max_cos >= 0.8 AS contaminated
-        |FROM m ORDER BY vec_id""".stripMargin
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q97_simhash_pairs" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, unnest($toksSql) AS token FROM corpus),
+         |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dtc AS (SELECT doc_id, ${termHashSql("token")} AS tid, cnt FROM counts),
+         |sums AS (SELECT doc_id, $simhashSumsSql FROM dtc GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q98_bpe_learn" -> {
+      // one unrolled learning round: pair counts over the current
+      // symbolization sI, argmax with the (count DESC, l, r)
+      // tie-break, re-symbolize via the SAME string-accumulator fold
+      // as the q78 apply oracle — but with the learned pair read from
+      // the cross-joined 1-row mI instead of a baked-in literal
+      def pairs(s: String, p: String, c: String, m: String) =
+        s"""$p AS (SELECT unnest(list_transform(range(1, len(s)), j -> s[j])) AS l,
+           |            unnest(list_transform(range(1, len(s)), j -> s[j+1])) AS r, cnt
+           |     FROM $s WHERE len(s) >= 2),
+           |$c AS (SELECT l, r, sum(cnt) AS c FROM $p GROUP BY l, r),
+           |$m AS (SELECT l, r, c FROM $c ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      def resym(prev: String, m: String, next: String) =
+        s"""$next AS (SELECT string_split(list_reduce(s, (a, x) ->
+           |  CASE WHEN (a = $m.l OR ends_with(a, ' ' || $m.l)) AND x = $m.r
+           |       THEN CASE WHEN a = $m.l THEN $m.l || $m.r
+           |            ELSE left(a, length(a) - length($m.l)) || $m.l || $m.r END
+           |       ELSE a || ' ' || x END), ' ') AS s, cnt
+           |  FROM $prev CROSS JOIN $m)""".stripMargin
+      s"""WITH w0 AS (SELECT w, count(*) AS cnt
+         |            FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |            WHERE length(w) > 0 GROUP BY w),
+         |s0 AS (SELECT string_split(w, '') AS s, cnt FROM w0),
+         |${pairs("s0", "p1", "c1", "m1")},
+         |${resym("s0", "m1", "s1")},
+         |${pairs("s1", "p2", "c2", "m2")},
+         |${resym("s1", "m2", "s2")},
+         |${pairs("s2", "p3", "c3", "m3")}
+         |SELECT * FROM (
+         |  SELECT 1 AS rnk, l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m1
+         |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
+         |  UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM m3)
+         |ORDER BY rnk""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1486,6 +1560,8 @@ object DocQueries {
     "q89_source_overlap" -> (sourceOverlap _),
     "q91_shard_plan" -> (shardPlan _),
     "q95_bigram_nll" -> (bigramNll _),
-    "q96_semantic_decon" -> (semanticDecon _)
+    "q96_semantic_decon" -> (semanticDecon _),
+    "q97_simhash_pairs" -> (simhashPairs _),
+    "q98_bpe_learn" -> (bpeLearn _)
   )
 }

@@ -253,6 +253,30 @@ class DedupSpec extends SparkSpec {
     out.values.foreach(r => assert(r._3 <= r._2, s"doc ${r._1}: minimizers ${r._3} > chunks ${r._2}"))
   }
 
+  test("simhashNearDupPairs: banded join finds every pair within the hamming bound") {
+    val ss = spark
+    import ss.implicits._
+    val hashes = Seq(
+      1L -> 0x00000000L, // blocks 00 00 00 00
+      2L -> 0x00000007L, // hamming 3 vs id1; shares 3 blocks
+      3L -> 0x0F0F0F0FL, // hamming 16 vs id1; no shared block
+      4L -> 0x01010101L, // hamming 4 vs id1: within no-guarantee zone, no shared block
+      5L -> 0x00000007L  // == id2 -> hamming 0; hamming 3 vs id1
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDupPairs(hashes, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // exact contract: every pair at hamming <= 3 appears exactly once
+    assert(got == Seq((1L, 2L, 3L), (1L, 5L, 3L), (2L, 5L, 0L)))
+    // pigeonhole precondition is enforced, not silently weakened
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(hashes, maxHamming = 4, nBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(hashes, maxHamming = 3, nBands = 5)
+    }
+  }
+
   test("crossSourceOverlap: engineered shingle overlap yields exact pair counts and Jaccard") {
     val ss = spark
     import ss.implicits._

@@ -48,6 +48,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("zzz") == Seq("z", "z", "z")) // no rule for (z,z)
   }
 
+  test("learnBpeMerges: frequency-ranked rounds with iterative re-symbolization") {
+    val ss = spark
+    import ss.implicits._
+    // vocab: "aaab" x2, "ab" x1
+    // r1: (a,a)=4 beats (a,b)=3 -> merge aa
+    // r2: on [aa,a,b]/[a,b]: (a,b)=3 beats (aa,a)=2 -> merge ab
+    // r3: on [aa,ab]/[ab]: (aa,ab)=2 -> merge aaab
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.learnBpeMerges(docs, nMerges = 3)
+    assert(got == Seq(("a", "a", 4L), ("a", "b", 3L), ("aa", "ab", 2L)))
+  }
+
+  test("learnBpeMerges stops early when no repeated-pair mass remains") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(TextAnalysis.learnBpeMerges(docs, nMerges = 3) == Seq.empty)
+  }
+
   test("repetitionStats computes top-n-gram fractions and the flag by definition") {
     val ss = spark
     import ss.implicits._
