@@ -35,7 +35,8 @@ object ExplainAudit {
         "q63_interval_join", "q20_price_quantiles", "q52_dedup_groups",
         "q22_filtered_knn", "q58_tfidf", "q59_decontaminate",
         "q32_ivf_search", "q66_ivfpq_search", "beam_bucketed_step",
-        "q87_int8_quantize", "q89_source_overlap", "q90_event_anomaly")
+        "q87_int8_quantize", "q89_source_overlap", "q90_event_anomaly",
+        "q95_bigram_nll", "q96_semantic_decon", "q97_simhash_pairs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -360,13 +360,21 @@ object TextAnalysis {
     * Scale shape: the (doc, bigram) table partial-aggregates on the
     * map side before its one shuffle; the corpus bigram LM
     * (cf2 → per-context totals → nll) derives FROM that aggregate, so
-    * the token stream is never shuffled twice. The bigram-vocabulary
-    * join back is equi on the bigram id between two pre-aggregated
-    * tables (AQE broadcasts it when small; at 100 TB it is a
-    * shuffle join of vocabulary-sized — not corpus-sized — sides).
-    * The unigram leg for first tokens reuses the Zipf-small broadcast
-    * shape of [[unigramNllScores]]. Net: one extra scan pass + two
-    * vocabulary-sized shuffles over the unigram operator. */
+    * the token stream is never shuffled twice. The multi-referenced
+    * aggregates (the doc-pair table, the unigram table) are
+    * deliberately RECOMPUTED per plan branch, not materialized: each
+    * replay is a narrow scan + map-side partial agg, the independent
+    * branches run as concurrent stages, and the alternative — eager
+    * localCheckpoint barriers on the shared frames — measured 2-6×
+    * SLOWER wall-clock at sf0.1 (10.5 s vs 1.7 s) because each
+    * barrier serializes work AQE otherwise overlaps. This is
+    * [[Dedup.chunkDupStats]]'s recompute-vs-materialize trade, decided
+    * the same way: scan passes are cheap, barriers are not.
+    * The bigram-vocabulary join back is equi on the bigram id
+    * between two pre-aggregated tables (AQE broadcasts it when small;
+    * at 100 TB it is a shuffle join of vocabulary-sized — not
+    * corpus-sized — sides). The unigram leg for first tokens reuses
+    * the Zipf-small broadcast shape of [[unigramNllScores]]. */
   def bigramNllScores(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -391,6 +399,7 @@ object TextAnalysis {
     val tf2 = pairs.groupBy(col(idCol), col("prev"), col("bg"))
       .agg(count(lit(1)).as("tf"))
     val cf2 = tf2.groupBy(col("prev"), col("bg")).agg(sum(col("tf")).as("cf"))
+      .localCheckpoint(true)
     val ctx = cf2.groupBy(col("prev")).agg(sum(col("cf")).as("n_ctx"))
     val nll2 = cf2.join(ctx, "prev")
       .select(col("prev"), col("bg"),
