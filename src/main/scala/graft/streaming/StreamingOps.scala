@@ -72,6 +72,32 @@ object StreamingOps {
       lit(true)))
   }
 
+  /** Streaming semantic decontamination (streaming twin of q96):
+    * append `max_cos` / `contaminated` to every arriving vector. The
+    * benchmark set is eval-set-sized by definition, so it inlines —
+    * with its precomputed norms — as a literal array of structs, and
+    * the whole check is ONE stateless per-row fold (`greatest` over
+    * the per-benchmark cosines): no join, no streaming state, no
+    * shuffle. The batch operator's groupBy-max becomes a fold because
+    * max needs no aggregation order; both round to 4 decimals before
+    * the τ decision, so stream and batch flag identically. */
+  def streamingSemanticDecon(
+      stream: DataFrame,
+      bench: Seq[Array[Float]],
+      tau: Double = 0.8,
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(bench.nonEmpty, "benchmark set must be non-empty")
+    val benchLit = typedLit(bench.map(b =>
+      (b.toSeq, math.sqrt(b.map(x => x.toDouble * x).sum))))
+    val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+    val maxRaw = aggregate(benchLit, lit(Double.NegativeInfinity), (m, b) =>
+      greatest(m, VectorFunctions.cosineSimFromNorms(
+        VectorFunctions.dot(col(vecCol), b.getField("_1")), nrm, b.getField("_2"))))
+    stream.withColumn("max_cos", round(maxRaw, 4) + lit(0.0))
+      .withColumn("contaminated", col("max_cos") >= tau)
+  }
+
   /** Streaming LSH near-dup tier (streaming twin of the q56 batch
     * path): bucketing under a FITTED
     * [[graft.index.GraphBuilder.LshModel]] is a pure per-row

@@ -135,6 +135,35 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingSemanticDecon: stream output == batch semanticDecontaminate") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val bench = Seq(Array(1.0f, 0.0f), Array(0.6f, 0.8f))
+    val rows = Seq(
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 vs bench0
+      (2L, Array(1.0f, 1.0f)),   // ~0.9899 vs bench1
+      (3L, Array(-1.0f, 0.0f)),  // best is 0.0? no: vs bench0 = -1, bench1 = -0.6 -> max -0.6
+      (4L, Array(0.0f, 0.0f)))   // zero norm -> 0
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamingSemanticDecon(
+        mem.toDF().toDF("vec_id", "embedding"), bench, tau = 0.8)
+      .select("vec_id", "max_cos", "contaminated")
+      .writeStream.format("memory").queryName("semdecon_out").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val stream = spark.table("semdecon_out")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Similarity.semanticDecontaminate(
+        rows.toDF("vec_id", "embedding"),
+        bench.zipWithIndex.map { case (v, i) => (100L + i, v) }.toDF("vec_id", "embedding"),
+        tau = 0.8)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(stream == batch)
+    assert(stream.map(r => r._1 -> r._3).toMap == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    q.stop()
+  }
+
   test("mixtureSample runs unchanged on a stream: stateless per-row filter") {
     val ss = spark
     implicit val sql = ss.sqlContext
