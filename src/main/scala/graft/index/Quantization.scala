@@ -331,20 +331,29 @@ object Quantization {
       topk: Int,
       nprobe: Int,
       refine: Option[DataFrame] = None,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4,
+      residual: Boolean = false): DataFrame = {
     val spark = assignedCodes.sparkSession
     def sq(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
       s
     }
+    def sub(a: Array[Float], b: Array[Float]): Array[Float] =
+      Array.tabulate(a.length)(i => a(i) - b(i))
     // driver-side probe: nprobe nearest centroids per query, LUT per
-    // (query, cluster) row — duplicated nprobe times, still tiny
+    // (query, cluster) row — duplicated nprobe times, still tiny.
+    // residual=true is the classic IVFADC refinement (Jégou et al.
+    // 2011 §III): codes encode (vec − centroid), so the LUT for a
+    // probed cluster scores the QUERY residual (q − centroid) — same
+    // ADC kernel, per-(query, cluster) tables instead of per-query.
     val probeRows = queries.flatMap { case (qid, qv) =>
-      val lut = model.lutFor(qv).toSeq
-      centroids.map { case (c, cv) => (sq(qv, cv), c) }
-        .sortBy { case (d, c) => (d, c) }.take(nprobe)
-        .map { case (_, c) => Row(qid, c, lut) }
+      lazy val sharedLut = model.lutFor(qv).toSeq
+      centroids.map { case (c, cv) => (sq(qv, cv), c, cv) }
+        .sortBy { case (d, c, _) => (d, c) }.take(nprobe)
+        .map { case (_, c, cv) =>
+          Row(qid, c, if (residual) model.lutFor(sub(qv, cv)).toSeq else sharedLut)
+        }
     }
     val probe = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*),

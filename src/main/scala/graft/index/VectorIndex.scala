@@ -486,6 +486,85 @@ final class VectorIndex private (
     resolvedFrom(dir, ivfPqSchema, "codes")
   }
 
+  private def requireIvfMetric(ivfModel: IvfModel, what: String): Unit =
+    require(Metric.fromName(ivfModel.metricName) == metric,
+      s"$what requires the IVF model's metric (${ivfModel.metricName}) " +
+        s"to match the index metric (${metric.name})")
+
+  /** Residual-PQ sidecar name: the codebook is fit on residuals UNDER
+    * a specific coarse quantizer, so its identity includes that IVF
+    * model's full suffix (shape + metric + content hash) — a coarse
+    * re-fit can never pair with a stale residual codebook. */
+  private def pqResFile(ivfModel: IvfModel, m: Int): String =
+    s"pqres-${ivfModel.suffix}-m$m.json"
+
+  /** Per-row residuals (prepared vector − assigned centroid) under
+    * `ivfModel` — the quantity the residual codebook fits and encodes.
+    * Assignment is the shared pure-expression pass; the k×dim centroid
+    * table broadcasts. */
+  private def residualsOf(src: DataFrame, ivfModel: IvfModel): DataFrame =
+    graft.operators.Similarity.assignClusters(src, ivfModel)
+      .join(broadcast(graft.operators.Similarity.centroidsDf(spark, ivfModel)),
+        Seq("cluster"))
+      .select(col("id"),
+        zip_with(normalizeForPq(col("vec")), col("cvec"), (a, b) => a - b).as("vec"))
+
+  /** Fit a RESIDUAL PQ codebook (classic IVFADC, Jégou et al. 2011):
+    * quantize (vec − centroid) instead of vec. Residuals concentrate
+    * near the origin with most cross-cluster variance already absorbed
+    * by the coarse quantizer, so the same m bytes spend their
+    * precision on local detail — higher recall than raw-vector codes
+    * at identical compression. Persisted like [[fitPQ]], keyed by the
+    * IVF model's suffix. */
+  def fitResidualPQ(ivfModel: IvfModel, m: Int, k: Int = 256): Quantization.PQModel = {
+    requireIvfMetric(ivfModel, "fitResidualPQ")
+    val model = Quantization.pqFit(residualsOf(pqFitSource, ivfModel), m = m, k = k)
+    Quantization.save(model, path, pqResFile(ivfModel, m))
+    model
+  }
+
+  /** The persisted residual codebook for (ivfModel, m), if any. */
+  def loadResidualPQ(ivfModel: IvfModel, m: Int): Option[Quantization.PQModel] = {
+    val f = pqResFile(ivfModel, m)
+    if (ArtifactStore.current.exists(s"$path/$f")) Some(Quantization.load(path, f))
+    else None
+  }
+
+  def loadOrFitResidualPQ(ivfModel: IvfModel, m: Int, k: Int = 256): Quantization.PQModel =
+    loadResidualPQ(ivfModel, m).getOrElse(fitResidualPQ(ivfModel, m, k))
+
+  /** Persisted per-segment RESIDUAL composite codes
+    * (`ivfpq_res/seg=<v>-<ivfSfx>--<pqSfx>`, PARTITIONED BY cluster) —
+    * the IVFADC layout: same physical shape and partition-pruned read
+    * path as [[ivfPqCodes]], but `codes` encode (vec − centroid) under
+    * the residual codebook, served by `ivfPqTopK(residual = true)`.
+    * Tombstones carry null codes/cluster; delta commits encode
+    * O(batch); [[vacuum]] reaps dirs whose IVF or residual-codebook
+    * half is stale. */
+  def ivfPqResidualCodes(ivfModel: IvfModel, resModel: Quantization.PQModel): DataFrame = {
+    requireIvfMetric(ivfModel, "ivfPqResidualCodes")
+    val pqFp = Fingerprint.ofFloats(resModel.codebook)
+    val suffix = s"${ivfModel.suffix}--m${resModel.m}k${resModel.k}-$pqFp"
+    def dir(v: Long) = s"$path/ivfpq_res/seg=$v-$suffix"
+    val centroids = graft.operators.Similarity.centroidsDf(spark, ivfModel)
+    meta.segments.foreach { v =>
+      val d = dir(v)
+      if (!ArtifactStore.current.exists(s"$d/_SUCCESS")) {
+        // LEFT join: tombstone rows carry a null cluster and must
+        // survive to the artifact with null codes
+        graft.operators.Similarity.assignClusters(segmentDecoded(v), ivfModel)
+          .join(broadcast(centroids), Seq("cluster"), "left")
+          .select(col("id"), col("cluster"),
+            when(col("vec").isNotNull,
+              resModel.encode(
+                zip_with(normalizeForPq(col("vec")), col("cvec"), (a, b) => a - b)))
+              .as("codes"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(d)
+      }
+    }
+    resolvedFrom(dir, ivfPqSchema, "codes")
+  }
+
   /** [[toServing]] with low-memory PQ traversal enabled from the
     * persisted per-m sidecar; fit-and-save on first use. Works for
     * BOTH metrics: cosine fits/encodes normalized vectors and the
@@ -932,7 +1011,20 @@ final class VectorIndex private (
       .map(_.getFileName.toString)
       .filter(_.matches("^ivf-k\\d+-[a-z0-9]+\\.json$"))
       .map(f => f -> scala.util.Try(Ivf.load(path, f).suffix))
-    val unreadable = (pqLoads ++ ivfLoads).collect { case (f, scala.util.Failure(_)) => f }
+    // residual codebooks: sidecar name embeds the owning IVF model's
+    // suffix (pqres-<ivfSfx>-m<m>.json); content suffix like pq's
+    val pqResRe = "^pqres-(.+)-m\\d+\\.json$".r
+    val pqResLoads = children(root)
+      .map(_.getFileName.toString)
+      .filter(pqResRe.matches(_))
+      .map { f =>
+        f -> scala.util.Try {
+          val m = Quantization.load(path, f)
+          s"m${m.m}k${m.k}-${Fingerprint.ofFloats(m.codebook)}"
+        }
+      }
+    val unreadable = (pqLoads ++ ivfLoads ++ pqResLoads)
+      .collect { case (f, scala.util.Failure(_)) => f }
     // an operator watching stale code dirs accumulate must be able to
     // tell "working vacuum" from "suffix reaping disabled" — name the
     // sidecar(s) that disabled it
@@ -942,8 +1034,10 @@ final class VectorIndex private (
           "suffix-based artifact reaping disabled this pass (dead-segment reaping unaffected)")
     val pqReapOk = pqLoads.forall(_._2.isSuccess)
     val ivfReapOk = ivfLoads.forall(_._2.isSuccess)
+    val pqResReapOk = pqResLoads.forall(_._2.isSuccess)
     val pqActive = pqLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
     val ivfActive = ivfLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
+    val pqResActive = pqResLoads.collect { case (_, scala.util.Success(s)) => s }.toSet
     val codeRe = "^seg=(\\d+)-(.+)$".r
     val legacyRe = "^v=\\d+-.+$".r
     // one reaping rule for all three per-segment artifact families:
@@ -970,6 +1064,20 @@ final class VectorIndex private (
       case Array(i, p) => ivfActive.contains(i) && pqActive.contains(p)
       case _ => false
     })
+    reapDerived("ivfpq_res", pqResReapOk && ivfReapOk, s => s.split("--", 2) match {
+      case Array(i, p) => ivfActive.contains(i) && pqResActive.contains(p)
+      case _ => false
+    })
+    // a residual sidecar orphaned by a coarse re-fit (its embedded IVF
+    // suffix no longer matches any persisted ivf-*.json) is itself
+    // stale: the codebook is meaningless without its quantizer
+    if (ivfReapOk) pqResLoads.foreach { case (f, _) =>
+      f match {
+        case pqResRe(ivfSfx) if !ivfActive.contains(ivfSfx) =>
+          store.deleteTree(s"$path/$f"); reaped += 1
+        case _ => ()
+      }
+    }
     // bucketed serving layouts are keyed by SEGMENT SET (not model):
     // any layout not matching the current snapshot's key is stale
     val bktRoot = root.resolve("bucketed")

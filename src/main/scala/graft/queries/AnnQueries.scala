@@ -202,6 +202,29 @@ object AnnQueries {
     }
   }
 
+  /** Residual (IVFADC) twin of [[ivfPqFitted]]: same coarse quantizer,
+    * codebook fit on (vec − centroid), codes persisted to the
+    * partition-pruned `ivfpq_res/` layout and served UN-cached for the
+    * same planning-time-pruning reason. */
+  private val ivfPqResCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[(Int, Array[Float])], graft.index.Quantization.PQModel, DataFrame)]()
+
+  private def ivfPqResFitted(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Float])], graft.index.Quantization.PQModel, DataFrame) = {
+    val cached = ivfPqResCache.get(dir)
+    if (cached != null && !cached._3.sparkSession.sparkContext.isStopped) cached
+    else {
+      val idx = builtIndex(spark, dir)
+      val ivfModel = idx.loadOrFitIVF(16, Metric.Euclidean)
+      val resModel = idx.loadOrFitResidualPQ(ivfModel, m = 8)
+      val codes = idx.ivfPqResidualCodes(ivfModel, resModel)
+      codes.count()
+      val triple = (ivfModel.centroidPairs, resModel, codes)
+      ivfPqResCache.put(dir, triple)
+      triple
+    }
+  }
+
   /** Exact top-10 ground truth per (dir, metric, query-sample) —
     * the EVALUATION oracle the recall queries (q31/q33/q35/q37) score
     * against. Computed distributed (crossJoin against the broadcast
@@ -362,6 +385,8 @@ object AnnQueries {
     val tPq = (System.nanoTime() - t5) / 1e9
     val t6 = System.nanoTime(); ivfPqFitted(spark, dir)
     val tIvfPq = (System.nanoTime() - t6) / 1e9
+    val t6b = System.nanoTime(); ivfPqResFitted(spark, dir)
+    val tIvfPqRes = (System.nanoTime() - t6b) / 1e9
     val t7 = System.nanoTime(); alphaComparison(spark, dir)
     val tAlpha = (System.nanoTime() - t7) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
@@ -371,6 +396,7 @@ object AnnQueries {
       "truth_build_sec" -> tTruth,
       "pq_fit_sec" -> tPq,
       "ivfpq_join_sec" -> tIvfPq,
+      "ivfpq_res_join_sec" -> tIvfPqRes,
       "alpha_graph_build_sec" -> tAlpha)
   }
 
@@ -637,6 +663,48 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "nprobe", "refine_factor", "compression_ratio")
   }
 
+  /** Residual IVF-PQ (IVFADC) top-10 with exact re-rank (q99):
+    * identical probe/prune/refine shape to q66, but ADC scores
+    * residual codes against per-(query, cluster) LUTs — the layout
+    * that buys recall back at the same m bytes per vector. */
+  def ivfPqResSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (centroidArr, model, codes) = ivfPqResFitted(spark, dir)
+    val src = source(spark, dir)
+    val queries = src.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.index.Quantization.ivfPqTopK(codes, centroidArr, model, queries,
+        topk = 10, nprobe = 8, refine = Some(src), residual = true)
+      .select(col("query_id"), (col("neighbor_id") + 1).as("neighbor_public_id"),
+        col("dist"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the RESIDUAL composite (q100) vs the same
+    * exact oracle and knobs as q67 — the two rows side by side in the
+    * round artifacts show what residual encoding buys at identical
+    * compression. */
+  def ivfPqResRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (centroidArr, model, codes) = ivfPqResFitted(spark, dir)
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nprobe = 8
+    val refineFactor = 4
+    val got = graft.index.Quantization.ivfPqTopK(codes, centroidArr, model,
+        queries, topk = 10, nprobe = nprobe,
+        refine = Some(src), refineFactor = refineFactor, residual = true)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val matched = truth.keysIterator.map(q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+    val nq = truth.size.toLong
+    Seq((nq, matched.toDouble / (nq * 10.0), nprobe, refineFactor, model.compressionRatio))
+      .toDF("n_queries", "avg_recall_at_10", "nprobe", "refine_factor", "compression_ratio")
+  }
+
   /** Head-to-head recall@10 of the truncation prune (reference-
     * faithful default) vs the α-RNG prune (alpha = 1.2, opt-in) over
     * the SAME vectors at the SAME low degree and a tight ef, measured
@@ -681,7 +749,9 @@ object AnnQueries {
     "q67_ivfpq_recall" -> (ivfPqRecall _),
     "q68_alpha_recall" -> (alphaRecall _),
     "q93_int8_search" -> (int8Search _),
-    "q94_int8_recall" -> (int8Recall _)
+    "q94_int8_recall" -> (int8Recall _),
+    "q99_ivfpq_res_search" -> (ivfPqResSearch _),
+    "q100_ivfpq_res_recall" -> (ivfPqResRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

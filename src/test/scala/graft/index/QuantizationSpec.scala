@@ -128,6 +128,76 @@ class QuantizationSpec extends SparkSpec {
     assert(avg >= 0.70, s"PQ+refine avg recall $avg below the 0.70 gate")
   }
 
+  test("residual (IVFADC) codes beat raw-vector codes at identical compression") {
+    import graft.operators.Similarity
+    // clustered data — the regime IVF exists for: 16 well-separated
+    // centers, small within-cluster noise. The coarse quantizer
+    // absorbs the center; residual codes spend all m bytes on the
+    // local offset, raw-vector codes must span the whole cube.
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(dim)(rng.nextFloat() * 10f))
+    val pts = Array.tabulate(n) { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + (rng.nextFloat() - 0.5f)))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val cdf = spark.createDataFrame(
+      java.util.Arrays.asList(pts.map { case (i, v) => Row(i, v.toSeq) }: _*), schema)
+    val ivf = Similarity.ivfFitModel(cdf, k = 16)
+    val assigned = Similarity.assignClusters(cdf, ivf).cache()
+    val plainModel = Quantization.pqFit(cdf, m = 8)
+    val plainCodes = assigned.select(col("id"), col("cluster"),
+      plainModel.encode(col("vec")).as("codes"))
+    val residuals = assigned
+      .join(broadcast(Similarity.centroidsDf(spark, ivf)), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("rvec"))
+    val resModel = Quantization.pqFit(
+      residuals.select(col("id"), col("rvec").as("vec")), m = 8)
+    val resCodes = residuals.select(col("id"), col("cluster"),
+      resModel.encode(col("rvec")).as("codes"))
+    val queries = pts.take(30)
+    def recallOf(codes: org.apache.spark.sql.DataFrame,
+        model: Quantization.PQModel, residual: Boolean): Double = {
+      // NO exact refine: expose the raw ADC code quality
+      val got = Quantization.ivfPqTopK(codes, ivf.centroidPairs, model, queries,
+          topk = 10, nprobe = 4, residual = residual)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val qDf = spark.createDataFrame(
+        java.util.Arrays.asList(queries.map { case (i, v) => Row(i, v.toSeq) }: _*),
+        StructType(Seq(
+          StructField("query_id", LongType, nullable = false),
+          StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
+      val truth = cdf.crossJoin(broadcast(qDf))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+        .groupBy(col("query_id"))
+        .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("p"))
+        .select(col("query_id"), col("p.id").as("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      queries.map { case (qid, _) =>
+        truth(qid).intersect(got.getOrElse(qid, Set.empty)).size / 10.0
+      }.sum / queries.length
+    }
+    val plainRecall = recallOf(plainCodes, plainModel, residual = false)
+    val resRecall = recallOf(resCodes, resModel, residual = true)
+    info(f"ADC recall@10 (no refine): raw $plainRecall%.3f residual $resRecall%.3f")
+    // comparative gate: the residual gain is what this test pins
+    // (measured 0.63 vs 0.46 at seed 11); the 0.70 END-TO-END gate
+    // lives on q100, which adds the exact refine this no-refine
+    // measurement deliberately omits
+    assert(resRecall >= plainRecall + 0.05,
+      s"residual recall $resRecall not clearly above raw-code recall $plainRecall")
+    assert(resRecall >= 0.50, s"residual ADC recall $resRecall below 0.50")
+    assigned.unpersist()
+  }
+
   test("low-memory PQ traversal in the serving engine: recall@10 >= 0.70") {
     val serving = new ServingIndex(dim = dim, maxDegree = 32)
     data.foreach { case (_, v) => serving.insert(v) }
