@@ -436,6 +436,30 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
   }
 
+  /** Recall/ef frontier (q101): q31's measurement swept over the
+    * serving engine's one latency/quality knob. The ef values are the
+    * operating points a deployment tunes between; emitting the whole
+    * curve per round makes a quality regression at ANY operating
+    * point visible, not just at the default. Rows-only with gated
+    * recall columns (every ef ≥ topk on this corpus clears 0.70). */
+  def efSweepRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val serving = buildServing(spark, dir)
+    val src = source(spark, dir)
+    val queryRows = querySample(src, "stride")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "stride")
+      .map { case (q, ids) => q -> ids.map(_ + 1) }
+    Seq(20, 50, 100, 200).map { ef =>
+      val recalls = queryRows.map { case (qid, qv) =>
+        val got = serving.search(qv, topk = 10, ef = ef).map(_._2).toSet
+        truth(qid).intersect(got).size.toDouble / 10.0
+      }
+      (ef, queryRows.length.toLong, recalls.sum / recalls.length, recalls.min)
+    }.toDF("ef", "n_queries", "avg_recall_at_10", "min_recall_at_10")
+      .orderBy(col("ef"))
+  }
+
   /** IVF (KMeans inverted-file) approximate top-k — the partition-
     * pruned scale path (graft.operators.Similarity). */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -751,7 +775,8 @@ object AnnQueries {
     "q93_int8_search" -> (int8Search _),
     "q94_int8_recall" -> (int8Recall _),
     "q99_ivfpq_res_search" -> (ivfPqResSearch _),
-    "q100_ivfpq_res_recall" -> (ivfPqResRecall _)
+    "q100_ivfpq_res_recall" -> (ivfPqResRecall _),
+    "q101_ef_sweep" -> (efSweepRecall _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */
