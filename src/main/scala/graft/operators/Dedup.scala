@@ -363,6 +363,55 @@ object Dedup {
         array_join(kept, " ").as("cleaned_text"))
   }
 
+  /** Span-level decontamination: cut every k-token window of a
+    * training document that appears VERBATIM in the benchmark set —
+    * the surgical variant of document-level decontamination
+    * (`DocQueries.decontaminate` drops whole docs; this keeps the doc
+    * and excises only the leaked spans, the standard practice when a
+    * long document quotes a short benchmark item). Same ~60-bit
+    * dual-fold chunk identity and cut machinery as [[removeDupSpans]],
+    * with two deliberate differences: the benchmark side defines the
+    * removable set (no canonical survivor — benchmark text must not
+    * survive ANYWHERE in training data), and there is no
+    * cross-training-doc interaction at all.
+    *
+    * Scale shape: the benchmark chunk-id set is eval-set-sized and
+    * broadcast; the corpus contributes one window pass (positions,
+    * never strings) and a per-doc start-set aggregate bounded by doc
+    * length. Corpus rows never shuffle; the destructive decision rides
+    * the same two-independent-recurrence collision bound as the span
+    * dedup tier. */
+  def removeContaminatedSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
+    val cidArr = chunkIdArr(h, col("__graft_tids2"), k)
+    def chunked(src: DataFrame) = src
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"), col("__graft_toks"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
+    val toks = chunked(docs)
+    val benchCids = chunked(bench).filter(size(h) >= k)
+      .select(explode(array_distinct(cidArr)).as("cid")).distinct()
+    val wins = toks.filter(size(h) >= k)
+      .select(col("doc_id"), posexplode(cidArr).as(Seq("pos", "cid")))
+    val removable = wins.join(broadcast(benchCids), Seq("cid"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(col("__graft_toks"), (t, i) =>
+      !exists(starts, s => s <= i && i < s + k))
+    toks.join(removable, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__graft_toks")).as("n_tokens"),
+        (size(col("__graft_toks")) - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("cleaned_text"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
     * shingles present in more than that many docs (skew/scale guard;

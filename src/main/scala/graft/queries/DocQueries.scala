@@ -323,6 +323,18 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level decontamination (q102): cut every 8-token window of a
+    * training doc (doc_id >= 5) that appears verbatim in the benchmark
+    * slice (doc_id < 5) — q59's surgical twin. */
+  def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(docs(spark, dir))
+    Dedup.removeContaminatedSpans(
+      d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("cleaned_text")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.withTextStats(docs(spark, dir))
@@ -1512,7 +1524,31 @@ object DocQueries {
          |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
          |  UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM m3)
          |ORDER BY rnk""".stripMargin
-    }
+    },
+    "q102_span_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2 FROM toks),
+         |bcids AS (SELECT DISTINCT cid FROM (
+         |            SELECT unnest(list_transform(range(0, len(h) - 7),
+         |              i -> $chunkIdSql)) AS cid
+         |            FROM tids WHERE doc_id < 5 AND len(h) >= 8)),
+         |wins AS (SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
+         |           i -> struct_pack(pos := i, cid := $chunkIdSql))) AS w
+         |         FROM tids WHERE doc_id >= 5 AND len(h) >= 8),
+         |w2 AS (SELECT doc_id, w.pos AS pos, w.cid AS cid FROM wins),
+         |rem AS (SELECT w2.doc_id, list_sort(list(DISTINCT w2.pos)) AS starts
+         |        FROM w2 JOIN bcids USING (cid) GROUP BY w2.doc_id),
+         |cut AS (SELECT t.doc_id, t.t,
+         |          list_filter(t.t, (x, i) -> len(list_filter(COALESCE(r.starts, []::BIGINT[]),
+         |            s -> s <= i - 1 AND i - 1 < s + 8)) = 0) AS kept
+         |        FROM tids t LEFT JOIN rem r USING (doc_id)
+         |        WHERE t.doc_id >= 5)
+         |SELECT doc_id, len(t) AS n_tokens,
+         |       len(t) - len(kept) AS n_removed,
+         |       md5(CASE WHEN t IS NULL THEN NULL
+         |                ELSE COALESCE(array_to_string(kept, ' '), '') END) AS cleaned_md5
+         |FROM cut ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1562,6 +1598,7 @@ object DocQueries {
     "q95_bigram_nll" -> (bigramNll _),
     "q96_semantic_decon" -> (semanticDecon _),
     "q97_simhash_pairs" -> (simhashPairs _),
-    "q98_bpe_learn" -> (bpeLearn _)
+    "q98_bpe_learn" -> (bpeLearn _),
+    "q102_span_decontam" -> (spanDecontaminate _)
   )
 }

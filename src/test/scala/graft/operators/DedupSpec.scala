@@ -253,6 +253,34 @@ class DedupSpec extends SparkSpec {
     out.values.foreach(r => assert(r._3 <= r._2, s"doc ${r._1}: minimizers ${r._3} > chunks ${r._2}"))
   }
 
+  test("removeContaminatedSpans cuts every benchmark window, keeps clean text, no survivor") {
+    val ss = spark
+    import ss.implicits._
+    val benchRun = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-token chunk
+    val bench = Seq((100L, s"$benchRun tail1 tail2")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"x1 x2 $benchRun y1 y2"),         // middle span cut
+      (2L, "clean doc with no benchmark text at all"), // untouched
+      (3L, s"$benchRun mid $benchRun"),        // BOTH occurrences cut
+      (4L, benchRun)                            // fully contaminated -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, bench, k = 8)
+      .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 12, 8, "x1 x2 y1 y2")))
+    assert(out(2L)._3 == 0 && out(2L)._4 == "clean doc with no benchmark text at all")
+    assert(out(3L) == ((3L, 17, 16, "mid")))
+    assert(out(4L) == ((4L, 8, 8, "")))
+    // the benchmark's own extra windows ("b2..tail1" etc.) also cut in
+    // a train doc that contains them shifted — window identity is
+    // verbatim token runs, not aligned blocks
+    val shifted = Seq((5L, s"z ${(2 to 8).map(i => s"b$i").mkString(" ")} tail1 w"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.removeContaminatedSpans(shifted, bench, k = 8)
+      .select("doc_id", "cleaned_text").as[(Long, String)].collect().head
+    assert(out2 == ((5L, "z w")))
+  }
+
   test("simhashNearDupPairs: banded join finds every pair within the hamming bound") {
     val ss = spark
     import ss.implicits._
