@@ -412,6 +412,68 @@ object Dedup {
         array_join(kept, " ").as("cleaned_text"))
   }
 
+  /** The benchmark side of [[removeContaminatedSpans]] as a
+    * driver-side value: the distinct k-token chunk ids of the
+    * benchmark set (eval-set-sized by definition — this collect is
+    * bounded by benchmark bytes, never corpus bytes). Feed it to
+    * [[removeContaminatedSpansStateless]] / the streaming twin. */
+  def benchmarkChunkIds(
+      bench: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Seq[Long] = {
+    val h = col("__graft_tids")
+    bench
+      .select(TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
+      .filter(size(h) >= k)
+      .select(explode(array_distinct(chunkIdArr(h, col("__graft_tids2"), k))).as("cid"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+  }
+
+  /** [[removeContaminatedSpans]] with the benchmark chunk-id set
+    * inlined as a literal: the whole cut becomes ONE stateless per-row
+    * expression — no explode, no join, no shuffle — so it runs
+    * unchanged on an unbounded stream (the [[graft.streaming
+    * .StreamingOps.streamingSpanDecontam]] twin) and pipelines inside
+    * the scan in batch. Per-row cost is O(positions × |bench set|)
+    * literal-array membership checks — fine for eval-set-sized
+    * benchmarks, which is the only size the literal shape targets;
+    * corpus-sized "benchmarks" belong on the broadcast-join variant. */
+  def removeContaminatedSpansStateless(
+      docs: DataFrame,
+      benchCids: Seq[Long],
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val benchLit = typedLit(benchCids)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val d = docs
+      .withColumn("__graft_toks", toks)
+      // when-guard: chunkIdArr's sequence(0, n-k) counts DOWN for
+      // docs shorter than k tokens (the shingles() quirk) and
+      // element_at(_, 0) then throws — the guard keeps the branch
+      // unevaluated for short rows
+      .withColumn("__graft_cids", when(size(col("__graft_toks")) >= k,
+        chunkIdArr(
+          transform(col("__graft_toks"), t => TextAnalysis.termHash(t)),
+          transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)), k))
+        .otherwise(array().cast("array<bigint>")))
+    val starts = when(size(col("__graft_toks")) >= k,
+      filter(sequence(lit(0), size(col("__graft_cids")) - 1), p =>
+        array_contains(benchLit, element_at(col("__graft_cids"), p + 1))))
+      .otherwise(array().cast("array<int>"))
+    val kept = filter(col("__graft_toks"), (t, i) =>
+      !exists(col("__graft_starts"), s => s <= i && i < s + k))
+    d.withColumn("__graft_starts", starts)
+      .select(col(idCol).as("doc_id"),
+        size(col("__graft_toks")).as("n_tokens"),
+        (size(col("__graft_toks")) - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("cleaned_text"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
     * shingles present in more than that many docs (skew/scale guard;

@@ -72,6 +72,19 @@ object StreamingOps {
       lit(true)))
   }
 
+  /** Streaming span-level decontamination (streaming twin of q102):
+    * cut every k-token window of an arriving document that appears
+    * verbatim in the benchmark set. Delegates to the stateless literal
+    * variant ([[graft.operators.Dedup.removeContaminatedSpansStateless]])
+    * — one per-row expression, no join, no state — with the benchmark
+    * chunk-id set precomputed once via
+    * [[graft.operators.Dedup.benchmarkChunkIds]]. */
+  def streamingSpanDecontam(
+      stream: DataFrame,
+      benchCids: Seq[Long],
+      k: Int = 8): DataFrame =
+    graft.operators.Dedup.removeContaminatedSpansStateless(stream, benchCids, k)
+
   /** Streaming semantic decontamination (streaming twin of q96):
     * append `max_cos` / `contaminated` to every arriving vector. The
     * benchmark set is eval-set-sized by definition, so it inlines —

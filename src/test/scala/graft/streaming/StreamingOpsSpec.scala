@@ -135,6 +135,36 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingSpanDecontam: stream output == batch removeContaminatedSpans") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val benchRun = (1 to 8).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, s"$benchRun tail")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, s"x $benchRun y"),
+      (2L, "totally clean"),
+      (3L, benchRun),
+      (4L, "short"))
+    val cids = graft.operators.Dedup.benchmarkChunkIds(bench, k = 8)
+    assert(cids.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingSpanDecontam(
+        mem.toDF().toDF("doc_id", "text"), cids, k = 8)
+      .writeStream.format("memory").queryName("spandec_out").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val stream = spark.table("spandec_out")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Dedup.removeContaminatedSpans(
+        rows.toDF("doc_id", "text"), bench, k = 8)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(stream == batch)
+    assert(stream.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> "x y", 2L -> "totally clean", 3L -> "", 4L -> "short"))
+    q.stop()
+  }
+
   test("streamingSemanticDecon: stream output == batch semanticDecontaminate") {
     val ss = spark
     implicit val sql = ss.sqlContext
