@@ -357,6 +357,45 @@ object Similarity {
         col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
   }
 
+  /** Signed-random-projection (SRP / random-hyperplane) signature of
+    * an embedding (Charikar STOC'02): bit b is the sign of v·r_b for
+    * a fixed pseudo-random ±1 hyperplane r_b. P[bit differs] = θ/π,
+    * so hamming distance on signatures estimates angular distance —
+    * the cosine-geometry counterpart of the text [[Dedup.simhash]].
+    * Hyperplane entries are deterministic integer arithmetic (no RNG
+    * state): parity of a QUADRATIC modular mix of (b, j). The
+    * nonlinearity is load-bearing — affine mixes degenerate (two odd
+    * multipliers reduce parity to (b+j) mod 2 = two distinct
+    * hyperplanes; a Weyl rotation gives near-duplicate sign patterns
+    * at some offset pairs), and the x² term needs the additive offset
+    * so small x never evades the modular wrap (b=0 planes were
+    * all-ones: parity(x²+x) is always even below the modulus).
+    * Measured over 32 planes at dim 64/100: per-plane balance within
+    * ±20%, pairwise |corr| mean ≈ the independent-random expectation.
+    * Every operation stays below 2^63 in BIGINT, so an external
+    * engine replays the signature bit-for-bit — which is what lets
+    * the downstream banded pair join be value-oracled instead of
+    * recall-gated. The per-bit dot folds left-to-right in array
+    * order. Pure per-row column expression: zero shuffle, pipelines
+    * inside the scan. */
+  def srpSignature(vec: Column, nBits: Int = 32): Column = {
+    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+    def planeSign(b: Int, j: Column): Column = {
+      val x = lit((b + 7).toLong * 1000003L) + j * 10007L
+      val q = (x * x) % 1000000007L
+      when(((q * 48271L + x * 16807L) % 2147483647L) % 2L === 0L, 1.0d)
+        .otherwise(-1.0d)
+    }
+    val bits = (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(1L), size(vec).cast("long")),
+          (x, j) => x.cast("double") * planeSign(b, j)),
+        lit(0.0d), (acc, t) => acc + t)
+      when(dot > 0d, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Semantic decontamination: for every training vector, its maximum
     * cosine similarity against a benchmark/eval embedding set, plus the
     * `contaminated` flag at threshold `tau`. The embedding-space twin

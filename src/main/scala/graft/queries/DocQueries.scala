@@ -699,6 +699,19 @@ object DocQueries {
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
   }
 
+  /** SRP (random-hyperplane) signature pairs (q103): 32-bit cosine
+    * sketches of the dup-planted embeddings corpus, paired by the
+    * exact banded hamming join — the embedding-geometry counterpart
+    * of q97, and (unlike the recall-gated q56 LSH tier) value-oracled
+    * because both the signature and the block cover are exact. */
+  def srpPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = spread(embCorpus(spark, dir))
+      .select(col("vec_id"), Similarity.srpSignature(col("embedding")).as("sig"))
+    Dedup.simhashNearDupPairs(sigs, maxHamming = 1, nBands = 2,
+        idCol = "vec_id", hashCol = "sig")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup-style semantic dedup (q82): deterministic seed-medoid
     * clustering (k=8) + within-cluster cosine pruning at 0.9. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
@@ -804,6 +817,17 @@ object DocQueries {
   }
 
   // ------------------------------------------------------------- oracles
+
+  /** DuckDB twin of Similarity.srpSignature (32 bits): per bit b, the
+    * sign of the embedding's dot with the deterministic ±1 hyperplane
+    * derived from the quadratic modular mix of (b, j). */
+  private def srpSigSql: String = (0 until 32).map { b =>
+    val x = s"(${(b + 7).toLong * 1000003L} + j * 10007)"
+    val sgn = s"(CASE WHEN (((($x * $x) % 1000000007) * 48271 + $x * 16807) " +
+      s"% 2147483647) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), " +
+      s"j -> CAST(embedding[j] AS DOUBLE) * $sgn)) > 0 THEN ${1L << b} ELSE 0 END)"
+  }.mkString(" + ")
 
   private def simhashSumsSql: String =
     (0 until 32).map(b =>
@@ -1548,7 +1572,17 @@ object DocQueries {
          |       len(t) - len(kept) AS n_removed,
          |       md5(CASE WHEN t IS NULL THEN NULL
          |                ELSE COALESCE(array_to_string(kept, ' '), '') END) AS cleaned_md5
-         |FROM cut ORDER BY doc_id""".stripMargin
+         |FROM cut ORDER BY doc_id""".stripMargin,
+    "q103_srp_pairs" ->
+      s"""WITH ec AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+         |sg AS (SELECT vec_id, CAST($srpSigSql AS BIGINT) AS sig FROM ec)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1599,6 +1633,7 @@ object DocQueries {
     "q96_semantic_decon" -> (semanticDecon _),
     "q97_simhash_pairs" -> (simhashPairs _),
     "q98_bpe_learn" -> (bpeLearn _),
-    "q102_span_decontam" -> (spanDecontaminate _)
+    "q102_span_decontam" -> (spanDecontaminate _),
+    "q103_srp_pairs" -> (srpPairs _)
   )
 }

@@ -121,6 +121,29 @@ class SimilaritySpec extends SparkSpec {
     out.values.foreach(r => r._2.foreach(c => assert(c >= -127 && c <= 127)))
   }
 
+  test("srpSignature: scale-invariant, antipodal-complementary, copies pair at hamming 0") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(3)
+    val v = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val rows = Seq(
+      (1L, v),
+      (2L, v.map(_ * 2.5f)),        // same direction -> same signature
+      (3L, v.map(-_)),              // antipodal -> complementary signature
+      (4L, Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val sigs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.srpSignature(col("embedding")).as("sig"))
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) == 32)
+    // exact banded pair join finds the same-direction pair at hamming 0
+    val pairs = Dedup.simhashNearDupPairs(sigs, maxHamming = 1, nBands = 2,
+        idCol = "vec_id", hashCol = "sig")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("semanticDecontaminate: max-cos vs the bench set, flag on the rounded value") {
     val ss = spark
     import ss.implicits._
