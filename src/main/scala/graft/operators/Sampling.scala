@@ -219,6 +219,64 @@ object Sampling {
       .select(col(idCol), col("score"), col("rank"))
   }
 
+  /** Stratified EXACT-proportion split: within every stratum (label,
+    * language, source), rows are ranked in deterministic id-hash order
+    * and the first testPct% go to `test`, the next valPct% to `val`,
+    * the rest to `train`. The q53 hash-threshold split is approximate
+    * per stratum (binomial scatter) — fine for train buckets, wrong
+    * for a 50-row eval label where ±5 rows moves the measurement;
+    * this variant cuts at exact integer boundaries, and the boundary
+    * test is `rank·100 ≤ n·pct` (pure integer arithmetic — no
+    * division, no float, so any engine reproduces the same split).
+    *
+    * Scale shape: [[curriculumRank]]'s distributed prefix rank
+    * generalized to composite (stratum, hash) range partitioning —
+    * per-partition windows plus a driver-side offset/total map
+    * bounded by numPartitions × #strata (strata are label-sized by
+    * contract: tens to thousands, never unbounded). No per-stratum
+    * single-reducer window; a hot stratum spans partitions and its
+    * rank stitches through the offset map. Deterministic for a fixed
+    * input at ANY partitioning. */
+  def stratifiedSplit(
+      rows: DataFrame,
+      strataCol: Column,
+      testPct: Int = 10,
+      valPct: Int = 10,
+      idCol: String = "vec_id"): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"percentages must be non-negative and sum <= 100, got $testPct/$valPct")
+    val keyed = rows.select(col(idCol), strataCol.cast("string").as("stratum"))
+      .withColumn("__b", bucket(col(idCol)))
+      .repartitionByRange(col("stratum"), col("__b"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = keyed.groupBy(col("__pid"), col("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    val totals: Map[String, Long] =
+      counts.groupBy(_._1._2).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val offsets: Map[String, Long] = counts
+      .groupBy(_._1._2)
+      .flatMap { case (s, xs) =>
+        val pids = xs.map(_._1._1).sorted
+        val byPid = xs.map { case ((p, _), c) => p -> c }.toMap
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + byPid(p)).init)
+          .map { case (p, off) => s"$p:$s" -> off }
+      }
+    val w = Window.partitionBy(col("__pid"), col("stratum"))
+      .orderBy(col("__b"), col(idCol))
+    keyed
+      .withColumn("__rank",
+        coalesce(element_at(typedLit(offsets), concat_ws(":", col("__pid"), col("stratum"))),
+          lit(0L)) + row_number().over(w).cast("long"))
+      .withColumn("__n", coalesce(element_at(typedLit(totals), col("stratum")), lit(0L)))
+      .withColumn("split",
+        when(col("__rank") * 100 <= col("__n") * testPct, "test")
+          .when(col("__rank") * 100 <= col("__n") * (testPct + valPct), "val")
+          .otherwise("train"))
+      .select(col(idCol), col("stratum"), col("split"))
+  }
+
   /** Balanced training-shard assignment: rank documents by size
     * (descending, id tie-break) and deal them round-robin across
     * `nShards` output shards — the classic longest-processing-time

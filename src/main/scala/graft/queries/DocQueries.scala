@@ -712,6 +712,15 @@ object DocQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Stratified exact-proportion split (q104): per-label 10/10/80
+    * test/val/train over the embeddings, cut at exact integer
+    * boundaries in deterministic id-hash order. */
+  def stratSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSplit(
+      spread(t(spark, dir, "embeddings").select(col("vec_id"), col("label"))),
+      col("label"), testPct = 10, valPct = 10)
+      .orderBy(col("vec_id"))
+
   /** SemDeDup-style semantic dedup (q82): deterministic seed-medoid
     * clustering (k=8) + within-cluster cosine pruning at 0.9. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
@@ -1582,7 +1591,20 @@ object DocQueries {
          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM sg a JOIN sg b ON a.vec_id < b.vec_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 1
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q104_strat_split" ->
+      """WITH b AS (SELECT vec_id, CAST(label AS VARCHAR) AS stratum,
+        |             ((vec_id % 1000000007) * 654435747) % 1000000007 % 10000 AS bkt
+        |           FROM embeddings),
+        |r AS (SELECT vec_id, stratum,
+        |        ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY bkt, vec_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY stratum) AS n
+        |      FROM b)
+        |SELECT vec_id, stratum,
+        |       CASE WHEN rn * 100 <= n * 10 THEN 'test'
+        |            WHEN rn * 100 <= n * 20 THEN 'val'
+        |            ELSE 'train' END AS split
+        |FROM r ORDER BY vec_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1634,6 +1656,7 @@ object DocQueries {
     "q97_simhash_pairs" -> (simhashPairs _),
     "q98_bpe_learn" -> (bpeLearn _),
     "q102_span_decontam" -> (spanDecontaminate _),
-    "q103_srp_pairs" -> (srpPairs _)
+    "q103_srp_pairs" -> (srpPairs _),
+    "q104_strat_split" -> (stratSplit _)
   )
 }

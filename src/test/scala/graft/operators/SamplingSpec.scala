@@ -109,6 +109,34 @@ class SamplingSpec extends SparkSpec {
     assert(out("xx")._4 == 1.0) // ideal allocation 3.9 docs > its 1 doc
   }
 
+  test("stratifiedSplit: exact integer-boundary proportions per stratum, any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    // stratum A: 20 rows -> 2 test / 2 val / 16 train (exact);
+    // stratum B: 7 rows  -> 0 test (7*10 < 100) / 1 val / 6 train
+    val rows = (0L until 20L).map(i => (i, "A")) ++ (100L until 107L).map(i => (i, "B"))
+    val df = rows.toDF("vec_id", "lab")
+    val out = Sampling.stratifiedSplit(df, col("lab"), testPct = 10, valPct = 10)
+      .as[(Long, String, String)].collect()
+    val byStratum = out.groupBy(_._2).map { case (k, xs) =>
+      k -> xs.groupBy(_._3).view.mapValues(_.length).toMap
+    }
+    assert(byStratum("A") == Map("test" -> 2, "val" -> 2, "train" -> 16))
+    assert(byStratum("B").getOrElse("test", 0) == 0)
+    assert(byStratum("B") == Map("val" -> 1, "train" -> 6))
+    // partitioning independence: a different input layout assigns every
+    // id to the same split
+    val out2 = Sampling.stratifiedSplit(df.repartition(7), col("lab"), 10, 10)
+      .as[(Long, String, String)].collect()
+    assert(out.map(r => r._1 -> r._3).toMap == out2.map(r => r._1 -> r._3).toMap)
+    // the split order is the id-HASH order, not id order: the test
+    // slice is not simply the smallest ids
+    val aTest = out.filter(r => r._2 == "A" && r._3 == "test").map(_._1).toSet
+    val expected = (0L until 20L).sortBy(i =>
+      (((i % 1000000007L) * 654435747L) % 1000000007L % 10000L, i)).take(2).toSet
+    assert(aTest == expected)
+  }
+
   test("curriculumRank equals the global (score DESC, id) row number on any partitioning") {
     val ss = spark
     import ss.implicits._
