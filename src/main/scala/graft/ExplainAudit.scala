@@ -36,7 +36,9 @@ object ExplainAudit {
         "q22_filtered_knn", "q58_tfidf", "q59_decontaminate",
         "q32_ivf_search", "q66_ivfpq_search", "beam_bucketed_step",
         "q87_int8_quantize", "q89_source_overlap", "q90_event_anomaly",
-        "q95_bigram_nll", "q96_semantic_decon", "q97_simhash_pairs")
+        "q95_bigram_nll", "q96_semantic_decon", "q97_simhash_pairs",
+        "q105_funnel", "q106_retention", "q107_line_dedup_keepfirst",
+        "q108_corpus_card")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

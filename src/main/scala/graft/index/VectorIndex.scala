@@ -817,6 +817,41 @@ final class VectorIndex private (
       .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
   }
 
+  /** Merge another index's LIVE vectors into this one, committing one
+    * delta segment — the compaction/combine step an operational fleet
+    * needs (per-day builds folded into a serving index, shard
+    * consolidation). The reference has no multi-index combine (one
+    * index per directory, src/LMDiskANN.jl); this is the natural
+    * Spark-first form: a merge IS a bulk [[insertBatch]] of the other
+    * side's decoded (key, vec) relation, so the graph wiring, id
+    * assignment, freelist reuse, and snapshot atomicity are the
+    * already-tested delta-commit machinery — O(|other|) work, not a
+    * rebuild of `this`.
+    *
+    * Contracts: dims must match; metrics must match (the merged graph
+    * is wired under ONE metric — silently ingesting cosine-built
+    * vectors into a Euclidean graph would serve wrong neighborhoods);
+    * key sets must be disjoint (bulk-merging corpora that disagree on
+    * a key is ambiguous — callers wanting the reference's insert_key!
+    * last-wins remap semantics (Q7) should insert through
+    * [[ServingIndex]]). `other`'s public ids are NOT preserved — ids
+    * are per-index, keys are the stable cross-index identity, exactly
+    * as in the reference's key↔id mapping. Vectors re-encode under
+    * THIS index's eltype: merging Float32 into a Float16 index
+    * quantizes the incoming values (same rule as any insert). */
+  def merge(other: VectorIndex): VectorIndex = {
+    require(other.meta.dim == meta.dim,
+      s"merge requires equal dims (this=${meta.dim}, other=${other.meta.dim})")
+    require(other.meta.metric == meta.metric,
+      s"merge requires equal metrics (this=${meta.metric}, other=${other.meta.metric})")
+    val collide = other.vectors.select(col("key"))
+      .join(vectors.select(col("key")), Seq("key"), "left_semi")
+    require(collide.isEmpty,
+      "merge requires disjoint key sets; colliding keys include " +
+        collide.limit(5).collect().map(_.getString(0)).mkString(", "))
+    insertBatch(other.vectors.select(col("key"), col("vec")))
+  }
+
   /** Batch delete by public (1-based) IDs, committing a DELTA segment:
     * tombstones for the victims, repaired rows for ONLY the nodes that
     * referenced a victim (found by one map-only scan, O(in-degree)

@@ -757,6 +757,54 @@ object Dedup {
         concat_ws(sep, col("kept.line")).as("cleaned"))
   }
 
+  /** Global keep-first line deduplication (C4-style): every line that
+    * appears anywhere earlier in the corpus — in ANY document — is
+    * removed; only the globally first occurrence (lexicographically
+    * smallest (id, line_no)) survives. This is the corpus-wide twin of
+    * [[removeBoilerplateLines]]: that operator drops lines crossing a
+    * document-frequency threshold from EVERY doc (no survivor); this
+    * one keeps exactly one canonical copy of each distinct line, the
+    * C4 / Lee et al. 2022 "keep one, drop the rest" policy for
+    * repeated sentences.
+    *
+    * Scale shape: lines shuffle once on md5(line) (a 32-byte key — the
+    * line strings themselves never key a shuffle), the winner per hash
+    * is a lexicographic MIN over (id, line_no) structs — a partial
+    * aggregate, so the shuffle carries one candidate per partition per
+    * hash — and the winner frame joins back on the SAME md5 key (the
+    * winner frame is one row per distinct line: never broadcastable,
+    * but the equi-join co-partitions with the groupBy's exchange).
+    * Per-doc reassembly is the one remaining shuffle, keyed by doc id.
+    * No windows: a `row_number() OVER (PARTITION BY line)` form would
+    * sort every hash group; the min-struct needs only a single pass.
+    *
+    * Input/output contract matches [[removeBoilerplateLines]]:
+    * `(id, line_no, line)` in, `(id, n_lines, n_removed, cleaned)`
+    * out, segmentation left to the caller. */
+  def dedupLinesKeepFirst(
+      lines: DataFrame,
+      idCol: String = "doc_id",
+      lineNoCol: String = "line_no",
+      lineCol: String = "line",
+      sep: String = " "): DataFrame = {
+    val keyed = lines.select(
+      col(idCol).as("id"), col(lineNoCol).as("line_no"),
+      col(lineCol).as("line"), md5(col(lineCol)).as("lh"))
+    val winners = keyed.groupBy(col("lh"))
+      .agg(min(struct(col("id").as("wid"), col("line_no").as("wln"))).as("w"))
+    keyed.join(winners, Seq("lh"))
+      .withColumn("keep",
+        col("id") === col("w.wid") && col("line_no") === col("w.wln"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(not(col("keep")), 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(col("keep"),
+          struct(col("line_no"), col("line"))))).as("kept"))
+      .select(col("id"), col("n_lines"), col("n_removed"),
+        concat_ws(sep, col("kept.line")).as("cleaned"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * embeddings, then prune within-cluster cosine near-duplicates,
     * keeping the smallest id of each near-dup pair. The reference's

@@ -614,17 +614,68 @@ object DocQueries {
     * operator), lines in ≥ 3 distinct docs dropped from every doc.
     * One frequency agg on md5(line) + a broadcast tag join + one
     * per-doc reassembly — two narrow-keyed shuffles total. */
-  def lineBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic 8-token "line" segmentation shared by the
+    * line-granularity dedup queries (q81/q107) and their oracles. */
+  private def corpusLines(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val lineArr = transform(
       sequence(lit(0), (ceil(size(toks) / lit(8.0))).cast("int") - 1),
       i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
-    val lines = spread(corpus(spark, dir))
+    spread(corpus(spark, dir))
       .select(col("doc_id"), posexplode(lineArr).as(Seq("line_no", "line")))
-    Dedup.removeBoilerplateLines(lines, minDocFreq = 3, idCol = "doc_id")
+  }
+
+  def lineBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeBoilerplateLines(corpusLines(spark, dir), minDocFreq = 3, idCol = "doc_id")
       .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
         md5(col("cleaned")).as("cleaned_md5"))
       .orderBy(col("doc_id"))
+
+  /** Global keep-first line dedup (q107): over the dup-planted corpus,
+    * every repeated 8-token line keeps only its globally first
+    * occurrence — the planted full-copy docs (+100000) collapse to
+    * nothing and the tail-variant docs (+200000) keep only their novel
+    * tail line, while q81's threshold policy would have stripped those
+    * lines from the ORIGINALS too. */
+  def lineDedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLinesKeepFirst(corpusLines(spark, dir), idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source corpus card (q108): the one-page dataset summary a
+    * curation pipeline publishes per ingested source — doc/char/token
+    * volume, language spread, and how many of the source's docs are
+    * byte-exact copies of ANYTHING in the corpus (cross-source: a doc
+    * mirrored from another source counts in both cards).
+    *
+    * Scale shape: per-doc columns are one narrow scan pass; the
+    * global copy count groups on md5(text) (32-byte key, partial agg)
+    * and joins back on the SAME key; the card itself is a partial-agg
+    * groupBy on `source` whose output is #sources rows. The distinct
+    * lang count rides the same source-keyed shuffle (two-phase
+    * count-distinct), bounded by #langs per source. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    // planted "mirror" source: the first 10 docs re-ingested verbatim
+    // under a new source, so the cross-source dup column has signal
+    // (the fixture corpus itself has no byte-exact copies)
+    val ingest = d.unionByName(d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+        col("lang"), lit("mirror").as("source"), col("n_chars")))
+    val base = ingest.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+      md5(col("text")).as("h"))
+    val copies = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    base.join(copies, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("source"))
   }
 
   /** Gopher-style repetition metrics per document (q64). The flag is
@@ -1252,6 +1303,40 @@ object DocQueries {
          |        FROM tg GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q107_line_dedup_keepfirst" ->
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |ln AS (SELECT doc_id,
+         |         unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+         |           i -> struct_pack(line_no := i,
+         |             line := array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')))) AS s
+         |       FROM toks),
+         |l2 AS (SELECT doc_id, s.line_no AS line_no, s.line AS line FROM ln),
+         |rk AS (SELECT doc_id, line_no, line,
+         |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |       FROM l2),
+         |agg AS (SELECT doc_id, count(*) AS n_lines,
+         |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |         coalesce(array_to_string(list(line ORDER BY line_no)
+         |           FILTER (WHERE rn = 1), ' '), '') AS cleaned
+         |        FROM rk GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q108_corpus_card" ->
+      s"""WITH ingest AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL SELECT doc_id + 300000, text, lang, 'mirror', n_chars
+         |    FROM documents WHERE doc_id < 10),
+         |b AS (SELECT doc_id, lang, source, n_chars,
+         |             len($toksSql) AS n_tokens, md5(text) AS h FROM ingest),
+         |c AS (SELECT h, count(*) AS n_copies FROM b GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |FROM b JOIN c USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q74_span_removal" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |tids AS (SELECT doc_id, t, list_transform(t, x -> ${termHashSql("x")}) AS h,
@@ -1638,6 +1723,8 @@ object DocQueries {
     "q79_video_decode" -> (videoDecode _),
     "q80_pii_redact" -> (piiRedact _),
     "q81_line_boilerplate" -> (lineBoilerplate _),
+    "q107_line_dedup_keepfirst" -> (lineDedupKeepFirst _),
+    "q108_corpus_card" -> (corpusCard _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

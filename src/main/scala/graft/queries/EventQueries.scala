@@ -126,6 +126,69 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  private val FunnelW1Ms = 3600000L  // click within 1 h of first view
+  private val FunnelW2Ms = 86400000L // purchase within 24 h of that click
+
+  /** Ordered conversion funnel view → click → purchase (q105): a user
+    * reaches stage k+1 only with an event of that type STRICTLY after
+    * their stage-k time and within that stage's conversion window (the
+    * standard product-analytics funnel, e.g. Amplitude/Mixpanel
+    * "holding order constant" with a per-step window — unwindowed,
+    * every long-lived user trivially converts). Stage times are exact
+    * minima, so the result is a pure function of the data —
+    * equal-timestamp cross-type events are excluded by the strict
+    * inequality identically in both engines.
+    *
+    * Scale shape: each stage is a conditional-min groupBy on user_id
+    * plus one user_id equi-join against the (|users|-sized, NOT
+    * broadcastable at 100 TB) previous-stage frame — every shuffle in
+    * the chain hashes the SAME key, so a cluster reuses the exchange
+    * and the stage joins co-partition. No windows, no event-list
+    * collection: per-user state never exceeds one timestamp per
+    * stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val base = ev.select(col("user_id"), col("event_type"), epochMs(ev).as("ms"))
+    val s1 = base.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + FunnelW1Ms)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    val s3 = base.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ms") > col("t2") && col("ms") <= col("t2") + FunnelW2Ms)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+    val row = (label: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), col("n_users"))
+    row("0_all", base.select(col("user_id")).distinct())
+      .unionByName(row("1_view", s1))
+      .unionByName(row("2_click", s2))
+      .unionByName(row("3_purchase", s3))
+      .orderBy(col("stage"))
+  }
+
+  private val DayMs = 86400000L
+
+  /** Cohort retention matrix (q106): users cohorted by first-active
+    * day; each cell counts the cohort's users active again `day_offset`
+    * days later. The first step collapses events to DISTINCT
+    * (user, day) — the frame every later step touches is bounded by
+    * |users| × span-days, never by event volume, which is what makes a
+    * retention query tractable over years of 100 TB event logs.
+    * Cohort assignment is a per-user min over that frame (partial-agg)
+    * joined back on user_id; the final cell aggregate needs no
+    * count-distinct because (user, day) is already unique. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ud = ev.select(col("user_id"), floor(epochMs(ev) / DayMs).as("day")).distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -174,13 +237,34 @@ object EventQueries {
         |  ROUND(any_value(p05raw), 4) + 0.0 AS p05,
         |  ROUND(any_value(p95raw), 4) + 0.0 AS p95,
         |  CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS sum_winsorized
-        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q105_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t1 AND ms <= t1 + $FunnelW1Ms GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t2 AND ms <= t2 + $FunnelW2Ms GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '0_all' AS stage, count(DISTINCT user_id) AS n_users FROM e
+        |  UNION ALL SELECT '1_view', count(*) FROM s1
+        |  UNION ALL SELECT '2_click', count(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "q106_retention" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+         |FROM ud JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_event_window_agg" -> (eventWindowAgg _),
     "q61_sessionize" -> (sessionize _),
     "q90_event_anomaly" -> (userAnomalies _),
-    "q92_winsorized" -> (winsorizedStats _)
+    "q92_winsorized" -> (winsorizedStats _),
+    "q105_funnel" -> (funnel _),
+    "q106_retention" -> (cohortRetention _)
   )
 }

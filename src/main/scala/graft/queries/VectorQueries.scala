@@ -60,6 +60,34 @@ object VectorQueries {
         round(euclidean(col("qvec"), col("embedding")), 4).as("dist")), K)
   }
 
+  /** Parent-document retrieval (q109): the RAG-serving shape layered
+    * on op #8 — passages are indexed, documents are returned. Every
+    * embedding row is a passage of parent doc `vec_id div 4`
+    * (synthetic grouping the oracle replays); a document's score is
+    * its BEST passage distance (min-pool), and each query returns the
+    * top 3 documents.
+    *
+    * Scale shape: the passage scan + broadcast-query loop is exactly
+    * q02's (big side scanned once); min-pool is a partial-agg groupBy
+    * on (query, doc) — per-partition state is one double per touched
+    * doc, and the shuffle carries O(queries × docs-touched) rows, not
+    * passages; the doc-level top-k rides the same bounded-heap
+    * aggregate as every kNN query ([[graft.functions.expressions.TopKPairsAgg]]),
+    * so no window sort appears at any step. On an ANN deployment the
+    * first stage swaps for the graph/IVF tier; min-pool and top-k are
+    * unchanged. */
+  def parentDocSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(t(spark, dir, "embeddings"))
+    val q = querySet(spark, dir)
+    val best = e.crossJoin(broadcast(q))
+      .select(col("query_id"), expr("vec_id div 4").as("doc_id"),
+        round(euclidean(col("qvec"), col("embedding")), 4).as("dist"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("dist")).as("dist"))
+    knnTopK(best.select(col("query_id"), col("doc_id").as("neighbor_id"), col("dist")), 3)
+      .withColumnRenamed("neighbor_id", "doc_id")
+  }
+
   /** Exact top-k, cosine distance — the reference's second tested metric
     * (test/runtests.jl:37-67). Norms are materialized ONCE per side
     * before the pair loop: `cosineDistance(q, v)` inline would
@@ -332,7 +360,14 @@ object VectorQueries {
          |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
          |      FROM all_v e CROSS JOIN q),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk FROM d)
-         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+         |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q109_parent_doc_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, e.vec_id // 4 AS doc_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |b AS (SELECT query_id, doc_id, min(dist) AS dist FROM d GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rnk FROM b)
+         |SELECT query_id, doc_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,6 +384,7 @@ object VectorQueries {
     "q15_mapping_clear_count" -> (mappingClearCount _),
     "q21_sql_surface_knn" -> (sqlSurfaceKnn _),
     "q22_filtered_knn" -> (filteredKnn _),
-    "q23_range_search" -> (rangeSearch _)
+    "q23_range_search" -> (rangeSearch _),
+    "q109_parent_doc_search" -> (parentDocSearch _)
   )
 }

@@ -130,6 +130,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.version == 2)
   }
 
+  test("merge folds another index's live vectors in; guards dims/metric/key collisions") {
+    val pa = tmpDir("idx-merge-a"); val pb = tmpDir("idx-merge-b")
+    val a = VectorIndex.build(spark, pa,
+      embeddings.filter(col("id") < 30)
+        .select(col("id"), concat(lit("a_"), col("id")).as("key"), col("vec")),
+      dim = 64, maxDegree = 8)
+    val bSrc = embeddings.filter(col("id").between(30, 49))
+    val b0 = VectorIndex.build(spark, pb,
+      bSrc.select((col("id") - 30L).as("id"),
+        concat(lit("b_"), col("id")).as("key"), col("vec")),
+      dim = 64, maxDegree = 8)
+    // a deleted row in `other` must NOT cross the merge (public id 1 =
+    // internal 0 = embedding 30)
+    val b = b0.deleteBatch(Seq(1L))
+    val merged = a.merge(b)
+    assert(merged.meta.numPoints == 49 && merged.vectors.count() == 49)
+    // a vector from each side is findable at dist 0 under its own key
+    val q = embeddings.filter(col("id").isin(5L, 40L))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val hits = merged.searchExact(q, topk = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(hits(5L) == "a_5" && hits(40L) == "b_40", s"got $hits")
+    // reload serves the merged snapshot
+    assert(VectorIndex.load(spark, pa).vectors.count() == 49)
+    // colliding key sets refuse (merged still holds b_* keys)
+    intercept[IllegalArgumentException] { merged.merge(b) }
+    // dim mismatch refuses
+    val p4 = tmpDir("idx-merge-4d")
+    val tiny = VectorIndex.build(spark, p4,
+      embeddings.filter(col("id") < 3).select(col("id"),
+        concat(lit("t_"), col("id")).as("key"), slice(col("vec"), 1, 4).as("vec")),
+      dim = 4, maxDegree = 4)
+    intercept[IllegalArgumentException] { merged.merge(tiny) }
+  }
+
   test("commitServing persists an online-mutated index (streaming analog)") {
     val path = tmpDir("idx-serve")
     val idx = VectorIndex.build(spark, path, embeddings.filter(col("id") < 20), dim = 64, maxDegree = 8)

@@ -201,6 +201,42 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L) && out.values.forall(_ == ""))
   }
 
+  test("dedupLinesKeepFirst keeps only the globally first occurrence, within-doc repeats included") {
+    val ss = spark
+    import ss.implicits._
+    // "cookie banner" first occurs at (1,0): every later copy goes —
+    // the repeat INSIDE doc 1, and the copies in docs 2 and 3.
+    // "shared once" first occurs at (1,3), so doc 2's copy goes too —
+    // unlike the boilerplate policy, which would have kept both at
+    // doc-freq 2 and dropped BOTH cookie-banner originals at freq 3.
+    val lines = Seq(
+      (1L, 0, "cookie banner"), (1L, 1, "doc one body"), (1L, 2, "cookie banner"),
+      (1L, 3, "shared once"),
+      (2L, 0, "shared once"), (2L, 1, "cookie banner"), (2L, 2, "doc two body"),
+      (3L, 0, "doc three body"), (3L, 1, "cookie banner"),
+      (4L, 0, "doc four body")
+    ).toDF("doc_id", "line_no", "line")
+    val out = Dedup.dedupLinesKeepFirst(lines, sep = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 1L, "cookie banner\ndoc one body\nshared once")))
+    assert(out(2L) == ((3L, 2L, "doc two body")))
+    assert(out(3L) == ((2L, 1L, "doc three body")))
+    assert(out(4L) == ((1L, 0L, "doc four body")))
+  }
+
+  test("dedupLinesKeepFirst: an exact-copy doc survives as an empty row; ties break by (id, line_no)") {
+    val ss = spark
+    import ss.implicits._
+    val lines = Seq(
+      (7L, 0, "a"), (7L, 1, "b"),
+      (9L, 0, "a"), (9L, 1, "b")) // exact later copy -> fully emptied
+      .toDF("doc_id", "line_no", "line")
+    val out = Dedup.dedupLinesKeepFirst(lines)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(7L) == ((0L, "a b")))
+    assert(out(9L) == ((2L, "")))
+  }
+
   test("semanticDedup drops exact copies, keeps mutually-orthogonal originals") {
     val ss = spark
     import ss.implicits._
