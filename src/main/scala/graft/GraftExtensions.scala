@@ -19,6 +19,8 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, TopKPairsAgg}
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
   *                                   a flattened per-query LUT)
+  *   - graft_normalize_unicode(s[, form]) — Unicode normalization
+  *                                   (literal NFC/NFD/NFKC/NFKD)
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -85,6 +87,19 @@ object GraftExtensions {
             s"graft_pq_adc k must be an integer literal, got $other")
         }
         PQAdc(args(0), args(1), k)
+      }),
+    (FunctionIdentifier("graft_normalize_unicode"),
+      info("graft_normalize_unicode",
+        "Unicode-normalize a STRING; form is a literal 'NFC'|'NFD'|'NFKC'|'NFKD' (default NFC)"),
+      (args: Seq[Expression]) => {
+        val form = args.lift(1) match {
+          case None => "NFC"
+          case Some(Literal(s, _: org.apache.spark.sql.types.StringType)) if s != null =>
+            s.toString
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft_normalize_unicode form must be a string literal, got $other")
+        }
+        graft.functions.expressions.NormalizeUnicode(args(0), form)
       }))
 
   /** Register into an already-running session's function registry. */

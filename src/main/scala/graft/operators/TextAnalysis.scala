@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+
+  /** Unicode normalization (default NFC) — native codegen'd
+    * expression ([[graft.functions.expressions.NormalizeUnicode]]).
+    * Run at ingest, BEFORE any content hash: composed vs decomposed
+    * encodings of the same visible text otherwise fracture every
+    * downstream identity (exact-dedup md5, shingle/chunk hashes, BPE
+    * merges, boilerplate line keys). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(graft.functions.expressions.NormalizeUnicode(
+      ExpressionUtils.expression(text), form))
+
   /** Canonical tokenization contract shared with the oracles:
     * lowercase, trim, split on runs of whitespace. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")

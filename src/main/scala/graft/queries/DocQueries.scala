@@ -643,6 +643,25 @@ object DocQueries {
         md5(col("cleaned")).as("cleaned_md5"))
       .orderBy(col("doc_id"))
 
+  /** Unicode NFC normalization at ingest (q110): the fixture text is
+    * ASCII, so each doc gets a deterministic diacritic suffix —
+    * COMPOSED on even ids (é = U+00E9), DECOMPOSED on odd ids
+    * (e + U+0301) — and the native normalize expression must collapse
+    * both to identical NFC bytes (md5-checked against DuckDB
+    * nfc_normalize; the codepoint-length delta pins which rows were
+    * actually rewritten). Pure narrow projection — scan-bound. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" caf\u00e9 unicode"))
+        .otherwise(lit(" cafe\u0301 unicode")))
+    spread(docs(spark, dir))
+      .select(col("doc_id"),
+        length(injected).as("pre_len"),
+        length(TextAnalysis.normalizeUnicode(injected)).as("post_len"),
+        md5(TextAnalysis.normalizeUnicode(injected)).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus card (q108): the one-page dataset summary a
     * curation pipeline publishes per ingested source — doc/char/token
     * volume, language spread, and how many of the source's docs are
@@ -1322,6 +1341,14 @@ object DocQueries {
          |        FROM rk GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q110_unicode_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) || ' unicode'
+        |                 ELSE ' cafe' || chr(769) || ' unicode' END AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t) AS pre_len, length(nfc_normalize(t)) AS post_len,
+        |  md5(nfc_normalize(t)) AS norm_md5
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "q108_corpus_card" ->
       s"""WITH ingest AS (
          |  SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -1725,6 +1752,7 @@ object DocQueries {
     "q81_line_boilerplate" -> (lineBoilerplate _),
     "q107_line_dedup_keepfirst" -> (lineDedupKeepFirst _),
     "q108_corpus_card" -> (corpusCard _),
+    "q110_unicode_normalize" -> (unicodeNormalize _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

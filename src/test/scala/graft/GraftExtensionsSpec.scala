@@ -50,4 +50,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0) // zero-norm contract (matches Metric.Cosine)
     assert(r.getDouble(3) == 2.0)
   }
+
+  test("graft_normalize_unicode via SQL: default NFC, explicit form, literal-only form arg") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_normalize_unicode('cafe\u0301') AS nfc_default, " +
+        "graft_normalize_unicode('\ufb01le', 'NFKC') AS nfkc").head()
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "file")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_normalize_unicode('x', lower('NFC'))").collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+  }
 }

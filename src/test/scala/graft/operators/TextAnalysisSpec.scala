@@ -217,4 +217,40 @@ class TextAnalysisSpec extends SparkSpec {
       assert(out(id)._4 == (fp > 0))
     }
   }
+
+  test("normalizeUnicode: NFC collapses decomposed forms, NFKC folds compatibility chars, nulls pass") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "cafe\u0301"),   // decomposed: e + combining acute
+      (2L, "caf\u00e9"),    // composed
+      (3L, "\ufb01le"),     // fi-ligature (NFC-invariant, NFKC folds)
+      (4L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.normalizeUnicode(col("t")).as("nfc"),
+        TextAnalysis.normalizeUnicode(col("t"), "NFKC").as("nfkc"),
+        TextAnalysis.normalizeUnicode(col("t"), "NFD").as("nfd"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) == (("caf\u00e9", "caf\u00e9", "cafe\u0301")))
+    assert(out(2L) == (("caf\u00e9", "caf\u00e9", "cafe\u0301")))
+    assert(out(3L) == (("\ufb01le", "file", "\ufb01le")))
+    assert(out(4L) == ((null, null, null)))
+    // the two source encodings hash identically after NFC -- the
+    // dedup-identity property the operator exists for
+    val hashes = df.filter(col("id") <= 2)
+      .select(md5(TextAnalysis.normalizeUnicode(col("t")))).collect().map(_.getString(0))
+    assert(hashes.distinct.length == 1)
+  }
+
+  test("normalizeUnicode rejects an unknown form at analysis time") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val ex = intercept[Exception] {
+      Seq("x").toDF("t").select(TextAnalysis.normalizeUnicode(col("t"), "NFX")).collect()
+    }
+    assert(ex.getMessage.contains("NFC") || ex.getMessage.toLowerCase.contains("form"))
+  }
 }
