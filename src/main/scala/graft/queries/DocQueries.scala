@@ -662,6 +662,35 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** JSONL ingest with quarantine (q111): the corpus serialized to
+    * JSON-lines with every doc_id ≡ 0 (mod 50) line deterministically
+    * corrupted (leading garbage — unparseable from byte 0, so Spark's
+    * partial-result JSON parsing can never salvage a field), then read
+    * back through [[graft.sources.CorpusIngest]]. Good rows must
+    * round-trip byte-exactly (per-lang doc/char totals re-derived by
+    * the oracle straight from the table), corrupt lines must land in
+    * quarantine — counted, never silently dropped. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CorpusIngest
+    val d = t(spark, dir, "documents")
+    val lines = d.select(
+      when(col("doc_id") % 50 === 0,
+        concat(lit("trunc{\"doc_id\": "), col("doc_id").cast("string")))
+        .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))))
+        .as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    lines.write.mode("overwrite").text(tmp)
+    val good = CorpusIngest.readJsonl(spark, tmp, d.schema)
+    val quarantined = CorpusIngest.quarantineJsonl(spark, tmp, d.schema)
+    good.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .unionByName(quarantined.agg(count(lit(1)).as("n_docs"))
+        .select(lit("__quarantined__").as("lang"), col("n_docs"),
+          lit(0L).as("sum_chars")))
+      .orderBy(col("lang"))
+  }
+
   /** Per-source corpus card (q108): the one-page dataset summary a
     * curation pipeline publishes per ingested source — doc/char/token
     * volume, language spread, and how many of the source's docs are
@@ -1341,6 +1370,13 @@ object DocQueries {
          |        FROM rk GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q111_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 50 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '__quarantined__' AS lang, count(*) AS n_docs, 0 AS sum_chars
+        |FROM documents WHERE doc_id % 50 = 0
+        |ORDER BY lang""".stripMargin,
     "q110_unicode_normalize" ->
       """WITH inj AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) || ' unicode'
@@ -1753,6 +1789,7 @@ object DocQueries {
     "q107_line_dedup_keepfirst" -> (lineDedupKeepFirst _),
     "q108_corpus_card" -> (corpusCard _),
     "q110_unicode_normalize" -> (unicodeNormalize _),
+    "q111_jsonl_ingest" -> (jsonlIngest _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL corpus ingest with quarantine discipline — the missing front
+  * door of the pipeline: real training corpora arrive as JSON-lines
+  * dumps (Common-Crawl-style), a fraction of every dump is malformed
+  * (truncated records, encoding damage), and a curation engine must
+  * neither crash on those rows nor silently drop them. The reference
+  * has no connectors at all (SURVEY §2.2: raw mmap + LevelDB only);
+  * [[IndexExchange]] covers index-table interchange, this covers the
+  * DOCUMENT side.
+  *
+  * Split rule: the reader runs PERMISSIVE with an explicit schema (no
+  * inference jobs at scale — inference is itself a full scan), so a
+  * malformed line parses to an all-null row. Rows where `idCol` is
+  * null are quarantined; everything else is good. Filtering on a
+  * non-null id avoids Spark's corrupt-record-column restriction (a
+  * plan referencing ONLY `_corrupt_record` off an unparsed file is
+  * disallowed without caching — caching the raw corpus at 100 TB is
+  * not an option).
+  *
+  * Scale shape: both frames are narrow filters over ONE line-splittable
+  * text scan — no shuffle, no cache; Spark splits JSONL by line
+  * boundaries, so a 100 TB dump parallelizes by input split exactly
+  * like Parquet. Count the quarantine FRACTION before dropping it: a
+  * jump is how you detect an upstream dump regression. */
+object CorpusIngest {
+
+  /** Good rows (schema columns, `idCol` non-null). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      idCol: String = "doc_id"): DataFrame =
+    raw(spark, path, schema).filter(col(idCol).isNotNull)
+
+  /** Quarantined rows: the line failed to parse (or parsed without the
+    * required id). Kept as the RAW line text for forensics. */
+  def quarantineJsonl(spark: SparkSession, path: String, schema: StructType,
+      idCol: String = "doc_id"): DataFrame =
+    spark.read.text(path)
+      .filter(isMalformed(schema, idCol))
+      .select(col("value").as("raw_line"))
+
+  private def raw(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Line-level malformed test used by the quarantine reader:
+    * from_json returns null / null-id for lines the PERMISSIVE reader
+    * would null out — one expression, no second format. */
+  private def isMalformed(schema: StructType, idCol: String): Column = {
+    val parsed = from_json(col("value"), schema)
+    parsed.isNull || parsed.getField(idCol).isNull
+  }
+
+  /** JSONL sink (one self-describing JSON object per line). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

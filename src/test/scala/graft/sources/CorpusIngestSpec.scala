@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+
+/** Quarantine-discipline contract of the JSONL front door: malformed
+  * lines and records missing the required id land in quarantine with
+  * their raw bytes; good rows round-trip exactly; nothing is silently
+  * dropped (good + quarantined == input lines). */
+class CorpusIngestSpec extends SparkSpec {
+
+  private val schema = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING")
+
+  test("readJsonl/quarantineJsonl split malformed and id-less lines; nothing lost") {
+    val ss = spark
+    import ss.implicits._
+    val dir = tmpDir("jsonl-in")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """garbage not json at all""",
+      """{"text": "no id here", "lang": "de"}""",          // parses, id null
+      """{"doc_id": 4, "text": "quote \" inside", "lang": "fr"}""",
+      """trunc{"doc_id": 5, "text": "broken""")
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+
+    val good = CorpusIngest.readJsonl(spark, dir, schema).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(good == Map(
+      1L -> (("hello world", "en")),
+      4L -> (("quote \" inside", "fr"))), s"got $good")
+
+    val quarantined = CorpusIngest.quarantineJsonl(spark, dir, schema)
+      .collect().map(_.getString(0)).toSet
+    assert(quarantined == Set(lines(1), lines(2), lines(4)), s"got $quarantined")
+    assert(good.size + quarantined.size == lines.size)
+  }
+
+  test("writeJsonl -> readJsonl round-trips the engine document schema") {
+    val ss = spark
+    import ss.implicits._
+    val dir = tmpDir("jsonl-rt")
+    val docs = Seq((10L, "alpha beta", "en"), (11L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    CorpusIngest.writeJsonl(docs, dir)
+    val back = CorpusIngest.readJsonl(spark, dir, schema)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(back == Seq((10L, "alpha beta", "en"), (11L, "gamma", "de")))
+  }
+}
