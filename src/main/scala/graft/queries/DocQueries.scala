@@ -323,6 +323,27 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination forensics (q113): the inverse view of q59 — for
+    * each BENCHMARK item, how many training docs leak it and how many
+    * shingle hits they contribute. q59 answers "which training docs do
+    * I drop"; this answers the eval owner's question, "which benchmark
+    * items are compromised and how badly" — the report that decides
+    * whether an eval number is still trustworthy. Same broadcast
+    * benchmark-shingle join as q59 (one training-shingle scan, partial
+    * agg); the distinct-doc count is bounded per benchmark item by the
+    * corpus, aggregated two-phase. */
+  def decontaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documentShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaking_docs"),
+        count(lit(1)).as("n_shared_pairs"))
+      .orderBy(col("bench_id"))
+  }
+
   /** Span-level decontamination (q102): cut every 8-token window of a
     * training doc (doc_id >= 5) that appears verbatim in the benchmark
     * slice (doc_id < 5) — q59's surgical twin. */
@@ -1370,6 +1391,14 @@ object DocQueries {
          |        FROM rk GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q113_decontamination_report" ->
+      s"""WITH ${shinglesCte("documents")},
+         |bench AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 5)
+         |SELECT bench_id, count(DISTINCT doc_id) AS n_leaking_docs,
+         |  count(*) AS n_shared_pairs
+         |FROM tr JOIN bench USING (shingle)
+         |GROUP BY bench_id ORDER BY bench_id""".stripMargin,
     "q111_jsonl_ingest" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 50 <> 0 GROUP BY lang
@@ -1790,6 +1819,7 @@ object DocQueries {
     "q108_corpus_card" -> (corpusCard _),
     "q110_unicode_normalize" -> (unicodeNormalize _),
     "q111_jsonl_ingest" -> (jsonlIngest _),
+    "q113_decontamination_report" -> (decontaminationReport _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -189,6 +189,38 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Join-key skew report (q112): the diagnostic a pipeline runs on a
+    * key BEFORE shuffling on it — key cardinality, hottest-key counts,
+    * exact p50/p99 of the per-key frequency distribution, and the top
+    * heavy keys. This is how the engine's own skew mitigations (q19's
+    * salted aggregation, AQE skew-join) get TARGETED instead of
+    * applied blind.
+    *
+    * Scale shape: one partial-agg groupBy builds the per-key count
+    * frame (bounded by key cardinality, not row count); everything
+    * after aggregates THAT frame — the top-5 rides the bounded-heap
+    * [[graft.functions.VectorFunctions.topKPairs]] aggregate (map-side
+    * state = 5 pairs per partition), never a global sort. The exact
+    * percentiles swap to `percentile_approx` at 100 TB key
+    * cardinalities (the q92 rule — kept exact so the oracle can
+    * hash-check). */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.topKPairs
+    val counts = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        (round(percentile(col("cnt"), lit(0.5)), 4) + lit(0.0)).as("p50_cnt"),
+        (round(percentile(col("cnt"), lit(0.99)), 4) + lit(0.0)).as("p99_cnt"),
+        (round(sum(col("cnt")).cast("double") / count(lit(1)), 4) + lit(0.0)).as("avg_cnt"),
+        topKPairs((-col("cnt")).cast("double"), col("user_id"), 5).as("tk"))
+      .select(col("n_keys"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        col("avg_cnt"),
+        array_join(transform(col("tk"), p => p.getField("id").cast("string")), ",")
+          .as("top5_csv"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -256,7 +288,16 @@ object EventQueries {
          |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
          |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
          |FROM ud JOIN f USING (user_id)
-         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q112_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  max(cnt) AS max_cnt,
+        |  ROUND(quantile_cont(cnt, 0.5), 4) + 0.0 AS p50_cnt,
+        |  ROUND(quantile_cont(cnt, 0.99), 4) + 0.0 AS p99_cnt,
+        |  ROUND(CAST(sum(cnt) AS DOUBLE) / count(*), 4) + 0.0 AS avg_cnt,
+        |  array_to_string((list(user_id ORDER BY cnt DESC, user_id))[1:5], ',') AS top5_csv
+        |FROM c""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -265,6 +306,7 @@ object EventQueries {
     "q90_event_anomaly" -> (userAnomalies _),
     "q92_winsorized" -> (winsorizedStats _),
     "q105_funnel" -> (funnel _),
-    "q106_retention" -> (cohortRetention _)
+    "q106_retention" -> (cohortRetention _),
+    "q112_skew_report" -> (skewReport _)
   )
 }
