@@ -817,6 +817,35 @@ final class VectorIndex private (
       .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
   }
 
+  /** What changed between this snapshot and an `older` one — the
+    * commit-review surface an operational fleet needs ("what did last
+    * night's ingest actually do"): one row per differing id, tagged
+    * `inserted` / `deleted` / `rekeyed` / `updated`. Keys are the
+    * stable identity (a freelist slot reused by an unrelated insert
+    * therefore reports `rekeyed`); `updated` means same key, different
+    * stored vector bytes. One full-outer equi-join on id between the
+    * two resolved live sets — both sides are the engine's normal
+    * latest-wins segment resolve, so the diff costs two snapshot scans
+    * and one id-keyed shuffle regardless of how many delta commits
+    * separate the snapshots. Null-safe comparisons throughout: keys
+    * may be null (Q9) without a row masquerading as inserted. */
+  def diff(older: VectorIndex): DataFrame = {
+    val a = older.vectors.select(col("id"), col("key").as("old_key"),
+      col("vec").as("old_vec"), lit(true).as("in_old"))
+    val b = vectors.select(col("id"), col("key").as("new_key"),
+      col("vec").as("new_vec"), lit(true).as("in_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("in_old").isNull, "inserted")
+          .when(col("in_new").isNull, "deleted")
+          .when(!(col("old_key") <=> col("new_key")), "rekeyed")
+          .when(!(col("old_vec") <=> col("new_vec")), "updated"))
+      .filter(col("change").isNotNull)
+      // public (1-based) ids, the same surface deleteBatch consumes (Q1)
+      .select((col("id") + 1).as("public_id"), col("change"),
+        col("old_key"), col("new_key"))
+  }
+
   /** Merge another index's LIVE vectors into this one, committing one
     * delta segment — the compaction/combine step an operational fleet
     * needs (per-day builds folded into a serving index, shard

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -38,19 +38,25 @@ object CorpusIngest {
     * required id). Kept as the RAW line text for forensics. */
   def quarantineJsonl(spark: SparkSession, path: String, schema: StructType,
       idCol: String = "doc_id"): DataFrame =
-    spark.read.text(path)
-      .filter(isMalformed(schema, idCol))
-      .select(col("value").as("raw_line"))
+    splitLines(spark.read.text(path), schema, idCol)._2
 
   private def raw(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
-  /** Line-level malformed test used by the quarantine reader:
-    * from_json returns null / null-id for lines the PERMISSIVE reader
-    * would null out — one expression, no second format. */
-  private def isMalformed(schema: StructType, idCol: String): Column = {
-    val parsed = from_json(col("value"), schema)
-    parsed.isNull || parsed.getField(idCol).isNull
+  /** Stateless line-level split — (good, quarantined) — over a frame
+    * of raw lines (`value` STRING). Because it is one `from_json`
+    * expression per row (no join, no state), the SAME call runs on a
+    * STREAMING frame: point it at `readStream.text(dir)` (or a message
+    * bus source) and ingest-time quarantine happens at arrival, before
+    * anything lands in the durable corpus. `from_json` nulls exactly
+    * the lines the batch PERMISSIVE reader nulls, so stream and batch
+    * split identically (CorpusIngestSpec pins this). */
+  def splitLines(lines: DataFrame, schema: StructType,
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val parsed = lines.withColumn("__parsed", from_json(col("value"), schema))
+    val bad = col("__parsed").isNull || col(s"__parsed.$idCol").isNull
+    (parsed.filter(!bad).select(col("__parsed.*")),
+      parsed.filter(bad).select(col("value").as("raw_line")))
   }
 
   /** JSONL sink (one self-describing JSON object per line). */

@@ -130,6 +130,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.version == 2)
   }
 
+  test("diff tags inserted/deleted/rekeyed between snapshots; slot reuse reports rekeyed") {
+    val path = tmpDir("idx-diff")
+    val v0 = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 20), dim = 64, maxDegree = 8)
+    // delete public ids 3,4 then insert two rows: LIFO freelist reuses
+    // the freed slots under NEW keys
+    val v1 = v0.deleteBatch(Seq(3L, 4L))
+    val v2 = v1.insertBatch(embeddings.filter(col("id").between(20, 21))
+      .select(concat(lit("fresh_"), col("id")).as("key"), col("vec")))
+    val d = v2.diff(v0).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    // slots 2,3 (public 3,4) freed then refilled -> rekeyed, not insert+delete
+    assert(d.keySet == Set(3L, 4L), s"got $d")
+    assert(d.values.forall(_._1 == "rekeyed"), s"got $d")
+    assert(d.values.map(_._3).forall(_.startsWith("fresh_")), s"got $d")
+    // versus the intermediate snapshot the same slots are pure inserts
+    val d10 = v1.diff(v0).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d10 == Set((3L, "deleted"), (4L, "deleted")), s"got $d10")
+    val d21 = v2.diff(v1).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d21 == Set((3L, "inserted"), (4L, "inserted")), s"got $d21")
+    // no-op diff is empty
+    assert(v2.diff(v2).isEmpty)
+  }
+
   test("merge folds another index's live vectors in; guards dims/metric/key collisions") {
     val pa = tmpDir("idx-merge-a"); val pb = tmpDir("idx-merge-b")
     val a = VectorIndex.build(spark, pa,

@@ -38,6 +38,40 @@ class CorpusIngestSpec extends SparkSpec {
     assert(good.size + quarantined.size == lines.size)
   }
 
+  test("splitLines on a STREAM == the batch readers' split (stateless per-line rule)") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello", "lang": "en"}""",
+      """broken {""",
+      """{"text": "idless", "lang": "de"}""",
+      """{"doc_id": 2, "text": "world", "lang": "fr"}""")
+    val mem = MemoryStream[String]
+    val (goodS, quarS) = CorpusIngest.splitLines(mem.toDF(), schema)
+    val q1 = goodS.writeStream.format("memory").queryName("ingest_good")
+      .outputMode("append").start()
+    val q2 = quarS.writeStream.format("memory").queryName("ingest_quar")
+      .outputMode("append").start()
+    mem.addData(lines: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val streamedGood = spark.table("ingest_good").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val streamedQuar = spark.table("ingest_quar").collect().map(_.getString(0)).toSet
+    q1.stop(); q2.stop()
+    // batch twin over the same lines written as a file
+    val dir = tmpDir("jsonl-stream-twin")
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val batchGood = CorpusIngest.readJsonl(spark, dir, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batchQuar = CorpusIngest.quarantineJsonl(spark, dir, schema)
+      .collect().map(_.getString(0)).toSet
+    assert(streamedGood == batchGood && streamedGood ==
+      Set((1L, "hello", "en"), (2L, "world", "fr")))
+    assert(streamedQuar == batchQuar && streamedQuar == Set(lines(1), lines(2)))
+  }
+
   test("writeJsonl -> readJsonl round-trips the engine document schema") {
     val ss = spark
     import ss.implicits._
