@@ -817,6 +817,59 @@ final class VectorIndex private (
       .select(col("id").cast("long"), col("succ").cast("long"), col("prev").cast("long"))
   }
 
+  /** One-row structural health report — the check an operator runs
+    * after a maintenance window: live count, degree spread, weak
+    * (undirected) connectivity, and the fraction of the graph in the
+    * entrypoint's component. The greedy search can only ever reach the
+    * entrypoint's component, so `reachable_frac < 1` means some live
+    * vectors are unfindable (the Q5 failure mode the ring backbone +
+    * delete-repair exist to prevent) — this is the invariant's
+    * fleet-wide audit, complementing the per-mutation spec asserts.
+    *
+    * Components come from the same pointer-doubling min-label
+    * propagation as q52 ([[graft.operators.Dedup.connectedComponents]]),
+    * O(log diameter) rounds of id-keyed joins — no BFS frontier loop
+    * whose round count grows with graph depth. Degree stats are one
+    * partial agg over the adjacency view. */
+  def healthReport(maxIter: Int = 20): DataFrame = {
+    val nLive = vectors.count()
+    if (nLive == 0) {
+      return spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(0L, 0L, 0L, 0.0, 0, 0, 0.0)),
+        healthSchema)
+    }
+    val degRow = adjacency.select(size(col("nbrs")).as("deg"))
+      .agg(min(col("deg")), max(col("deg")),
+        (round(avg(col("deg")), 4) + lit(0.0))).head()
+    val edges = adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b", maxIter)
+    val nInCc = cc.count()
+    val nComponents = cc.select(col("component")).distinct().count() + (nLive - nInCc)
+    val entryRows = cc.filter(col("node") === meta.entrypoint.toLong)
+      .select(col("component")).collect()
+    // an entrypoint absent from the edge graph is its own singleton
+    val entrySize =
+      if (entryRows.isEmpty) 1L
+      else cc.filter(col("component") === entryRows.head.getLong(0)).count()
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(nLive, nComponents, entrySize,
+          BigDecimal(entrySize.toDouble / nLive)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          degRow.getInt(0), degRow.getInt(1), degRow.getDouble(2))),
+      healthSchema)
+  }
+
+  private def healthSchema: StructType = StructType(Seq(
+    StructField("n_live", LongType, nullable = false),
+    StructField("n_components", LongType, nullable = false),
+    StructField("entry_component_size", LongType, nullable = false),
+    StructField("reachable_frac", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("min_degree", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("max_degree", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("avg_degree", org.apache.spark.sql.types.DoubleType, nullable = false)))
+
   /** What changed between this snapshot and an `older` one — the
     * commit-review surface an operational fleet needs ("what did last
     * night's ingest actually do"): one row per differing id, tagged

@@ -758,6 +758,14 @@ object AnnQueries {
         "n_nodes_adjacency_differs")
   }
 
+  /** Index structural health (q114): the post-maintenance audit over
+    * the shared built index — weak connectivity must be total
+    * (reachable_frac 1.0 on a fresh build: the ring backbone makes the
+    * graph one component by construction), degrees within the cap.
+    * Rows-only: graph connectivity is not SQL-expressible. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame =
+    builtIndex(spark, dir).healthReport()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
@@ -776,7 +784,8 @@ object AnnQueries {
     "q94_int8_recall" -> (int8Recall _),
     "q99_ivfpq_res_search" -> (ivfPqResSearch _),
     "q100_ivfpq_res_recall" -> (ivfPqResRecall _),
-    "q101_ef_sweep" -> (efSweepRecall _)
+    "q101_ef_sweep" -> (efSweepRecall _),
+    "q114_index_health" -> (indexHealth _)
   )
 
   /** ANN graph traversal is not SQL-expressible — no oracles. */

@@ -130,6 +130,23 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.version == 2)
   }
 
+  test("healthReport: fresh build is one fully-reachable component; survives deletes") {
+    val path = tmpDir("idx-health")
+    val idx = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 40), dim = 64, maxDegree = 8)
+    val h = idx.healthReport().head()
+    assert(h.getAs[Long]("n_live") == 40L)
+    assert(h.getAs[Long]("n_components") == 1L, s"got $h")
+    assert(h.getAs[Double]("reachable_frac") == 1.0, s"got $h")
+    assert(h.getAs[Int]("max_degree") <= 8, s"got $h")
+    assert(h.getAs[Int]("min_degree") >= 1, s"got $h")
+    // ring repair keeps the survivors one component after deletes
+    val h2 = idx.deleteBatch(Seq(1L, 5L, 9L)).healthReport().head()
+    assert(h2.getAs[Long]("n_live") == 37L)
+    assert(h2.getAs[Long]("n_components") == 1L, s"got $h2")
+    assert(h2.getAs[Double]("reachable_frac") == 1.0, s"got $h2")
+  }
+
   test("diff tags inserted/deleted/rekeyed between snapshots; slot reuse reports rekeyed") {
     val path = tmpDir("idx-diff")
     val v0 = VectorIndex.build(spark, path,
