@@ -438,4 +438,75 @@ object Similarity {
         (round(col("raw_max"), 4) + lit(0.0)).as("max_cos"))
       .withColumn("contaminated", col("max_cos") >= tau)
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR '98): greedily re-order a candidate set so each pick
+    * balances relevance against redundancy with what is already
+    * chosen — `score = λ·rel − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * standard diversification step between ANN retrieval and a RAG
+    * context window (k near-identical passages waste the window; MMR
+    * spends it on coverage).
+    *
+    * Shape: the greedy loop is inherently sequential in k, so it runs
+    * as k relational rounds over the candidate frame — each round is
+    * one anti-join (drop already-picked), one query_id-keyed join
+    * against the ≤(k−1) picked rows for the max-sim term, and a
+    * 1-element bounded-heap argmax ([[graft.functions.VectorFunctions.topKPairs]]).
+    * Every shuffle hashes query_id; per-query state never exceeds the
+    * candidate list (N rows) — queries scale out embarrassingly, k
+    * stays a small constant. No per-row lambda recursion, no UDFs.
+    *
+    * Determinism contract (what lets DuckDB replay it exactly): every
+    * decision runs in EXACT INTEGER fixed-point. Relevance and each
+    * pairwise sim quantize once via `floor(x·10⁴ + 0.5)` (the q87/q90
+    * rule — deterministic on the binary double where ROUND can split a
+    * decimal .5 tie differently per engine), λ is the rational
+    * `lamNum/lamDen`, and the score is the exact BIGINT
+    * `lamNum·rel_fp − (lamDen−lamNum)·maxsim_fp` (units of
+    * 10⁻⁴/lamDen). Argmax on (score_fp DESC, cand_id ASC) — pure
+    * integer ordering, nothing left for an ulp to flip.
+    *
+    * Input `cands`: (query_id, cand_id, rel DOUBLE raw, vec
+    * ARRAY<FLOAT>), at most N rows per query. Output:
+    * (query_id, cand_id, rnk, score_fp BIGINT), rnk = 1..k in pick
+    * order. */
+  def mmrRerank(cands: DataFrame, k: Int, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    import VectorFunctions.{cosineSimFromNorms, dot, topKPairs}
+    require(k >= 1, "k must be >= 1")
+    require(lamNum >= 0 && lamNum <= lamDen, "lambda must be a rational in [0, 1]")
+    val fp = (c: org.apache.spark.sql.Column) =>
+      floor(c * 10000.0 + 0.5).cast("long")
+    val base = cands.select(col("query_id"), col("cand_id"),
+      fp(col("rel")).as("rel_fp"),
+      col("vec"), sqrt(dot(col("vec"), col("vec"))).as("nrm"))
+    def argmax(scored: DataFrame, rnk: Int): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(topKPairs((-col("score_fp")).cast("double"), col("cand_id"), 1).as("tk"))
+        .select(col("query_id"), col("tk").getItem(0).getField("id").as("cand_id"),
+          (-col("tk").getItem(0).getField("dist")).cast("long").as("score_fp"),
+          lit(rnk).as("rnk"))
+    // first pick: no selected set yet, so the redundancy term is 0
+    var sel = argmax(
+      base.withColumn("score_fp", lit(lamNum.toLong) * col("rel_fp")), 1)
+    for (step <- 2 to k) {
+      val remaining = base.join(
+        sel.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val selVecs = sel.select(col("query_id"), col("cand_id").as("sid"))
+        .join(base.select(col("query_id"), col("cand_id").as("sid"),
+          col("vec").as("svec"), col("nrm").as("snrm")), Seq("query_id", "sid"))
+      val scored = remaining.join(selVecs, Seq("query_id"))
+        .withColumn("sim_fp",
+          fp(cosineSimFromNorms(dot(col("vec"), col("svec")),
+            col("nrm"), col("snrm"))))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(first(col("rel_fp")).as("rel_fp"), max(col("sim_fp")).as("maxsim_fp"))
+        .withColumn("score_fp",
+          lit(lamNum.toLong) * col("rel_fp") -
+            lit((lamDen - lamNum).toLong) * col("maxsim_fp"))
+      sel = sel.unionByName(argmax(scored, step))
+    }
+    sel.select(col("query_id"), col("cand_id"), col("rnk"), col("score_fp"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -88,6 +88,85 @@ object VectorQueries {
       .withColumnRenamed("neighbor_id", "doc_id")
   }
 
+  private val MmrK = 5
+  private val MmrN = 12
+
+  /** MMR-diversified retrieval (q115): exact cosine top-12 candidates
+    * per query (self excluded), then
+    * [[graft.operators.Similarity.mmrRerank]] greedily picks 5 with
+    * λ = 0.7 — the retrieval→diversify pipeline a RAG stack runs
+    * between the ANN tier and the context window. Every arithmetic
+    * step rounds before it decides (see the operator's determinism
+    * contract), so the DuckDB twin — the same 5 greedy rounds unrolled
+    * as CTEs — reproduces the picks bit-for-bit. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val fp = (c: org.apache.spark.sql.Column) =>
+      floor(c * 10000.0 + 0.5).cast("long")
+    val e = spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("vnrm"))
+    val q = querySet(spark, dir)
+      .select(col("query_id"), col("qvec"),
+        sqrt(dot(col("qvec"), col("qvec"))).as("qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-fp(cosineSimFromNorms(dot(col("qvec"), col("embedding")),
+          col("qnrm"), col("vnrm")))).cast("double").as("dist"))
+    // rel_fp/1e4 re-quantizes to exactly rel_fp in the operator (the
+    // representation error is ~1e-12, far inside the 0.5 guard)
+    val cands = knnTopK(scored, MmrN)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        ((-col("dist")).cast("long") / 10000.0).as("rel"))
+      .join(t(spark, dir, "embeddings")
+        .select(col("vec_id").as("cand_id"), col("embedding").as("vec")), Seq("cand_id"))
+    graft.operators.Similarity.mmrRerank(cands, MmrK, lamNum = 7, lamDen = 10)
+  }
+
+  /** DuckDB twin of q115: the identical greedy rounds unrolled as
+    * CTEs — generated so the per-step SQL is mechanically uniform.
+    * All decisions replay the operator's exact-integer fixed-point
+    * contract (floor(x·10⁴ + 0.5), λ = 7/10), so no ROUND half-tie
+    * can split the engines. */
+  private def mmrOracleSql: String = {
+    def fpSql(x: String) = s"CAST(floor(($x) * 10000.0 + 0.5) AS BIGINT)"
+    def cosFpSql(a: String, b: String, na: String, nb: String) =
+      fpSql(s"COALESCE(${dotSql(a, b)} / ($na * $nb), 0.0)")
+    val steps = (2 to MmrK).map { i =>
+      s"""m$i AS (SELECT c.query_id, c.cand_id, any_value(c.rel_fp) AS rel_fp,
+         |  max(${cosFpSql("c.v", "cv.v", "c.nv", "cv.nv")}) AS maxsim_fp
+         |FROM cands c
+         |JOIN sel${i - 1} s ON s.query_id = c.query_id
+         |JOIN cands cv ON cv.query_id = s.query_id AND cv.cand_id = s.cand_id
+         |WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |                  WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+         |GROUP BY 1, 2),
+         |p$i AS (SELECT query_id, cand_id,
+         |  7 * rel_fp - 3 * maxsim_fp AS score_fp,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY 7 * rel_fp - 3 * maxsim_fp DESC, cand_id) AS pr
+         |FROM m$i),
+         |s$i AS (SELECT query_id, cand_id, $i AS rnk, score_fp FROM p$i WHERE pr = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       |d AS (SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS v,
+       |        ${fpSql(s"COALESCE(${dotSql("q.qvec", "e.embedding")} / " +
+      s"(SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 0.0)")} AS rel_fp
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |cands AS (SELECT query_id, cand_id, v, SQRT(${dotSql("v", "v")}) AS nv, rel_fp FROM
+       |   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_fp DESC, cand_id) AS rn FROM d)
+       |   WHERE rn <= $MmrN),
+       |p1 AS (SELECT query_id, cand_id, 7 * rel_fp AS score_fp,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY 7 * rel_fp DESC, cand_id) AS pr FROM cands),
+       |s1 AS (SELECT query_id, cand_id, 1 AS rnk, score_fp FROM p1 WHERE pr = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT query_id, cand_id, rnk, CAST(score_fp AS BIGINT) AS score_fp
+       |FROM sel$MmrK ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Exact top-k, cosine distance — the reference's second tested metric
     * (test/runtests.jl:37-67). Norms are materialized ONCE per side
     * before the pair loop: `cosineDistance(q, v)` inline would
@@ -367,7 +446,8 @@ object VectorQueries {
          |      FROM embeddings e CROSS JOIN q),
          |b AS (SELECT query_id, doc_id, min(dist) AS dist FROM d GROUP BY 1, 2),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rnk FROM b)
-         |SELECT query_id, doc_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+         |SELECT query_id, doc_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q115_mmr_rerank" -> mmrOracleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,6 +465,7 @@ object VectorQueries {
     "q21_sql_surface_knn" -> (sqlSurfaceKnn _),
     "q22_filtered_knn" -> (filteredKnn _),
     "q23_range_search" -> (rangeSearch _),
-    "q109_parent_doc_search" -> (parentDocSearch _)
+    "q109_parent_doc_search" -> (parentDocSearch _),
+    "q115_mmr_rerank" -> (mmrRerank _)
   )
 }

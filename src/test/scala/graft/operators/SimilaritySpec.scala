@@ -182,4 +182,36 @@ class SimilaritySpec extends SparkSpec {
     info(f"int8+refine recall@10 = $recall%.3f")
     assert(recall >= 0.90)
   }
+
+  test("mmrRerank defers a redundant near-copy in favor of a diverse lower-rel candidate") {
+    val ss = spark
+    import ss.implicits._
+    // c2 is exactly parallel to c1 (cos 1 -> sim_fp 10000); c3 is
+    // orthogonal. Pure relevance order would be c1, c2, c3; MMR with
+    // lambda 7/10 must pick the diverse c3 second:
+    //   step2: c2 -> 7*9500 - 3*10000 = 36500;  c3 -> 7*6000 = 42000
+    val cands = Seq(
+      (0L, 1L, 0.99, Seq(1f, 0f, 0f)),
+      (0L, 2L, 0.95, Seq(2f, 0f, 0f)),
+      (0L, 3L, 0.60, Seq(0f, 1f, 0f)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, k = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 1L, 69300L), (2, 3L, 42000L), (3, 2L, 36500L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("mmrRerank breaks exact score ties on the smaller candidate id") {
+    val ss = spark
+    import ss.implicits._
+    // two mutually-orthogonal candidates with identical rel: identical
+    // scores at every step -> id order decides
+    val cands = Seq(
+      (0L, 9L, 0.80, Seq(0f, 0f, 1f)),
+      (0L, 4L, 0.80, Seq(0f, 1f, 0f)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(out.toSeq == Seq((1, 4L), (2, 9L)), s"got ${out.toSeq}")
+  }
 }
