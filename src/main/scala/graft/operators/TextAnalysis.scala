@@ -43,6 +43,48 @@ object TextAnalysis {
         concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** PMI collocation mining (q116): the top-k adjacent word pairs by
+    * pointwise mutual information, `ln(p(l,r) / (p(l)·p(r)))` — the
+    * classic corpus-analysis signal for multiword expressions
+    * ("new york"), used to decide phrase-level vocabulary entries and
+    * to audit what a tokenizer will glue together. `minCount` kills
+    * the rare-pair noise PMI is notorious for.
+    *
+    * Scale shape: one token scan feeds both the unigram and the
+    * adjacent-bigram counts (partial-agg groupBys, vocab-sized
+    * outputs); the PMI join touches only bigrams past `minCount`
+    * against the vocab-sized unigram frame (two term-keyed equi-joins;
+    * AQE broadcasts them when small); the totals are two 1-row frames
+    * cross-joined everywhere. The final top-k is a TakeOrdered over
+    * the filtered-pair frame (q51 precedent), never a global sort of
+    * the corpus. The PMI argument is assembled from exact integer
+    * counts with a FIXED multiplication order, so both engines hand
+    * `ln` bit-identical inputs. */
+  def pmiCollocations(df: DataFrame, minCount: Long = 5L, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val uni = df.select(explode(toks).as("term"))
+    val uniCounts = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = df.select(explode(shingles(toks, 2)).as("bg"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("l"),
+        split(col("bg"), " ").getItem(1).as("r"), col("cab"))
+    biCounts
+      .join(uniCounts.select(col("term").as("l"), col("c").as("cl")), Seq("l"))
+      .join(uniCounts.select(col("term").as("r"), col("c").as("cr")), Seq("r"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("l"), col("r"), col("cab"),
+        (round(log(
+          (col("cab").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("cl") * col("cr"))), 4) + lit(0.0))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("l"), col("r"))
+      .limit(k)
+  }
+
   /** "BPE-ish" regex token count: letter runs, digit runs, single
     * non-alphanumeric marks. */
   def regexTokenCount(text: Column): Column =

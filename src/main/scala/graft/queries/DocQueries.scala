@@ -712,6 +712,11 @@ object DocQueries {
       .orderBy(col("lang"))
   }
 
+  /** PMI collocations (q116): top-20 adjacent word pairs by pointwise
+    * mutual information over the documents corpus, min pair count 5. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(spread(docs(spark, dir)))
+
   /** Per-source corpus card (q108): the one-page dataset summary a
     * curation pipeline publishes per ingested source — doc/char/token
     * volume, language spread, and how many of the source's docs are
@@ -1391,6 +1396,23 @@ object DocQueries {
          |        FROM rk GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q116_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |u AS (SELECT unnest(t) AS term FROM toks),
+         |uni AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
+         |nu AS (SELECT count(*) AS n FROM u),
+         |b0 AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |       FROM toks WHERE len(t) >= 2),
+         |nb AS (SELECT count(*) AS n FROM b0),
+         |bi AS (SELECT bg, count(*) AS cab FROM b0 GROUP BY 1),
+         |j AS (SELECT string_split(bg, ' ')[1] AS l, string_split(bg, ' ')[2] AS r, cab
+         |      FROM bi WHERE cab >= 5),
+         |p AS (SELECT j.l, j.r, j.cab,
+         |        ROUND(LN((CAST(j.cab AS DOUBLE) * nu.n * nu.n) /
+         |          (CAST(nb.n AS DOUBLE) * ul.c * ur.c)), 4) + 0.0 AS pmi
+         |      FROM j JOIN uni ul ON ul.term = j.l JOIN uni ur ON ur.term = j.r
+         |      CROSS JOIN nu CROSS JOIN nb)
+         |SELECT l, r, cab, pmi FROM p ORDER BY pmi DESC, l, r LIMIT 20""".stripMargin,
     "q113_decontamination_report" ->
       s"""WITH ${shinglesCte("documents")},
          |bench AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5),
@@ -1820,6 +1842,7 @@ object DocQueries {
     "q110_unicode_normalize" -> (unicodeNormalize _),
     "q111_jsonl_ingest" -> (jsonlIngest _),
     "q113_decontamination_report" -> (decontaminationReport _),
+    "q116_pmi_collocations" -> (pmiCollocations _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),

@@ -244,6 +244,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hashes.distinct.length == 1)
   }
 
+  test("pmiCollocations: hand-computed PMI over a tiny corpus, min-count filter applies") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // unigrams: a=3 b=2 c=1 (n=6); bigrams: "a b"=2, "b a"=1, "a c"=1 (n=4)
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // only "a b" clears minCount=2: pmi = ln(2*6*6 / (4*3*2)) = ln(3)
+    assert(out.toSeq == Seq(("a", "b", 2L,
+      BigDecimal(math.log(3.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"got ${out.toSeq}")
+  }
+
   test("normalizeUnicode rejects an unknown form at analysis time") {
     val ss = spark
     import ss.implicits._
