@@ -210,6 +210,55 @@ object StreamingOps {
       }
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelTransition(user_id: Long, stage: Int, ms: Long)
+
+  /** Live funnel tracking (streaming twin of q105): per-user stage
+    * state advances as events arrive, emitting one transition record
+    * the moment a user first reaches a stage — the real-time view of
+    * the conversion funnel the batch query reports after the fact.
+    * Stage rules are the batch operator's exactly: strictly-after
+    * ordering plus the per-step window; per-user state is THREE longs
+    * forever (no event lists), the bounded-state shape an unbounded
+    * feed requires.
+    *
+    * Like [[streamingAnomalies]], decisions depend only on each
+    * event's prefix in (ts, event_id) order: within a micro-batch the
+    * group sorts, and with a time-ordered feed the first qualifying
+    * event IS the batch min — so stage counts equal the batch funnel
+    * (StreamingOpsSpec pins this, and that the result is
+    * micro-batch-boundary independent). */
+  def streamingFunnel(
+      events: Dataset[Event],
+      w1Ms: Long = 3600000L,
+      w2Ms: Long = 86400000L): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelTransition]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            e.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = ms); out += FunnelTransition(userId, 1, ms)
+              case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                  ms > st.t1 && ms <= st.t1 + w1Ms =>
+                st = st.copy(t2 = ms); out += FunnelTransition(userId, 2, ms)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                  ms > st.t2 && ms <= st.t2 + w2Ms =>
+                st = st.copy(t3 = ms); out += FunnelTransition(userId, 3, ms)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class MomentState(n: Long, s: Long, ss: Long)
   case class AnomalyEvent(user_id: Long, event_id: Long, value: Double, n_so_far: Long)
 

@@ -33,6 +33,48 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingFunnel: stage transitions match the batch funnel; boundary-independent") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    def tms(ms: Long) = new Timestamp(1700000000000L + ms)
+    // mirrors FunnelRetentionSpec: u1 full chain; u2 click-before-view;
+    // u3 purchase-before-click; u5 same-ms click (strict >); u6 click at
+    // exactly +1h (inclusive); u7 click 1ms past the window
+    val H = 3600000L
+    val rows = Seq(
+      Event(1, tms(10), 1, "view", 0.0), Event(2, tms(20), 1, "click", 0.0),
+      Event(3, tms(30), 1, "purchase", 0.0),
+      Event(4, tms(1), 2, "click", 0.0), Event(5, tms(2), 2, "view", 0.0),
+      Event(6, tms(1), 3, "view", 0.0), Event(7, tms(15), 3, "purchase", 0.0),
+      Event(8, tms(20), 3, "click", 0.0),
+      Event(11, tms(5), 5, "view", 0.0), Event(12, tms(5), 5, "click", 0.0),
+      Event(13, tms(100), 6, "view", 0.0), Event(14, tms(100 + H), 6, "click", 0.0),
+      Event(15, tms(100), 7, "view", 0.0), Event(16, tms(101 + H), 7, "click", 0.0))
+    def run(batches: Seq[Seq[Event]], name: String): Map[(Long, Int), Long] = {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.streamingFunnel(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      q.stop(); out
+    }
+    val ordered = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val one = run(Seq(ordered), "funnel_one")
+    val split = run(Seq(ordered.take(7), ordered.drop(7)), "funnel_split")
+    assert(one == split, s"one=$one split=$split")
+    // stage counts equal the batch funnel: 1_view=6 (u1,2,3,5,6,7),
+    // 2_click=3 (u1,3,6), 3_purchase=1 (u1)
+    val counts = one.keySet.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map(1 -> 6, 2 -> 3, 3 -> 1), s"got $counts")
+    // the u1 chain carries the correct stage times
+    assert(one((1L, 1)) == tms(10).getTime && one((1L, 2)) == tms(20).getTime &&
+      one((1L, 3)) == tms(30).getTime)
+    // u6's boundary click counted, u7's past-window click did not
+    assert(one.contains((6L, 2)) && !one.contains((7L, 2)))
+  }
+
   test("sessionize: 30-min gaps split sessions, state persists across batches") {
     val ss = spark
     implicit val sql = ss.sqlContext
