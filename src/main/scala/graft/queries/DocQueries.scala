@@ -712,6 +712,39 @@ object DocQueries {
       .orderBy(col("lang"))
   }
 
+  /** Pipeline yield report (q117): the composed curation funnel —
+    * ingest → quality gate (q46's score ≥ 0.5) → exact keep-first
+    * dedup → benchmark decontamination (q59's rule) — reported as
+    * survivor counts per stage over the dup-planted corpus. This is
+    * the number a data-engineering review actually asks for ("how
+    * much survives each gate, and which gate is eating the corpus"),
+    * and it pins that the individually-oracled operators COMPOSE
+    * (PipelineSpec proves composition in-process; this makes it
+    * driver-checked against an independent engine). All thresholds
+    * compare exactly-representable rounded values, so no gate can
+    * flip cross-engine. */
+  def pipelineYield(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = TextAnalysis.withTextStats(c)
+      .filter(col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("text"))
+    val winners = q.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val d = q.join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val bench = Dedup.docShingles(c.filter(col("doc_id") < 5), 3)
+      .select(col("shingle")).distinct()
+    val contaminated = Dedup.docShingles(d.filter(col("doc_id") >= 5), 3)
+      .join(broadcast(bench), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+    val e = d.filter(col("doc_id") >= 5).join(contaminated, Seq("doc_id"), "left_anti")
+    val row = (label: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
+    row("00_ingest", c)
+      .unionByName(row("10_quality", q))
+      .unionByName(row("20_dedup", d))
+      .unionByName(row("30_decontam", e))
+      .orderBy(col("stage"))
+  }
+
   /** PMI collocations (q116): top-20 adjacent word pairs by pointwise
     * mutual information over the documents corpus, min pair count 5. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
@@ -1396,6 +1429,39 @@ object DocQueries {
          |        FROM rk GROUP BY doc_id)
          |SELECT doc_id, n_lines, n_removed, md5(cleaned) AS cleaned_md5
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q117_pipeline_yield" ->
+      s"""WITH $corpusSql,
+         |base AS (SELECT doc_id, text, $toksSql AS t FROM corpus),
+         |stats AS (SELECT doc_id, text,
+         |    len(t) AS n_tokens,
+         |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |    ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+         |    ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio
+         |  FROM base),
+         |q AS (SELECT doc_id, text FROM stats
+         |  WHERE ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |      + CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |      + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) >= 0.5),
+         |w AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+         |d AS (SELECT q.doc_id, q.text FROM q JOIN w ON w.doc_id = q.doc_id),
+         |toksd AS (SELECT doc_id, $toksSql AS t FROM d),
+         |bsh AS (SELECT DISTINCT shingle FROM (
+         |    SELECT unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |    FROM base WHERE doc_id < 5 AND len(t) >= 3)),
+         |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |    FROM toksd WHERE doc_id >= 5 AND len(t) >= 3),
+         |dropped AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (shingle)),
+         |e AS (SELECT * FROM d WHERE doc_id >= 5
+         |      AND doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT * FROM (
+         |  SELECT '00_ingest' AS stage, count(*) AS n_docs FROM corpus
+         |  UNION ALL SELECT '10_quality', count(*) FROM q
+         |  UNION ALL SELECT '20_dedup', count(*) FROM d
+         |  UNION ALL SELECT '30_decontam', count(*) FROM e)
+         |ORDER BY stage""".stripMargin,
     "q116_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |u AS (SELECT unnest(t) AS term FROM toks),
@@ -1843,6 +1909,7 @@ object DocQueries {
     "q111_jsonl_ingest" -> (jsonlIngest _),
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
+    "q117_pipeline_yield" -> (pipelineYield _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),
     "q72_src_quota" -> (sourceQuota _),
