@@ -38,7 +38,8 @@ object ExplainAudit {
         "q87_int8_quantize", "q89_source_overlap", "q90_event_anomaly",
         "q95_bigram_nll", "q96_semantic_decon", "q97_simhash_pairs",
         "q105_funnel", "q106_retention", "q107_line_dedup_keepfirst",
-        "q108_corpus_card")
+        "q108_corpus_card", "q109_parent_doc_search", "q111_jsonl_ingest",
+        "q115_mmr_rerank", "q116_pmi_collocations", "q117_pipeline_yield")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
