@@ -221,6 +221,24 @@ object EventQueries {
           .as("top5_csv"))
   }
 
+  /** Event-type transition matrix (q118): counts of consecutive
+    * (prev → next) event-type pairs per user timeline — the behavioral
+    * bigram table behind "what do users do after an error", Markov
+    * funnel modeling, and bot detection (self-loops at machine rates).
+    * One window (lag over the user timeline) on ONE user_id shuffle —
+    * the q61 sessionize shape — then a partial-agg count to a
+    * #types² frame. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val ev = t(spark, dir, "events")
+    ev.select(col("user_id"), col("event_id"), col("event_type"), epochMs(ev).as("ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -297,7 +315,15 @@ object EventQueries {
         |  ROUND(quantile_cont(cnt, 0.99), 4) + 0.0 AS p99_cnt,
         |  ROUND(CAST(sum(cnt) AS DOUBLE) / count(*), 4) + 0.0 AS avg_cnt,
         |  array_to_string((list(user_id ORDER BY cnt DESC, user_id))[1:5], ',') AS top5_csv
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q118_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+        |      FROM e)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM f WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -307,6 +333,7 @@ object EventQueries {
     "q92_winsorized" -> (winsorizedStats _),
     "q105_funnel" -> (funnel _),
     "q106_retention" -> (cohortRetention _),
-    "q112_skew_report" -> (skewReport _)
+    "q112_skew_report" -> (skewReport _),
+    "q118_event_transitions" -> (eventTransitions _)
   )
 }
