@@ -700,7 +700,13 @@ object DocQueries {
         .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))))
         .as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // deterministic per-sfDir scratch path, REUSED across invocations
+    // (the bench times each query several times — a fresh temp dir per
+    // call would leak a corpus copy per repeat); overwrite mode makes
+    // the rewrite idempotent
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-jsonl-" + Integer.toHexString(dir.hashCode)).toString
     lines.write.mode("overwrite").text(tmp)
     val good = CorpusIngest.readJsonl(spark, tmp, d.schema)
     val quarantined = CorpusIngest.quarantineJsonl(spark, tmp, d.schema)
