@@ -476,18 +476,36 @@ object Similarity {
     require(lamNum >= 0 && lamNum <= lamDen, "lambda must be a rational in [0, 1]")
     val fp = (c: org.apache.spark.sql.Column) =>
       floor(c * 10000.0 + 0.5).cast("long")
+    // the k greedy rounds re-consume this frame ~3x each; without a
+    // materialization barrier every round re-executes the WHOLE
+    // retrieval upstream per branch and the plan deepens round over
+    // round (measured 11.5s for 10 queries x 12 candidates at sf0.1 —
+    // pure re-planning overhead). The frame is O(queries·N) rows — the
+    // connectedComponents precedent; the caller releases the blocks
+    // (Bench does, like the beam-search results).
+    // repartition on query_id BEFORE the barrier: every round's joins
+    // and aggs key on query_id, so they co-partition off the
+    // checkpointed layout, and AQE right-sizes the partition count to
+    // the frame (a handful of tasks for small query sets, scaling out
+    // with the query fleet)
     val base = cands.select(col("query_id"), col("cand_id"),
       fp(col("rel")).as("rel_fp"),
       col("vec"), sqrt(dot(col("vec"), col("vec"))).as("nrm"))
+      .repartition(col("query_id"))
+      .localCheckpoint(true)
     def argmax(scored: DataFrame, rnk: Int): DataFrame =
       scored.groupBy(col("query_id"))
         .agg(topKPairs((-col("score_fp")).cast("double"), col("cand_id"), 1).as("tk"))
         .select(col("query_id"), col("tk").getItem(0).getField("id").as("cand_id"),
           (-col("tk").getItem(0).getField("dist")).cast("long").as("score_fp"),
           lit(rnk).as("rnk"))
-    // first pick: no selected set yet, so the redundancy term is 0
+    // first pick: no selected set yet, so the redundancy term is 0.
+    // sel is re-consumed 3x per later round (anti-join, vec lookup,
+    // union) AND grows a plan level per round — checkpoint each round;
+    // intermediates released, the final frame is the caller's.
     var sel = argmax(
       base.withColumn("score_fp", lit(lamNum.toLong) * col("rel_fp")), 1)
+      .localCheckpoint(true)
     for (step <- 2 to k) {
       val remaining = base.join(
         sel.select(col("query_id"), col("cand_id")),
@@ -504,9 +522,15 @@ object Similarity {
         .withColumn("score_fp",
           lit(lamNum.toLong) * col("rel_fp") -
             lit((lamDen - lamNum).toLong) * col("maxsim_fp"))
-      sel = sel.unionByName(argmax(scored, step))
+      val next = sel.unionByName(argmax(scored, step)).localCheckpoint(true)
+      graft.plans.Blocks.release(sel)
+      sel = next
     }
-    sel.select(col("query_id"), col("cand_id"), col("rnk"), col("score_fp"))
+    val out = sel.select(col("query_id"), col("cand_id"), col("rnk"), col("score_fp"))
       .orderBy(col("query_id"), col("rnk"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(sel)
+    graft.plans.Blocks.release(base)
+    out
   }
 }
