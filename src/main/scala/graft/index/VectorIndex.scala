@@ -1335,9 +1335,51 @@ object VectorIndex {
   }
 
   /** Open an existing index (reference load_index, src/LMDiskANN.jl:271-306). */
+  /** Load the index AS OF a committed version (time travel): every
+    * commit writes an immutable `meta-v=N.json` beside the live
+    * pointer, so any historical snapshot whose segment dirs still
+    * exist can be served, searched, or [[VectorIndex.diff]]ed — "what
+    * did last week's index return for this query". Valid until
+    * `vacuum()` reaps a segment the old version references (segment
+    * dirs outlive compaction until then); a reaped version fails the
+    * same load-time check as a damaged store, never mid-query.
+    * Pre-feature stores have no history sidecars — only versions
+    * committed after this feature are loadable. */
+  def loadVersion(spark: SparkSession, path: String, version: Long): VectorIndex = {
+    require(ArtifactStore.current.exists(s"$path/meta-v=$version.json"),
+      s"no history entry meta-v=$version.json at $path (version never " +
+        "committed, or committed before per-version metadata existed)")
+    val meta = readMeta(path, s"meta-v=$version.json")
+    val v = new VectorIndex(spark, path, meta)
+    checkLayout(path, meta)
+    v
+  }
+
+  /** All committed versions with a surviving history entry, ascending —
+    * (version, numPoints, n_segments, loadable): the ops view of the
+    * snapshot timeline. `loadable` = every segment dir the version
+    * references still exists (false once vacuum has reaped one).
+    * Driver-side listing of O(versions) tiny JSON files. */
+  def history(path: String): Seq[(Long, Long, Int, Boolean)] = {
+    val re = "^meta-v=(\\d+)\\.json$".r
+    ArtifactStore.current.list(path)
+      .collect { case re(v) => v.toLong }.sorted
+      .map { v =>
+        val m = readMeta(path, s"meta-v=$v.json")
+        val ok = m.segments.forall(s =>
+          ArtifactStore.current.exists(s"$path/v=$s/vectors"))
+        (v, m.numPoints, m.segments.size, ok)
+      }
+  }
+
   def load(spark: SparkSession, path: String): VectorIndex = {
     val meta = readMeta(path)
     val v = new VectorIndex(spark, path, meta)
+    checkLayout(path, meta)
+    v
+  }
+
+  private def checkLayout(path: String, meta: IndexMeta): Unit =
     meta.segments.foreach { s =>
       require(ArtifactStore.current.exists(s"$path/v=$s/vectors"),
         s"missing vectors segment v=$s at $path")
@@ -1349,8 +1391,6 @@ object VectorIndex {
         s"index at $path v=$s uses an unsupported layout " +
           "(expected graph/ + ring/ tables; pre-segmented snapshots must be rebuilt)")
     }
-    v
-  }
 
   /** Bulk build from a DataFrame of (id BIGINT 0-based, key STRING?, vec ARRAY<FLOAT>)
     * — the north-star batch-construction path (BASELINE.json). Graph =
@@ -1454,13 +1494,19 @@ object VectorIndex {
         s""""segments":[${m.segments.mkString(",")}],""" +
         s""""exactThreshold":${m.exactThreshold},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
-    // atomic pointer swap (ArtifactStore.writeAtomic's contract)
+    // immutable per-version copy FIRST (so any version the pointer can
+    // reference has a history entry), then the atomic pointer swap
+    // (ArtifactStore.writeAtomic's contract). The copies are what
+    // loadVersion/history read; vacuum leaves them (audit trail) — its
+    // reapers match v=N dirs and model sidecars only.
+    store.writeAtomic(s"$path/meta-v=${m.version}.json",
+      json.getBytes(StandardCharsets.UTF_8))
     store.writeAtomic(s"$path/meta.json", json.getBytes(StandardCharsets.UTF_8))
   }
 
-  private[index] def readMeta(path: String): IndexMeta = {
+  private[index] def readMeta(path: String, file: String = "meta.json"): IndexMeta = {
     val json = new String(
-      ArtifactStore.current.readBytes(s"$path/meta.json"), StandardCharsets.UTF_8)
+      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
     def longOf(k: String): Long = {
       val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))

@@ -130,6 +130,46 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.version == 2)
   }
 
+  test("time travel: loadVersion serves historical snapshots; history tracks loadability past vacuum") {
+    val path = tmpDir("idx-tt")
+    val v0 = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 30), dim = 64, maxDegree = 8)
+    val v1 = v0.insertBatch(embeddings.filter(col("id").between(30, 34))
+      .select(concat(lit("n_"), col("id")).as("key"), col("vec")))
+    val v2 = v1.deleteBatch(Seq(1L, 2L))
+    assert(v2.meta.numPoints == 33)
+    // full timeline recorded, all loadable
+    val h = VectorIndex.history(path)
+    assert(h.map(e => (e._1, e._2, e._4)) ==
+      Seq((0L, 30L, true), (1L, 35L, true), (2L, 33L, true)), s"got $h")
+    // a historical load serves the OLD state: counts and search
+    val old = VectorIndex.loadVersion(spark, path, 1L)
+    assert(old.meta.numPoints == 35 && old.vectors.count() == 35)
+    val q = embeddings.filter(col("id") === 0)
+      .select(lit(0L).as("query_id"), col("vec").as("qvec"))
+    // ids 1,2 (public) deleted in v2 still resolve in the v1 snapshot
+    assert(old.vectors.filter(col("id").isin(0L, 1L)).count() == 2)
+    assert(old.searchExact(q, topk = 1).collect().head.getDouble(3) == 0.0)
+    // diff across time-travel handles: v2 vs v1 shows exactly the
+    // deletes, as the public ids deleteBatch consumed
+    val d = v2.diff(old).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "deleted"), (2L, "deleted")), s"got $d")
+    // unknown version refuses with a clear message
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.loadVersion(spark, path, 99L)
+    }
+    assert(ex.getMessage.contains("meta-v=99"))
+    // compaction + vacuum reap old segments: history flags versions
+    // whose segments are gone, and loading one fails at load time
+    val compacted = v2.compact()
+    assert(compacted.vacuum() > 0)
+    val h2 = VectorIndex.history(path)
+    assert(h2.exists(e => !e._4) && h2.last._4, s"got $h2")
+    intercept[IllegalArgumentException] {
+      VectorIndex.loadVersion(spark, path, h2.find(!_._4).get._1)
+    }
+  }
+
   test("healthReport: fresh build is one fully-reachable component; survives deletes") {
     val path = tmpDir("idx-health")
     val idx = VectorIndex.build(spark, path,
