@@ -899,6 +899,25 @@ final class VectorIndex private (
         col("old_key"), col("new_key"))
   }
 
+  /** Restore the index to a historical version's CONTENT by committing
+    * a NEW version (Delta-style RESTORE: the timeline stays
+    * append-only — a rollback is itself a recorded, diffable,
+    * re-rollbackable commit, never a rewind that orphans later
+    * segments). Everything restores — segment list, entrypoint,
+    * freelist, and `ingestBatchId`, so a streaming batch undone by the
+    * rollback re-applies on redelivery instead of being skipped as a
+    * duplicate. Requires the target's history entry and segment dirs
+    * (see [[VectorIndex.loadVersion]]); run `vacuum()` only after the
+    * rollback window you care about has passed. */
+  def rollback(toVersion: Long): VectorIndex = {
+    require(toVersion < meta.version,
+      s"rollback target $toVersion is not before current ${meta.version}")
+    val target = VectorIndex.loadVersion(spark, path, toVersion).meta
+    val next = target.copy(version = meta.version + 1)
+    VectorIndex.writeMeta(path, next)
+    new VectorIndex(spark, path, next)
+  }
+
   /** Merge another index's LIVE vectors into this one, committing one
     * delta segment — the compaction/combine step an operational fleet
     * needs (per-day builds folded into a serving index, shard

@@ -170,6 +170,28 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("rollback restores historical content as a NEW commit; reload and diff agree") {
+    val path = tmpDir("idx-rb")
+    val v0 = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 25), dim = 64, maxDegree = 8)
+    val v1 = v0.deleteBatch(Seq(5L, 6L, 7L))
+    assert(v1.meta.numPoints == 22)
+    val rb = v1.rollback(0L)
+    // append-only timeline: the restore is version 2 with v0's content
+    assert(rb.meta.version == 2 && rb.meta.numPoints == 25)
+    assert(rb.vectors.count() == 25)
+    assert(rb.diff(v0).isEmpty) // content-identical to the target
+    // the deletes reappear relative to v1
+    val d = rb.diff(v1).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((5L, "inserted"), (6L, "inserted"), (7L, "inserted")), s"got $d")
+    // a fresh load sees the restored state; history records all three
+    assert(VectorIndex.load(spark, path).meta.numPoints == 25)
+    assert(VectorIndex.history(path).map(e => (e._1, e._2)) ==
+      Seq((0L, 25L), (1L, 22L), (2L, 25L)))
+    // can't roll forward
+    intercept[IllegalArgumentException] { v0.rollback(2L) }
+  }
+
   test("healthReport: fresh build is one fully-reachable component; survives deletes") {
     val path = tmpDir("idx-health")
     val idx = VectorIndex.build(spark, path,
