@@ -43,6 +43,33 @@ object TextAnalysis {
         concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Overlapping fixed-token chunking (the RAG / embedding-prep
+    * splitter): windows of `size` tokens every `stride` tokens, so
+    * consecutive chunks share `size − stride` tokens of context and no
+    * sentence straddles a hard boundary unseen. The final partial
+    * window is kept (a document shorter than `size` is one chunk) —
+    * dropping tails silently loses corpus. Emits
+    * (id, chunk_no, chunk, n_tokens); chunk_no is the 0-based window
+    * index, so parent-doc provenance (q109's passage→doc shape) is
+    * `(id, chunk_no)` with no extra bookkeeping.
+    *
+    * One narrow projection per row — posexplode of a transform over
+    * the token array; no shuffle, scan-bound at any scale. */
+  def chunkTokens(df: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val toks = tokens(col(textCol))
+    val nWin = greatest(lit(1),
+      (ceil((size_(toks) - lit(size)) / lit(stride.toDouble)) + lit(1)).cast("int"))
+    val chunks = transform(sequence(lit(0), nWin - 1), i =>
+      array_join(slice(toks, i * stride + 1, lit(size)), " "))
+    df.select(col(idCol).as("id"), posexplode(chunks).as(Seq("chunk_no", "chunk")))
+      .withColumn("n_tokens", size_(tokens(col("chunk"))))
+  }
+  // scala.Predef-free alias: org.apache.spark.sql.functions.size
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** PMI collocation mining (q116): the top-k adjacent word pairs by
     * pointwise mutual information, `ln(p(l,r) / (p(l)·p(r)))` — the
     * classic corpus-analysis signal for multiword expressions

@@ -751,6 +751,15 @@ object DocQueries {
       .orderBy(col("stage"))
   }
 
+  /** RAG chunking (q119): overlapping 8-token windows at stride 4 —
+    * the embedding-prep splitter whose (doc_id, chunk_no) provenance
+    * feeds the q109 parent-doc retrieval shape. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(spread(docs(spark, dir)), size = 8, stride = 4)
+      .select(col("id").as("doc_id"), col("chunk_no"),
+        md5(col("chunk")).as("chunk_md5"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   /** PMI collocations (q116): top-20 adjacent word pairs by pointwise
     * mutual information over the documents corpus, min pair count 5. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
@@ -1468,6 +1477,18 @@ object DocQueries {
          |  UNION ALL SELECT '20_dedup', count(*) FROM d
          |  UNION ALL SELECT '30_decontam', count(*) FROM e)
          |ORDER BY stage""".stripMargin,
+    "q119_chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |        greatest(1, CAST(ceil((len(t) - 8) / 4.0) AS INT) + 1) AS nw FROM toks),
+         |c AS (SELECT doc_id, unnest(list_transform(range(0, nw),
+         |        i -> struct_pack(chunk_no := i,
+         |          chunk := array_to_string(list_slice(t, i*4 + 1, i*4 + 8), ' ')))) AS s
+         |      FROM w),
+         |f AS (SELECT doc_id, s.chunk_no AS chunk_no, s.chunk AS chunk FROM c)
+         |SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5,
+         |  len(regexp_split_to_array(trim(lower(chunk)), '\\s+')) AS n_tokens
+         |FROM f ORDER BY doc_id, chunk_no""".stripMargin,
     "q116_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |u AS (SELECT unnest(t) AS term FROM toks),
@@ -1915,6 +1936,7 @@ object DocQueries {
     "q111_jsonl_ingest" -> (jsonlIngest _),
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
+    "q119_chunk_overlap" -> (chunkOverlap _),
     "q117_pipeline_yield" -> (pipelineYield _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),

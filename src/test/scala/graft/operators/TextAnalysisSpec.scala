@@ -258,6 +258,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("chunkTokens: overlap, kept tail, short-doc single chunk, guards") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, size 4 stride 2 -> 4 windows
+      (2L, "x y"))                 // shorter than size -> one chunk
+    val out = TextAnalysis.chunkTokens(docs.toDF("doc_id", "text"), size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    assert(out == Map(
+      (1L, 0) -> (("a b c d", 4)), (1L, 1) -> (("c d e f", 4)),
+      (1L, 2) -> (("e f g h", 4)), (1L, 3) -> (("g h i j", 4)),
+      (2L, 0) -> (("x y", 2))), s"got $out")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs.toDF("doc_id", "text"), size = 4, stride = 5)
+    }
+  }
+
   test("normalizeUnicode rejects an unknown form at analysis time") {
     val ss = spark
     import ss.implicits._
