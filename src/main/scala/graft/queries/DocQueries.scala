@@ -731,11 +731,21 @@ object DocQueries {
     * flip cross-engine. */
   def pipelineYield(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
+    // each stage frame feeds BOTH its own count branch and the next
+    // stage (q: count + dedup winners + semi-join = 3 consumers; d:
+    // count + two shingle passes + the final filter) — without a
+    // barrier every branch re-runs the full upstream chain (text
+    // stats + dedup + shingling; measured ~5s steady at sf0.1, ~2.4s
+    // checkpointed). The frames are (id, text) projections of the
+    // corpus — the q115 materialization rule; Bench releases the
+    // blocks like every checkpointed result.
     val q = TextAnalysis.withTextStats(c)
       .filter(col("quality_score") >= 0.5)
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val winners = q.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
     val d = q.join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val bench = Dedup.docShingles(c.filter(col("doc_id") < 5), 3)
       .select(col("shingle")).distinct()
     val contaminated = Dedup.docShingles(d.filter(col("doc_id") >= 5), 3)
