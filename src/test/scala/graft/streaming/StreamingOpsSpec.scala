@@ -236,6 +236,26 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("chunkTokens runs unchanged on a stream: stateless posexplode projection") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.chunkTokens(
+        mem.toDF().toDF("doc_id", "text"), size = 4, stride = 2)
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    val rows = Seq((1L, "a b c d e f"), (2L, "x y"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = graft.operators.TextAnalysis.chunkTokens(
+        rows.toDF("doc_id", "text"), size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.contains((1L, 1, "c d e f")))
+    q.stop()
+  }
+
   test("mixtureSample runs unchanged on a stream: stateless per-row filter") {
     val ss = spark
     implicit val sql = ss.sqlContext
