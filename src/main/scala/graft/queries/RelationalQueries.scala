@@ -160,7 +160,39 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Large-volume orders (q120, TPC-H Q18 shape): orders whose total
+    * line quantity clears a threshold, joined out to customer — the
+    * aggregate-HAVING semi-join pattern. Scale shape: the HAVING
+    * aggregate is a partial-agg groupBy on the fact table whose
+    * SURVIVORS are a tiny frame (84 rows at sf0.01 — AQE broadcasts it
+    * into orders); the customer join is a plain keyed equi-join (never
+    * assume the dimension fits in memory at 100 TB); the top-20 plans
+    * as TakeOrdered, no global sort. Sums ride the exact decimal
+    * chain, so the threshold compare can't flip cross-engine. */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(asD(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .filter(col("sum_qty") > 280.0)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q120_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |    FROM lineitem GROUP BY 1
+        |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 280.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, big.sum_qty
+        |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "q20_price_quantiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) + 0.0 AS p25,
@@ -231,6 +263,7 @@ object RelationalQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_big_orders" -> (bigOrders _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q24_rollup_summary" -> (rollupSummary _),
     "q11_revenue_by_nation" -> (revenueByNation _),
