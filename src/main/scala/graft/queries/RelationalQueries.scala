@@ -183,7 +183,41 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Above-group-average filter via CORRELATED scalar subqueries
+    * (q121): customers whose balance beats their nation's average —
+    * phrased with two correlated scalars so Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery → aggregate + join) is the
+    * surface under test; driven through `spark.sql` because the
+    * DataFrame API has no correlated-subquery syntax (the q21
+    * precedent: SQL strings are first-class). The comparison is
+    * cleared of DIVISION — `bal · count > sum` over exact decimals —
+    * because cross-engine AVG over doubles is sum-order-dependent and
+    * a boundary row would flip. The plan after decorrelation is the
+    * same aggregate + same-key join a hand-written form produces:
+    * one customer scan per aggregate, nation-keyed shuffles. */
+  def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_q121_customer")
+    spark.sql(
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM graft_q121_customer c1
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |        (SELECT COUNT(*) FROM graft_q121_customer c2
+        |         WHERE c2.c_nationkey = c1.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |         FROM graft_q121_customer c3
+        |         WHERE c3.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q121_above_nation_avg" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM customer c1
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |        (SELECT COUNT(*) FROM customer c2
+        |         WHERE c2.c_nationkey = c1.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |         FROM customer c3
+        |         WHERE c3.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q120_big_orders" ->
       """WITH big AS (SELECT l_orderkey,
         |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
@@ -264,6 +298,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_big_orders" -> (bigOrders _),
+    "q121_above_nation_avg" -> (aboveNationAvg _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q24_rollup_summary" -> (rollupSummary _),
     "q11_revenue_by_nation" -> (revenueByNation _),
