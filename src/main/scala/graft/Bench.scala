@@ -80,7 +80,7 @@ object Bench {
       buildsSec: Option[Double],
       annQps: Double, pqQps: Double, shardedQps: Double,
       fiLoadSec: Double, fiQps: Double, cal: Seq[Double],
-      sfShort: String): String = {
+      sfShort: String, scaleRatio: Option[Double] = None): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val qsShort = results.map { case (k, v) =>
@@ -95,8 +95,34 @@ object Bench {
       s""""shard_qps":${r1(shardedQps)},""" +
       s""""fi_load_sec":${r2(fiLoadSec)},""" +
       s""""fi_qps":${r1(fiQps)},""" +
-      s""""cal":${cal.map(r2).mkString("[", ",", "]")},"sf":"$sfShort"}"""
+      s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
+      // median hi/lo time ratio of the dual-sf sweep ("sr"): the
+      // compact super-linearity telltale; the full per-query map lives
+      // in BENCH_SCALE.json (the tail window can't afford a second
+      // per-query map)
+      scaleRatio.map(r => s""""sr":${r1(r)},""").getOrElse("") +
+      s""""sf":"$sfShort"}"""
   }
+
+  /** One timed pass over every registered query at `dir` (median of
+    * `repeat`), the shared body of the headline and scale-probe
+    * sweeps. */
+  private def sweepQueries(spark: SparkSession, dir: String,
+      repeat: Int): Seq[(String, Double)] =
+    SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val times = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, dir)
+          df.count()
+          // queries returning checkpointed results (beam search) must
+          // be released per run or repeated timing accumulates blocks
+          graft.plans.Blocks.release(df)
+        } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,23 +157,60 @@ object Bench {
         catch { case _: Throwable => Map.empty[String, Double] }) ++
       (try { graft.queries.DocQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          df.count()
-          // queries returning checkpointed results (beam search) must
-          // be released per run or repeated timing accumulates blocks
-          graft.plans.Blocks.release(df)
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    val results = sweepQueries(spark, sfDir, repeat)
+    // ---- scale-ratio probe: the SAME sweep at the sibling sf0.01.
+    // Per-query hi/lo time ratios are the local[32] stand-in for the
+    // 100x audit: with ~10x the data a scan/partial-agg-shaped query
+    // should cost <~12x — a far higher ratio flags super-linear
+    // behavior (accidental all-pairs, unpooled windows). Full per-
+    // query data + flags land in BENCH_SCALE.json (repo artifact);
+    // the summary carries only the median ratio ("sr").
+    val loDir = sys.env.get("SPARK_GRAFT_LO_SF_DIR")
+      .orElse {
+        val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+        if (sib.isDirectory) Some(sib.getPath) else None
       }
-      name -> median(times)
+      .filterNot(ld => new java.io.File(ld).getCanonicalPath ==
+        new java.io.File(sfDir).getCanonicalPath)
+    val loResults: Map[String, Double] = loDir match {
+      case None => Map.empty
+      case Some(ld) =>
+        // prewarm the lo dir's one-time artifacts so its per-query
+        // times are steady-state like the headline sweep's
+        try { graft.queries.AnnQueries.prewarm(spark, ld); () }
+        catch { case _: Throwable => () }
+        try { graft.queries.DocQueries.prewarm(spark, ld); () }
+        catch { case _: Throwable => () }
+        sweepQueries(spark, ld, repeat).toMap
+    }
+    val ratios: Seq[(String, Double)] = results.collect {
+      case (k, hi) if loResults.get(k).exists(_ > 0.01) =>
+        k -> hi / loResults(k)
+    }
+    val srMedian =
+      if (ratios.isEmpty) None else Some(median(ratios.map(_._2)))
+    val hiByName = results.toMap
+    val flagged = ratios.collect {
+      case (k, r) if r > 15.0 && hiByName(k) > 0.5 => k
+    }
+    loDir.foreach { ld =>
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+      val hiMap = results.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val loMap = results.map { case (k, _) =>
+        s"\"$k\":${r2(loResults.getOrElse(k, -1.0))}" }.mkString("{", ",", "}")
+      val ratioMap = ratios.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val json =
+        s"""{"hi_sf_dir":"$sfDir","lo_sf_dir":"$ld","repeats":$repeat,""" +
+          s""""hi_sec":$hiMap,"lo_sec":$loMap,"ratio":$ratioMap,""" +
+          s""""ratio_median":${srMedian.map(r2).getOrElse("null")},""" +
+          s""""flag_rule":"ratio>15 and hi>0.5s",""" +
+          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+      catch { case _: Throwable => () }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Single-node ANN serving throughput at the reference's largest
     // documented workload shape (10k x 100d, docs/src/index.md demo):
     // seeded build, untimed warmup, then the median QPS of `repeat`
@@ -208,12 +271,13 @@ object Bench {
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,""" +
       s""""cal_spin_before_sec":$spinBefore,"cal_spark_before_sec":$sparkBefore,""" +
       s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
+      srMedian.map(r => s""""scale_ratio_median":$r,""").getOrElse("") +
       s""""sf":"$sfDir"}""")
     println(summaryLine(
-      results.toSeq,
+      results,
       if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),
       annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps, cal,
-      new java.io.File(sfDir).getName))
+      new java.io.File(sfDir).getName, srMedian))
     spark.stop()
   }
 }

@@ -1,11 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, min}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Optional third arg: comma-separated query names — runs only that
+  * subset (and dumps only its oracles), for fast single-query iteration
+  * with scripts/oracle_check.py. The driver passes two args → full run.
+  *
+  * Full runs also emit `recall.json` (and a repo-root `RECALL.json`):
+  * the measured min of every `*recall*` column across the recall-gated
+  * (no-oracle) queries, with its gate — so ANN quality is auditable
+  * from round artifacts without re-running anything.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(",").map(_.trim).toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [qA,qB,...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +31,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,8 +53,36 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Recall artifact: min of every *recall* column per query result,
+    // with the oracle_check gate (0.30 for min_-prefixed, else 0.70).
+    val recallRows = selected.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val df = spark.read.parquet(s"$outDir/$name")
+        val rcols = df.columns.filter(_.toLowerCase.contains("recall"))
+        if (rcols.isEmpty) Nil
+        else {
+          val aggs = rcols.map(c => min(col(c)).cast("double").as(c))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val cells = rcols.zipWithIndex.map { case (c, i) =>
+            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+            val gate = if (c.toLowerCase.startsWith("min_")) 0.30 else 0.70
+            val pass = !v.isNaN && v >= gate
+            s"""${q(c)}: {"value": ${if (v.isNaN) "null" else f"$v%.4f"}, "gate": $gate, "pass": $pass}"""
+          }
+          Seq(s"${q(name)}: ${cells.mkString("{", ", ", "}")}")
+        }
+      } catch { case _: Throwable => Nil }
+    }
+    val recallJson = recallRows.mkString("{", ",\n ", "}")
+    Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+    // repo-root copy only on full runs (subset dev runs must not
+    // clobber the round artifact with partial data)
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("RECALL.json"), recallJson)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

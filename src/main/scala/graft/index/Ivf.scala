@@ -75,23 +75,13 @@ object Ivf {
     }
 
   private def loadUnsafe(path: String, file: String): IvfModel = {
-    val json = new String(
-      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
-    def intOf(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(s"$file missing $key"))
-        .group(1).toInt
-    val metricName = """"metric":"([^"]*)"""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalArgumentException(s"$file missing metric"))
-      .group(1)
-    val b64 = """"centroids":"([^"]*)"""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalArgumentException(s"$file missing centroids"))
-      .group(1)
-    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val j = SidecarJson.read(s"$path/$file")
+    val metricName = j.str("metric")
+    val bytes = java.util.Base64.getDecoder.decode(j.str("centroids"))
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val cs = new Array[Float](bytes.length / 4)
     var i = 0
     while (i < cs.length) { cs(i) = buf.getFloat(); i += 1 }
-    IvfModel(intOf("k"), intOf("dim"), metricName, cs)
+    IvfModel(j.int("k"), j.int("dim"), metricName, cs)
   }
 }

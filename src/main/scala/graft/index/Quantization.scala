@@ -236,26 +236,17 @@ object Quantization {
     store.writeAtomic(s"$path/$file", json.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Load a model saved by [[save]]. */
+  /** Load a model saved by [[save]] (real JSON parse, [[SidecarJson]]). */
   def load(path: String, file: String = "pq.json"): PQModel = {
-    import java.nio.charset.StandardCharsets
-    val json = new String(
-      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
-    def intOf(k: String): Int =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(s"pq.json missing $k"))
-        .group(1).toInt
-    val b64 = """"codebook":"([^"]*)"""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalArgumentException("pq.json missing codebook"))
-      .group(1)
-    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val j = SidecarJson.read(s"$path/$file")
+    val bytes = java.util.Base64.getDecoder.decode(j.str("codebook"))
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val cb = new Array[Float](bytes.length / 4)
     var i = 0
     while (i < cb.length) { cb(i) = buf.getFloat(); i += 1 }
-    val m = intOf("m"); val k = intOf("k"); val subDim = intOf("subDim")
+    val m = j.int("m"); val k = j.int("k"); val subDim = j.int("subDim")
     require(cb.length == m * k * subDim,
-      s"pq.json codebook length ${cb.length} != m*k*subDim (${m * k * subDim})")
+      s"$path/$file codebook length ${cb.length} != m*k*subDim (${m * k * subDim})")
     PQModel(m, k, subDim, cb)
   }
 

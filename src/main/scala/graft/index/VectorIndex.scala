@@ -641,12 +641,32 @@ final class VectorIndex private (
     * collide with an append). */
   def insertBatch(newVectors: DataFrame): VectorIndex = insertBatch(newVectors, -1L)
 
+  /** Optimistic-concurrency gate run BEFORE any commit writes: a
+    * mutation issued from a STALE handle (its version no longer the
+    * live meta.json head) would compute version = handle.version + 1
+    * and clobber an existing segment dir AND its 'immutable'
+    * meta-v=N.json history sidecar. One tiny meta read per commit;
+    * [[VectorIndex.writeMeta]] keeps an exists-check as the last-line
+    * backstop for writers that interleave between this check and the
+    * pointer swap (single-writer is the documented contract — this
+    * turns a violation into a loud refusal instead of silent history
+    * rewrite). */
+  private def requireHead(op: String): Unit = {
+    val live = VectorIndex.readMeta(path).version
+    if (live != meta.version)
+      throw new IllegalStateException(
+        s"refusing $op from a stale handle: handle is at version " +
+          s"${meta.version} but the live head is $live — reload the index " +
+          "and re-apply")
+  }
+
   /** insertBatch carrying a streaming batch id: the id commits
     * atomically with the snapshot pointer, making micro-batch
     * ingestion exactly-once under at-least-once foreachBatch retries
     * (a replayed batch compares <= meta.ingestBatchId and is skipped
     * BEFORE any write — see StreamingOps.applyIngestBatch). */
   def insertBatch(newVectors: DataFrame, batchId: Long): VectorIndex = {
+    requireHead("insertBatch")
     val nBatch = newVectors.count()
     if (nBatch == 0) return this
     val liveMax = vectors.agg(max(col("id"))).head().get(0) match {
@@ -829,35 +849,59 @@ final class VectorIndex private (
     * Components come from the same pointer-doubling min-label
     * propagation as q52 ([[graft.operators.Dedup.connectedComponents]]),
     * O(log diameter) rounds of id-keyed joins — no BFS frontier loop
-    * whose round count grows with graph depth. Degree stats are one
-    * partial agg over the adjacency view. */
+    * whose round count grows with graph depth.
+    *
+    * Robust to the corruptions it exists to surface: degree stats run
+    * over LIVE ids (a live vector with no adjacency row reports degree
+    * 0 instead of silently vanishing from the spread); singleton
+    * components are counted by anti-joining live ids against the edge
+    * graph (never by subtraction, which a dangling neighbor id — an
+    * unrepaired edge to a deleted slot — would drive negative); and
+    * dangling endpoints get their own `n_dangling` column rather than
+    * skewing `n_components`/`reachable_frac`. `entry_component_size`
+    * counts live members only, so `reachable_frac <= 1` by
+    * construction. */
   def healthReport(maxIter: Int = 20): DataFrame = {
-    val nLive = vectors.count()
+    val liveIds = vectors.select(col("id"))
+    val nLive = liveIds.count()
     if (nLive == 0) {
       return spark.createDataFrame(
         java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(0L, 0L, 0L, 0.0, 0, 0, 0.0)),
+          org.apache.spark.sql.Row(0L, 0L, 0L, 0.0, 0L, 0L, 0.0, 0L)),
         healthSchema)
     }
-    val degRow = adjacency.select(size(col("nbrs")).as("deg"))
+    val edges = adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
+    // out-degree per LIVE id (adjacency rows are live-only; a live id
+    // with no row counts as 0)
+    val degRow = liveIds
+      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .select(col("a").as("id"), col("deg")),
+        Seq("id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
       .agg(min(col("deg")), max(col("deg")),
         (round(avg(col("deg")), 4) + lit(0.0))).head()
-    val edges = adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
     val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b", maxIter)
-    val nInCc = cc.count()
-    val nComponents = cc.select(col("component")).distinct().count() + (nLive - nInCc)
+    val ccNodes = cc.select(col("node"))
+    val singles = liveIds
+      .join(ccNodes, liveIds("id") === ccNodes("node"), "left_anti").count()
+    val nDangling = ccNodes
+      .join(liveIds, ccNodes("node") === liveIds("id"), "left_anti").count()
+    val nComponents = cc.select(col("component")).distinct().count() + singles
     val entryRows = cc.filter(col("node") === meta.entrypoint.toLong)
       .select(col("component")).collect()
     // an entrypoint absent from the edge graph is its own singleton
     val entrySize =
       if (entryRows.isEmpty) 1L
-      else cc.filter(col("component") === entryRows.head.getLong(0)).count()
+      else cc.filter(col("component") === entryRows.head.getLong(0))
+        .join(liveIds, cc("node") === liveIds("id"), "left_semi").count()
+    graft.plans.Blocks.release(cc)
     spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row(nLive, nComponents, entrySize,
           BigDecimal(entrySize.toDouble / nLive)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          degRow.getInt(0), degRow.getInt(1), degRow.getDouble(2))),
+          degRow.getLong(0), degRow.getLong(1), degRow.getDouble(2),
+          nDangling)),
       healthSchema)
   }
 
@@ -866,9 +910,10 @@ final class VectorIndex private (
     StructField("n_components", LongType, nullable = false),
     StructField("entry_component_size", LongType, nullable = false),
     StructField("reachable_frac", org.apache.spark.sql.types.DoubleType, nullable = false),
-    StructField("min_degree", org.apache.spark.sql.types.IntegerType, nullable = false),
-    StructField("max_degree", org.apache.spark.sql.types.IntegerType, nullable = false),
-    StructField("avg_degree", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    StructField("min_degree", LongType, nullable = false),
+    StructField("max_degree", LongType, nullable = false),
+    StructField("avg_degree", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("n_dangling", LongType, nullable = false)))
 
   /** What changed between this snapshot and an `older` one — the
     * commit-review surface an operational fleet needs ("what did last
@@ -910,6 +955,7 @@ final class VectorIndex private (
     * (see [[VectorIndex.loadVersion]]); run `vacuum()` only after the
     * rollback window you care about has passed. */
   def rollback(toVersion: Long): VectorIndex = {
+    requireHead("rollback")
     require(toVersion < meta.version,
       s"rollback target $toVersion is not before current ${meta.version}")
     val target = VectorIndex.loadVersion(spark, path, toVersion).meta
@@ -935,7 +981,16 @@ final class VectorIndex private (
     * key sets must be disjoint (bulk-merging corpora that disagree on
     * a key is ambiguous — callers wanting the reference's insert_key!
     * last-wins remap semantics (Q7) should insert through
-    * [[ServingIndex]]). `other`'s public ids are NOT preserved — ids
+    * [[ServingIndex]]). The equi-join guard never matches NULL keys,
+    * but that is unreachable rather than a loophole: EVERY ingest path
+    * auto-keys unkeyed rows (Q2 — build and insertBatch both
+    * `coalesce(key, publicId)`), so `vectors.key` is non-null by
+    * invariant at this layer. Consequence worth knowing: two indexes
+    * that both relied on auto-keys carry the SAME synthetic keys
+    * ("1", "2", …) and merge correctly REFUSES them as colliding —
+    * auto-keys are index-local identities; corpora meant to merge must
+    * be built with real keys. `other`'s public ids are NOT
+    * preserved — ids
     * are per-index, keys are the stable cross-index identity, exactly
     * as in the reference's key↔id mapping. Vectors re-encode under
     * THIS index's eltype: merging Float32 into a Float16 index
@@ -960,6 +1015,7 @@ final class VectorIndex private (
     * entrypoint re-election if needed (reference ann_delete!
     * semantics, Q3/Q4). */
   def deleteBatch(publicIds: Seq[Long]): VectorIndex = {
+    requireHead("deleteBatch")
     import spark.implicits._
     // only live rows become freelist entries: re-deleting an id (retry,
     // overlapping delete sets) must not create duplicate free slots
@@ -1075,6 +1131,7 @@ final class VectorIndex private (
     * explicitly by maintenance jobs. Old directories are left on disk
     * for readers of previous snapshots. */
   def compact(): VectorIndex = {
+    requireHead("compact")
     val newVersion = meta.version + 1
     val dir = s"$path/v=$newVersion"
     rawVectors.write.mode("overwrite").parquet(s"$dir/vectors")
@@ -1513,45 +1570,42 @@ object VectorIndex {
         s""""segments":[${m.segments.mkString(",")}],""" +
         s""""exactThreshold":${m.exactThreshold},""" +
         s""""freelist":[${m.freelist.mkString(",")}]}"""
+    // Append-only history guard: a commit issued from a STALE handle
+    // (its version no longer the live head) recomputes
+    // handle.version + 1 and would silently rewrite an existing
+    // 'immutable' meta-v=N.json — after which history()/loadVersion/
+    // diff misreport what was actually served. Refuse instead
+    // (optimistic concurrency: re-reading the head and committing
+    // blind would be a lost-update, not a fix). Version 0 is exempt:
+    // build() legitimately (re)initializes a directory.
+    val histFile = s"$path/meta-v=${m.version}.json"
+    if (m.version > 0L && store.exists(histFile))
+      throw new IllegalStateException(
+        s"refusing to overwrite history sidecar $histFile: commit was issued " +
+          s"from a stale handle (version ${m.version - 1} is not the live " +
+          "head) — reload the index at its current version and re-apply")
     // immutable per-version copy FIRST (so any version the pointer can
     // reference has a history entry), then the atomic pointer swap
     // (ArtifactStore.writeAtomic's contract). The copies are what
     // loadVersion/history read; vacuum leaves them (audit trail) — its
     // reapers match v=N dirs and model sidecars only.
-    store.writeAtomic(s"$path/meta-v=${m.version}.json",
-      json.getBytes(StandardCharsets.UTF_8))
+    store.writeAtomic(histFile, json.getBytes(StandardCharsets.UTF_8))
     store.writeAtomic(s"$path/meta.json", json.getBytes(StandardCharsets.UTF_8))
   }
 
   private[index] def readMeta(path: String, file: String = "meta.json"): IndexMeta = {
-    val json = new String(
-      ArtifactStore.current.readBytes(s"$path/$file"), StandardCharsets.UTF_8)
-    def longOf(k: String): Long = {
-      val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))
-      m.group(1).toLong
-    }
-    def strOf(k: String): String = {
-      val m = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(s"meta.json missing $k"))
-      m.group(1)
-    }
-    def longListOf(k: String): Option[Seq[Long]] =
-      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
-        .map(_.group(1)).map(g =>
-          if (g.isEmpty) Nil else g.split(",").map(_.trim.toLong).toSeq)
-    val version = longOf("version")
-    val freelist = longListOf("freelist").getOrElse(Nil).map(_.toInt)
-    val segments = longListOf("segments").getOrElse(Seq(version))
-    val ingestId = """"ingestBatchId":(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(-1L)
-    val ingestSeg = """"ingestSegment":(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(-1L)
-    val exactThr = """"exactThreshold":(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(20000L)
-    IndexMeta(version, longOf("numPoints"), longOf("dim").toInt,
-      longOf("maxDegree").toInt, longOf("entrypoint").toInt,
-      strOf("eltype"), strOf("metric"), freelist, ingestId, segments, exactThr,
-      ingestSeg)
+    // real JSON parse (SidecarJson / Jackson), not per-field regexes —
+    // the same bug-class fix as the IVF/PQ sidecars. Absent optional
+    // fields keep their historical defaults so old sidecars still load.
+    val j = SidecarJson.read(s"$path/$file")
+    val version = j.long("version")
+    IndexMeta(version, j.long("numPoints"), j.int("dim"),
+      j.int("maxDegree"), j.int("entrypoint"),
+      j.str("eltype"), j.str("metric"),
+      j.longListOpt("freelist").getOrElse(Nil).map(_.toInt),
+      j.longOpt("ingestBatchId", -1L),
+      j.longListOpt("segments").getOrElse(Seq(version)),
+      j.longOpt("exactThreshold", 20000L),
+      j.longOpt("ingestSegment", -1L))
   }
 }

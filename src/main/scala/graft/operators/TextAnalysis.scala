@@ -77,11 +77,22 @@ object TextAnalysis {
     * to audit what a tokenizer will glue together. `minCount` kills
     * the rare-pair noise PMI is notorious for.
     *
-    * Scale shape: one token scan feeds both the unigram and the
-    * adjacent-bigram counts (partial-agg groupBys, vocab-sized
-    * outputs); the PMI join touches only bigrams past `minCount`
-    * against the vocab-sized unigram frame (two term-keyed equi-joins;
-    * AQE broadcasts them when small); the totals are two 1-row frames
+    * Scale shape: ONE tokenize+explode pass over the corpus —
+    * unigrams and adjacent bigrams ride the same exploded frame
+    * (bigrams carry the joining space; whitespace-split unigrams
+    * cannot), so a single term-keyed partial-agg shuffle produces the
+    * vocab-sized count frame every downstream leg reuses. The count
+    * frame is localCheckpoint'ed (the q115/q117 rule): exchange reuse
+    * alone cannot share it, because the uni/bi `contains(' ')` filters
+    * push through the aggregate and fracture the legs into distinct
+    * exchanges (measured: 3 separate tokenize passes). The checkpoint
+    * is vocab-sized — distributed executor blocks, released by the
+    * caller via [[graft.plans.Blocks.release]] on the result. The
+    * totals `n_uni` / `n_bi` are sums OVER that count frame — no
+    * second corpus scan.
+    * The PMI join touches only bigrams past `minCount` against the
+    * vocab-sized unigram frame (two term-keyed equi-joins; AQE
+    * broadcasts them when small); the totals are two 1-row frames
     * cross-joined everywhere. The final top-k is a TakeOrdered over
     * the filtered-pair frame (q51 precedent), never a global sort of
     * the corpus. The PMI argument is assembled from exact integer
@@ -90,15 +101,16 @@ object TextAnalysis {
   def pmiCollocations(df: DataFrame, minCount: Long = 5L, k: Int = 20,
       textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    val uni = df.select(explode(toks).as("term"))
-    val uniCounts = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val nUni = uni.agg(count(lit(1)).as("n_uni"))
-    val bi = df.select(explode(shingles(toks, 2)).as("bg"))
-    val nBi = bi.agg(count(lit(1)).as("n_bi"))
-    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= minCount)
-      .select(split(col("bg"), " ").getItem(0).as("l"),
-        split(col("bg"), " ").getItem(1).as("r"), col("cab"))
+    val terms = df.select(explode(concat(toks, shingles(toks, 2))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uniCounts = counts.filter(!col("term").contains(" "))
+    val biAll = counts.filter(col("term").contains(" "))
+    val nUni = uniCounts.agg(sum(col("c")).as("n_uni"))
+    val nBi = biAll.agg(sum(col("c")).as("n_bi"))
+    val biCounts = biAll.filter(col("c") >= minCount)
+      .select(split(col("term"), " ").getItem(0).as("l"),
+        split(col("term"), " ").getItem(1).as("r"), col("c").as("cab"))
     biCounts
       .join(uniCounts.select(col("term").as("l"), col("c").as("cl")), Seq("l"))
       .join(uniCounts.select(col("term").as("r"), col("c").as("cr")), Seq("r"))
@@ -269,11 +281,15 @@ object TextAnalysis {
     * expression — no UDF, no vocabulary shuffle; the merge table
     * rides the plan like a broadcast literal, which is the only
     * tokenizer shape that scales to a 100 TB corpus. */
-  def bpeSymbols(word: Column): Column =
-    BpeMerges.foldLeft(split(word, "")) { case (s, (l, r)) => applyBpeMerge(s, l, r) }
+  def bpeSymbols(word: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    merges.foldLeft(split(word, "")) { case (s, (l, r)) => applyBpeMerge(s, l, r) }
 
-  /** BPE token count for one word. */
-  def bpeTokenCount(word: Column): Column = size(bpeSymbols(word))
+  /** BPE token count for one word. `merges` defaults to the frozen
+    * demo table; pass a LEARNED table (e.g.
+    * [[BpeArtifact.load]]`.merges`) to count under the corpus's own
+    * persisted tokenizer — the learn → persist → apply lifecycle. */
+  def bpeTokenCount(word: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    size(bpeSymbols(word, merges))
 
   /** BPE merge-table LEARNING (Sennrich et al. 2016 training loop) —
     * the half of the tokenizer lifecycle [[bpeSymbols]]'s frozen table

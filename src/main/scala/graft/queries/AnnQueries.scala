@@ -762,9 +762,34 @@ object AnnQueries {
     * the shared built index — weak connectivity must be total
     * (reachable_frac 1.0 on a fresh build: the ring backbone makes the
     * graph one component by construction), degrees within the cap.
-    * Rows-only: graph connectivity is not SQL-expressible. */
-  def indexHealth(spark: SparkSession, dir: String): DataFrame =
-    builtIndex(spark, dir).healthReport()
+    *
+    * ORACLED since round 10: the graph BUILD is not SQL-expressible,
+    * but every health number is a pure function of (live ids, adjacency
+    * edges, entrypoint) — so the query dumps exactly those three frames
+    * to a scratch dir and the DuckDB oracle independently re-derives
+    * components (`WITH RECURSIVE` label propagation, the q52 template),
+    * degree stats, and reachability from the raw dump. The dump is
+    * O(V + E) — bounded by maxDegree · V — and is keyed by sf-tag so a
+    * bench sweep at another sf can never clobber the correctness run's
+    * dump. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val idx = builtIndex(spark, dir)
+    val base = healthScratch(new java.io.File(dir).getName)
+    idx.vectors.select(col("id"))
+      .write.mode("overwrite").parquet(s"$base/nodes")
+    idx.adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
+      .write.mode("overwrite").parquet(s"$base/edges")
+    import spark.implicits._
+    Seq(idx.meta.entrypoint.toLong).toDF("entrypoint")
+      .write.mode("overwrite").parquet(s"$base/entry")
+    idx.healthReport()
+  }
+
+  /** Scratch dir for the q114 oracle dump — under the repo's target/
+    * (never /tmp: workspace-contained, reaped by clean), absolute so
+    * the DuckDB oracle resolves it regardless of its own cwd. */
+  private def healthScratch(sfTag: String): String =
+    new java.io.File(s"target/oracle-scratch/$sfTag/q114").getAbsolutePath
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
@@ -788,6 +813,50 @@ object AnnQueries {
     "q114_index_health" -> (indexHealth _)
   )
 
-  /** ANN graph traversal is not SQL-expressible — no oracles. */
-  val oracles: Map[String, String] = Map.empty
+  /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
+    * queries stay rows-only (recall-gated ≥ 0.70 by oracle_check).
+    * q114 is the exception: its health numbers are pure functions of
+    * the dumped (nodes, edges, entrypoint), so DuckDB re-derives them
+    * independently — components via the q52 `WITH RECURSIVE` label
+    * propagation, degrees via a left join onto out-edge counts. The
+    * correctness run is always sf0.01, so the oracle reads that tag's
+    * dump (written by the query itself earlier in the same Verify
+    * run). */
+  val oracles: Map[String, String] = {
+    val b = healthScratch("sf0.01")
+    Map(
+      "q114_index_health" ->
+        s"""WITH RECURSIVE
+           |nodes AS (SELECT id FROM read_parquet('$b/nodes/*.parquet')),
+           |edges0 AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
+           |ep AS (SELECT entrypoint FROM read_parquet('$b/entry/*.parquet')),
+           |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+           |en AS (SELECT DISTINCT a AS node FROM edges),
+           |reach(node, lab) AS (
+           |  SELECT node, node AS lab FROM en
+           |  UNION
+           |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+           |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+           |deg AS (SELECT n.id, count(e.b) AS d FROM nodes n
+           |        LEFT JOIN edges0 e ON e.a = n.id GROUP BY n.id),
+           |stats AS (SELECT count(*) AS n_live FROM nodes),
+           |singles AS (SELECT count(*) AS s FROM nodes n
+           |            LEFT JOIN comp c ON c.node = n.id WHERE c.node IS NULL),
+           |dang AS (SELECT count(*) AS nd FROM comp c
+           |         LEFT JOIN nodes n ON n.id = c.node WHERE n.id IS NULL),
+           |ncomp AS (SELECT count(DISTINCT component) AS nc FROM comp),
+           |elab AS (SELECT c.component FROM comp c JOIN ep ON c.node = ep.entrypoint),
+           |esize AS (SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM elab) THEN 1
+           |  ELSE (SELECT count(*) FROM comp c JOIN nodes n ON c.node = n.id
+           |        WHERE c.component = (SELECT component FROM elab)) END AS es)
+           |SELECT CAST(stats.n_live AS BIGINT) AS n_live,
+           |  CAST(ncomp.nc + singles.s AS BIGINT) AS n_components,
+           |  CAST(esize.es AS BIGINT) AS entry_component_size,
+           |  ROUND(CAST(esize.es AS DOUBLE) / stats.n_live, 4) + 0.0 AS reachable_frac,
+           |  CAST((SELECT min(d) FROM deg) AS BIGINT) AS min_degree,
+           |  CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+           |  ROUND((SELECT avg(CAST(d AS DOUBLE)) FROM deg), 4) + 0.0 AS avg_degree,
+           |  CAST(dang.nd AS BIGINT) AS n_dangling
+           |FROM stats, ncomp, singles, dang, esize""".stripMargin)
+  }
 }

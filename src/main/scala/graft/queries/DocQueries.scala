@@ -223,11 +223,22 @@ object DocQueries {
   private val exactNearDupCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[(Long, Long)]]()
 
-  private def exactNearDupPairs(spark: SparkSession, dir: String, topN: Int): Set[(Long, Long)] =
-    exactNearDupCache.computeIfAbsent(s"$dir#$topN", _ =>
+  private def exactNearDupPairs(spark: SparkSession, dir: String, topN: Int): Set[(Long, Long)] = {
+    // cache key carries the embeddings table's latest mtime: a fixture
+    // dir rewritten in-session invalidates rather than serving the
+    // previous corpus's truth (fixtures are normally immutable — this
+    // closes the stale-memo edge the r9 review noted)
+    val mtime =
+      try {
+        val f = new java.io.File(s"$dir/embeddings.parquet")
+        val parts = Option(f.listFiles()).getOrElse(Array(f))
+        (parts.map(_.lastModified()) :+ f.lastModified()).max
+      } catch { case _: Throwable => 0L }
+    exactNearDupCache.computeIfAbsent(s"$dir#$topN#$mtime", _ =>
       Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN)
         .select(col("id_a"), col("id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 
   /** The SCALE tier of q45: LSH-bucketed near-dup candidates
     * (GraphBuilder.lshKnnEdges — bucketed equi-join, never all-pairs)
@@ -703,10 +714,15 @@ object DocQueries {
     // deterministic per-sfDir scratch path, REUSED across invocations
     // (the bench times each query several times — a fresh temp dir per
     // call would leak a corpus copy per repeat); overwrite mode makes
-    // the rewrite idempotent
-    val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft-jsonl-" + Integer.toHexString(dir.hashCode)).toString
+    // the rewrite idempotent. Keyed on an md5 of the FULL path (a
+    // 32-bit String.hashCode can collide two dataset dirs and
+    // cross-contaminate results) and kept under the repo's target/
+    // rather than /tmp, so scratch corpus copies stay inside the
+    // workspace and are reaped by clean.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(
+      s"target/oracle-scratch/jsonl-$digest").getAbsolutePath
     lines.write.mode("overwrite").text(tmp)
     val good = CorpusIngest.readJsonl(spark, tmp, d.schema)
     val quarantined = CorpusIngest.quarantineJsonl(spark, tmp, d.schema)
@@ -774,6 +790,59 @@ object DocQueries {
     * mutual information over the documents corpus, min pair count 5. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(spread(docs(spark, dir)))
+
+  private val RagDim = 16
+
+  /** COMPOSED RAG retrieval (q122): the full chunk → embed → retrieve
+    * → parent-doc pipeline over REAL chunk provenance — the end-to-end
+    * a RAG user actually runs, where q109's synthetic `vec_id div 4`
+    * grouping stays as the unit twin. Stages: (1)
+    * [[TextAnalysis.chunkTokens]] splits every document into
+    * overlapping 8-token windows (q119's splitter — its `(doc_id,
+    * chunk_no)` provenance is what this query finally consumes);
+    * (2) each chunk embeds as a 16-bucket hashed bag-of-words
+    * ([[TextAnalysis.termHash]] mod 16 — integer counts, so distances
+    * are EXACT and the DuckDB twin replays them bit-for-bit);
+    * (3) query chunks (first two windows of docs 0-2) retrieve by
+    * squared-L2 over chunk embeddings; (4) per-document min-pool +
+    * bounded-heap top-3 — parent-doc scoring on the true provenance.
+    *
+    * Scale shape: chunking and embedding are pure column expressions
+    * (posexplode + transform/filter folds — no tokenize shuffle, no
+    * vocabulary pass); queries broadcast; min-pool is a partial-agg
+    * groupBy carrying O(queries × docs) rows; the doc top-k is the
+    * same bounded-heap aggregate as every kNN query. Swapping stage 3
+    * for the ANN graph/IVF tier changes nothing else — exactly the
+    * q109 contract, now fed by real chunks. */
+  def ragRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.topKPairs
+    val chunks = TextAnalysis.chunkTokens(spread(docs(spark, dir)),
+      size = 8, stride = 4)
+    def comp(j: Int) =
+      org.apache.spark.sql.functions.size(
+        filter(TextAnalysis.tokens(col("chunk")),
+          t => pmod(TextAnalysis.termHash(t), lit(RagDim.toLong)) === j.toLong))
+        .cast("long").as(s"c$j")
+    val emb = chunks.select(
+      Seq(col("id").as("doc_id"), col("chunk_no")) ++
+        (0 until RagDim).map(comp): _*)
+    val queries = emb.filter(col("doc_id") < 3 && col("chunk_no") < 2)
+      .select(Seq((col("doc_id") * 1000L + col("chunk_no")).as("query_id")) ++
+        (0 until RagDim).map(j => col(s"c$j").as(s"q$j")): _*)
+    val distExpr = (0 until RagDim).map(j =>
+        (col(s"q$j") - col(s"c$j")) * (col(s"q$j") - col(s"c$j")))
+      .reduce(_ + _).cast("double")
+    val best = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("doc_id"), distExpr.as("dist"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("dist")).as("dist"))
+    best.groupBy(col("query_id"))
+      .agg(topKPairs(col("dist"), col("doc_id"), 3).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("doc_id"), col("p.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Per-source corpus card (q108): the one-page dataset summary a
     * curation pipeline publishes per ingested source — doc/char/token
@@ -1487,6 +1556,36 @@ object DocQueries {
          |  UNION ALL SELECT '20_dedup', count(*) FROM d
          |  UNION ALL SELECT '30_decontam', count(*) FROM e)
          |ORDER BY stage""".stripMargin,
+    "q122_rag_retrieval" -> {
+      // the q119 chunk CTE feeding a 16-bucket hashed-BoW embed, then
+      // min-pool + row_number top-3 per query — (dist, doc_id) order
+      // matches the bounded-heap aggregate's lexicographic contract
+      def bucket(j: Int) =
+        s"len(list_filter(ct, x -> (${termHashSql("x")}) % $RagDim = $j))"
+      val embCols = (0 until RagDim).map(j => s"${bucket(j)} AS c$j").mkString(", ")
+      val qCols = (0 until RagDim).map(j => s"c$j AS q$j").mkString(", ")
+      val distSql = (0 until RagDim)
+        .map(j => s"(q.q$j - e.c$j) * (q.q$j - e.c$j)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |        greatest(1, CAST(ceil((len(t) - 8) / 4.0) AS INT) + 1) AS nw FROM toks),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(0, nw),
+         |        i -> struct_pack(chunk_no := i,
+         |          chunk := array_to_string(list_slice(t, i*4 + 1, i*4 + 8), ' ')))) AS s
+         |      FROM w),
+         |f AS (SELECT doc_id, s.chunk_no AS chunk_no,
+         |        string_split(s.chunk, ' ') AS ct FROM ch),
+         |e AS (SELECT doc_id, chunk_no, $embCols FROM f),
+         |q AS (SELECT doc_id * 1000 + chunk_no AS query_id, $qCols
+         |      FROM e WHERE doc_id < 3 AND chunk_no < 2),
+         |d AS (SELECT q.query_id, e.doc_id,
+         |        CAST($distSql AS DOUBLE) AS dist FROM e CROSS JOIN q),
+         |b AS (SELECT query_id, doc_id, min(dist) AS dist FROM d GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY dist, doc_id) AS rnk FROM b)
+         |SELECT query_id, doc_id, dist, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    },
     "q119_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |w AS (SELECT doc_id, t,
@@ -1947,6 +2046,7 @@ object DocQueries {
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
     "q119_chunk_overlap" -> (chunkOverlap _),
+    "q122_rag_retrieval" -> (ragRetrieval _),
     "q117_pipeline_yield" -> (pipelineYield _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),

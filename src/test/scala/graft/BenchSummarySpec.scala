@@ -28,7 +28,7 @@ class BenchSummarySpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 8884.88)
     val line = Bench.summaryLine(results, Some(8884.88),
       88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
-      Seq(8884.88, 8884.88, 8884.88, 8884.88), "sf0.001")
+      Seq(8884.88, 8884.88, 8884.88, 8884.88), "sf0.001", Some(8884.88))
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -37,11 +37,13 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line is valid JSON with the expected metric keys") {
     val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
     val line = Bench.summaryLine(results, Some(22.24),
-      398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44), "sf0.1")
+      398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44), "sf0.1",
+      Some(8.37))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "queries", "builds_sec",
-      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "cal", "sf"))
+      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "cal", "sr", "sf"))
+    assert((parsed \ "sr").asInstanceOf[org.json4s.JDouble].num === 8.4)
     val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(qKeys === List("q01", "q41"))
     val cal = (parsed \ "cal").asInstanceOf[org.json4s.JArray].arr

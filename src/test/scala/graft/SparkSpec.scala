@@ -34,14 +34,21 @@ trait SparkSpec extends AnyFunSuite {
     * so the adaptive plan is final. */
   def collectShuffles(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    collectPlanNodes(df) { case p: ShuffleExchangeLike => p }
+  }
+
+  /** All EXECUTED-plan nodes matching `pf`, descending through AQE
+    * wrappers (see [[collectShuffles]] for why the descent matters).
+    * Reused exchanges/stages are leaves here, so a node reached only
+    * via reuse is counted ONCE — which is exactly what a
+    * "one scan pass" plan assertion wants. */
+  def collectPlanNodes[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val self: Seq[SparkPlan] = p match {
-        case _: ShuffleExchangeLike => Seq(p)
-        case _ => Nil
-      }
+    def walk(p: SparkPlan): Seq[T] = {
+      val self = pf.lift(p).toSeq
       val deeper = p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec => walk(q.plan)

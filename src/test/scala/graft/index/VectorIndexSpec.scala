@@ -188,8 +188,12 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(spark, path).meta.numPoints == 25)
     assert(VectorIndex.history(path).map(e => (e._1, e._2)) ==
       Seq((0L, 25L), (1L, 22L), (2L, 25L)))
-    // can't roll forward
-    intercept[IllegalArgumentException] { v0.rollback(2L) }
+    // can't roll forward (checked from the live head — a genuine
+    // forward target refuses as an argument error)
+    intercept[IllegalArgumentException] { rb.rollback(5L) }
+    // a STALE handle refuses before even validating the target:
+    // committing from v0 would rewrite version-1 history
+    intercept[IllegalStateException] { v0.rollback(2L) }
   }
 
   test("healthReport: fresh build is one fully-reachable component; survives deletes") {
@@ -200,13 +204,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(h.getAs[Long]("n_live") == 40L)
     assert(h.getAs[Long]("n_components") == 1L, s"got $h")
     assert(h.getAs[Double]("reachable_frac") == 1.0, s"got $h")
-    assert(h.getAs[Int]("max_degree") <= 8, s"got $h")
-    assert(h.getAs[Int]("min_degree") >= 1, s"got $h")
+    assert(h.getAs[Long]("max_degree") <= 8L, s"got $h")
+    assert(h.getAs[Long]("min_degree") >= 1L, s"got $h")
+    assert(h.getAs[Long]("n_dangling") == 0L, s"got $h")
     // ring repair keeps the survivors one component after deletes
     val h2 = idx.deleteBatch(Seq(1L, 5L, 9L)).healthReport().head()
     assert(h2.getAs[Long]("n_live") == 37L)
     assert(h2.getAs[Long]("n_components") == 1L, s"got $h2")
     assert(h2.getAs[Double]("reachable_frac") == 1.0, s"got $h2")
+    // Q3: kNN edges to deleted slots are deliberately NOT repaired
+    // (only the ring is) — the deleted ids may linger as dangling
+    // endpoints, and the report must surface rather than fold them
+    assert(h2.getAs[Long]("n_dangling") <= 3L, s"got $h2")
   }
 
   test("diff tags inserted/deleted/rekeyed between snapshots; slot reuse reports rekeyed") {
@@ -266,6 +275,48 @@ class VectorIndexSpec extends SparkSpec {
         concat(lit("t_"), col("id")).as("key"), slice(col("vec"), 1, 4).as("vec")),
       dim = 4, maxDegree = 4)
     intercept[IllegalArgumentException] { merged.merge(tiny) }
+  }
+
+  test("merge: null keys never reach the disjointness guard (Q2 auto-key invariant); colliding auto-keys refuse") {
+    val pa = tmpDir("idx-merge-null-a"); val pb = tmpDir("idx-merge-null-b")
+    // every other row unkeyed in the SOURCE on both sides — the engine
+    // auto-keys them at build (Q2), so the NULL-blind equi-join guard
+    // can never be bypassed by anonymous rows
+    def src(lo: Long, hi: Long, tag: String) =
+      embeddings.filter(col("id").between(lo, hi))
+        .select((col("id") - lo).as("id"),
+          when(col("id") % 2 === 0, concat(lit(tag), col("id"))).as("key"),
+          col("vec"))
+    val a = VectorIndex.build(spark, pa, src(0, 19, "a_"), dim = 64, maxDegree = 8)
+    val b = VectorIndex.build(spark, pb, src(20, 39, "b_"), dim = 64, maxDegree = 8)
+    assert(a.vectors.filter(col("key").isNull).count() == 0)
+    assert(b.vectors.filter(col("key").isNull).count() == 0)
+    // the auto-keyed halves carry the SAME synthetic keys on both
+    // sides ("2", "4", ...) — index-local identities must refuse to
+    // merge, not silently double-ingest
+    val ex = intercept[IllegalArgumentException] { a.merge(b) }
+    assert(ex.getMessage.contains("disjoint"), ex.getMessage)
+  }
+
+  test("stale-handle commit refuses instead of rewriting immutable history (append-only meta-v=N)") {
+    val path = tmpDir("idx-stale")
+    val v0 = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 20), dim = 64, maxDegree = 8)
+    val batch = embeddings.filter(col("id").between(20, 24))
+      .select(concat(lit("n_"), col("id")).as("key"), col("vec"))
+    val v1 = v0.insertBatch(batch)
+    assert(v1.meta.version == 1)
+    // committing again from the STALE v0 handle would recompute
+    // version 1 and silently rewrite meta-v=1.json — must refuse
+    val ex = intercept[IllegalStateException] { v0.insertBatch(batch) }
+    assert(ex.getMessage.contains("stale"), ex.getMessage)
+    val ex2 = intercept[IllegalStateException] { v0.deleteBatch(Seq(1L)) }
+    assert(ex2.getMessage.contains("stale"), ex2.getMessage)
+    // the live head is untouched and still serves
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.meta.version == 1 && reloaded.vectors.count() == 25)
+    // history remains exactly the two real commits
+    assert(VectorIndex.history(path).map(_._1) == Seq(0L, 1L))
   }
 
   test("commitServing persists an online-mutated index (streaming analog)") {

@@ -258,6 +258,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("pmiCollocations: ONE tokenize/explode pass — all legs reuse the shared term shuffle") {
+    val ss = spark
+    import ss.implicits._
+    // parquet-backed (like the real q116): exchange reuse requires the
+    // scan legs to canonicalize equal, which file scans do and local
+    // relations may not
+    val dir = tmpDir("pmi-plan")
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 1L, k = 10)
+    out.collect()
+    // the single tokenize pass happens at the counts checkpoint; the
+    // final plan must contain ZERO explode legs (before the fix it
+    // re-tokenized the corpus once per leg — 3-4 Generate nodes)
+    val gens = collectPlanNodes(out) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty,
+      s"expected zero explode legs over the checkpointed counts, got ${gens.size}")
+    graft.plans.Blocks.release(out)
+  }
+
   test("chunkTokens: overlap, kept tail, short-doc single chunk, guards") {
     val ss = spark
     import ss.implicits._
