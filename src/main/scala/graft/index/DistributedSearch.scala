@@ -58,10 +58,7 @@ object DistributedSearch {
     val adjacency = shared.map(_._2).getOrElse(index.adjacency.cache())
     val ownsCaches = shared.isEmpty
     val metric = index.metric
-    val dcol = metric match {
-      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
-      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
-    }
+    val dcol = Metric.distColumn(metric, col("qvec"), col("vec"))
     val q = queries.select(col("query_id"), col("qvec"))
 
     // seed: every query starts at the entrypoint — but only if it is

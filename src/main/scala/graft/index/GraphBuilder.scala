@@ -68,10 +68,8 @@ object GraphBuilder {
     topKPerNode(bidir, maxDegree)
   }
 
-  private def distCol(metric: Metric) = metric match {
-    case Metric.Euclidean => VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
-    case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
-  }
+  private def distCol(metric: Metric) =
+    Metric.distColumn(metric, col("a_vec"), col("b_vec"))
 
   /** Exact kNN edge list via self cross-join + bounded-heap top-k
     * (no window sort, no full-edge shuffle). Input: (id, vec). */
@@ -95,6 +93,7 @@ object GraphBuilder {
   /** L2-normalized copy when cosine (ranking-equivalent under
     * Euclidean). */
   private def prepare(vectors: DataFrame, metric: Metric): DataFrame = metric match {
+    case m: Metric.Custom => Metric.nativeOnly(m, "bulk graph build")
     case Metric.Euclidean => vectors.select(col("id"), col("vec"))
     case Metric.Cosine => vectors
       .select(col("id"), col("vec"),
@@ -200,6 +199,7 @@ object GraphBuilder {
     * differ). */
   private def rescore(pruned: DataFrame, vectors: DataFrame, metric: Metric): DataFrame =
     metric match {
+      case m: Metric.Custom => Metric.nativeOnly(m, "bulk graph build")
       case Metric.Euclidean => pruned
       case Metric.Cosine =>
         val v = vectors.select(col("id"), col("vec"))

@@ -44,10 +44,80 @@ object Metric {
     }
   }
 
-  /** Whitelist deserialization (no eval — SURVEY §4.3 Q8). */
+  /** USER-DEFINED metric — the reference's extensibility hook (any
+    * `Distances.PreMetric`, src/LMDiskANN.jl:58,62,242) re-expressed
+    * for the serving tier: `fn` is plain JVM code called by
+    * [[graft.index.ServingIndex]]'s driver-side traversal, so a custom
+    * metric gets the FULL reference lifecycle (create → insert →
+    * search/filtered/range → delete → key mapping) with zero plan
+    * changes and zero UDFs.
+    *
+    * Scope contract: the DISTRIBUTED tiers (bulk graph build, exact
+    * kNN scans, IVF/PQ fits) run distances as codegen'd Catalyst
+    * expressions and deliberately REFUSE custom metrics
+    * ([[distColumn]]) — an opaque Scala closure in those scans would
+    * put a black-box UDF in the 100 TB hot path; a user who needs a
+    * custom metric at that tier adds a native expression next to
+    * SquaredL2 and extends [[distColumn]]'s match.
+    *
+    * Persistence keeps the Q8 whitelist property: only the NAME is
+    * stored in sidecars; loading resolves it against the in-process
+    * [[register]] registry (code is never deserialized), so a session
+    * must `register` the metric before `fromName`/load — the same
+    * contract as the reference needing the PreMetric value at
+    * reconstruct time. */
+  final case class Custom(name: String,
+      fn: (Array[Float], Array[Float]) => Double) extends Metric {
+    require(name.nonEmpty && name.toLowerCase != "euclidean" && name.toLowerCase != "l2"
+      && name.toLowerCase != "cosine" && name.toLowerCase != "cosinedist",
+      s"custom metric name '$name' collides with a built-in")
+    def dist(a: Array[Float], b: Array[Float]): Double = fn(a, b)
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Custom]()
+
+  /** Make a custom metric resolvable by name (meta.json round-trips,
+    * `fromName`). Re-registering a name replaces it. */
+  def register(m: Custom): Custom = { registry.put(m.name.toLowerCase, m); m }
+
+  /** Remove a registered custom metric (tests / hot-swap hygiene). */
+  def unregister(name: String): Unit = { registry.remove(name.toLowerCase); () }
+
+  /** Whitelist deserialization (no eval — SURVEY §4.3 Q8); custom
+    * names resolve only through the explicit in-process registry. */
   def fromName(s: String): Metric = s.toLowerCase match {
     case "euclidean" | "l2" => Euclidean
     case "cosine" | "cosinedist" => Cosine
-    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    case other =>
+      val m = registry.get(other)
+      if (m != null) m
+      else throw new IllegalArgumentException(
+        s"unknown metric: $other (custom metrics must be Metric.register'ed " +
+          "in this process before an index using them is loaded)")
+  }
+
+  /** Throwing default for distributed-tier metric matches: a custom
+    * metric in a bulk scan is a contract violation, never a silent
+    * geometry fallback. */
+  def nativeOnly(m: Metric, where: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$where requires a native (codegen) metric; custom metric " +
+        s"'${m.name}' serves through ServingIndex — see Metric.Custom")
+
+  /** The native (codegen) distance COLUMN for the distributed tiers —
+    * single dispatch point, so every bulk scan shares one contract:
+    * built-ins run as Catalyst expressions; custom metrics refuse with
+    * guidance (they serve through [[graft.index.ServingIndex]]). */
+  def distColumn(metric: Metric,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = metric match {
+    case Euclidean => graft.functions.VectorFunctions.euclidean(a, b)
+    case Cosine => graft.functions.VectorFunctions.cosineDistance(a, b)
+    case c: Custom => throw new IllegalArgumentException(
+      s"metric '${c.name}' is a driver-side custom metric: it serves through " +
+        "ServingIndex (full insert/search/delete lifecycle); the distributed " +
+        "bulk tiers require a codegen expression — add one next to SquaredL2 " +
+        "and extend Metric.distColumn")
   }
 }

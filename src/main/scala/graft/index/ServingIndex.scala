@@ -121,6 +121,12 @@ final class ServingIndex(
     * (/root/reference/src/LMDiskANN.jl:242, test/runtests.jl:37-67). */
   def enableLowMemoryTraversal(model: Quantization.PQModel): Unit = withWrite {
     require(model.dim == dim, s"model dim ${model.dim} != index dim $dim")
+    // ADC scores codes in L2 space (normalized-L2 for cosine); under a
+    // user metric that approximation has no defined relationship to
+    // metric.dist — full-precision traversal stays available
+    require(!metric.isInstanceOf[Metric.Custom],
+      s"PQ low-memory traversal supports the built-in metrics only; " +
+        s"custom metric '${metric.name}' serves full-precision")
     pq = model
     pqCodes.clear()
     var i = 0

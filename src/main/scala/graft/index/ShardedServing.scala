@@ -253,10 +253,7 @@ object ShardedServing {
       .cache()
     if (base.head(1).nonEmpty) {
       val vv = base.select(col("shard"), col("id"), col("vec"))
-      val dcol = index.metric match {
-        case Metric.Euclidean => VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
-        case Metric.Cosine => VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
-      }
+      val dcol = Metric.distColumn(index.metric, col("a_vec"), col("b_vec"))
       // Candidate edges come from the BUILT graph, not a fresh kNN: a
       // node's same-shard near neighbors are (with high probability)
       // within two hops of it in the global proximity graph, so the

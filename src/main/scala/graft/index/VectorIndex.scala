@@ -589,10 +589,7 @@ final class VectorIndex private (
     import graft.functions.VectorFunctions
     val v = vectors.filter(filter)
     val q = queries.select(col("query_id"), col("qvec"))
-    val dcol = metric match {
-      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
-      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
-    }
+    val dcol = Metric.distColumn(metric, col("qvec"), col("vec"))
     val vSpread = v.repartition(spark.sparkContext.defaultParallelism)
     val winners = vSpread.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"), dcol.as("dist"))
@@ -613,10 +610,7 @@ final class VectorIndex private (
     import graft.functions.VectorFunctions
     val v = vectors
     val q = queries.select(col("query_id"), col("qvec"))
-    val dcol = metric match {
-      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
-      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
-    }
+    val dcol = Metric.distColumn(metric, col("qvec"), col("vec"))
     v.repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(q))
       .select(col("query_id"), (col("id") + 1).as("public_id"), col("key"), dcol.as("dist"))
@@ -741,10 +735,7 @@ final class VectorIndex private (
     val touchedIds = toOld.select(col("src").as("id")).distinct()
     val oldEdges = graphTable.join(broadcast(touchedIds), Seq("id"))
       .select(col("id").as("src"), explode(col("nbrs")).as("dst"))
-    val dcol = metric match {
-      case Metric.Euclidean => graft.functions.VectorFunctions.euclidean(col("a_vec"), col("b_vec"))
-      case Metric.Cosine => graft.functions.VectorFunctions.cosineDistance(col("a_vec"), col("b_vec"))
-    }
+    val dcol = Metric.distColumn(metric, col("a_vec"), col("b_vec"))
     val oldScored = broadcast(oldEdges)
       .join(allVecs.select(col("id").as("src"), col("vec").as("a_vec")), "src")
       .join(allVecs.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
@@ -1481,6 +1472,14 @@ object VectorIndex {
       exactThreshold: Long = 20000L,
       eltype: String = "Float32",
       alpha: Double = 0.0): VectorIndex = {
+    // custom metrics are a SERVING-tier capability (driver-side
+    // traversal calls metric.dist directly); the bulk build's distance
+    // scans are codegen expressions — refuse up front with guidance
+    // rather than deep inside the graph builder
+    metric match {
+      case m: Metric.Custom => Metric.nativeOnly(m, "VectorIndex.build")
+      case _ => ()
+    }
     // materialize the normalized source ONCE by writing the final
     // vectors table FIRST and reading it back: the build pipeline
     // consumes it from ~6 sub-plans (count, kNN both sides, ring,

@@ -78,6 +78,7 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
       }
+      case m => Metric.nativeOnly(m, "IVF fit")
     }
     require(sample.nonEmpty, "ivfFit needs at least one vector")
     val dim = sample.head.length
@@ -158,6 +159,7 @@ object Similarity {
           VectorFunctions.l2Norm(col(vecCol)).as("__nrm"))
         .select(col("id"), col("vec"),
           VectorFunctions.normalizedByNorm(col("vec"), col("__nrm")).as("__avec"))
+      case m => Metric.nativeOnly(m, "IVF assignment")
     }
     prepared.select(col("id"), col("vec"),
       when(col("vec").isNotNull, best.getField("cluster")).as("cluster"))
@@ -186,11 +188,9 @@ object Similarity {
       case Metric.Cosine => queries
         .select(col("query_id"), col("qvec"), VectorFunctions.l2Norm(col("qvec")).as("__nrm"))
         .select(col("query_id"), col("qvec"), VectorFunctions.normalizedByNorm(col("qvec"), col("__nrm")).as("__qprobe"))
+      case m => Metric.nativeOnly(m, "IVF probe")
     }
-    val dcol = metric match {
-      case Metric.Euclidean => VectorFunctions.euclidean(col("qvec"), col("vec"))
-      case Metric.Cosine => VectorFunctions.cosineDistance(col("qvec"), col("vec"))
-    }
+    val dcol = Metric.distColumn(metric, col("qvec"), col("vec"))
     // step 1: nprobe nearest clusters per query (tiny crossJoin:
     // |queries| x k centroids, both broadcastable)
     val probe = q.crossJoin(broadcast(centroids))

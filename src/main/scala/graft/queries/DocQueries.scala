@@ -818,12 +818,17 @@ object DocQueries {
     import graft.functions.VectorFunctions.topKPairs
     val chunks = TextAnalysis.chunkTokens(spread(docs(spark, dir)),
       size = 8, stride = 4)
+    // hash each token ONCE into its bucket id (termHash is a per-char
+    // rolling fold — evaluating it inside all 16 bucket probes would
+    // cost 16x the hash work per token), then each component is a
+    // cheap equality count over the small id array
+    val withTids = chunks.withColumn("tids",
+      transform(TextAnalysis.tokens(col("chunk")),
+        t => pmod(TextAnalysis.termHash(t), lit(RagDim.toLong))))
     def comp(j: Int) =
       org.apache.spark.sql.functions.size(
-        filter(TextAnalysis.tokens(col("chunk")),
-          t => pmod(TextAnalysis.termHash(t), lit(RagDim.toLong)) === j.toLong))
-        .cast("long").as(s"c$j")
-    val emb = chunks.select(
+        filter(col("tids"), x => x === j.toLong)).cast("long").as(s"c$j")
+    val emb = withTids.select(
       Seq(col("id").as("doc_id"), col("chunk_no")) ++
         (0 until RagDim).map(comp): _*)
     val queries = emb.filter(col("doc_id") < 3 && col("chunk_no") < 2)
