@@ -94,6 +94,73 @@ case class SquaredL2(left: Expression, right: Expression) extends FloatVecBinary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 = copy(l, r)
 }
 
+/** Int8 ADC squared L2: `Σ (q_i − code_i·t_i)²` — the asymmetric
+  * distance the int8-compressed serving scan runs per (row, query)
+  * pair, against the dequantized code column. `t` (= scale/127 per
+  * dimension) is a fit-time constant, so it rides the expression as a
+  * reference object (one Java array shared by every row), not a child
+  * column: the generated loop reads the query straight off Tungsten
+  * ArrayData and the codes as ints — no per-element `element_at`
+  * lambda, no boxed Seq, no interpreted `aggregate` (Spark never
+  * codegens HOFs, so the previous formulation dropped the whole scan
+  * stage out of WholeStageCodegen). Arithmetic is bit-identical to the
+  * HOF it replaces: widen to double first, accumulate left-to-right. */
+case class Int8AdcSquaredL2(left: Expression, right: Expression, t: Array[Double])
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_int8_adc_l2"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT> query, ARRAY<INT> codes), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]; val c = b.asInstanceOf[ArrayData]
+    val n = c.numElements()
+    if (q.numElements() != n || t.length != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch: q=${q.numElements()} codes=$n scales=${t.length}")
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = q.getFloat(i).toDouble - c.getInt(i) * t(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val tRef = ctx.addReferenceObj("int8AdcScales", t, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $c.numElements();
+         |if ($q.numElements() != $n || $tRef.length != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch: q=" + $q.numElements() +
+         |    " codes=" + $n + " scales=" + $tRef.length);
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = (double) $q.getFloat($i) - $c.getInt($i) * $tRef[$i];
+         |  $acc += d * d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8AdcSquaredL2 =
+    copy(left = l, right = r)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

@@ -326,17 +326,22 @@ object Similarity {
     val spark = corpus.sparkSession
     val scales = int8Scales(corpus, "vec")
     val dim = scales.length
-    val tArr = array(scales.map(s => lit(s / 127.0)): _*)
     val qdf = spark.createDataFrame(
       java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false))))
-    val approx = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
-      val d = element_at(col("qvec"), i).cast("double") -
-        element_at(col("codes"), i) * element_at(tArr, i)
-      acc + d * d
-    })
+    // native codegen ADC kernel — the scan stage's per-pair loop; the
+    // HOF formulation (aggregate over sequence) is never codegen'd by
+    // Spark and dropped the whole candidate stage out of
+    // WholeStageCodegen. Bit-identical arithmetic (widen-first,
+    // left-to-right), scales ride as a reference object.
+    val approx = {
+      import org.apache.spark.sql.graft.{ColumnBridge => CB}
+      CB.column(graft.functions.expressions.Int8AdcSquaredL2(
+        CB.expression(col("qvec")), CB.expression(col("codes")),
+        scales.map(_ / 127.0).toArray))
+    }
     val candidates = corpus
       .select(col("id"), int8Codes(col("vec"), scales).as("codes"))
       .crossJoin(broadcast(qdf))

@@ -27,6 +27,35 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("Int8AdcSquaredL2 kernel is bit-identical to the interpreted HOF it replaced") {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val scales = graft.operators.Similarity.int8Scales(
+      embeddings.withColumnRenamed("vec", "embedding"))
+    val t = scales.map(_ / 127.0)
+    val tArr = array(t.map(lit): _*)
+    val dim = scales.length
+    val q = embeddings.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val pairs = embeddings
+      .select(col("id"),
+        graft.operators.Similarity.int8Codes(col("vec"), scales).as("codes"))
+      .crossJoin(broadcast(q))
+    val hof = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
+      val d = element_at(col("qvec"), i).cast("double") -
+        element_at(col("codes"), i) * element_at(tArr, i)
+      acc + d * d
+    })
+    val native = CB.column(graft.functions.expressions.Int8AdcSquaredL2(
+      CB.expression(col("qvec")), CB.expression(col("codes")), t.toArray))
+    val diff = pairs.select(native.as("n"), hof.as("h")).filter(col("n") =!= col("h"))
+    assert(diff.count() == 0)
+    // dimension mismatch errors instead of truncating
+    val bad = pairs.select(CB.column(graft.functions.expressions.Int8AdcSquaredL2(
+      CB.expression(slice(col("qvec"), 1, 3)), CB.expression(col("codes")), t.toArray)))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+  }
+
   test("topKPairs aggregate matches window row_number top-k exactly") {
     val q = embeddings.filter(col("id") < 7)
       .select(col("id").as("qid"), col("vec").as("qvec"))
