@@ -161,6 +161,57 @@ case class Int8AdcSquaredL2(left: Expression, right: Expression, t: Array[Double
     copy(left = l, right = r)
 }
 
+/** Int8 quantization encode: `code_i = floor(v_i·127/scale_i + 0.5)`
+  * (0 where the dimension's scale is 0) — the per-row encode pass of
+  * the int8 serving tier, native for the same reason as
+  * [[Int8AdcSquaredL2]]: the transform-over-sequence HOF ran
+  * interpreted on every corpus row. Scales are the fit-time constant
+  * reference object; output is a primitive int array. Bit-identical
+  * to the HOF: the double product floors first, then narrows to int. */
+case class Int8Encode(child: Expression, scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_int8_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  private def encode(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (scales.length != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch: vec=$n scales=${scales.length}")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = scales(i)
+      out(i) = if (s == 0.0) 0
+        else math.floor(v.getFloat(i).toDouble * 127.0 / s + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      // one virtual call per ROW into the compiled encode loop (the
+      // HOF alternative walked an expression tree per ELEMENT)
+      val ref = ctx.addReferenceObj("int8EncodeSelf", this, classOf[Int8Encode].getName)
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($v)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Int8Encode =
+    copy(child = c)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

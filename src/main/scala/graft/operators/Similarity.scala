@@ -296,13 +296,14 @@ object Similarity {
     (0 until dim).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
   }
 
-  /** Quantize a vector column to int8 codes under fitted `scales`. */
+  /** Quantize a vector column to int8 codes under fitted `scales` —
+    * native encode kernel ([[graft.functions.expressions.Int8Encode]];
+    * the transform-over-sequence HOF ran interpreted per corpus
+    * row). */
   def int8Codes(vec: Column, scales: Seq[Double]): Column = {
-    val sArr = array(scales.map(lit): _*)
-    transform(sequence(lit(1), lit(scales.length)), i =>
-      when(element_at(sArr, i) === 0.0, lit(0))
-        .otherwise(floor(element_at(vec, i).cast("double") * 127.0
-          / element_at(sArr, i) + 0.5).cast("int")))
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(graft.functions.expressions.Int8Encode(
+      CB.expression(vec), scales.toArray))
   }
 
   /** Int8-compressed top-k serving tier: candidate generation scans
