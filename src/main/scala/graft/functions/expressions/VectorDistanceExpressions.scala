@@ -212,6 +212,62 @@ case class Int8Encode(child: Expression, scales: Array[Double])
     copy(child = c)
 }
 
+/** Rolling polynomial string hash — the native kernel behind
+  * [[graft.operators.TextAnalysis.termHash]]/`termHash2`, which the
+  * whole dedup/fingerprint tier evaluates once per token/shingle. The
+  * HOF formulation (split("") → transform(ascii) → aggregate fold)
+  * allocates a per-character array and walks an interpreted lambda per
+  * element for EVERY term; this runs one compiled code-point loop.
+  *
+  * Bit-identical contract (pinned by a ScalaCheck property and every
+  * hash-oracled dedup query): iterate CODE POINTS (Spark's `split(s,
+  * "")` splits per character and `ascii` is `codePointAt(0)` of the
+  * first char — verified against spark-catalyst 4.1.2 bytecode); seed
+  * = first code point UNreduced; then `h = (h·mult + cp) % mod`
+  * left-to-right; empty string → 0. */
+case class StringRollingHash(child: Expression, mult: Long, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def prettyName: String = "graft_rolling_hash"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  def hash(s: String): Long = {
+    if (s.isEmpty) return 0L
+    var i = 0
+    var h = 0L
+    var first = true
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (first) { h = cp.toLong; first = false }
+      else h = (h * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => {
+      // one virtual call per term into the compiled loop
+      val ref = ctx.addReferenceObj("rollingHashSelf", this,
+        classOf[StringRollingHash].getName)
+      s"$ref.hash($s.toString())"
+    })
+
+  override protected def withNewChildInternal(c: Expression): StringRollingHash =
+    copy(child = c)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

@@ -212,6 +212,12 @@ object TextAnalysis {
     * freely). Collisions are harmless for sketching as long as both
     * engines hash identically. */
   def termHash(term: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.StringRollingHash(
+      ExpressionUtils.expression(term), 31L, 1000000007L))
+
+  /** Interpreted HOF twin of [[termHash]], kept ONLY as the reference
+    * side of the bit-identity property spec (TermHashKernelSpec). */
+  private[graft] def termHashHof(term: Column): Column =
     when(length(term) === 0, lit(0L)).otherwise(
       rollingFingerprint(transform(split(term, ""), c => ascii(c).cast("long"))))
 
@@ -231,8 +237,14 @@ object TextAnalysis {
         element_at(tokenIds, 1),
         (h, x) => (h * 37L + x) % 999999937L))
 
-  /** [[termHash]]'s independent twin over [[rollingFingerprint2]]. */
+  /** [[termHash]]'s independent twin (multiplier 37, modulus
+    * 999999937), same native kernel. */
   def termHash2(term: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.StringRollingHash(
+      ExpressionUtils.expression(term), 37L, 999999937L))
+
+  /** Interpreted HOF twin of [[termHash2]] (property-spec reference). */
+  private[graft] def termHash2Hof(term: Column): Column =
     when(length(term) === 0, lit(0L)).otherwise(
       rollingFingerprint2(transform(split(term, ""), c => ascii(c).cast("long"))))
 
