@@ -268,6 +268,78 @@ case class StringRollingHash(child: Expression, mult: Long, mod: Long)
     copy(child = c)
 }
 
+/** The ~60-bit windowed chunk-id array behind the chunk/winnowing
+  * dedup tier ([[graft.operators.Dedup]]): for every window start `i`,
+  * two independent k-long polynomial folds over two per-token hash
+  * streams, packed `fold1·1e9 + fold2`. The HOF formulation
+  * (transform over sequence, with a `slice` allocation and an
+  * interpreted aggregate per window) did O(n·k) lambda dispatches and
+  * O(n) array copies per document; this is one compiled O(n·k)
+  * primitive loop, zero allocations beyond the output. Arithmetic is
+  * the exact contract the DuckDB twins replay: seed = stream value at
+  * the window start (unreduced), then `(f·31 + h1[j]) % 1000000007`
+  * and `(f·37 + h2[j]) % 999999937` left-to-right.
+  *
+  * Inputs must be equal-length and `>= k` — every caller filters
+  * `size(tids) >= k` first (the HOF's descending-sequence degenerate
+  * case was a bug surface, not a behavior to keep). */
+case class DualWindowHash(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  require(k >= 1, s"window k must be >= 1, got $k")
+
+  override def prettyName: String = "graft_dual_window_hash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: stream length mismatch: $n vs ${b.numElements()}")
+    if (n < k)
+      throw new IllegalArgumentException(
+        s"$prettyName: need >= $k token hashes, got $n (callers filter size >= k)")
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var f1 = a.getLong(i)
+      var f2 = b.getLong(i)
+      var j = 1
+      while (j < k) {
+        f1 = (f1 * 31L + a.getLong(i + j)) % 1000000007L
+        f2 = (f2 * 37L + b.getLong(i + j)) % 999999937L
+        j += 1
+      }
+      out(i) = f1 * 1000000000L + f2
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // one virtual call per document into the compiled window loop
+      val ref = ctx.addReferenceObj("dualWindowHashSelf", this,
+        classOf[DualWindowHash].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DualWindowHash =
+    copy(left = l, right = r)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

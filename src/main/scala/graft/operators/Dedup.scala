@@ -115,7 +115,19 @@ object Dedup {
     * DESTRUCTIVE cut tier, where one collision at corpus scale cuts a
     * non-duplicate span (ADVICE r7/r8). Every intermediate stays small
     * enough for DuckDB BIGINT, so the oracle mirrors it exactly. */
-  private def chunkIdArr(h1: Column, h2: Column, k: Int): Column =
+  private[operators] def chunkIdArr(h1: Column, h2: Column, k: Int): Column = {
+    // native compiled window loop ([[graft.functions.expressions
+    // .DualWindowHash]]); the HOF twin below is the property-spec
+    // reference. Callers keep their size >= k guards — the kernel
+    // REQUIRES them (loud error replaces the descending-sequence
+    // degenerate case).
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(graft.functions.expressions.DualWindowHash(
+      CB.expression(h1), CB.expression(h2), k))
+  }
+
+  /** Interpreted HOF twin of [[chunkIdArr]] (bit-identity spec only). */
+  private[operators] def chunkIdArrHof(h1: Column, h2: Column, k: Int): Column =
     transform(sequence(lit(0), size(h1) - k), i =>
       aggregate(slice(h1, i + lit(2), lit(k - 1)), element_at(h1, i + lit(1)),
         (a, b) => (a * 31L + b) % 1000000007L) * 1000000000L +
