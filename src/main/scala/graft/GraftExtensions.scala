@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt, Subtract}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, TopKPairsAgg}
+import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingHash, TopKPairsAgg}
 
 /** SQL-surface registration for the engine's native functions, so they
   * are usable from `spark.sql(...)` / `expr(...)` strings, not just
@@ -77,6 +77,14 @@ object GraftExtensions {
         }
         TopKPairsAgg(args(0), args(1), k).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_term_hash"),
+      info("graft_term_hash",
+        "rolling polynomial code-point hash (mult 31, mod 1e9+7) — the dedup tier's term id"),
+      (args: Seq[Expression]) => StringRollingHash(args(0), 31L, 1000000007L)),
+    (FunctionIdentifier("graft_term_hash2"),
+      info("graft_term_hash2",
+        "independent second rolling hash (mult 37, mod 999999937)"),
+      (args: Seq[Expression]) => StringRollingHash(args(0), 37L, 999999937L)),
     (FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc",
         "PQ asymmetric distance: ARRAY<TINYINT> codes scored against a flattened ARRAY<FLOAT> LUT of k entries per subspace"),

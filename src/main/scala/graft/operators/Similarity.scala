@@ -321,11 +321,16 @@ object Similarity {
       corpus: DataFrame,
       queries: Array[(Long, Array[Float])],
       topk: Int,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4,
+      fittedScales: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val spark = corpus.sparkSession
-    val scales = int8Scales(corpus, "vec")
+    // scales are a FIT-TIME artifact (one max-abs pass over the
+    // corpus): serving callers pass them in so repeated queries never
+    // re-scan the corpus to re-derive a constant — at 100 TB the
+    // per-call fallback fit is a full corpus pass per lookup
+    val scales = fittedScales.getOrElse(int8Scales(corpus, "vec"))
     val dim = scales.length
     val qdf = spark.createDataFrame(
       java.util.Arrays.asList(queries.map { case (qid, qv) => Row(qid, qv.toSeq) }: _*),

@@ -154,6 +154,17 @@ object AnnQueries {
     * the cache pins the resolved code column so q38/q39 repeats measure
     * the ADC path over the 32x-smaller codes (d=64 floats -> m=8
     * bytes), not the resolve. */
+  /** One int8 scale fit per sf-dir per JVM: scales are a fit-time
+    * constant (one max-abs pass over the corpus); q93/q94 serving
+    * repeats must probe, not re-fit — the fallback fit inside
+    * [[graft.operators.Similarity.int8TopK]] is a full corpus pass. */
+  private val int8ScalesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
+  private def int8FittedScales(spark: SparkSession, dir: String): Seq[Double] =
+    int8ScalesCache.computeIfAbsent(dir, _ =>
+      graft.operators.Similarity.int8Scales(source(spark, dir), "vec"))
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Quantization.PQModel, DataFrame)]()
 
@@ -619,7 +630,8 @@ object AnnQueries {
     val src = source(spark, dir)
     val queries = src.filter(col("id") < 10)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    graft.operators.Similarity.int8TopK(src, queries, topk = 10)
+    graft.operators.Similarity.int8TopK(src, queries, topk = 10,
+      fittedScales = Some(int8FittedScales(spark, dir)))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -633,7 +645,8 @@ object AnnQueries {
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     val queries = querySample(src, "head")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val got = graft.operators.Similarity.int8TopK(src, queries, topk = 10)
+    val got = graft.operators.Similarity.int8TopK(src, queries, topk = 10,
+      fittedScales = Some(int8FittedScales(spark, dir)))
       .select(col("query_id"), col("neighbor_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }

@@ -51,6 +51,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.0)
   }
 
+  test("graft_term_hash / graft_term_hash2 via SQL match the column API (native kernel)") {
+    GraftExtensions.register(spark)
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("the", "café", "日本語", "").toDF("s")
+    df.createOrReplaceTempView("terms")
+    val viaSql = spark.sql(
+      "SELECT s, graft_term_hash(s) AS h1, graft_term_hash2(s) AS h2 FROM terms")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaCol = df.select(col("s"),
+        graft.operators.TextAnalysis.termHash(col("s")),
+        graft.operators.TextAnalysis.termHash2(col("s")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaSql == viaCol)
+    // hand-computable anchor: "ab" -> 97*31 + 98 = 3105
+    assert(spark.sql("SELECT graft_term_hash('ab')").head().getLong(0) == 3105L)
+  }
+
   test("graft_normalize_unicode via SQL: default NFC, explicit form, literal-only form arg") {
     GraftExtensions.register(spark)
     val r = spark.sql(
