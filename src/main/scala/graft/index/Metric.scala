@@ -71,6 +71,11 @@ object Metric {
     require(name.nonEmpty && name.toLowerCase != "euclidean" && name.toLowerCase != "l2"
       && name.toLowerCase != "cosine" && name.toLowerCase != "cosinedist",
       s"custom metric name '$name' collides with a built-in")
+    // names land verbatim inside JSON sidecars (meta.json, ivf-*.json)
+    // and directory suffixes — constrain to a filesystem/JSON-safe
+    // charset rather than escaping at every write site
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"custom metric name '$name' must match [A-Za-z0-9._-]{1,64}")
     def dist(a: Array[Float], b: Array[Float]): Double = fn(a, b)
   }
 

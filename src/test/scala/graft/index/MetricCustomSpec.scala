@@ -51,6 +51,10 @@ class MetricCustomSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Metric.Custom("euclidean", (_, _) => 0.0)
     }
+    // names land raw in JSON sidecars/dir suffixes — unsafe chars refuse
+    intercept[IllegalArgumentException] {
+      Metric.Custom("""bad"name""", (_, _) => 0.0)
+    }
   }
 
   test("distributed tiers refuse custom metrics loudly, never silently fall back") {
