@@ -45,4 +45,21 @@ object Fingerprint {
     }
     f"$h%016x"
   }
+
+  /** Same FNV-1a stream over little-endian IEEE-754 double bytes. */
+  def ofDoubles(xs: Array[Double]): String = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < xs.length) {
+      val bits = java.lang.Double.doubleToLongBits(xs(i))
+      var b = 0
+      while (b < 8) {
+        h ^= (bits >>> (8 * b)) & 0xffL
+        h *= 0x100000001b3L
+        b += 1
+      }
+      i += 1
+    }
+    f"$h%016x"
+  }
 }

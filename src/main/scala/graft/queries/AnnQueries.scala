@@ -162,8 +162,20 @@ object AnnQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
   private def int8FittedScales(spark: SparkSession, dir: String): Seq[Double] =
-    int8ScalesCache.computeIfAbsent(dir, _ =>
-      graft.operators.Similarity.int8Scales(source(spark, dir), "vec"))
+    int8ScalesCache.computeIfAbsent(dir, _ => {
+      // index-lifecycle artifact like the IVF/PQ models: persisted as
+      // a fingerprinted sidecar next to the graph index, so a process
+      // that loads the index serves int8 without a re-fit pass
+      val idx = builtIndex(spark, dir)
+      if (graft.index.ArtifactStore.current.exists(s"${idx.path}/int8.json"))
+        graft.index.Int8.load(idx.path).scales.toSeq
+      else {
+        val m = graft.index.Int8Model(
+          graft.operators.Similarity.int8Scales(source(spark, dir), "vec").toArray)
+        graft.index.Int8.save(m, idx.path)
+        m.scales.toSeq
+      }
+    })
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Quantization.PQModel, DataFrame)]()
