@@ -17,6 +17,7 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *   - graft_cosine_sim(a, b)      — cosine similarity (0.0 on zero norm)
   *   - graft_cosine_dist(a, b)     — 1 - graft_cosine_sim
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
+  *   - graft_kmv_distinct(s, k)    — KMV distinct-count sketch aggregate
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
   *                                   a flattened per-query LUT)
   *   - graft_normalize_unicode(s[, form]) — Unicode normalization
@@ -76,6 +77,17 @@ object GraftExtensions {
             s"graft_topk_pairs k must be an integer literal, got $other")
         }
         TopKPairsAgg(args(0), args(1), k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct",
+        "KMV distinct-count sketch of a STRING column: exact below k distinct values, (k-1)*2^60/h_k above (h_k = k-th smallest 60-bit md5-prefix hash)"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_distinct k must be an integer literal, got $other")
+        }
+        graft.functions.expressions.KmvDistinctAgg(args(0), k).toAggregateExpression()
       }),
     (FunctionIdentifier("graft_term_hash"),
       info("graft_term_hash",

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+import graft.functions.expressions.KmvDistinctAgg
+
+/** Mergeable-sketch aggregates for corpus-card statistics.
+  *
+  * At 100 TB the "how many distinct X" questions (vocabulary size per
+  * source, unique URLs per shard, …) are exactly the ones an exact
+  * `COUNT(DISTINCT)` makes expensive — its plan shuffles the full
+  * distinct value set. A sketch's partial state is size-bounded and
+  * merges associatively, so the shuffle per group is constant-size and
+  * map-side partial aggregation applies. Unlike Spark's built-in
+  * `approx_count_distinct` (HLL++, whose estimate no other engine
+  * reproduces), these sketches are hash-transparent: the estimate is a
+  * deterministic function of md5 prefixes any engine can recompute, so
+  * correctness is oracle-checked end to end, not just error-banded.
+  */
+object SketchFunctions {
+
+  import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+
+  /** KMV distinct-count estimate of a STRING column; exact below k
+    * distinct values, expected relative error ~1/sqrt(k-2) above. */
+  def kmvDistinct(value: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvDistinctAgg(ExpressionUtils.expression(value), k).toAggregateExpression())
+}

@@ -239,6 +239,31 @@ object EventQueries {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** KMV distinct-count sketch card (q123): distinct users per event
+    * type estimated by the mergeable k-minimum-values sketch
+    * ([[graft.functions.SketchFunctions.kmvDistinct]]) at two widths,
+    * next to the exact COUNT(DISTINCT) audit twin. k=256 exceeds the
+    * fixture's per-type cardinality, exercising the exact-below-k path
+    * (the sketch IS the value set); k=64 exercises the estimator. The
+    * sketch hash is an md5 prefix DuckDB recomputes exactly, so the
+    * ESTIMATES are hash-oracled, not just error-banded.
+    *
+    * Scale shape: the sketch's partial state is ≤ k longs per
+    * (partition, type) with map-side combine — at 100 TB that replaces
+    * the full distinct-value exchange behind an exact COUNT(DISTINCT);
+    * the exact twin rides along here as the fixture-size audit. */
+  def distinctUserSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy(col("event_type"))
+      .agg(
+        (round(graft.functions.SketchFunctions.kmvDistinct(col("uid"), 64), 4) + lit(0.0))
+          .as("est_k64"),
+        (round(graft.functions.SketchFunctions.kmvDistinct(col("uid"), 256), 4) + lit(0.0))
+          .as("est_k256"),
+        countDistinct(col("uid")).as("exact_distinct"))
+      .orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
     "q60_event_window_agg" ->
       s"""SELECT event_type, epoch_ms(ts) // $HourMs AS hour_bucket,
@@ -323,7 +348,31 @@ object EventQueries {
         |      FROM e)
         |SELECT prev_type, event_type, count(*) AS n_transitions
         |FROM f WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
+    // Re-derives the KMV estimates from the same 60-bit md5-prefix
+    // hashes: ('0x'||substr(md5(s),1,15))::UBIGINT == the aggregate's
+    // big-endian-first-8-bytes >>> 4. 1152921504606846976.0 = 2^60.
+    "q123_distinct_sketch" ->
+      """WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        ('0x' || substr(md5(uid), 1, 15))::UBIGINT AS hv
+        |      FROM e WHERE uid IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS nh
+        |      FROM h),
+        |a AS (SELECT event_type, max(nh) AS nh,
+        |        max(CASE WHEN rn = 64 THEN hv END) AS h64,
+        |        max(CASE WHEN rn = 256 THEN hv END) AS h256
+        |      FROM r GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT uid) AS exact_distinct FROM e GROUP BY event_type)
+        |SELECT a.event_type,
+        |  round(CASE WHEN a.nh < 64 THEN CAST(a.nh AS DOUBLE)
+        |        ELSE 63.0 * 1152921504606846976.0 / CAST(a.h64 AS DOUBLE) END, 4) + 0.0 AS est_k64,
+        |  round(CASE WHEN a.nh < 256 THEN CAST(a.nh AS DOUBLE)
+        |        ELSE 255.0 * 1152921504606846976.0 / CAST(a.h256 AS DOUBLE) END, 4) + 0.0 AS est_k256,
+        |  x.exact_distinct
+        |FROM a JOIN x USING (event_type) ORDER BY event_type""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,6 +383,7 @@ object EventQueries {
     "q105_funnel" -> (funnel _),
     "q106_retention" -> (cohortRetention _),
     "q112_skew_report" -> (skewReport _),
-    "q118_event_transitions" -> (eventTransitions _)
+    "q118_event_transitions" -> (eventTransitions _),
+    "q123_distinct_sketch" -> (distinctUserSketch _)
   )
 }
