@@ -18,6 +18,7 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *   - graft_cosine_dist(a, b)     — 1 - graft_cosine_sim
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
   *   - graft_kmv_distinct(s, k)    — KMV distinct-count sketch aggregate
+  *   - graft_mg_summary(s, k)      — Misra–Gries frequent-items summary
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
   *                                   a flattened per-query LUT)
   *   - graft_normalize_unicode(s[, form]) — Unicode normalization
@@ -88,6 +89,17 @@ object GraftExtensions {
             s"graft_kmv_distinct k must be an integer literal, got $other")
         }
         graft.functions.expressions.KmvDistinctAgg(args(0), k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_mg_summary"),
+      info("graft_mg_summary",
+        "Misra-Gries frequent-items summary of a STRING column: map<item, lower_bound> of <= k entries containing every item with frequency > N/k"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_summary k must be an integer literal, got $other")
+        }
+        graft.functions.expressions.MisraGriesAgg(args(0), k).toAggregateExpression()
       }),
     (FunctionIdentifier("graft_term_hash"),
       info("graft_term_hash",

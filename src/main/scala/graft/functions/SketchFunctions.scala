@@ -26,4 +26,13 @@ object SketchFunctions {
   def kmvDistinct(value: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvDistinctAgg(ExpressionUtils.expression(value), k).toAggregateExpression())
+
+  /** Misra–Gries frequent-items summary (`map<item, lower_bound>`,
+    * ≤ k entries): contains every item with true frequency > N/k;
+    * stored counts undercount by at most N/k. The bounded-state
+    * candidate stage of exact two-pass heavy-hitter mining
+    * ([[graft.operators.TextAnalysis.frequentNgrams]]). */
+  def mgSummary(value: Column, k: Int): Column =
+    ExpressionUtils.column(
+      expressions.MisraGriesAgg(ExpressionUtils.expression(value), k).toAggregateExpression())
 }

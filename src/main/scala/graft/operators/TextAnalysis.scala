@@ -70,6 +70,53 @@ object TextAnalysis {
   // scala.Predef-free alias: org.apache.spark.sql.functions.size
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** Exact support-threshold n-gram mining (contamination / template
+    * phrase detection): every word n-gram whose DOCUMENT frequency is
+    * ≥ `minCount`, with its exact count — in two bounded-state passes,
+    * never a full n-gram shuffle.
+    *
+    * Why not `groupBy(ngram).count` directly: distinct n-grams grow
+    * with the corpus (unlike a word vocabulary), so at 100 TB that
+    * plan's exchange carries roughly the corpus over again. Here
+    * pass 1 reduces the scan to ONE Misra–Gries summary row
+    * ([[graft.functions.expressions.MisraGriesAgg]]): partial state
+    * ≤ k entries per partition, merged map-side — guaranteed to
+    * contain every n-gram with frequency > N/k. The runtime guard
+    * `minCount · k > N` makes that guarantee cover the requested
+    * threshold, failing loudly instead of silently dropping heavy
+    * hitters when k is sized too small for the corpus. Pass 2 re-scans
+    * with the ≤ k candidates broadcast (an equi-join, no full-set
+    * shuffle — the counted side is candidate-matching rows only) and
+    * counts them exactly. The candidate SET is partition-order
+    * dependent; the OUTPUT is not: it is the exact count of a
+    * guaranteed superset filtered by the exact threshold, hence
+    * deterministic and independently re-derivable by any engine.
+    *
+    * Document frequency (per-doc distinct n-grams) rather than raw
+    * frequency: a phrase repeated inside one boilerplate-laden page
+    * should not look corpus-frequent. Driver state is the collected
+    * candidate map — ≤ k entries by construction. */
+  def frequentNgrams(df: DataFrame, n: Int, k: Int, minCount: Long,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1 && minCount >= 1,
+      s"need n, k, minCount >= 1, got n=$n k=$k minCount=$minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def grams = df.select(explode(array_distinct(
+      shingles(tokens(col(textCol)), n))).as("shingle"))
+    val row = grams.agg(
+      graft.functions.SketchFunctions.mgSummary(col("shingle"), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val total = row.getLong(1)
+    require(minCount * k > total,
+      s"MG coverage needs minCount > N/k: minCount=$minCount, N=$total, k=$k — raise k")
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    grams.join(broadcast(cands.toDF("shingle")), Seq("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minCount)
+      .orderBy(col("df").desc, col("shingle"))
+  }
+
   /** PMI collocation mining (q116): the top-k adjacent word pairs by
     * pointwise mutual information, `ln(p(l,r) / (p(l)·p(r)))` — the
     * classic corpus-analysis signal for multiword expressions

@@ -453,6 +453,18 @@ object DocQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
 
+  /** Frequent-trigram mining (q124): every word trigram present in
+    * ≥ 6 documents, exact document frequency — the contamination /
+    * template-phrase report. Two bounded-state passes
+    * ([[graft.operators.TextAnalysis.frequentNgrams]]): a Misra–Gries
+    * candidate sweep whose partial state is ≤ k entries per partition
+    * (the n-gram value set never shuffles — the q51 token plan does
+    * not survive keys that grow WITH the corpus), then an exact
+    * candidate-broadcast count. k=65536 keeps the coverage guarantee
+    * minCount > N/k through sf0.1 (N≈260k) with ~100× headroom. */
+  def frequentNgramCard(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgrams(spread(docs(spark, dir)), n = 3, k = 65536, minCount = 6L)
+
   /** Deterministic train/val/test split (80/10/10): the split of a
     * document is a pure function of its id (multiplicative hash mod
     * 100), so it is stable across runs, engines, and cluster sizes —
@@ -1270,6 +1282,13 @@ object DocQueries {
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM tok GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // Exact mining re-derivation: the MG candidate pass is a pure
+    // superset filter, so plain GROUP BY + HAVING reproduces q124's
+    // output exactly.
+    "q124_frequent_ngrams" ->
+      s"""WITH ${shinglesCte("documents")}
+         |SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+         |HAVING count(*) >= 6 ORDER BY df DESC, shingle""".stripMargin,
     "q54_multimodal_features" ->
       """WITH codes AS (SELECT doc_id, strlen(text) AS n,
         |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
@@ -2026,6 +2045,7 @@ object DocQueries {
     "q49_fingerprint" -> (fingerprint _),
     "q50_multimodal_meta" -> (multimodalMeta _),
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
+    "q124_frequent_ngrams" -> (frequentNgramCard _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),
