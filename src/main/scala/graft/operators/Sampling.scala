@@ -183,6 +183,44 @@ object Sampling {
             (col("total") * lit(budgetFrac)) / col("n_docs").cast("double")), 6).as("rate"))
   }
 
+  /** Weighted sampling WITHOUT replacement, m rows with inclusion
+    * probability proportional to `weight` (Efraimidis & Spirtes 2006,
+    * algorithm A-Res): each row gets key u^(1/w) for u uniform in
+    * (0, 1]; the m largest keys are the sample. Sampling documents ∝
+    * token count (a token-budget-fair subset) or ∝ quality score are
+    * the training-data uses.
+    *
+    * Determinism: u is not an RNG draw but the row's 60-bit md5-prefix
+    * hash mapped to (0, 1] — the q123/KMV hash, which any engine
+    * recomputes exactly, so the SAMPLE ITSELF is oracle-checkable, not
+    * just its size. Rows are ranked by ln(u)/w (monotone in u^(1/w),
+    * no `pow`) descending with an id tie-break.
+    *
+    * Scale shape: one per-row projection (md5 + ln are codegen'd
+    * built-ins), then top-m via TakeOrdered — a per-partition bounded
+    * heap and an m-row driver merge; the corpus is never globally
+    * sorted and never shuffled. */
+  def weightedSample(
+      docs: DataFrame,
+      m: Int,
+      weight: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(m >= 1, s"sample size must be >= 1, got $m")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / weight.cast("double")
+    // weight ≤ 0 means inclusion probability 0 — and must not reach the
+    // key arithmetic (w=0 with u=1 gives 0/0 = NaN, which Spark orders
+    // LARGEST, i.e. a guaranteed pick).
+    docs.where(weight.cast("double") > 0.0)
+      .select(col(idCol), weight.cast("long").as("w"),
+        (round(key, 6) + lit(0.0)).as("score"), key.as("_key"))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(m)
+      .drop("_key")
+  }
+
   /** Curriculum ordering: the global 1-based rank of every document
     * under (`scoreCol` DESC, id ASC) — the deterministic total order a
     * curriculum data loader feeds easy-to-hard (or clean-to-noisy)

@@ -465,6 +465,16 @@ object DocQueries {
   def frequentNgramCard(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.frequentNgrams(spread(docs(spark, dir)), n = 3, k = 65536, minCount = 6L)
 
+  /** Token-budget-fair document sample (q125): 100 docs drawn WITHOUT
+    * replacement with probability ∝ token count
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirtes
+    * keys from the md5-prefix hash) — so long documents are selected
+    * at the rate their tokens contribute to a training budget. The
+    * hash-derived keys make the sample itself hash-oracled. */
+  def weightedSampleCard(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(spread(docs(spark, dir)), m = 100,
+      weight = org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))))
+
   /** Deterministic train/val/test split (80/10/10): the split of a
     * document is a pure function of its id (multiplicative hash mod
     * 100), so it is stable across runs, engines, and cluster sizes —
@@ -1282,6 +1292,18 @@ object DocQueries {
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM tok GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // Replays the Efraimidis–Spirtes keys: u = (60-bit md5 prefix + 1)
+    // / 2^60, rank by ln(u)/w desc. Both engines round the same
+    // h+1 > 2^53 integer to the same nearest double (IEEE), so ln gets
+    // bit-identical inputs.
+    "q125_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len($toksSql) AS w,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT + 1)
+         |      / 1152921504606846976.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) AS w, round(ln(u)/w, 6) + 0.0 AS score
+         |FROM d ORDER BY ln(u)/w DESC, doc_id LIMIT 100""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2046,6 +2068,7 @@ object DocQueries {
     "q50_multimodal_meta" -> (multimodalMeta _),
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
     "q124_frequent_ngrams" -> (frequentNgramCard _),
+    "q125_weighted_sample" -> (weightedSampleCard _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),

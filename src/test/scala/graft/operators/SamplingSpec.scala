@@ -164,4 +164,51 @@ class SamplingSpec extends SparkSpec {
     assert(totals.size == 4 && totals.max - totals.min <= 100L,
       s"unbalanced shard totals: $totals")
   }
+
+  test("weightedSample: without replacement, partition-invariant, weight-proportional") {
+    val ss = spark
+    import ss.implicits._
+    // 2000 ids, the first 1000 weight 25, the rest weight 1.
+    val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 25L else 1L))
+    val one = Sampling.weightedSample(
+      rows.toDF("doc_id", "w0").repartition(1), 200, col("w0")).collect().toSeq
+    val many = Sampling.weightedSample(
+      rows.toDF("doc_id", "w0").repartition(13), 200, col("w0")).collect().toSeq
+    assert(one == many) // hash keys, not RNG: the sample is THE sample
+    val ids = one.map(_.getLong(0))
+    assert(ids.distinct.size == 200) // without replacement
+    // Heavy rows hold ~25/26 of total mass; with u^(1/w) keys the
+    // deterministic hash draw must overwhelmingly select them.
+    val nHeavy = ids.count(_ <= 1000L)
+    assert(nHeavy > 170, s"expected heavy-weight dominance, got $nHeavy/200")
+    // scores are the ranked keys, descending
+    val scores = one.map(_.getDouble(2))
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("weightedSample: non-positive weights are never sampled (no NaN-key pick)") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (1L to 50L).map(i => (i, if (i % 2 == 0) 0L else 3L))
+    val out = Sampling.weightedSample(rows.toDF("doc_id", "w0"), 25, col("w0"))
+      .collect().toSeq
+    assert(out.map(_.getLong(0)).forall(_ % 2 == 1) && out.size == 25)
+  }
+
+  test("weightedSample plan: top-m is a TakeOrdered, never a global sort exchange") {
+    val ss = spark
+    import ss.implicits._
+    val df = Sampling.weightedSample(
+      (1L to 5000L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w0").repartition(8),
+      50, col("w0"))
+    df.count()
+    val takes = collectPlanNodes(df) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.nonEmpty, "expected TakeOrderedAndProject")
+    val sorts = collectPlanNodes(df) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.isEmpty, "global sort should not appear")
+  }
 }
