@@ -140,6 +140,25 @@ object StreamingOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Streaming distinct-cardinality sketch (streaming twin of q123's
+    * KMV card): the running distinct-user estimate per event_type over
+    * an unbounded event stream. An exact streaming `COUNT(DISTINCT)`
+    * would have to remember every user id ever seen — state that grows
+    * with the stream and cannot be watermarked away without breaking
+    * the answer. The mergeable KMV aggregate
+    * ([[graft.functions.SketchFunctions.kmvDistinct]]) keeps ≤ k longs
+    * per group in the state store FOREVER — bounded running
+    * cardinality, the only state shape an unbounded feed tolerates —
+    * and its merge associativity is exactly what lets each micro-batch
+    * fold into the stored sketch. Same hash, same estimator, same
+    * rounding as the batch card, so stream == batch on any prefix. */
+  def streamingDistinctCard(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy(col("event_type"))
+      .agg((round(graft.functions.SketchFunctions.kmvDistinct(col("uid"), k), 4) + lit(0.0))
+        .as("est_distinct"))
+
   /** Gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState — emits the running per-user session/event
     * counts each micro-batch (streaming twin of q61_sessionize). */

@@ -595,4 +595,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(oneBatch == expected.sorted)
     assert(split == oneBatch)
   }
+
+  test("streamingDistinctCard: running KMV estimate == batch sketch on every prefix") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    // Two groups: "hot" crosses k=8 (estimator path), "cold" stays
+    // below it (exact path). Duplicated user ids across batches must
+    // not move the sketch (set semantics survive the state store).
+    val rows = (1L to 60L).map(u => ("hot", u)) ++
+      (1L to 5L).map(u => ("cold", u + 1000L)) ++
+      (1L to 20L).map(u => ("hot", u)) // repeats
+    val batches = Seq(rows.take(25), rows.slice(25, 45), rows.drop(45))
+
+    def batchCard(prefix: Seq[(String, Long)]): Map[String, Double] =
+      StreamingOps.streamingDistinctCard(
+          prefix.toDF("event_type", "user_id"), k = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingOps.streamingDistinctCard(
+        mem.toDF().toDF("event_type", "user_id"), k = 8)
+      .writeStream.format("memory").queryName("kmv_card").outputMode("complete").start()
+    var seen = Seq.empty[(String, Long)]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val streamed = spark.table("kmv_card").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed == batchCard(seen), s"prefix of ${seen.size} rows diverged")
+    }
+    q.stop()
+    val fin = batchCard(seen)
+    assert(fin("cold") == 5.0) // below k: the sketch IS the value set
+    assert(fin("hot") > 8.0) // estimator path engaged
+  }
 }
