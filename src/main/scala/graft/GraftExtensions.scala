@@ -19,6 +19,8 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
   *   - graft_kmv_distinct(s, k)    — KMV distinct-count sketch aggregate
   *   - graft_mg_summary(s, k)      — Misra–Gries frequent-items summary
+  *   - graft_bloom_agg(s, m, k)    — Bloom-filter build aggregate (BINARY)
+  *   - graft_bloom_contains(f, s)  — Bloom membership probe (no false negatives)
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
   *                                   a flattened per-query LUT)
   *   - graft_normalize_unicode(s[, form]) — Unicode normalization
@@ -101,6 +103,22 @@ object GraftExtensions {
         }
         graft.functions.expressions.MisraGriesAgg(args(0), k).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "Bloom-filter build aggregate over a STRING column -> BINARY filter; numBits (multiple of 64) and numHashes are integer literals"),
+      (args: Seq[Expression]) => {
+        val (bits, hashes) = (args(1), args(2)) match {
+          case (Literal(b: Int, _), Literal(h: Int, _)) => (b, h)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg numBits/numHashes must be integer literals, got $other")
+        }
+        graft.functions.expressions.BloomAgg(args(0), bits, hashes).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "membership probe of a STRING key against a graft_bloom_agg filter literal; no false negatives"),
+      (args: Seq[Expression]) =>
+        graft.functions.expressions.BloomMightContain(args(0), args(1))),
     (FunctionIdentifier("graft_term_hash"),
       info("graft_term_hash",
         "rolling polynomial code-point hash (mult 31, mod 1e9+7) — the dedup tier's term id"),

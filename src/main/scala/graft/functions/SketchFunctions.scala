@@ -35,4 +35,21 @@ object SketchFunctions {
   def mgSummary(value: Column, k: Int): Column =
     ExpressionUtils.column(
       expressions.MisraGriesAgg(ExpressionUtils.expression(value), k).toAggregateExpression())
+
+  /** Bloom-filter build aggregate: BINARY serialized filter over the
+    * column's non-null values. Partial state is the fixed bit array;
+    * merge is bitwise OR. Size with
+    * [[graft.functions.expressions.BloomBuffer.optimalNumBits]]. */
+  def bloomAgg(value: Column, numBits: Int, numHashes: Int): Column =
+    ExpressionUtils.column(
+      expressions.BloomAgg(ExpressionUtils.expression(value), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a built filter (`filter` must be a
+    * `lit(bytes)` of [[bloomAgg]]'s result). False positives possible
+    * at the sized rate; false negatives never. */
+  def bloomContains(filter: Column, value: Column): Column =
+    ExpressionUtils.column(
+      expressions.BloomMightContain(
+        ExpressionUtils.expression(filter), ExpressionUtils.expression(value)))
 }

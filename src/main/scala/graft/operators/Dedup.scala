@@ -77,6 +77,76 @@ object Dedup {
           p => p.getField("id")).as("member_ids"))
       .filter(col("n_copies") > 1)
 
+  /** Build a Bloom filter over `blockKeys.keyCol` sized for `fpp` —
+    * the broadcastable membership summary behind the pruned joins
+    * below. One bounded count + one OR-merged aggregate over the
+    * blocklist; the filter bytes come back to the driver like any
+    * broadcast-side build. */
+  def buildBloom(blockKeys: DataFrame, keyCol: String, fpp: Double): Array[Byte] = {
+    import graft.functions.SketchFunctions
+    import graft.functions.expressions.BloomBuffer
+    val n = math.max(1L, blockKeys.count())
+    val bits = BloomBuffer.optimalNumBits(n, fpp)
+    val k = BloomBuffer.optimalNumHashes(n, bits)
+    blockKeys.agg(SketchFunctions.bloomAgg(col(keyCol), bits, k))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** EXACT semi-join of `corpus` against a large key list, with a
+    * Bloom pre-filter on the scan side ("which documents ARE on the
+    * list" — contamination audits, takedown matching).
+    *
+    * When the list is eval-set-sized, q59's inlined literal is the
+    * right tool; when it is 100M+ entries (a URL/document blocklist),
+    * neither a literal nor a broadcast of raw keys fits, and a plain
+    * semi join shuffles the ENTIRE corpus on the key. Here the corpus
+    * is filtered by the broadcast filter bits first — no false
+    * negatives, so nothing true is lost — and only the surviving
+    * sliver (true members + the fp rate) reaches the exchange; the
+    * exact join then removes the false positives. The answer is
+    * bit-for-bit the plain semi join's, independent of fpp. */
+  def bloomPrunedSemiJoin(
+      corpus: DataFrame,
+      blockKeys: DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.SketchFunctions
+    val bytes = buildBloom(blockKeys, keyCol, fpp)
+    corpus
+      .filter(SketchFunctions.bloomContains(lit(bytes), col(keyCol)))
+      .join(blockKeys.select(col(keyCol)), Seq(keyCol), "left_semi")
+  }
+
+  /** EXACT anti-join of `corpus` against a large key list, Bloom-
+    * routed (" which documents are NOT on the list" — blocklist
+    * decontamination, the keep side of takedowns).
+    *
+    * An anti join cannot simply pre-filter its left side (rows the
+    * filter rejects are exactly the rows to KEEP), so the corpus
+    * routes into two legs: bloom-negative rows are definitely clean
+    * and bypass the join entirely (map-only leg); bloom-positive rows
+    * — true members plus the fp sliver — go through the exact anti
+    * join that rescues the false positives. Two map-only scans of the
+    * corpus replace one full-corpus shuffle: at 100 TB a columnar
+    * re-scan with pushdown is the cheap side of that trade by an
+    * order of magnitude (and if the input is already cached/
+    * checkpointed, the second scan is a memory read). NULL keys never
+    * match any list entry, so they ride the clean leg (SQL anti-join
+    * semantics). */
+  def bloomPrunedAntiJoin(
+      corpus: DataFrame,
+      blockKeys: DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.SketchFunctions
+    val bytes = buildBloom(blockKeys, keyCol, fpp)
+    val hit = SketchFunctions.bloomContains(lit(bytes), col(keyCol))
+    val clean = corpus.filter(coalesce(!hit, lit(true)))
+    val maybe = corpus.filter(coalesce(hit, lit(false)))
+      .join(blockKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
+    clean.unionByName(maybe.select(corpus.columns.map(col).toSeq: _*))
+  }
+
   /** Exploded distinct (id, shingle) pairs for a corpus. Tokens are
     * materialized into a column FIRST: the shingle lambda references
     * its token-array argument ~3k times, and if that argument is the

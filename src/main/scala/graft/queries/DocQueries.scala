@@ -475,6 +475,28 @@ object DocQueries {
     Sampling.weightedSample(spread(docs(spark, dir)), m = 100,
       weight = org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))))
 
+  /** Bloom-pruned blocklist decontamination (q126): drop every corpus
+    * document whose EXACT text (md5 key) appears on a takedown
+    * blocklist — here planted as every doc_id ≡ 0 (mod 7), the q108
+    * planting idiom — via [[graft.operators.Dedup.bloomPrunedAntiJoin]]:
+    * bloom-negative rows bypass the join on a map-only leg, only the
+    * bloom-positive sliver reaches the exact anti join, and the result
+    * is bit-for-bit the plain anti join's (false positives rescued, no
+    * false negatives possible) — which is exactly what the DuckDB
+    * oracle replays with NOT IN. The planted +100000 duplicate copies
+    * of blocklisted texts (corpus CTE) are dropped through the md5 key
+    * even though their doc_ids are off-list: content, not id, is the
+    * membership. fpp = 0.05 keeps the fixture filter small enough that
+    * false positives actually occur and the rescue path carries
+    * traffic. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val c = spread(corpus(spark, dir)).select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val block = corpus(spark, dir).filter(col("doc_id") % 7 === 0)
+      .select(md5(col("text")).as("text_hash"))
+    Dedup.bloomPrunedAntiJoin(c, block, "text_hash", fpp = 0.05)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split (80/10/10): the split of a
     * document is a pure function of its id (multiplicative hash mod
     * 100), so it is stable across runs, engines, and cluster sizes —
@@ -1304,6 +1326,15 @@ object DocQueries {
          |  FROM documents)
          |SELECT doc_id, CAST(w AS BIGINT) AS w, round(ln(u)/w, 6) + 0.0 AS score
          |FROM d ORDER BY ln(u)/w DESC, doc_id LIMIT 100""".stripMargin,
+    // The bloom pre-filter is invisible to the answer (no false
+    // negatives; false positives rescued by the exact anti join), so
+    // a plain NOT IN replays it.
+    "q126_bloom_decontaminate" ->
+      s"""WITH $corpusSql,
+         |block AS (SELECT md5(text) AS h FROM corpus WHERE doc_id % 7 = 0)
+         |SELECT doc_id FROM corpus
+         |WHERE md5(text) NOT IN (SELECT h FROM block)
+         |ORDER BY doc_id""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2069,6 +2100,7 @@ object DocQueries {
     "q51_token_heavy_hitters" -> (tokenHeavyHitters _),
     "q124_frequent_ngrams" -> (frequentNgramCard _),
     "q125_weighted_sample" -> (weightedSampleCard _),
+    "q126_bloom_decontaminate" -> (bloomDecontaminate _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),
