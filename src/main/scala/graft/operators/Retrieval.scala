@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse (keyword) retrieval and rank fusion — the text half of a
+  * hybrid RAG retrieval stack (the dense half is the vector-index
+  * surface in `graft.index` / `graft.queries.VectorQueries`).
+  *
+  * BM25 here is Okapi BM25 with the Lucene idf variant
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework"), which is non-negative for
+  * every df — so a term present in most documents dampens toward zero
+  * instead of flipping the ranking sign.
+  *
+  * Determinism contract (the repo-wide fixed-point idiom): each
+  * per-(query, doc, term) contribution is quantized to a BIGINT at
+  * 1e6 BEFORE the per-document sum, so the sum is an integer sum —
+  * order-independent under any partitioning/shuffle schedule and
+  * bit-reproducible in DuckDB. Every double step before the quantize
+  * is a fixed left-to-right expression both engines evaluate with
+  * identical IEEE semantics.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - Doc length is `size(tokens)` attached per ROW before the
+  *     explode and carried through the `tf` grouping (it is
+  *     functionally dependent on the doc id, so it rides the group
+  *     key for free) — there is NO dl aggregate and NO tf⋈dl join on
+  *     doc_id. The only corpus-sized shuffle is the one per-(doc,
+  *     term) partial-agg count (the classic term-stats shuffle, same
+  *     as q58 TF-IDF).
+  *   - Corpus stats (N, Σdl) come from a separate MAP-ONLY scan of
+  *     the raw docs (scalar aggregate, no data-sized shuffle): two
+  *     pushdown-pruned columnar scans beat materializing or
+  *     re-shuffling the exploded token stream — the
+  *     bloomPrunedAntiJoin trade, measured the same way.
+  *   - The query set is eval-sized and BROADCAST (exploded to
+  *     distinct (query_id, term) rows); `tf` is semi-joined against
+  *     it first, so everything downstream touches only rows whose
+  *     term appears in some query. That postings SLICE — bounded by
+  *     documents-containing-a-query-term, not the corpus — is
+  *     localCheckpoint'ed because it feeds both the df count and the
+  *     scoring leg, and ReuseExchange does not dedupe aggregate legs
+  *     whose consumers prune differently (the q115/q117 rule; without
+  *     it the corpus scan+shuffle runs once per consumer). Callers
+  *     that materialize the result release the blocks via
+  *     [[graft.plans.Blocks.release]] (Bench releases every query).
+  *   - df for query terms is Zipf-small (≤ |query vocab| rows) and
+  *     broadcast back.
+  *   - Final top-k uses the bounded-heap [[graft.functions.expressions.TopKPairsAgg]]
+  *     (map-side partial heaps, shuffle carries O(queries × k)), not
+  *     a window sort over all candidates.
+  */
+object Retrieval {
+
+  val FpScale = 1000000.0
+
+  /** BM25 per-(query, document) scores in 1e6 fixed point.
+    *
+    * @param docs    (idCol, textCol) corpus
+    * @param queries (query_id, qtext) — eval-sized; broadcast
+    * @return (query_id, idCol, score_fp BIGINT); only documents
+    *         sharing ≥1 term with the query appear (score > 0 rows —
+    *         BM25's sparse support, which is what makes the inverted
+    *         shape scale: the dense (query × corpus) matrix never
+    *         materializes)
+    */
+  def bm25ScoresFp(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tf = base
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+
+    // Query tf is ignored (set semantics) — standard for short queries.
+    val qt = queries
+      .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val tfq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .localCheckpoint(true)
+    val dfx = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))
+
+    tfq
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfx), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        round(idf * num / den * lit(FpScale), 0).cast("long").as("contrib_fp"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+  }
+
+  /** BM25 top-k per query: (query_id, idCol, score DOUBLE, rnk INT),
+    * score descending, doc-id tie-break — via the bounded-heap top-k
+    * aggregate on dist = -score_fp. */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.VectorFunctions.topKPairs
+    bm25ScoresFp(docs, queries, k1, b, idCol, textCol)
+      .groupBy(col("query_id"))
+      .agg(topKPairs((-col("score_fp")).cast("double"), col(idCol), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as(idCol),
+        ((-col("p.dist")).cast("long") / lit(FpScale)).as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * ranked legs: score(d) = Σ_legs 1/(kRrf + rank_leg(d)), summed
+    * left-to-right in `legs` order (fixed fold order — two-to-few
+    * doubles added in a written sequence, so the result is engine-
+    * reproducible without quantization). A document missing from a
+    * leg contributes 0 from it.
+    *
+    * Each leg: (query_id, idCol, rnk). Output: (query_id, idCol,
+    * rrf DOUBLE rounded to 6, rnk INT) — top `k` per query, ranked on
+    * the ROUNDED score (both engines order the same column; repo
+    * determinism rule), doc-id tie-break.
+    *
+    * Scale shape: legs are already top-n-per-query (O(queries × n)
+    * rows — eval-sized), so the outer joins and the per-query window
+    * here run on bounded frames no matter the corpus size; all the
+    * heavy lifting happened inside the legs' bounded-heap top-k. */
+  def rrfFuse(
+      legs: Seq[DataFrame],
+      k: Int,
+      kRrf: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs >= 1 ranked leg")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col(idCol), col("rnk").as(s"rnk_$i"))
+    }
+    val joined = keyed.reduce((a, b) => a.join(b, Seq("query_id", idCol), "full_outer"))
+    val rrf = legs.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"rnk_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select(col("query_id"), col(idCol), (round(rrf, 6) + lit(0.0)).as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("rnk") <= k)
+  }
+}

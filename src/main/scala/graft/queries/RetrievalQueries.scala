@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, TextAnalysis}
+import Tables._
+
+/** Driver-checked hybrid-retrieval queries: BM25 keyword search and
+  * reciprocal-rank fusion of the keyword and vector legs — the
+  * retrieval stack a RAG deployment runs in front of the context
+  * window (dense leg alone misses exact-term matches; sparse leg
+  * alone misses paraphrases; RRF is the standard parameter-free
+  * fusion, Cormack et al. 2009).
+  *
+  * Fixtures: `documents` is the corpus; the query set is derived from
+  * the corpus itself (first 4 tokens of docs 0/100/200/300), so the
+  * queries exist at every sf and the oracle can re-derive them. The
+  * embeddings table shares the 0..N id space with documents, which is
+  * what lets the fused legs join on doc_id.
+  */
+object RetrievalQueries {
+
+  private val QueryIds = Seq(0L, 100L, 200L, 300L)
+  private val LegK = 20
+  private val FuseK = 10
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** Queries = first 4 tokens of 4 spread-out documents (self-queries
+    * the fixture can always answer; the oracle replays the slice). */
+  private def querySet(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id").isin(QueryIds: _*))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ").as("qtext"))
+
+  /** BM25 top-10 per query (q127) — the sparse-retrieval operator on
+    * its own. See [[graft.operators.Retrieval.bm25ScoresFp]] for the
+    * one-tokenize-pass / broadcast-query-terms / bounded-heap-top-k
+    * scale shape and the fixed-point determinism contract. */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), FuseK)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Hybrid retrieval via RRF (q128): dense leg = exact cosine top-20
+    * over the embeddings (the production deployment swaps in the ANN
+    * graph/IVF tier — identical (query_id, doc_id, rnk) contract),
+    * sparse leg = BM25 top-20, fused 1/(60+rnk) each, top-10 per
+    * query on the rounded fused score. Both legs are bounded-heap
+    * top-k shapes; the fusion joins eval-sized frames only. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineSimFromNorms, dot, topKPairs}
+    val e = spread(t(spark, dir, "embeddings"))
+    val q = t(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (round(lit(1.0) - cosineSimFromNorms(
+          dot(col("qvec"), col("embedding")),
+          sqrt(dot(col("qvec"), col("qvec"))),
+          sqrt(dot(col("embedding"), col("embedding")))), 4) + lit(0.0)).as("dist"))
+    val vecLeg = scored.groupBy(col("query_id"))
+      .agg(topKPairs(col("dist"), col("doc_id"), LegK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("doc_id"), (col("pos") + 1).cast("int").as("rnk"))
+    val bm25Leg = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), LegK)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(vecLeg, bm25Leg), FuseK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ----------------------------------------------------------- oracles
+
+  private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($b)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val qidList = QueryIds.mkString(", ")
+
+  /** Shared BM25 CTE chain ending in `s(query_id, doc_id, score_fp)`.
+    * Every double expression mirrors the Spark operator's evaluation
+    * order token-for-token (see Retrieval.bm25ScoresFp). */
+  private val bm25Ctes =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks)
+       |       GROUP BY 1, 2, 3),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM toks),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |         (SELECT doc_id AS query_id, unnest(t[1:4]) AS term FROM toks
+       |          WHERE doc_id IN ($qidList))),
+       |dfx AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |c AS (SELECT qt.query_id, tf.doc_id,
+       |        CAST(ROUND(LN((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+       |             * (tf.tf * (1.2 + 1.0))
+       |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+       |             * 1000000.0) AS BIGINT) AS fp
+       |      FROM tf JOIN qt USING (term) JOIN dfx USING (term) CROSS JOIN st),
+       |s AS (SELECT query_id, doc_id, CAST(sum(fp) AS BIGINT) AS score_fp
+       |      FROM c GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q127_bm25_topk" ->
+      s"""WITH $bm25Ctes,
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk FROM s)
+         |SELECT query_id, doc_id, score_fp / 1000000.0 AS score, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin,
+    "q128_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |bleg AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+         |           (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk_1 FROM s),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |      WHERE vec_id IN ($qidList)),
+         |d AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |        ROUND(1.0 - COALESCE(${dotSql("q.qvec", "e.embedding")} /
+         |          (SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 0.0), 4) + 0.0 AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |vleg AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+         |           (PARTITION BY query_id ORDER BY dist, doc_id) AS rnk_0 FROM d),
+         |f AS (SELECT COALESCE(v.query_id, b.query_id) AS query_id,
+         |             COALESCE(v.doc_id, b.doc_id) AS doc_id,
+         |             ROUND(COALESCE(1.0 / (60 + v.rnk_0), 0.0)
+         |                 + COALESCE(1.0 / (60 + b.rnk_1), 0.0), 6) + 0.0 AS rrf
+         |      FROM (SELECT * FROM vleg WHERE rnk_0 <= $LegK) v
+         |      FULL OUTER JOIN (SELECT * FROM bleg WHERE rnk_1 <= $LegK) b
+         |        ON v.query_id = b.query_id AND v.doc_id = b.doc_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+         |SELECT query_id, doc_id, rrf, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_bm25_topk" -> (bm25TopDocs _),
+    "q128_hybrid_rrf" -> (hybridRrf _)
+  )
+}

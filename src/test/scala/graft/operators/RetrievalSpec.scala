@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 + RRF ([[Retrieval]]): ranking semantics on hand corpora,
+  * the fixed-point determinism contract (partition invariance), RRF
+  * fusion arithmetic, and the scale-shape plan assertions (broadcast
+  * query terms, one tf aggregation feeding both doc-length and
+  * scoring legs, bounded-heap top-k). */
+class RetrievalSpec extends SparkSpec {
+
+  private val ss = spark
+  import ss.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private def qs(rows: (Long, String)*) = rows.toDF("query_id", "qtext")
+
+  test("docs without any query term never appear; matching docs rank by relevance") {
+    val docs = corpus(
+      1L -> "apple banana cherry",
+      2L -> "apple apple apple banana",
+      3L -> "durian fig grape")
+    val out = Retrieval.bm25TopK(docs, qs(10L -> "apple"), k = 10).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L)) // doc 3 has no hit
+    // higher tf (same dl ballpark) wins
+    assert(out.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(out.forall(_.getDouble(2) > 0.0)) // Lucene idf variant is non-negative
+  }
+
+  test("a rare term outscores a corpus-saturating term (idf ordering)") {
+    val docs = corpus(
+      1L -> "common rare",
+      2L -> "common alpha",
+      3L -> "common beta",
+      4L -> "common gamma")
+    val out = Retrieval.bm25TopK(docs, qs(7L -> "common rare"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // doc 1 matches both terms; its margin over the common-only docs
+    // must exceed a pure-tf explanation (idf of "rare" with df=1 ≫
+    // idf of "common" with df=4)
+    assert(out(1L) > out(2L) * 2)
+  }
+
+  test("scores and ranks are invariant under partitioning (integer-sum fixed point)") {
+    val base = (0L until 300L).map(i =>
+      i -> s"tok${i % 17} tok${i % 5} tok${(i * 7) % 23} filler${i}")
+    val queries = qs(0L -> "tok3 tok11 filler42")
+    val a = Retrieval.bm25TopK(corpus(base: _*).repartition(1), queries, k = 25)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val b = Retrieval.bm25TopK(corpus(base: _*).repartition(13), queries, k = 25)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(a == b)
+  }
+
+  test("rrfFuse: hand-checked fusion, missing-leg contributes zero, rounded tie-break") {
+    val leg0 = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "doc_id", "rnk")
+    val leg1 = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("query_id", "doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(leg0, leg1), k = 10)
+      .orderBy("rnk").collect()
+    // B(200)=1/62+1/61, A(100)=1/61, C(300)=1/62
+    val expect = Seq(
+      200L -> math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6,
+      100L -> math.rint((1.0 / 61) * 1e6) / 1e6,
+      300L -> math.rint((1.0 / 62) * 1e6) / 1e6)
+    assert(out.map(r => r.getLong(1) -> r.getDouble(2)).toSeq == expect)
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse: equal fused scores break ties by doc_id ascending") {
+    // same rank in symmetric legs -> identical rrf for both docs
+    val leg0 = Seq((1L, 9L, 1), (1L, 4L, 2)).toDF("query_id", "doc_id", "rnk")
+    val leg1 = Seq((1L, 4L, 1), (1L, 9L, 2)).toDF("query_id", "doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(leg0, leg1), k = 10).orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 9L))
+    assert(out(0).getDouble(2) == out(1).getDouble(2))
+  }
+
+  test("plan: broadcast-only joins above the checkpointed postings slice; heap top-k") {
+    val docs = corpus((0L until 400L).map(i =>
+      i -> s"w${i % 29} w${i % 13} w${(i * 3) % 41} pad$i"): _*).repartition(8)
+    val out = Retrieval.bm25TopK(docs, qs(1L -> "w7 w11"), k = 5)
+    out.collect()
+    // qt + dfx are broadcast-hash, stats is a broadcast nested-loop
+    // cross; the corpus-sized semi pre-filter ran once inside the
+    // checkpoint job (its LogicalRDD is the scan here) — the corpus
+    // never shuffles on behalf of the query set above it
+    val bhj = collectPlanNodes(out) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
+    val smj = collectPlanNodes(out) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "no sort-merge join should appear in the BM25 plan at fixture scale")
+    // exactly one corpus-sized leg remains (the map-only stats scan
+    // + this test input's own repartition); everything else is
+    // eval-bounded: qt distinct, dfx agg, per-(query,doc) score agg,
+    // top-k agg, stats scalar = 6 total. A duplicated corpus leg (the
+    // ReuseExchange failure this operator is shaped around) would
+    // push this past 6.
+    val shuffles = collectShuffles(out)
+    assert(shuffles.size <= 6, s"unexpected extra shuffles (corpus leg duplicated?): ${shuffles.size}")
+    // bounded-heap top-k, not a window sort
+    val winSorts = collectPlanNodes(out) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winSorts.isEmpty, "top-k must ride the bounded-heap aggregate, not a window")
+    graft.plans.Blocks.release(out)
+  }
+}
