@@ -656,4 +656,49 @@ object TextAnalysis {
         round(col("score_fp").cast("double") / (col("n_tokens").cast("double") * 1000.0), 4))
       .withColumn("keep", col("score_fp") > 0L)
   }
+
+  /** Per-token Jensen–Shannon drift between two corpus slices — the
+    * distribution-shift monitor a training pipeline runs between
+    * snapshots, sources, or time windows ("did the mix change, and
+    * WHICH tokens moved?"). Output: one row per vocabulary term with
+    * its counts and its JS contribution in 1e12 fixed point
+    * (`js_fp`); `sum(js_fp)` is the total divergence as an exact
+    * integer sum, and per-term rows rank the movers.
+    *
+    * Definition: add-one smoothing over the JOINT vocabulary
+    * (p = (c+1)/(n+V)), js(t) = ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m)
+    * with m = ½(p_a+p_b) — per-term contributions are ≥ 0 by the
+    * log-sum inequality, so ranking by contribution is meaningful.
+    * Total ∈ [0, ln 2]. Fixed left-to-right double expression + the
+    * fixed-point quantize ⇒ engine-reproducible.
+    *
+    * Scale shape: one partial-agg token count per side (the shuffle
+    * carries Zipf-small per-partition distinct terms), a vocab-sized
+    * full-outer join, scalar stats broadcast back. The joined vocab
+    * frame is checkpointed: it feeds both the stats aggregate and the
+    * per-term output, and ReuseExchange would otherwise recompute
+    * BOTH corpus-sized count legs per consumer (the q115/q117 rule).
+    * Callers release via [[graft.plans.Blocks.release]] when done. */
+  def tokenDistributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val v = counts(a, "c_a").join(counts(b, "c_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(true)
+    val st = v.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("vsz"))
+    val pa = (col("c_a") + lit(1.0)) / (col("n_a") + col("vsz"))
+    val pb = (col("c_b") + lit(1.0)) / (col("n_b") + col("vsz"))
+    val m = lit(0.5) * (pa + pb)
+    v.crossJoin(broadcast(st))
+      .select(col("term"), col("c_a"), col("c_b"),
+        round((lit(0.5) * (pa * log(pa / m)) + lit(0.5) * (pb * log(pb / m)))
+          * lit(1000000000000.0), 0).cast("long").as("js_fp"))
+  }
 }

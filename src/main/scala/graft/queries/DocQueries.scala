@@ -497,6 +497,28 @@ object DocQueries {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Corpus drift monitor (q129): top-20 drifted tokens between the
+    * English and Chinese slices of the corpus by per-term
+    * Jensen–Shannon contribution, plus the exact total divergence
+    * ([[graft.operators.TextAnalysis.tokenDistributionDrift]] —
+    * integer sum of the 1e12 fixed-point contributions, so the total
+    * is order-independent). Top-20 via a global orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject (per-partition bounded
+    * heaps, never a full sort) over the vocab-sized frame. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val c = TextAnalysis.tokenDistributionDrift(
+      spread(d.filter(col("lang") === "en").select(col("text"))),
+      spread(d.filter(col("lang") === "zh").select(col("text"))))
+    val tot = c.agg(sum(col("js_fp")).as("tot_fp"))
+    c.crossJoin(broadcast(tot))
+      .orderBy(col("js_fp").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("c_a"), col("c_b"),
+        (col("js_fp") / lit(1000000000000.0)).as("js_contrib"),
+        (col("tot_fp") / lit(1000000000000.0)).as("js_total"))
+  }
+
   /** Deterministic train/val/test split (80/10/10): the split of a
     * document is a pure function of its id (multiplicative hash mod
     * 100), so it is stable across runs, engines, and cluster sizes —
@@ -1335,6 +1357,31 @@ object DocQueries {
          |SELECT doc_id FROM corpus
          |WHERE md5(text) NOT IN (SELECT h FROM block)
          |ORDER BY doc_id""".stripMargin,
+    // Full JS re-derivation: add-one smoothing over the joint vocab,
+    // per-term contribution quantized at 1e12 exactly as the operator
+    // does, total = integer sum of the quantized contributions.
+    "q129_token_drift" ->
+      s"""WITH ca AS (SELECT term, count(*) AS c_a FROM
+         |        (SELECT unnest($toksSql) AS term FROM documents WHERE lang = 'en') GROUP BY 1),
+         |cb AS (SELECT term, count(*) AS c_b FROM
+         |        (SELECT unnest($toksSql) AS term FROM documents WHERE lang = 'zh') GROUP BY 1),
+         |v AS (SELECT COALESCE(ca.term, cb.term) AS term,
+         |             COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+         |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |st AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b,
+         |              count(*) AS vsz FROM v),
+         |p AS (SELECT term, c_a, c_b,
+         |        (c_a + 1.0) / (st.n_a + st.vsz) AS pa,
+         |        (c_b + 1.0) / (st.n_b + st.vsz) AS pb
+         |      FROM v CROSS JOIN st),
+         |c AS (SELECT term, c_a, c_b,
+         |        CAST(ROUND((0.5 * (pa * LN(pa / (0.5 * (pa + pb))))
+         |                  + 0.5 * (pb * LN(pb / (0.5 * (pa + pb))))) * 1000000000000.0) AS BIGINT) AS fp
+         |      FROM p),
+         |t AS (SELECT CAST(sum(fp) AS BIGINT) AS tot FROM c)
+         |SELECT term, c_a, c_b, fp / 1000000000000.0 AS js_contrib,
+         |       t.tot / 1000000000000.0 AS js_total
+         |FROM c CROSS JOIN t ORDER BY fp DESC, term LIMIT 20""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2101,6 +2148,7 @@ object DocQueries {
     "q124_frequent_ngrams" -> (frequentNgramCard _),
     "q125_weighted_sample" -> (weightedSampleCard _),
     "q126_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q129_token_drift" -> (tokenDrift _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),

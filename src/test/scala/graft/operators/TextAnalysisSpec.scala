@@ -299,6 +299,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenDistributionDrift: identical slices drift 0; symmetric; bounded by ln 2") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq("alpha beta gamma", "alpha beta", "delta").toDF("text")
+    val b = Seq("alpha epsilon", "zeta zeta zeta", "beta").toDF("text")
+    // identical corpora: add-one smoothed p_a == p_b -> every term 0
+    val same = TextAnalysis.tokenDistributionDrift(a, a)
+    assert(same.agg(sum("js_fp")).head.getLong(0) == 0L)
+    assert(same.filter(col("js_fp") =!= 0L).count() == 0)
+    // symmetric in (a, b); contributions nonneg; total <= ln2 * 1e12
+    val ab = TextAnalysis.tokenDistributionDrift(a, b)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ba = TextAnalysis.tokenDistributionDrift(b, a)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ab == ba)
+    assert(ab.values.forall(_ >= 0L))
+    assert(ab.values.sum <= (math.log(2.0) * 1e12).toLong)
+    assert(ab.values.sum > 0L)
+    // partition invariance (fixed-point + integer sums)
+    val ab13 = TextAnalysis.tokenDistributionDrift(a.repartition(13), b.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ab13 == ab)
+  }
+
   test("normalizeUnicode rejects an unknown form at analysis time") {
     val ss = spark
     import ss.implicits._
