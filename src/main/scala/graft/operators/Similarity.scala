@@ -544,4 +544,53 @@ object Similarity {
     graft.plans.Blocks.release(base)
     out
   }
+
+  /** Hard-negative mining for contrastive/metric training: for each
+    * broadcast anchor, the k nearest OTHER-label vectors (the
+    * hardest negatives) with the margin over the anchor's nearest
+    * SAME-label vector — `margin = d(a, n) - min_p d(a, p)`.
+    * Negative margin rows are the triplet-loss violators (a negative
+    * sits inside the positive ball); small positive margins are the
+    * semi-hard band a trainer actually samples from (Schroff et al.
+    * 2015, FaceNet).
+    *
+    * Scale shape: the anchor set is eval-sized and BROADCAST; the
+    * corpus is scanned twice, both legs map-only into partial
+    * aggregates (a min per (anchor) for positives, a bounded k-heap
+    * per (anchor) for negatives) — the shuffle carries O(anchors)
+    * and O(anchors × k) rows respectively, never the corpus. Two
+    * pushdown-pruned scans beat materializing the scored cross frame
+    * (the bloomPrunedAntiJoin trade). Distances are rounded to 4
+    * BEFORE ranking and the margin subtracts two rounded doubles —
+    * deterministic in both engines.
+    *
+    * @param anchors (anchor_id, avec, anchor_label)
+    * @return (anchor_id, neg_id, dist, d_pos, margin, rnk) — rnk by
+    *         (dist, neg_id) within anchor
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorFunctions.{euclidean, topKPairs}
+    val scored = embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col(idCol), col(labelCol),
+        (round(euclidean(col("avec"), col(vecCol)), 4) + lit(0.0)).as("dist"))
+    val dPos = scored.filter(col(labelCol) === col("anchor_label"))
+      .groupBy(col("anchor_id")).agg(min(col("dist")).as("d_pos"))
+    scored.filter(col(labelCol) =!= col("anchor_label"))
+      .groupBy(col("anchor_id"))
+      .agg(topKPairs(col("dist"), col(idCol), k).as("tk"))
+      .select(col("anchor_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .join(broadcast(dPos), Seq("anchor_id"))
+      .select(col("anchor_id"), col("p.id").as("neg_id"), col("p.dist").as("dist"),
+        col("d_pos"),
+        (round(col("p.dist") - col("d_pos"), 4) + lit(0.0)).as("margin"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -88,6 +88,22 @@ object VectorQueries {
       .withColumnRenamed("neighbor_id", "doc_id")
   }
 
+  /** Hard-negative mining (q130): for each of the first 10 vectors
+    * as anchors, the 10 nearest other-label vectors with the margin
+    * over the nearest same-label vector — the triplet/contrastive
+    * training-data miner ([[graft.operators.Similarity.hardNegatives]]
+    * for the broadcast-anchors / two-map-only-scans / bounded-heap
+    * shape). */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(t(spark, dir, "embeddings"))
+    val anchors = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("avec"),
+        col("label").as("anchor_label"))
+    graft.operators.Similarity.hardNegatives(e, anchors, K)
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   private val MmrK = 5
   private val MmrN = 12
 
@@ -447,7 +463,23 @@ object VectorQueries {
          |b AS (SELECT query_id, doc_id, min(dist) AS dist FROM d GROUP BY 1, 2),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rnk FROM b)
          |SELECT query_id, doc_id, dist, rnk FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    "q115_mmr_rerank" -> mmrOracleSql
+    "q115_mmr_rerank" -> mmrOracleSql,
+    "q130_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS avec, label AS anchor_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         |             ${l2Sql("a.avec", "e.embedding")} AS dist
+         |      FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+         |dp AS (SELECT anchor_id, min(dist) AS d_pos FROM d
+         |       WHERE label = anchor_label GROUP BY 1),
+         |n AS (SELECT anchor_id, vec_id AS neg_id, dist FROM d
+         |      WHERE label <> anchor_label),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY anchor_id ORDER BY dist, neg_id) AS rnk FROM n)
+         |SELECT r.anchor_id, neg_id, dist, d_pos,
+         |       ROUND(dist - d_pos, 4) + 0.0 AS margin, CAST(rnk AS INT) AS rnk
+         |FROM r JOIN dp USING (anchor_id)
+         |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -466,6 +498,7 @@ object VectorQueries {
     "q22_filtered_knn" -> (filteredKnn _),
     "q23_range_search" -> (rangeSearch _),
     "q109_parent_doc_search" -> (parentDocSearch _),
-    "q115_mmr_rerank" -> (mmrRerank _)
+    "q115_mmr_rerank" -> (mmrRerank _),
+    "q130_hard_negatives" -> (hardNegativeMining _)
   )
 }

@@ -214,4 +214,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(2), r.getLong(1)))
     assert(out.toSeq == Seq((1, 4L), (2, 9L)), s"got ${out.toSeq}")
   }
+
+  test("hardNegatives: other-label only, anchor excluded, margins flag violators") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq(
+      (0L, Seq(0f, 0f), 0),  // anchor, label 0
+      (1L, Seq(3f, 0f), 0),  // nearest positive, d_pos = 3
+      (2L, Seq(1f, 0f), 1),  // violator negative: margin 1-3 = -2
+      (3L, Seq(5f, 0f), 1),  // semi-hard negative: margin 5-3 = 2
+      (4L, Seq(9f, 0f), 0))  // farther positive, must not appear
+      .toDF("vec_id", "embedding", "label")
+    val anchors = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("avec"),
+        col("label").as("anchor_label"))
+    val out = Similarity.hardNegatives(e, anchors, k = 10)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // negatives only, by distance
+    assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0)) // d_pos
+    assert(out.map(_.getDouble(4)).toSeq == Seq(-2.0, 2.0)) // margins, violator negative
+    // partition invariance of the two-leg aggregate shape
+    val out13 = Similarity.hardNegatives(e.repartition(13), anchors, k = 10)
+      .orderBy("rnk").collect()
+    assert(out13.toSeq == out.toSeq)
+  }
 }
