@@ -39,7 +39,9 @@ object ExplainAudit {
         "q95_bigram_nll", "q96_semantic_decon", "q97_simhash_pairs",
         "q105_funnel", "q106_retention", "q107_line_dedup_keepfirst",
         "q108_corpus_card", "q109_parent_doc_search", "q111_jsonl_ingest",
-        "q115_mmr_rerank", "q116_pmi_collocations", "q117_pipeline_yield")
+        "q115_mmr_rerank", "q116_pmi_collocations", "q117_pipeline_yield",
+        "q127_bm25_topk", "q128_hybrid_rrf", "q129_token_drift",
+        "q130_hard_negatives")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSpec {
     "q97_simhash_pairs",
     "q102_span_decontam",
     "q103_srp_pairs",
-    "q122_rag_retrieval")
+    "q122_rag_retrieval",
+    "q126_bloom_decontaminate",
+    "q127_bm25_topk",
+    "q128_hybrid_rrf",
+    "q129_token_drift")
 
   for (name <- bandedQueries)
     test(s"$name: no non-broadcast cartesian product in the executed plan") {
