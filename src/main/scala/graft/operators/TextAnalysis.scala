@@ -679,6 +679,67 @@ object TextAnalysis {
     * per-term output, and ReuseExchange would otherwise recompute
     * BOTH corpus-sized count legs per consumer (the q115/q117 rule).
     * Callers release via [[graft.plans.Blocks.release]] when done. */
+  /** Per-source KL drift against the whole-corpus token distribution
+    * — "which SOURCE's mix moved away from the blend?" (the
+    * per-supplier twin of [[tokenDistributionDrift]]'s A-vs-B view).
+    * KL(source ‖ corpus) = Σ_{t ∈ source} q_t·ln(q_t/p_t) with
+    * q_t = c_t/n_src unsmoothed (absent terms contribute 0, which is
+    * what makes KL streamable — see
+    * [[graft.streaming.StreamingOps.streamingTokenDrift]]) and the
+    * baseline add-one smoothed over its own vocab, p_t =
+    * (c_all+1)/(n_all+V). Per-term contributions quantize at 1e12
+    * before the per-source integer sum.
+    *
+    * Scale shape: ONE tokenize pass — the (source, term) counts feed
+    * the corpus baseline (`sum` over sources), the per-source totals,
+    * AND the scoring join, so the frame is checkpointed (three
+    * consumers; the q115/q117 rule; it is Zipf-bounded at
+    * sources × vocab, not corpus-sized). The scoring join is
+    * term-keyed (vocab-bounded), source totals broadcast back.
+    * Output: (source, n_tokens, kl) — kl ≥ 0 up to quantization. */
+  def sourceKlDrift(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sc = docs
+      .select(col(srcCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(srcCol), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cb = sc.groupBy(col("term")).agg(sum(col("c")).as("c_all"))
+    val st = cb.agg(sum(col("c_all")).as("n_all"), count(lit(1)).as("vsz"))
+    val ns = sc.groupBy(col(srcCol)).agg(sum(col("c")).as("n_src"))
+    val q = col("c").cast("double") / col("n_src")
+    val p = (col("c_all") + lit(1.0)) / (col("n_all") + col("vsz"))
+    sc.join(cb, Seq("term"))
+      .join(broadcast(ns), Seq(srcCol))
+      .crossJoin(broadcast(st))
+      .select(col(srcCol), col("n_src"),
+        round(q * log(q / p) * lit(1000000000000.0), 0).cast("long").as("fp"))
+      .groupBy(col(srcCol), col("n_src"))
+      .agg(sum(col("fp")).as("kl_fp"))
+      .select(col(srcCol), col("n_src").as("n_tokens"),
+        (col("kl_fp") / lit(1000000000000.0)).as("kl"))
+  }
+
+  /** Fold a term-counts `map_entries` array into the 1e12 fixed-point
+    * KL(counts ‖ baseline) sum — the pure column expression shared by
+    * the streaming drift monitor and its batch twin. `baseline` is a
+    * plan-literal map (the fixed reference snapshot a production
+    * monitor broadcasts); terms absent from it get the add-one floor
+    * 1/(n_p+V) where V counts one extra OOV bucket. Each entry's
+    * contribution quantizes independently, so the integer sum is
+    * fold-order-free. */
+  def klEntriesFp(entries: Column, nW: Column, baseline: Map[String, Long]): Column = {
+    require(baseline.nonEmpty, "klEntriesFp needs a non-empty baseline")
+    val denom = (baseline.values.sum + baseline.size + 1L).toDouble
+    val b = typedLit(baseline)
+    aggregate(entries, lit(0L), (a, e) => {
+      val q = e.getField("value").cast("double") / nW
+      val p = (coalesce(element_at(b, e.getField("key")), lit(0L)) + lit(1.0)) / lit(denom)
+      a + round(q * log(q / p) * lit(1000000000000.0), 0).cast("long")
+    })
+  }
+
   def tokenDistributionDrift(
       a: DataFrame,
       b: DataFrame,

@@ -519,6 +519,17 @@ object DocQueries {
         (col("tot_fp") / lit(1000000000000.0)).as("js_total"))
   }
 
+  /** Per-source drift league table (q131): KL(source ‖ corpus) for
+    * every ingestion source — the supplier-mix audit
+    * ([[graft.operators.TextAnalysis.sourceKlDrift]]: one tokenize
+    * pass, checkpointed Zipf-bounded (source, term) counts feeding
+    * baseline + totals + scoring, term-keyed join, 1e12 fixed-point
+    * integer sums). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceKlDrift(
+        spread(t(spark, dir, "documents").select(col("source"), col("text"))))
+      .orderBy(col("kl").desc, col("source"))
+
   /** Deterministic train/val/test split (80/10/10): the split of a
     * document is a pure function of its id (multiplicative hash mod
     * 100), so it is stable across runs, engines, and cluster sizes —
@@ -1382,6 +1393,24 @@ object DocQueries {
          |SELECT term, c_a, c_b, fp / 1000000000000.0 AS js_contrib,
          |       t.tot / 1000000000000.0 AS js_total
          |FROM c CROSS JOIN t ORDER BY fp DESC, term LIMIT 20""".stripMargin,
+    // Full relational KL replay: q unsmoothed over source-present
+    // terms, baseline add-one smoothed over the corpus vocab, per-term
+    // quantize at 1e12 then integer sum per source.
+    "q131_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |cb AS (SELECT term, CAST(sum(c) AS BIGINT) AS c_all FROM sc GROUP BY 1),
+         |st AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all, count(*) AS vsz FROM cb),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM sc GROUP BY 1),
+         |f AS (SELECT sc.source, ns.n_src,
+         |        CAST(ROUND((CAST(c AS DOUBLE) / ns.n_src)
+         |             * LN((CAST(c AS DOUBLE) / ns.n_src) / ((c_all + 1.0) / (st.n_all + st.vsz)))
+         |             * 1000000000000.0) AS BIGINT) AS fp
+         |      FROM sc JOIN cb USING (term) JOIN ns USING (source) CROSS JOIN st),
+         |k AS (SELECT source, n_src AS n_tokens, CAST(sum(fp) AS BIGINT) AS kl_fp
+         |      FROM f GROUP BY 1, 2)
+         |SELECT source, n_tokens, kl_fp / 1000000000000.0 AS kl
+         |FROM k ORDER BY kl_fp DESC, source""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2149,6 +2178,7 @@ object DocQueries {
     "q125_weighted_sample" -> (weightedSampleCard _),
     "q126_bloom_decontaminate" -> (bloomDecontaminate _),
     "q129_token_drift" -> (tokenDrift _),
+    "q131_source_drift" -> (sourceDrift _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),

@@ -159,6 +159,47 @@ object StreamingOps {
       .agg((round(graft.functions.SketchFunctions.kmvDistinct(col("uid"), k), 4) + lit(0.0))
         .as("est_distinct"))
 
+  /** Streaming corpus-drift monitor: per event-time window, the
+    * KL divergence of the window's token distribution against a
+    * broadcast BASELINE snapshot (the fixed reference mix a
+    * production monitor alerts on; streaming twin of the q129/q131
+    * batch drift family).
+    *
+    * Why KL and not JS here: KL(window ‖ baseline) needs only terms
+    * PRESENT in the window (absent terms contribute exactly 0), so
+    * one bounded stateful aggregate per window suffices — JS needs
+    * the baseline-only tail of the joint vocabulary, which an
+    * unbounded stream can't revisit per window without a second
+    * stateful pass.
+    *
+    * State shape: ONE stateful aggregate — the per-window
+    * [[graft.functions.expressions.MisraGriesAgg]] counts map, ≤ mgK
+    * entries per window FOREVER (exact while the window vocabulary
+    * fits mgK; beyond it the summary degrades gracefully to
+    * approximate heavy-hitter counts — the documented knob), reaped
+    * by the watermark. The KL fold
+    * ([[graft.operators.TextAnalysis.klEntriesFp]]) is a pure column
+    * expression over the emitted map — no second stateful operator,
+    * no stream-stream join. Emits on window close (append mode). */
+  def streamingTokenDrift(
+      docs: DataFrame,
+      baseline: Map[String, Long],
+      mgK: Int = 4096,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowDur).as("w"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("w"))
+      .agg(graft.functions.SketchFunctions.mgSummary(col("term"), mgK).as("counts"))
+      .select(col("w"), map_entries(col("counts")).as("ent"))
+      .select(col("w"), col("ent"),
+        aggregate(col("ent"), lit(0L), (a, e) => a + e.getField("value")).as("n_tokens"))
+      .select(col("w.start").as("window_start"), col("n_tokens"),
+        (graft.operators.TextAnalysis.klEntriesFp(col("ent"), col("n_tokens"), baseline)
+          / lit(1000000000000.0)).as("kl"))
+
   /** Gap-based sessionization (30-min inactivity) via
     * mapGroupsWithState — emits the running per-user session/event
     * counts each micro-batch (streaming twin of q61_sessionize). */

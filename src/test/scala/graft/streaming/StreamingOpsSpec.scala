@@ -596,6 +596,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(split == oneBatch)
   }
 
+  test("streamingTokenDrift: per-window KL == batch twin; drifted window scores higher") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val baseline = Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L)
+    val H = 3600000L
+    def tms(ms: Long) = new Timestamp(1700000000000L / H * H + ms)
+    // window 0 mirrors the baseline mix; window 1 is all-OOV drift
+    val rows = Seq(
+      (tms(10), "alpha beta"), (tms(20), "alpha gamma"),
+      (tms(H + 10), "zeta zeta omega"),
+      (tms(3 * H), "sentinel")) // advances the watermark past both windows
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.streamingTokenDrift(
+        mem.toDF().toDF("ts", "text"), baseline, mgK = 64)
+      .writeStream.format("memory").queryName("tok_drift").outputMode("append").start()
+    rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    val stream = spark.table("tok_drift").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+
+    val batch = StreamingOps.streamingTokenDrift(
+        rows.toDF("ts", "text"), baseline, mgK = 64)
+      .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stream.keySet == Set(tms(0), tms(H))) // sentinel window still open
+    assert(stream == batch.view.filterKeys(stream.keySet).toMap)
+    val (n0, kl0) = stream(tms(0))
+    val (n1, kl1) = stream(tms(H))
+    assert(n0 == 4L && n1 == 3L)
+    assert(kl0 >= 0.0 && kl1 > kl0, s"expected OOV window to drift harder: $kl0 vs $kl1")
+  }
+
   test("streamingDistinctCard: running KMV estimate == batch sketch on every prefix") {
     val ss = spark
     implicit val sql = ss.sqlContext
