@@ -88,19 +88,25 @@ object Retrieval {
       .localCheckpoint(true)
     val dfx = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val num = col("tf") * lit(k1 + 1.0)
-    val den = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))
-
     tfq
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(dfx), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col(idCol),
-        round(idf * num / den * lit(FpScale), 0).cast("long").as("contrib_fp"))
+      .select(col("query_id"), col(idCol), contribFp(k1, b).as("contrib_fp"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("contrib_fp")).as("score_fp"))
+  }
+
+  /** The per-(query, doc, term) BM25 contribution in 1e6 fixed point,
+    * over columns (tf, dl, df, n_docs, sum_dl) — ONE definition shared
+    * by the scan path and the served-index path, so the two are
+    * bit-identical by construction. */
+  private def contribFp(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))
+    round(idf * num / den * lit(FpScale), 0).cast("long")
   }
 
   /** BM25 top-k per query: (query_id, idCol, score DOUBLE, rnk INT),
@@ -113,15 +119,107 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    topKFromScores(bm25ScoresFp(docs, queries, k1, b, idCol, textCol), idCol, k)
+
+  private def topKFromScores(scores: DataFrame, idCol: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.topKPairs
-    bm25ScoresFp(docs, queries, k1, b, idCol, textCol)
+    scores
       .groupBy(col("query_id"))
       .agg(topKPairs((-col("score_fp")).cast("double"), col(idCol), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.id").as(idCol),
         ((-col("p.dist")).cast("long") / lit(FpScale)).as("score"),
         (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  // ------------------------------------------------- persisted index
+
+  /** Build the persistent BM25 serving layout under `path` — the
+    * "fit once, serve forever" artifact (the IVF/PQ/int8/BPE sidecar
+    * idiom, [[graft.operators.BpeArtifact]]): recomputing corpus
+    * statistics per query burns a corpus scan per query AND silently
+    * re-fits when the corpus has grown — exactly what the other
+    * fitted-model artifacts exist to prevent.
+    *
+    * Layout:
+    *   - `postings/` parquet (doc_id, dl, term, tf) range-partitioned
+    *     AND sorted by term, so a query-vocab `IN` filter prunes at
+    *     BOTH file and row-group granularity (min/max stats) — the
+    *     inverted-index access path, expressed as columnar layout
+    *   - `df/` parquet (term, df) — derived from the WRITTEN postings
+    *     (one compact-scan, never a second corpus pass)
+    *   - `bm25.json` — scalar stats (n_docs, sum_dl, vocab_size) +
+    *     FNV-1a fingerprint over them, written LAST (publish order:
+    *     content first, pointer-equivalent last), verified on load
+    */
+  def buildIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    import graft.index.{ArtifactStore, Fingerprint}
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tf = base
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$path/postings")
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    val vocabSize = spark.read.parquet(s"$path/df").count()
+    val st = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl")).head()
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val fp = Fingerprint.ofString(s"$nDocs|$sumDl|$vocabSize")
+    ArtifactStore.current.writeAtomic(s"$path/bm25.json",
+      (s"""{"fingerprint":"$fp","n_docs":$nDocs,"sum_dl":$sumDl,""" +
+        s""""vocab_size":$vocabSize}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Serve BM25 top-k from a [[buildIndex]] layout — bit-identical to
+    * [[bm25TopK]] over the same corpus (one shared contribution
+    * expression), without touching the corpus: the query vocabulary
+    * (an eval-sized driver list — that boundedness is what buys the
+    * pushdown) filters the postings/df scans as an `IN` predicate the
+    * parquet reader prunes with; scalar stats come from the verified
+    * sidecar as plan literals. */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.index.{Fingerprint, SidecarJson}
+    val side = SidecarJson.read(s"$path/bm25.json")
+    val (nDocs, sumDl, vocabSize) =
+      (side.long("n_docs"), side.long("sum_dl"), side.long("vocab_size"))
+    val fp = Fingerprint.ofString(s"$nDocs|$sumDl|$vocabSize")
+    if (fp != side.str("fingerprint"))
+      throw new IllegalArgumentException(
+        s"$path/bm25.json: stats fingerprint $fp != ${side.str("fingerprint")} " +
+          "(corrupted or tampered sidecar)")
+    val qt = queries
+      .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val vocab = qt.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings").filter(col("term").isin(vocab: _*))
+    val dfx = spark.read.parquet(s"$path/df").filter(col("term").isin(vocab: _*))
+    val scores = post
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfx), Seq("term"))
+      .select(col("query_id"), col(idCol), col("tf"), col("dl"), col("df"),
+        lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"))
+      .select(col("query_id"), col(idCol), contribFp(k1, b).as("contrib_fp"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+    topKFromScores(scores, idCol, k)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

@@ -72,6 +72,23 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** BM25 served from the persisted inverted-index layout (q132):
+    * build-once under a dir-keyed scratch path (fixtures are
+    * immutable — the q111 idiom), then answer from postings + sidecar
+    * WITHOUT touching the corpus. Same oracle as q127 because the
+    * serving path is bit-identical to the scan path by construction
+    * (one shared contribution expression) — the exact-twin pattern:
+    * same answer, different (and here: far cheaper) execution. */
+  def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idx = new java.io.File(s"target/bm25-index/$digest").getAbsolutePath
+    if (!graft.index.ArtifactStore.current.exists(s"$idx/bm25.json"))
+      Retrieval.buildIndex(spread(docs(spark, dir)), idx)
+    Retrieval.searchIndex(spark, idx, querySet(spark, dir), FuseK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
@@ -111,6 +128,15 @@ object RetrievalQueries {
          |        (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk FROM s)
          |SELECT query_id, doc_id, score_fp / 1000000.0 AS score, CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin,
+    // The served path is bit-identical to the scan path (shared
+    // contribution expression over the same statistics), so the q127
+    // replay is the oracle here too.
+    "q132_bm25_served" ->
+      s"""WITH $bm25Ctes,
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk FROM s)
+         |SELECT query_id, doc_id, score_fp / 1000000.0 AS score, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin,
     "q128_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
          |bleg AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
@@ -138,6 +164,7 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_bm25_topk" -> (bm25TopDocs _),
-    "q128_hybrid_rrf" -> (hybridRrf _)
+    "q128_hybrid_rrf" -> (hybridRrf _),
+    "q132_bm25_served" -> (bm25Served _)
   )
 }

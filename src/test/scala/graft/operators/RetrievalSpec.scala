@@ -77,6 +77,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0).getDouble(2) == out(1).getDouble(2))
   }
 
+  test("served index == scan path bit-for-bit; postings scan gets the vocab IN pushdown") {
+    val base = (0L until 250L).map(i =>
+      i -> s"tok${i % 17} tok${i % 5} tok${(i * 7) % 23} filler$i")
+    val docs = corpus(base: _*)
+    val queries = qs(0L -> "tok3 tok11 filler42", 1L -> "tok4 tok16")
+    val idx = tmpDir("bm25-idx")
+    Retrieval.buildIndex(docs, idx)
+    val served = Retrieval.searchIndex(spark, idx, queries, k = 25)
+      .orderBy("query_id", "rnk")
+    val scanned = Retrieval.bm25TopK(docs, queries, k = 25)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served.collect().toSeq == scanned)
+    // the eval-sized query vocab must reach the parquet reader
+    val scans = collectPlanNodes(served) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In("))),
+      s"no pushed In-filter: ${scans.map(_.metadata.get("PushedFilters"))}")
+  }
+
+  test("tampered sidecar stats fail the fingerprint check loudly") {
+    val docs = corpus(1L -> "a b c", 2L -> "a d")
+    val idx = tmpDir("bm25-tamper")
+    Retrieval.buildIndex(docs, idx)
+    val f = java.nio.file.Paths.get(s"$idx/bm25.json")
+    val tampered = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .replace("\"n_docs\":2", "\"n_docs\":3")
+    java.nio.file.Files.write(f, tampered.getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.searchIndex(spark, idx, qs(0L -> "a"), k = 5).collect()
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+  }
+
   test("plan: broadcast-only joins above the checkpointed postings slice; heap top-k") {
     val docs = corpus((0L until 400L).map(i =>
       i -> s"w${i % 29} w${i % 13} w${(i * 3) % 41} pad$i"): _*).repartition(8)
