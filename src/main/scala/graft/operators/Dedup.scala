@@ -681,12 +681,15 @@ object Dedup {
       maxHamming: Int = 3,
       nBands: Int = 4,
       idCol: String = "doc_id",
-      hashCol: String = "simhash"): DataFrame = {
-    require(nBands > 0 && 32 % nBands == 0, s"nBands=$nBands must divide 32")
+      hashCol: String = "simhash",
+      bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits=$bits must be 32 or 64")
+    require(nBands > 0 && bits % nBands == 0, s"nBands=$nBands must divide $bits")
     require(maxHamming < nBands,
       s"maxHamming=$maxHamming needs >= maxHamming+1 blocks for the pigeonhole " +
         s"guarantee; got nBands=$nBands")
-    val w = 32 / nBands
+    val w = bits / nBands
+    require(w < 64, "a single 64-bit block has no pigeonhole to offer; use nBands >= 2")
     val mask = (1L << w) - 1L
     val h = simhashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = h.select(col("id"), col("sh"),

@@ -379,6 +379,28 @@ object Multimodal {
     * end-to-end (lossless codecs round-trip the formula exactly).
     * Encoding runs partition-local through the same mapPartitions seam
     * as decode. */
+  private def synthImageBytes(id: Long, format: String, whiteOrigin: Boolean): Array[Byte] = {
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    if (whiteOrigin) img.setRGB(0, 0, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
   def packSyntheticImages(ids: DataFrame, idCol: String, format: String = "png"): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     ids.select(col(idCol).cast("long").as("media_id"))
@@ -386,24 +408,72 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
         rows.map { r =>
           val id = r.getLong(0)
-          val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
-              val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
-              val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
-              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
-              x += 1
-            }
-            y += 1
+          Row(id, "image", synthImageBytes(id, format, whiteOrigin = false), null)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate plants for the perceptual-hash tier: the SAME
+    * synthetic image as `id` (same dims, same pixels) with ONE pixel
+    * (the origin) blown to white, published under `id + offset` — the
+    * "re-encoded with a watermark/logo tweak" case an image dedup
+    * pass must catch that exact byte hashing never will. */
+  def packSyntheticImagesMutated(
+      ids: DataFrame, idCol: String, offset: Long = 100000L,
+      format: String = "png"): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + offset, "image", synthImageBytes(id, format, whiteOrigin = true), null)
+        }
+      }(enc)
+  }
+
+  /** Perceptual difference-hash (dHash) of DECODED images: 9×8
+    * nearest-neighbor downsample of the integer luma (299R+587G+114B,
+    * ×1000 scale — no float anywhere), bit k = gy·8+gx set iff
+    * gray(gx, gy) > gray(gx+1, gy); 64 bits out. Robust to uniform
+    * brightness shifts and re-encoding by construction (only
+    * NEIGHBOR COMPARISONS survive into the hash) — the image twin of
+    * the text SimHash tier, and feeds the same banded-hamming pair
+    * join ([[Dedup.simhashNearDupPairs]] with bits = 64).
+    *
+    * Runs through the real codec path (ImageIO decode) per row inside
+    * mapPartitions — the Multimodal exception to the zero-UDF rule:
+    * codecs are JVM library calls, not expressible as Catalyst
+    * expressions. Map-only; the hash is 8 bytes per image no matter
+    * the source resolution, which is the whole scale story. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth; val h = img.getHeight
+          def gray(gx: Int, gy: Int): Long = {
+            val px = img.getRGB(gx * w / 9, gy * h / 8)
+            299L * ((px >> 16) & 0xFF) + 587L * ((px >> 8) & 0xFF) + 114L * (px & 0xFF)
           }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, format, baos)
-          Row(id, "image", baos.toByteArray, null)
+          var hash = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (gray(gx, gy) > gray(gx + 1, gy)) hash |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          Row(id, hash)
         }
       }(enc)
   }

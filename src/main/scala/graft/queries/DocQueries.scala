@@ -637,6 +637,30 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual image near-dup (q133): dHash every synthetic image
+    * through the REAL codec path (PNG encode → ImageIO decode →
+    * [[graft.operators.Multimodal.imageDHash]]), then banded-hamming
+    * pair join ([[Dedup.simhashNearDupPairs]], 64-bit / 4 blocks —
+    * pigeonhole-EXACT for hamming ≤ 3, so the oracle's brute-force
+    * replay produces the identical pair set by theorem, never by
+    * luck). Planted: ids < 25 republished at +100000 with one pixel
+    * blown to white — a byte-level mismatch (PNG bytes differ, md5
+    * dedup is blind to it) that perturbs at most a couple of neighbor
+    * comparisons, exactly the watermark/logo-tweak case a multimodal
+    * dedup tier exists to catch. The oracle re-derives every hash
+    * from the pixel formula alone; the Spark side used the real
+    * decoder, so a hash match ALSO re-proves the codec round-trip. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = docs(spark, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+    val media = Multimodal.packSyntheticImages(spread(base), "doc_id")
+      .unionByName(Multimodal.packSyntheticImagesMutated(
+        base.filter(col("doc_id") < 25), "doc_id"))
+    Dedup.simhashNearDupPairs(Multimodal.imageDHash(media),
+        maxHamming = 3, nBands = 4, idCol = "media_id", hashCol = "dhash", bits = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** REAL audio decode end-to-end (q77): a deterministic synthetic
     * 16-bit PCM WAV per doc_id < 200 (samples a pure function of
     * (id, t)), encoded with a junk LIST chunk and then DECODED through
@@ -1411,6 +1435,35 @@ object DocQueries {
          |      FROM f GROUP BY 1, 2)
          |SELECT source, n_tokens, kl_fp / 1000000000000.0 AS kl
          |FROM k ORDER BY kl_fp DESC, source""".stripMargin,
+    // dHash replay from the pixel formula (the Spark side hashed REAL
+    // decoded PNGs): 9x8 nearest-neighbor integer-luma grid, bit k set
+    // iff gray(gx,gy) > gray(gx+1,gy); brute-force hamming <= 3 pairs
+    // == the banded join's output by the pigeonhole theorem. The
+    // signed-BIGINT wrap at bit 63 rides a HUGEINT sum.
+    "q133_image_neardup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS id, doc_id AS mid, FALSE AS mut FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, TRUE FROM documents WHERE doc_id < 25),
+         |dim AS (SELECT mid, id, mut, 8 + id % 9 AS w, 8 + id % 7 AS h FROM imgs),
+         |cell AS (SELECT mid, gx, gy,
+         |    CASE WHEN mut AND ((gx*w)//9) = 0 AND ((gy*h)//8) = 0 THEN 255000
+         |         ELSE 299*((id*31 + ((gx*w)//9)*7  + ((gy*h)//8)*13) % 256)
+         |            + 587*((id*17 + ((gx*w)//9)*11 + ((gy*h)//8)*3)  % 256)
+         |            + 114*((id*23 + ((gx*w)//9)*5  + ((gy*h)//8)*19) % 256) END AS g
+         |  FROM dim, (SELECT unnest(range(0, 9)) AS gx) xs, (SELECT unnest(range(0, 8)) AS gy) ys),
+         |bit AS (SELECT a.mid, (a.gy * 8 + a.gx) AS k
+         |        FROM cell a JOIN cell b ON a.mid = b.mid AND a.gy = b.gy AND b.gx = a.gx + 1
+         |        WHERE a.gx < 8 AND a.g > b.g),
+         |hsh AS (SELECT i.mid,
+         |          CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+         |                    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+         |        FROM imgs i LEFT JOIN
+         |          (SELECT mid, SUM(1::HUGEINT << k) AS s FROM bit GROUP BY mid) b USING (mid)),
+         |p AS (SELECT x.mid AS id_a, y.mid AS id_b,
+         |             CAST(bit_count(xor(COALESCE(x.dhash, 0), COALESCE(y.dhash, 0))) AS BIGINT) AS hamming
+         |      FROM hsh x JOIN hsh y ON x.mid < y.mid)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2179,6 +2232,7 @@ object DocQueries {
     "q126_bloom_decontaminate" -> (bloomDecontaminate _),
     "q129_token_drift" -> (tokenDrift _),
     "q131_source_drift" -> (sourceDrift _),
+    "q133_image_neardup" -> (imageNearDup _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),

@@ -230,6 +230,42 @@ class MultimodalSpec extends SparkSpec {
     assert(orig == origLen)
   }
 
+  test("imageDHash: codec-independent, brightness-invariant, mutation stays within hamming 3") {
+    val ss = spark
+    import ss.implicits._
+    def pngOf(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos); baos.toByteArray
+    }
+    def gradient(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 12) {
+        val v = (x * 13 + y * 7) % 200 + shift // <= 239: no clamp under +40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def hashOf(bytes: Array[Byte]): Long = {
+      val media = Seq((1L, "image", bytes, null: String))
+        .toDF("media_id", "modality", "content", "source")
+      Multimodal.imageDHash(media).head.getLong(1)
+    }
+    val base = hashOf(pngOf(gradient(0), "png"))
+    // lossless re-encode in another container: same pixels, same hash
+    assert(hashOf(pngOf(gradient(0), "bmp")) == base)
+    // uniform brightness shift: every comparison unchanged
+    assert(hashOf(pngOf(gradient(40), "png")) == base)
+
+    // planted one-pixel mutation lands within the banded-join radius
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    val media = Multimodal.packSyntheticImages(ids, "doc_id")
+      .unionByName(Multimodal.packSyntheticImagesMutated(ids, "doc_id"))
+    val pairs = Dedup.simhashNearDupPairs(Multimodal.imageDHash(media),
+        maxHamming = 3, nBands = 4, idCol = "media_id", hashCol = "dhash", bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100003L)) && pairs.contains((4L, 100004L)), s"got $pairs")
+  }
+
   test("frameSample: n evenly-spaced frames per payload") {
     val media = Multimodal.packText(docs.limit(5), "doc_id", "text")
     val frames = Multimodal.frameSample(media, n = 4, frameBytes = 8)
