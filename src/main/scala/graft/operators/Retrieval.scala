@@ -181,6 +181,55 @@ object Retrieval {
         s""""vocab_size":$vocabSize}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Merge BM25 shard indexes into one [[buildIndex]]-shaped layout —
+    * the day-build / per-shard consolidation path (the
+    * `VectorIndex.merge` twin for the sparse tier). Because shards
+    * hold DISJOINT document sets, every statistic merges exactly:
+    * df(term) = Σ shard dfs, n_docs/sum_dl = scalar sums — no corpus
+    * re-scan, no re-tokenize; the only data-sized work is re-sorting
+    * the unioned postings by term so the merged layout keeps its
+    * file/row-group pruning. Disjointness is VERIFIED (distinct doc
+    * count over the merged postings must equal Σ n_docs — every doc
+    * has ≥ 1 postings row since the tokenizer never returns an empty
+    * array), not assumed: a doc in two shards would silently
+    * double-count df and corrupt every idf. */
+  def mergeIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      out: String,
+      idCol: String = "doc_id"): Unit = {
+    import graft.index.{ArtifactStore, Fingerprint, SidecarJson}
+    require(paths.nonEmpty, "mergeIndexes needs >= 1 input shard")
+    val sides = paths.map { p =>
+      val s = SidecarJson.read(s"$p/bm25.json")
+      val fp = Fingerprint.ofString(
+        s"${s.long("n_docs")}|${s.long("sum_dl")}|${s.long("vocab_size")}")
+      if (fp != s.str("fingerprint"))
+        throw new IllegalArgumentException(
+          s"$p/bm25.json: stats fingerprint mismatch (corrupted shard refuses to merge)")
+      s
+    }
+    val nDocs = sides.map(_.long("n_docs")).sum
+    val sumDl = sides.map(_.long("sum_dl")).sum
+    val posts = paths.map(p => spark.read.parquet(s"$p/postings")).reduce(_.unionByName(_))
+    val distinctDocs = posts.select(col(idCol)).distinct().count()
+    if (distinctDocs != nDocs)
+      throw new IllegalArgumentException(
+        s"shards share documents: ${nDocs - distinctDocs} doc ids appear in more than " +
+          "one input (df/idf would double-count); merge inputs must be disjoint")
+    posts.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$out/postings")
+    paths.map(p => spark.read.parquet(s"$p/df")).reduce(_.unionByName(_))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$out/df")
+    val vocabSize = spark.read.parquet(s"$out/df").count()
+    val fp = Fingerprint.ofString(s"$nDocs|$sumDl|$vocabSize")
+    ArtifactStore.current.writeAtomic(s"$out/bm25.json",
+      (s"""{"fingerprint":"$fp","n_docs":$nDocs,"sum_dl":$sumDl,""" +
+        s""""vocab_size":$vocabSize}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Serve BM25 top-k from a [[buildIndex]] layout — bit-identical to
     * [[bm25TopK]] over the same corpus (one shared contribution
     * expression), without touching the corpus: the query vocabulary

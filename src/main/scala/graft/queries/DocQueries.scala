@@ -442,6 +442,30 @@ object DocQueries {
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
     corpusGroupLabels(spark, dir).orderBy(col("doc_id")).localCheckpoint(true)
 
+  /** Canonical selection (q134): inside every near-dup cluster, KEEP
+    * the best-quality member and drop the rest — the decision a dedup
+    * pass actually ships (grouping alone answers "what is duplicated",
+    * not "which copy trains"). keeper = max (quality_score, −doc_id)
+    * struct per group (highest quality, oldest id on ties — quality
+    * is a sum of exact quarter-point terms, so ties are exact), via
+    * ONE partial-agg struct-max per group — no per-group window sort.
+    * Reuses the cached q52 group labels and the q46 quality
+    * arithmetic; scoring joins labels on doc_id (clustered docs only,
+    * a small fraction of any real corpus). */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = corpusGroupLabels(spark, dir)
+    val scored = TextAnalysis.withTextStats(spread(corpus(spark, dir)))
+      .select(col("doc_id"), col("quality_score"))
+    val members = labels.join(scored, "doc_id")
+    val keepers = members.groupBy(col("group_id"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg"))).as("k"))
+      .select(col("group_id"), (-col("k.neg")).as("keep_id"))
+    members.join(broadcast(keepers), Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("quality_score"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide heavy hitters: the 20 most frequent tokens with exact
     * counts — partial (map-side) aggregation means the shuffle carries
     * one row per (partition, token), and the final top-20 is a
@@ -1263,6 +1287,40 @@ object DocQueries {
          |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node)
          |SELECT node AS doc_id, min(lab) AS group_id FROM reach
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q52's grouping + q46's quality arithmetic + per-group best pick
+    // (ROW_NUMBER replays the struct-max: quality DESC, doc_id ASC).
+    "q134_dedup_keep_best" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node),
+         |qbase AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |qstats AS (SELECT doc_id,
+         |    len(t) AS n_tokens,
+         |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |    ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+         |    ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio
+         |  FROM qbase),
+         |q AS (SELECT doc_id,
+         |  ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |       + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |  FROM qstats),
+         |m AS (SELECT comp.doc_id, group_id, quality_score FROM comp JOIN q USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY group_id ORDER BY quality_score DESC, doc_id) AS rn FROM m)
+         |SELECT doc_id, group_id, quality_score, (rn = 1) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q65_leakage_safe_split" ->
       s"""WITH RECURSIVE $corpusSql,
          |${shinglesCte("corpus")},
@@ -2233,6 +2291,7 @@ object DocQueries {
     "q129_token_drift" -> (tokenDrift _),
     "q131_source_drift" -> (sourceDrift _),
     "q133_image_neardup" -> (imageNearDup _),
+    "q134_dedup_keep_best" -> (dedupKeepBest _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),
     "q54_multimodal_features" -> (multimodalFeatures _),

@@ -98,6 +98,32 @@ class RetrievalSpec extends SparkSpec {
       s"no pushed In-filter: ${scans.map(_.metadata.get("PushedFilters"))}")
   }
 
+  test("mergeIndexes(build(A), build(B)) == buildIndex(A union B), and overlap refuses") {
+    val a = corpus((0L until 120L).map(i => i -> s"tok${i % 11} tok${i % 7} pad$i"): _*)
+    val b = corpus((120L until 260L).map(i => i -> s"tok${i % 11} tok${i % 5} pad$i"): _*)
+    val (ia, ib, iu, im) = (tmpDir("bm25-a"), tmpDir("bm25-b"), tmpDir("bm25-u"), tmpDir("bm25-m"))
+    Retrieval.buildIndex(a, ia)
+    Retrieval.buildIndex(b, ib)
+    Retrieval.buildIndex(a.unionByName(b), iu)
+    Retrieval.mergeIndexes(spark, Seq(ia, ib), im)
+    // identical sidecars (scalar stats merge exactly)...
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$iu/bm25.json")).toSeq ==
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$im/bm25.json")).toSeq)
+    // ...identical df tables, and bit-identical answers
+    val dfU = spark.read.parquet(s"$iu/df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfM = spark.read.parquet(s"$im/df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfU == dfM)
+    val queries = qs(0L -> "tok3 tok6")
+    assert(
+      Retrieval.searchIndex(spark, im, queries, k = 30).orderBy("query_id", "rnk").collect().toSeq ==
+      Retrieval.searchIndex(spark, iu, queries, k = 30).orderBy("query_id", "rnk").collect().toSeq)
+    // overlapping shards double-count df -> must refuse
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.mergeIndexes(spark, Seq(ia, ia), tmpDir("bm25-x"))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("tampered sidecar stats fail the fingerprint check loudly") {
     val docs = corpus(1L -> "a b c", 2L -> "a d")
     val idx = tmpDir("bm25-tamper")
