@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnnQueries, DocQueries, EventQueries, RelationalQueries, RetrievalQueries, TemporalQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, AnnQueries, DocQueries, EventQueries, RelationalQueries, RetrievalQueries, TemporalQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ AnnQueries.queries ++
       DocQueries.queries ++ EventQueries.queries ++ TemporalQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++ AnnQueries.oracles ++
       DocQueries.oracles ++ EventQueries.oracles ++ TemporalQueries.oracles ++
-      RetrievalQueries.oracles
+      RetrievalQueries.oracles ++ AnalyticsQueries.oracles
 }

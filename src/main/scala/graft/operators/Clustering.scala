@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the corpus
+  * clustering primitive behind topic bucketing, cluster-balanced
+  * sampling, and semantic-coverage audits of a training corpus (and
+  * the same assign/update loop IVF coarse quantizers are fit with,
+  * cf. graft.index.Ivf which fits its centroids on a bounded sample).
+  *
+  * Scale shape — per iteration exactly ONE shuffle:
+  *   1. assign: centroids are collected to the driver (k×dim doubles,
+  *      bounded and independent of corpus size) and inlined as literal
+  *      arrays, so assignment is a NARROW map over the corpus — the
+  *      broadcast-centroids step of every cluster k-means. No
+  *      crossJoin, no per-row k-way join.
+  *   2. update: one groupBy(cluster) whose aggregate list is `dim`
+  *      fixed-point component sums + count + inertia — all map-side
+  *      partial-aggregated, so the shuffle carries k×(dim+2) longs per
+  *      input partition instead of n×dim floats (the labelCentroids
+  *      shape, Similarity.scala).
+  *
+  * Determinism contract (what makes an ITERATIVE float algorithm
+  * hash-oracle-able at all):
+  *   - distances are summed in 10⁻⁸ fixed point: each squared
+  *     component difference is rounded to a long BEFORE summing, so
+  *     the per-row distance is an exact integer — independent of
+  *     partitioning, add order, and engine.
+  *   - argmin ties break to the lowest cluster id (mirrors a
+  *     ROW_NUMBER ... ORDER BY d, cl replay).
+  *   - centroid components are 10⁻⁶ fixed-point sums divided once and
+  *     rounded to 6 decimals, so iteration i+1 starts from bit-equal
+  *     centroids in every engine.
+  * DuckDB replays the whole unrolled loop (see AnalyticsQueries) and
+  * the hashes match — NOT an approximate comparison.
+  *
+  * Quantization bounds: |x| ≤ 10³ keeps round(d²·10⁸) < 2⁶³ per term
+  * and the per-cluster component sums exact to ~9×10¹² rows — far past
+  * 100 TB corpus sizes.
+  */
+object Clustering {
+
+  /** One k-means iteration report row-set: (cluster, n_vecs,
+    * inertia_fp, pos, centroid). */
+  private val DistFp = 1e8
+  private val CentFp = 1e6
+
+  /** Fixed-point squared L2 distance to a literal centroid: Σᵢ
+    * round((xᵢ-cᵢ)²·10⁸) as a long — add-order independent. */
+  private def distFp(vec: Column, cent: Array[Double]): Column = {
+    val c = array(cent.map(lit): _*)
+    aggregate(
+      zip_with(vec.cast("array<double>"), c, (x, cc) => {
+        val d = x - cc
+        round(d * d * lit(DistFp)).cast("long")
+      }),
+      lit(0L), (s, v) => s + v)
+  }
+
+  /** First index j whose distance is ≤ every later one — given the
+    * when-chain tries j in ascending order, this selects the global
+    * argmin with ties to the LOWEST cluster id (the ROW_NUMBER
+    * ORDER BY d, cl contract the oracle replays). */
+  private def argmin(ds: Seq[Column]): Column =
+    ds.zipWithIndex.init.foldRight(lit(ds.length - 1): Column) {
+      case ((d, j), rest) =>
+        when(ds.drop(j + 1).map(d <= _).reduce(_ && _), lit(j)).otherwise(rest)
+    }
+
+  /** Narrow-map assignment under literal centroids: adds `cl` (int)
+    * and `d_fp` (the selected distance, for inertia). */
+  private def assign(embeddings: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val ds = cents.toSeq.map(c => distFp(col(vecCol), c))
+    embeddings
+      .withColumn("cl", argmin(ds).cast("int"))
+      .withColumn("d_fp", ds.reduce((a, b) => least(a, b)))
+  }
+
+  /** One-shuffle update: per-cluster count, exact fixed-point inertia,
+    * and dim rounded centroid components (posexploded to rows). */
+  private def update(assigned: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val sums = (1 to dim).map(i =>
+      sum(round(element_at(col(vecCol), i).cast("double") * CentFp).cast("long"))
+        .as(s"s$i"))
+    val aggs = Seq(count(lit(1)).as("n_vecs"), sum(col("d_fp")).as("inertia_fp")) ++ sums
+    assigned.groupBy(col("cl"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cl").as("cluster"), col("n_vecs"), col("inertia_fp"),
+        posexplode(array((1 to dim).map(i => col(s"s$i")): _*)).as(Seq("p", "fpsum")))
+      .select(col("cluster"), col("n_vecs"), col("inertia_fp"),
+        (col("p") + 1).cast("int").as("pos"),
+        round(col("fpsum").cast("double") / (col("n_vecs").cast("double") * CentFp), 6)
+          .as("centroid"))
+  }
+
+  /** `iters` full Lloyd rounds from deterministic seeds (the vectors
+    * with the k smallest ids — reproducible at every sf, no RNG).
+    * Returns the LAST round's report: one row per (cluster, dimension)
+    * with the cluster's size, exact fixed-point inertia, and rounded
+    * centroid component.
+    *
+    * Driver actions: one dim read + `iters` k×dim centroid collects —
+    * all bounded by k·dim, never by corpus size (each collect IS the
+    * "broadcast the new centroids" step of distributed k-means).
+    * Each round recomputes assignment from the source frame — at
+    * 100 TB that is `iters` scans, the standard trade against
+    * materializing an n-row assignment per round; cache the source
+    * upstream if iterating many rounds.
+    *
+    * Empty clusters keep their previous centroid (cannot occur under
+    * the seeded fixture inits; documented for external callers). */
+  def kmeansReport(embeddings: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+    var cents: Array[Array[Double]] = embeddings
+      .filter(col(idCol) < k)
+      .select(col(idCol).cast("int"), col(vecCol).cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.length == k, s"need the $k seed vectors with ids 0..${k - 1}")
+    var report: DataFrame = null
+    for (it <- 1 to iters) {
+      report = update(assign(embeddings, vecCol, cents), vecCol, dim)
+      if (it < iters) { // last round's report is returned, not re-collected
+        val byCl = report.select(col("cluster"), col("pos"), col("centroid"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cl, rows) =>
+            cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          }
+        cents = cents.indices.map(cl => byCl.getOrElse(cl, cents(cl))).toArray
+      }
+    }
+    report
+  }
+}

@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "q126_bloom_decontaminate",
     "q127_bm25_topk",
     "q128_hybrid_rrf",
-    "q129_token_drift")
+    "q129_token_drift",
+    "q135_kmeans")
 
   for (name <- bandedQueries)
     test(s"$name: no non-broadcast cartesian product in the executed plan") {
