@@ -66,6 +66,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The summary line's per-query map is capped at the SLOWEST
+    * `TopQueriesOnLine` entries: with 130+ registered queries even
+    * bare-qNN keys overflow the driver's ~2000-char stdout tail (the
+    * round-10 BenchSummarySpec failure), and the cap makes the line's
+    * length independent of query-set growth FOREVER. Nothing is lost:
+    * the FULL per-query map is persisted to BENCH_QUERIES.json (a repo
+    * artifact like BENCH_SCALE.json), the line carries the total, the
+    * count (`nq`), and the summed remainder (`rest`) so the listed
+    * entries + rest always reconcile with `value`. */
+  private[graft] val TopQueriesOnLine = 24
+
   /** Renders the machine-parsed summary line. Pure so
     * BenchSummarySpec can assert — against the REAL query set — that
     * the rendered line stays under the tail-window budget and that
@@ -83,12 +94,15 @@ object Bench {
       sfShort: String, scaleRatio: Option[Double] = None): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
-    val qsShort = results.map { case (k, v) =>
+    val top = results.sortBy { case (_, v) => -v }.take(TopQueriesOnLine)
+    val qsShort = top.map { case (k, v) =>
       "\"" + (if (useShort) shortKey(k) else k) + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val rest = total - top.map(_._2).sum
     val buildsJson = buildsSec.map(b => s""""builds_sec":${r2(b)},""").getOrElse("")
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,""" +
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","nq":${results.size},""" +
+      s""""queries":$qsShort,"rest":${r2(rest)},""" +
       buildsJson +
       s""""qps":${r1(annQps)},""" +
       s""""pq_qps":${r1(pqQps)},""" +
@@ -273,6 +287,23 @@ object Bench {
       s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
       srMedian.map(r => s""""scale_ratio_median":$r,""").getOrElse("") +
       s""""sf":"$sfDir"}""")
+    // Full per-query map as a repo artifact (the BENCH_SCALE.json
+    // idiom): the summary line only lists the TopQueriesOnLine slowest
+    // (tail-window budget), so THIS file is where cross-round
+    // per-query comparisons read from.
+    locally {
+      val out = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT", "BENCH_QUERIES.json")
+      val qMap = results.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val bMap = buildMetrics.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val json =
+        s"""{"sf_dir":"$sfDir","repeats":$repeat,"total_sec":${r2(total)},""" +
+          s""""queries_sec":$qMap,"builds_sec":$bMap,""" +
+          s""""qps":${r1(annQps)},"pq_qps":${r1(pqQps)},"shard_qps":${r1(shardedQps)},""" +
+          s""""fi_load_sec":${r2(fromIndexLoadSec)},"fi_qps":${r1(fromIndexQps)},""" +
+          s""""cal":${cal.map(r2).mkString("[", ",", "]")}}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+      catch { case _: Throwable => () }
+    }
     println(summaryLine(
       results,
       if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),

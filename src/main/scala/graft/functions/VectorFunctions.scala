@@ -111,6 +111,15 @@ object VectorFunctions {
     when(nrm === 0.0, vec.cast("array<float>"))
       .otherwise(transform(vec, x => x.cast("double") / nrm).cast("array<float>"))
 
+  /** One-pass fixed-point co-moment aggregate:
+    * `[n, S₁..S_d, P₁₁..P_dd]` as ARRAY<BIGINT> — the covariance /
+    * Gram / whitening input without the n·d²/2-row explode-shuffle.
+    * See [[graft.functions.expressions.CoMomentAgg]]. */
+  def coMoment(vec: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.expressions.CoMomentAgg(ExpressionUtils.expression(vec), dim)
+        .toAggregateExpression())
+
   /** ARRAY<FLOAT> → BINARY binary16 packing (2 bytes per component) —
     * the storage form of eltype="Float16" indexes. */
   def halfPack(a: Column): Column =

@@ -643,6 +643,59 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** (doc_id, sid): content-addressed shingle ids via the rolling
+    * char-hash — the id space is a pure function of shingle TEXT, so
+    * signatures computed over different corpora/batches/sessions are
+    * directly comparable (what makes [[SignatureStore]] incremental;
+    * a corpus-ranked vocabulary id could never be). */
+  def contentShingleIds(shingles: DataFrame): DataFrame =
+    shingles.select(col("doc_id"), TextAnalysis.termHash(col("shingle")).as("sid"))
+
+  /** STATELESS per-row MinHash signatures: the whole shingle → sid →
+    * 16-way min pipeline as one narrow expression over the token
+    * array, no explode and no groupBy — the form a STREAMING probe
+    * needs (aggregation state would grow with the stream; this has
+    * none). Bit-identical to [[minhashSignatures]] over
+    * [[contentShingleIds]] (same termHash sids, same (a·sid+b) mod P
+    * mins — pinned by DedupSpec); the batch form remains the scale
+    * shape for very long documents, whose exploded shingles partial-
+    * aggregate instead of riding one row. Documents with fewer than
+    * `k` tokens have no shingles and are dropped, matching the batch
+    * groupBy (zero input rows → absent doc). */
+  def rowMinhashSignatures(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingleArr = array_distinct(
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))
+    val sids = transform(shingleArr, s => TextAnalysis.termHash(s))
+    docs.select(col(idCol).as("doc_id"), sids.as("sids"))
+      .filter(size(col("sids")) > 0)
+      .select(col("doc_id"), array((0 until NumHashes).map(j =>
+        array_min(transform(col("sids"), s => (s * hashA(j) + hashB(j)) % MinhashPrime))): _*)
+        .as("sig"))
+  }
+
+  /** LSH banding across TWO signature tables (probe vs store) — the
+    * incremental twin of [[lshCandidatePairs]]: band keys equi-join
+    * (band, bandSig), so the plan hash-partitions on the band key and
+    * never compares a probe row against the whole store. Returns
+    * (batch_id, store_id, est_jaccard ≥ threshold). Ids need not be
+    * disjoint; a doc probed against itself reports est 1.0. */
+  def lshCandidatesAcross(probeSigs: DataFrame, storeSigs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    def banded(sigs: DataFrame) = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "bandSig")))
+    val cand = banded(probeSigs).as("x").join(banded(storeSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.bandSig") === col("y.bandSig"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("store_id"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    cand.select(col("batch_id"), col("store_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash over ranked token IDs with counts. Input:
     * (doc_id, tid, cnt). bit b set iff sum over tokens of
     * (cnt if g_b(tid) odd else -cnt) > 0, g_b(t) = (t*simA(b)+simB(b)) mod P. */

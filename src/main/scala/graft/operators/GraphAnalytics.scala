@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over an edge list — applied to the ANN index's
+  * adjacency it answers "which nodes dominate search traffic":
+  * high-PageRank hubs are the nodes every greedy walk funnels through
+  * (they bound cache working-set size and are the first candidates for
+  * degree-cap review). Brin & Page 1998; the bounded-iteration
+  * fixed-point form below.
+  *
+  * Scale shape, per iteration:
+  *   - contributions: edges ⋈ out-degrees ⋈ current ranks — two
+  *     hash-joins on the edge's source key (at 100 TB these co-locate
+  *     if the edge list is bucketed by `a`), then ONE partial-agg
+  *     groupBy on the destination. State between iterations is one
+  *     (id, rank) frame of V rows — never materialized per-edge.
+  *   - no driver-side structures: the only driver action is the
+  *     one-time node count (an O(1)-result aggregate).
+  *
+  * Determinism (hash-oracle-able like Clustering): ranks are longs in
+  * 10⁻⁹ fixed point. Per-edge contribution floor(0.85 · floor(r/d))
+  * and teleport floor(0.15 · 10⁹ / n) are floors of correctly-rounded
+  * IEEE doubles (operands ≤ 2⁵³, exact) — bit-identical in any engine
+  * — and the per-destination sum is an integer sum, add-order free.
+  * DuckDB replays the unrolled iterations from the same dumped edge
+  * list (see AnnQueries q137).
+  *
+  * Dangling nodes (out-degree 0) keep their teleport share but their
+  * rank mass is not redistributed — the standard simplification; total
+  * mass then decays at dangling-mass rate per round, which is fine for
+  * RANKING (the use here) and keeps the iteration one-join cheap.
+  */
+object GraphAnalytics {
+
+  private val Fp = 1e9
+  private val Damp = 0.85
+
+  /** `iters` fixed-point PageRank rounds over directed `edges(a, b)`
+    * restricted to `nodes(id)`; returns (id, rank_fp) for every node.
+    * Edges whose endpoints are outside `nodes` still contribute mass
+    * only if their source is a node (callers pass a consistent dump).
+    */
+  def pageRankFp(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val n = nodes.count().toDouble
+    val teleport = math.floor((1.0 - Damp) * Fp / n).toLong
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "a")
+    var r = nodes.select(col("id"), lit(math.floor(Fp / n).toLong).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(r.withColumnRenamed("id", "a"), "a")
+        .groupBy(col("b"))
+        .agg(sum(floor(lit(Damp) * floor(col("r").cast("double") / col("d").cast("double")))
+          .cast("long")).as("cs"))
+      r = nodes
+        .join(contrib.withColumnRenamed("b", "id"), Seq("id"), "left")
+        .select(col("id"), (lit(teleport) + coalesce(col("cs"), lit(0L))).as("r"))
+    }
+    r.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Top-k hubs by (rank_fp desc, id): TakeOrdered-shaped limit first
+    * (scale-safe — never a global single-partition window over V),
+    * then a row_number over the k surviving rows only. */
+  def topHubs(ranks: DataFrame, k: Int): DataFrame = {
+    val top = ranks.orderBy(col("rank_fp").desc, col("id")).limit(k)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("rank_fp").desc, col("id"))).cast("int"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{ArtifactStore, Fingerprint, SidecarJson}
+
+/** Persisted MinHash signature store — the INCREMENTAL dedup artifact.
+  *
+  * A 100 TB corpus is not deduplicated from scratch per ingest: the
+  * corpus's signatures are computed once, persisted, and every new
+  * batch (a crawl snapshot, a daily drop) is probed against the store
+  * WITHOUT rescanning the corpus text. That works here because
+  * signature ids are content-addressed — shingle id = rolling char
+  * hash of the shingle itself (TextAnalysis.termHash), never a
+  * corpus-ranked vocabulary id — so signatures computed in different
+  * sessions/batches live in the same hash space and band-join
+  * directly. (A ranked-vocabulary MinHash cannot be incremental: new
+  * batches shift the ranking.)
+  *
+  * Layout (the BM25/IVF artifact idiom):
+  *   `path/sigs/`      — (doc_id, sig ARRAY<BIGINT>[16]) parquet
+  *   `path/store.json` — atomic sidecar: counts, banding params, and
+  *                       a 64-bit content fingerprint; its presence
+  *                       marks the store complete (crash-safe publish:
+  *                       data first, pointer last).
+  *
+  * Scale: the store is |corpus| × 16 longs — ~0.1% of corpus text
+  * bytes; probing shuffles only (batch ∪ store) band keys, a banded
+  * equi-join, never all-pairs. */
+object SignatureStore {
+
+  private def sidecar(path: String) = s"$path/store.json"
+
+  def exists(path: String): Boolean =
+    ArtifactStore.current.exists(sidecar(path))
+
+  /** Compute and persist signatures for `docs` (doc_id, text). The
+    * fingerprint is derived from order-independent content sums, so
+    * any engine can re-derive and audit it. */
+  def build(docs: DataFrame, path: String, shingleK: Int = 3): Unit = {
+    val sigs = Dedup.minhashSignatures(
+      Dedup.contentShingleIds(Dedup.docShingles(docs, shingleK)))
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$path/sigs")
+      .agg(count(lit(1)).as("n"), coalesce(sum(element_at(col("sig"), 1)), lit(0L)).as("s"))
+      .head()
+    val fp = Fingerprint.ofString(s"${st.getLong(0)}|${st.getLong(1)}|${Dedup.NumHashes}")
+    ArtifactStore.current.writeAtomic(sidecar(path),
+      (s"""{"n_docs":${st.getLong(0)},"num_hashes":${Dedup.NumHashes},""" +
+        s""""bands":${Dedup.Bands},"rows_per_band":${Dedup.RowsPerBand},""" +
+        s""""shingle_k":$shingleK,"fingerprint":"$fp"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load the signature table; refuses an unpublished/mismatched store
+    * (sidecar missing, or banding params drifted from this build). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val file = sidecar(path)
+    if (!ArtifactStore.current.exists(file))
+      throw new IllegalStateException(s"signature store not published: $file missing")
+    val j = SidecarJson.read(file)
+    require(j.int("num_hashes") == Dedup.NumHashes && j.int("bands") == Dedup.Bands,
+      s"$file banding params (${j.int("num_hashes")}/${j.int("bands")}) " +
+        s"do not match this build (${Dedup.NumHashes}/${Dedup.Bands})")
+    spark.read.parquet(s"$path/sigs")
+  }
+
+  /** Probe NEW batch signatures against the store: banded equi-join
+    * across the two tables, candidates scored by signature-estimated
+    * Jaccard. Returns (batch_id, store_id, est_jaccard) — the batch
+    * rows to drop (or link) before appending to the corpus. */
+  def probe(batchSigs: DataFrame, storeSigs: DataFrame,
+      threshold: Double): DataFrame =
+    Dedup.lshCandidatesAcross(batchSigs, storeSigs, threshold)
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Clustering
@@ -29,6 +29,33 @@ object AnalyticsQueries {
   def kmeans(spark: SparkSession, dir: String): DataFrame =
     Clustering.kmeansReport(spread(t(spark, dir, "embeddings")), K, Iters)
       .orderBy(col("cluster"), col("pos"))
+
+  /** q136: full embedding covariance matrix (upper triangle, d(d+1)/2
+    * rows) from ONE corpus pass — the PCA / whitening / anisotropy
+    * input. The co_moment aggregate carries a fixed ~17 KB buffer per
+    * partition (map-side combined), so the plan never explodes the
+    * n·d²/2 (i, j, xᵢxⱼ) tuples a SQL formulation would shuffle; the
+    * pair unpack afterwards joins the ONE result row against a
+    * broadcast-literal (i, j, off) frame. cov(i,j) derives from exact
+    * integer sums, so the matrix hash-matches DuckDB bit-for-bit. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val ss = spark
+    import ss.implicits._
+    val d = Dim
+    val m = spread(t(spark, dir, "embeddings"))
+      .agg(VectorFunctions.coMoment(col("embedding"), d).as("m"))
+    val pairs = (for (i <- 1 to d; j <- i to d) yield (i, j)).zipWithIndex
+      .map { case ((i, j), off) => (i, j, off) }.toDF("i", "j", "off")
+    def over(c: Column): Column = // x -> x / (10⁶ n), the de-quantization
+      c.cast("double") / (lit(1e6) * element_at(col("m"), 1).cast("double"))
+    m.crossJoin(broadcast(pairs))
+      .select(col("i"), col("j"),
+        (round(over(element_at(col("m"), col("off") + lit(d + 2)))
+          - over(element_at(col("m"), col("i") + 1))
+            * over(element_at(col("m"), col("j") + 1)), 6) + lit(0.0)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 
   // ----------------------------------------------------------- oracles
 
@@ -69,10 +96,30 @@ object AnalyticsQueries {
          |SELECT s2.cl AS cluster, i2.n AS n_vecs, i2.inertia_fp,
          |       CAST(s2.i AS INT) AS pos, ROUND(s2.fp / (i2.n * 1000000.0), 6) AS centroid
          |FROM s2 JOIN i2 USING (cl)
-         |ORDER BY cluster, pos""".stripMargin
+         |ORDER BY cluster, pos""".stripMargin,
+    // The oracle HAS to explode n·d²/2 tuples (SQL has no mergeable
+    // buffer aggregate) — that contrast is the point of co_moment; at
+    // oracle scale (500–2000 vectors) the explode is harmless. FLOOR
+    // (+0.5) quantization mirrors the kernel's pinned rounding rule.
+    "q136_embed_cov" ->
+      s"""WITH ex AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+         |st AS (SELECT count(*) AS n FROM ex),
+         |s AS (SELECT t.i AS i,
+         |        CAST(SUM(CAST(FLOOR(x[t.i] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS si
+         |      FROM ex CROSS JOIN range(1, ${Dim + 1}) AS t(i) GROUP BY 1),
+         |p AS (SELECT t1.i AS i, t2.j AS j,
+         |        CAST(SUM(CAST(FLOOR(x[t1.i] * x[t2.j] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS pij
+         |      FROM ex CROSS JOIN range(1, ${Dim + 1}) AS t1(i) CROSS JOIN range(1, ${Dim + 1}) AS t2(j)
+         |      WHERE t2.j >= t1.i GROUP BY 1, 2)
+         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+         |       ROUND(p.pij / (1000000.0 * st.n)
+         |           - (si.si / (1000000.0 * st.n)) * (sj.si / (1000000.0 * st.n)), 6) + 0.0 AS cov
+         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j CROSS JOIN st
+         |ORDER BY i, j""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q135_kmeans" -> (kmeans _)
+    "q135_kmeans" -> (kmeans _),
+    "q136_embed_cov" -> (embedCovariance _)
   )
 }

@@ -172,6 +172,29 @@ object DocQueries {
     out
   }
 
+  /** q138: incremental near-dup — the daily-ingest shape. The corpus
+    * originals (doc_id < 100000) are signed ONCE into a persisted
+    * [[graft.operators.SignatureStore]] (dir-keyed scratch under
+    * target/, the q111/q132 idiom: fixtures are immutable, bench
+    * repeats must not rebuild); the dup-probe batch (the +100000 exact
+    * and +200000 near copies) is then probed against the LOADED store
+    * — corpus text is never rescanned on the probe path. Content-
+    * addressed shingle ids are what make the two signature sets
+    * band-joinable across sessions. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val store = new java.io.File(s"target/minhash-store/$digest").getAbsolutePath
+    if (!graft.operators.SignatureStore.exists(store))
+      graft.operators.SignatureStore.build(
+        spread(corpus(spark, dir)).filter(col("doc_id") < 100000L), store)
+    val batchSigs = Dedup.minhashSignatures(Dedup.contentShingleIds(
+      corpusShingles(spark, dir).filter(col("doc_id") >= 100000L)))
+    graft.operators.SignatureStore.probe(
+        batchSigs, graft.operators.SignatureStore.load(spark, store), 0.5)
+      .orderBy(col("batch_id"), col("store_id"))
+  }
+
   /** 32-bit SimHash per document over char-hashed token IDs (one hash
     * per distinct (doc, token) — computed after the count groupBy). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -859,6 +882,36 @@ object DocQueries {
       .orderBy(col("lang"))
   }
 
+  /** q139: CSV ingest with quarantine — the q111 contract over the
+    * OTHER line-splittable dump format (headerless CSV, explicit
+    * schema, PERMISSIVE parse; every doc_id % 50 == 0 line is
+    * corrupted with a non-numeric id cell). Same deterministic
+    * corruption rule, so the oracle re-derives both partitions from
+    * `documents` without reading the scratch dump. */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CorpusIngest
+    val d = t(spark, dir, "documents")
+    val lines = d.select(
+      when(col("doc_id") % 50 === 0,
+        concat(lit("x"), col("doc_id").cast("string"), lit(",truncated")))
+        .otherwise(to_csv(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))))
+        .as("value"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(
+      s"target/oracle-scratch/csv-$digest").getAbsolutePath
+    lines.write.mode("overwrite").text(tmp)
+    val good = CorpusIngest.readCsv(spark, tmp, d.schema)
+    val quarantined = CorpusIngest.quarantineCsv(spark, tmp, d.schema)
+    good.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .unionByName(quarantined.agg(count(lit(1)).as("n_docs"))
+        .select(lit("__quarantined__").as("lang"), col("n_docs"),
+          lit(0L).as("sum_chars")))
+      .orderBy(col("lang"))
+  }
+
   /** Pipeline yield report (q117): the composed curation funnel —
     * ingest → quality gate (q46's score ≥ 0.5) → exact keep-first
     * dedup → benchmark decontamination (q59's rule) — reported as
@@ -1272,6 +1325,23 @@ object DocQueries {
          |SELECT doc_a, doc_b, $estJaccardSql AS est_jaccard
          |FROM cand WHERE $estJaccardSql >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q138: same signature pipeline, but candidates cross the
+    // store/batch split (store = originals < 100000, batch = the
+    // planted dup probes) — replaying the persisted-store probe from
+    // first principles.
+    "q138_incremental_dedup" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
+         |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
+         |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS store_id, x.sig AS sa, y.sig AS sb
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bandsig = y.bandsig
+         |         WHERE x.doc_id >= 100000 AND y.doc_id < 100000)
+         |SELECT batch_id, store_id, $estJaccardSql AS est_jaccard
+         |FROM cand WHERE $estJaccardSql >= 0.5
+         |ORDER BY batch_id, store_id""".stripMargin,
     "q52_dedup_groups" ->
       s"""WITH RECURSIVE $corpusSql,
          |${shinglesCte("corpus")},
@@ -1894,6 +1964,15 @@ object DocQueries {
         |SELECT '__quarantined__' AS lang, count(*) AS n_docs, 0 AS sum_chars
         |FROM documents WHERE doc_id % 50 = 0
         |ORDER BY lang""".stripMargin,
+    // q139: identical partition rule to q111 — the CSV dump corrupts
+    // exactly the doc_id % 50 == 0 lines.
+    "q139_csv_ingest" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 50 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '__quarantined__' AS lang, count(*) AS n_docs, 0 AS sum_chars
+        |FROM documents WHERE doc_id % 50 = 0
+        |ORDER BY lang""".stripMargin,
     "q110_unicode_normalize" ->
       """WITH inj AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) || ' unicode'
@@ -2277,6 +2356,7 @@ object DocQueries {
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),
     "q43_minhash_lsh" -> (minhashLsh _),
+    "q138_incremental_dedup" -> (incrementalDedup _),
     "q44_simhash" -> (simhash _),
     "q45_embedding_neardup" -> (embeddingNearDup _),
     "q46_text_stats" -> (textStats _),
@@ -2314,6 +2394,7 @@ object DocQueries {
     "q108_corpus_card" -> (corpusCard _),
     "q110_unicode_normalize" -> (unicodeNormalize _),
     "q111_jsonl_ingest" -> (jsonlIngest _),
+    "q139_csv_ingest" -> (csvIngest _),
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
     "q119_chunk_overlap" -> (chunkOverlap _),

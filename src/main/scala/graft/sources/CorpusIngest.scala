@@ -62,4 +62,41 @@ object CorpusIngest {
   /** JSONL sink (one self-describing JSON object per line). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** CSV front door — same quarantine discipline as JSONL, for the
+    * other line-splittable dump format corpora actually arrive in
+    * (metadata exports, tabular crawls). Headerless by contract: a
+    * header row is a per-FILE artifact that breaks split-parallel
+    * reading semantics (every split but the first has no header), and
+    * at scale the schema travels with the pipeline, not the dump.
+    * Dialect: Spark's default (quote `"`, escape `\`) — what
+    * [[writeCsv]] and `to_csv` emit; RFC-4180 quote-doubling dumps
+    * need `from_csv` options threaded through [[splitCsvLines]]. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      idCol: String = "doc_id"): DataFrame =
+    splitCsvLines(spark.read.text(path), schema, idCol)._1
+
+  /** Quarantined CSV rows, kept as the raw line for forensics. */
+  def quarantineCsv(spark: SparkSession, path: String, schema: StructType,
+      idCol: String = "doc_id"): DataFrame =
+    splitCsvLines(spark.read.text(path), schema, idCol)._2
+
+  /** Stateless CSV line split — (good, quarantined) — the
+    * [[splitLines]] contract over `from_csv`: one per-row expression,
+    * no join/state, so the SAME call quarantines a STREAMING text
+    * source at arrival. PERMISSIVE parse nulls unparseable fields; a
+    * row is quarantined when the whole parse or its required id comes
+    * back null (a non-numeric id cell, a truncated line). */
+  def splitCsvLines(lines: DataFrame, schema: StructType,
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val parsed = lines.withColumn("__parsed",
+      from_csv(col("value"), schema, Map("mode" -> "PERMISSIVE")))
+    val bad = col("__parsed").isNull || col(s"__parsed.$idCol").isNull
+    (parsed.filter(!bad).select(col("__parsed.*")),
+      parsed.filter(bad).select(col("value").as("raw_line")))
+  }
+
+  /** CSV sink (headerless, to match [[readCsv]]'s contract). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "false").csv(path)
 }

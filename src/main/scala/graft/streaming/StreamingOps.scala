@@ -140,6 +140,35 @@ object StreamingOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Streaming incremental near-dup (streaming twin of q138): each
+    * arriving document is signed by the STATELESS per-row MinHash
+    * expression ([[graft.operators.Dedup.rowMinhashSignatures]] — no
+    * explode, no aggregation, so no streaming state), band-exploded,
+    * and stream-static joined against the persisted
+    * [[graft.operators.SignatureStore]] signatures. Emits
+    * (doc_id, store_id, band, est_jaccard ≥ threshold) — one row per
+    * MATCHING BAND, like [[streamingLshCandidates]]: per-pair dedup is
+    * a stateful aggregation that would grow with the stream, so it
+    * stays a downstream batch/windowed concern. The store side is
+    * re-banded per micro-batch from the loaded signature table — a
+    * narrow map over an in-memory static frame, no per-batch I/O. */
+  def streamingStoreProbe(docs: DataFrame, storeSigs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    def banded(sigs: DataFrame) = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Dedup.Bands - 1)), b =>
+        slice(col("sig"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand))))
+        .as(Seq("band", "bandSig")))
+    banded(Dedup.rowMinhashSignatures(docs)).as("x")
+      .join(banded(storeSigs).select(col("doc_id").as("store_id"),
+        col("sig").as("store_sig"), col("band"), col("bandSig")).as("y"),
+        Seq("band", "bandSig"))
+      .select(col("doc_id"), col("store_id"), col("band"),
+        (size(filter(zip_with(col("sig"), col("store_sig"), (a, b) => a === b), x => x))
+          .cast("double") / Dedup.NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Streaming distinct-cardinality sketch (streaming twin of q123's
     * KMV card): the running distinct-user estimate per event_type over
     * an unbounded event stream. An exact streaming `COUNT(DISTINCT)`

@@ -32,6 +32,30 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
+    // the cap is what makes that budget independent of query-set size
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
+    assert(qKeys.size === math.min(Bench.TopQueriesOnLine, results.size))
+    assert((parsed \ "nq").asInstanceOf[org.json4s.JInt].num.toInt === results.size)
+  }
+
+  test("listed top queries + rest reconcile with the total") {
+    val results = (1 to 40).map(i => f"q$i%02d_x" -> i.toDouble)
+    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), "sf")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
+    // slowest TopQueriesOnLine entries: 40 down to 17
+    assert(qs.map(_._1).head === "q40")
+    assert(qs.size === Bench.TopQueriesOnLine)
+    def num(v: org.json4s.JValue): Double = v match {
+      case org.json4s.JDouble(d) => d
+      case org.json4s.JInt(i) => i.toDouble // r2 renders 40.0 as "40"
+      case other => fail(s"non-numeric $other")
+    }
+    val listed = qs.map(kv => num(kv._2)).sum
+    val rest = num(parsed \ "rest")
+    val total = num(parsed \ "value")
+    assert(math.abs(listed + rest - total) < 0.2) // r2 rounding slack
   }
 
   test("summary line is valid JSON with the expected metric keys") {
@@ -41,11 +65,12 @@ class BenchSummarySpec extends AnyFunSuite {
       Some(8.37))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
-    assert(keys === List("metric", "value", "unit", "queries", "builds_sec",
-      "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps", "cal", "sr", "sf"))
+    assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
+      "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps",
+      "cal", "sr", "sf"))
     assert((parsed \ "sr").asInstanceOf[org.json4s.JDouble].num === 8.4)
     val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
-    assert(qKeys === List("q01", "q41"))
+    assert(qKeys === List("q41", "q01")) // slowest first
     val cal = (parsed \ "cal").asInstanceOf[org.json4s.JArray].arr
     assert(cal.size === 4)
   }

@@ -355,4 +355,24 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b", 1L, 0.333333)),
       s"got ${out.toSeq}")
   }
+
+  test("rowMinhashSignatures is bit-identical to the batch explode/groupBy pipeline") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (4L, "tiny doc"), // < 3 tokens: no shingles
+      (5L, "the the the the the")) // degenerate repeats
+      .toDF("doc_id", "text")
+    def collectSigs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sig").as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val batch = collectSigs(
+      Dedup.minhashSignatures(Dedup.contentShingleIds(Dedup.docShingles(docs, 3))))
+    val row = collectSigs(Dedup.rowMinhashSignatures(docs))
+    assert(row == batch)
+    assert(row.map(_._1) == Seq(1L, 2L, 3L, 5L)) // doc 4 absent from both
+    assert(row.head._2 == row(2)._2) // exact copies share a signature
+  }
 }

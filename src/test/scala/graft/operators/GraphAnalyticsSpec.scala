@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** GraphAnalytics.pageRankFp contract: hand-computed fixed-point
+  * ranks, dangling-node behavior, and partition independence. */
+class GraphAnalyticsSpec extends SparkSpec {
+
+  private def frames(nodeIds: Seq[Long], edges: Seq[(Long, Long)]) = {
+    val ss = spark
+    import ss.implicits._
+    (nodeIds.toDF("id"), edges.toDF("a", "b"))
+  }
+
+  test("one round on a 3-node funnel matches the hand-computed fixed point") {
+    // 1 -> 2, 3 -> 2, 2 -> 1 ; n = 3
+    val (nodes, edges) = frames(Seq(1L, 2L, 3L), Seq((1L, 2L), (3L, 2L), (2L, 1L)))
+    val r = GraphAnalytics.pageRankFp(nodes, edges, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = floor(1e9/3) = 333333333, teleport = floor(0.15e9/3) = 50000000
+    // contribution along each out-degree-1 edge = floor(0.85 * 333333333)
+    val share = math.floor(0.85 * math.floor(333333333.0)).toLong
+    assert(r == Map(
+      2L -> (50000000L + 2 * share), // funnel target
+      1L -> (50000000L + share),
+      3L -> 50000000L))              // no in-edges: teleport only
+  }
+
+  test("dangling node keeps its teleport share; hubs rank first") {
+    // 4 is dangling (no out-edges); 1,2,3 all point at 4
+    val (nodes, edges) = frames(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+    val top = GraphAnalytics.topHubs(
+      GraphAnalytics.pageRankFp(nodes, edges, iters = 2), 2)
+      .collect().map(x => (x.getAs[Int]("rnk"), x.getAs[Long]("id")))
+    assert(top.toSeq == Seq((1, 4L), (2, 1L))) // hub first, then lowest id
+  }
+
+  test("ranks are independent of partitioning (integer sums)") {
+    val ids = (1L to 40L)
+    val edges = ids.flatMap(i => Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1)))
+    val (nodes, e) = frames(ids, edges)
+    val a = GraphAnalytics.pageRankFp(nodes.coalesce(1), e.coalesce(1), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = GraphAnalytics.pageRankFp(nodes.repartition(7), e.repartition(5), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+}

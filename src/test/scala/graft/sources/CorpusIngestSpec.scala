@@ -38,6 +38,46 @@ class CorpusIngestSpec extends SparkSpec {
     assert(good.size + quarantined.size == lines.size)
   }
 
+  test("readCsv/quarantineCsv: same quarantine discipline over headerless CSV") {
+    val ss = spark
+    import ss.implicits._
+    val dir = tmpDir("csv-in")
+    val lines = Seq(
+      "1,hello world,en",
+      "x2,truncated",                      // non-numeric id -> quarantined
+      ",no id here,de",                    // empty id cell -> quarantined
+      "4,\"comma, inside\",fr",            // quoted comma survives
+      "5,\"he said \\\"hi\\\"\",pt")       // Spark-dialect escaped quote survives
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+
+    val good = CorpusIngest.readCsv(spark, dir, schema).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(good == Map(
+      1L -> (("hello world", "en")),
+      4L -> (("comma, inside", "fr")),
+      5L -> (("he said \"hi\"", "pt"))), s"got $good")
+
+    val quarantined = CorpusIngest.quarantineCsv(spark, dir, schema)
+      .collect().map(_.getString(0)).toSet
+    assert(quarantined == Set(lines(1), lines(2)), s"got $quarantined")
+    assert(good.size + quarantined.size == lines.size)
+  }
+
+  test("to_csv lines -> readCsv round-trips, matching the JSONL split rule") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq((1L, "plain text", "en"), (2L, "with, comma", "de"),
+      (3L, "with \"quotes\"", "fr"))
+    val dir = tmpDir("csv-rt")
+    rows.toDF("doc_id", "text", "lang")
+      .select(to_csv(struct(col("doc_id"), col("text"), col("lang"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = CorpusIngest.readCsv(spark, dir, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(back == rows)
+    assert(CorpusIngest.quarantineCsv(spark, dir, schema).count() == 0)
+  }
+
   test("splitLines on a STREAM == the batch readers' split (stateless per-line rule)") {
     val ss = spark
     implicit val sql = ss.sqlContext

@@ -207,6 +207,39 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingStoreProbe: stream hits == batch SignatureStore probe (per-pair)") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val corpusRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+    val dir = tmpDir("stream-sigstore")
+    graft.operators.SignatureStore.build(corpusRows.toDF("doc_id", "text"), dir)
+    val store = graft.operators.SignatureStore.load(spark, dir)
+    val batchRows = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (102L, "a totally novel document with fresh content words"),
+      (103L, "hi")) // no shingles -> silently clean
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingStoreProbe(
+        mem.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("storeprobe_out").outputMode("append").start()
+    mem.addData(batchRows: _*)
+    q.processAllAvailable()
+    // per-PAIR comparison (the stream emits once per matching band)
+    val stream = spark.table("storeprobe_out")
+      .select("doc_id", "store_id", "est_jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.SignatureStore.probe(
+        graft.operators.Dedup.rowMinhashSignatures(batchRows.toDF("doc_id", "text")),
+        store, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stream == batch)
+    assert(stream.map(p => (p._1, p._2)) == Set((101L, 1L)))
+    q.stop()
+  }
+
   test("streamingSemanticDecon: stream output == batch semanticDecontaminate") {
     val ss = spark
     implicit val sql = ss.sqlContext
