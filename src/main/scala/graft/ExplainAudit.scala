@@ -41,7 +41,9 @@ object ExplainAudit {
         "q108_corpus_card", "q109_parent_doc_search", "q111_jsonl_ingest",
         "q115_mmr_rerank", "q116_pmi_collocations", "q117_pipeline_yield",
         "q127_bm25_topk", "q128_hybrid_rrf", "q129_token_drift",
-        "q130_hard_negatives")
+        "q130_hard_negatives", "q135_kmeans", "q136_embed_cov",
+        "q137_graph_pagerank", "q138_incremental_dedup", "q139_csv_ingest",
+        "q140_entry_depths")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

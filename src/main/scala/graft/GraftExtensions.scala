@@ -19,6 +19,7 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *   - graft_topk_pairs(d, id, k)  — bounded-heap top-k aggregate
   *   - graft_kmv_distinct(s, k)    — KMV distinct-count sketch aggregate
   *   - graft_mg_summary(s, k)      — Misra–Gries frequent-items summary
+  *   - graft_co_moment(v, d)       — one-pass fixed-point co-moment aggregate
   *   - graft_bloom_agg(s, m, k)    — Bloom-filter build aggregate (BINARY)
   *   - graft_bloom_contains(f, s)  — Bloom membership probe (no false negatives)
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
@@ -102,6 +103,17 @@ object GraftExtensions {
             s"graft_mg_summary k must be an integer literal, got $other")
         }
         graft.functions.expressions.MisraGriesAgg(args(0), k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_co_moment"),
+      info("graft_co_moment",
+        "one-pass fixed-point co-moment aggregate of an ARRAY<FLOAT> column -> ARRAY<BIGINT> [n, S_1..S_d, P_11..P_dd] (upper triangle); dim is an integer literal"),
+      (args: Seq[Expression]) => {
+        val d = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_co_moment dim must be an integer literal, got $other")
+        }
+        graft.functions.expressions.CoMomentAgg(args(0), d).toAggregateExpression()
       }),
     (FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg",

@@ -14,6 +14,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 final class SidecarJson private (val file: String, root: JsonNode) {
 
+  private[index] def rootNode(k: String): JsonNode = node(k)
+
   private def node(k: String): JsonNode = {
     val n = root.get(k)
     if (n == null || n.isNull)
@@ -62,6 +64,18 @@ final class SidecarJson private (val file: String, root: JsonNode) {
     }
   }
 
+  def doubleList(k: String): Seq[Double] = {
+    val n = node(k)
+    if (!n.isArray)
+      throw new IllegalArgumentException(s"$file field $k is not an array")
+    (0 until n.size).map { i =>
+      val e = n.get(i)
+      if (!e.isNumber)
+        throw new IllegalArgumentException(s"$file field $k[$i] is not a number")
+      e.asDouble()
+    }
+  }
+
   /** None when the key is absent; a present non-array throws. */
   def longListOpt(k: String): Option[Seq[Long]] = {
     val n = root.get(k)
@@ -98,6 +112,27 @@ object SidecarJson {
   def read(path: String): SidecarJson =
     parse(path, new String(ArtifactStore.current.readBytes(path),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Read a rectangular ARRAY-of-ARRAY-of-number field (model
+    * matrices: PCA components). Shape validation is the caller's —
+    * this only guarantees every cell is numeric. */
+  def readMatrix(path: String, k: String): Array[Array[Double]] = {
+    val j = read(path)
+    val n = j.rootNode(k)
+    if (!n.isArray)
+      throw new IllegalArgumentException(s"$path field $k is not an array")
+    Array.tabulate(n.size) { i =>
+      val row = n.get(i)
+      if (!row.isArray)
+        throw new IllegalArgumentException(s"$path field $k[$i] is not an array")
+      Array.tabulate(row.size) { c =>
+        val e = row.get(c)
+        if (!e.isNumber)
+          throw new IllegalArgumentException(s"$path field $k[$i][$c] is not a number")
+        e.asDouble()
+      }
+    }
+  }
 
   /** JSON string literal (quotes + escapes) for sidecar WRITERS whose
     * values come from data (e.g. learned BPE symbols) rather than

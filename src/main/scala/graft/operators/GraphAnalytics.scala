@@ -71,4 +71,70 @@ object GraphAnalytics {
     top.withColumn("rnk",
       row_number().over(Window.orderBy(col("rank_fp").desc, col("id"))).cast("int"))
   }
+
+  /** BFS hop-depth histogram from `source` over directed `edges(a,b)`
+    * restricted to `nodes(id)` — applied to the index graph it is the
+    * SEARCH-LATENCY audit: every greedy walk starts at the entrypoint,
+    * so the depth distribution bounds how many adjacency rounds a
+    * query needs to reach any region, and a growing tail after heavy
+    * churn says "time to re-elect the entrypoint / rebuild".
+    *
+    * Returns (depth, n_nodes) plus a constant depth = -1 row counting
+    * unreachable live nodes (0 on a healthy index — the q114
+    * reachable_frac failure mode, localized by depth here).
+    *
+    * Scale shape: frontier-relaxation BFS — each round is one
+    * equi-join of the FRONTIER (not the full visited set) against the
+    * edge list plus an anti-join to drop already-visited nodes; rounds
+    * = graph diameter (small-world ANN graphs: O(log V)). Per-round
+    * frames are localCheckpoint'ed and released (the
+    * connectedComponents block-hygiene discipline) so lineage stays
+    * flat. Throws if the frontier is still growing at `maxRounds` —
+    * a silent cap would under-report depths as unreachable. */
+  def hopDepths(nodes: DataFrame, edges: DataFrame, source: Long,
+      maxRounds: Int = 30): DataFrame = {
+    import graft.plans.Blocks
+    val e = edges.localCheckpoint(true)
+    var dist = nodes.filter(col("id") === source)
+      .select(col("id"), lit(0).cast("int").as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var exhausted = false
+    while (!exhausted && round < maxRounds) {
+      round += 1
+      val next = frontier.join(e, frontier("id") === e("a"))
+        .select(col("b").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .join(nodes, Seq("id"), "left_semi")
+        .select(col("id"), lit(round).cast("int").as("d"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        exhausted = true
+        Blocks.release(next)
+      } else {
+        val grown = dist.unionByName(next).localCheckpoint(true)
+        if (frontier ne dist) Blocks.release(frontier)
+        Blocks.release(dist)
+        dist = grown
+        frontier = next
+      }
+    }
+    if (!exhausted)
+      throw new IllegalStateException(
+        s"hopDepths: frontier still growing after $maxRounds rounds — " +
+          "diameter exceeds the bound; raise maxRounds")
+    val out = dist.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("d").as("depth"), col("n_nodes"))
+      .unionByName(
+        nodes.join(dist, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(-1).cast("int").as("depth"), col("n_nodes")))
+      .orderBy(col("depth"))
+      .localCheckpoint(true)
+    if (frontier ne dist) Blocks.release(frontier)
+    Blocks.release(dist)
+    Blocks.release(e)
+    out
+  }
 }

@@ -57,6 +57,34 @@ object AnalyticsQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q141: PCA whitening report — fit (ONE co_moment pass + driver
+    * Jacobi on the d×d covariance), whiten-transform (narrow map), and
+    * report per retained component its eigenvalue and the post-whiten
+    * variance (≈ 1.0 by construction — the self-check a pipeline runs
+    * after fitting). Eigendecomposition is not SQL-expressible, so
+    * this is a rows-only surface; its INPUT covariance is exactly what
+    * q136 hash-oracles, and PcaSpec gates the math. */
+  def pcaWhiten(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val e = spread(t(spark, dir, "embeddings"))
+    val model = Pca.fit(e, Dim, k = 8)
+    val stats = Pca.transform(e, model)
+      .select(posexplode(col("proj")).as(Seq("comp", "p")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"),
+        sum(col("p") * col("p")).as("s2"))
+      .select(col("comp").cast("int").as("comp"),
+        round((col("s2") / col("n")) - (col("s") / col("n")) * (col("s") / col("n")), 4)
+          .as("whitened_var"))
+    val ss = spark
+    import ss.implicits._
+    val evs = model.eigenvalues.zipWithIndex
+      .map { case (v, i) => (i, BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }.toSeq.toDF("comp", "eigenvalue")
+    stats.join(evs, "comp").select(col("comp"), col("eigenvalue"), col("whitened_var"))
+      .orderBy(col("comp"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -120,6 +148,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (kmeans _),
-    "q136_embed_cov" -> (embedCovariance _)
+    "q136_embed_cov" -> (embedCovariance _),
+    "q141_pca_whiten" -> (pcaWhiten _)
   )
 }

@@ -840,6 +840,19 @@ object AnnQueries {
       graft.operators.GraphAnalytics.pageRankFp(nodes, edges, iters = 3), 20)
   }
 
+  /** q140: BFS hop-depth histogram from the entrypoint — the
+    * search-latency audit (how many adjacency rounds a greedy walk
+    * needs to reach any region; the q114 reachable_frac failure mode
+    * localized by depth). Same dumped graph, oracled by a DuckDB
+    * `WITH RECURSIVE` min-hop replay. */
+  def entryDepths(spark: SparkSession, dir: String): DataFrame = {
+    val idx = builtIndex(spark, dir)
+    val base = graphDump(spark, dir)
+    val nodes = spark.read.parquet(s"$base/nodes")
+    val edges = spark.read.parquet(s"$base/edges")
+    graft.operators.GraphAnalytics.hopDepths(nodes, edges, idx.meta.entrypoint.toLong)
+  }
+
   private val healthDumped =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -869,7 +882,8 @@ object AnnQueries {
     "q100_ivfpq_res_recall" -> (ivfPqResRecall _),
     "q101_ef_sweep" -> (efSweepRecall _),
     "q114_index_health" -> (indexHealth _),
-    "q137_graph_pagerank" -> (graphPagerank _)
+    "q137_graph_pagerank" -> (graphPagerank _),
+    "q140_entry_depths" -> (entryDepths _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
@@ -942,6 +956,27 @@ object AnnQueries {
            |SELECT id, r AS rank_fp, rnk FROM
            |  (SELECT id, r, CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id) AS INT) AS rnk FROM r3)
            |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-      })
+      },
+      // q140: min-hop BFS from the entrypoint over the same dump. The
+      // d < 30 cap mirrors hopDepths' maxRounds (which THROWS if the
+      // frontier is still growing there, so a too-small cap can never
+      // silently disagree).
+      "q140_entry_depths" ->
+        s"""WITH RECURSIVE
+           |nodes AS (SELECT id FROM read_parquet('$b/nodes/*.parquet')),
+           |edges AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
+           |ep AS (SELECT entrypoint FROM read_parquet('$b/entry/*.parquet')),
+           |reach(node, d) AS (
+           |  SELECT entrypoint AS node, 0 AS d FROM ep
+           |  WHERE entrypoint IN (SELECT id FROM nodes)
+           |  UNION
+           |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
+           |  WHERE r.d < 30 AND e.b IN (SELECT id FROM nodes)),
+           |md AS (SELECT node, min(d) AS d FROM reach GROUP BY node)
+           |SELECT CAST(d AS INT) AS depth, count(*) AS n_nodes FROM md GROUP BY d
+           |UNION ALL
+           |SELECT -1 AS depth, count(*) AS n_nodes
+           |FROM nodes n LEFT JOIN md ON md.node = n.id WHERE md.node IS NULL
+           |ORDER BY depth""".stripMargin)
   }
 }

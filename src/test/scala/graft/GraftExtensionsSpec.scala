@@ -26,6 +26,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(g2.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((3.0, 1L)))
   }
 
+  test("graft_co_moment via SQL matches the column API") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      """SELECT graft_co_moment(v, 2) AS m FROM VALUES
+        |  (array(1.0F, -2.0F)), (array(0.5F, 0.25F)) AS t(v)""".stripMargin)
+      .head().getSeq[Long](0)
+    def fp(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    assert(sql == Seq(2L,
+      fp(1.0) + fp(0.5), fp(-2.0) + fp(0.25),
+      fp(1.0) + fp(0.25), fp(-2.0) + fp(0.125), fp(4.0) + fp(0.0625)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_co_moment(v, v) FROM VALUES (array(1.0F)) AS t(v)")
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("graft_pq_adc via SQL: m byte-indexed LUT lookups") {
     GraftExtensions.register(spark)
     // m=2 subspaces, k=4: codes [1, 3] pick lut[0*4+1]=0.5 and lut[1*4+3]=2.0

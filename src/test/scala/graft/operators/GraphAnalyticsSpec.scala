@@ -36,6 +36,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 4L), (2, 1L))) // hub first, then lowest id
   }
 
+  test("hopDepths: min-hop histogram with an unreachable node") {
+    // 1 -> 2 -> 3, 1 -> 3 (shortcut: 3 is depth 1, not 2), 4 isolated
+    val (nodes, edges) = frames(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val out = GraphAnalytics.hopDepths(nodes, edges, source = 1L)
+    val hist = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    graft.plans.Blocks.release(out)
+    assert(hist == Map(0 -> 1L, 1 -> 2L, -1 -> 1L))
+  }
+
+  test("hopDepths: a cycle terminates and reports each node once") {
+    val (nodes, edges) = frames(Seq(1L, 2L, 3L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val out = GraphAnalytics.hopDepths(nodes, edges, source = 1L)
+    val hist = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    graft.plans.Blocks.release(out)
+    assert(hist == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 0L))
+  }
+
   test("ranks are independent of partitioning (integer sums)") {
     val ids = (1L to 40L)
     val edges = ids.flatMap(i => Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1)))
