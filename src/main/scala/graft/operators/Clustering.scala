@@ -68,6 +68,15 @@ object Clustering {
         when(ds.drop(j + 1).map(d <= _).reduce(_ && _), lit(j)).otherwise(rest)
     }
 
+  /** PUBLIC assignment expression: the cluster id (int) of `vec` under
+    * literal `cents` — a pure narrow column (no join, no state), so
+    * the SAME expression assigns a STREAMING frame (the serving-time
+    * "which topic bucket is this arriving doc" map) and any batch
+    * frame, with the identical fixed-point/tie-break contract the
+    * q135 oracle replays. */
+  def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
+    argmin(cents.toSeq.map(c => distFp(vec, c))).cast("int")
+
   /** Narrow-map assignment under literal centroids: adds `cl` (int)
     * and `d_fp` (the selected distance, for inertia). */
   private def assign(embeddings: DataFrame, vecCol: String,
@@ -136,5 +145,67 @@ object Clustering {
       }
     }
     report
+  }
+
+  /** Collect a report frame's centroids as the fitted model (the
+    * bounded k×dim action — "broadcast the model"). */
+  def modelFromReport(report: DataFrame, k: Int): KmeansModel = {
+    val byCl = report.select(col("cluster"), col("pos"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cl, rows) => cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    require((0 until k).forall(byCl.contains), s"report missing clusters (k=$k)")
+    KmeansModel((0 until k).map(byCl).toArray)
+  }
+}
+
+/** Fitted k-means centroids — persistable via [[KmeansArtifact]] so a
+  * serving/streaming pipeline assigns under the SAME frozen model the
+  * batch fit produced (a model that lives only in a driver Seq refits
+  * differently on every cold start — the BpeArtifact argument). */
+final case class KmeansModel(centroids: Array[Array[Double]]) {
+  def k: Int = centroids.length
+  def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  def fingerprint: String =
+    graft.index.Fingerprint.ofDoubles(
+      Array(k.toDouble, dim.toDouble) ++ centroids.flatten)
+}
+
+/** Content-fingerprinted sidecar persistence for [[KmeansModel]] —
+  * the BpeArtifact/Pca idiom (immutable content file, atomic pointer,
+  * re-hash on load). */
+object KmeansArtifact {
+  import graft.index.{ArtifactStore, SidecarJson}
+
+  private def contentFile(fp: String) = s"kmeans-$fp.json"
+
+  def save(model: KmeansModel, path: String): Unit = {
+    val store = ArtifactStore.current
+    store.createDirs(path)
+    val fp = model.fingerprint
+    def arr(xs: Array[Double]) = xs.map(_.toString).mkString("[", ",", "]")
+    val json =
+      s"""{"fingerprint":"$fp","k":${model.k},"dim":${model.dim},""" +
+        s""""centroids":${model.centroids.map(arr).mkString("[", ",", "]")}}"""
+    store.writeAtomic(s"$path/${contentFile(fp)}",
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    store.writeAtomic(s"$path/kmeans.json",
+      s"""{"fingerprint":"$fp"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): KmeansModel = {
+    val fp = SidecarJson.read(s"$path/kmeans.json").str("fingerprint")
+    val file = s"$path/${contentFile(fp)}"
+    val j = SidecarJson.read(file)
+    val k = j.int("k"); val dim = j.int("dim")
+    val cents = SidecarJson.readMatrix(file, "centroids")
+    if (cents.length != k || cents.exists(_.length != dim))
+      throw new IllegalArgumentException(s"$file: inconsistent shapes (k=$k dim=$dim)")
+    val model = KmeansModel(cents)
+    if (model.fingerprint != fp)
+      throw new IllegalArgumentException(
+        s"$file: content fingerprint ${model.fingerprint} != pointer $fp " +
+          "(corrupted or tampered model)")
+    model
   }
 }

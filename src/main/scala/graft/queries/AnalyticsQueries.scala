@@ -85,6 +85,28 @@ object AnalyticsQueries {
       .orderBy(col("comp"))
   }
 
+  /** q142: cluster mix per language — the frozen k-means model's
+    * assignment (the ROUND-1-updated centroids, i.e. exactly the
+    * oracle's `a2` assignment) joined onto document metadata: which
+    * languages land in which semantic bucket (the mix a curriculum /
+    * mixture-weight decision reads). Assignment is the narrow
+    * [[graft.operators.Clustering.assignExpr]] map; the metadata join
+    * is a plain keyed equi-join (AQE broadcasts the smaller side);
+    * one partial-agg groupBy ends the plan. */
+  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val e = spread(t(spark, dir, "embeddings"))
+    val model = Clustering.modelFromReport(
+      Clustering.kmeansReport(e, K, iters = 1), K)
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    e.select(col("vec_id"),
+        Clustering.assignExpr(col("embedding"), model.centroids).as("cluster"))
+      .join(docs, col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"), col("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("cluster"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -101,30 +123,43 @@ object AnalyticsQueries {
        | FROM $a JOIN e USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) AS t(i)
        | GROUP BY 1, 2""".stripMargin
 
+  /** Shared unrolled-Lloyd CTE chain ending in `a2(vec_id, cl, d)` —
+    * the final assignment both q135 (report) and q142 (lang mix)
+    * derive from. */
+  private def kmeansCtes: String =
+    s"""e AS (SELECT vec_id, embedding AS x FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cl,
+       |              list_transform(x, v -> CAST(v AS DOUBLE)) AS c
+       |       FROM e WHERE vec_id < $K),
+       |d1 AS (SELECT e.vec_id, c0.cl, ${distSql("e.x", "c0.c")} AS d
+       |       FROM e CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, cl FROM
+       |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d1)
+       |       WHERE rn = 1),
+       |s1 AS (${sumsSql("a1")}),
+       |c1 AS (SELECT cl, list(ROUND(fp / (n * 1000000.0), 6) ORDER BY i) AS c FROM s1 GROUP BY cl),
+       |d2 AS (SELECT e.vec_id, c1.cl, ${distSql("e.x", "c1.c")} AS d
+       |       FROM e CROSS JOIN c1),
+       |a2 AS (SELECT vec_id, cl, d FROM
+       |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d2)
+       |       WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q135_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cl,
-         |              list_transform(x, v -> CAST(v AS DOUBLE)) AS c
-         |       FROM e WHERE vec_id < $K),
-         |d1 AS (SELECT e.vec_id, c0.cl, ${distSql("e.x", "c0.c")} AS d
-         |       FROM e CROSS JOIN c0),
-         |a1 AS (SELECT vec_id, cl FROM
-         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d1)
-         |       WHERE rn = 1),
-         |s1 AS (${sumsSql("a1")}),
-         |c1 AS (SELECT cl, list(ROUND(fp / (n * 1000000.0), 6) ORDER BY i) AS c FROM s1 GROUP BY cl),
-         |d2 AS (SELECT e.vec_id, c1.cl, ${distSql("e.x", "c1.c")} AS d
-         |       FROM e CROSS JOIN c1),
-         |a2 AS (SELECT vec_id, cl, d FROM
-         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d2)
-         |       WHERE rn = 1),
+      s"""WITH $kmeansCtes,
          |i2 AS (SELECT cl, count(*) AS n, CAST(SUM(d) AS BIGINT) AS inertia_fp FROM a2 GROUP BY cl),
          |s2 AS (${sumsSql("a2")})
          |SELECT s2.cl AS cluster, i2.n AS n_vecs, i2.inertia_fp,
          |       CAST(s2.i AS INT) AS pos, ROUND(s2.fp / (i2.n * 1000000.0), 6) AS centroid
          |FROM s2 JOIN i2 USING (cl)
          |ORDER BY cluster, pos""".stripMargin,
+    // q142: the frozen model's assignment joined onto document
+    // metadata — which languages land in which semantic bucket.
+    "q142_cluster_mix" ->
+      s"""WITH $kmeansCtes
+         |SELECT d.lang, a2.cl AS cluster, count(*) AS n_docs
+         |FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+         |GROUP BY 1, 2 ORDER BY lang, cluster""".stripMargin,
     // The oracle HAS to explode n·d²/2 tuples (SQL has no mergeable
     // buffer aggregate) — that contrast is the point of co_moment; at
     // oracle scale (500–2000 vectors) the explode is harmless. FLOOR
@@ -149,6 +184,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (kmeans _),
     "q136_embed_cov" -> (embedCovariance _),
-    "q141_pca_whiten" -> (pcaWhiten _)
+    "q141_pca_whiten" -> (pcaWhiten _),
+    "q142_cluster_mix" -> (clusterMix _)
   )
 }

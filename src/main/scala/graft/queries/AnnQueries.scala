@@ -853,6 +853,26 @@ object AnnQueries {
     graft.operators.GraphAnalytics.hopDepths(nodes, edges, idx.meta.entrypoint.toLong)
   }
 
+  /** q143: adjacency symmetry audit — the fraction of directed edges
+    * whose reverse also exists. The builder symmetrizes under a degree
+    * cap, so asymmetric edges are exactly the ones pruning dropped;
+    * a sym_frac collapse after heavy churn is the "greedy search can
+    * enter but not back out" smell that precedes recall loss (and the
+    * reference's no-repair delete policy, Q3, only lowers it). ONE
+    * self equi-join on the reversed key — hash-partitioned on (a, b),
+    * never quadratic. */
+  def edgeSymmetry(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphDump(spark, dir)
+    val e = spark.read.parquet(s"$base/edges")
+    val rev = e.select(col("b").as("a"), col("a").as("b"))
+    val sym = e.join(rev, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_symmetric"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(sym)
+      .select(col("n_edges"), col("n_symmetric"),
+        (round(col("n_symmetric").cast("double") / col("n_edges").cast("double"), 4)
+          + lit(0.0)).as("sym_frac"))
+  }
+
   private val healthDumped =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -883,7 +903,8 @@ object AnnQueries {
     "q101_ef_sweep" -> (efSweepRecall _),
     "q114_index_health" -> (indexHealth _),
     "q137_graph_pagerank" -> (graphPagerank _),
-    "q140_entry_depths" -> (entryDepths _)
+    "q140_entry_depths" -> (entryDepths _),
+    "q143_edge_symmetry" -> (edgeSymmetry _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
@@ -977,6 +998,14 @@ object AnnQueries {
            |UNION ALL
            |SELECT -1 AS depth, count(*) AS n_nodes
            |FROM nodes n LEFT JOIN md ON md.node = n.id WHERE md.node IS NULL
-           |ORDER BY depth""".stripMargin)
+           |ORDER BY depth""".stripMargin,
+      "q143_edge_symmetry" ->
+        s"""WITH edges AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
+           |sym AS (SELECT count(*) AS n_symmetric FROM edges e
+           |        WHERE EXISTS (SELECT 1 FROM edges r WHERE r.a = e.b AND r.b = e.a)),
+           |tot AS (SELECT count(*) AS n_edges FROM edges)
+           |SELECT tot.n_edges, sym.n_symmetric,
+           |       ROUND(CAST(sym.n_symmetric AS DOUBLE) / tot.n_edges, 4) + 0.0 AS sym_frac
+           |FROM tot, sym""".stripMargin)
   }
 }

@@ -169,6 +169,24 @@ object StreamingOps {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Streaming cluster-mix monitor: arriving embeddings are assigned
+    * to a FROZEN k-means model ([[graft.operators.Clustering.assignExpr]]
+    * — a pure narrow expression, identical fixed-point contract to the
+    * q135 batch fit; load the model via
+    * [[graft.operators.KmeansArtifact]]) and counted per event-time
+    * window per cluster — the serving-time "is the topic mix of
+    * incoming data drifting from what we trained the buckets on"
+    * signal. One watermark-reaped windowed count is the only state
+    * (≤ k rows per window); append mode emits closed windows. */
+  def streamingClusterMix(vecs: DataFrame, model: graft.operators.KmeansModel,
+      watermark: String = "2 hours", windowLen: String = "1 hour"): DataFrame =
+    vecs.withWatermark("ts", watermark)
+      .withColumn("cluster",
+        graft.operators.Clustering.assignExpr(col("vec"), model.centroids))
+      .groupBy(window(col("ts"), windowLen), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("cluster"), col("n"))
+
   /** Streaming distinct-cardinality sketch (streaming twin of q123's
     * KMV card): the running distinct-user estimate per event_type over
     * an unbounded event stream. An exact streaming `COUNT(DISTINCT)`

@@ -57,6 +57,41 @@ class ClusteringSpec extends SparkSpec {
     assert(math.abs(c1 - 10.15) < 1e-6)
   }
 
+  test("modelFromReport + assignExpr reproduce the fit's own assignment") {
+    val rows = (0L until 30L).map(i => (i, Seq((i % 9).toFloat, (i % 4).toFloat)))
+    val e = df(rows)
+    val report = Clustering.kmeansReport(e, k = 3, iters = 2)
+    val model = Clustering.modelFromReport(report, 3)
+    assert(model.k == 3 && model.dim == 2)
+    // sizes from assigning under the model's centroids == report sizes
+    val viaExpr = e.select(Clustering.assignExpr(col("embedding"), model.centroids).as("cl"))
+      .groupBy("cl").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // report centroids are the POST-update means of that assignment;
+    // re-assigning under them can move points (one more Lloyd step), so
+    // compare against a 3-round report's sizes instead
+    val next = Clustering.kmeansReport(e, k = 3, iters = 3)
+      .select("cluster", "n_vecs").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaExpr == next)
+  }
+
+  test("KmeansArtifact: save -> load round-trips; tampered centroid refused") {
+    val e = df((0L until 20L).map(i => (i, Seq(i.toFloat))))
+    val model = Clustering.modelFromReport(Clustering.kmeansReport(e, 2, 1), 2)
+    val dir = tmpDir("kmeans-artifact")
+    KmeansArtifact.save(model, dir)
+    val back = KmeansArtifact.load(dir)
+    assert(back.fingerprint == model.fingerprint)
+    assert(back.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    val content = s"$dir/kmeans-${model.fingerprint}.json"
+    val raw = new String(graft.index.ArtifactStore.current.readBytes(content), "UTF-8")
+    val tampered = raw.replaceFirst(""""centroids":\[\[[-0-9.eE]+""", """"centroids":[[123.456""")
+    assert(tampered != raw)
+    graft.index.ArtifactStore.current.writeAtomic(content, tampered.getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] { KmeansArtifact.load(dir) }
+    assert(err.getMessage.contains("fingerprint"))
+  }
+
   test("round plan: narrow-map assign + one partial-agg shuffle, no cartesian") {
     val e = df((0L until 40L).map(i => (i, Seq(i.toFloat, (i % 7).toFloat))))
     val r = Clustering.kmeansReport(e, k = 3, iters = 1)

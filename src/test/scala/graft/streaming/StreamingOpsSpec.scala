@@ -240,6 +240,41 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingClusterMix: windowed cluster counts == batch assignment counts") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val model = graft.operators.KmeansModel(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(1, 10), Seq(0.5f, 0.2f)),   // hour 1, cluster 0
+      (ts(1, 20), Seq(9.5f, 10.2f)),  // hour 1, cluster 1
+      (ts(1, 40), Seq(0.1f, 0.1f)),   // hour 1, cluster 0
+      (ts(2, 5), Seq(10.0f, 9.0f)),   // hour 2, cluster 1
+      (ts(5, 0), Seq(0.0f, 0.0f)))    // late watermark flusher
+    val mem = MemoryStream[(Timestamp, Seq[Float])]
+    val q = StreamingOps.streamingClusterMix(
+        mem.toDF().toDF("ts", "vec"), model)
+      .writeStream.format("memory").queryName("clustermix_out").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val out = spark.table("clustermix_out")
+      .as[(Timestamp, Int, Long)].collect().toSet
+    // closed windows only (hour 5 is still open under the 2h watermark)
+    assert(out == Set(
+      (ts(1, 0), 0, 2L), (ts(1, 0), 1, 1L), (ts(2, 0), 1, 1L)))
+    // batch twin: same assignment expression, same grouping
+    val batch = rows.toDF("ts", "vec")
+      .withColumn("cluster",
+        graft.operators.Clustering.assignExpr(col("vec"), model.centroids))
+      .groupBy(window(col("ts"), "1 hour"), col("cluster")).count()
+      .select(col("window.start"), col("cluster"), col("count"))
+      .as[(Timestamp, Int, Long)].collect().toSet
+    assert(out.subsetOf(batch))
+    q.stop()
+  }
+
   test("streamingSemanticDecon: stream output == batch semanticDecontaminate") {
     val ss = spark
     implicit val sql = ss.sqlContext
