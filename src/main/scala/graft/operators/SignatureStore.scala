@@ -39,10 +39,15 @@ object SignatureStore {
     * fingerprint is derived from order-independent content sums, so
     * any engine can re-derive and audit it. */
   def build(docs: DataFrame, path: String, shingleK: Int = 3): Unit = {
-    val sigs = Dedup.minhashSignatures(
-      Dedup.contentShingleIds(Dedup.docShingles(docs, shingleK)))
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    val spark = docs.sparkSession
+    Dedup.minhashSignatures(
+        Dedup.contentShingleIds(Dedup.docShingles(docs, shingleK)))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    publish(docs.sparkSession, path, shingleK)
+  }
+
+  /** Derive + atomically write the sidecar from the WRITTEN sigs
+    * parquet (data first, pointer last — crash-safe publish). */
+  private def publish(spark: SparkSession, path: String, shingleK: Int): Unit = {
     val st = spark.read.parquet(s"$path/sigs")
       .agg(count(lit(1)).as("n"), coalesce(sum(element_at(col("sig"), 1)), lit(0L)).as("s"))
       .head()
@@ -52,6 +57,28 @@ object SignatureStore {
         s""""bands":${Dedup.Bands},"rows_per_band":${Dedup.RowsPerBand},""" +
         s""""shingle_k":$shingleK,"fingerprint":"$fp"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Merge two published stores into a new one — day-build / shard
+    * consolidation WITHOUT re-shingling any text (the BM25
+    * mergeIndexes parallel): content-addressed signatures union
+    * directly. Refuses when doc-id sets overlap (one doc signed twice
+    * would double-report downstream) or when the stores were built
+    * with different shingle sizes (their signatures live in different
+    * shingle spaces and must never band-join as one). */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val ka = SidecarJson.read(sidecar(a)).int("shingle_k")
+    val kb = SidecarJson.read(sidecar(b)).int("shingle_k")
+    require(ka == kb,
+      s"cannot merge stores with different shingle sizes ($ka vs $kb)")
+    val sa = load(spark, a)
+    val sb = load(spark, b)
+    val overlap = sa.select(col("doc_id"))
+      .join(sb.select(col("doc_id")), "doc_id").limit(1).count()
+    require(overlap == 0,
+      s"stores $a and $b share doc ids — refusing to double-sign")
+    sa.unionByName(sb).write.mode("overwrite").parquet(s"$out/sigs")
+    publish(spark, out, ka)
   }
 
   /** Load the signature table; refuses an unpublished/mismatched store

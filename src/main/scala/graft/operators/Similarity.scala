@@ -317,6 +317,65 @@ object Similarity {
     * the tiny candidate join (broadcast — never a second full scan).
     * Queries are collected driver-side by contract (a query batch is
     * small); candidates broadcast back for the refine join. */
+  /** PCA-prefilter top-k: the DIMENSIONAL compression tier beside the
+    * byte tiers (PQ codes, int8 scalars) — candidates are scanned in a
+    * k'-dim UNWHITENED principal projection (k'=16 of 64 ⇒ 4× less
+    * hot data per distance; whitening would distort L2, so the raw
+    * projection is used — an orthonormal projection is a contraction,
+    * so projected distances under-estimate and the refine pass fixes
+    * rank inversions), then the topk·refineFactor survivors are
+    * re-scored exactly. Same candidates/refine plan shape as
+    * [[int8TopK]]: per-query bounded heaps over one projected scan,
+    * broadcast-joined refine over O(queries·candidates) rows. The
+    * model is a FIT-TIME artifact (Pca.fit is one co_moment pass;
+    * persist via Pca.save) — serving never rescans the corpus to
+    * derive it. */
+  def pcaPrefilterTopK(
+      corpus: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      model: Pca.Model,
+      topk: Int,
+      refineFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
+    val spark = corpus.sparkSession
+    def project(v: Array[Float]): Seq[Double] = {
+      val centered = Array.tabulate(model.dim)(i => v(i).toDouble - model.mean(i))
+      model.components.toSeq.map { comp =>
+        var s = 0.0; var i = 0
+        while (i < model.dim) { s += centered(i) * comp(i); i += 1 }
+        s
+      }
+    }
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, qv) =>
+        Row(qid, qv.toSeq, project(qv)) }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("qproj", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val projected = Pca.transform(corpus, model, whiten = false, vecCol = "vec")
+      .select(col("id"), col("proj"))
+    val candidates = projected
+      .crossJoin(broadcast(qdf.select(col("query_id"), col("qproj"))))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.squaredEuclideanHof(col("qproj"), col("proj")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk * refineFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    broadcast(candidates)
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .join(broadcast(qdf.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).as("rnk"))
+  }
+
   def int8TopK(
       corpus: DataFrame,
       queries: Array[(Long, Array[Float])],

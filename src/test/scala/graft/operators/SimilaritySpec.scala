@@ -183,6 +183,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.90)
   }
 
+  test("pcaPrefilterTopK is EXACT when the data lies in the retained subspace") {
+    // 4-dim vectors whose mass is entirely in dims 0-1: a k=2 model
+    // loses nothing, so the prefilter ranking must equal exact top-k
+    // even at refineFactor 1 (projection is an isometry on the data).
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 60L).map(i =>
+      (i, Seq((i % 13).toFloat, (i % 7).toFloat, 0.0f, 0.0f)))
+    val src = rows.toDF("id", "vec")
+    val model = Pca.fit(src, dim = 4, k = 2, vecCol = "vec")
+    val queries = rows.take(5).map { case (i, v) => (i, v.toArray) }.toArray
+    val got = Similarity.pcaPrefilterTopK(src, queries, model, topk = 5, refineFactor = 1)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = src.crossJoin(broadcast(
+        rows.take(5).toDF("query_id", "qvec")))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorFunctions.squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), 5).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
   test("mmrRerank defers a redundant near-copy in favor of a diverse lower-rel candidate") {
     val ss = spark
     import ss.implicits._
