@@ -485,6 +485,40 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming BM25 serving (streaming twin of q132's persisted-index
+    * path): a stream of (query_id, qtext) answered per micro-batch
+    * from the PERSISTED inverted index
+    * ([[graft.operators.Retrieval.searchIndex]] — postings pruned to
+    * the batch vocabulary, corpus never touched). Every query is fully
+    * contained in its own micro-batch, so the streamed answer is
+    * EXACTLY the batch answer, not an approximation. Results land in a
+    * batch_id partition with dynamic overwrite, so an at-least-once
+    * replay replaces its own partition instead of duplicating (the
+    * [[streamingSearch]] idempotence contract). */
+  def bm25SearchStream(
+      spark: SparkSession,
+      queryStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      k: Int = 10): StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Retrieval.searchIndex(spark, indexPath, batch, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Continuous index MUTATION: a stream of mixed operations —
     * `op` = "insert" (key, vec) or "delete" (public_id) — applied per
     * micro-batch, the streaming twin of reference

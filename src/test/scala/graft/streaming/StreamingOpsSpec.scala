@@ -240,6 +240,35 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("bm25SearchStream: streamed answers == the batch persisted-index search") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val corpus = Seq(
+      (1L, "spark streams answer keyword queries"),
+      (2L, "totally unrelated text about fish"),
+      (3L, "keyword queries over spark need an index")).toDF("doc_id", "text")
+    val idxDir = tmpDir("bm25-stream-idx")
+    graft.operators.Retrieval.buildIndex(corpus, idxDir)
+    val queries = Seq((100L, "keyword queries"), (200L, "fish"))
+    val outDir = tmpDir("bm25-stream-out")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25SearchStream(spark,
+      mem.toDF().toDF("query_id", "qtext"), idxDir, outDir,
+      tmpDir("bm25-stream-ckpt"), k = 2)
+    mem.addData(queries: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = graft.operators.Retrieval.searchIndex(
+        spark, idxDir, queries.toDF("query_id", "qtext"), k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(r => r._1 == 200L && r._2 == 2L)) // fish -> doc 2
+  }
+
   test("streamingClusterMix: windowed cluster counts == batch assignment counts") {
     val ss = spark
     implicit val sql = ss.sqlContext
