@@ -137,37 +137,46 @@ object Multimodal {
     * accumulate in integer/long arithmetic and widen once at the end —
     * bit-deterministic across JVMs and cluster sizes, and re-derivable
     * by a SQL oracle from a sample formula alone. */
+  /** Parsed RIFF/WAVE PCM view: (buffer, dataOff, nSamples, channels,
+    * sampleRate, bits) — the chunk walk shared by the feature decoder
+    * and the perceptual hash. */
+  private[operators] def parseRiffPcm(content: Array[Byte])
+      : (java.nio.ByteBuffer, Int, Int, Int, Int, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(content.length >= 44 && buf.getInt(0) == 0x46464952 /* "RIFF" */ &&
+      buf.getInt(8) == 0x45564157 /* "WAVE" */,
+      s"not a RIFF/WAVE payload (${content.length} bytes)")
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var off = 12
+    while (off + 8 <= content.length && (channels < 0 || dataOff < 0)) {
+      val ckId = buf.getInt(off)
+      val ckSize = buf.getInt(off + 4)
+      ckId match {
+        case 0x20746d66 /* "fmt " */ =>
+          require(buf.getShort(off + 8) == 1, "only PCM (format 1) supported")
+          channels = buf.getShort(off + 10)
+          sampleRate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22)
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        case 0x61746164 /* "data" */ =>
+          dataOff = off + 8; dataLen = ckSize
+        case _ => () // LIST, fact, cue ... skip
+      }
+      off += 8 + ckSize + (ckSize & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && dataOff >= 0 && dataOff + dataLen <= content.length,
+      "missing or truncated fmt/data chunk")
+    val n = dataLen / 2
+    require(n > 0, "empty data chunk")
+    (buf, dataOff, n, channels, sampleRate, bits)
+  }
+
   object WavPcmDecoder extends Decoder {
     val FeatureDim = 14
     def decode(modality: String, content: Array[Byte]): Array[Float] = {
-      val buf = java.nio.ByteBuffer.wrap(content)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      require(content.length >= 44 && buf.getInt(0) == 0x46464952 /* "RIFF" */ &&
-        buf.getInt(8) == 0x45564157 /* "WAVE" */,
-        s"not a RIFF/WAVE payload (${content.length} bytes)")
-      var channels = -1; var sampleRate = -1; var bits = -1
-      var dataOff = -1; var dataLen = -1
-      var off = 12
-      while (off + 8 <= content.length && (channels < 0 || dataOff < 0)) {
-        val ckId = buf.getInt(off)
-        val ckSize = buf.getInt(off + 4)
-        ckId match {
-          case 0x20746d66 /* "fmt " */ =>
-            require(buf.getShort(off + 8) == 1, "only PCM (format 1) supported")
-            channels = buf.getShort(off + 10)
-            sampleRate = buf.getInt(off + 12)
-            bits = buf.getShort(off + 22)
-            require(bits == 16, s"only 16-bit PCM supported, got $bits")
-          case 0x61746164 /* "data" */ =>
-            dataOff = off + 8; dataLen = ckSize
-          case _ => () // LIST, fact, cue ... skip
-        }
-        off += 8 + ckSize + (ckSize & 1) // chunks are word-aligned
-      }
-      require(channels > 0 && dataOff >= 0 && dataOff + dataLen <= content.length,
-        "missing or truncated fmt/data chunk")
-      val n = dataLen / 2
-      require(n > 0, "empty data chunk")
+      val (buf, dataOff, n, channels, sampleRate, bits) = parseRiffPcm(content)
       var mn = Int.MaxValue; var mx = Int.MinValue
       var sum = 0L; var sabs = 0L; var senergy = 0L; var zc = 0L
       val hist = new Array[Long](4)
@@ -341,33 +350,99 @@ object Multimodal {
     * (PCM is lossless; the formula round-trips exactly). A junk LIST
     * chunk sits between `fmt ` and `data` so the oracle also covers
     * the unknown-chunk skip every real-world WAV exercises. */
+  private def synthWavBytes(id: Long, halved: Boolean): Array[Byte] = {
+    val n = (256 + id % 97).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val listLen = 4 // "INFO", no sub-chunks
+    val riffLen = 4 + (8 + 16) + (8 + listLen) + (8 + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x46464952).putInt(riffLen).putInt(0x45564157) // RIFF/len/WAVE
+    buf.putInt(0x20746d66).putInt(16) // "fmt ", size
+    buf.putShort(1).putShort(1)       // PCM, mono
+    buf.putInt(sampleRate).putInt(sampleRate * 2) // rate, byte rate
+    buf.putShort(2).putShort(16)      // block align, bits
+    buf.putInt(0x5453494c).putInt(listLen).putInt(0x4f464e49) // LIST/4/INFO
+    buf.putInt(0x61746164).putInt(dataLen) // "data", size
+    var t = 0L
+    while (t < n) {
+      val base = ((id * 37 + t * 101 + ((t * t) % 9973) * 29) % 65536 - 32768).toInt
+      // floor-halving = a real -6 dB gain cut in integer PCM (mirrors
+      // SQL `s // 2`, which floors — NOT Scala's truncating `/`)
+      val s = (if (halved) Math.floorDiv(base, 2) else base).toShort
+      buf.putShort(s)
+      t += 1
+    }
+    buf.array()
+  }
+
   def packSyntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     ids.select(col(idCol).cast("long").as("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val n = (256 + id % 97).toInt
-          val sampleRate = 8000
-          val dataLen = n * 2
-          val listLen = 4 // "INFO", no sub-chunks
-          val riffLen = 4 + (8 + 16) + (8 + listLen) + (8 + dataLen)
-          val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          buf.putInt(0x46464952).putInt(riffLen).putInt(0x45564157) // RIFF/len/WAVE
-          buf.putInt(0x20746d66).putInt(16) // "fmt ", size
-          buf.putShort(1).putShort(1)       // PCM, mono
-          buf.putInt(sampleRate).putInt(sampleRate * 2) // rate, byte rate
-          buf.putShort(2).putShort(16)      // block align, bits
-          buf.putInt(0x5453494c).putInt(listLen).putInt(0x4f464e49) // LIST/4/INFO
-          buf.putInt(0x61746164).putInt(dataLen) // "data", size
-          var t = 0L
+          Row(id, "audio", synthWavBytes(id, halved = false), null)
+        }
+      }(enc)
+  }
+
+  /** Gain-mutated twin corpus: ids republished at `+offset` with every
+    * sample floor-halved (a -6 dB volume cut) — byte-level dedup is
+    * blind to it, the mean-delta hash is invariant to it. */
+  def packSyntheticWavsMutated(
+      ids: DataFrame, idCol: String, offset: Long = 100000L): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + offset, "audio", synthWavBytes(id, halved = true), null)
+        }
+      }(enc)
+  }
+
+  /** Perceptual audio hash of DECODED PCM: the waveform is cut into 65
+    * equal time windows, per-window integer sample sums + counts are
+    * accumulated, and bit k is set iff window k+1's MEAN exceeds
+    * window k's — compared by exact integer cross-multiplication
+    * (e₂·c₁ > e₁·c₂), so no float ever enters the hash. The audio twin
+    * of [[imageDHash]]: only NEIGHBOR COMPARISONS survive, so the hash
+    * is invariant to uniform gain (positive scaling preserves mean
+    * order), DC offset (shifts every window mean equally), and
+    * lossless re-encode — the "same clip, different mastering" case a
+    * multimodal dedup tier exists to catch. 8 bytes per clip
+    * regardless of duration; feeds the same banded-hamming pair join
+    * as the image tier ([[graft.operators.Dedup.simhashNearDupPairs]],
+    * bits = 64). Runs the REAL RIFF parse per row (mapPartitions — the
+    * Multimodal codec seam). */
+  def audioMeanHash(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false))))
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (buf, dataOff, n, _, _, _) = parseRiffPcm(r.getAs[Array[Byte]](1))
+          val e = new Array[Long](65)
+          val c = new Array[Long](65)
+          var t = 0
           while (t < n) {
-            val s = ((id * 37 + t * 101 + ((t * t) % 9973) * 29) % 65536 - 32768).toShort
-            buf.putShort(s)
+            val w = ((t.toLong * 65L) / n).toInt
+            e(w) += buf.getShort(dataOff + 2 * t)
+            c(w) += 1L
             t += 1
           }
-          Row(id, "audio", buf.array(), null)
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (e(k + 1) * c(k) > e(k) * c(k + 1)) hash |= 1L << k
+            k += 1
+          }
+          Row(id, hash)
         }
       }(enc)
   }

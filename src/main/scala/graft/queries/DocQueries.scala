@@ -708,6 +708,28 @@ object DocQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Perceptual audio near-dup (q146): every synthetic WAV runs the
+    * REAL RIFF parse → 65-window mean-delta hash
+    * ([[graft.operators.Multimodal.audioMeanHash]] — integer
+    * cross-multiplied neighbor comparisons, so the hash is invariant
+    * to uniform gain, DC offset, and lossless re-encode), then the
+    * same 64-bit banded-hamming pair join as the image tier (q133),
+    * pigeonhole-EXACT at hamming ≤ 3. Planted: ids < 25 republished at
+    * +100000 with every sample floor-halved (-6 dB) — byte dedup and
+    * md5 are blind to a volume change; the mean-order hash is not.
+    * The oracle re-derives every hash from the sample formula alone,
+    * so a match re-proves the RIFF parse too. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = docs(spark, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+    val media = Multimodal.packSyntheticWavs(spread(base), "doc_id")
+      .unionByName(Multimodal.packSyntheticWavsMutated(
+        base.filter(col("doc_id") < 25), "doc_id"))
+    Dedup.simhashNearDupPairs(Multimodal.audioMeanHash(media),
+        maxHamming = 3, nBands = 4, idCol = "media_id", hashCol = "ahash", bits = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** REAL audio decode end-to-end (q77): a deterministic synthetic
     * 16-bit PCM WAV per doc_id < 200 (samples a pure function of
     * (id, t)), encoded with a junk LIST chunk and then DECODED through
@@ -1592,6 +1614,32 @@ object DocQueries {
          |             CAST(bit_count(xor(COALESCE(x.dhash, 0), COALESCE(y.dhash, 0))) AS BIGINT) AS hamming
          |      FROM hsh x JOIN hsh y ON x.mid < y.mid)
          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q146: hashes re-derived from the WAV sample formula; same
+    // HUGEINT bit-sum + pair fragments as q133.
+    "q146_audio_neardup" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id AS id, doc_id AS mid, FALSE AS mut FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 100000, TRUE FROM documents WHERE doc_id < 25),
+         |smp AS (SELECT mid, id, mut, CAST(256 + id % 97 AS BIGINT) AS n FROM auds),
+         |v AS (SELECT mid, n, t,
+         |        CASE WHEN mut THEN (((id*37 + t*101 + ((t*t) % 9973)*29) % 65536) - 32768) // 2
+         |             ELSE ((id*37 + t*101 + ((t*t) % 9973)*29) % 65536) - 32768 END AS s
+         |      FROM (SELECT mid, id, mut, n, unnest(range(0, n)) AS t FROM smp)),
+         |wagg AS (SELECT mid, (t*65)//n AS wi, SUM(s) AS e, COUNT(*) AS c
+         |         FROM v GROUP BY 1, 2),
+         |bit AS (SELECT a.mid, a.wi AS k
+         |        FROM wagg a JOIN wagg b ON a.mid = b.mid AND b.wi = a.wi + 1
+         |        WHERE a.wi < 64 AND b.e * a.c > a.e * b.c),
+         |hsh AS (SELECT i.mid,
+         |          CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+         |                    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS ahash
+         |        FROM auds i LEFT JOIN
+         |          (SELECT mid, SUM(1::HUGEINT << k) AS s FROM bit GROUP BY mid) b USING (mid)),
+         |p AS (SELECT x.mid AS id_a, y.mid AS id_b,
+         |             CAST(bit_count(xor(COALESCE(x.ahash, 0), COALESCE(y.ahash, 0))) AS BIGINT) AS hamming
+         |      FROM hsh x JOIN hsh y ON x.mid < y.mid)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // Exact mining re-derivation: the MG candidate pass is a pure
     // superset filter, so plain GROUP BY + HAVING reproduces q124's
     // output exactly.
@@ -2371,6 +2419,7 @@ object DocQueries {
     "q129_token_drift" -> (tokenDrift _),
     "q131_source_drift" -> (sourceDrift _),
     "q133_image_neardup" -> (imageNearDup _),
+    "q146_audio_neardup" -> (audioNearDup _),
     "q134_dedup_keep_best" -> (dedupKeepBest _),
     "q52_dedup_groups" -> (dedupGroups _),
     "q53_dataset_split" -> (datasetSplit _),

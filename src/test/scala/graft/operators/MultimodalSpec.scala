@@ -136,6 +136,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Minimal headerless-extras WAV around arbitrary samples — for
+    * invariance cases the synthetic packers don't generate. */
+  private def rawWav(samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val riffLen = 4 + (8 + 16) + (8 + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x46464952).putInt(riffLen).putInt(0x45564157)
+    buf.putInt(0x20746d66).putInt(16)
+    buf.putShort(1).putShort(1)
+    buf.putInt(8000).putInt(16000)
+    buf.putShort(2).putShort(16)
+    buf.putInt(0x61746164).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  private def hashOf(payloads: Seq[(Long, Array[Byte])]): Map[Long, Long] = {
+    val ss = spark
+    import ss.implicits._
+    Multimodal.audioMeanHash(
+        payloads.map { case (id, b) => (id, "audio", b, null: String) }
+          .toDF("media_id", "modality", "content", "source"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("audioMeanHash: gain- and DC-invariant, discriminates distinct clips") {
+    val base = wavSamples(7L)
+    val hs = hashOf(Seq(
+      (1L, rawWav(base)),
+      (2L, rawWav(base.map(s => Math.floorDiv(s, 2)))),      // -6 dB gain
+      (3L, rawWav(base.map(s => Math.floorDiv(s, 2) + 1000))), // -6 dB + DC offset
+      (4L, rawWav(wavSamples(40L)))))                        // different clip
+    assert(hs(1L) == hs(2L), "uniform gain must not change the hash")
+    assert(hs(1L) == hs(3L), "DC offset must not change the hash")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 3,
+      "distinct clips must not co-report as near-dups")
+  }
+
+  test("audioMeanHash pairs: planted -6dB republish found, exact at hamming <= 3") {
+    val ss = spark
+    import ss.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val media = Multimodal.packSyntheticWavs(ids, "doc_id")
+      .unionByName(Multimodal.packSyntheticWavsMutated(
+        ids.filter(col("doc_id") < 5), "doc_id"))
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(
+        Multimodal.audioMeanHash(media), maxHamming = 3, nBands = 4,
+        idCol = "media_id", hashCol = "ahash", bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach(i =>
+      assert(pairs.contains((i, i + 100000L)), s"planted gain-twin $i not found"))
+  }
+
   test("WavPcmDecoder rejects non-WAV and truncated payloads") {
     assertThrows[IllegalArgumentException](
       Multimodal.WavPcmDecoder.decode("audio", Array[Byte](1, 2, 3, 4)))
