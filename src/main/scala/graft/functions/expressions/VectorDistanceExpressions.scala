@@ -27,14 +27,30 @@ abstract class FloatVecBinaryKernel extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+      s"$prettyName requires ARRAY<FLOAT>/ARRAY<DOUBLE> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  // Per-side element access: DOUBLE operands (e.g. PCA projections)
+  // read directly, FLOAT widens first — identical to the HOF
+  // formulation's cast-then-combine order in both cases.
+  private def sideIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @inline protected final def elemL(v: ArrayData, i: Int): Double =
+    if (sideIsFloat(left)) v.getFloat(i).toDouble else v.getDouble(i)
+  @inline protected final def elemR(v: ArrayData, i: Int): Double =
+    if (sideIsFloat(right)) v.getFloat(i).toDouble else v.getDouble(i)
+  protected final def elemJavaL(v: String, i: String): String =
+    if (sideIsFloat(left)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+  protected final def elemJavaR(v: String, i: String): String =
+    if (sideIsFloat(right)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
 
   /** Java source for the fused loop body; `a`/`b` are ArrayData vars,
     * `result` the output double var. */
@@ -82,13 +98,13 @@ case class SquaredL2(left: Expression, right: Expression) extends FloatVecBinary
   override def prettyName: String = "graft_squared_l2"
   override protected def loopBody(a: String, b: String, n: String, i: String, acc: String): String =
     s"""for (int $i = 0; $i < $n; $i++) {
-       |  double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  double d = ${elemJavaL(a, i)} - ${elemJavaR(b, i)};
        |  $acc += d * d;
        |}""".stripMargin
   override protected def compute(a: ArrayData, b: ArrayData): Double = {
     val n = checkedLen(a, b)
     var s = 0.0; var i = 0
-    while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; s += d * d; i += 1 }
+    while (i < n) { val d = elemL(a, i) - elemR(b, i); s += d * d; i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 = copy(l, r)
@@ -345,12 +361,12 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
   override def prettyName: String = "graft_dot"
   override protected def loopBody(a: String, b: String, n: String, i: String, acc: String): String =
     s"""for (int $i = 0; $i < $n; $i++) {
-       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |  $acc += ${elemJavaL(a, i)} * ${elemJavaR(b, i)};
        |}""".stripMargin
   override protected def compute(a: ArrayData, b: ArrayData): Double = {
     val n = checkedLen(a, b)
     var s = 0.0; var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += elemL(a, i) * elemR(b, i); i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct = copy(l, r)

@@ -47,8 +47,23 @@ object Clustering {
   private val CentFp = 1e6
 
   /** Fixed-point squared L2 distance to a literal centroid: Σᵢ
-    * round((xᵢ-cᵢ)²·10⁸) as a long — add-order independent. */
-  private def distFp(vec: Column, cent: Array[Double]): Column = {
+    * floor((xᵢ-cᵢ)²·10⁸ + ½) as a long — add-order independent.
+    * Served by the fused native kernel (HOFs never enter whole-stage
+    * codegen — see ClusteringExpressions); [[distFpHof]] is the
+    * bit-parity twin the kernel spec pins against. */
+  private def distFp(vec: Column, cent: Array[Double]): Column =
+    distFpKernel(vec, cent)
+
+  /** The fused kernel column (exposed for the parity spec). */
+  private[operators] def distFpKernel(vec: Column, cent: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(graft.functions.expressions.FixedPointSquaredL2Const(
+      CB.expression(vec), cent))
+  }
+
+  /** Interpreted HOF twin of [[distFp]] (kernel-parity spec reference;
+    * round() == floor(+½) here because every term is nonnegative). */
+  private[operators] def distFpHof(vec: Column, cent: Array[Double]): Column = {
     val c = array(cent.map(lit): _*)
     aggregate(
       zip_with(vec.cast("array<double>"), c, (x, cc) => {

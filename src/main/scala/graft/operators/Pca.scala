@@ -140,10 +140,31 @@ object Pca {
 
   /** Project (and optionally whiten) the embedding column: adds
     * `outCol` = ARRAY<DOUBLE>[k], coordinate c = (x − mean)·v_c
-    * (÷ sqrt(λ_c + eps) when whitening). A narrow map — no shuffle. */
+    * (÷ sqrt(λ_c + eps) when whitening). A narrow map — no shuffle.
+    * All k projections run in ONE fused native kernel pass (the HOF
+    * formulation re-centered the vector per component and never enters
+    * whole-stage codegen — see ClusteringExpressions); whitening
+    * divides the k-length result afterwards, preserving the exact
+    * dot-then-divide arithmetic of [[transformHof]]. */
   def transform(df: DataFrame, model: Model, whiten: Boolean = true,
       eps: Double = 1e-9, vecCol: String = "embedding",
       outCol: String = "proj"): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val proj = CB.column(graft.functions.expressions.ProjectVec(
+      CB.expression(col(vecCol)), model.mean, model.components))
+    val out =
+      if (!whiten) proj
+      else zip_with(proj,
+        array(model.eigenvalues.map(ev => lit(math.sqrt(ev + eps))): _*),
+        (p, s) => p / s)
+    df.withColumn(outCol, out)
+  }
+
+  /** Interpreted HOF twin of [[transform]] (kernel-parity spec
+    * reference — identical element order and dot-then-divide shape). */
+  private[operators] def transformHof(df: DataFrame, model: Model,
+      whiten: Boolean = true, eps: Double = 1e-9,
+      vecCol: String = "embedding", outCol: String = "proj"): DataFrame = {
     val meanLit = array(model.mean.map(lit): _*)
     val centered = zip_with(col(vecCol).cast("array<double>"), meanLit, (x, mu) => x - mu)
     val coords: Seq[Column] = model.components.toSeq.zip(model.eigenvalues.toSeq)

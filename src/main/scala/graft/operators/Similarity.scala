@@ -359,7 +359,9 @@ object Similarity {
     val candidates = projected
       .crossJoin(broadcast(qdf.select(col("query_id"), col("qproj"))))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        VectorFunctions.squaredEuclideanHof(col("qproj"), col("proj")).as("dist"))
+        // fused kernel over the DOUBLE projections (the generalized
+        // SquaredL2) — this scan is the tier's hot loop
+        VectorFunctions.squaredEuclidean(col("qproj"), col("proj")).as("dist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk * refineFactor).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("p"))
