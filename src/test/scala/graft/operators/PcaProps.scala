@@ -40,10 +40,15 @@ object PcaProps extends Properties("Pca.jacobiEigen") {
   property("A v = lambda v for every pair") = Prop.forAll(symGen) { m =>
     val d = m.length
     val (values, v) = eigen(m)
+    // the scale-relative convergence cut bounds the residual near
+    // 1e-13·‖A‖_F (≤ 60 here) — 1e-8 is three orders of headroom,
+    // where the old absolute 1e-12 SQUARED-norm cut genuinely
+    // produced 1e-6 residuals (caught by this property at its old
+    // 1e-6 boundary, then reproduced by a 5·10⁵-matrix fuzz)
     (0 until d).forall { c =>
       (0 until d).forall { r =>
         val av = (0 until d).map(k => m(r)(k) * v(k)(c)).sum
-        math.abs(av - values(c) * v(r)(c)) < 1e-6
+        math.abs(av - values(c) * v(r)(c)) < 1e-8
       }
     }
   }
