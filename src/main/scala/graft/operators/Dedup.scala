@@ -643,6 +643,41 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Exact edit-distance VERIFICATION of fuzzy-dedup candidate pairs —
+    * the second stage of the standard candidate-generate-then-verify
+    * pipeline (BigCode/The-Stack-style MinHash dedup runs exactly this
+    * shape): LSH banding proposes pairs cheaply from token-set overlap;
+    * this stage re-scores each candidate by CHARACTER-level normalized
+    * Levenshtein similarity `1 − lev/max(|a|,|b|)` (rounded to 4
+    * decimals before the threshold compare, the cross-engine float
+    * discipline) and flags `verified = sim ≥ tau`. Token-Jaccard and
+    * char-similarity disagree on short appended tails / reorderings,
+    * which is why production dedup verifies before deleting.
+    *
+    * Scale shape: the candidate set is LSH-bounded (never corpus²), so
+    * BOTH joins broadcast the pair side — two map-only passes over the
+    * corpus scan, zero shuffles; the O(|a|·|b|) Levenshtein DP runs
+    * only on candidates. Returns (doc_a, doc_b, lev, sim, verified). */
+  def editDistanceVerify(
+      docs: DataFrame,
+      pairs: DataFrame,
+      tau: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withA = docs.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+      .join(broadcast(pairs.select(col("doc_a"), col("doc_b"))), Seq("doc_a"))
+    val withB = docs.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+    val maxLen = greatest(length(col("text_a")), length(col("text_b")))
+    withB
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("sim",
+        when(maxLen === 0, lit(1.0)).otherwise(
+          round(lit(1.0) - col("lev").cast("double") / maxLen.cast("double"), 4) + lit(0.0)))
+      .withColumn("verified", (col("sim") >= tau).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim"), col("verified"))
+  }
+
   /** (doc_id, sid): content-addressed shingle ids via the rolling
     * char-hash — the id space is a pure function of shingle TEXT, so
     * signatures computed over different corpora/batches/sessions are

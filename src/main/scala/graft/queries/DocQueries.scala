@@ -172,6 +172,24 @@ object DocQueries {
     out
   }
 
+  /** q147: fuzzy-dedup candidate VERIFICATION — q43's LSH candidates
+    * re-scored by exact normalized Levenshtein similarity at
+    * tau = 0.9 ([[Dedup.editDistanceVerify]]). The planted exact
+    * copies verify at sim 1.0; the appended-tail near copies pass or
+    * fail purely on their char ratio (1 − 21/len) — the char-level
+    * second opinion that token-set Jaccard cannot give, and the reason
+    * production MinHash dedup verifies before deleting. */
+  def editDistVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
+      .localCheckpoint(true)
+    val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+    val out = Dedup.editDistanceVerify(corpus(spark, dir), pairs, tau = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(sigs)
+    out
+  }
+
   /** q138: incremental near-dup — the daily-ingest shape. The corpus
     * originals (doc_id < 100000) are signed ONCE into a persisted
     * [[graft.operators.SignatureStore]] (dir-keyed scratch under
@@ -1347,6 +1365,26 @@ object DocQueries {
          |SELECT doc_a, doc_b, $estJaccardSql AS est_jaccard
          |FROM cand WHERE $estJaccardSql >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q147_editdist_verify" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |scored AS (SELECT p.doc_a, p.doc_b,
+         |                  levenshtein(a.text, b.text) AS lev,
+         |                  greatest(length(a.text), length(b.text)) AS ml
+         |           FROM pairs p
+         |           JOIN corpus a ON a.doc_id = p.doc_a
+         |           JOIN corpus b ON b.doc_id = p.doc_b),
+         |fin AS (SELECT doc_a, doc_b, lev,
+         |               CASE WHEN ml = 0 THEN 1.0
+         |                    ELSE ROUND(1.0 - CAST(lev AS DOUBLE) / CAST(ml AS DOUBLE), 4) + 0.0
+         |               END AS sim
+         |        FROM scored)
+         |SELECT doc_a, doc_b, lev, sim,
+         |       CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS verified
+         |FROM fin ORDER BY doc_a, doc_b""".stripMargin,
     // q138: same signature pipeline, but candidates cross the
     // store/batch split (store = originals < 100000, batch = the
     // planted dup probes) — replaying the persisted-store probe from
@@ -2404,6 +2442,7 @@ object DocQueries {
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),
     "q43_minhash_lsh" -> (minhashLsh _),
+    "q147_editdist_verify" -> (editDistVerify _),
     "q138_incremental_dedup" -> (incrementalDedup _),
     "q44_simhash" -> (simhash _),
     "q45_embedding_neardup" -> (embeddingNearDup _),

@@ -356,6 +356,27 @@ class DedupSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+
+  test("editDistanceVerify: exact copy verifies, short-tail near copy fails the char bar, empty pair is sim 1.0") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "abcd"), (2L, "abed"), (3L, "abcd"),
+      (4L, ""), (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistanceVerify(docs, pairs, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out((1L, 2L)) == ((1, 0.75, 0)))   // 1 edit over len 4: candidate rejected
+    assert(out((1L, 3L)) == ((0, 1.0, 1)))    // exact copy verified
+    assert(out((4L, 5L)) == ((0, 1.0, 1)))    // empty-vs-empty guard, no 0/0
+    // plan: candidate side broadcast on both joins -- no shuffle of docs
+    val plan = Dedup.editDistanceVerify(docs, pairs, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"docs must not shuffle:\n$plan")
+  }
+
   test("rowMinhashSignatures is bit-identical to the batch explode/groupBy pipeline") {
     val ss = spark
     import ss.implicits._
