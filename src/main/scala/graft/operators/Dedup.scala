@@ -698,15 +698,23 @@ object Dedup {
     * `k` tokens have no shingles and are dropped, matching the batch
     * groupBy (zero input rows → absent doc). */
   def rowMinhashSignatures(docs: DataFrame, k: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shingleArr = array_distinct(
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))
-    val sids = transform(shingleArr, s => TextAnalysis.termHash(s))
-    docs.select(col(idCol).as("doc_id"), sids.as("sids"))
-      .filter(size(col("sids")) > 0)
-      .select(col("doc_id"), array((0 until NumHashes).map(j =>
-        array_min(transform(col("sids"), s => (s * hashA(j) + hashB(j)) % MinhashPrime))): _*)
-        .as("sig"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), rowMinhashSigExpr(col(textCol), k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The per-row MinHash signature as a pure column expression — NULL
+    * when the doc has no shingles (fewer than k tokens). Stateless, so
+    * streaming consumers can sign arriving rows while KEEPING their
+    * other columns (text for the verification twin), with no explode
+    * and no aggregation state. Bit-identical to the batch
+    * explode/groupBy pipeline (pinned by the [[rowMinhashSignatures]]
+    * parity spec, which now rides this same expression). */
+  def rowMinhashSigExpr(text: Column, k: Int = 3): Column = {
+    val sids = transform(
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(text), k)),
+      s => TextAnalysis.termHash(s))
+    when(size(sids) > 0, array((0 until NumHashes).map(j =>
+      array_min(transform(sids, s => (s * hashA(j) + hashB(j)) % MinhashPrime))): _*))
   }
 
   /** LSH banding across TWO signature tables (probe vs store) — the

@@ -169,6 +169,54 @@ object StreamingOps {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Streaming VERIFIED near-dup probe — the streaming twin of the
+    * q147 generate-then-verify pipeline over the q138 store shape:
+    * each arriving document is signed by the stateless per-row MinHash
+    * expression (keeping its text), band-joined against the persisted
+    * store signatures, and every candidate is immediately VERIFIED by
+    * exact normalized Levenshtein against the static store text — the
+    * char-level second opinion before an ingest pipeline drops a row.
+    * Two stream-static joins + per-row expressions: no watermark, no
+    * state store, nothing grows with the stream. Emits one row per
+    * MATCHING BAND (the [[streamingStoreProbe]] contract — per-pair
+    * dedup is stateful and stays a downstream batch concern), with
+    * (doc_id, store_id, band, est_jaccard, lev, sim, verified). */
+  def streamingVerifiedProbe(
+      docs: DataFrame,
+      storeSigs: DataFrame,
+      storeTexts: DataFrame,
+      threshold: Double = 0.5,
+      tau: Double = 0.9): DataFrame = {
+    import graft.operators.Dedup
+    def banded(df: DataFrame) = df.select(df.columns.map(col) :+
+      posexplode(transform(sequence(lit(0), lit(Dedup.Bands - 1)), b =>
+        slice(col("sig"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand))))
+        .as(Seq("band", "bandSig")): _*)
+    val signed = docs.select(col("doc_id"), col("text"),
+        Dedup.rowMinhashSigExpr(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val cand = banded(signed)
+      .join(banded(storeSigs.select(col("doc_id").as("store_id"), col("sig")))
+          .select(col("store_id"), col("sig").as("store_sig"), col("band"), col("bandSig")),
+        Seq("band", "bandSig"))
+      .select(col("doc_id"), col("text"), col("store_id"), col("band"),
+        (size(filter(zip_with(col("sig"), col("store_sig"), (a, b) => a === b), x => x))
+          .cast("double") / Dedup.NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val withText = cand.join(
+      storeTexts.select(col("doc_id").as("store_id"), col("text").as("store_text")),
+      Seq("store_id"))
+    val maxLen = greatest(length(col("text")), length(col("store_text")))
+    withText
+      .withColumn("lev", levenshtein(col("text"), col("store_text")))
+      .withColumn("sim",
+        when(maxLen === 0, lit(1.0)).otherwise(
+          round(lit(1.0) - col("lev").cast("double") / maxLen.cast("double"), 4) + lit(0.0)))
+      .withColumn("verified", (col("sim") >= tau).cast("int"))
+      .select(col("doc_id"), col("store_id"), col("band"), col("est_jaccard"),
+        col("lev"), col("sim"), col("verified"))
+  }
+
   /** Streaming cluster-mix monitor: arriving embeddings are assigned
     * to a FROZEN k-means model ([[graft.operators.Clustering.assignExpr]]
     * — a pure narrow expression, identical fixed-point contract to the

@@ -240,6 +240,45 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val corpusRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val dir = tmpDir("stream-verified-store")
+    graft.operators.SignatureStore.build(corpus, dir)
+    val store = graft.operators.SignatureStore.load(spark, dir)
+    val batchRows = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (102L, "a totally novel document with fresh content words"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVerifiedProbe(
+        mem.toDF().toDF("doc_id", "text"), store, corpus)
+      .writeStream.format("memory").queryName("verifiedprobe_out").outputMode("append").start()
+    mem.addData(batchRows: _*)
+    q.processAllAvailable()
+    val stream = spark.table("verifiedprobe_out")
+      .select("doc_id", "store_id", "lev", "sim", "verified").distinct()
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    // batch twin: store probe candidates -> editDistanceVerify over the
+    // disjoint-id union corpus
+    val pairs = graft.operators.SignatureStore.probe(
+        graft.operators.Dedup.rowMinhashSignatures(batchRows.toDF("doc_id", "text")),
+        store, 0.5)
+      .select(col("batch_id").as("doc_a"), col("store_id").as("doc_b"))
+    val batch = graft.operators.Dedup.editDistanceVerify(
+        corpus.unionByName(batchRows.toDF("doc_id", "text")), pairs, tau = 0.9)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim"), col("verified"))
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(stream == batch)
+    // exactly the one planted near-dup candidate surfaces
+    assert(stream.map(p => (p._1, p._2)) == Set((101L, 1L)))
+    q.stop()
+  }
+
   test("bm25SearchStream: streamed answers == the batch persisted-index search") {
     val ss = spark
     implicit val sql = ss.sqlContext
