@@ -190,6 +190,28 @@ object DocQueries {
     out
   }
 
+  /** q148: end-to-end VERIFIED fuzzy dedup decision — q147's verified
+    * pairs grouped into connected components, min-id member kept. The
+    * materially different decision vs q52/q134's candidate-only
+    * grouping: a candidate that fails the char-level bar (q147's
+    * verified = 0) never contributes an edge, so borderline
+    * token-overlap docs stay OUT of dedup groups and keep training.
+    * Same scale shape end to end: banded candidate join, broadcast
+    * verification, pointer-doubled components. */
+  def verifiedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
+      .localCheckpoint(true)
+    val verified = Dedup.editDistanceVerify(
+        corpus(spark, dir), Dedup.lshCandidatePairs(sigs, threshold = 0.5), tau = 0.9)
+      .filter(col("verified") === 1)
+    val out = Dedup.connectedComponents(verified)
+      .select(col("node").as("doc_id"), col("component").as("group_id"),
+        (col("node") === col("component")).cast("int").as("keep"))
+      .orderBy(col("doc_id")).localCheckpoint(true)
+    graft.plans.Blocks.release(sigs)
+    out
+  }
+
   /** q138: incremental near-dup — the daily-ingest shape. The corpus
     * originals (doc_id < 100000) are signed ONCE into a persisted
     * [[graft.operators.SignatureStore]] (dir-keyed scratch under
@@ -1385,6 +1407,34 @@ object DocQueries {
          |SELECT doc_a, doc_b, lev, sim,
          |       CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS verified
          |FROM fin ORDER BY doc_a, doc_b""".stripMargin,
+    // q148: q147's verified pairs -> q52's recursive components ->
+    // min-id keeper. Non-verified candidates contribute NO edge.
+    "q148_verified_dedup" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |scored AS (SELECT p.doc_a, p.doc_b,
+         |                  levenshtein(a.text, b.text) AS lev,
+         |                  greatest(length(a.text), length(b.text)) AS ml
+         |           FROM pairs p
+         |           JOIN corpus a ON a.doc_id = p.doc_a
+         |           JOIN corpus b ON b.doc_id = p.doc_b),
+         |verified AS (SELECT doc_a, doc_b FROM scored
+         |             WHERE (CASE WHEN ml = 0 THEN 1.0
+         |                         ELSE ROUND(1.0 - CAST(lev AS DOUBLE) / CAST(ml AS DOUBLE), 4) + 0.0
+         |                    END) >= 0.9),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM verified),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, min(lab) AS group_id,
+         |       CASE WHEN node = min(lab) THEN 1 ELSE 0 END AS keep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // q138: same signature pipeline, but candidates cross the
     // store/batch split (store = originals < 100000, batch = the
     // planted dup probes) — replaying the persisted-store probe from
@@ -2443,6 +2493,7 @@ object DocQueries {
     "q42_minhash_signatures" -> (minhashSignatures _),
     "q43_minhash_lsh" -> (minhashLsh _),
     "q147_editdist_verify" -> (editDistVerify _),
+    "q148_verified_dedup" -> (verifiedDedup _),
     "q138_incremental_dedup" -> (incrementalDedup _),
     "q44_simhash" -> (simhash _),
     "q45_embedding_neardup" -> (embeddingNearDup _),
