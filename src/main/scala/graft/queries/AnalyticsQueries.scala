@@ -57,24 +57,54 @@ object AnalyticsQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  private val pcaDumped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Scratch dir for the q141 oracle's model dump (the q114 idiom:
+    * under target/, absolute, once per sf-dir per JVM). */
+  private def pcaScratch(sfTag: String): String =
+    new java.io.File(s"target/oracle-scratch/$sfTag/q141").getAbsolutePath
+
   /** q141: PCA whitening report — fit (ONE co_moment pass + driver
     * Jacobi on the d×d covariance), whiten-transform (narrow map), and
     * report per retained component its eigenvalue and the post-whiten
     * variance (≈ 1.0 by construction — the self-check a pipeline runs
-    * after fitting). Eigendecomposition is not SQL-expressible, so
-    * this is a rows-only surface; its INPUT covariance is exactly what
-    * q136 hash-oracles, and PcaSpec gates the math. */
+    * after fitting). Eigendecomposition itself is not SQL-expressible,
+    * but the REPORT is a pure function of the fitted model — so the
+    * query dumps (mean, components, scales) and DuckDB independently
+    * re-projects every embedding and re-derives the variances from the
+    * dump (the q114 pattern; the fit's math is gated by
+    * PcaSpec/PcaProps, and its input covariance is q136's hash oracle).
+    * Per-row projections quantize to 1e-6 fixed point BEFORE the
+    * moment sums (decimal-exact, add-order free), which is what makes
+    * the variance hash-reproducible across engines. */
   def pcaWhiten(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pca
     val e = spread(t(spark, dir, "embeddings"))
     val model = Pca.fit(e, Dim, k = 8)
+    val sfTag = new java.io.File(dir).getName
+    if (pcaDumped.add(sfTag)) {
+      val ssd = spark
+      import ssd.implicits._
+      model.components.toSeq.zipWithIndex.map { case (w, i) =>
+        (i,
+          BigDecimal(model.eigenvalues(i)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          math.sqrt(model.eigenvalues(i) + 1e-9),
+          w.toSeq, model.mean.toSeq)
+      }.toDF("comp", "eigenvalue", "scale", "w", "mean")
+        .coalesce(1).write.mode("overwrite").parquet(s"${pcaScratch(sfTag)}/model")
+    }
     val stats = Pca.transform(e, model)
       .select(posexplode(col("proj")).as(Seq("comp", "p")))
+      .withColumn("pfp", floor(col("p") * 1e6 + lit(0.5)).cast("decimal(19,0)"))
       .groupBy(col("comp"))
-      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"),
-        sum(col("p") * col("p")).as("s2"))
+      .agg(count(lit(1)).as("n"), sum(col("pfp")).as("s1"),
+        sum(col("pfp") * col("pfp")).as("s2"))
       .select(col("comp").cast("int").as("comp"),
-        round((col("s2") / col("n")) - (col("s") / col("n")) * (col("s") / col("n")), 4)
+        (round((col("s2").cast("double") / lit(1e12)) / col("n") -
+          (col("s1").cast("double") / lit(1e6) / col("n")) *
+          (col("s1").cast("double") / lit(1e6) / col("n")), 4) + lit(0.0))
           .as("whitened_var"))
     val ss = spark
     import ss.implicits._
@@ -153,6 +183,29 @@ object AnalyticsQueries {
        |       WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q141: re-project every embedding from the dumped fitted model
+    // (mean, components, whiten scales), quantize per-row projections
+    // to 1e-6 fixed point, re-derive the whitened variances from
+    // exact integer moment sums. The correctness run is always
+    // sf0.01, so the oracle reads that tag's dump (written by the
+    // query itself earlier in the same Verify run).
+    "q141_pca_whiten" -> {
+      val b = pcaScratch("sf0.01")
+      s"""WITH m AS (SELECT comp, eigenvalue, scale, w, mean
+         |           FROM read_parquet('$b/model/*.parquet')),
+         |p AS (SELECT m.comp, CAST(floor(
+         |        list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |          (CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * m.w[i]))
+         |        / m.scale * 1e6 + 0.5) AS HUGEINT) AS pfp
+         |      FROM embeddings e CROSS JOIN m),
+         |agg AS (SELECT comp, count(*) AS n, sum(pfp) AS s1, sum(pfp * pfp) AS s2
+         |        FROM p GROUP BY comp)
+         |SELECT a.comp, m.eigenvalue,
+         |       ROUND((CAST(a.s2 AS DOUBLE) / 1e12) / a.n -
+         |             (CAST(a.s1 AS DOUBLE) / 1e6 / a.n) *
+         |             (CAST(a.s1 AS DOUBLE) / 1e6 / a.n), 4) + 0.0 AS whitened_var
+         |FROM agg a JOIN m ON m.comp = a.comp ORDER BY a.comp""".stripMargin
+    },
     "q135_kmeans" ->
       s"""WITH $kmeansCtes,
          |i2 AS (SELECT cl, count(*) AS n, CAST(SUM(d) AS BIGINT) AS inertia_fp FROM a2 GROUP BY cl),
