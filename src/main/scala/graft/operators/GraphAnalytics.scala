@@ -137,4 +137,65 @@ object GraphAnalytics {
     Blocks.release(e)
     out
   }
+
+  /** Exact triangle count + global clustering coefficient over the
+    * UNDIRECTED closure of `edges(a, b)` — the neighborhood-quality
+    * audit for a search graph (a well-built kNN graph is locally
+    * clustered; a coefficient collapse after churn means neighbors no
+    * longer know each other and greedy descent loses its shortcuts).
+    *
+    * Degree-ordered node-iterator (Schank & Wagner 2005): every edge
+    * is oriented from its (degree, id)-SMALLER endpoint toward the
+    * larger, wedges are enumerated only at the smaller endpoint, and
+    * each triangle is counted exactly once at its minimum vertex. The
+    * orientation bounds per-vertex wedge fan-out by out-degree ≤
+    * O(√|E|) regardless of hub size — the skew guard that makes the
+    * wedge self-join survive power-law degree distributions at scale;
+    * everything is an equi-join / partial agg, no driver loops.
+    * Returns ONE row: (n_nodes, n_edges_und, n_wedges, n_triangles,
+    * global_cc = 3·T / wedges, 4 dp). */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import graft.plans.Blocks
+    val und = edges.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("x").as("id")).unionAll(und.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient each edge from (deg, id)-smaller u toward larger v
+    val oriented = und
+      .join(deg.select(col("id").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("id").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x"))
+          .otherwise(col("y")).as("u"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
+          .otherwise(col("x")).as("v"))
+      .localCheckpoint(true)
+    // wedge (v, w) at u with ord(v) < ord(w); closing edge must be v->w
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val ordOf = deg.select(col("id"), struct(col("d"), col("id")).as("ord"))
+    val wedges = e1.join(e2, "u").filter(col("v") =!= col("w"))
+      .join(ordOf.select(col("id").as("v"), col("ord").as("ov")), "v")
+      .join(ordOf.select(col("id").as("w"), col("ord").as("ow")), "w")
+      .filter(col("ov") < col("ow"))
+      .select(col("v").as("u"), col("w").as("v"))
+    val tri = wedges.join(oriented, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg
+      .agg(sum(col("d") * (col("d") - 1) / 2).as("n_wedges"))
+    val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges_und")))
+      .crossJoin(wedgeTotal).crossJoin(tri)
+    val out = counts.select(col("n_nodes"), col("n_edges_und"),
+        col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles") / col("n_wedges").cast("double"), 4)
+            + lit(0.0)).as("global_cc"))
+      .localCheckpoint(true)
+    Blocks.release(und)
+    Blocks.release(oriented)
+    out
+  }
 }

@@ -927,6 +927,19 @@ object AnnQueries {
           + lit(0.0)).as("sym_frac"))
   }
 
+  /** q149: triangle count + global clustering coefficient over the
+    * index graph's undirected closure — the neighborhood-quality audit
+    * ([[graft.operators.GraphAnalytics.triangleStats]]: degree-ordered
+    * node-iterator, each triangle counted once at its minimum vertex).
+    * Same dumped graph as q114/q137/q143, oracled by a DuckDB replay
+    * of the identical orientation + wedge-close joins. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphDump(spark, dir)
+    graft.operators.GraphAnalytics.triangleStats(
+      spark.read.parquet(s"$base/nodes"),
+      spark.read.parquet(s"$base/edges"))
+  }
+
   private val healthDumped =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -959,6 +972,7 @@ object AnnQueries {
     "q137_graph_pagerank" -> (graphPagerank _),
     "q140_entry_depths" -> (entryDepths _),
     "q143_edge_symmetry" -> (edgeSymmetry _),
+    "q149_graph_triangles" -> (graphTriangles _),
     "q144_pca_search" -> (pcaSearch _),
     "q145_pca_recall" -> (pcaRecall _)
   )
@@ -1055,6 +1069,33 @@ object AnnQueries {
            |SELECT -1 AS depth, count(*) AS n_nodes
            |FROM nodes n LEFT JOIN md ON md.node = n.id WHERE md.node IS NULL
            |ORDER BY depth""".stripMargin,
+      // q149: identical degree-(id)-ordered orientation + wedge-close
+      // joins over the undirected closure of the same dump.
+      "q149_graph_triangles" ->
+        s"""WITH e0 AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
+           |nodes AS (SELECT id FROM read_parquet('$b/nodes/*.parquet')),
+           |und AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+           |        FROM e0 WHERE a <> b),
+           |deg AS (SELECT id, count(*) AS d FROM
+           |          (SELECT x AS id FROM und UNION ALL SELECT y AS id FROM und)
+           |        GROUP BY id),
+           |ori AS (SELECT CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.x ELSE u.y END AS u,
+           |               CASE WHEN (dx.d, u.x) < (dy.d, u.y) THEN u.y ELSE u.x END AS v
+           |        FROM und u JOIN deg dx ON dx.id = u.x JOIN deg dy ON dy.id = u.y),
+           |wedge AS (SELECT e1.v AS u, e2.v AS v
+           |          FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+           |          JOIN deg dv ON dv.id = e1.v JOIN deg dw ON dw.id = e2.v
+           |          WHERE (dv.d, e1.v) < (dw.d, e2.v)),
+           |tri AS (SELECT count(*) AS n_triangles FROM wedge w
+           |        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.u = w.u AND o.v = w.v)),
+           |wt AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+           |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+           |ne AS (SELECT count(*) AS n_edges_und FROM und)
+           |SELECT nn.n_nodes, ne.n_edges_und, wt.n_wedges, tri.n_triangles,
+           |       CASE WHEN wt.n_wedges = 0 THEN 0.0
+           |            ELSE ROUND(3.0 * tri.n_triangles / CAST(wt.n_wedges AS DOUBLE), 4) + 0.0
+           |       END AS global_cc
+           |FROM nn, ne, wt, tri""".stripMargin,
       "q143_edge_symmetry" ->
         s"""WITH edges AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
            |sym AS (SELECT count(*) AS n_symmetric FROM edges e

@@ -55,6 +55,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(hist == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 0L))
   }
 
+test("triangleStats: K4 is fully clustered, a star has none, pendant triangle is 3/5") {
+    // K4: 4 triangles, 6 undirected edges, 12 wedges, cc = 1.0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val (n4, e4) = frames(1L to 4L, k4)
+    val r4 = GraphAnalytics.triangleStats(n4, e4).collect().head
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2), r4.getLong(3), r4.getDouble(4)) ==
+      ((4L, 6L, 12L, 4L, 1.0)))
+    // star (hub 1 -> 2..5): wedges at the hub only, zero triangles
+    val (ns, es) = frames(1L to 5L, (2L to 5L).map(i => (1L, i)))
+    val rs = GraphAnalytics.triangleStats(ns, es).collect().head
+    assert((rs.getLong(2), rs.getLong(3), rs.getDouble(4)) == ((6L, 0L, 0.0)))
+    // triangle 1-2-3 with pendant 4 on node 3 (duplicated directed
+    // edges + a self-loop must not change anything)
+    val (np, ep) = frames(1L to 4L,
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L), (3L, 3L)))
+    val rp = GraphAnalytics.triangleStats(np, ep).collect().head
+    assert((rp.getLong(1), rp.getLong(2), rp.getLong(3), rp.getDouble(4)) ==
+      ((4L, 5L, 1L, 0.6)))
+  }
+
   test("ranks are independent of partitioning (integer sums)") {
     val ids = (1L to 40L)
     val edges = ids.flatMap(i => Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1)))
