@@ -120,7 +120,15 @@ object Pca {
           val apq = a(p)(q)
           if (math.abs(apq) > 1e-15) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // theta == 0 (EQUAL diagonal entries) needs tan = 1 (the
+            // 45° rotation): signum(0) = 0 would produce t = 0 — no
+            // rotation, off-diagonals never shrink, and the sweep cap
+            // returns the unrotated diagonal as "eigenvalues" (caught
+            // by PcaProps' boundary-biased matrices, e.g.
+            // [[1, x], [x, 1]])
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var r = 0

@@ -1089,6 +1089,52 @@ object DocQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q150: late-interaction (MaxSim, ColBERT-style — Khattab & Zaharia
+    * 2020) retrieval over the q122 chunk embeddings: a QUERY is a whole
+    * document's chunk-vector SET and score(Q, D) = Σ_{q∈Q} max_{d∈D}
+    * ⟨q, d⟩ — each query chunk finds its best-matching passage in the
+    * candidate doc, so a doc answering ALL the query's aspects beats
+    * one matching a single chunk hard (what single-vector min-pool,
+    * q122, cannot express). Integer hashed-BoW dots keep every score an
+    * exact BIGINT, so the ranking is hash-oracled, not recall-gated.
+    *
+    * Scale shape: the query chunk set broadcasts; ONE corpus chunk
+    * scan; max-per-(query-chunk, doc) then sum-per-(query-doc, doc)
+    * are two partial aggs; the doc top-3 rides the bounded heap on
+    * −score. At a real deployment the crossJoin swaps for an ANN
+    * candidate stage exactly as q109/q122 document. */
+  def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.topKPairs
+    val chunks = TextAnalysis.chunkTokens(spread(docs(spark, dir)),
+      size = 8, stride = 4)
+    val withTids = chunks.withColumn("tids",
+      transform(TextAnalysis.tokens(col("chunk")),
+        t => pmod(TextAnalysis.termHash(t), lit(RagDim.toLong))))
+    def comp(j: Int) =
+      org.apache.spark.sql.functions.size(
+        filter(col("tids"), x => x === j.toLong)).cast("long").as(s"c$j")
+    val emb = withTids.select(
+      Seq(col("id").as("doc_id"), col("chunk_no")) ++
+        (0 until RagDim).map(comp): _*)
+    val queries = emb.filter(col("doc_id") < 3)
+      .select(Seq(col("doc_id").as("q_doc"), col("chunk_no").as("q_chunk")) ++
+        (0 until RagDim).map(j => col(s"c$j").as(s"q$j")): _*)
+    val dotExpr = (0 until RagDim).map(j => col(s"q$j") * col(s"c$j")).reduce(_ + _)
+    val scores = emb.crossJoin(broadcast(queries))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id"), dotExpr.as("dot"))
+      .groupBy(col("q_doc"), col("q_chunk"), col("doc_id"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("m")).as("score"))
+    scores.groupBy(col("q_doc"))
+      .agg(topKPairs((-col("score")).cast("double"), col("doc_id"), 3).as("tk"))
+      .select(col("q_doc"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("q_doc"), col("p.id").as("doc_id"),
+        (-col("p.dist")).cast("long").as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("q_doc"), col("rnk"))
+  }
+
   /** Per-source corpus card (q108): the one-page dataset summary a
     * curation pipeline publishes per ingested source — doc/char/token
     * volume, language spread, and how many of the source's docs are
@@ -2056,6 +2102,35 @@ object DocQueries {
          |SELECT query_id, doc_id, dist, CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+    "q150_maxsim_retrieval" -> {
+      // q122's chunk/bucket CTEs, then MaxSim: per-(query-chunk, doc)
+      // max dot, per-(query-doc, doc) sum, top-3 by (score DESC, id)
+      def bucket(j: Int) =
+        s"len(list_filter(ct, x -> (${termHashSql("x")}) % $RagDim = $j))"
+      val embCols = (0 until RagDim).map(j => s"${bucket(j)} AS c$j").mkString(", ")
+      val qCols = (0 until RagDim).map(j => s"c$j AS q$j").mkString(", ")
+      val dotSql = (0 until RagDim).map(j => s"q.q$j * e.c$j").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |        greatest(1, CAST(ceil((len(t) - 8) / 4.0) AS INT) + 1) AS nw FROM toks),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(0, nw),
+         |        i -> struct_pack(chunk_no := i,
+         |          chunk := array_to_string(list_slice(t, i*4 + 1, i*4 + 8), ' ')))) AS s
+         |      FROM w),
+         |f AS (SELECT doc_id, s.chunk_no AS chunk_no,
+         |        string_split(s.chunk, ' ') AS ct FROM ch),
+         |e AS (SELECT doc_id, chunk_no, $embCols FROM f),
+         |q AS (SELECT doc_id AS q_doc, chunk_no AS q_chunk, $qCols
+         |      FROM e WHERE doc_id < 3),
+         |d AS (SELECT q.q_doc, q.q_chunk, e.doc_id, ($dotSql) AS dot
+         |      FROM e CROSS JOIN q),
+         |m AS (SELECT q_doc, q_chunk, doc_id, max(dot) AS m FROM d GROUP BY 1, 2, 3),
+         |s AS (SELECT q_doc, doc_id, CAST(SUM(m) AS BIGINT) AS score FROM m GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc
+         |        ORDER BY score DESC, doc_id) AS rnk FROM s)
+         |SELECT q_doc, doc_id, score, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY q_doc, rnk""".stripMargin
+    },
     "q119_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |w AS (SELECT doc_id, t,
@@ -2538,6 +2613,7 @@ object DocQueries {
     "q116_pmi_collocations" -> (pmiCollocations _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
+    "q150_maxsim_retrieval" -> (maxsimRetrieval _),
     "q117_pipeline_yield" -> (pipelineYield _),
     "q70_doc_nll" -> (unigramNll _),
     "q71_mix_sample" -> (mixtureSample _),

@@ -7,12 +7,19 @@ object PcaFuzz {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val rng = new java.util.Random(12345L)
+    // boundary-heavy like ScalaCheck's chooseNum: specials with
+    // high probability, uniform otherwise — degenerate/repeated-
+    // eigenvalue structures appear constantly
+    val specials = Array(-10.0, -1.0, 0.0, 1.0, 10.0)
+    def draw(): Double =
+      if (rng.nextInt(3) == 0) specials(rng.nextInt(specials.length))
+      else rng.nextDouble() * 20.0 - 10.0
     var worstTrace = 0.0; var worstOrtho = 0.0; var worstAv = 0.0
     var worstAvSeedI = -1
     var i = 0
     while (i < n) {
       val d = 2 + rng.nextInt(5)
-      val raw = Array.fill(d, d)(rng.nextDouble() * 20.0 - 10.0)
+      val raw = Array.fill(d, d)(draw())
       val m = Array.tabulate(d, d)((a, b) => (raw(a)(b) + raw(b)(a)) / 2.0)
       val (values, v) = Pca.jacobiEigen(m)
       val trace = (0 until d).map(k => m(k)(k)).sum
@@ -32,6 +39,10 @@ object PcaFuzz {
           val av = (0 until d).map(k => m(r)(k) * v(k)(c1)).sum
           val ae = math.abs(av - values(c1) * v(r)(c1))
           if (ae > worstAv) { worstAv = ae; worstAvSeedI = i }
+          if (ae > 1e-6 && ae >= worstAv) {
+            println(s"BAD iter=$i d=$d ae=$ae matrix=" +
+              m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+          }
           r += 1
         }
         c1 += 1

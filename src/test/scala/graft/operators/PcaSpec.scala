@@ -71,6 +71,23 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("fingerprint"))
   }
 
+test("jacobiEigen: equal-diagonal matrix rotates at 45 degrees (theta = 0 regression)") {
+    // [[1, x], [x, 1]] has eigenpairs (1+x, [1,1]/sqrt2), (1-x, [1,-1]/sqrt2);
+    // signum(0) = 0 used to produce a zero rotation here, returning the
+    // unrotated diagonal [1, 1] as "eigenvalues" after the sweep cap
+    val x = -1.5268874461612185
+    val (values, v) = Pca.jacobiEigen(Array(Array(1.0, x), Array(x, 1.0)))
+    val got = values.toSeq.sorted
+    val want = Seq(1.0 - math.abs(x), 1.0 + math.abs(x)).sorted
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$got vs $want") }
+    // residual check: A v = lambda v per column
+    for (c <- 0 to 1; r <- 0 to 1) {
+      val m = Array(Array(1.0, x), Array(x, 1.0))
+      val av = m(r)(0) * v(0)(c) + m(r)(1) * v(1)(c)
+      assert(math.abs(av - values(c) * v(r)(c)) < 1e-12)
+    }
+  }
+
   test("fromMoments matches fit (one moment pass is the whole corpus cost)") {
     val cells = cloud
       .agg(graft.functions.VectorFunctions.coMoment(col("embedding"), 2).as("m"))
