@@ -36,6 +36,18 @@ object SketchFunctions {
     ExpressionUtils.column(
       expressions.MisraGriesAgg(ExpressionUtils.expression(value), k).toAggregateExpression())
 
+  /** KLL-style mergeable approximate quantiles of a DOUBLE column:
+    * one estimate (an actual input value) per requested probability.
+    * The rank-statistics counterpart of [[kmvDistinct]]/[[mgSummary]]:
+    * exact `percentile` shuffles and sorts the whole column per group;
+    * this carries an O(k·log(n/k)) summary per partition with
+    * map-side combine. Gate consumers on measured rank error
+    * (the q151 pattern) — sketch values depend on partitioning. */
+  def kllQuantiles(value: Column, probs: Seq[Double], k: Int = 256): Column =
+    ExpressionUtils.column(
+      expressions.KllQuantilesAgg(ExpressionUtils.expression(value), probs, k)
+        .toAggregateExpression())
+
   /** Bloom-filter build aggregate: BINARY serialized filter over the
     * column's non-null values. Partial state is the fixed bit array;
     * merge is bitwise OR. Size with

@@ -160,6 +160,51 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q151: sketch quantiles with a measured rank-error gate — the
+    * 100 TB path for the q20 dashboard. Exact `percentile` shuffles
+    * and sorts every value; [[graft.functions.SketchFunctions
+    * .kllQuantiles]] carries an O(k·log n) mergeable summary per
+    * partition instead. Pass 2 re-scans once to measure each
+    * estimate's EXACT rank (five conditional counts in one aggregate)
+    * and emits `rank_recall = 1 − max |rank − p|` — the recall-gate
+    * column oracle_check enforces (≥ 0.70; k = 256 lands ~0.99), the
+    * same honesty contract as the ANN tiers: the approximate path
+    * ships WITH its measured quality, never on faith. */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val price = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val est = price.agg(
+        SketchFunctions.kllQuantiles(col("x"), probs).as("est"),
+        count(lit(1)).as("n"))
+      .head()
+    val ests = est.getSeq[Double](0)
+    val n = est.getLong(1)
+    // rank error against the tie interval [frac(< est), frac(<= est)]
+    // — a point rank would overshoot p on heavily repeated values even
+    // for the exact quantile
+    val rankCols = ests.zipWithIndex.flatMap { case (e, i) => Seq(
+      (sum(when(col("x") < e, 1L).otherwise(0L)).cast("double") / n).as(s"lo$i"),
+      (sum(when(col("x") <= e, 1L).otherwise(0L)).cast("double") / n).as(s"hi$i"))
+    }
+    val ranks = price.agg(rankCols.head, rankCols.tail: _*).head()
+    val errs = probs.indices.map { i =>
+      val lo = ranks.getDouble(2 * i); val hi = ranks.getDouble(2 * i + 1)
+      val p = probs(i)
+      if (p < lo) lo - p else if (p > hi) p - hi else 0.0
+    }
+    val ss = spark
+    import ss.implicits._
+    Seq((n,
+      BigDecimal(ests.head).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(ests(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(ests(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(errs.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(1.0 - errs.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_rows", "est_p01", "est_p50", "est_p99", "max_rank_err", "rank_recall")
+  }
+
   /** Large-volume orders (q120, TPC-H Q18 shape): orders whose total
     * line quantity clears a threshold, joined out to customer — the
     * aggregate-HAVING semi-join pattern. Scale shape: the HAVING
@@ -308,6 +353,7 @@ object RelationalQueries {
     "q17_order_status_pivot" -> (orderStatusPivot _),
     "q18_supplier_quartiles" -> (supplierBalanceQuartiles _),
     "q19_salted_agg" -> (saltedAgg _),
-    "q20_price_quantiles" -> (priceQuantiles _)
+    "q20_price_quantiles" -> (priceQuantiles _),
+    "q151_sketch_quantiles" -> (sketchQuantiles _)
   )
 }
