@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt, Subtract}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingHash, TopKPairsAgg}
 
@@ -20,6 +20,7 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *   - graft_kmv_distinct(s, k)    — KMV distinct-count sketch aggregate
   *   - graft_mg_summary(s, k)      — Misra–Gries frequent-items summary
   *   - graft_co_moment(v, d)       — one-pass fixed-point co-moment aggregate
+  *   - graft_kll_quantiles(x, ps, k) — KLL approximate-quantiles aggregate
   *   - graft_bloom_agg(s, m, k)    — Bloom-filter build aggregate (BINARY)
   *   - graft_bloom_contains(f, s)  — Bloom membership probe (no false negatives)
   *   - graft_pq_adc(codes, lut, k) — PQ asymmetric distance (codes vs
@@ -114,6 +115,33 @@ object GraftExtensions {
             s"graft_co_moment dim must be an integer literal, got $other")
         }
         graft.functions.expressions.CoMomentAgg(args(0), d).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_kll_quantiles"),
+      info("graft_kll_quantiles",
+        "KLL mergeable approximate-quantiles aggregate of a DOUBLE column -> ARRAY<DOUBLE>; probs is an ARRAY<DOUBLE> literal, k an integer literal"),
+      (args: Seq[Expression]) => {
+        val probs = args(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(DoubleType, _)) => a.toDoubleArray().toSeq
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+              if children.forall(_.isInstanceOf[Literal]) =>
+            children.map(_.asInstanceOf[Literal].value match {
+              case d: Double => d
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case i: Int => i.toDouble
+              case other => throw new IllegalArgumentException(
+                s"graft_kll_quantiles probs entries must be numeric literals, got $other")
+            })
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantiles probs must be an array literal, got $other")
+        }
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantiles k must be an integer literal, got $other")
+        }
+        graft.functions.expressions.KllQuantilesAgg(args(0), probs, k)
+          .toAggregateExpression()
       }),
     (FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg",

@@ -42,6 +42,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+test("graft_kll_quantiles via SQL: exact below capacity, literal guards") {
+    GraftExtensions.register(spark)
+    val est = spark.sql(
+      """SELECT graft_kll_quantiles(CAST(x AS DOUBLE), array(0.25D, 0.5D, 1.0D), 256) AS q
+        |FROM range(1, 101) AS t(x)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(est == Seq(25.0, 50.0, 100.0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_kll_quantiles(CAST(id AS DOUBLE), array(0.5D), id) FROM range(3)")
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("graft_pq_adc via SQL: m byte-indexed LUT lookups") {
     GraftExtensions.register(spark)
     // m=2 subspaces, k=4: codes [1, 3] pick lut[0*4+1]=0.5 and lut[1*4+3]=2.0
