@@ -92,6 +92,19 @@ object Clustering {
   def assignExpr(vec: Column, cents: Array[Array[Double]]): Column =
     argmin(cents.toSeq.map(c => distFp(vec, c))).cast("int")
 
+  /** PUBLIC selected-distance expression: the fixed-point squared-L2
+    * distance (long) from `vec` to its NEAREST centroid — the inertia
+    * contribution of the [[assignExpr]] assignment, and the outlier
+    * score of the q153 audit (a vector far from every bucket center is
+    * off-distribution for the frozen model). Same narrow/no-state
+    * contract as [[assignExpr]]; ties collapse (equal distances give
+    * the same least value the argmin's winner carries). */
+  def minDistExpr(vec: Column, cents: Array[Array[Double]]): Column =
+    cents.toSeq.map(c => distFp(vec, c)) match {
+      case Seq(only) => only
+      case ds        => least(ds: _*)
+    }
+
   /** Narrow-map assignment under literal centroids: adds `cl` (int)
     * and `d_fp` (the selected distance, for inertia). */
   private def assign(embeddings: DataFrame, vecCol: String,

@@ -174,7 +174,11 @@ object Similarity {
     * predicate is applied to `assigned` BEFORE the probe join, so it
     * prunes the scan (and, phrased on a partition/storage column,
     * pushes down to the source) instead of discarding scored rows.
-    * `assigned` may carry extra metadata columns for it to reference. */
+    * `assigned` may carry extra metadata columns for it to reference.
+    * `pairFilter` is applied AFTER the cluster join (it may reference
+    * both `query_id` and the candidate `id`) and BEFORE the distance
+    * heap — the hook [[knnJoin]] uses to exclude self-matches without
+    * an extra shuffle or post-hoc re-rank. */
   def ivfTopK(
       assigned: DataFrame,
       centroids: DataFrame,
@@ -182,7 +186,8 @@ object Similarity {
       topk: Int,
       nprobe: Int,
       metric: Metric = Metric.Euclidean,
-      filter: Column = lit(true)): DataFrame = {
+      filter: Column = lit(true),
+      pairFilter: Column = lit(true)): DataFrame = {
     val q = metric match {
       case Metric.Euclidean => queries.select(col("query_id"), col("qvec"), col("qvec").as("__qprobe"))
       case Metric.Cosine => queries
@@ -204,6 +209,7 @@ object Similarity {
     // step 2: equi-join on cluster (partition-pruned at scale), exact
     // distance within probed clusters, global top-k per query
     probe.join(assigned.filter(filter), Seq("cluster"))
+      .filter(pairFilter)
       .select(col("query_id"), col("id").as("neighbor_id"), dcol.as("dist"))
       .groupBy(col("query_id"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("neighbor_id"), topk).as("tk"))
@@ -667,5 +673,73 @@ object Similarity {
         col("d_pos"),
         (round(col("p.dist") - col("d_pos"), 4) + lit(0.0)).as("margin"),
         (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Distributed kNN JOIN — for EVERY row of `queries`, its k nearest
+    * rows of `corpus` — with NEITHER side broadcast. This is the shape
+    * [[hardNegatives]] / [[semanticDecontaminate]] cannot reach (both
+    * broadcast an eval-sized probe side): semantic self-dedup, per-doc
+    * nearest-neighbor graphs, and hard-negative mining over the FULL
+    * corpus all need corpus × corpus.
+    *
+    * Scale shape (the Spark-side IVF join): both sides take a narrow
+    * nearest-centroid map against the broadcast centroid literal set —
+    * the corpus to its 1 home cell, each query replicated to its
+    * `nprobe` closest cells — then ONE cluster equi-join co-locates
+    * candidates (shuffle carries rows × nprobe, never |Q|·|C| pairs)
+    * and a bounded per-query k-heap ([[VectorFunctions.topKPairs]])
+    * ends the plan. Self-matches are cut by `ivfTopK`'s pairFilter
+    * BEFORE the heap, so no post-hoc re-rank. Recall is bounded by the
+    * cell partition exactly as in IVF search; q155 self-reports it
+    * against the exact twin.
+    *
+    * @param queries  (idCol, vecCol) — may BE the corpus (self-join)
+    * @param excludeSelf drop candidate id == query id (self-join mode)
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 8,
+      excludeSelf: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val model = ivfFitModel(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), cells)
+    val assigned = assignClusters(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), model)
+    val centroids = centroidsDf(corpus.sparkSession, model)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val pf = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    ivfTopK(assigned, centroids, q, topk = k, nprobe = nprobe, pairFilter = pf)
+  }
+
+  /** Exact twin of [[knnJoin]] (labeled all-pairs — the oracle /
+    * recall baseline, NOT the scale path): block nested-loop over
+    * queries × corpus with the same bounded per-query heap and the
+    * same rounded-to-4 euclidean contract, so q155's recall compares
+    * like against like. */
+  def knnJoinExact(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      excludeSelf: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions.{euclidean, topKPairs}
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val pairs = q.crossJoin(c)
+    val kept = if (excludeSelf) pairs.filter(col("nid") =!= col("query_id")) else pairs
+    kept
+      .select(col("query_id"), col("nid"),
+        (round(euclidean(col("qvec"), col("nvec")), 4) + lit(0.0)).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(col("dist"), col("nid"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Clustering
+import graft.operators.{Clustering, Profile, Similarity}
 import Tables._
 
 /** Driver-checked corpus-analytics queries: the embedding-space
@@ -145,6 +145,82 @@ object AnalyticsQueries {
       .orderBy(col("lang"), col("cluster"))
   }
 
+  /** q152: table profile of `documents` — the per-column audit
+    * (nulls, completeness, exact distinct, min/max, mean / mean
+    * length) a pipeline runs on every corpus drop. ONE scan: every
+    * measure lands in a single agg (the count-distincts share one
+    * Expand); the long reshape explodes the 1-row result driver-side.
+    * See [[graft.operators.Profile]] for the 100 TB sketch variant. */
+  def profileDocs(spark: SparkSession, dir: String): DataFrame =
+    Profile.profileTable(spread(t(spark, dir, "documents")),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  private val OutlierK = 20
+
+  /** q153: embedding outlier audit under the FROZEN cluster model
+    * (q142's cached fit) — the top-20 vectors by fixed-point distance
+    * to their nearest centroid, each beside its cluster's mean
+    * distance (how far outside its own bucket the outlier sits). The
+    * off-distribution screen a curation pass runs before training:
+    * assignment + distance are one narrow map, the per-cluster means
+    * are a k-row partial agg broadcast back, and the top-20 is a
+    * TakeOrdered (rnk windows only the 20 survivors — q137's idiom).
+    * All-integer fixed point end to end: hash-oracled, not gated. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(t(spark, dir, "embeddings"))
+    val model = mixModelCache.computeIfAbsent(dir, _ =>
+      Clustering.modelFromReport(Clustering.kmeansReport(e, K, iters = 1), K))
+    val assigned = e.select(col("vec_id"),
+      Clustering.assignExpr(col("embedding"), model.centroids).as("cluster"),
+      Clustering.minDistExpr(col("embedding"), model.centroids).as("dist_fp"))
+    val stats = assigned.groupBy(col("cluster"))
+      .agg(expr("sum(dist_fp) div count(1)").as("cluster_mean_fp"))
+    assigned.join(broadcast(stats), Seq("cluster"))
+      .orderBy(col("dist_fp").desc, col("vec_id")).limit(OutlierK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dist_fp").desc, col("vec_id"))))
+      .select(col("vec_id"), col("cluster"), col("dist_fp"),
+        col("cluster_mean_fp"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  private val KnnK = 3
+
+  /** q154: exact kNN self-join over the embeddings — every vector's 3
+    * nearest OTHER vectors (the all-pairs oracle twin; q155 is the
+    * IVF-joined scale path). */
+  def knnJoinExactQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.knnJoinExact(spread(e), e, KnnK, excludeSelf = true)
+  }
+
+  /** q155: the DISTRIBUTED kNN join (IVF cell co-partitioned — see
+    * [[graft.operators.Similarity.knnJoin]]) self-scored against the
+    * exact twin: one row, (n_queries, avg_recall_at_3,
+    * worst_hits_frac). The recall compare is itself distributed (a
+    * left-semi join + per-query partial agg), never a driver collect
+    * — at 100 TB the truth side would be a held-out sample, same
+    * plan. */
+  def knnJoinRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val got = Similarity.knnJoin(spread(e), spread(e), KnnK,
+        cells = 16, nprobe = 8, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = Similarity.knnJoinExact(spread(e), e, KnnK, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val perQ = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        (round(sum(col("hits")).cast("double") /
+          (count(lit(1)) * KnnK), 4) + lit(0.0)).as("avg_recall_at_3"),
+        (round(min(col("hits")).cast("double") / KnnK, 4) + lit(0.0))
+          .as("worst_hits_frac"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -182,7 +258,62 @@ object AnalyticsQueries {
        |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d2)
        |       WHERE rn = 1)""".stripMargin
 
+  /** One profile row per column, mirroring Profile.profileTable's
+    * measure set: exact BIGINT counts, CAST-to-VARCHAR min/max, and
+    * last-step rounded divisions over exact DECIMAL/BIGINT sums. */
+  private def profileRowSql(c: String, kind: String): String = {
+    val meanV =
+      if (kind == "num")
+        s"ROUND(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c), 6) + 0.0"
+      else "CAST(NULL AS DOUBLE)"
+    val avgLen =
+      if (kind == "str")
+        s"ROUND(CAST(SUM(CAST(length($c) AS BIGINT)) AS DOUBLE) / count($c), 6) + 0.0"
+      else "CAST(NULL AS DOUBLE)"
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |  count(*) - count($c) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  ROUND(CAST(count($c) AS DOUBLE) / count(*), 6) + 0.0 AS completeness,
+       |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v,
+       |  $meanV AS mean_v, $avgLen AS avg_len
+       |FROM documents""".stripMargin
+  }
+
+  /** Rounded euclidean over the 64-dim float arrays — mirrors
+    * VectorFunctions.euclidean (cast each float to double, subtract,
+    * square, in-order sum, sqrt) then the round-to-4 ranking idiom. */
+  private def eucSql(a: String, b: String): String =
+    s"ROUND(SQRT(list_sum(list_transform(range(1, ${Dim + 1}), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))), 4) + 0.0"
+
   val oracles: Map[String, String] = Map(
+    "q152_profile" ->
+      Seq("doc_id" -> "num", "text" -> "str", "lang" -> "str",
+          "source" -> "str", "n_chars" -> "num")
+        .map { case (c, k) => profileRowSql(c, k) }
+        .mkString("WITH p AS (\n", "\nUNION ALL\n", "\n)\nSELECT * FROM p ORDER BY \"column\""),
+    // q153: the frozen model is the kmeansCtes' a2 assignment (iters=1
+    // model == round-1 centroids) — top-20 by selected distance DESC
+    // beside the per-cluster integer mean distance.
+    "q153_embed_outliers" ->
+      s"""WITH $kmeansCtes,
+         |m AS (SELECT cl, CAST(SUM(d) AS BIGINT) // count(*) AS cluster_mean_fp
+         |      FROM a2 GROUP BY cl),
+         |r AS (SELECT a2.vec_id, a2.cl, CAST(a2.d AS BIGINT) AS dist_fp, m.cluster_mean_fp,
+         |        ROW_NUMBER() OVER (ORDER BY a2.d DESC, a2.vec_id) AS rnk
+         |      FROM a2 JOIN m USING (cl))
+         |SELECT vec_id, cl AS cluster, dist_fp, cluster_mean_fp, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= $OutlierK ORDER BY rnk""".stripMargin,
+    "q154_knn_join_exact" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+         |d AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
+         |        ${eucSql("a.x", "b.x")} AS dist
+         |      FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY query_id ORDER BY dist, nid) AS rnk FROM d)
+         |SELECT query_id, nid AS neighbor_id, dist, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= $KnnK ORDER BY query_id, rnk""".stripMargin,
     // q141: re-project every embedding from the dumped fitted model
     // (mean, components, whiten scales), quantize per-row projections
     // to 1e-6 fixed point, re-derive the whitened variances from
@@ -246,6 +377,10 @@ object AnalyticsQueries {
     "q135_kmeans" -> (kmeans _),
     "q136_embed_cov" -> (embedCovariance _),
     "q141_pca_whiten" -> (pcaWhiten _),
-    "q142_cluster_mix" -> (clusterMix _)
+    "q142_cluster_mix" -> (clusterMix _),
+    "q152_profile" -> (profileDocs _),
+    "q153_embed_outliers" -> (embedOutliers _),
+    "q154_knn_join_exact" -> (knnJoinExactQ _),
+    "q155_knn_join_recall" -> (knnJoinRecall _)
   )
 }
