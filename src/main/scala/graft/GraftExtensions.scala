@@ -27,6 +27,8 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *                                   a flattened per-query LUT)
   *   - graft_normalize_unicode(s[, form]) — Unicode normalization
   *                                   (literal NFC/NFD/NFKC/NFKD)
+  *   - graft_multi_match(s, pats)  — Aho–Corasick substring screen
+  *                                   against a literal pattern array
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -190,6 +192,30 @@ object GraftExtensions {
             s"graft_normalize_unicode form must be a string literal, got $other")
         }
         graft.functions.expressions.NormalizeUnicode(args(0), form)
+      }),
+    (FunctionIdentifier("graft_multi_match"),
+      info("graft_multi_match",
+        "distinct 1-based indices of literal patterns occurring as substrings of a STRING (Aho-Corasick: one text walk regardless of pattern count)"),
+      (args: Seq[Expression]) => {
+        val pats: Seq[String] = args(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(_: org.apache.spark.sql.types.StringType, _)) =>
+            (0 until a.numElements()).map { i =>
+              val u = a.getUTF8String(i)
+              if (u == null) null else u.toString
+            }
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+              if children.forall(_.foldable) =>
+            children.map(_.eval() match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case null => null
+              case other => throw new IllegalArgumentException(
+                s"graft_multi_match pattern entries must be string literals, got $other")
+            })
+          case other => throw new IllegalArgumentException(
+            s"graft_multi_match patterns must be a string-array literal, got $other")
+        }
+        graft.functions.expressions.MultiPatternMatches(args(0), pats)
       }))
 
   /** Register into an already-running session's function registry. */

@@ -173,6 +173,18 @@ object TextAnalysis {
 
   /** "BPE-ish" regex token count: letter runs, digit runs, single
     * non-alphanumeric marks. */
+  /** Aho–Corasick phrase-blocklist screen: distinct 1-based indices of
+    * `patterns` occurring as SUBSTRINGS of `text`, ascending (empty
+    * array = clean). One automaton walk per row, cost independent of
+    * |patterns| — the NSFW/policy/canary wordlist shape token-level
+    * blocklist joins can't express (multi-word and mid-token hits).
+    * Case handling is the caller's: pass `lower(text)` with lowercase
+    * patterns. SQL: `graft_multi_match(text, array('p1','p2',...))`.
+    * See [[graft.functions.expressions.AhoCorasick]]. */
+  def multiMatch(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(graft.functions.expressions.MultiPatternMatches(
+      ExpressionUtils.expression(text), patterns))
+
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 

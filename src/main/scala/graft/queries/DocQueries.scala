@@ -1031,6 +1031,29 @@ object DocQueries {
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(spread(docs(spark, dir)))
 
+  /** q156's phrase blocklist — multi-word phrases (so token-level
+    * blocklist joins couldn't express the screen), declared once so
+    * the Spark side and the oracle inline the identical literals. */
+  private[queries] val BlockPhrases =
+    Seq("slow fast", "hash value", "customer query", "data column", "spark join")
+
+  /** Phrase-blocklist screen (q156): flagged documents with the
+    * distinct blocklist phrases each contains — the NSFW/policy/canary
+    * wordlist pass a crawl pipeline runs on every document. ONE
+    * Aho–Corasick automaton walk per row regardless of pattern count
+    * ([[TextAnalysis.multiMatch]]; the automaton rides into codegen as
+    * a reference object), then a narrow filter — no join, no shuffle
+    * until the final tiny sort. Matched indices render as a CSV string
+    * (driver outputs are ARRAY-free by contract). */
+  def blocklistScreen(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.multiMatch(col("text"), BlockPhrases).as("m"))
+      .filter(size(col("m")) > 0)
+      .select(col("doc_id"), size(col("m")).as("n_matched"),
+        array_join(transform(col("m"), i => i.cast("string")), ",").as("matched"))
+      .orderBy(col("doc_id"))
+
   private val RagDim = 16
 
   /** COMPOSED RAG retrieval (q122): the full chunk → embed → retrieve
@@ -2143,6 +2166,19 @@ object DocQueries {
          |SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5,
          |  len(regexp_split_to_array(trim(lower(chunk)), '\\s+')) AS n_tokens
          |FROM f ORDER BY doc_id, chunk_no""".stripMargin,
+    // q156: per-pattern contains() replay of the Aho-Corasick screen
+    // (the oracle is O(patterns) per row — exactly the cost shape the
+    // automaton collapses to one walk).
+    "q156_blocklist_screen" -> {
+      val arr = BlockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |        list_filter(range(1, ${BlockPhrases.length + 1}),
+         |          i -> contains(text, ($arr)[i])) AS l
+         |      FROM documents)
+         |SELECT doc_id, CAST(len(l) AS INT) AS n_matched,
+         |       array_to_string(list_transform(l, x -> CAST(x AS VARCHAR)), ',') AS matched
+         |FROM m WHERE len(l) > 0 ORDER BY doc_id""".stripMargin
+    },
     "q116_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |u AS (SELECT unnest(t) AS term FROM toks),
@@ -2611,6 +2647,7 @@ object DocQueries {
     "q139_csv_ingest" -> (csvIngest _),
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
+    "q156_blocklist_screen" -> (blocklistScreen _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
