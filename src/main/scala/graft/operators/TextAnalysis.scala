@@ -185,6 +185,48 @@ object TextAnalysis {
     ExpressionUtils.column(graft.functions.expressions.MultiPatternMatches(
       ExpressionUtils.expression(text), patterns))
 
+  /** Tokenizer-fit audit: per-source coverage of a frozen top-N
+    * vocabulary — the check a pipeline runs BEFORE committing a
+    * tokenizer to a corpus mix (a source whose tokens the vocabulary
+    * doesn't cover trains as mostly `<unk>`/byte-fallback noise).
+    * Vocabulary = the `vocabSize` most frequent tokens corpus-wide
+    * (ties to the lexicographically smaller token — deterministic,
+    * engine-replayable); report per source = total token occurrences,
+    * fraction covered, and the count of distinct OOV types.
+    *
+    * Scale shape: ONE tokenize pass into the per-(source, term) count
+    * aggregate; everything downstream works on that vocabulary-sized
+    * frame — the corpus-wide vocab is a second partial agg OVER THE
+    * COUNTS plus a bounded TakeOrdered, and coverage is a broadcast
+    * left join back onto the same counts. The counts frame is
+    * localCheckpoint'ed because it feeds both legs (ReuseExchange
+    * won't dedupe two consumers — the q115/q117 rule). Exact integer
+    * sums; one rounded division at the end. */
+  def vocabCoverage(df: DataFrame, vocabSize: Int,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val stc = df
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = stc.groupBy(col("term")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_v"))
+    val out = stc.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_v"), col("c")).otherwise(0L)).as("covered"),
+        countDistinct(when(!coalesce(col("in_v"), lit(false)), col("term")))
+          .as("oov_types"))
+      .select(col("source"), col("n_tokens"),
+        (round(col("covered").cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("covered_frac"),
+        col("oov_types"))
+      .orderBy(col("source"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(stc)
+    out
+  }
+
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 

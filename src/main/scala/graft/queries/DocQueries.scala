@@ -1031,6 +1031,16 @@ object DocQueries {
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(spread(docs(spark, dir)))
 
+  /** Vocabulary coverage / OOV audit (q157): per-source coverage of
+    * the frozen top-16 corpus vocabulary — the tokenizer-fit check
+    * before committing a vocab to a corpus mix. See
+    * [[TextAnalysis.vocabCoverage]] for the one-tokenize-pass /
+    * counts-frame-reuse plan shape. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(
+      spread(t(spark, dir, "documents").select(col("source"), col("text"))),
+      vocabSize = 16)
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2166,6 +2176,24 @@ object DocQueries {
          |SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5,
          |  len(regexp_split_to_array(trim(lower(chunk)), '\\s+')) AS n_tokens
          |FROM f ORDER BY doc_id, chunk_no""".stripMargin,
+    // q157: top-16 vocab by (count DESC, term), then per-source
+    // covered occurrences + distinct OOV types — DuckDB SUM(BIGINT)
+    // widens to HUGEINT, so every sum is cast back before compare.
+    "q157_vocab_coverage" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |stc AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS tc FROM stc GROUP BY 1),
+         |v AS (SELECT term FROM (SELECT term,
+         |        ROW_NUMBER() OVER (ORDER BY tc DESC, term) AS rn FROM tot)
+         |      WHERE rn <= 16),
+         |cov AS (SELECT s.source, CAST(sum(s.c) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN v.term IS NOT NULL THEN s.c ELSE 0 END) AS BIGINT) AS covered,
+         |        count(DISTINCT CASE WHEN v.term IS NULL THEN s.term END) AS oov_types
+         |      FROM stc s LEFT JOIN v ON v.term = s.term GROUP BY 1)
+         |SELECT source, n_tokens,
+         |       ROUND(CAST(covered AS DOUBLE) / n_tokens, 6) + 0.0 AS covered_frac,
+         |       oov_types
+         |FROM cov ORDER BY source""".stripMargin,
     // q156: per-pattern contains() replay of the Aho-Corasick screen
     // (the oracle is O(patterns) per row — exactly the cost shape the
     // automaton collapses to one walk).
@@ -2648,6 +2676,7 @@ object DocQueries {
     "q113_decontamination_report" -> (decontaminationReport _),
     "q116_pmi_collocations" -> (pmiCollocations _),
     "q156_blocklist_screen" -> (blocklistScreen _),
+    "q157_vocab_coverage" -> (vocabCoverage _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),

@@ -324,6 +324,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab13 == ab)
   }
 
+  test("vocabCoverage: hand-computed per-source coverage and OOV types") {
+    val ss = spark
+    import ss.implicits._
+    // corpus counts: a=4, b=3, c=2, d=1 -> top-2 vocab {a, b}
+    val df = Seq(
+      ("s1", "a a b c"),   // 4 toks, covered 3 (a,a,b), oov types {c}
+      ("s1", "a d"),       // 2 toks, covered 1,        oov {d}
+      ("s2", "b b a c")    // 4 toks, covered 3,        oov {c}
+    ).toDF("source", "text")
+    val rows = TextAnalysis.vocabCoverage(df, vocabSize = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("s1").getLong(1) == 6L)
+    assert(rows("s1").getDouble(2) == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    assert(rows("s1").getLong(3) == 2L) // {c, d}
+    assert(rows("s2").getLong(1) == 4L)
+    assert(rows("s2").getDouble(2) == 0.75)
+    assert(rows("s2").getLong(3) == 1L) // {c}
+    // vocab ties: with vocabSize=3, c (count 2) enters before d
+    val r3 = TextAnalysis.vocabCoverage(df, vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r3 == Map("s1" -> 1L, "s2" -> 0L)) // only d stays OOV
+  }
+
   test("normalizeUnicode rejects an unknown form at analysis time") {
     val ss = spark
     import ss.implicits._
