@@ -227,6 +227,53 @@ object TextAnalysis {
     out
   }
 
+  /** TF-IDF keyword extraction: the top-k terms per document by
+    * tf·ln(N/df) — the tagging/routing signal beside [[graft.operators
+    * .Retrieval]]'s BM25 (that one scores documents for a QUERY; this
+    * one summarizes each document on its own). Classic raw-tf ×
+    * inverse-document-frequency weighting (Spärck Jones 1972).
+    *
+    * Scale shape: ONE tokenize pass into the per-(doc, term) count
+    * aggregate; document frequencies and the corpus size are two
+    * vocabulary-sized partial aggs OVER those counts (no second
+    * corpus scan — the counts frame is checkpointed for its two
+    * consumers, the q115/q117 rule); df joins back vocabulary-sized
+    * (broadcast), and the per-doc top-k is a window PARTITIONED by
+    * doc (rows per partition = the doc's distinct terms — bounded,
+    * unlike a global window). Determinism: tf and df are exact ints,
+    * idf is quantized to a 1e6 fixed-point long BEFORE the tf
+    * multiply, ties break by term — engine-replayable.
+    *
+    * @return (doc_id, rnk, term, tf, score_fp) — score_fp =
+    *         tf · round(ln(N/df)·10⁶)
+    */
+  def tfidfKeywords(df: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtc = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val stats = dtc.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      .crossJoin(broadcast(dtc.select(countDistinct(col("doc_id")).as("n_docs"))))
+      .select(col("term"),
+        round(log(col("n_docs").cast("double") / col("df_t").cast("double")) * 1e6)
+          .cast("long").as("idf_fp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("term"))
+    val out = dtc.join(broadcast(stats), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * col("idf_fp")).as("score_fp"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tf"), col("score_fp"))
+      .orderBy(col("doc_id"), col("rnk"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(dtc)
+    out
+  }
+
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 

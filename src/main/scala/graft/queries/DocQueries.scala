@@ -1041,6 +1041,12 @@ object DocQueries {
       spread(t(spark, dir, "documents").select(col("source"), col("text"))),
       vocabSize = 16)
 
+  /** TF-IDF keyword extraction (q158): top-5 terms per document by
+    * tf·ln(N/df) — per-document tagging, where q127's BM25 scores
+    * documents for a query. See [[TextAnalysis.tfidfKeywords]]. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(spread(docs(spark, dir)), k = 5)
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2176,6 +2182,22 @@ object DocQueries {
          |SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5,
          |  len(regexp_split_to_array(trim(lower(chunk)), '\\s+')) AS n_tokens
          |FROM f ORDER BY doc_id, chunk_no""".stripMargin,
+    // q158: tf and df exact ints over one token CTE; idf quantized to
+    // a 1e6 fixed-point BIGINT before the tf multiply (the bm25Ctes
+    // idiom), ROW_NUMBER per doc with term tie-break.
+    "q158_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dtc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dtc),
+         |dfc AS (SELECT term, count(*) AS dft FROM dtc GROUP BY 1),
+         |s AS (SELECT dtc.doc_id, dtc.term, dtc.tf,
+         |        dtc.tf * CAST(ROUND(LN(CAST(nd.n AS DOUBLE) / CAST(dfc.dft AS DOUBLE))
+         |          * 1000000.0) AS BIGINT) AS score_fp
+         |      FROM dtc JOIN dfc USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rnk FROM s)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score_fp
+         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     // q157: top-16 vocab by (count DESC, term), then per-source
     // covered occurrences + distinct OOV types — DuckDB SUM(BIGINT)
     // widens to HUGEINT, so every sum is cast back before compare.
@@ -2677,6 +2699,7 @@ object DocQueries {
     "q116_pmi_collocations" -> (pmiCollocations _),
     "q156_blocklist_screen" -> (blocklistScreen _),
     "q157_vocab_coverage" -> (vocabCoverage _),
+    "q158_tfidf_keywords" -> (tfidfKeywords _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),

@@ -347,6 +347,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3 == Map("s1" -> 1L, "s2" -> 0L)) // only d stays OOV
   }
 
+  test("tfidfKeywords: rare term outranks frequent ubiquitous term") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "common common common rare"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(df, k = 2).collect()
+    val doc1 = rows.filter(_.getLong(0) == 1L)
+    // idf(common)=ln(3/3)=0 -> score 0 despite tf 3; rare: tf 1, idf ln 3
+    assert(doc1(0).getString(2) == "rare")
+    assert(doc1(0).getLong(4) == math.round(math.log(3.0) * 1e6))
+    assert(doc1(1).getString(2) == "common" && doc1(1).getLong(4) == 0L)
+    // ranks are 1-based and dense per doc
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getInt(1)).toSeq == Seq(1, 2))
+    // partition invariance (exact ints, fixed-point idf)
+    val rep = TextAnalysis.tfidfKeywords(df.repartition(7), k = 2).collect()
+    assert(rep.map(_.toString).sorted.toSeq == rows.map(_.toString).sorted.toSeq)
+  }
+
   test("normalizeUnicode rejects an unknown form at analysis time") {
     val ss = spark
     import ss.implicits._
