@@ -29,6 +29,8 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *                                   (literal NFC/NFD/NFKC/NFKD)
   *   - graft_multi_match(s, pats)  — Aho–Corasick substring screen
   *                                   against a literal pattern array
+  *   - graft_deflate_size(s)       — DEFLATE byte count (compressibility
+  *                                   quality signal)
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -216,7 +218,11 @@ object GraftExtensions {
             s"graft_multi_match patterns must be a string-array literal, got $other")
         }
         graft.functions.expressions.MultiPatternMatches(args(0), pats)
-      }))
+      }),
+    (FunctionIdentifier("graft_deflate_size"),
+      info("graft_deflate_size",
+        "DEFLATE-compressed byte count of a STRING's UTF-8 bytes (level 6, raw) - compressibility quality signal"),
+      (args: Seq[Expression]) => graft.functions.expressions.DeflateSize(args(0))))
 
   /** Register into an already-running session's function registry. */
   def register(spark: SparkSession): Unit =

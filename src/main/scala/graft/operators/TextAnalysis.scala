@@ -274,6 +274,14 @@ object TextAnalysis {
     out
   }
 
+  /** DEFLATE-compressed byte count of `text` (UTF-8) — the
+    * language-agnostic compressibility quality signal; see
+    * [[graft.functions.expressions.DeflateSize]]. SQL:
+    * `graft_deflate_size(text)`. */
+  def deflateSize(text: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.DeflateSize(
+      ExpressionUtils.expression(text)))
+
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 

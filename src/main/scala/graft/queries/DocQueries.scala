@@ -1047,6 +1047,28 @@ object DocQueries {
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfKeywords(spread(docs(spark, dir)), k = 5)
 
+  /** Compressibility quality screen (q159, rows-only — DuckDB has no
+    * zlib surface, so the signal can't be hash-oracled; the semantics
+    * are pinned by CompressSpec instead): per-source DEFLATE
+    * compression-ratio band report — mean ratio plus counts of
+    * repetitive-tail (boilerplate compresses far below prose) and
+    * noise-tail documents. ONE narrow map (the per-thread-Deflater
+    * kernel) into a per-source partial agg; ratios quantized to 1e4
+    * fixed point BEFORE the mean sum so the report is add-order free. */
+  def compressQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ratioFp = round(TextAnalysis.deflateSize(col("text")).cast("double")
+      / octet_length(col("text")).cast("double") * 1e4).cast("long")
+    t(spark, dir, "documents")
+      .select(col("source"), ratioFp.as("r_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum(col("r_fp")).cast("double") / count(lit(1)) / 1e4, 6) + lit(0.0))
+          .as("mean_ratio"),
+        sum(when(col("r_fp") < 3000L, 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("r_fp") > 9000L, 1L).otherwise(0L)).as("n_noise"))
+      .orderBy(col("source"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2700,6 +2722,7 @@ object DocQueries {
     "q156_blocklist_screen" -> (blocklistScreen _),
     "q157_vocab_coverage" -> (vocabCoverage _),
     "q158_tfidf_keywords" -> (tfidfKeywords _),
+    "q159_compress_quality" -> (compressQuality _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
