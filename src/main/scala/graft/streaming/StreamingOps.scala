@@ -254,6 +254,24 @@ object StreamingOps {
       .agg((round(graft.functions.SketchFunctions.kmvDistinct(col("uid"), k), 4) + lit(0.0))
         .as("est_distinct"))
 
+  /** Running table profile over an unbounded feed (streaming twin of
+    * q152's batch profiler): the per-column audit — rows, nulls,
+    * completeness, distinct estimate, min/max, mean / mean-length —
+    * continuously updated as documents arrive (complete output mode).
+    *
+    * State shape: this is [[graft.operators.Profile.profileTableApprox]]
+    * UNCHANGED — the approx variant is the one that streams, by
+    * construction: every measure is a mergeable bounded aggregate
+    * (counts and decimal sums are single values, min/max fold
+    * monotonically, distinct is the ≤ k-long KMV sketch), so the state
+    * store holds a fixed few hundred bytes per profiled column
+    * FOREVER. The EXACT profiler cannot stream — `count(DISTINCT)`
+    * state grows with the stream (the q152/q160 pair is the same
+    * exact-batch / sketch-stream trade as q50/streamingDistinctCard).
+    * Stream == batch on any prefix (StreamingOpsSpec pins it). */
+  def streamingProfile(docs: DataFrame, columns: Seq[String], k: Int = 256): DataFrame =
+    graft.operators.Profile.profileTableApprox(docs, columns, k)
+
   /** Streaming corpus-drift monitor: per event-time window, the
     * KL divergence of the window's token distribution against a
     * broadcast BASELINE snapshot (the fixed reference mix a

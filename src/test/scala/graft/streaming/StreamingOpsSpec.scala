@@ -765,6 +765,36 @@ test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") 
     assert(kl0 >= 0.0 && kl1 > kl0, s"expected OOV window to drift harder: $kl0 vs $kl1")
   }
 
+  test("streamingProfile: running per-column profile == batch twin on every prefix") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val rows: Seq[(java.lang.Long, String)] =
+      (1L to 30L).map(i => (java.lang.Long.valueOf(i % 13), s"doc $i text")) :+
+        ((null: java.lang.Long, "null id row"))
+    val batches = Seq(rows.take(10), rows.slice(10, 25), rows.drop(25))
+
+    def batchProfile(prefix: Seq[(java.lang.Long, String)]): Seq[String] =
+      graft.operators.Profile.profileTableApprox(
+          prefix.toDF("id", "text"), Seq("id", "text"), k = 8)
+        .collect().map(_.toString).sorted.toSeq
+
+    val mem = MemoryStream[(java.lang.Long, String)]
+    val q = StreamingOps.streamingProfile(
+        mem.toDF().toDF("id", "text"), Seq("id", "text"), k = 8)
+      .writeStream.format("memory").queryName("run_prof")
+      .outputMode("complete").start()
+    var seen = Seq.empty[(java.lang.Long, String)]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val streamed = spark.table("run_prof").collect().map(_.toString).sorted.toSeq
+      assert(streamed == batchProfile(seen), s"prefix of ${seen.size} rows diverged")
+    }
+    q.stop()
+  }
+
   test("streamingDistinctCard: running KMV estimate == batch sketch on every prefix") {
     val ss = spark
     implicit val sql = ss.sqlContext
