@@ -340,4 +340,78 @@ object Sampling {
       .select(col(idCol), col("score").as("size"),
         ((col("rank") - 1) % nShards).cast("int").as("shard"))
   }
+
+  /** Percentile-rank signal blending — the curation step that combines
+    * heterogeneous quality signals (a 0–1 rule score, a token ratio, a
+    * compressibility number...) into ONE comparable per-document
+    * score: each signal is mapped to its tie-aware global percentile
+    * (PERCENT_RANK: fraction of rows STRICTLY below — rank-normalized,
+    * so signals on wildly different scales blend without tuning;
+    * higher raw value = higher percentile = better by convention, so
+    * negate any lower-is-better signal at the call site), then blended
+    * as the plain mean. Rank normalization is the standard fix for
+    * weighting incommensurable signals (same reason RRF fuses ranked
+    * lists by rank, not score).
+    *
+    * Scale shape — NO global window: per signal, (1) one partial-agg
+    * shuffle to the DISTINCT-VALUE counts frame, (2)
+    * [[curriculumRank]]'s distributed prefix machinery over that frame
+    * (range-partition by value, local running sums, numPartitions
+    * longs through the driver) yields count-strictly-below per value,
+    * (3) one equi-join maps percentiles back onto the corpus. Signals
+    * then join on the id. Everything after step 1 is
+    * distinct-value-sized except the final per-row joins.
+    *
+    * Determinism: percentile_fp = (cnt_less · 10⁶) div (n − 1) — exact
+    * integer floor arithmetic; the blend is `div` by the signal count.
+    * NULL signal values are the caller's to handle (filter or coalesce
+    * first); they would silently drop rows from that signal's ranking.
+    *
+    * @param signals (name, column) — emitted as `<name>_pct` plus the
+    *                combined `blend` (both double = fp / 10⁶, exact)
+    */
+  def percentileBlend(
+      docs: DataFrame,
+      signals: Seq[(String, Column)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(signals.nonEmpty, "percentileBlend needs at least one signal")
+    val perSignal = signals.map { case (name, sCol) =>
+      val scored = docs.select(col(idCol), sCol.as("v"))
+      val vc = scored.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .repartitionByRange(col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      val perPid = vc.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = perPid.keys.toSeq.sorted
+      val offsets: Map[Int, Long] =
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + perPid(p)).init).toMap
+      val n = perPid.values.sum
+      val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pcts = vc
+        .withColumn("cnt_less",
+          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)) +
+            coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("v"),
+          expr(s"(cnt_less * 1000000) div ${math.max(n - 1, 1L)}")
+            .as(s"${name}_fp"))
+      val out = scored.join(pcts, Seq("v")).select(col(idCol), col(s"${name}_fp"))
+        .localCheckpoint(true)
+      graft.plans.Blocks.release(vc)
+      out
+    }
+    val joined = perSignal.reduce(_.join(_, Seq(idCol)))
+    val blendFp = expr(
+      s"(${signals.map { case (n, _) => s"${n}_fp" }.mkString(" + ")}) div ${signals.length}")
+    val out = joined
+      .select(Seq(col(idCol)) ++
+        signals.map { case (name, _) =>
+          (col(s"${name}_fp").cast("double") / 1e6).as(s"${name}_pct") } ++
+        Seq((blendFp.cast("double") / 1e6).as("blend")): _*)
+      .orderBy(col(idCol))
+      .localCheckpoint(true)
+    perSignal.foreach(graft.plans.Blocks.release)
+    out
+  }
 }

@@ -1069,6 +1069,18 @@ object DocQueries {
       .orderBy(col("source"))
   }
 
+  /** Percentile-rank quality blending (q160): the rule-based quality
+    * score and the distinct-token ratio — incommensurable scales —
+    * rank-normalized to tie-aware global percentiles and blended as
+    * the mean; the combined curation score a filtering pass thresholds
+    * on. See [[graft.operators.Sampling.percentileBlend]] for the
+    * no-global-window prefix machinery. */
+  def qualityBlend(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.percentileBlend(
+      TextAnalysis.withTextStats(spread(docs(spark, dir)))
+        .select(col("doc_id"), col("quality_score"), col("distinct_ratio")),
+      Seq("quality" -> col("quality_score"), "distinct" -> col("distinct_ratio")))
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2204,6 +2216,34 @@ object DocQueries {
          |SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5,
          |  len(regexp_split_to_array(trim(lower(chunk)), '\\s+')) AS n_tokens
          |FROM f ORDER BY doc_id, chunk_no""".stripMargin,
+    // q160: RANK() - 1 == count-strictly-below (the tie-aware
+    // percentile), fp = (cnt_less * 1e6) // (n - 1) exact floor ints,
+    // blend = mean of fps by integer div; stats replay q46's CTE.
+    "q160_quality_blend" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |stats AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |    ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+         |    ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+         |    len(t) AS n_tokens
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, distinct_ratio,
+         |    ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |         + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |  FROM stats),
+         |nn AS (SELECT GREATEST(count(*) - 1, 1) AS nm1 FROM scored),
+         |f AS (SELECT doc_id,
+         |        (CAST(RANK() OVER (ORDER BY quality_score) - 1 AS BIGINT) * 1000000) // nn.nm1 AS q_fp,
+         |        (CAST(RANK() OVER (ORDER BY distinct_ratio) - 1 AS BIGINT) * 1000000) // nn.nm1 AS d_fp
+         |      FROM scored CROSS JOIN nn)
+         |SELECT doc_id, q_fp / 1000000.0 AS quality_pct, d_fp / 1000000.0 AS distinct_pct,
+         |       ((q_fp + d_fp) // 2) / 1000000.0 AS blend
+         |FROM f ORDER BY doc_id""".stripMargin,
     // q158: tf and df exact ints over one token CTE; idf quantized to
     // a 1e6 fixed-point BIGINT before the tf multiply (the bm25Ctes
     // idiom), ROW_NUMBER per doc with term tie-break.
@@ -2723,6 +2763,7 @@ object DocQueries {
     "q157_vocab_coverage" -> (vocabCoverage _),
     "q158_tfidf_keywords" -> (tfidfKeywords _),
     "q159_compress_quality" -> (compressQuality _),
+    "q160_quality_blend" -> (qualityBlend _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),

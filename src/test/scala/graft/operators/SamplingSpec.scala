@@ -137,6 +137,35 @@ class SamplingSpec extends SparkSpec {
     assert(aTest == expected)
   }
 
+  test("percentileBlend: tie-aware percentiles match PERCENT_RANK on any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    // heavy ties in a; b strictly increasing
+    val rows = (1L to 40L).map(i => (i, (i % 4).toDouble, i.toDouble * 2))
+    val out = Sampling.percentileBlend(
+        rows.toDF("doc_id", "a", "b").repartition(7),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select("doc_id", "a_pct", "b_pct", "blend")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    val n = rows.length
+    def pctFp(vals: Seq[Double], v: Double): Long =
+      vals.count(_ < v).toLong * 1000000L / (n - 1)
+    val as = rows.map(_._2); val bs = rows.map(_._3)
+    rows.foreach { case (id, a, b) =>
+      val r = out(id.toInt - 1)
+      assert(r._2 == pctFp(as, a) / 1e6, s"a_pct for id $id")
+      assert(r._3 == pctFp(bs, b) / 1e6)
+      assert(r._4 == (pctFp(as, a) + pctFp(bs, b)) / 2L / 1e6)
+    }
+    // ties share the percentile; min value sits at 0, max of b at 1.0
+    assert(out.filter(r => rows(r._1.toInt - 1)._2 == 0.0).map(_._2).distinct.length == 1)
+    assert(out.map(_._2).min == 0.0 && out.map(_._3).max == 1.0)
+    // single-row frame: nm1 guard keeps it at percentile 0, no div-by-0
+    val one = Sampling.percentileBlend(Seq((1L, 5.0)).toDF("doc_id", "a"),
+      Seq("a" -> col("a"))).collect()
+    assert(one.length == 1 && one.head.getDouble(1) == 0.0)
+  }
+
   test("curriculumRank equals the global (score DESC, id) row number on any partitioning") {
     val ss = spark
     import ss.implicits._
