@@ -715,6 +715,28 @@ object Similarity {
     ivfTopK(assigned, centroids, q, topk = k, nprobe = nprobe, pairFilter = pf)
   }
 
+  /** Reciprocal nearest-neighbor pairs: the (x, y) where each sits in
+    * the OTHER's top-k — the high-precision semantic-duplicate
+    * criterion on top of a kNN join (one-directional proximity flags a
+    * hub's whole neighborhood; mutuality cuts exactly those hub
+    * false-positives, the classic RNN rule from agglomerative
+    * clustering and image-matching practice). Input is any
+    * (query_id, neighbor_id, dist) frame — [[knnJoin]] (IVF tier) at
+    * scale, [[knnJoinExact]] as the oracle twin.
+    *
+    * Scale shape: ONE self equi-join on the reversed key over the
+    * |corpus|·k kNN frame (never the corpus), then the lo < hi
+    * canonical cut so each pair emits once. */
+  def mutualKnnPairs(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("query_id").as("lo"), col("neighbor_id").as("hi"),
+      col("dist"))
+    val rev = knn.select(col("query_id").as("hi"), col("neighbor_id").as("lo"))
+    fwd.join(rev, Seq("lo", "hi"))
+      .filter(col("lo") < col("hi"))
+      .select(col("lo"), col("hi"), col("dist"))
+      .orderBy(col("lo"), col("hi"))
+  }
+
   /** Exact twin of [[knnJoin]] (labeled all-pairs — the oracle /
     * recall baseline, NOT the scale path): block nested-loop over
     * queries × corpus with the same bounded per-query heap and the

@@ -221,6 +221,16 @@ object AnalyticsQueries {
           .as("worst_hits_frac"))
   }
 
+  /** q161: reciprocal nearest-neighbor pairs over the q154 kNN join —
+    * the high-precision semantic-dup shortlist (mutuality cuts hub
+    * false-positives). Production feeds the IVF knnJoin (q155's tier)
+    * through the same one-self-equi-join shape. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.mutualKnnPairs(
+      Similarity.knnJoinExact(spread(e), e, KnnK, excludeSelf = true))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -305,6 +315,20 @@ object AnalyticsQueries {
          |      FROM a2 JOIN m USING (cl))
          |SELECT vec_id, cl AS cluster, dist_fp, cluster_mean_fp, CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= $OutlierK ORDER BY rnk""".stripMargin,
+    // q161: the q154 kNN CTE self-joined on the reversed key; lo < hi
+    // canonicalizes each mutual pair to one row.
+    "q161_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+         |d AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
+         |        ${eucSql("a.x", "b.x")} AS dist
+         |      FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY query_id ORDER BY dist, nid) AS rnk FROM d),
+         |k AS (SELECT query_id, nid, dist FROM r WHERE rnk <= $KnnK)
+         |SELECT a.query_id AS lo, a.nid AS hi, a.dist
+         |FROM k a JOIN k b ON b.query_id = a.nid AND b.nid = a.query_id
+         |WHERE a.query_id < a.nid
+         |ORDER BY lo, hi""".stripMargin,
     "q154_knn_join_exact" ->
       s"""WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
          |d AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
@@ -381,6 +405,7 @@ object AnalyticsQueries {
     "q152_profile" -> (profileDocs _),
     "q153_embed_outliers" -> (embedOutliers _),
     "q154_knn_join_exact" -> (knnJoinExactQ _),
-    "q155_knn_join_recall" -> (knnJoinRecall _)
+    "q155_knn_join_recall" -> (knnJoinRecall _),
+    "q161_mutual_knn" -> (mutualKnn _)
   )
 }

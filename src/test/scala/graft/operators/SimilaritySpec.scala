@@ -266,4 +266,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").collect()
     assert(out13.toSeq == out.toSeq)
   }
+
+  test("mutualKnnPairs: hub one-way neighbors cut, mutual pairs kept once") {
+    val ss = spark
+    import ss.implicits._
+    // 1-d line: hub 0 at origin; 1,2 close to hub; 3,4 far out together.
+    // k=1: knn(0)={1}, knn(1)={0}, knn(2)={1}, knn(3)={4}, knn(4)={3}
+    // mutual: {0,1} and {3,4}; (2->1) is one-way (knn(1) is 0), cut.
+    val vecs = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(2.5f)),
+      (3L, Seq(10.0f)), (4L, Seq(10.5f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoinExact(vecs, vecs, 1, excludeSelf = true)
+    val pairs = Similarity.mutualKnnPairs(knn)
+      .select("lo", "hi").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L), (3L, 4L)))
+  }
 }
