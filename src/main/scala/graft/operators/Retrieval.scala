@@ -207,6 +207,12 @@ object Retrieval {
       if (fp != s.str("fingerprint"))
         throw new IllegalArgumentException(
           s"$p/bm25.json: stats fingerprint mismatch (corrupted shard refuses to merge)")
+      // a tombstoned shard's postings still hold the forgotten rows;
+      // merging them would resurrect deleted docs in the merged stats
+      if (s.longOpt("n_tombstones", 0L) > 0L)
+        throw new IllegalArgumentException(
+          s"$p has ${s.longOpt("n_tombstones", 0L)} tombstoned docs; " +
+            "rebuild/compact the shard before merging")
       s
     }
     val nDocs = sides.map(_.long("n_docs")).sum
@@ -228,6 +234,75 @@ object Retrieval {
     ArtifactStore.current.writeAtomic(s"$out/bm25.json",
       (s"""{"fingerprint":"$fp","n_docs":$nDocs,"sum_dl":$sumDl,""" +
         s""""vocab_size":$vocabSize}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Right-to-be-forgotten delete against a [[buildIndex]] layout —
+    * O(one postings scan + vocabulary-sized rewrites), never a corpus
+    * re-tokenize. The contract is EXACT: after the delete, every
+    * [[searchIndex]] answer is bit-identical to an index rebuilt from
+    * the corpus WITHOUT the deleted documents (RetrievalSpec pins it),
+    * because every statistic idf/length-norm reads is adjusted, not
+    * just the result rows filtered:
+    *
+    *   - `df/` is rewritten minus each deleted doc's term memberships
+    *     (df rows reaching 0 drop — the term leaves the vocabulary)
+    *   - sidecar n_docs/sum_dl subtract the deleted docs' counts/
+    *     lengths, vocab_size recounts, fingerprint re-signs
+    *   - postings rows stay on disk (rewriting the corpus-sized
+    *     layout per delete batch would be O(index)); `tombstones/`
+    *     records the ids and [[searchIndex]] anti-joins them out —
+    *     the VectorIndex tombstone-delta idiom. A later rebuild
+    *     compacts them away.
+    *
+    * Idempotent: already-tombstoned ids are skipped before the stats
+    * pass (re-subtracting them would corrupt idf for good). Unknown
+    * ids are no-ops. Returns the number of documents actually
+    * forgotten. */
+  def deleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long],
+      idCol: String = "doc_id"): Long = {
+    import graft.index.{ArtifactStore, Fingerprint, SidecarJson}
+    val side = SidecarJson.read(s"$path/bm25.json")
+    val (nDocs, sumDl) = (side.long("n_docs"), side.long("sum_dl"))
+    val prior: Set[Long] =
+      if (ArtifactStore.current.exists(s"$path/tombstones"))
+        spark.read.parquet(s"$path/tombstones")
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val newIds = ids.distinct.filterNot(prior)
+    if (newIds.isEmpty) return 0L
+    val ss = spark
+    import ss.implicits._
+    val victims = broadcast(newIds.toDF(idCol))
+    val hit = spark.read.parquet(s"$path/postings")
+      .join(victims, Seq(idCol)).localCheckpoint(true)
+    val st = hit.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    val (nDeleted, dlDeleted) = (st.getLong(0), st.getLong(1))
+    val ddf = hit.select(col("term"), col(idCol)).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val newDf = spark.read.parquet(s"$path/df")
+      .join(ddf, Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+      .localCheckpoint(true) // materialize BEFORE overwriting its own source
+    graft.plans.Blocks.release(hit)
+    newDf.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    val vocabSize = spark.read.parquet(s"$path/df").count()
+    graft.plans.Blocks.release(newDf)
+    val allTombs = (prior ++ newIds).toSeq.sorted
+    allTombs.toDF(idCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones")
+    val (n2, s2) = (nDocs - nDeleted, sumDl - dlDeleted)
+    val fp = Fingerprint.ofString(s"$n2|$s2|$vocabSize")
+    ArtifactStore.current.writeAtomic(s"$path/bm25.json",
+      (s"""{"fingerprint":"$fp","n_docs":$n2,"sum_dl":$s2,""" +
+        s""""vocab_size":$vocabSize,"n_tombstones":${allTombs.length}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    nDeleted
   }
 
   /** Serve BM25 top-k from a [[buildIndex]] layout — bit-identical to
@@ -258,7 +333,15 @@ object Retrieval {
       .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("term"))
       .distinct()
     val vocab = qt.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
-    val post = spark.read.parquet(s"$path/postings").filter(col("term").isin(vocab: _*))
+    val post0 = spark.read.parquet(s"$path/postings").filter(col("term").isin(vocab: _*))
+    // deleteFromIndex leaves postings rows in place and records the
+    // forgotten ids; the anti-join (broadcast, over the eval-bounded
+    // postings slice) completes the exact rebuilt-without semantics.
+    val post =
+      if (side.longOpt("n_tombstones", 0L) > 0L)
+        post0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq(idCol), "left_anti")
+      else post0
     val dfx = spark.read.parquet(s"$path/df").filter(col("term").isin(vocab: _*))
     val scores = post
       .join(broadcast(qt), Seq("term"))

@@ -48,7 +48,7 @@ object SignatureStore {
   /** Derive + atomically write the sidecar from the WRITTEN sigs
     * parquet (data first, pointer last — crash-safe publish). */
   private def publish(spark: SparkSession, path: String, shingleK: Int): Unit = {
-    val st = spark.read.parquet(s"$path/sigs")
+    val st = liveSigs(spark, path)
       .agg(count(lit(1)).as("n"), coalesce(sum(element_at(col("sig"), 1)), lit(0L)).as("s"))
       .head()
     val fp = Fingerprint.ofString(s"${st.getLong(0)}|${st.getLong(1)}|${Dedup.NumHashes}")
@@ -91,7 +91,49 @@ object SignatureStore {
     require(j.int("num_hashes") == Dedup.NumHashes && j.int("bands") == Dedup.Bands,
       s"$file banding params (${j.int("num_hashes")}/${j.int("bands")}) " +
         s"do not match this build (${Dedup.NumHashes}/${Dedup.Bands})")
-    spark.read.parquet(s"$path/sigs")
+    liveSigs(spark, path)
+  }
+
+  /** The sigs parquet minus any tombstoned rows — every stats/read
+    * path goes through this one filter so a forgotten doc can never
+    * resurface in a probe, a merge, or a republished sidecar. */
+  private def liveSigs(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/sigs")
+    if (ArtifactStore.current.exists(s"$path/tombstones"))
+      raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+        Seq("doc_id"), "left_anti")
+    else raw
+  }
+
+  /** Right-to-be-forgotten delete: tombstone `ids` and republish the
+    * sidecar from the LIVE rows — O(|ids| + one store scan for the
+    * stats), no store rewrite (the VectorIndex/BM25 tombstone-delta
+    * idiom; [[merge]] reads through [[load]], so a merged store is
+    * born compacted). After the delete, [[load]]/[[probe]] behave
+    * bit-identically to a store built without the docs
+    * (SignatureStoreSpec pins it). Idempotent; unknown ids are
+    * no-ops. Returns the number of docs actually forgotten. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
+    val file = sidecar(path)
+    if (!ArtifactStore.current.exists(file))
+      throw new IllegalStateException(s"signature store not published: $file missing")
+    val shingleK = SidecarJson.read(file).int("shingle_k")
+    val prior: Set[Long] =
+      if (ArtifactStore.current.exists(s"$path/tombstones"))
+        spark.read.parquet(s"$path/tombstones").collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val ss = spark
+    import ss.implicits._
+    val requested = ids.distinct.filterNot(prior)
+    if (requested.isEmpty) return 0L
+    val present = spark.read.parquet(s"$path/sigs")
+      .join(broadcast(requested.toDF("doc_id")), Seq("doc_id"))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    if (present.isEmpty) return 0L
+    (prior ++ present).toSeq.sorted.toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones")
+    publish(spark, path, shingleK)
+    present.size.toLong
   }
 
   /** Probe NEW batch signatures against the store: banded equi-join

@@ -98,6 +98,36 @@ class RetrievalSpec extends SparkSpec {
       s"no pushed In-filter: ${scans.map(_.metadata.get("PushedFilters"))}")
   }
 
+  test("deleteFromIndex: serving == index rebuilt without the docs, bit-identically") {
+    val base = (0L until 120L).map(i =>
+      i -> s"tok${i % 11} tok${i % 5} tok${(i * 7) % 13} filler$i")
+    val queries = qs(0L -> "tok3 tok7", 1L -> "tok4 tok1")
+    val victims = Seq(3L, 14L, 25L, 47L, 999L) // 999 unknown: no-op
+    val idx = tmpDir("bm25-del")
+    Retrieval.buildIndex(corpus(base: _*), idx)
+    assert(Retrieval.deleteFromIndex(spark, idx, victims) == 4L)
+    val served = Retrieval.searchIndex(spark, idx, queries, k = 30)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val rebuilt = tmpDir("bm25-del-rebuilt")
+    Retrieval.buildIndex(
+      corpus(base.filterNot(r => victims.contains(r._1)): _*), rebuilt)
+    val fresh = Retrieval.searchIndex(spark, rebuilt, queries, k = 30)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served == fresh) // idf, length norm, AND result rows all adjusted
+    assert(served.nonEmpty && !served.exists(r => victims.contains(r.getLong(1))))
+    // idempotent: deleting again forgets nothing and changes nothing
+    assert(Retrieval.deleteFromIndex(spark, idx, victims) == 0L)
+    assert(Retrieval.searchIndex(spark, idx, queries, k = 30)
+      .orderBy("query_id", "rnk").collect().toSeq == fresh)
+    // tombstoned shards refuse to merge (stats would resurrect docs)
+    val other = tmpDir("bm25-del-other")
+    Retrieval.buildIndex(corpus((1000L, "tok3 zzz")), other)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.mergeIndexes(spark, Seq(idx, other), tmpDir("bm25-del-m"))
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+  }
+
   test("mergeIndexes(build(A), build(B)) == buildIndex(A union B), and overlap refuses") {
     val a = corpus((0L until 120L).map(i => i -> s"tok${i % 11} tok${i % 7} pad$i"): _*)
     val b = corpus((120L until 260L).map(i => i -> s"tok${i % 11} tok${i % 5} pad$i"): _*)

@@ -72,6 +72,43 @@ class SignatureStoreSpec extends SparkSpec {
     assert(err2.getMessage.contains("shingle sizes"))
   }
 
+  test("delete: load/probe == a store built without the docs; idempotent") {
+    val ss = spark
+    import ss.implicits._
+    val rows = corpusRows ++ Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (5L, "totally unrelated words about sailing boats"))
+    val dir = tmpDir("sig-del")
+    SignatureStore.build(docsDf(rows), dir)
+    // forget doc 1 (and an unknown id — no-op)
+    assert(SignatureStore.delete(spark, dir, Seq(1L, 777L)) == 1L)
+    val without = tmpDir("sig-del-rebuilt")
+    SignatureStore.build(docsDf(rows.filterNot(_._1 == 1L)), without)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    assert(canon(SignatureStore.load(spark, dir)) ==
+      canon(SignatureStore.load(spark, without)))
+    // the forgotten doc no longer matches its near-dup on a probe
+    val batch = Dedup.minhashSignatures(Dedup.contentShingleIds(
+      Dedup.docShingles(docsDf(Seq((100L, rows(0)._2))), 3)))
+    val hits = SignatureStore.probe(batch,
+        SignatureStore.load(spark, dir), threshold = 0.5)
+      .select("store_id").as[Long].collect().toSet
+    assert(!hits.contains(1L))
+    // idempotent + sidecar republished from live rows
+    assert(SignatureStore.delete(spark, dir, Seq(1L)) == 0L)
+    assert(graft.index.SidecarJson.read(s"$dir/store.json").long("n_docs") ==
+      rows.length - 1L)
+    // a merge of the tombstoned store is born compacted (reads live rows)
+    val m = tmpDir("sig-del-m")
+    val solo = tmpDir("sig-del-solo")
+    SignatureStore.build(docsDf(Seq((50L, "brand new content here"))), solo)
+    SignatureStore.merge(spark, dir, solo, m)
+    assert(canon(SignatureStore.load(spark, m)).map(_._1) ==
+      Seq(2L, 3L, 4L, 5L, 50L))
+  }
+
   test("unpublished store (no sidecar) refuses to load") {
     val dir = tmpDir("sigstore-unpub")
     // data without the sidecar pointer = a crashed build
