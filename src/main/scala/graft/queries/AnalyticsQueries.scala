@@ -221,6 +221,33 @@ object AnalyticsQueries {
           .as("worst_hits_frac"))
   }
 
+  private val ProfCols = Seq("doc_id" -> "num", "text" -> "str",
+    "lang" -> "str", "source" -> "str", "n_chars" -> "num")
+
+  /** q162: profile DRIFT between two corpus drops (stood in by the
+    * even/odd doc_id halves — deterministic and sf-stable): the q152
+    * profiler run on each slice and joined per column, with the delta
+    * of the headline central measure (numeric mean, or mean length
+    * for strings). The drop-over-drop monitoring check a pipeline
+    * alerts on before training on a new crawl. Two pushdown-filtered
+    * scans (one per slice — a slice filter inside one scan would
+    * Expand both profiles over every row anyway), then a 5-row
+    * join. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val cols = ProfCols.map(_._1)
+    def side(f: Column, tag: String) =
+      Profile.profileTable(spread(d.filter(f)), cols)
+        .select(col("column"), col("n_rows").as(s"n_rows_$tag"),
+          col("n_distinct").as(s"n_distinct_$tag"),
+          coalesce(col("mean_v"), col("avg_len")).as(s"center_$tag"))
+    side(col("doc_id") % 2 === 0, "a")
+      .join(side(col("doc_id") % 2 === 1, "b"), Seq("column"))
+      .withColumn("center_delta",
+        round(col("center_b") - col("center_a"), 6) + lit(0.0))
+      .orderBy(col("column"))
+  }
+
   /** q161: reciprocal nearest-neighbor pairs over the q154 kNN join —
     * the high-precision semantic-dup shortlist (mutuality cuts hub
     * false-positives). Production feeds the IVF knnJoin (q155's tier)
@@ -271,7 +298,10 @@ object AnalyticsQueries {
   /** One profile row per column, mirroring Profile.profileTable's
     * measure set: exact BIGINT counts, CAST-to-VARCHAR min/max, and
     * last-step rounded divisions over exact DECIMAL/BIGINT sums. */
-  private def profileRowSql(c: String, kind: String): String = {
+  private def profileRowSql(c: String, kind: String): String =
+    profileRowSql(c, kind, "1=1")
+
+  private def profileRowSql(c: String, kind: String, where: String): String = {
     val meanV =
       if (kind == "num")
         s"ROUND(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c), 6) + 0.0"
@@ -286,7 +316,7 @@ object AnalyticsQueries {
        |  ROUND(CAST(count($c) AS DOUBLE) / count(*), 6) + 0.0 AS completeness,
        |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v,
        |  $meanV AS mean_v, $avgLen AS avg_len
-       |FROM documents""".stripMargin
+       |FROM documents WHERE $where""".stripMargin
   }
 
   /** Rounded euclidean over the 64-dim float arrays — mirrors
@@ -299,10 +329,25 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q152_profile" ->
-      Seq("doc_id" -> "num", "text" -> "str", "lang" -> "str",
-          "source" -> "str", "n_chars" -> "num")
-        .map { case (c, k) => profileRowSql(c, k) }
+      ProfCols.map { case (c, k) => profileRowSql(c, k) }
         .mkString("WITH p AS (\n", "\nUNION ALL\n", "\n)\nSELECT * FROM p ORDER BY \"column\""),
+    // q162: the q152 profile replayed per even/odd slice, joined per
+    // column; the delta subtracts two already-rounded doubles.
+    "q162_profile_drift" -> {
+      def slice(where: String) =
+        ProfCols.map { case (c, k) => profileRowSql(c, k, where) }
+          .mkString("(\n", "\nUNION ALL\n", "\n)")
+      s"""WITH pa AS ${slice("doc_id % 2 = 0")},
+         |pb AS ${slice("doc_id % 2 = 1")}
+         |SELECT pa."column", pa.n_rows AS n_rows_a, pa.n_distinct AS n_distinct_a,
+         |       COALESCE(pa.mean_v, pa.avg_len) AS center_a,
+         |       pb.n_rows AS n_rows_b, pb.n_distinct AS n_distinct_b,
+         |       COALESCE(pb.mean_v, pb.avg_len) AS center_b,
+         |       ROUND(COALESCE(pb.mean_v, pb.avg_len)
+         |           - COALESCE(pa.mean_v, pa.avg_len), 6) + 0.0 AS center_delta
+         |FROM pa JOIN pb ON pa."column" = pb."column"
+         |ORDER BY pa."column"""".stripMargin
+    },
     // q153: the frozen model is the kmeansCtes' a2 assignment (iters=1
     // model == round-1 centroids) — top-20 by selected distance DESC
     // beside the per-cluster integer mean distance.
@@ -406,6 +451,7 @@ object AnalyticsQueries {
     "q153_embed_outliers" -> (embedOutliers _),
     "q154_knn_join_exact" -> (knnJoinExactQ _),
     "q155_knn_join_recall" -> (knnJoinRecall _),
-    "q161_mutual_knn" -> (mutualKnn _)
+    "q161_mutual_knn" -> (mutualKnn _),
+    "q162_profile_drift" -> (profileDrift _)
   )
 }

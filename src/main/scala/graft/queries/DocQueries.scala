@@ -1081,6 +1081,26 @@ object DocQueries {
         .select(col("doc_id"), col("quality_score"), col("distinct_ratio")),
       Seq("quality" -> col("quality_score"), "distinct" -> col("distinct_ratio")))
 
+  /** Duplicate-rate league table (q163): per source, the fraction of
+    * documents implicated in ANY near-dup pair (the cached q52
+    * machinery) — the "which source is the copy farm" signal a
+    * curation pass uses to set per-source quotas and crawl priorities.
+    * One distinct over the labeled ids (already a tiny fraction of the
+    * corpus), one left join onto (doc_id, source), one partial agg. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val dup = corpusGroupLabels(spark, dir)
+      .select(col("doc_id")).distinct().withColumn("is_dup", lit(1L))
+    t(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        (round(col("n_dup").cast("double") / col("n_docs"), 6) + lit(0.0))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -1571,6 +1591,23 @@ object DocQueries {
          |SELECT batch_id, store_id, $estJaccardSql AS est_jaccard
          |FROM cand WHERE $estJaccardSql >= 0.5
          |ORDER BY batch_id, store_id""".stripMargin,
+    // q163: docs implicated in any >= 0.5 LSH pair (the q52 chain up
+    // to `pairs` — no recursion needed for membership), joined onto
+    // real documents only (the injected probe ids match nothing).
+    "q163_dup_rate_by_source" ->
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |         (SELECT doc_a AS doc_id FROM pairs
+         |          UNION ALL SELECT doc_b AS doc_id FROM pairs))
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(count(dup.doc_id) AS BIGINT) AS n_dup,
+         |       ROUND(CAST(count(dup.doc_id) AS DOUBLE) / count(*), 6) + 0.0 AS dup_rate
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "q52_dedup_groups" ->
       s"""WITH RECURSIVE $corpusSql,
          |${shinglesCte("corpus")},
@@ -2764,6 +2801,7 @@ object DocQueries {
     "q158_tfidf_keywords" -> (tfidfKeywords _),
     "q159_compress_quality" -> (compressQuality _),
     "q160_quality_blend" -> (qualityBlend _),
+    "q163_dup_rate_by_source" -> (dupRateBySource _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
