@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering keys — the write-time optimization that
+  * makes multi-column scan pruning work at 100 TB. Range-partitioning
+  * on ONE column gives that column tight per-file min/max stats and
+  * leaves every other column's stats useless; interleaving the bits of
+  * two columns (Morton / Z-order — the Delta/Iceberg `OPTIMIZE ZORDER
+  * BY` machinery) bounds BOTH dimensions inside every z-range, so
+  * predicates on either column prune files. The engine side is
+  * deliberately just a COLUMN: sort/`repartitionByRange` on
+  * [[zValue2]] at write time and parquet min/max stats do the rest —
+  * no custom reader, no new file format.
+  *
+  * Pure integer bit arithmetic (shift/mask spreads, no loops, no
+  * UDFs): whole-stage-codegen'd in Spark and bit-for-bit replayable in
+  * any engine with 64-bit integer ops — which is what lets q164
+  * hash-oracle the layout decision itself.
+  */
+object Layout {
+
+  /** Spread the low 32 bits of `c` so bit i lands at position 2·i —
+    * the classic magic-mask dilation (Morton 1966; "Bit Twiddling
+    * Hacks" interleave). Input must be in [0, 2³¹); values are masked
+    * to 32 bits first so a stray high bit cannot corrupt neighbors. */
+  private def spreadBits(c: Column): Column = {
+    def step(x: Column, sh: Int, mask: Long): Column =
+      (x.bitwiseOR(shiftleft(x, sh))).bitwiseAND(lit(mask))
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val x1 = step(x0, 16, 0x0000FFFF0000FFFFL)
+    val x2 = step(x1, 8, 0x00FF00FF00FF00FFL)
+    val x3 = step(x2, 4, 0x0F0F0F0F0F0F0F0FL)
+    val x4 = step(x3, 2, 0x3333333333333333L)
+    step(x4, 1, 0x5555555555555555L)
+  }
+
+  /** 64-bit Z-order value of two non-negative 32-bit keys: bits of `a`
+    * at even positions, `b` at odd. Monotone locality: rows close in
+    * z are close in BOTH a and b. For skewed/unbounded domains,
+    * rank-normalize first (e.g. [[Sampling.percentileBlend]]'s
+    * percentile machinery, or a fixed-point quantization) — z-order
+    * on raw values clusters by magnitude, which is usually what a
+    * key-like column wants anyway. */
+  def zValue2(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+}

@@ -253,7 +253,53 @@ object RelationalQueries {
         |ORDER BY c_nationkey, c_custkey""".stripMargin)
   }
 
+  /** Z-order layout audit (q164): Morton-interleave (l_partkey,
+    * l_suppkey), cut the z range into ~64 scale-invariant buckets
+    * (the write-time file boundaries `repartitionByRange(zValue2)`
+    * would produce), and report each bucket's row count and BOTH
+    * keys' min/max spans — the per-file statistics that prove
+    * predicates on EITHER column prune. All integer arithmetic
+    * ([[graft.operators.Layout]]); one partial-agg shuffle after the
+    * narrow z map (the zmax probe is a 1-row broadcast). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        Layout.zValue2(col("l_partkey"), col("l_suppkey")).as("z"))
+    val zmax = l.agg(max(col("z")).as("zmax"))
+    l.crossJoin(broadcast(zmax))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(z * 64) div (zmax + 1)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("part_lo"), max(col("l_partkey")).as("part_hi"),
+        min(col("l_suppkey")).as("supp_lo"), max(col("l_suppkey")).as("supp_hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The [[graft.operators.Layout.spreadBits]] dilation as DuckDB SQL
+    * over a column expression `x`. */
+  private def spreadSql(x: String): String = {
+    def step(e: String, sh: Int, m: Long) = s"(($e | ($e << $sh)) & $m)"
+    val x0 = s"(CAST($x AS BIGINT) & ${0xFFFFFFFFL})"
+    val x1 = step(x0, 16, 0x0000FFFF0000FFFFL)
+    val x2 = step(x1, 8, 0x00FF00FF00FF00FFL)
+    val x3 = step(x2, 4, 0x0F0F0F0F0F0F0F0FL)
+    val x4 = step(x3, 2, 0x3333333333333333L)
+    step(x4, 1, 0x5555555555555555L)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q164_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |        (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS z
+         |      FROM lineitem),
+         |m AS (SELECT max(z) AS zmax FROM z)
+         |SELECT (z.z * 64) // (m.zmax + 1) AS bucket, count(*) AS n_rows,
+         |       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+         |       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+         |FROM z CROSS JOIN m
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q121_above_nation_avg" ->
       """SELECT c_nationkey, c_custkey, c_acctbal FROM customer c1
         |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
@@ -354,6 +400,7 @@ object RelationalQueries {
     "q18_supplier_quartiles" -> (supplierBalanceQuartiles _),
     "q19_salted_agg" -> (saltedAgg _),
     "q20_price_quantiles" -> (priceQuantiles _),
-    "q151_sketch_quantiles" -> (sketchQuantiles _)
+    "q151_sketch_quantiles" -> (sketchQuantiles _),
+    "q164_zorder_layout" -> (zorderLayout _)
   )
 }
