@@ -258,6 +258,29 @@ object AnalyticsQueries {
       Similarity.knnJoinExact(spread(e), e, KnnK, excludeSelf = true))
   }
 
+  /** q165: sample-coverage audit — how well a curated sample COVERS
+    * the embedding space: for every non-sample vector, the fixed-point
+    * distance to its nearest sample member; report the mean and the
+    * max (the k-center coverage radius — a big max means a region of
+    * the corpus the sample never represents, the blind spot a "train
+    * on a 4% sample" decision needs to know about). Sample = the q53
+    * deterministic id-hash family (mod 25 here) — bounded by design,
+    * so it broadcasts as literal centroids and the plan is one narrow
+    * map + one 1-row partial agg over the corpus. All-integer. */
+  def sampleCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sample: Array[Array[Double]] = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 25 === 0).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val md = Clustering.minDistExpr(col("embedding"), sample)
+    spread(t(spark, dir, "embeddings"))
+      .filter(col("vec_id") % 25 =!= 0)
+      .agg(count(lit(1)).as("n_corpus"), sum(md).as("s"), max(md).as("mx"))
+      .select(lit(sample.length.toLong).as("n_sample"), col("n_corpus"),
+        expr("s div n_corpus").as("mean_min_dist_fp"),
+        col("mx").as("max_min_dist_fp"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -360,6 +383,18 @@ object AnalyticsQueries {
          |      FROM a2 JOIN m USING (cl))
          |SELECT vec_id, cl AS cluster, dist_fp, cluster_mean_fp, CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= $OutlierK ORDER BY rnk""".stripMargin,
+    // q165: min fixed-point distance per non-sample vector against the
+    // bounded cross-joined sample; integer mean (floor div) and max.
+    "q165_sample_coverage" ->
+      s"""WITH s AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |e AS (SELECT vec_id, embedding AS x FROM embeddings WHERE vec_id % 25 <> 0),
+         |d AS (SELECT e.vec_id, min(${distSql("e.x", "s.c")}) AS md
+         |      FROM e CROSS JOIN s GROUP BY 1)
+         |SELECT (SELECT count(*) FROM s) AS n_sample, count(*) AS n_corpus,
+         |       CAST(SUM(md) AS BIGINT) // count(*) AS mean_min_dist_fp,
+         |       CAST(max(md) AS BIGINT) AS max_min_dist_fp
+         |FROM d""".stripMargin,
     // q161: the q154 kNN CTE self-joined on the reversed key; lo < hi
     // canonicalizes each mutual pair to one row.
     "q161_mutual_knn" ->
@@ -452,6 +487,7 @@ object AnalyticsQueries {
     "q154_knn_join_exact" -> (knnJoinExactQ _),
     "q155_knn_join_recall" -> (knnJoinRecall _),
     "q161_mutual_knn" -> (mutualKnn _),
-    "q162_profile_drift" -> (profileDrift _)
+    "q162_profile_drift" -> (profileDrift _),
+    "q165_sample_coverage" -> (sampleCoverage _)
   )
 }

@@ -688,6 +688,38 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "dim_compression")
   }
 
+  /** PCA-truncation sweep (q166): the recall/compression FRONTIER for
+    * the dimensional tier — top-10 overlap vs exact truth at m ∈
+    * {4, 8, 16, 24} retained components of the one cached fit
+    * (truncating a PCA model = taking its leading components; no
+    * refit). This is the tuning curve a deployment reads to pick the
+    * q144 operating point — the dimension-axis twin of q101's ef
+    * sweep. Columns say `overlap`, not recall: the LOW values at
+    * small m ARE the curve (the whole point is seeing where the
+    * frontier falls off), so the 0.70 recall gate must not apply. */
+  def pcaDimSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val full = pcaFitted(spark, dir)
+    Seq(4, 8, 16, 24).map { m =>
+      val model = full.copy(components = full.components.take(m),
+        eigenvalues = full.eigenvalues.take(m))
+      val got = graft.operators.Similarity.pcaPrefilterTopK(src, queries, model,
+          topk = 10, refineFactor = 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val matched = truth.keysIterator.map(q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+      val nq = truth.size.toLong
+      (m, full.dim.toDouble / m, nq, matched.toDouble / (nq * 10.0))
+    }.toDF("m_components", "dim_compression", "n_queries", "overlap_at_10")
+      .orderBy(col("m_components"))
+  }
+
   /** Int8 scalar-quantized top-10 with exact re-rank for the first 10
     * vectors (q93): candidate scan over the 4x-smaller codebook-free
     * code column ([[graft.operators.Similarity.int8TopK]]), refine in
@@ -974,7 +1006,8 @@ object AnnQueries {
     "q143_edge_symmetry" -> (edgeSymmetry _),
     "q149_graph_triangles" -> (graphTriangles _),
     "q144_pca_search" -> (pcaSearch _),
-    "q145_pca_recall" -> (pcaRecall _)
+    "q145_pca_recall" -> (pcaRecall _),
+    "q166_pca_dim_sweep" -> (pcaDimSweep _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
