@@ -45,7 +45,19 @@ class PlanAuditSpec extends SparkSpec {
     "q127_bm25_topk",
     "q128_hybrid_rrf",
     "q129_token_drift",
-    "q135_kmeans")
+    "q135_kmeans",
+    // session additions (q154/q161 are labeled exact twins — absent)
+    "q152_profile",
+    "q153_embed_outliers",
+    "q155_knn_join_recall",
+    "q156_blocklist_screen",
+    "q157_vocab_coverage",
+    "q158_tfidf_keywords",
+    "q160_quality_blend",
+    "q162_profile_drift",
+    "q163_dup_rate_by_source",
+    "q164_zorder_layout",
+    "q165_sample_coverage")
 
   for (name <- bandedQueries)
     test(s"$name: no non-broadcast cartesian product in the executed plan") {
