@@ -53,6 +53,27 @@ object GraftExtensions {
   /** Same composition as VectorFunctions.cosineSimilarity: zero-norm
     * pairs yield 0.0. TRY division — ANSI-mode Divide THROWS on a zero
     * divisor instead of returning the NULL the coalesce expects. */
+  /** Extract a literal ARRAY<STRING> argument (shared by the
+    * multi-match family — the automaton must compile at plan time). */
+  private def stringArrayLiteral(fn: String, e: Expression): Seq[String] = e match {
+    case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(_: org.apache.spark.sql.types.StringType, _)) =>
+      (0 until a.numElements()).map { i =>
+        val u = a.getUTF8String(i)
+        if (u == null) null else u.toString
+      }
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.forall(_.foldable) =>
+      children.map(_.eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case null => null
+        case other => throw new IllegalArgumentException(
+          s"$fn pattern entries must be string literals, got $other")
+      })
+    case other => throw new IllegalArgumentException(
+      s"$fn patterns must be a string-array literal, got $other")
+  }
+
   private def cosineSim(a: Expression, b: Expression): Expression =
     Coalesce(Seq(
       Divide(DotProduct(a, b),
@@ -199,25 +220,15 @@ object GraftExtensions {
       info("graft_multi_match",
         "distinct 1-based indices of literal patterns occurring as substrings of a STRING (Aho-Corasick: one text walk regardless of pattern count)"),
       (args: Seq[Expression]) => {
-        val pats: Seq[String] = args(1) match {
-          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
-              ArrayType(_: org.apache.spark.sql.types.StringType, _)) =>
-            (0 until a.numElements()).map { i =>
-              val u = a.getUTF8String(i)
-              if (u == null) null else u.toString
-            }
-          case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
-              if children.forall(_.foldable) =>
-            children.map(_.eval() match {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-              case null => null
-              case other => throw new IllegalArgumentException(
-                s"graft_multi_match pattern entries must be string literals, got $other")
-            })
-          case other => throw new IllegalArgumentException(
-            s"graft_multi_match patterns must be a string-array literal, got $other")
-        }
+        val pats = stringArrayLiteral("graft_multi_match", args(1))
         graft.functions.expressions.MultiPatternMatches(args(0), pats)
+      }),
+    (FunctionIdentifier("graft_multi_count"),
+      info("graft_multi_count",
+        "per-pattern substring occurrence counts against a literal pattern array (Aho-Corasick, one text walk)"),
+      (args: Seq[Expression]) => {
+        val pats = stringArrayLiteral("graft_multi_count", args(1))
+        graft.functions.expressions.MultiPatternCounts(args(0), pats)
       }),
     (FunctionIdentifier("graft_deflate_size"),
       info("graft_deflate_size",

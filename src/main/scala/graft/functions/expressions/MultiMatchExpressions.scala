@@ -118,6 +118,33 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
     res
   }
 
+  /** Per-pattern occurrence counts over `text` — EVERY match position
+    * (overlapping included: the automaton reports all ending
+    * positions). For patterns with no proper border (no prefix that is
+    * also a suffix — true of multi-word phrases) occurrences cannot
+    * self-overlap, and this equals the left-to-right non-overlapping
+    * count any `replace`-based SQL replay computes (the q167 oracle
+    * identity). 1-based index i of the result mirrors `patterns[i]`. */
+  def countsUtf8(text: UTF8String): ArrayData =
+    new GenericArrayData(countAll(text.getBytes))
+
+  def countAll(bytes: Array[Byte]): Array[Int] = {
+    val counts = new Array[Int](patterns.length)
+    var node = 0
+    var i = 0
+    while (i < bytes.length) {
+      node = goto_(node * 256 + (bytes(i) & 0xff))
+      var m = if (outHead(node) != -1) node else outLink(node)
+      while (m != -1) {
+        var cell = outHead(m)
+        while (cell != -1) { counts(outPat(cell)) += 1; cell = outNext(cell) }
+        m = outLink(m)
+      }
+      i += 1
+    }
+    counts
+  }
+
   // fail retained for debuggability/asserts; matching never consults
   // it (transitions were completed in build()).
   locally { val _ = fail }
@@ -156,4 +183,41 @@ case class MultiPatternMatches(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): MultiPatternMatches =
     copy(child = newChild)
   override def prettyName: String = "graft_multi_match"
+}
+
+/** `graft_multi_count(text)` over a compile-time pattern list —
+  * ARRAY<INT> of per-pattern occurrence counts (position i = pattern
+  * i+1; NULL text -> NULL). Same automaton, same one-walk cost as
+  * [[MultiPatternMatches]]; see [[AhoCorasick.countsUtf8]] for the
+  * overlap/`replace`-count equivalence contract. */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"text must be STRING, got ${child.dataType.catalogString}")
+    else if (patterns.isEmpty || patterns.exists(p => p == null || p.isEmpty))
+      TypeCheckResult.TypeCheckFailure(
+        "patterns must be a non-empty list of non-empty strings")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val automaton = new AhoCorasick(patterns.toArray)
+
+  override def nullSafeEval(text: Any): Any =
+    automaton.countsUtf8(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $acRef.countsUtf8($text);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCounts =
+    copy(child = newChild)
+  override def prettyName: String = "graft_multi_count"
 }

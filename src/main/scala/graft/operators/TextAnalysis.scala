@@ -185,6 +185,13 @@ object TextAnalysis {
     ExpressionUtils.column(graft.functions.expressions.MultiPatternMatches(
       ExpressionUtils.expression(text), patterns))
 
+  /** Per-pattern occurrence COUNTS (same automaton, same one-walk
+    * cost as [[multiMatch]]) — canary counting for contamination
+    * audits. SQL: `graft_multi_count(text, array(...))`. */
+  def multiMatchCounts(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(graft.functions.expressions.MultiPatternCounts(
+      ExpressionUtils.expression(text), patterns))
+
   /** Tokenizer-fit audit: per-source coverage of a frozen top-N
     * vocabulary — the check a pipeline runs BEFORE committing a
     * tokenizer to a corpus mix (a source whose tokens the vocabulary

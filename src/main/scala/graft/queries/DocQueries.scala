@@ -1101,6 +1101,30 @@ object DocQueries {
       .orderBy(col("source"))
   }
 
+  /** Canary occurrence totals (q167): per blocklist phrase, the
+    * number of documents containing it and the TOTAL occurrence count
+    * corpus-wide — the contamination-canary tally an eval-integrity
+    * audit publishes (q156 flags documents; this one quantifies
+    * exposure per canary). Same one-automaton-walk cost
+    * ([[TextAnalysis.multiMatchCounts]]); the per-pattern reshape is a
+    * posexplode of a fixed-length array + partial agg. */
+  def canaryCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    val names = BlockPhrases.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("pattern_id", "pattern")
+    t(spark, dir, "documents")
+      .select(posexplode(
+        TextAnalysis.multiMatchCounts(col("text"), BlockPhrases))
+        .as(Seq("pos", "cnt")))
+      .groupBy((col("pos") + 1).as("pattern_id"))
+      .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("cnt").cast("long")).as("n_occurrences"))
+      .join(broadcast(names), Seq("pattern_id"))
+      .select(col("pattern_id"), col("pattern"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("pattern_id"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2315,6 +2339,21 @@ object DocQueries {
          |       ROUND(CAST(covered AS DOUBLE) / n_tokens, 6) + 0.0 AS covered_frac,
          |       oov_types
          |FROM cov ORDER BY source""".stripMargin,
+    // q167: replace-based occurrence counts per pattern — equals the
+    // automaton's all-positions count because the phrases have no
+    // proper border (multi-word: no self-overlap possible).
+    "q167_canary_counts" -> {
+      val vals = BlockPhrases.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+      s"""WITH pats(i, p) AS (VALUES $vals),
+         |c AS (SELECT d.doc_id, pats.i, pats.p,
+         |        (length(d.text) - length(replace(d.text, pats.p, ''))) // length(pats.p) AS cnt
+         |      FROM documents d CROSS JOIN pats)
+         |SELECT i AS pattern_id, p AS pattern,
+         |       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+         |FROM c GROUP BY 1, 2 ORDER BY pattern_id""".stripMargin
+    },
     // q156: per-pattern contains() replay of the Aho-Corasick screen
     // (the oracle is O(patterns) per row — exactly the cost shape the
     // automaton collapses to one walk).
@@ -2802,6 +2841,7 @@ object DocQueries {
     "q159_compress_quality" -> (compressQuality _),
     "q160_quality_blend" -> (qualityBlend _),
     "q163_dup_rate_by_source" -> (dupRateBySource _),
+    "q167_canary_counts" -> (canaryCounts _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),

@@ -70,6 +70,36 @@ class MultiMatchSpec extends SparkSpec {
     assert(r == Seq(1, 3))
   }
 
+  test("countAll: all match positions; equals replace-count for borderless patterns") {
+    val ac = new AhoCorasick(Array("aa", "slow fast", "he"))
+    // "aa" self-overlaps: AC reports every ending position (2 in
+    // "aaa"), replace-count reports the non-overlapping 1 — the
+    // documented divergence, which is why q167 uses borderless phrases
+    assert(ac.countAll("aaa".getBytes("UTF-8")).toSeq == Seq(2, 0, 0))
+    val text = "he said slow fast and slow fast again, hehe"
+    def replCount(t: String, p: String) = (t.length - t.replace(p, "").length) / p.length
+    val counts = ac.countAll(text.getBytes("UTF-8"))
+    assert(counts(1) == replCount(text, "slow fast") && counts(1) == 2)
+    assert(counts(2) == 3) // "he", "hehe" -> all positions
+    assert(counts(2) == replCount(text, "he")) // 'he' has no border: equal
+  }
+
+  test("multiMatchCounts column + SQL surface agree with the kernel") {
+    val df = Seq((1L, Some("x slow fast y slow fast")), (2L, None))
+      .toDF("id", "text")
+    val viaCol = df.orderBy("id").select(
+        TextAnalysis.multiMatchCounts(col("text"), Seq("slow fast", "zz")))
+      .collect()
+    assert(viaCol(0).getSeq[Int](0) == Seq(2, 0))
+    assert(viaCol(1).isNullAt(0))
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("mmc_t")
+    val viaSql = spark.sql(
+      "SELECT graft_multi_count(text, array('slow fast', 'zz')) FROM mmc_t " +
+        "WHERE id = 1").collect().head.getSeq[Int](0)
+    assert(viaSql == Seq(2, 0))
+  }
+
   test("guards: empty pattern list / empty pattern string refuse loudly") {
     val df = Seq("x").toDF("t")
     intercept[Exception] {
