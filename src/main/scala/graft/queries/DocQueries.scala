@@ -1125,6 +1125,44 @@ object DocQueries {
       .orderBy(col("pattern_id"))
   }
 
+  private val evolutionWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Schema-evolution ingest (q168): two corpus drops whose schemas
+    * DIFFER — drop 2 grew a `lang` column — read as one frame via
+    * parquet `mergeSchema` (the real mechanics: Spark unions the file
+    * footers' schemas and back-fills NULL for files missing a column;
+    * at 100 TB this is how a years-long corpus with accreting metadata
+    * reads without a rewrite). The report is the per-drop completeness
+    * of the accreted column — what a backfill decision reads. Drops
+    * are fixture-derived parquet written once per dataset under the
+    * repo-scratch path (the q111 idiom); the oracle re-derives the
+    * merged frame directly from `documents`, so the hash gate checks
+    * the EVOLUTION mechanics, not the copy. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = new java.io.File(s"target/oracle-scratch/$digest/q168").getAbsolutePath
+    if (evolutionWritten.add(base) &&
+        !graft.index.ArtifactStore.current.exists(s"$base/d2")) {
+      val d = t(spark, dir, "documents")
+      d.filter(col("doc_id") < 250)
+        .select(lit(1).as("drop_no"), col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/d1")
+      d.filter(col("doc_id") >= 250)
+        .select(lit(2).as("drop_no"), col("doc_id"), col("source"), col("n_chars"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$base/d2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$base/d1", s"$base/d2")
+      .groupBy(col("drop_no"))
+      .agg(count(lit(1)).as("n_rows"), count(col("lang")).as("n_lang_present"),
+        (round(count(col("lang")).cast("double") / count(lit(1)), 6) + lit(0.0))
+          .as("lang_completeness"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("drop_no"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -2339,6 +2377,20 @@ object DocQueries {
          |       ROUND(CAST(covered AS DOUBLE) / n_tokens, 6) + 0.0 AS covered_frac,
          |       oov_types
          |FROM cov ORDER BY source""".stripMargin,
+    // q168: the merged-drops frame re-derived directly from documents
+    // (drop 1 predates the lang column -> NULL back-fill).
+    "q168_schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT 1 AS drop_no, doc_id, source, CAST(NULL AS VARCHAR) AS lang
+         |  FROM documents WHERE doc_id < 250
+         |  UNION ALL
+         |  SELECT 2 AS drop_no, doc_id, source, lang
+         |  FROM documents WHERE doc_id >= 250)
+         |SELECT drop_no, count(*) AS n_rows,
+         |       count(lang) AS n_lang_present,
+         |       ROUND(CAST(count(lang) AS DOUBLE) / count(*), 6) + 0.0 AS lang_completeness,
+         |       count(DISTINCT source) AS n_sources
+         |FROM m GROUP BY 1 ORDER BY drop_no""".stripMargin,
     // q167: replace-based occurrence counts per pattern — equals the
     // automaton's all-positions count because the phrases have no
     // proper border (multi-word: no self-overlap possible).
@@ -2842,6 +2894,7 @@ object DocQueries {
     "q160_quality_blend" -> (qualityBlend _),
     "q163_dup_rate_by_source" -> (dupRateBySource _),
     "q167_canary_counts" -> (canaryCounts _),
+    "q168_schema_evolution" -> (schemaEvolution _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
