@@ -272,6 +272,33 @@ object StreamingOps {
   def streamingProfile(docs: DataFrame, columns: Seq[String], k: Int = 256): DataFrame =
     graft.operators.Profile.profileTableApprox(docs, columns, k)
 
+  /** Streaming canary monitor (q167's continuous twin): per
+    * event-time window and blocklist phrase, how many arriving
+    * documents contain it and the total occurrences — the live
+    * eval-contamination / policy-phrase alarm on an ingest feed.
+    *
+    * State shape: the Aho–Corasick walk is a STATELESS narrow map
+    * (the automaton rides as a plan-literal reference object, exactly
+    * as in batch), so the only stateful operator is the windowed
+    * partial agg — ≤ |patterns| counter rows per window, reaped by
+    * the watermark. Emits on window close (append mode); counts are
+    * exact longs, so stream == batch on every closed window. */
+  def streamingCanaryCounts(
+      docs: DataFrame,
+      patterns: Seq[String],
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowDur).as("w"),
+        posexplode(graft.operators.TextAnalysis.multiMatchCounts(col("text"), patterns))
+          .as(Seq("pos", "cnt")))
+      .groupBy(col("w"), (col("pos") + 1).as("pattern_id"))
+      .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("cnt").cast("long")).as("n_occurrences"))
+      .select(col("w.start").as("window_start"), col("pattern_id"),
+        col("n_docs"), col("n_occurrences"))
+
   /** Streaming corpus-drift monitor: per event-time window, the
     * KL divergence of the window's token distribution against a
     * broadcast BASELINE snapshot (the fixed reference mix a

@@ -765,6 +765,38 @@ test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") 
     assert(kl0 >= 0.0 && kl1 > kl0, s"expected OOV window to drift harder: $kl0 vs $kl1")
   }
 
+  test("streamingCanaryCounts: per-window phrase totals == batch twin on closed windows") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val pats = Seq("slow fast", "hash value")
+    val H = 3600000L
+    def tms(ms: Long) = new Timestamp(1700000000000L / H * H + ms)
+    val rows = Seq(
+      (tms(10), "x slow fast y slow fast"), (tms(20), "hash value only"),
+      (tms(H + 5), "slow fast once"), (tms(H + 6), "nothing here"),
+      (tms(3 * H), "sentinel")) // advances the watermark past both windows
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.streamingCanaryCounts(
+        mem.toDF().toDF("ts", "text"), pats)
+      .writeStream.format("memory").queryName("canary").outputMode("append").start()
+    rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))
+    val stream = spark.table("canary").collect().map(key).toMap
+    q.stop()
+    val batch = StreamingOps.streamingCanaryCounts(rows.toDF("ts", "text"), pats)
+      .collect().map(key).toMap
+    assert(stream == batch.view.filterKeys(k => k._1.getTime < tms(2 * H).getTime).toMap)
+    assert(stream((tms(0), 1)) == ((1L, 2L)))  // one doc, two occurrences
+    assert(stream((tms(0), 2)) == ((1L, 1L)))
+    assert(stream((tms(H), 1)) == ((1L, 1L)))
+    // a zero-match phrase still reports (0, 0) — the alarm reads
+    // "phrase seen nowhere this window" as data, not absence
+    assert(stream((tms(H), 2)) == ((0L, 0L)))
+  }
+
   test("streamingProfile: running per-column profile == batch twin on every prefix") {
     val ss = spark
     implicit val sql = ss.sqlContext
