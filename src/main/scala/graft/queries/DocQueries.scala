@@ -1163,6 +1163,49 @@ object DocQueries {
       .orderBy(col("drop_no"))
   }
 
+  /** Language-ID confusion audit (q169): the q47 heuristic's
+    * prediction cross-tabulated against the corpus's labeled `lang`
+    * column, plus each truth-language's accuracy — the calibration a
+    * pipeline runs before trusting a cheap classifier to route a
+    * mixture (q71's rates key on language). One narrow scoring map +
+    * one partial-agg groupBy; accuracy derives from exact counts. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.withLangId(
+      spread(t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))))
+    scored.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_frac",
+        (round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6) + lit(0.0)))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val releaseWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Corpus-release round trip (q170): publish `documents` as an
+    * integrity-manifested release ([[graft.sources.CorpusRelease]] —
+    * sharded parquet + order-independent content checksum, verified on
+    * open), then report the shard layout through the VERIFIED open
+    * path. The oracle re-derives the shard grouping directly from
+    * `documents`, so the hash gate proves the publish→verify→serve
+    * loop loses and corrupts nothing. */
+  def corpusReleaseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = new java.io.File(s"target/oracle-scratch/$digest/q170").getAbsolutePath
+    if (releaseWritten.add(base) &&
+        !graft.index.ArtifactStore.current.exists(s"$base/release.json"))
+      graft.sources.CorpusRelease.write(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")), base, shards = 8)
+    graft.sources.CorpusRelease.open(spark, base)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -1791,6 +1834,25 @@ object DocQueries {
          |       $pred AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+    // q169: the q47 scoring chain cross-tabbed against the labeled
+    // lang column; row_frac normalizes within each truth language.
+    "q169_langid_confusion" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS score_$l"
+      }.mkString(",\n    ")
+      val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val pred = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH base AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |scored AS (SELECT doc_id, lang, $scoreCols FROM base),
+         |p AS (SELECT lang, $pred AS lang_pred FROM scored),
+         |c AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |       ROUND(CAST(n_docs AS DOUBLE) /
+         |             SUM(n_docs) OVER (PARTITION BY lang), 6) + 0.0 AS row_frac
+         |FROM c ORDER BY lang, lang_pred""".stripMargin
+    },
     "q48_token_regex_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2377,6 +2439,13 @@ object DocQueries {
          |       ROUND(CAST(covered AS DOUBLE) / n_tokens, 6) + 0.0 AS covered_frac,
          |       oov_types
          |FROM cov ORDER BY source""".stripMargin,
+    // q170: shard grouping re-derived directly from documents — the
+    // hash gate proves the release publish/verify/serve loop is
+    // content-preserving.
+    "q170_corpus_release" ->
+      """SELECT CAST(doc_id % 8 AS INT) AS shard, count(*) AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     // q168: the merged-drops frame re-derived directly from documents
     // (drop 1 predates the lang column -> NULL back-fill).
     "q168_schema_evolution" ->
@@ -2895,6 +2964,8 @@ object DocQueries {
     "q163_dup_rate_by_source" -> (dupRateBySource _),
     "q167_canary_counts" -> (canaryCounts _),
     "q168_schema_evolution" -> (schemaEvolution _),
+    "q169_langid_confusion" -> (langidConfusion _),
+    "q170_corpus_release" -> (corpusReleaseAudit _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
