@@ -281,6 +281,32 @@ object AnalyticsQueries {
         col("mx").as("max_min_dist_fp"))
   }
 
+  /** q172: embedding-space drift between two corpus drops (even/odd
+    * vec_id halves — the q162 convention) — per-dimension mean shift
+    * from exact fixed-point component sums (the q136 quantization), so
+    * the report is add-order free and engine-replayable. The
+    * "did my embedding distribution move between drops" monitor a
+    * retrieval deployment reads before trusting yesterday's IVF/PQ
+    * fit on today's corpus. One posexplode + partial agg per slice
+    * (map-side combined; shuffle carries 64 rows per slice). */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(t(spark, dir, "embeddings"))
+    def side(f: Column, tag: String) = e.filter(f)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(floor(col("x").cast("double") * 1e6 + lit(0.5)).cast("long"))
+          .as(s"s_$tag"))
+      .select(col("pos"),
+        (round(col(s"s_$tag").cast("double") / 1e6 / col(s"n_$tag"), 6) + lit(0.0))
+          .as(s"mean_$tag"))
+    side(col("vec_id") % 2 === 0, "a")
+      .join(side(col("vec_id") % 2 === 1, "b"), Seq("pos"))
+      .select((col("pos") + 1).cast("int").as("pos"), col("mean_a"), col("mean_b"),
+        (round(col("mean_b") - col("mean_a"), 6) + lit(0.0)).as("mean_delta"))
+      .orderBy(col("pos"))
+  }
+
   // ----------------------------------------------------------- oracles
 
   /** Fixed-point squared-L2 — mirrors Clustering.distFp term-for-term
@@ -383,6 +409,21 @@ object AnalyticsQueries {
          |      FROM a2 JOIN m USING (cl))
          |SELECT vec_id, cl AS cluster, dist_fp, cluster_mean_fp, CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= $OutlierK ORDER BY rnk""".stripMargin,
+    // q172: per-dim fixed-point mean per even/odd slice, joined on the
+    // dimension; the delta subtracts already-rounded doubles.
+    "q172_embed_drift" -> {
+      def slice(where: String, tag: String) =
+        s"""SELECT t.i AS pos,
+           |  ROUND(CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |        / 1000000.0 / count(*), 6) + 0.0 AS mean_$tag
+           |FROM embeddings CROSS JOIN range(1, ${Dim + 1}) AS t(i)
+           |WHERE $where GROUP BY 1""".stripMargin
+      s"""WITH a AS (${slice("vec_id % 2 = 0", "a")}),
+         |b AS (${slice("vec_id % 2 = 1", "b")})
+         |SELECT CAST(a.pos AS INT) AS pos, a.mean_a, b.mean_b,
+         |       ROUND(b.mean_b - a.mean_a, 6) + 0.0 AS mean_delta
+         |FROM a JOIN b ON a.pos = b.pos ORDER BY pos""".stripMargin
+    },
     // q165: min fixed-point distance per non-sample vector against the
     // bounded cross-joined sample; integer mean (floor div) and max.
     "q165_sample_coverage" ->
@@ -488,6 +529,7 @@ object AnalyticsQueries {
     "q155_knn_join_recall" -> (knnJoinRecall _),
     "q161_mutual_knn" -> (mutualKnn _),
     "q162_profile_drift" -> (profileDrift _),
-    "q165_sample_coverage" -> (sampleCoverage _)
+    "q165_sample_coverage" -> (sampleCoverage _),
+    "q172_embed_drift" -> (embedDrift _)
   )
 }

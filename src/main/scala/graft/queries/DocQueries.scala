@@ -1206,6 +1206,27 @@ object DocQueries {
       .orderBy(col("shard"))
   }
 
+  /** Near-dup cluster report (q171): per q52 component — size, id
+    * span, injected-probe membership, and the number of distinct REAL
+    * sources it spans (a cluster crossing many sources is syndication/
+    * mirroring; within one source it's re-posting) — the shape of the
+    * duplication a curation decision reads after q163's rates. Group
+    * stats are one partial agg over the cached labels; the source mix
+    * is a left join onto (doc_id, source) — injected probe ids miss
+    * and count nothing. */
+  def dupClusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val labels = corpusGroupLabels(spark, dir)
+    labels
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"), "left")
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(when(col("doc_id") >= 100000L, 1L).otherwise(0L)).as("n_injected"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("group_id"))
+  }
+
   /** q156's phrase blocklist — multi-word phrases (so token-level
     * blocklist joins couldn't express the screen), declared once so
     * the Spark side and the oracle inline the identical literals. */
@@ -1713,6 +1734,28 @@ object DocQueries {
          |       ROUND(CAST(count(dup.doc_id) AS DOUBLE) / count(*), 6) + 0.0 AS dup_rate
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY source""".stripMargin,
+    // q171: the q52 component derivation + per-group stats; the LEFT
+    // JOIN misses injected probe ids, so n_sources counts real docs.
+    "q171_dup_cluster_report" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesCte("corpus")},
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node AS lab FROM nodes
+         |  UNION
+         |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+         |g AS (SELECT node AS doc_id, min(lab) AS group_id FROM reach GROUP BY node)
+         |SELECT g.group_id, count(*) AS n_members,
+         |       min(g.doc_id) AS min_id, max(g.doc_id) AS max_id,
+         |       CAST(SUM(CASE WHEN g.doc_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_injected,
+         |       count(DISTINCT d.source) AS n_sources
+         |FROM g LEFT JOIN documents d ON d.doc_id = g.doc_id
+         |GROUP BY 1 ORDER BY group_id""".stripMargin,
     "q52_dedup_groups" ->
       s"""WITH RECURSIVE $corpusSql,
          |${shinglesCte("corpus")},
@@ -2966,6 +3009,7 @@ object DocQueries {
     "q168_schema_evolution" -> (schemaEvolution _),
     "q169_langid_confusion" -> (langidConfusion _),
     "q170_corpus_release" -> (corpusReleaseAudit _),
+    "q171_dup_cluster_report" -> (dupClusterReport _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
