@@ -805,6 +805,28 @@ object DocQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language (q173): BPE tokens per word,
+    * grouped by the labeled language — THE cross-lingual tokenizer
+    * equity metric (a language whose fertility runs far above the
+    * corpus mean pays more sequence length per word: under-served by
+    * the merge table, the signal that drives vocab rebalancing).
+    * Same frozen-merge fold as q78 (the mechanism is already
+    * hash-pinned there); the lang rollup adds one broadcast metadata
+    * join before the partial agg. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val words = spread(t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    words.select(col("lang"), TextAnalysis.bpeTokenCount(col("w")).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("c")).cast("long").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        (round(col("n_bpe_tokens").cast("double") / col("n_words"), 6) + lit(0.0))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
   /** REAL video decode end-to-end (q79): a deterministic synthetic
     * multi-frame animated GIF per doc_id < 150 (frame count, dims, and
     * every pixel's palette index pure functions of (id, frame, x, y);
@@ -2181,6 +2203,24 @@ object DocQueries {
          |SELECT doc_id, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_bpe_tokens
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // q173: the q78 fold grouped by language + the fertility division.
+    "q173_tokenizer_fertility" -> {
+      val fold = graft.operators.TextAnalysis.BpeMerges
+        .foldLeft("array_to_string(string_split(w, ''), ' ')") { case (prev, (l, r)) =>
+          val m = l + r
+          s"list_reduce(string_split($prev, ' '), (a, x) -> " +
+            s"CASE WHEN (a = '$l' OR ends_with(a, ' $l')) AND x = '$r' " +
+            s"THEN CASE WHEN a = '$l' THEN '$m' " +
+            s"ELSE left(a, length(a) - ${l.length}) || '$m' END " +
+            s"ELSE a || ' ' || x END)"
+        }
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+         |words AS (SELECT lang, w FROM tok WHERE length(w) > 0),
+         |c AS (SELECT lang, len(string_split($fold, ' ')) AS c FROM words)
+         |SELECT lang, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_bpe_tokens,
+         |       ROUND(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0.0 AS fertility
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q77_audio_decode" -> {
       def f(expr: String) = s"CAST(CAST($expr AS FLOAT) AS DOUBLE)"
       def mean(s: String) = f(s"CAST($s AS DOUBLE) / n")
@@ -3010,6 +3050,7 @@ object DocQueries {
     "q169_langid_confusion" -> (langidConfusion _),
     "q170_corpus_release" -> (corpusReleaseAudit _),
     "q171_dup_cluster_report" -> (dupClusterReport _),
+    "q173_tokenizer_fertility" -> (tokenizerFertility _),
     "q119_chunk_overlap" -> (chunkOverlap _),
     "q122_rag_retrieval" -> (ragRetrieval _),
     "q150_maxsim_retrieval" -> (maxsimRetrieval _),
