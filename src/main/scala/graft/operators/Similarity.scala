@@ -704,9 +704,14 @@ object Similarity {
       nprobe: Int = 8,
       excludeSelf: Boolean = false,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val model = ivfFitModel(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), cells)
+      vecCol: String = "embedding",
+      fitted: Option[graft.index.IvfModel] = None): DataFrame = {
+    // `fitted` lets production pass the PERSISTED cell model (the
+    // VectorIndex.loadOrFitIVF / IvfModel.save lifecycle) so repeated
+    // joins over a stable corpus skip the sample-fit — same rule as
+    // every other fitted artifact (int8 scales, PQ codebooks).
+    val model = fitted.getOrElse(ivfFitModel(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), cells))
     val assigned = assignClusters(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), model)
     val centroids = centroidsDf(corpus.sparkSession, model)
