@@ -43,8 +43,10 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.SqrtCompareRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -242,7 +244,13 @@ object GraftExtensions {
         "DEFLATE-compressed byte count of a STRING's UTF-8 bytes (level 6, raw) - compressibility quality signal"),
       (args: Seq[Expression]) => graft.functions.expressions.DeflateSize(args(0))))
 
-  /** Register into an already-running session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-running session: function registry plus
+    * the sqrt-comparison optimizer rule (idempotent — a second
+    * register() must not stack duplicate rules). */
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.FunctionRegistration.register(spark, builders)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SqrtCompareRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SqrtCompareRewrite
+  }
 }
