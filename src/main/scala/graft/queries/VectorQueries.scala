@@ -310,6 +310,28 @@ object VectorQueries {
         |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Range search from a pure SQL string (q174): `graft_l2(...) <=
+    * 1.28` — the q21 twin for the radius predicate, and the query
+    * shape [[graft.plans.SqrtCompareRewrite]] optimizes: the analyzed
+    * filter is `Sqrt(SquaredL2) <= lit`, which the injected rule
+    * rewrites to a sqrt-free squared-space comparison against the
+    * exact bit-bisected threshold (SqrtCompareRewriteSpec pins the
+    * plan + bit parity; this query pins the SEMANTICS through the
+    * DuckDB gate with the rule active). */
+  def sqlSurfaceRange(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM graft_embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, e.vec_id AS neighbor_id,
+        |       ROUND(graft_l2(q.qvec, e.embedding), 4) + 0.0 AS dist
+        |FROM graft_embeddings e CROSS JOIN q
+        |WHERE graft_l2(q.qvec, e.embedding) <= 1.28
+        |  AND e.vec_id != q.query_id
+        |ORDER BY query_id, neighbor_id""".stripMargin)
+  }
+
   /** Filtered kNN (exact tier): top-5 neighbors restricted to the
     * query's OWN label — the metadata-predicate search a training-data
     * pipeline runs constantly ("nearest within my class/shard/
@@ -385,6 +407,17 @@ object VectorQueries {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 
   val oracles: Map[String, String] = Map(
+    // q174: the radius predicate replayed in sqrt form — Spark runs
+    // the rewritten sqrt-free plan, so a hash match proves the
+    // rewrite's bit-exactness through the driver gate too.
+    "q174_sql_range" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5)
+         |SELECT q.query_id, e.vec_id AS neighbor_id,
+         |       ROUND(${l2Sql("q.qvec", "e.embedding")}, 4) + 0.0 AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE ${l2Sql("q.qvec", "e.embedding")} <= 1.28
+         |  AND e.vec_id <> q.query_id
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     "q02_knn_exact_l2" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          |d AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${l2Sql("q.qvec", "e.embedding")} AS dist
@@ -495,6 +528,7 @@ object VectorQueries {
     "q14_mapping_after_delete" -> (mappingAfterDelete _),
     "q15_mapping_clear_count" -> (mappingClearCount _),
     "q21_sql_surface_knn" -> (sqlSurfaceKnn _),
+    "q174_sql_range" -> (sqlSurfaceRange _),
     "q22_filtered_knn" -> (filteredKnn _),
     "q23_range_search" -> (rangeSearch _),
     "q109_parent_doc_search" -> (parentDocSearch _),
