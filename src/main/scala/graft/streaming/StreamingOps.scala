@@ -272,6 +272,45 @@ object StreamingOps {
   def streamingProfile(docs: DataFrame, columns: Seq[String], k: Int = 256): DataFrame =
     graft.operators.Profile.profileTableApprox(docs, columns, k)
 
+  /** Streaming OOV monitor (q157's continuous twin): per event-time
+    * window, token coverage of a FROZEN vocabulary over the arriving
+    * feed — the live tokenizer-fit alarm (coverage sagging below the
+    * corpus baseline means the feed drifted somewhere the vocab
+    * under-serves: new language, new domain jargon, markup junk).
+    *
+    * The vocabulary is frozen by contract (a fitted artifact — the
+    * BpeArtifact/vocab lifecycle), so membership is a BROADCAST
+    * literal set test inside a stateless narrow map; the only state
+    * is the windowed partial agg (3 counters per window: tokens,
+    * covered, OOV-type KMV sketch), watermark-reaped. Distinct OOV
+    * types use the KMV sketch — the exact per-window distinct of the
+    * batch twin is unbounded state on a stream (the q152/q160
+    * exact-batch / sketch-stream trade). */
+  def streamingOovRate(
+      docs: DataFrame,
+      vocab: Set[String],
+      kmvK: Int = 256,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val inVocab = typedLit(vocab.toSeq.sorted)
+    docs
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowDur).as("w"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("w"), col("term"),
+        array_contains(inVocab, col("term")).as("in_v"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v"), 1L).otherwise(0L)).as("covered"),
+        (round(graft.functions.SketchFunctions.kmvDistinct(
+          when(!col("in_v"), col("term")), kmvK), 4) + lit(0.0))
+          .as("oov_types_est"))
+      .select(col("w.start").as("window_start"), col("n_tokens"),
+        (round(col("covered").cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("covered_frac"),
+        col("oov_types_est"))
+  }
+
   /** Streaming canary monitor (q167's continuous twin): per
     * event-time window and blocklist phrase, how many arriving
     * documents contain it and the total occurrences — the live

@@ -797,6 +797,36 @@ test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") 
     assert(stream((tms(H), 2)) == ((0L, 0L)))
   }
 
+  test("streamingOovRate: per-window coverage == batch twin; OOV flood sags coverage") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    val vocab = Set("alpha", "beta", "gamma")
+    val H = 3600000L
+    def tms(ms: Long) = new Timestamp(1700000000000L / H * H + ms)
+    val rows = Seq(
+      (tms(10), "alpha beta alpha"), (tms(20), "gamma zork"),
+      (tms(H + 5), "zork blip blip quux zork"),
+      (tms(3 * H), "sentinel"))
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.streamingOovRate(mem.toDF().toDF("ts", "text"), vocab)
+      .writeStream.format("memory").queryName("oov").outputMode("append").start()
+    rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    def key(r: org.apache.spark.sql.Row) =
+      r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val stream = spark.table("oov").collect().map(key).toMap
+    q.stop()
+    val batch = StreamingOps.streamingOovRate(rows.toDF("ts", "text"), vocab)
+      .collect().map(key).toMap
+    assert(stream == batch.view.filterKeys(stream.keySet).toMap)
+    val (n0, c0, o0) = stream(tms(0))
+    val (n1, c1, o1) = stream(tms(H))
+    assert(n0 == 5L && c0 == 0.8 && o0 == 1.0)   // zork is the one OOV type
+    assert(n1 == 5L && c1 == 0.0 && o1 == 3.0)   // the drifted window
+    assert(c1 < c0)
+  }
+
   test("streamingProfile: running per-column profile == batch twin on every prefix") {
     val ss = spark
     implicit val sql = ss.sqlContext
