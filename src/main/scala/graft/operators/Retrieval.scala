@@ -257,7 +257,13 @@ object Retrieval {
     * Idempotent: already-tombstoned ids are skipped before the stats
     * pass (re-subtracting them would corrupt idf for good). Unknown
     * ids are no-ops. Returns the number of documents actually
-    * forgotten. */
+    * forgotten.
+    *
+    * Isolation caveat: the df rewrite happens in place, so a reader
+    * CONCURRENT with a delete could see mixed stats — this layout
+    * serves one session at a time by design; a multi-reader
+    * deployment versions the directory and swaps a pointer, exactly
+    * the VectorIndex `meta-v=N` commit discipline. */
   def deleteFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
