@@ -375,6 +375,12 @@ object Sampling {
       signals: Seq[(String, Column)],
       idCol: String = "doc_id"): DataFrame = {
     require(signals.nonEmpty, "percentileBlend needs at least one signal")
+    // names land in column identifiers AND a SQL expr string (the
+    // integer-div blend) — constrain them like custom metric names
+    require(signals.map(_._1).distinct.size == signals.size &&
+        signals.forall { case (n, _) => n.matches("[A-Za-z][A-Za-z0-9_]*") },
+      s"signal names must be unique identifiers [A-Za-z][A-Za-z0-9_]*, " +
+        s"got ${signals.map(_._1)}")
     // ONE materialization of the caller's (id, signals) projection:
     // every signal consumes it twice (the value-counts leg and the
     // join-back leg), so an unmaterialized upstream — q160 feeds the
