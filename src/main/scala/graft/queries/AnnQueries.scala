@@ -720,6 +720,62 @@ object AnnQueries {
       .orderBy(col("m_components"))
   }
 
+  /** PQ subquantizer sweep (q175): the recall/compression frontier
+    * along the CODE-SIZE axis — overlap@10 vs exact truth at m ∈
+    * {4, 8, 16, 32} subspaces (fit + encode per point; each code
+    * column costs m bytes/vector, so compression = 4·dim/m bytes).
+    * Completes the tuning triptych with q101 (ef) and q166 (dims):
+    * the three knobs a deployment trades against each other.
+    * `overlap`, not recall — low values at small m ARE the curve. */
+  def pqMSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, dir)
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val queries = querySample(src, "head")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Seq(4, 8, 16, 32).map { m =>
+      val model = graft.index.Quantization.pqFit(src, m = m)
+      val codes = graft.index.Quantization.pqEncode(src, model)
+      val got = graft.index.Quantization.pqTopK(codes, model, queries,
+          topk = 10, refine = Some(src))
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val matched = truth.keysIterator.map(q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+      val nq = truth.size.toLong
+      (m, model.compressionRatio, nq, matched.toDouble / (nq * 10.0))
+    }.toDF("m_subspaces", "compression_ratio", "n_queries", "overlap_at_10")
+      .orderBy(col("m_subspaces"))
+  }
+
+  /** IVF probe sweep (q176): overlap@10 vs exact truth at nprobe ∈
+    * {1, 2, 4, 8} of 16 cells — the scan-fraction knob (nprobe/16 of
+    * the partition-pruned layout is read per query). The third axis
+    * of the tuning triptych. */
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (model, centroids, assigned) = ivfFitted(spark, dir)
+    val src = assigned.select(col("id"), col("vec"))
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
+    val qRows = querySample(src, "head").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Seq(1, 2, 4, 8).map { np =>
+      val pruned = staticClusterFilter(model, qRows.map(_._2), nprobe = np,
+        metric = Metric.Euclidean)
+      val got = graft.operators.Similarity.ivfTopK(assigned, centroids,
+          localQueries(spark, qRows), topk = 10, nprobe = np, filter = pruned)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val matched = truth.keysIterator.map(q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+      val nq = truth.size.toLong
+      (np, np.toDouble / model.k, nq, matched.toDouble / (nq * 10.0))
+    }.toDF("nprobe", "scan_frac", "n_queries", "overlap_at_10")
+      .orderBy(col("nprobe"))
+  }
+
   /** Int8 scalar-quantized top-10 with exact re-rank for the first 10
     * vectors (q93): candidate scan over the 4x-smaller codebook-free
     * code column ([[graft.operators.Similarity.int8TopK]]), refine in
@@ -1007,7 +1063,9 @@ object AnnQueries {
     "q149_graph_triangles" -> (graphTriangles _),
     "q144_pca_search" -> (pcaSearch _),
     "q145_pca_recall" -> (pcaRecall _),
-    "q166_pca_dim_sweep" -> (pcaDimSweep _)
+    "q166_pca_dim_sweep" -> (pcaDimSweep _),
+    "q175_pq_m_sweep" -> (pqMSweep _),
+    "q176_ivf_probe_sweep" -> (ivfProbeSweep _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
