@@ -135,6 +135,16 @@ object Retrieval {
 
   // ------------------------------------------------- persisted index
 
+  /** Versioned stats directories: v=0 is the buildIndex layout
+    * (plain `df/`, no tombstones); every delete publishes v+1 dirs
+    * FIRST and swaps the sidecar pointer LAST, so a reader holding
+    * the old sidecar keeps a fully consistent (df, tombstones, stats)
+    * triple — the VectorIndex `meta-v=N` commit discipline applied to
+    * the sparse tier. Old-version dirs stay until a rebuild. */
+  private def dfDir(path: String, v: Long): String =
+    if (v == 0L) s"$path/df" else s"$path/df-v=$v"
+  private def tombDir(path: String, v: Long): String = s"$path/tombstones-v=$v"
+
   /** Build the persistent BM25 serving layout under `path` — the
     * "fit once, serve forever" artifact (the IVF/PQ/int8/BPE sidecar
     * idiom, [[graft.operators.BpeArtifact]]): recomputing corpus
@@ -259,11 +269,14 @@ object Retrieval {
     * ids are no-ops. Returns the number of documents actually
     * forgotten.
     *
-    * Isolation caveat: the df rewrite happens in place, so a reader
-    * CONCURRENT with a delete could see mixed stats — this layout
-    * serves one session at a time by design; a multi-reader
-    * deployment versions the directory and swaps a pointer, exactly
-    * the VectorIndex `meta-v=N` commit discipline. */
+    * Reader isolation: each delete publishes NEW `df-v=N` /
+    * `tombstones-v=N` directories first and swaps the sidecar pointer
+    * last (the VectorIndex `meta-v=N` commit discipline), so a reader
+    * that loaded the old sidecar keeps a fully consistent (df,
+    * tombstones, stats) triple — deletes never mutate a directory a
+    * reader can hold. Old-version dirs stay until a rebuild (the
+    * vacuum analog). RetrievalSpec asserts the pre-delete df content
+    * survives a delete byte-for-byte. */
   def deleteFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -272,9 +285,10 @@ object Retrieval {
     import graft.index.{ArtifactStore, Fingerprint, SidecarJson}
     val side = SidecarJson.read(s"$path/bm25.json")
     val (nDocs, sumDl) = (side.long("n_docs"), side.long("sum_dl"))
+    val oldV = side.longOpt("df_v", 0L)
     val prior: Set[Long] =
-      if (ArtifactStore.current.exists(s"$path/tombstones"))
-        spark.read.parquet(s"$path/tombstones")
+      if (side.longOpt("n_tombstones", 0L) > 0L)
+        spark.read.parquet(tombDir(path, oldV))
           .collect().map(_.getLong(0)).toSet
       else Set.empty
     val newIds = ids.distinct.filterNot(prior)
@@ -289,24 +303,25 @@ object Retrieval {
     val (nDeleted, dlDeleted) = (st.getLong(0), st.getLong(1))
     val ddf = hit.select(col("term"), col(idCol)).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
-    val newDf = spark.read.parquet(s"$path/df")
+    val newV = oldV + 1L
+    val newDf = spark.read.parquet(dfDir(path, oldV))
       .join(ddf, Seq("term"), "left")
       .select(col("term"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
       .filter(col("df") > 0L)
-      .localCheckpoint(true) // materialize BEFORE overwriting its own source
-    graft.plans.Blocks.release(hit)
     newDf.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    val vocabSize = spark.read.parquet(s"$path/df").count()
-    graft.plans.Blocks.release(newDf)
+      .write.mode("overwrite").parquet(dfDir(path, newV))
+    graft.plans.Blocks.release(hit) // ddf (from hit) consumed by the write above
+    val vocabSize = spark.read.parquet(dfDir(path, newV)).count()
     val allTombs = (prior ++ newIds).toSeq.sorted
     allTombs.toDF(idCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/tombstones")
+      .write.mode("overwrite").parquet(tombDir(path, newV))
+    // content (df-v, tombstones-v) is durable; the sidecar swap below
+    // is the commit point — a reader on the old sidecar never sees it
     val (n2, s2) = (nDocs - nDeleted, sumDl - dlDeleted)
     val fp = Fingerprint.ofString(s"$n2|$s2|$vocabSize")
     ArtifactStore.current.writeAtomic(s"$path/bm25.json",
       (s"""{"fingerprint":"$fp","n_docs":$n2,"sum_dl":$s2,""" +
-        s""""vocab_size":$vocabSize,"n_tombstones":${allTombs.length}}""")
+        s""""vocab_size":$vocabSize,"n_tombstones":${allTombs.length},"df_v":$newV}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     nDeleted
   }
@@ -339,16 +354,18 @@ object Retrieval {
       .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("term"))
       .distinct()
     val vocab = qt.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val dfV = side.longOpt("df_v", 0L)
     val post0 = spark.read.parquet(s"$path/postings").filter(col("term").isin(vocab: _*))
     // deleteFromIndex leaves postings rows in place and records the
-    // forgotten ids; the anti-join (broadcast, over the eval-bounded
-    // postings slice) completes the exact rebuilt-without semantics.
+    // forgotten ids under the sidecar's df_v; the anti-join
+    // (broadcast, over the eval-bounded postings slice) completes the
+    // exact rebuilt-without semantics.
     val post =
       if (side.longOpt("n_tombstones", 0L) > 0L)
-        post0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+        post0.join(broadcast(spark.read.parquet(tombDir(path, dfV))),
           Seq(idCol), "left_anti")
       else post0
-    val dfx = spark.read.parquet(s"$path/df").filter(col("term").isin(vocab: _*))
+    val dfx = spark.read.parquet(dfDir(path, dfV)).filter(col("term").isin(vocab: _*))
     val scores = post
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(dfx), Seq("term"))

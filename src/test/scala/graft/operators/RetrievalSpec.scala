@@ -105,7 +105,16 @@ class RetrievalSpec extends SparkSpec {
     val victims = Seq(3L, 14L, 25L, 47L, 999L) // 999 unknown: no-op
     val idx = tmpDir("bm25-del")
     Retrieval.buildIndex(corpus(base: _*), idx)
+    val dfBefore = spark.read.parquet(s"$idx/df")
+      .collect().map(_.toString).sorted.toSeq
     assert(Retrieval.deleteFromIndex(spark, idx, victims) == 4L)
+    // reader isolation: the delete published df-v=1 and left the old
+    // df dir byte-identical (a reader on the old sidecar stays
+    // consistent); the new sidecar points at the new version
+    assert(spark.read.parquet(s"$idx/df")
+      .collect().map(_.toString).sorted.toSeq == dfBefore)
+    assert(graft.index.SidecarJson.read(s"$idx/bm25.json").long("df_v") == 1L)
+    assert(new java.io.File(s"$idx/df-v=1").isDirectory)
     val served = Retrieval.searchIndex(spark, idx, queries, k = 30)
       .orderBy("query_id", "rnk").collect().toSeq
     val rebuilt = tmpDir("bm25-del-rebuilt")
