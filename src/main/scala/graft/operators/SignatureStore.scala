@@ -46,18 +46,42 @@ object SignatureStore {
   }
 
   /** Derive + atomically write the sidecar from the WRITTEN sigs
-    * parquet (data first, pointer last — crash-safe publish). */
-  private def publish(spark: SparkSession, path: String, shingleK: Int): Unit = {
-    val st = liveSigs(spark, path)
+    * parquet (data first, pointer last — crash-safe publish).
+    * `tombV` is the tombstone-set version the new sidecar points at
+    * (0 = none): the sidecar is the LAST write, so a crash anywhere
+    * earlier leaves the previous (sidecar, tombstones-v=N) pair fully
+    * intact — see [[delete]]. */
+  private def publish(spark: SparkSession, path: String, shingleK: Int,
+      tombV: Long = 0L): Unit = {
+    val st = liveSigsAt(spark, path, tombV)
       .agg(count(lit(1)).as("n"), coalesce(sum(element_at(col("sig"), 1)), lit(0L)).as("s"))
       .head()
     val fp = Fingerprint.ofString(s"${st.getLong(0)}|${st.getLong(1)}|${Dedup.NumHashes}")
     ArtifactStore.current.writeAtomic(sidecar(path),
       (s"""{"n_docs":${st.getLong(0)},"num_hashes":${Dedup.NumHashes},""" +
         s""""bands":${Dedup.Bands},"rows_per_band":${Dedup.RowsPerBand},""" +
-        s""""shingle_k":$shingleK,"fingerprint":"$fp"}""")
+        s""""shingle_k":$shingleK,"tombstones_v":$tombV,"fingerprint":"$fp"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** The tombstone-set version the PUBLISHED sidecar points at.
+    * Legacy stores (pre-versioning sidecar + an in-place `tombstones`
+    * dir) read as version -1, which [[tombDir]] maps to the legacy
+    * path, so they keep serving correctly and upgrade on their next
+    * delete. */
+  private def publishedTombV(path: String): Long = {
+    val file = sidecar(path)
+    if (!ArtifactStore.current.exists(file)) 0L
+    else {
+      val v = SidecarJson.read(file).longOpt("tombstones_v", -1L)
+      if (v >= 0) v
+      else if (ArtifactStore.current.exists(s"$path/tombstones")) -1L
+      else 0L
+    }
+  }
+
+  private def tombDir(path: String, v: Long): String =
+    if (v == -1L) s"$path/tombstones" else s"$path/tombstones-v=$v"
 
   /** Merge two published stores into a new one — day-build / shard
     * consolidation WITHOUT re-shingling any text (the BM25
@@ -94,13 +118,19 @@ object SignatureStore {
     liveSigs(spark, path)
   }
 
-  /** The sigs parquet minus any tombstoned rows — every stats/read
-    * path goes through this one filter so a forgotten doc can never
-    * resurface in a probe, a merge, or a republished sidecar. */
-  private def liveSigs(spark: SparkSession, path: String): DataFrame = {
+  /** The sigs parquet minus the PUBLISHED tombstone set — every
+    * stats/read path goes through this one filter so a forgotten doc
+    * can never resurface in a probe, a merge, or a republished
+    * sidecar. Readers resolve the set through the sidecar's
+    * `tombstones_v` pointer, never a mutable path, so a concurrent
+    * [[delete]] is invisible until its final pointer swap. */
+  private def liveSigs(spark: SparkSession, path: String): DataFrame =
+    liveSigsAt(spark, path, publishedTombV(path))
+
+  private def liveSigsAt(spark: SparkSession, path: String, tombV: Long): DataFrame = {
     val raw = spark.read.parquet(s"$path/sigs")
-    if (ArtifactStore.current.exists(s"$path/tombstones"))
-      raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+    if (tombV != 0L && ArtifactStore.current.exists(tombDir(path, tombV)))
+      raw.join(broadcast(spark.read.parquet(tombDir(path, tombV))),
         Seq("doc_id"), "left_anti")
     else raw
   }
@@ -112,15 +142,29 @@ object SignatureStore {
     * born compacted). After the delete, [[load]]/[[probe]] behave
     * bit-identically to a store built without the docs
     * (SignatureStoreSpec pins it). Idempotent; unknown ids are
-    * no-ops. Returns the number of docs actually forgotten. */
+    * no-ops. Returns the number of docs actually forgotten.
+    *
+    * READER-ISOLATED commit (the BM25 deleteFromIndex discipline): the
+    * merged tombstone set is written to a fresh immutable
+    * `tombstones-v=N+1` dir FIRST, and the sidecar's `tombstones_v`
+    * pointer swaps to it LAST (atomic sidecar write). An in-place
+    * overwrite of one `tombstones` dir — the previous implementation —
+    * could lose prior tombstone rows on a crash mid-rewrite
+    * (RESURRECTING previously forgotten docs, the GDPR correctness
+    * hazard) and let a concurrent reader see a partially-written set;
+    * now a crash at any point leaves the old (sidecar, dir) pair fully
+    * live, and concurrent readers keep resolving the old pointer until
+    * the swap. Old-version dirs stay on disk for in-flight readers;
+    * [[merge]]'s output is born compacted (no tombstones). */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     val file = sidecar(path)
     if (!ArtifactStore.current.exists(file))
       throw new IllegalStateException(s"signature store not published: $file missing")
     val shingleK = SidecarJson.read(file).int("shingle_k")
+    val priorV = publishedTombV(path)
     val prior: Set[Long] =
-      if (ArtifactStore.current.exists(s"$path/tombstones"))
-        spark.read.parquet(s"$path/tombstones").collect().map(_.getLong(0)).toSet
+      if (priorV != 0L && ArtifactStore.current.exists(tombDir(path, priorV)))
+        spark.read.parquet(tombDir(path, priorV)).collect().map(_.getLong(0)).toSet
       else Set.empty
     val ss = spark
     import ss.implicits._
@@ -130,9 +174,10 @@ object SignatureStore {
       .join(broadcast(requested.toDF("doc_id")), Seq("doc_id"))
       .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
     if (present.isEmpty) return 0L
+    val nextV = math.max(priorV, 0L) + 1L
     (prior ++ present).toSeq.sorted.toDF("doc_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/tombstones")
-    publish(spark, path, shingleK)
+      .write.mode("overwrite").parquet(tombDir(path, nextV))
+    publish(spark, path, shingleK, nextV)
     present.size.toLong
   }
 

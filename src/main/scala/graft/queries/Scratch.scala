@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CONTENT-keyed scratch stores under `target/` — the cache keying
+  * discipline for every fixture-derived artifact the query inventory
+  * builds once and serves many times (BM25 inverted index, MinHash
+  * signature store, oracle dump dirs).
+  *
+  * Two fixes over the path-md5 keys these replace:
+  *
+  *   1. **Keys move with CONTENT, not location.** The key is an
+  *      order-independent checksum of the source table's rows (the
+  *      [[graft.sources.CorpusRelease]] manifest idiom: sum of per-row
+  *      60-bit md5-prefix hashes — add-order free, so any partitioning
+  *      of the scan derives the same value), FNV-folded with the row
+  *      count. An in-place rewrite of a fixture dir therefore
+  *      invalidates every derived scratch store (a path-md5 key would
+  *      keep serving the stale artifact), and the same content read
+  *      from a different path shares one store instead of building a
+  *      duplicate.
+  *   2. **Write-once is BLOCKING.** The previous idiom (a per-JVM
+  *      `Set.add` race + bare `exists()` check) let a second
+  *      concurrent caller that lost the `add` race proceed straight to
+  *      read while the winner was still writing the parquet drops — a
+  *      flaky read under parallel test/bench execution. [[writeOnce]]
+  *      runs the build inside `ConcurrentHashMap.computeIfAbsent`, so
+  *      concurrent same-JVM callers WAIT for the writer to finish; the
+  *      caller's own existence probe (on a `_SUCCESS`-like marker)
+  *      still makes re-use across JVMs work, and a build that THROWS
+  *      leaves no map entry, so the next caller retries instead of
+  *      trusting a half-written store.
+  *
+  * Cost: one map-only scan + a 1-row agg per (dir, table) per JVM —
+  * cached, and orders of magnitude cheaper than the store builds it
+  * keys. At 100 TB the same role is played by the catalog's snapshot /
+  * transaction id; for immutable fixture files the content checksum IS
+  * that identity.
+  */
+object Scratch {
+
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** 16-hex-char content fingerprint of one fixture table: FNV-1a over
+    * `n_rows|checksum`, where checksum is the order-independent
+    * DECIMAL(38,0) sum of each row's 60-bit md5-prefix hash over its
+    * JSON rendering (exact and overflow-free to ~10^20 rows). Cached
+    * per (absolute dir, table) per JVM. */
+  def tableFingerprint(spark: SparkSession, sfDir: String, table: String): String = {
+    val key = s"${new java.io.File(sfDir).getAbsolutePath}#$table"
+    fpCache.computeIfAbsent(key, _ => {
+      val df = Tables.t(spark, sfDir, table)
+      val rowH =
+        conv(substring(md5(to_json(struct(df.columns.map(col).toSeq: _*))), 1, 15), 16, 10)
+          .cast("decimal(38,0)")
+      val st = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(rowH), lit(0).cast("decimal(38,0)")).as("cs")).head()
+      graft.index.Fingerprint.ofString(
+        s"$table|${st.getLong(0)}|${st.getDecimal(1).toBigInteger.toString}")
+    })
+  }
+
+  /** Absolute scratch dir `target/<store>/<content-fp>` for an
+    * artifact derived from `table` at `sfDir`. */
+  def dir(spark: SparkSession, sfDir: String, store: String, table: String): String =
+    new java.io.File(
+      s"target/$store/${tableFingerprint(spark, sfDir, table)}").getAbsolutePath
+
+  private val once =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Run `build` at most once per JVM per `key`, BLOCKING concurrent
+    * callers until it completes. `build` should itself probe the
+    * store's persisted completeness marker and no-op when a previous
+    * JVM already built it. A throwing build leaves no entry — the next
+    * caller retries. */
+  def writeOnce(key: String)(build: => Unit): Unit =
+    once.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+}

@@ -109,6 +109,53 @@ class SignatureStoreSpec extends SparkSpec {
       Seq(2L, 3L, 4L, 5L, 50L))
   }
 
+  test("deletes commit reader-isolated: versioned dirs + pointer-last swap") {
+    val dir = tmpDir("sig-del-vers")
+    SignatureStore.build(docsDf(corpusRows), dir)
+    assert(SignatureStore.delete(spark, dir, Seq(1L)) == 1L)
+    // the set lives in an immutable versioned dir the sidecar points at
+    assert(ArtifactStore.current.exists(s"$dir/tombstones-v=1"))
+    assert(graft.index.SidecarJson.read(s"$dir/store.json")
+      .long("tombstones_v") == 1L)
+    val v1 = spark.read.parquet(s"$dir/tombstones-v=1")
+      .collect().map(_.getLong(0)).toSet
+    // a second delete writes v=2 and leaves v=1 untouched for readers
+    // that resolved the old pointer (never an in-place overwrite that
+    // could drop prior rows mid-rewrite and resurrect forgotten docs)
+    assert(SignatureStore.delete(spark, dir, Seq(2L)) == 1L)
+    assert(ArtifactStore.current.exists(s"$dir/tombstones-v=2"))
+    assert(spark.read.parquet(s"$dir/tombstones-v=1")
+      .collect().map(_.getLong(0)).toSet == v1)
+    assert(spark.read.parquet(s"$dir/tombstones-v=2")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(graft.index.SidecarJson.read(s"$dir/store.json")
+      .long("tombstones_v") == 2L)
+    assert(SignatureStore.load(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("legacy in-place tombstones dir keeps serving; next delete upgrades it") {
+    val ss = spark
+    import ss.implicits._
+    val dir = tmpDir("sig-del-legacy")
+    SignatureStore.build(docsDf(corpusRows), dir)
+    // simulate a pre-versioning store: in-place dir + a sidecar with
+    // no tombstones_v key
+    Seq(1L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tombstones")
+    val raw = new String(ArtifactStore.current.readBytes(s"$dir/store.json"), "UTF-8")
+    ArtifactStore.current.writeAtomic(s"$dir/store.json",
+      raw.replaceAll(""","tombstones_v":\d+""", "").getBytes("UTF-8"))
+    assert(SignatureStore.load(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the next delete folds the legacy set into a versioned dir
+    assert(SignatureStore.delete(spark, dir, Seq(2L)) == 1L)
+    assert(spark.read.parquet(s"$dir/tombstones-v=1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(SignatureStore.load(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("unpublished store (no sidecar) refuses to load") {
     val dir = tmpDir("sigstore-unpub")
     // data without the sidecar pointer = a crashed build
