@@ -82,10 +82,19 @@ def main(sf_dir, out_dir):
             gate = 0.30 if c.lower().startswith("min_") else 0.70
             if math.isnan(v) or v < gate:
                 bad.append((c, v, f"gate {gate}"))
+        # pass_* columns are explicit invariants (monotone sweep
+        # frontiers, top-end recall, designed class ordering): every
+        # row must carry 1 — a 0 means the invariant itself failed.
+        pass_cols = [c for c in df.columns if c.lower().startswith("pass_")]
+        for c in pass_cols:
+            v = float(df[c].min())
+            if math.isnan(v) or v < 1.0:
+                bad.append((c, v, "gate 1.0"))
         if bad:
             print(f"FAIL {name}: recall gate failed: {bad}"); n_fail += 1
         else:
-            extra = f", recall {[f'{c}={float(df[c].min()):.2f}' for c in recall_cols]}" if recall_cols else ""
+            gated = recall_cols + pass_cols
+            extra = f", gates {[f'{c}={float(df[c].min()):.2f}' for c in gated]}" if gated else ""
             print(f"PASS {name} ({len(df)} rows, rows-only{extra})"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)

@@ -1,16 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: per-query steady-state medians over the sf dir in
+/** Benchmark main: per-query steady-state timings over the sf dir in
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Every query runs SPARK_GRAFT_REPEAT times (default 3) and reports
-  * the MEDIAN — the host this runs on shows up-to-10x scheduler noise,
-  * so one-shot timings routinely misattribute a noisy run to a plan
-  * regression. One-time artifact builds (graph index, IVF fits,
-  * shingle sets) are prewarmed and reported as explicit metrics; the
-  * serving QPS loops get an untimed JIT warmup and a median over
-  * repeated timed loops for the same reason. */
+  * SLOW-TAIL queries (first run > SPARK_GRAFT_MEDIAN_MIN_SEC, default
+  * 1 s) run SPARK_GRAFT_REPEAT times (default 3) and report the
+  * MEDIAN — the host this runs on shows up-to-10x scheduler noise, so
+  * one-shot timings of multi-second queries routinely misattribute a
+  * noisy run to a plan regression; sub-second queries keep their
+  * one-shot number (their absolute jitter is milliseconds, and
+  * medianing all of them triples the sweep's wall-clock). One-time
+  * artifact builds (graph index, IVF fits, shingle sets) are
+  * prewarmed and reported as explicit metrics; the serving QPS loops
+  * get an untimed JIT warmup and a median over repeated timed loops
+  * for the same reason. */
 object Bench {
 
   private def median(xs: Seq[Double]): Double = QpsWorkloads.median(xs)
@@ -118,13 +122,25 @@ object Bench {
       s""""sf":"$sfShort"}"""
   }
 
-  /** One timed pass over every registered query at `dir` (median of
-    * `repeat`), the shared body of the headline and scale-probe
-    * sweeps. */
+  /** Below this first-run time a query keeps its one-shot number;
+    * above it, `repeat` runs are taken and the MEDIAN reported. The
+    * host's 2–3× scheduler-jitter band has repeatedly forced cross-
+    * round adjudication of the SLOW tail (where a 2× wobble is
+    * seconds, not milliseconds), while medianing all 170 queries
+    * triples the sweep's wall-clock for sub-second entries whose
+    * jitter is absolutely tiny. Overridable via
+    * SPARK_GRAFT_MEDIAN_MIN_SEC (set 0 to median everything). */
+  private val medianMinSec =
+    sys.env.getOrElse("SPARK_GRAFT_MEDIAN_MIN_SEC", "1.0").toDouble
+
+  /** One timed pass over every registered query at `dir` — one-shot
+    * for the fast bulk, median-of-`repeat` for the slow tail (first
+    * run > [[medianMinSec]]) — the shared body of the headline and
+    * scale-probe sweeps. */
   private def sweepQueries(spark: SparkSession, dir: String,
       repeat: Int): Seq[(String, Double)] =
     SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = (0 until repeat).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, dir)
@@ -135,7 +151,12 @@ object Bench {
         } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      val first = once()
+      val t =
+        if (repeat > 1 && first > medianMinSec)
+          median(first +: (1 until repeat).map(_ => once()))
+        else first
+      name -> t
     }
 
   def main(args: Array[String]): Unit = {

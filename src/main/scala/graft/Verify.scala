@@ -11,8 +11,14 @@ import java.nio.file.{Files, Paths}
   *
   * Full runs also emit `recall.json` (and a repo-root `RECALL.json`):
   * the measured min of every `*recall*` column across the recall-gated
-  * (no-oracle) queries, with its gate — so ANN quality is auditable
-  * from round artifacts without re-running anything.
+  * (no-oracle) queries, and of every `pass_*` invariant column (sweep
+  * monotonicity/top-end, designed class ordering — gate 1.0), each
+  * with its gate — so ANN quality is auditable from round artifacts
+  * without re-running anything. When a previous RECALL.json exists,
+  * each metric also carries `prev`/`drift_ok` (value ≥ prev − 0.05):
+  * every gated value is deterministic given the fixture, so a
+  * cross-round drop is a real behavior change the absolute gates
+  * might still pass — e.g. 0.99 → 0.72 erosion.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -57,20 +63,55 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Recall artifact: min of every *recall* column per query result,
-    // with the oracle_check gate (0.30 for min_-prefixed, else 0.70).
+    // with the oracle_check gate (0.30 for min_-prefixed, else 0.70) —
+    // plus every pass_* INVARIANT column (the sweep/probe gates:
+    // monotone frontiers, top-end recall, designed class ordering),
+    // which must be all-1 (min >= 1.0). Together these cover every
+    // no-oracle query: an approximate surface either self-reports a
+    // gated recall or carries an explicit pass_* invariant.
+    // Cross-round DRIFT reference: the previous round's RECALL.json
+    // (read BEFORE this run overwrites it). Every gated value here is
+    // a deterministic function of (fixture, deterministic fit), so a
+    // drop vs last round is a real behavior change, not noise — the
+    // absolute gates (0.70) would let a 0.99 → 0.72 erosion ride for
+    // rounds; the drift gate (value >= prev − 0.05) catches it the
+    // round it happens. Improvements and new metrics pass trivially.
+    val prevVals: Map[String, Map[String, Double]] =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(Paths.get("RECALL.json")))
+        import scala.jdk.CollectionConverters._
+        root.fields().asScala.map { qe =>
+          qe.getKey -> qe.getValue.fields().asScala.flatMap { ce =>
+            val v = ce.getValue.get("value")
+            if (v != null && v.isNumber) Some(ce.getKey -> v.asDouble())
+            else None
+          }.toMap
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
     val recallRows = selected.keys.toSeq.sorted.flatMap { name =>
       try {
         val df = spark.read.parquet(s"$outDir/$name")
-        val rcols = df.columns.filter(_.toLowerCase.contains("recall"))
+        val rcols = df.columns.filter(c =>
+          c.toLowerCase.contains("recall") || c.toLowerCase.startsWith("pass_"))
         if (rcols.isEmpty) Nil
         else {
           val aggs = rcols.map(c => min(col(c)).cast("double").as(c))
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           val cells = rcols.zipWithIndex.map { case (c, i) =>
             val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-            val gate = if (c.toLowerCase.startsWith("min_")) 0.30 else 0.70
+            val gate =
+              if (c.toLowerCase.startsWith("pass_")) 1.0
+              else if (c.toLowerCase.startsWith("min_")) 0.30
+              else 0.70
             val pass = !v.isNaN && v >= gate
-            s"""${q(c)}: {"value": ${if (v.isNaN) "null" else f"$v%.4f"}, "gate": $gate, "pass": $pass}"""
+            val drift = prevVals.get(name).flatMap(_.get(c)) match {
+              case Some(prev) =>
+                val ok = !v.isNaN && v >= prev - 0.05
+                s""", "prev": ${f"$prev%.4f"}, "drift_ok": $ok"""
+              case None => ""
+            }
+            s"""${q(c)}: {"value": ${if (v.isNaN) "null" else f"$v%.4f"}, "gate": $gate, "pass": $pass$drift}"""
           }
           Seq(s"${q(name)}: ${cells.mkString("{", ", ", "}")}")
         }

@@ -57,9 +57,6 @@ object AnalyticsQueries {
       .orderBy(col("i"), col("j"))
   }
 
-  private val pcaDumped =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Scratch dir for the q141 oracle's model dump (the q114 idiom:
     * under target/, absolute, once per sf-dir per JVM). */
   private def pcaScratch(sfTag: String): String =
@@ -81,9 +78,21 @@ object AnalyticsQueries {
   def pcaWhiten(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pca
     val e = spread(t(spark, dir, "embeddings"))
-    val model = Pca.fit(e, Dim, k = 8)
+    // fit-once artifact (the Pca.save/load + Scratch idiom): the fit
+    // is one co_moment pass — cheap, but a model is a MODEL, and every
+    // other fitted artifact in the repo loads instead of refitting;
+    // the content key means a rewritten fixture refits
+    val modelStore = Scratch.dir(spark, dir, "pca-model", "embeddings")
+    Scratch.writeOnce(modelStore) {
+      if (!graft.index.ArtifactStore.current.exists(s"$modelStore/pca.json"))
+        Pca.save(Pca.fit(e, Dim, k = 8), modelStore)
+    }
+    val model = Pca.load(modelStore)
     val sfTag = new java.io.File(dir).getName
-    if (pcaDumped.add(sfTag)) {
+    // blocking write-once (Scratch discipline); the path stays sf-tag
+    // keyed because the q141 oracle SQL embeds it statically, and a
+    // fresh JVM always rewrites the dump, so it cannot go stale
+    Scratch.writeOnce(s"q141#$sfTag") {
       val ssd = spark
       import ssd.implicits._
       model.components.toSeq.zipWithIndex.map { case (w, i) =>

@@ -696,46 +696,130 @@ object AnnQueries {
     * q144 operating point — the dimension-axis twin of q101's ef
     * sweep. Columns say `overlap`, not recall: the LOW values at
     * small m ARE the curve (the whole point is seeing where the
-    * frontier falls off), so the 0.70 recall gate must not apply. */
+    * frontier falls off), so the blanket 0.70 recall gate must not
+    * apply — instead the curve carries the pass_* gates ([[sweepRows]]:
+    * non-decreasing in m, top point ≥ 0.70). */
   def pcaDimSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
     import spark.implicits._
     val src = source(spark, dir)
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     val queries = querySample(src, "head")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val full = pcaFitted(spark, dir)
-    Seq(4, 8, 16, 24).map { m =>
-      val model = full.copy(components = full.components.take(m),
-        eigenvalues = full.eigenvalues.take(m))
-      val got = graft.operators.Similarity.pcaPrefilterTopK(src, queries, model,
-          topk = 10, refineFactor = 16)
-        .select(col("query_id"), col("neighbor_id"))
-        .collect().groupBy(_.getLong(0))
-        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val dims = Seq(4, 8, 16, 24)
+    // ONE projection pass shared by all four sweep points: projecting
+    // on the leading m components IS the first m coordinates of the
+    // full k=24 projection (Pca.transform computes each output
+    // coordinate independently — identical per-coordinate arithmetic),
+    // so the corpus is projected ONCE and each point slices the
+    // materialized 24-dim column instead of re-projecting full-width
+    // per m. The four candidate sets then union into ONE exact-refine
+    // join (a second single corpus scan) — two scans total where the
+    // per-m loop paid eight.
+    val projected = graft.operators.Pca.transform(
+        src, full, whiten = false, vecCol = "vec")
+      .select(col("id"), col("proj")).localCheckpoint(true)
+    def project(v: Array[Float]): Array[Double] = {
+      val centered = Array.tabulate(full.dim)(i => v(i).toDouble - full.mean(i))
+      full.components.map { comp =>
+        var s = 0.0; var i = 0
+        while (i < full.dim) { s += centered(i) * comp(i); i += 1 }
+        s
+      }
+    }
+    val qproj = queries.map { case (qid, qv) => (qid, qv, project(qv)) }
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(qproj.map { case (qid, qv, qp) =>
+        Row(qid, qv.toSeq, qp.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("qproj", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val candidates = dims.map { m =>
+      projected
+        .select(col("id"), slice(col("proj"), 1, m).as("projm"))
+        .crossJoin(broadcast(qdf.select(col("query_id"),
+          slice(col("qproj"), 1, m).as("qprojm"))))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          graft.functions.VectorFunctions
+            .squaredEuclidean(col("qprojm"), col("projm")).as("dist"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.VectorFunctions
+          .topKPairs(col("dist"), col("neighbor_id"), 10 * 16).as("tk"))
+        .select(lit(m).as("m"), col("query_id"), explode(col("tk")).as("p"))
+        .select(col("m"), col("query_id"), col("p.id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val refined = broadcast(candidates)
+      .join(src.select(col("id").as("neighbor_id"), col("vec")), "neighbor_id")
+      .join(broadcast(qdf.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("m"), col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions
+          .squaredEuclidean(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("m"), col("query_id"))
+      .agg(graft.functions.VectorFunctions
+        .topKPairs(col("dist"), col("neighbor_id"), 10).as("tk"))
+      .select(col("m"), col("query_id"), explode(col("tk")).as("p"))
+      .select(col("m"), col("query_id"), col("p.id").as("neighbor_id"))
+      .collect()
+    graft.plans.Blocks.release(projected)
+    val byM = refined.groupBy(_.getInt(0))
+    val pts = dims.map { m =>
+      val got = byM.getOrElse(m, Array.empty)
+        .groupBy(_.getLong(1))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
       val matched = truth.keysIterator.map(q =>
         truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
       val nq = truth.size.toLong
       (m, full.dim.toDouble / m, nq, matched.toDouble / (nq * 10.0))
-    }.toDF("m_components", "dim_compression", "n_queries", "overlap_at_10")
+    }
+    sweepRows(pts).toDF("m_components", "dim_compression", "n_queries",
+      "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("m_components"))
   }
 
   /** PQ subquantizer sweep (q175): the recall/compression frontier
     * along the CODE-SIZE axis — overlap@10 vs exact truth at m ∈
-    * {4, 8, 16, 32} subspaces (fit + encode per point; each code
-    * column costs m bytes/vector, so compression = 4·dim/m bytes).
-    * Completes the tuning triptych with q101 (ef) and q166 (dims):
-    * the three knobs a deployment trades against each other.
-    * `overlap`, not recall — low values at small m ARE the curve. */
+    * {4, 8, 16, 32} subspaces (each code column costs m bytes/vector,
+    * so compression = 4·dim/m bytes). Completes the tuning triptych
+    * with q101 (ef) and q166 (dims): the three knobs a deployment
+    * trades against each other. `overlap`, not recall — low values at
+    * small m ARE the curve.
+    *
+    * The per-m models and code columns are FIT-ONCE artifacts
+    * persisted in a CONTENT-keyed [[Scratch]] store (the loadOrFitIVF
+    * / BpeArtifact idiom): a deterministic model refit per run
+    * contradicted the repo's own artifact discipline and made this the
+    * slowest bench query by 3× — later runs now LOAD four sidecars +
+    * four code parquets instead of refitting and re-encoding the
+    * corpus. The store key moves with the fixture's rows, so an
+    * in-place rewrite invalidates the models like every Scratch store.
+    *
+    * GATED (the pass_* convention, Verify/oracle_check): the frontier
+    * must be non-decreasing in m, and its top point must clear the PQ
+    * tier's existing 0.70 recall gate — a broken encode that halves
+    * overlap can no longer ride an ungated curve through the round. */
   def pqMSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = source(spark, dir)
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     val queries = querySample(src, "head")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    Seq(4, 8, 16, 32).map { m =>
-      val model = graft.index.Quantization.pqFit(src, m = m)
-      val codes = graft.index.Quantization.pqEncode(src, model)
+    val store = Scratch.dir(spark, dir, "pq-sweep", "embeddings")
+    val pts = Seq(4, 8, 16, 32).map { m =>
+      val modelFile = s"pq-m$m.json"
+      Scratch.writeOnce(s"$store/m$m") {
+        if (!graft.index.ArtifactStore.current.exists(s"$store/$modelFile"))
+          graft.index.Quantization.save(
+            graft.index.Quantization.pqFit(src, m = m), store, modelFile)
+        if (!graft.index.ArtifactStore.current.exists(s"$store/codes-m$m/_SUCCESS"))
+          graft.index.Quantization.pqEncode(src,
+              graft.index.Quantization.load(store, modelFile))
+            .write.mode("overwrite").parquet(s"$store/codes-m$m")
+      }
+      val model = graft.index.Quantization.load(store, modelFile)
+      val codes = spark.read.parquet(s"$store/codes-m$m")
       val got = graft.index.Quantization.pqTopK(codes, model, queries,
           topk = 10, refine = Some(src))
         .select(col("query_id"), col("neighbor_id"))
@@ -745,14 +829,38 @@ object AnnQueries {
         truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
       val nq = truth.size.toLong
       (m, model.compressionRatio, nq, matched.toDouble / (nq * 10.0))
-    }.toDF("m_subspaces", "compression_ratio", "n_queries", "overlap_at_10")
+    }
+    sweepRows(pts).toDF("m_subspaces", "compression_ratio", "n_queries",
+      "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("m_subspaces"))
+  }
+
+  /** Shared gate wiring for the tuning sweeps (q166/q175/q176): given
+    * ascending-knob points (knob, compression, nq, overlap), append
+    * the two pass_* gate columns the driver-side checkers
+    * (Verify.scala recall harvest + scripts/oracle_check.py) enforce
+    * as min ≥ 1 — (a) `pass_monotone`: overlap@10 non-decreasing in
+    * the knob (each candidate set only widens / refines, so a dip
+    * means a broken encode or probe), and (b) `pass_top`: the
+    * frontier's TOP point clears the approximate tiers' standing 0.70
+    * recall gate (the low points ARE the curve and stay ungated). */
+  private def sweepRows(pts: Seq[(Int, Double, Long, Double)])
+      : Seq[(Int, Double, Long, Double, Int, Int)] = {
+    val overlaps = pts.map(_._4)
+    val topPass = if (overlaps.last >= 0.70) 1 else 0
+    pts.zipWithIndex.map { case ((knob, comp, nq, ov), i) =>
+      val mono = if (i == 0 || ov >= overlaps(i - 1)) 1 else 0
+      (knob, comp, nq, ov, mono, topPass)
+    }
   }
 
   /** IVF probe sweep (q176): overlap@10 vs exact truth at nprobe ∈
     * {1, 2, 4, 8} of 16 cells — the scan-fraction knob (nprobe/16 of
     * the partition-pruned layout is read per query). The third axis
-    * of the tuning triptych. */
+    * of the tuning triptych. Gated ([[sweepRows]]): widening the probe
+    * set can only ADD candidates to the exact per-query top-k, so
+    * overlap@10 is non-decreasing in nprobe by construction — a dip is
+    * a broken probe/filter, not a tuning artifact. */
   def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (model, centroids, assigned) = ivfFitted(spark, dir)
@@ -760,7 +868,7 @@ object AnnQueries {
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     val qRows = querySample(src, "head").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    Seq(1, 2, 4, 8).map { np =>
+    val pts = Seq(1, 2, 4, 8).map { np =>
       val pruned = staticClusterFilter(model, qRows.map(_._2), nprobe = np,
         metric = Metric.Euclidean)
       val got = graft.operators.Similarity.ivfTopK(assigned, centroids,
@@ -772,7 +880,9 @@ object AnnQueries {
         truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
       val nq = truth.size.toLong
       (np, np.toDouble / model.k, nq, matched.toDouble / (nq * 10.0))
-    }.toDF("nprobe", "scan_frac", "n_queries", "overlap_at_10")
+    }
+    sweepRows(pts).toDF("nprobe", "scan_frac", "n_queries",
+      "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("nprobe"))
   }
 
@@ -955,7 +1065,15 @@ object AnnQueries {
   private def graphDump(spark: SparkSession, dir: String): String = {
     val idx = builtIndex(spark, dir)
     val base = healthScratch(new java.io.File(dir).getName)
-    if (healthDumped.add(s"$base#${idx.meta.version}")) {
+    // Blocking write-once (the Scratch discipline): q114/q137/q140/
+    // q143/q149 share this dump and may race here under parallel test
+    // execution — a loser of the old Set.add race read while the
+    // winner was still writing. The key is PATH-shaped (not content)
+    // by necessity: the q114/q137 oracle SQL embeds this path as a
+    // static string, and staleness is a non-issue because a fresh JVM
+    // always rewrites (the guard set is per-JVM, keyed by index
+    // version).
+    Scratch.writeOnce(s"$base#${idx.meta.version}") {
       idx.vectors.select(col("id"))
         .write.mode("overwrite").parquet(s"$base/nodes")
       idx.adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
@@ -1027,9 +1145,6 @@ object AnnQueries {
       spark.read.parquet(s"$base/nodes"),
       spark.read.parquet(s"$base/edges"))
   }
-
-  private val healthDumped =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Scratch dir for the q114 oracle dump — under the repo's target/
     * (never /tmp: workspace-contained, reaped by clean), absolute so

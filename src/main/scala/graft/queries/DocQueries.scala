@@ -222,12 +222,16 @@ object DocQueries {
     * addressed shingle ids are what make the two signature sets
     * band-joinable across sessions. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val store = new java.io.File(s"target/minhash-store/$digest").getAbsolutePath
-    if (!graft.operators.SignatureStore.exists(store))
-      graft.operators.SignatureStore.build(
-        spread(corpus(spark, dir)).filter(col("doc_id") < 100000L), store)
+    // CONTENT-keyed store (Scratch): an in-place rewrite of the fixture
+    // invalidates the persisted signatures; bench repeats still skip
+    // the build. writeOnce blocks concurrent same-JVM callers until the
+    // winner's build completes (no half-written reads).
+    val store = Scratch.dir(spark, dir, "minhash-store", "documents")
+    Scratch.writeOnce(store) {
+      if (!graft.operators.SignatureStore.exists(store))
+        graft.operators.SignatureStore.build(
+          spread(corpus(spark, dir)).filter(col("doc_id") < 100000L), store)
+    }
     val batchSigs = Dedup.minhashSignatures(Dedup.contentShingleIds(
       corpusShingles(spark, dir).filter(col("doc_id") >= 100000L)))
     graft.operators.SignatureStore.probe(
@@ -943,19 +947,19 @@ object DocQueries {
         .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))))
         .as("value"))
-    // deterministic per-sfDir scratch path, REUSED across invocations
-    // (the bench times each query several times — a fresh temp dir per
-    // call would leak a corpus copy per repeat); overwrite mode makes
-    // the rewrite idempotent. Keyed on an md5 of the FULL path (a
-    // 32-bit String.hashCode can collide two dataset dirs and
-    // cross-contaminate results) and kept under the repo's target/
-    // rather than /tmp, so scratch corpus copies stay inside the
-    // workspace and are reaped by clean.
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val tmp = new java.io.File(
-      s"target/oracle-scratch/jsonl-$digest").getAbsolutePath
-    lines.write.mode("overwrite").text(tmp)
+    // deterministic CONTENT-keyed scratch path (Scratch idiom: the key
+    // moves with the fixture's rows, so an in-place rewrite of the
+    // dataset invalidates the dump; bench repeats and later JVMs reuse
+    // it). The dump is a pure function of `documents`, so reuse across
+    // JVMs is sound; writeOnce blocks concurrent callers while the
+    // winner writes. Kept under the repo's target/ rather than /tmp,
+    // so scratch corpus copies stay inside the workspace and are
+    // reaped by clean.
+    val tmp = Scratch.dir(spark, dir, "oracle-scratch", "documents") + "/jsonl"
+    Scratch.writeOnce(tmp) {
+      if (!graft.index.ArtifactStore.current.exists(s"$tmp/_SUCCESS"))
+        lines.write.mode("overwrite").text(tmp)
+    }
     val good = CorpusIngest.readJsonl(spark, tmp, d.schema)
     val quarantined = CorpusIngest.quarantineJsonl(spark, tmp, d.schema)
     good.groupBy(col("lang"))
@@ -981,11 +985,12 @@ object DocQueries {
         .otherwise(to_csv(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))))
         .as("value"))
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val tmp = new java.io.File(
-      s"target/oracle-scratch/csv-$digest").getAbsolutePath
-    lines.write.mode("overwrite").text(tmp)
+    // content-keyed, write-once — the q111 Scratch idiom
+    val tmp = Scratch.dir(spark, dir, "oracle-scratch", "documents") + "/csv"
+    Scratch.writeOnce(tmp) {
+      if (!graft.index.ArtifactStore.current.exists(s"$tmp/_SUCCESS"))
+        lines.write.mode("overwrite").text(tmp)
+    }
     val good = CorpusIngest.readCsv(spark, tmp, d.schema)
     val quarantined = CorpusIngest.quarantineCsv(spark, tmp, d.schema)
     good.groupBy(col("lang"))
@@ -1076,11 +1081,15 @@ object DocQueries {
     * repetitive-tail (boilerplate compresses far below prose) and
     * noise-tail documents. ONE narrow map (the per-thread-Deflater
     * kernel) into a per-source partial agg; ratios quantized to 1e4
-    * fixed point BEFORE the mean sum so the report is add-order free. */
+    * fixed point BEFORE the mean sum so the report is add-order free.
+    * GATED since round 11 (pass_class_order): three designed probe
+    * classes must order boilerplate < prose < noise through the same
+    * kernel, so the signal itself is asserted per round, not just its
+    * row count. */
   def compressQuality(spark: SparkSession, dir: String): DataFrame = {
     val ratioFp = round(TextAnalysis.deflateSize(col("text")).cast("double")
       / octet_length(col("text")).cast("double") * 1e4).cast("long")
-    t(spark, dir, "documents")
+    val report = t(spark, dir, "documents")
       .select(col("source"), ratioFp.as("r_fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1088,6 +1097,65 @@ object DocQueries {
           .as("mean_ratio"),
         sum(when(col("r_fp") < 3000L, 1L).otherwise(0L)).as("n_repetitive"),
         sum(when(col("r_fp") > 9000L, 1L).otherwise(0L)).as("n_noise"))
+    // GATE rows (the pass_* convention, RECALL.json via Verify): three
+    // DESIGNED text classes pushed through the SAME kernel — the
+    // signal's whole premise is boilerplate << prose << noise, so the
+    // probes' ratios must order that way or the screen is broken (the
+    // fixture's real sources are homogeneous synthetic prose and can't
+    // witness the ordering themselves). `zz~` prefixes sort the probe
+    // rows after every real source. Probe ratios are computed through
+    // a 3-row frame (same codegen kernel as the corpus pass — not a
+    // driver-side reimplementation), collected, and the ordering
+    // verdict rides every row as pass_class_order.
+    val ss = spark
+    import ss.implicits._
+    val probes = Seq(
+      ("zz~probe_boilerplate",
+        "home | products | docs | about | contact | copyright acme corp " +
+          "all rights reserved | terms of service | privacy policy\n" * 24),
+      ("zz~probe_prose",
+        "The measurement of compressibility serves as a language agnostic " +
+          "screen for text quality because ordinary prose occupies a narrow " +
+          "band between two failure modes. Repeated navigation chrome and " +
+          "templated boilerplate collapse under a dictionary coder since the " +
+          "same phrases recur at short distances, while randomized padding or " +
+          "binary noise resists compression almost entirely because no " +
+          "structure repeats at any distance. A curation pipeline exploits " +
+          "this by computing the ratio of compressed size to raw size once " +
+          "per document and flagging both tails for review before training. " +
+          "The middle of the distribution, where genuine writing lives, " +
+          "passes through untouched and no tokenizer or vocabulary is needed " +
+          "at any point in the procedure."),
+      ("zz~probe_noise", {
+        // deterministic xorshift64 stream over a 64-symbol alphabet —
+        // incompressible by design, identical on every run/host
+        val syms =
+          "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789+/"
+        val sb = new StringBuilder
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 1200) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          sb.append(syms(((x >>> 8) % 64).toInt)); i += 1
+        }
+        sb.toString
+      }))
+    val probeStats = probes.toDF("source", "text")
+      .select(col("source"), ratioFp.as("r_fp"))
+      .select(col("source"), lit(1L).as("n_docs"),
+        (round(col("r_fp").cast("double") / 1e4, 6) + lit(0.0)).as("mean_ratio"),
+        when(col("r_fp") < 3000L, 1L).otherwise(0L).as("n_repetitive"),
+        when(col("r_fp") > 9000L, 1L).otherwise(0L).as("n_noise"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ordered =
+      probeStats("zz~probe_boilerplate") < probeStats("zz~probe_prose") &&
+        probeStats("zz~probe_prose") < probeStats("zz~probe_noise")
+    val probeRows = probes.map(_._1).sorted.map { s =>
+      (s, 1L, probeStats(s), if (probeStats(s) < 0.3) 1L else 0L,
+        if (probeStats(s) > 0.9) 1L else 0L)
+    }.toDF("source", "n_docs", "mean_ratio", "n_repetitive", "n_noise")
+    report.unionByName(probeRows)
+      .withColumn("pass_class_order", lit(if (ordered) 1 else 0))
       .orderBy(col("source"))
   }
 
@@ -1147,9 +1215,6 @@ object DocQueries {
       .orderBy(col("pattern_id"))
   }
 
-  private val evolutionWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Schema-evolution ingest (q168): two corpus drops whose schemas
     * DIFFER — drop 2 grew a `lang` column — read as one frame via
     * parquet `mergeSchema` (the real mechanics: Spark unions the file
@@ -1162,19 +1227,20 @@ object DocQueries {
     * merged frame directly from `documents`, so the hash gate checks
     * the EVOLUTION mechanics, not the copy. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val base = new java.io.File(s"target/oracle-scratch/$digest/q168").getAbsolutePath
-    if (evolutionWritten.add(base) &&
-        !graft.index.ArtifactStore.current.exists(s"$base/d2")) {
-      val d = t(spark, dir, "documents")
-      d.filter(col("doc_id") < 250)
-        .select(lit(1).as("drop_no"), col("doc_id"), col("source"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$base/d1")
-      d.filter(col("doc_id") >= 250)
-        .select(lit(2).as("drop_no"), col("doc_id"), col("source"), col("n_chars"),
-          col("lang"))
-        .write.mode("overwrite").parquet(s"$base/d2")
+    // content-keyed + blocking write-once (Scratch): a concurrent
+    // caller waits for the writer instead of racing it to the read
+    val base = Scratch.dir(spark, dir, "oracle-scratch", "documents") + "/q168"
+    Scratch.writeOnce(base) {
+      if (!graft.index.ArtifactStore.current.exists(s"$base/d2/_SUCCESS")) {
+        val d = t(spark, dir, "documents")
+        d.filter(col("doc_id") < 250)
+          .select(lit(1).as("drop_no"), col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/d1")
+        d.filter(col("doc_id") >= 250)
+          .select(lit(2).as("drop_no"), col("doc_id"), col("source"), col("n_chars"),
+            col("lang"))
+          .write.mode("overwrite").parquet(s"$base/d2")
+      }
     }
     spark.read.option("mergeSchema", "true").parquet(s"$base/d1", s"$base/d2")
       .groupBy(col("drop_no"))
@@ -1203,9 +1269,6 @@ object DocQueries {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
-  private val releaseWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Corpus-release round trip (q170): publish `documents` as an
     * integrity-manifested release ([[graft.sources.CorpusRelease]] —
     * sharded parquet + order-independent content checksum, verified on
@@ -1214,13 +1277,14 @@ object DocQueries {
     * `documents`, so the hash gate proves the publish→verify→serve
     * loop loses and corrupts nothing. */
   def corpusReleaseAudit(spark: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val base = new java.io.File(s"target/oracle-scratch/$digest/q170").getAbsolutePath
-    if (releaseWritten.add(base) &&
-        !graft.index.ArtifactStore.current.exists(s"$base/release.json"))
-      graft.sources.CorpusRelease.write(
-        t(spark, dir, "documents").select(col("doc_id"), col("text")), base, shards = 8)
+    // content-keyed + blocking write-once (Scratch): the release.json
+    // manifest is the completeness marker (CorpusRelease writes it LAST)
+    val base = Scratch.dir(spark, dir, "oracle-scratch", "documents") + "/q170"
+    Scratch.writeOnce(base) {
+      if (!graft.index.ArtifactStore.current.exists(s"$base/release.json"))
+        graft.sources.CorpusRelease.write(
+          t(spark, dir, "documents").select(col("doc_id"), col("text")), base, shards = 8)
+    }
     graft.sources.CorpusRelease.open(spark, base)
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
