@@ -371,6 +371,49 @@ object VectorQueries {
       .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
   }
 
+  /** Cosine range search from a pure SQL string (q177): the q174 twin
+    * for the COSINE radius predicate — the analyzed filter is
+    * `1.0 - coalesce(try_divide(dot, sqrt·sqrt), 0) <= 0.72`, which
+    * [[graft.plans.SqrtCompareRewrite]]'s cosine tier rewrites to the
+    * division-free, sqrt-free dot-form comparison
+    * (`d > 0 ∧ d² ≥ C·dot(a,a)·dot(b,b)`). CosineCompareRewriteSpec
+    * pins the plan shape + parity; this query pins the SEMANTICS
+    * through the DuckDB gate with the rule active (the projected
+    * `dist` column still computes full cosine — only the filter is
+    * rewritten — so a hash match proves the rewritten predicate
+    * selects exactly the rows the unrewritten formula would). */
+  def sqlSurfaceCosineRange(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM graft_embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, e.vec_id AS neighbor_id,
+        |       ROUND(graft_cosine_dist(q.qvec, e.embedding), 4) + 0.0 AS dist
+        |FROM graft_embeddings e CROSS JOIN q
+        |WHERE graft_cosine_dist(q.qvec, e.embedding) <= 0.72
+        |  AND e.vec_id != q.query_id
+        |ORDER BY query_id, neighbor_id""".stripMargin)
+  }
+
+  /** Cosine similarity threshold from SQL (q178): the `sim >= s` form
+    * of q177 — "all pairs at least this similar", the dedup/
+    * decontamination predicate shape — through the SAME dot-form
+    * rewrite (direct sim path, no distance bisection stage). */
+  def sqlSurfaceCosineSim(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM graft_embeddings WHERE vec_id >= 5 AND vec_id < 10)
+        |SELECT q.query_id, e.vec_id AS neighbor_id,
+        |       ROUND(graft_cosine_sim(q.qvec, e.embedding), 4) + 0.0 AS sim
+        |FROM graft_embeddings e CROSS JOIN q
+        |WHERE graft_cosine_sim(q.qvec, e.embedding) >= 0.3
+        |  AND e.vec_id != q.query_id
+        |ORDER BY query_id, neighbor_id""".stripMargin)
+  }
+
   /** Mapping after deletes (ops #21/#22 delete_by_key / delete_by_id):
     * keys "3","7" removed by key, ids 10,20 removed by id; both
     * directions resolve through the one surviving table. */
@@ -406,6 +449,12 @@ object VectorQueries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 
+  /** Unrounded cosine similarity — same op order as graft_cosine_sim
+    * (dot, then the two norms, TRY-division coalesced to 0). */
+  private def cosSimRawSql(a: String, b: String): String =
+    s"COALESCE(${dotSql(a, b)} / " +
+      s"(SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 0.0)"
+
   val oracles: Map[String, String] = Map(
     // q174: the radius predicate replayed in sqrt form — Spark runs
     // the rewritten sqrt-free plan, so a hash match proves the
@@ -416,6 +465,27 @@ object VectorQueries {
          |       ROUND(${l2Sql("q.qvec", "e.embedding")}, 4) + 0.0 AS dist
          |FROM embeddings e CROSS JOIN q
          |WHERE ${l2Sql("q.qvec", "e.embedding")} <= 1.28
+         |  AND e.vec_id <> q.query_id
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    // q177/q178: the cosine radius/threshold predicates replayed in
+    // divide-and-sqrt form — Spark runs the rewritten dot-form filter,
+    // so a hash match proves the rewrite selects exactly the rows the
+    // unrewritten fl formula does on this data (the nearest row sits
+    // >1e-4 from each threshold vs the rewrite's ulp-scale deviation).
+    "q177_sql_cosine_range" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5)
+         |SELECT q.query_id, e.vec_id AS neighbor_id,
+         |       ROUND(1.0 - ${cosSimRawSql("q.qvec", "e.embedding")}, 4) + 0.0 AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE 1.0 - ${cosSimRawSql("q.qvec", "e.embedding")} <= 0.72
+         |  AND e.vec_id <> q.query_id
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "q178_sql_cosine_sim" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
+         |SELECT q.query_id, e.vec_id AS neighbor_id,
+         |       ROUND(${cosSimRawSql("q.qvec", "e.embedding")}, 4) + 0.0 AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE ${cosSimRawSql("q.qvec", "e.embedding")} >= 0.3
          |  AND e.vec_id <> q.query_id
          |ORDER BY query_id, neighbor_id""".stripMargin,
     "q02_knn_exact_l2" ->
@@ -529,6 +599,8 @@ object VectorQueries {
     "q15_mapping_clear_count" -> (mappingClearCount _),
     "q21_sql_surface_knn" -> (sqlSurfaceKnn _),
     "q174_sql_range" -> (sqlSurfaceRange _),
+    "q177_sql_cosine_range" -> (sqlSurfaceCosineRange _),
+    "q178_sql_cosine_sim" -> (sqlSurfaceCosineSim _),
     "q22_filtered_knn" -> (filteredKnn _),
     "q23_range_search" -> (rangeSearch _),
     "q109_parent_doc_search" -> (parentDocSearch _),
