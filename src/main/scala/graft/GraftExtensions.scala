@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt, Subtract}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingHash, TopKPairsAgg}
 
@@ -33,6 +33,9 @@ import graft.functions.expressions.{DotProduct, PQAdc, SquaredL2, StringRollingH
   *                                   quality signal)
   *   - graft_zvalue2(a, b)         — 64-bit Z-order interleave (layout
   *                                   clustering key)
+  *   - graft_set_contains(s, set)  — O(1) frozen-set membership
+  *                                   (literal ARRAY<STRING> as a
+  *                                   plan-resident hash set)
   *
   * Two wiring paths share the same builders:
   * {{{
@@ -188,6 +191,26 @@ object GraftExtensions {
         "membership probe of a STRING key against a graft_bloom_agg filter literal; no false negatives"),
       (args: Seq[Expression]) =>
         graft.functions.expressions.BloomMightContain(args(0), args(1))),
+    (FunctionIdentifier("graft_set_contains"),
+      info("graft_set_contains",
+        "O(1) membership of a STRING value in a frozen ARRAY<STRING> literal set (plan-resident hash set; array_contains over a literal is O(n) per row)"),
+      (args: Seq[Expression]) => {
+        val values = args(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(StringType, _)) =>
+            a.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+              .map(v => if (v == null) null else v.toString).toSeq
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+              if children.forall(c => c.foldable && c.dataType == StringType) =>
+            children.map { c =>
+              val v = c.eval()
+              if (v == null) null else v.toString
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft_set_contains set must be an ARRAY<STRING> literal, got $other")
+        }
+        graft.functions.expressions.StringSetContains(args(0), values)
+      }),
     (FunctionIdentifier("graft_term_hash"),
       info("graft_term_hash",
         "rolling polynomial code-point hash (mult 31, mod 1e9+7) — the dedup tier's term id"),

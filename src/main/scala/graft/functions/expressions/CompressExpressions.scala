@@ -27,6 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocating one per row would dominate the walk. The thread-local is
   * reset per call — same cost shape as the AhoCorasick reference
   * object, one setup per executor thread.
+  *
+  * DELIBERATE TRADE — the per-thread Deflaters are never `end()`d, so
+  * each task-pool thread that ever evaluates this expression pins one
+  * native zlib stream (~256 KB with the default windowBits) for the
+  * thread's lifetime. Spark executors run a FIXED task pool (threads
+  * are reused, not rotated), so the pinned total is bounded by
+  * `cores × 256 KB` per executor — flat, not growing — and dies with
+  * the thread. The alternatives are strictly worse on the hot path:
+  * per-call `new Deflater`/`end()` pays native init per ROW (the cost
+  * this cache exists to remove), and a TaskContext completion hook
+  * would re-pay it per TASK (thousands of tasks per scan reusing the
+  * same few threads). Revisit only if this expression is ever used
+  * from a host with large/rotating thread pools (a streaming receiver
+  * pool, a web server), where the per-thread pin would multiply.
   */
 object DeflateUtil {
   private val local = new ThreadLocal[Deflater] {

@@ -221,3 +221,54 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
     copy(child = newChild)
   override def prettyName: String = "graft_multi_count"
 }
+
+/** O(1) membership test against a FROZEN string set that rides the
+  * plan as a reference object (the [[AhoCorasick]] idiom applied to
+  * set membership). The streaming OOV monitor previously tested each
+  * token with `array_contains` over a vocabulary literal — an
+  * O(|vocab|) linear scan per token, which at realistic frozen-vocab
+  * sizes (32k–256k entries) dominates the stream's per-row cost; a
+  * literal MAP fares no better (Spark map literals are array-backed,
+  * `element_at` is also a linear scan). Here the set is hashed ONCE
+  * per executor (transient lazy), each probe is one UTF8String hash
+  * lookup, and the expression stays inside whole-stage codegen.
+  * NULL token → NULL (nullSafeEval), matching array_contains over a
+  * null-free literal array. */
+case class StringSetContains(child: Expression, values: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"value must be STRING, got ${child.dataType.catalogString}")
+    else if (values == null || values.contains(null))
+      TypeCheckResult.TypeCheckFailure("the set must not be or contain null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, values.size * 2))
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  /** Exposed for codegen (called through the reference object). */
+  def containsUtf8(t: UTF8String): Boolean = set.contains(t)
+
+  override def nullSafeEval(t: Any): Any =
+    containsUtf8(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("setContainsSelf", this,
+      classOf[StringSetContains].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.containsUtf8($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StringSetContains =
+    copy(child = newChild)
+  override def prettyName: String = "graft_set_contains"
+}

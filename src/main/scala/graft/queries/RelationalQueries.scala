@@ -269,7 +269,10 @@ object RelationalQueries {
     val zmax = l.agg(max(col("z")).as("zmax"))
     l.crossJoin(broadcast(zmax))
       .select(col("l_partkey"), col("l_suppkey"),
-        expr("(z * 64) div (zmax + 1)").as("bucket"))
+        // divide by the bucket WIDTH (zmax/64 + 1) instead of the
+        // textbook (z*64)/(zmax+1): the multiply-first form overflows
+        // long for z > 2^57, which real 2×31-bit z values reach
+        expr("z div ((zmax div 64) + 1)").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_partkey")).as("part_lo"), max(col("l_partkey")).as("part_hi"),
@@ -295,7 +298,7 @@ object RelationalQueries {
          |        (${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1)) AS z
          |      FROM lineitem),
          |m AS (SELECT max(z) AS zmax FROM z)
-         |SELECT (z.z * 64) // (m.zmax + 1) AS bucket, count(*) AS n_rows,
+         |SELECT z.z // ((m.zmax // 64) + 1) AS bucket, count(*) AS n_rows,
          |       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
          |       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
          |FROM z CROSS JOIN m

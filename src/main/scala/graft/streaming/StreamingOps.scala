@@ -279,26 +279,33 @@ object StreamingOps {
     * under-serves: new language, new domain jargon, markup junk).
     *
     * The vocabulary is frozen by contract (a fitted artifact — the
-    * BpeArtifact/vocab lifecycle), so membership is a BROADCAST
-    * literal set test inside a stateless narrow map; the only state
-    * is the windowed partial agg (3 counters per window: tokens,
-    * covered, OOV-type KMV sketch), watermark-reaped. Distinct OOV
-    * types use the KMV sketch — the exact per-window distinct of the
-    * batch twin is unbounded state on a stream (the q152/q160
-    * exact-batch / sketch-stream trade). */
+    * BpeArtifact/vocab lifecycle), so membership is a plan-resident
+    * HASH-SET probe inside a stateless narrow map
+    * ([[graft.functions.expressions.StringSetContains]], the
+    * AhoCorasick reference-object idiom): O(1) per token where the
+    * previous `array_contains` over a vocabulary literal cost
+    * O(|vocab|) per token — the hot-path term at 32k–256k-entry
+    * production vocabularies. The only state is the windowed partial
+    * agg (3 counters per window: tokens, covered, OOV-type KMV
+    * sketch), watermark-reaped. Distinct OOV types use the KMV sketch
+    * — the exact per-window distinct of the batch twin is unbounded
+    * state on a stream (the q152/q160 exact-batch / sketch-stream
+    * trade). */
   def streamingOovRate(
       docs: DataFrame,
       vocab: Set[String],
       kmvK: Int = 256,
       windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
-    val inVocab = typedLit(vocab.toSeq.sorted)
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    def inVocab(term: org.apache.spark.sql.Column) =
+      CB.column(graft.functions.expressions.StringSetContains(
+        CB.expression(term), vocab.toSeq.sorted))
     docs
       .withWatermark("ts", watermark)
       .select(window(col("ts"), windowDur).as("w"),
         explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
-      .select(col("w"), col("term"),
-        array_contains(inVocab, col("term")).as("in_v"))
+      .select(col("w"), col("term"), inVocab(col("term")).as("in_v"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_v"), 1L).otherwise(0L)).as("covered"),

@@ -99,6 +99,22 @@ test("graft_kll_quantiles via SQL: exact below capacity, literal guards") {
     assert(spark.sql("SELECT graft_term_hash('ab')").head().getLong(0) == 3105L)
   }
 
+  test("graft_set_contains via SQL: O(1) frozen-set membership == array_contains") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_set_contains('beta', array('alpha','beta','gamma')) AS hit,
+        |       graft_set_contains('delta', array('alpha','beta','gamma')) AS miss,
+        |       graft_set_contains(CAST(NULL AS STRING), array('a')) AS nul""".stripMargin)
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.isNullAt(2))
+    // parity with array_contains over a shared column input
+    val both = spark.sql(
+      """SELECT t.s, graft_set_contains(t.s, array('x','y')) AS a,
+        |       array_contains(array('x','y'), t.s) AS b
+        |FROM VALUES ('x'), ('y'), ('z') AS t(s)""".stripMargin).collect()
+    assert(both.forall(row => row.getBoolean(1) == row.getBoolean(2)))
+  }
+
   test("graft_normalize_unicode via SQL: default NFC, explicit form, literal-only form arg") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -24,8 +24,8 @@ class LayoutSpec extends SparkSpec {
 
   test("zValue2 == scalar reference on boundary values and a fuzz grid") {
     val rnd = new scala.util.Random(11)
-    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFFFFFL, 0xFFFFFFFFL),
-      (0x80000000L, 0x1L), (12345L, 67890L)) ++
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (12345L, 67890L)) ++
       (0 until 300).map(_ => (rnd.nextInt(Int.MaxValue).toLong,
         rnd.nextInt(Int.MaxValue).toLong))
     val got = cases.toDF("a", "b")
@@ -34,6 +34,22 @@ class LayoutSpec extends SparkSpec {
     cases.foreach { case (a, b) =>
       assert(got((a, b)) == refZ(a, b), s"($a, $b)")
     }
+  }
+
+  test("out-of-domain keys (negative or >= 2^31) yield NULL, not a corrupt key") {
+    // b's bit 31 would land on the long SIGN bit: such a z sorts
+    // before every positive z and silently breaks range clustering —
+    // the contract maps the whole out-of-domain space to NULL instead
+    val cases = Seq((0x80000000L, 1L), (1L, 0x80000000L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (-1L, 5L), (5L, -1L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z")).collect()
+    assert(got.forall(_.isNullAt(0)), s"expected all NULL, got ${got.toSeq}")
+    // SQL surface agrees
+    graft.GraftExtensions.register(spark)
+    cases.toDF("a", "b").createOrReplaceTempView("zv_dom_t")
+    assert(spark.sql("SELECT graft_zvalue2(a, b) FROM zv_dom_t")
+      .collect().forall(_.isNullAt(0)))
   }
 
   test("SQL surface graft_zvalue2 matches the column API") {
