@@ -412,6 +412,13 @@ object AnnQueries {
     val tIvfPqRes = (System.nanoTime() - t6b) / 1e9
     val t7 = System.nanoTime(); alphaComparison(spark, dir)
     val tAlpha = (System.nanoTime() - t7) / 1e9
+    // the (nodes, edges, entrypoint) oracle dump feeds FIVE graph
+    // queries (q114/q137/q140/q143/q149) but is written once per JVM —
+    // prewarm it like the other one-time artifacts so whichever of the
+    // five runs first doesn't absorb three parquet writes into its
+    // per-query number
+    val t8 = System.nanoTime(); graphDump(spark, dir)
+    val tDump = (System.nanoTime() - t8) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
       "ivf_fit_sec" -> tFit,
@@ -420,7 +427,8 @@ object AnnQueries {
       "pq_fit_sec" -> tPq,
       "ivfpq_join_sec" -> tIvfPq,
       "ivfpq_res_join_sec" -> tIvfPqRes,
-      "alpha_graph_build_sec" -> tAlpha)
+      "alpha_graph_build_sec" -> tAlpha,
+      "graph_dump_sec" -> tDump)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
