@@ -467,6 +467,37 @@ object AnnQueries {
       .toDF("n_queries", "avg_recall_at_10", "min_recall_at_10")
   }
 
+  /** Out-of-sample recall (q179): q31's gate re-measured with queries
+    * warped OFF the corpus points (the q68 "perturb" sample, ±35%
+    * per-component). Self-queries sit ON a graph node and saturate
+    * recall at any ef — they cannot see edge-quality erosion; OOS
+    * queries land BETWEEN nodes, where pruning, symmetrization, and
+    * entrypoint quality actually decide what the greedy traversal
+    * finds. This is the quality artifact a deployment actually cares
+    * about (real queries are never corpus points). Gated like every
+    * approximate tier (avg ≥ 0.70, min ≥ 0.30); truth is the exact
+    * distributed oracle over the SAME warped vectors. ef = 32 (the
+    * graph degree) rather than a generous 100: at ef=100 even OOS
+    * recall saturates at 1.0 on these fixtures and the gate can't see
+    * erosion — the tighter pool keeps the measurement sensitive while
+    * clearing the gates with margin. */
+  def annRecallOos(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val serving = buildServing(spark, dir)
+    val src = source(spark, dir)
+    val queryRows = querySample(src, "perturb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "perturb")
+      .map { case (q, ids) => q -> ids.map(_ + 1) }
+    val ef = 32
+    val recalls = queryRows.map { case (qid, qv) =>
+      val got = serving.search(qv, topk = 10, ef = ef).map(_._2).toSet
+      truth(qid).intersect(got).size.toDouble / 10.0
+    }
+    Seq((queryRows.length, ef, recalls.sum / recalls.length, recalls.min))
+      .toDF("n_queries", "ef", "avg_recall_at_10", "min_recall_at_10")
+  }
+
   /** Recall/ef frontier (q101): q31's measurement swept over the
     * serving engine's one latency/quality knob. The ef values are the
     * operating points a deployment tunes between; emitting the whole
@@ -1179,6 +1210,7 @@ object AnnQueries {
     "q99_ivfpq_res_search" -> (ivfPqResSearch _),
     "q100_ivfpq_res_recall" -> (ivfPqResRecall _),
     "q101_ef_sweep" -> (efSweepRecall _),
+    "q179_oos_recall" -> (annRecallOos _),
     "q114_index_health" -> (indexHealth _),
     "q137_graph_pagerank" -> (graphPagerank _),
     "q140_entry_depths" -> (entryDepths _),

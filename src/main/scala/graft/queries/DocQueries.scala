@@ -258,6 +258,36 @@ object DocQueries {
       .orderBy(col("batch_id"), col("store_id"))
   }
 
+  /** q180: shard-consolidation serving equivalence — the corpus
+    * originals are signed as TWO stores split by id parity (the
+    * day-build/shard shape), merged via [[graft.operators
+    * .SignatureStore.merge]] WITHOUT re-shingling any text, and the
+    * dup-probe batch probed against the MERGE. Shares q138's oracle
+    * verbatim (the q127/q132 exact-twin pattern): a hash match proves
+    * merge(build(A), build(B)) SERVES bit-identically to build(A ∪ B)
+    * through the driver gate, not just the spec — the property that
+    * makes signature stores consolidatable at 100 TB (a re-shingling
+    * merge would be a corpus rescan). Stores are content-keyed
+    * Scratch artifacts like q138's. */
+  def sigstoreMergeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val base = Scratch.dir(spark, dir, "minhash-store-halves", "documents")
+    val (a, b, m) = (s"$base/a", s"$base/b", s"$base/m")
+    Scratch.writeOnce(m) {
+      val originals = spread(corpus(spark, dir)).filter(col("doc_id") < 100000L)
+      if (!graft.operators.SignatureStore.exists(a))
+        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 0), a)
+      if (!graft.operators.SignatureStore.exists(b))
+        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 1), b)
+      if (!graft.operators.SignatureStore.exists(m))
+        graft.operators.SignatureStore.merge(spark, a, b, m)
+    }
+    val batchSigs = Dedup.minhashSignatures(Dedup.contentShingleIds(
+      corpusShingles(spark, dir).filter(col("doc_id") >= 100000L)))
+    graft.operators.SignatureStore.probe(
+        batchSigs, graft.operators.SignatureStore.load(spark, m), 0.5)
+      .orderBy(col("batch_id"), col("store_id"))
+  }
+
   /** 32-bit SimHash per document over char-hashed token IDs (one hash
     * per distinct (doc, token) — computed after the count groupBy). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1712,6 +1742,24 @@ object DocQueries {
   private def simhashBitsSql: String =
     (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
+  /** Shared by q138 (single-store probe) and q180 (merged half-store
+    * probe): DuckDB re-derives both signature sets and the cross-split
+    * band join from the corpus — the serving layout (one store vs a
+    * merge of two) must be invisible in the answer. */
+  private lazy val incrementalProbeOracle: String =
+    s"""WITH $corpusSql,
+       |${shinglesCte("corpus")},
+       |$shingleIdsCte,
+       |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
+       |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS store_id, x.sig AS sa, y.sig AS sb
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bandsig = y.bandsig
+       |         WHERE x.doc_id >= 100000 AND y.doc_id < 100000)
+       |SELECT batch_id, store_id, $estJaccardSql AS est_jaccard
+       |FROM cand WHERE $estJaccardSql >= 0.5
+       |ORDER BY batch_id, store_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
@@ -1809,19 +1857,12 @@ object DocQueries {
     // store/batch split (store = originals < 100000, batch = the
     // planted dup probes) — replaying the persisted-store probe from
     // first principles.
-    "q138_incremental_dedup" ->
-      s"""WITH $corpusSql,
-         |${shinglesCte("corpus")},
-         |$shingleIdsCte,
-         |sigs AS (SELECT doc_id, $sigExprSql AS sig FROM dsi GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sig, bb.b AS band, list_slice(sig, bb.b * $RowsPerBand + 1, bb.b * $RowsPerBand + $RowsPerBand) AS bandsig
-         |          FROM sigs CROSS JOIN (SELECT unnest([${(0 until Bands).mkString(",")}]) AS b) bb),
-         |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS store_id, x.sig AS sa, y.sig AS sb
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bandsig = y.bandsig
-         |         WHERE x.doc_id >= 100000 AND y.doc_id < 100000)
-         |SELECT batch_id, store_id, $estJaccardSql AS est_jaccard
-         |FROM cand WHERE $estJaccardSql >= 0.5
-         |ORDER BY batch_id, store_id""".stripMargin,
+    "q138_incremental_dedup" -> incrementalProbeOracle,
+    // q180: SAME oracle as q138 (exact-twin pattern) — the Spark side
+    // serves the probe from a MERGE of two parity-split half stores,
+    // so the hash match proves merge == build-of-union through the
+    // driver gate.
+    "q180_sigstore_merge" -> incrementalProbeOracle,
     // q163: docs implicated in any >= 0.5 LSH pair (the q52 chain up
     // to `pairs` — no recursion needed for membership), joined onto
     // real documents only (the injected probe ids match nothing).
@@ -3081,6 +3122,7 @@ object DocQueries {
     "q147_editdist_verify" -> (editDistVerify _),
     "q148_verified_dedup" -> (verifiedDedup _),
     "q138_incremental_dedup" -> (incrementalDedup _),
+    "q180_sigstore_merge" -> (sigstoreMergeProbe _),
     "q44_simhash" -> (simhash _),
     "q45_embedding_neardup" -> (embeddingNearDup _),
     "q46_text_stats" -> (textStats _),
