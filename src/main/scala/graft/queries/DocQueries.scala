@@ -135,11 +135,15 @@ object DocQueries {
     val tLabels = (System.nanoTime() - t3) / 1e9
     val t4 = System.nanoTime(); verifiedPairs(spark, dir)
     val tVerified = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    singleSigStore(spark, dir); mergedSigStore(spark, dir)
+    val tStores = (System.nanoTime() - t5) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
       "shingle_documents_build_sec" -> tDocs,
       "neardup_truth_sec" -> tTruth,
       "dedup_groups_build_sec" -> tLabels,
-      "verified_pairs_build_sec" -> tVerified)
+      "verified_pairs_build_sec" -> tVerified,
+      "sig_store_build_sec" -> tStores)
   }
 
   /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
@@ -240,17 +244,42 @@ object DocQueries {
     * — corpus text is never rescanned on the probe path. Content-
     * addressed shingle ids are what make the two signature sets
     * band-joinable across sessions. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    // CONTENT-keyed store (Scratch): an in-place rewrite of the fixture
-    // invalidates the persisted signatures; bench repeats still skip
-    // the build. writeOnce blocks concurrent same-JVM callers until the
-    // winner's build completes (no half-written reads).
+  /** The q138 corpus signature store — CONTENT-keyed (Scratch): an
+    * in-place rewrite of the fixture invalidates the persisted
+    * signatures; bench repeats and later JVMs skip the build. writeOnce
+    * blocks concurrent same-JVM callers until the winner's build
+    * completes (no half-written reads). Prewarmed (sig_store_build_sec)
+    * so a cold target/ charges the builds line, not the probe query. */
+  private def singleSigStore(spark: SparkSession, dir: String): String = {
     val store = Scratch.dir(spark, dir, "minhash-store", "documents")
     Scratch.writeOnce(store) {
       if (!graft.operators.SignatureStore.exists(store))
         graft.operators.SignatureStore.build(
           spread(corpus(spark, dir)).filter(col("doc_id") < 100000L), store)
     }
+    store
+  }
+
+  /** The q180 merged store: originals signed as two parity-split half
+    * stores, consolidated via [[graft.operators.SignatureStore.merge]]
+    * — never a re-shingling pass. Same Scratch discipline. */
+  private def mergedSigStore(spark: SparkSession, dir: String): String = {
+    val base = Scratch.dir(spark, dir, "minhash-store-halves", "documents")
+    val (a, b, m) = (s"$base/a", s"$base/b", s"$base/m")
+    Scratch.writeOnce(m) {
+      val originals = spread(corpus(spark, dir)).filter(col("doc_id") < 100000L)
+      if (!graft.operators.SignatureStore.exists(a))
+        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 0), a)
+      if (!graft.operators.SignatureStore.exists(b))
+        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 1), b)
+      if (!graft.operators.SignatureStore.exists(m))
+        graft.operators.SignatureStore.merge(spark, a, b, m)
+    }
+    m
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val store = singleSigStore(spark, dir)
     val batchSigs = Dedup.minhashSignatures(Dedup.contentShingleIds(
       corpusShingles(spark, dir).filter(col("doc_id") >= 100000L)))
     graft.operators.SignatureStore.probe(
@@ -270,17 +299,7 @@ object DocQueries {
     * merge would be a corpus rescan). Stores are content-keyed
     * Scratch artifacts like q138's. */
   def sigstoreMergeProbe(spark: SparkSession, dir: String): DataFrame = {
-    val base = Scratch.dir(spark, dir, "minhash-store-halves", "documents")
-    val (a, b, m) = (s"$base/a", s"$base/b", s"$base/m")
-    Scratch.writeOnce(m) {
-      val originals = spread(corpus(spark, dir)).filter(col("doc_id") < 100000L)
-      if (!graft.operators.SignatureStore.exists(a))
-        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 0), a)
-      if (!graft.operators.SignatureStore.exists(b))
-        graft.operators.SignatureStore.build(originals.filter(col("doc_id") % 2 === 1), b)
-      if (!graft.operators.SignatureStore.exists(m))
-        graft.operators.SignatureStore.merge(spark, a, b, m)
-    }
+    val m = mergedSigStore(spark, dir)
     val batchSigs = Dedup.minhashSignatures(Dedup.contentShingleIds(
       corpusShingles(spark, dir).filter(col("doc_id") >= 100000L)))
     graft.operators.SignatureStore.probe(
