@@ -403,6 +403,7 @@ object AnnQueries {
     exactTruth(spark, dir, Metric.Euclidean, "stride")
     exactTruth(spark, dir, Metric.Euclidean, "head")
     exactTruth(spark, dir, Metric.Cosine, "head")
+    exactTruth(spark, dir, Metric.Euclidean, "perturb") // q68/q179 OOS truth
     val tTruth = (System.nanoTime() - t4) / 1e9
     val t5 = System.nanoTime(); pqFitted(spark, dir)
     val tPq = (System.nanoTime() - t5) / 1e9
