@@ -96,6 +96,25 @@ def main(sf_dir, out_dir):
             gated = recall_cols + pass_cols
             extra = f", gates {[f'{c}={float(df[c].min()):.2f}' for c in gated]}" if gated else ""
             print(f"PASS {name} ({len(df)} rows, rows-only{extra})"); n_pass += 1
+    # Cross-round DRIFT gate (hard since round 12): Verify annotates
+    # every RECALL metric with prev/drift_ok (value >= previous round's
+    # value - 0.05). The gated values are deterministic given the
+    # fixture, so drift_ok=false is a REAL behavior change even when the
+    # absolute 0.70/0.30/1.0 gates still pass — e.g. a 0.99 -> 0.72
+    # recall erosion. A deliberate algorithm change that legitimately
+    # trades >0.05 of a metric must update/remove the stale RECALL.json
+    # entry consciously, not ride through.
+    recall_path = f"{out_dir}/recall.json"
+    if os.path.exists(recall_path):
+        rec = json.load(open(recall_path))
+        for qname in sorted(rec):
+            drifted = [(c, m) for c, m in rec[qname].items()
+                       if m.get("drift_ok") is False]
+            if drifted:
+                for c, m in drifted:
+                    print(f"FAIL {qname}: drift gate: {c}={m.get('value')} "
+                          f"< prev {m.get('prev')} - 0.05")
+                n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -18,7 +18,12 @@ import java.nio.file.{Files, Paths}
   * each metric also carries `prev`/`drift_ok` (value ≥ prev − 0.05):
   * every gated value is deterministic given the fixture, so a
   * cross-round drop is a real behavior change the absolute gates
-  * might still pass — e.g. 0.99 → 0.72 erosion.
+  * might still pass — e.g. 0.99 → 0.72 erosion. The drift gate is
+  * HARD: scripts/oracle_check.py FAILS on any `drift_ok: false`
+  * (Verify itself stays exit-0 so a partial dump still reaches the
+  * driver's per-query compare — the drift verdict rides in the
+  * artifact either way, and any drift failure is also printed loudly
+  * to stderr below).
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -89,6 +94,7 @@ object Verify {
           }.toMap
         }.toMap
       } catch { case _: Throwable => Map.empty }
+    val driftFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     val recallRows = selected.keys.toSeq.sorted.flatMap { name =>
       try {
         val df = spark.read.parquet(s"$outDir/$name")
@@ -108,6 +114,8 @@ object Verify {
             val drift = prevVals.get(name).flatMap(_.get(c)) match {
               case Some(prev) =>
                 val ok = !v.isNaN && v >= prev - 0.05
+                if (!ok) driftFailures +=
+                  s"$name.$c = ${f"$v%.4f"} < prev ${f"$prev%.4f"} - 0.05"
                 s""", "prev": ${f"$prev%.4f"}, "drift_ok": $ok"""
               case None => ""
             }
@@ -119,6 +127,9 @@ object Verify {
     }
     val recallJson = recallRows.mkString("{", ",\n ", "}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+    // hard drift gate (enforced by scripts/oracle_check.py on this
+    // recall.json): also shout here so a bare Verify run can't miss it
+    driftFailures.foreach(f => System.err.println(s"[verify] DRIFT FAIL: $f"))
     // repo-root copy only on full runs (subset dev runs must not
     // clobber the round artifact with partial data)
     if (only.isEmpty)

@@ -47,7 +47,18 @@ object Scratch {
     * `n_rows|checksum`, where checksum is the order-independent
     * DECIMAL(38,0) sum of each row's 60-bit md5-prefix hash over its
     * JSON rendering (exact and overflow-free to ~10^20 rows). Cached
-    * per (absolute dir, table) per JVM. */
+    * per (absolute dir, table) per JVM.
+    *
+    * MEMO CONTRACT: the per-JVM cache trades in-place-rewrite detection
+    * WITHIN one JVM for scan cost — a fixture dir rewritten while this
+    * JVM is live keeps serving the old fingerprint (and thus the old
+    * derived stores) until restart. That is the deliberate trade: the
+    * fixtures are immutable by convention (TESTDATA.md), every
+    * cross-JVM read re-derives from content, and without the memo each
+    * of the dozens of Scratch.dir calls per bench sweep would pay a
+    * full fixture scan. Tests that rewrite a fixture in place must use
+    * a fresh dir (the ScratchSpec discipline) rather than expecting
+    * same-JVM invalidation. */
   def tableFingerprint(spark: SparkSession, sfDir: String, table: String): String = {
     val key = s"${new java.io.File(sfDir).getAbsolutePath}#$table"
     fpCache.computeIfAbsent(key, _ => {
@@ -68,14 +79,45 @@ object Scratch {
     new java.io.File(
       s"target/$store/${tableFingerprint(spark, sfDir, table)}").getAbsolutePath
 
-  private val once =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val once = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
 
   /** Run `build` at most once per JVM per `key`, BLOCKING concurrent
     * callers until it completes. `build` should itself probe the
     * store's persisted completeness marker and no-op when a previous
     * JVM already built it. A throwing build leaves no entry — the next
-    * caller retries. */
-  def writeOnce(key: String)(build: => Unit): Unit =
-    once.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+    * caller retries (waiters blocked on the failed attempt retry too).
+    *
+    * The winner runs `build` OUTSIDE any map lock (a per-key
+    * CompletableFuture latch, not `computeIfAbsent`): a build that
+    * transitively calls writeOnce again — or an unrelated key that
+    * hash-collides into the same bin — must neither deadlock nor throw
+    * `IllegalStateException("Recursive update")`, which arbitrary
+    * long-running Spark builds inside a CHM mapping function can. A
+    * build that RE-ENTERS its own key would deadlock under any
+    * blocking once-semantics; that remains the caller's contract. */
+  def writeOnce(key: String)(build: => Unit): Unit = {
+    var done = false
+    while (!done) {
+      val mine = new java.util.concurrent.CompletableFuture[Unit]()
+      val existing = once.putIfAbsent(key, mine)
+      if (existing == null) {
+        try { build; mine.complete(()) }
+        catch {
+          case t: Throwable =>
+            once.remove(key, mine)
+            mine.completeExceptionally(t)
+            throw t
+        }
+        done = true
+      } else {
+        try { existing.join(); done = true }
+        catch {
+          // the winner failed: its entry is already removed — loop and
+          // either become the new winner or wait on it
+          case _: java.util.concurrent.CompletionException => ()
+        }
+      }
+    }
+  }
 }

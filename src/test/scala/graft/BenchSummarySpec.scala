@@ -28,7 +28,8 @@ class BenchSummarySpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 8884.88)
     val line = Bench.summaryLine(results, Some(8884.88),
       88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
-      Seq(8884.88, 8884.88, 8884.88, 8884.88), "sf0.001", Some(8884.88))
+      Seq(8884.88, 8884.88, 8884.88, 8884.88), contended = true,
+      "sf0.001", Some(8884.88))
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -41,7 +42,7 @@ class BenchSummarySpec extends AnyFunSuite {
 
   test("listed top queries + rest reconcile with the total") {
     val results = (1 to 40).map(i => f"q$i%02d_x" -> i.toDouble)
-    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), "sf")
+    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), contended = false, "sf")
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val qs = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj
     // slowest TopQueriesOnLine entries: 40 down to 17
@@ -61,13 +62,14 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line is valid JSON with the expected metric keys") {
     val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
     val line = Bench.summaryLine(results, Some(22.24),
-      398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44), "sf0.1",
-      Some(8.37))
+      398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44),
+      contended = false, "sf0.1", Some(8.37))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
       "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps",
-      "cal", "sr", "sf"))
+      "cal", "ctn", "sr", "sf"))
+    assert((parsed \ "ctn").asInstanceOf[org.json4s.JInt].num.toInt === 0)
     assert((parsed \ "sr").asInstanceOf[org.json4s.JDouble].num === 8.4)
     val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(qKeys === List("q41", "q01")) // slowest first
@@ -77,7 +79,7 @@ class BenchSummarySpec extends AnyFunSuite {
 
   test("colliding short keys fall back to full names, never drop a metric") {
     val results = Seq("q01_a" -> 0.1, "q01_b" -> 0.2)
-    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), "sf")
+    val line = Bench.summaryLine(results, None, 1, 1, 1, 1, 1, Seq(1, 1, 1, 1), contended = false, "sf")
     assert(line.contains("\"q01_a\":0.1") && line.contains("\"q01_b\":0.2"))
   }
 
