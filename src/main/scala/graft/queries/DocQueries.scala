@@ -146,9 +146,15 @@ object DocQueries {
       "sig_store_build_sec" -> tStores)
   }
 
-  /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs. */
+  /** Exact n-gram (word-trigram) Jaccard: 20 most-similar pairs.
+    * EXPLICIT maxShingleFreq = 0 (uncapped exact tier): the oracle
+    * replays unfiltered Jaccard, and on this fixture no shingle
+    * approaches the default cap so the result equals the capped
+    * tier's — the bare API now defaults to the capped scale path
+    * ([[Dedup.DefaultMaxShingleFreq]]; q57 oracles the cap itself). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsFromShingles(corpusShingles(spark, dir))
+    Dedup.ngramJaccardPairsFromShingles(corpusShingles(spark, dir),
+        maxShingleFreq = 0)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
@@ -199,8 +205,15 @@ object DocQueries {
   private val verifiedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** CONTENT-keyed (Scratch.tableFingerprint of `documents`, the same
+    * keying discipline as the persisted stores): the cached DP
+    * verification moves with fixture content, not path, so the same
+    * corpus read from two paths shares one build and a changed corpus
+    * under a reused path cannot serve stale pairs (within the
+    * fingerprint memo's documented per-JVM contract). */
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val hit = verifiedPairsCache.get(dir)
+    val key = Scratch.tableFingerprint(spark, dir, "documents")
+    val hit = verifiedPairsCache.get(key)
     if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
     else {
       val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
@@ -209,11 +222,18 @@ object DocQueries {
       val out = Dedup.editDistanceVerify(corpus(spark, dir), pairs, tau = 0.9)
         .localCheckpoint(true)
       graft.plans.Blocks.release(sigs)
-      verifiedPairsCache.put(dir, out)
+      verifiedPairsCache.put(key, out)
       out
     }
   }
 
+  /** Returns a FRESH checkpoint of the cached verified pairs per call
+    * — deliberately: Bench releases each returned frame's blocks after
+    * timing (Blocks.release), and a released localCheckpoint cannot
+    * recompute (truncated lineage), so handing out the cached frame
+    * itself would let one release poison every later consumer. The
+    * per-call copy is O(pairs) tiny; the expensive DP verification is
+    * what the cache holds. */
   def editDistVerify(spark: SparkSession, dir: String): DataFrame =
     verifiedPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -370,7 +390,11 @@ object DocQueries {
         (parts.map(_.lastModified()) :+ f.lastModified()).max
       } catch { case _: Throwable => 0L }
     exactNearDupCache.computeIfAbsent(s"$dir#$topN#$mtime", _ =>
-      Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN)
+      // TRUTH must be the exact tier regardless of corpus size — with
+      // the default threshold a big corpus would route the "truth" to
+      // the LSH tier and q56 would score LSH against itself
+      Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), topN = topN,
+          exactThreshold = Long.MaxValue)
         .select(col("id_a"), col("id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }

@@ -396,4 +396,56 @@ class DedupSpec extends SparkSpec {
     assert(row.map(_._1) == Seq(1L, 2L, 3L, 5L)) // doc 4 absent from both
     assert(row.head._2 == row(2)._2) // exact copies share a signature
   }
+
+  test("ngramJaccardPairs defaults to the capped tier: the hot-shingle anti-join is in the plan") {
+    val ss = spark
+    import ss.implicits._
+    // a hot shingle ("the end of it") shared by every doc, plus one
+    // genuine near-dup pair that shares real content
+    val docs = (1L to 30L).map(i =>
+        (i, s"unique$i token$i word$i the end of it"))
+      .toDF("doc_id", "text")
+    // the BARE call (no maxShingleFreq) must engage dropHotShingles:
+    // its left-anti join appears in the plan, so a shingle above the
+    // default frequency cap provably never reaches the f² self-join
+    val bare = Dedup.ngramJaccardPairs(docs)
+    val plan = bare.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"bare ngramJaccardPairs must route through dropHotShingles:\n$plan")
+    // semantics of the cap on a corpus that actually trips it: with
+    // maxShingleFreq = 5 the all-docs shingles vanish and no pair
+    // shares anything; uncapped (explicit 0) every pair co-occurs
+    val capped = Dedup.ngramJaccardPairs(docs, maxShingleFreq = 5).count()
+    val uncapped = Dedup.ngramJaccardPairs(docs, maxShingleFreq = 0).count()
+    assert(capped === 0L)
+    assert(uncapped === 30L * 29L / 2L) // every pair shares the hot tail
+  }
+
+  test("embeddingNearDupPairs routes to the LSH tier above exactThreshold, exact below") {
+    val ss = spark
+    import ss.implicits._
+    val vecs = (0L until 40L).map { i =>
+      // two planted near-dup pairs on a shared direction; the rest
+      // spread along distinct axes
+      val base = Array.fill(8)(0f)
+      if (i < 4) { base(0) = 1f; base(1) = 0.01f * i }
+      else base((i % 7 + 1).toInt) = 1f + i * 0.05f
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    // below the threshold: exact crossJoin tier
+    val exactPlan = Dedup.embeddingNearDupPairs(vecs, topN = 5,
+      exactThreshold = 100L).queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("Join Cross") || exactPlan.contains("CrossJoin"),
+      s"small corpus should use the exact tier:\n$exactPlan")
+    // above the threshold: the LSH bucketed tier — no cross join
+    val lsh = Dedup.embeddingNearDupPairs(vecs, topN = 5, exactThreshold = 10L)
+    val lshPlan = lsh.queryExecution.optimizedPlan.toString
+    assert(!lshPlan.contains("Join Cross") && !lshPlan.contains("CrossJoin"),
+      s"above exactThreshold the pair join must be bucketed, not all-pairs:\n$lshPlan")
+    // and it still FINDS the planted near-dups (same output shape)
+    val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) || got.contains((0L, 2L)) || got.contains((1L, 2L)),
+      s"LSH tier missed every planted near-dup pair: $got")
+    assert(lsh.columns.toSeq === Seq("id_a", "id_b", "cos_sim"))
+  }
 }
