@@ -299,64 +299,6 @@ object Bench {
     val flagged = ratios.collect {
       case (k, r) if r > 15.0 && hiByName(k) > 0.5 => k
     }
-    // ---- sf1 synthetic probe: the dual-sf sweep above only sees
-    // 0.01 → 0.1, where fixed costs dominate and its median ratio sits
-    // near 1.2 — a quadratic term in a default path is invisible.
-    // SyntheticScale expands documents+embeddings 10x past the largest
-    // shipped fixture (content-keyed, built once, reused across
-    // rounds) and the 10 most expensive doc/embedding-only queries run
-    // there: warm-up pass first (builds each query's content-keyed
-    // artifacts — persisted, so later rounds' warm-ups are cheap),
-    // then one timed steady-state pass. Ratios are vs the HEADLINE
-    // sf0.1 numbers with the same >15x flag rule (10x data in a scan/
-    // partial-agg shape should cost ~10x; super-linear blows past 15).
-    // Disable with SPARK_GRAFT_SF1_PROBE=0.
-    val sf1On = sys.env.getOrElse("SPARK_GRAFT_SF1_PROBE", "1") != "0" &&
-      new java.io.File(sfDir).getName == "sf0.1"
-    val (sf1Dir, sf1Results): (String, Map[String, Double]) =
-      if (!sf1On) ("", Map.empty)
-      else try {
-        val synthDir = SyntheticScale.ensure(spark, sfDir)
-        val timed = SyntheticScale.ProbeQueries.flatMap { name =>
-          SparkEntry.queries.get(name).map { fn =>
-            timeOnce(spark, synthDir, fn) // warm-up, untimed-of-record
-            name -> timeOnce(spark, synthDir, fn)
-          }
-        }.toMap
-        (synthDir, timed)
-      } catch { case _: Throwable => ("", Map.empty) }
-    val sf1Ratios: Seq[(String, Double)] = sf1Results.toSeq.collect {
-      case (k, s1) if hiByName.get(k).exists(_ > 0.01) => k -> s1 / hiByName(k)
-    }
-    val sf1Flagged = sf1Ratios.collect {
-      case (k, r) if r > 15.0 && sf1Results(k) > 0.5 => k
-    }
-    val sf1Median =
-      if (sf1Ratios.isEmpty) None else Some(median(sf1Ratios.map(_._2)))
-    loDir.foreach { ld =>
-      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
-      val hiMap = results.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
-      val loMap = results.map { case (k, _) =>
-        s"\"$k\":${r2(loResults.getOrElse(k, -1.0))}" }.mkString("{", ",", "}")
-      val ratioMap = ratios.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
-      val sf1Map = sf1Results.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
-      val sf1RatioMap = sf1Ratios.sortBy(_._1)
-        .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
-      val json =
-        s"""{"hi_sf_dir":"$sfDir","lo_sf_dir":"$ld","repeats":$repeat,""" +
-          s""""hi_sec":$hiMap,"lo_sec":$loMap,"ratio":$ratioMap,""" +
-          s""""ratio_median":${srMedian.map(r2).getOrElse("null")},""" +
-          s""""flag_rule":"ratio>15 and hi>0.5s",""" +
-          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""sf1_dir":"$sf1Dir","sf1_tiles":${SyntheticScale.Tiles},""" +
-          s""""sf1_sec":$sf1Map,"sf1_ratio_vs_hi":$sf1RatioMap,""" +
-          s""""sf1_ratio_median":${sf1Median.map(r2).getOrElse("null")},""" +
-          s""""sf1_flag_rule":"sf1/hi>15 and sf1>0.5s",""" +
-          s""""sf1_flagged":${sf1Flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
-      catch { case _: Throwable => () }
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -391,6 +333,81 @@ object Bench {
       if (fromIndexWorkload == null) -1.0
       else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
       catch { case _: Throwable => -1.0 }
+    // ---- sf1 synthetic probe: the dual-sf sweep above only sees
+    // 0.01 → 0.1, where fixed costs dominate and its median ratio sits
+    // near 1.2 — a quadratic term in a default path is invisible.
+    // SyntheticScale expands documents+embeddings 10x past the largest
+    // shipped fixture (content-keyed, built once, reused across
+    // rounds) and the 10 most expensive doc/embedding-only queries run
+    // there: warm-up pass first (builds each query's content-keyed
+    // artifacts — persisted, so later rounds' warm-ups are cheap),
+    // then one timed steady-state pass. Ratios are vs the HEADLINE
+    // sf0.1 numbers with the same >15x flag rule (10x data in a scan/
+    // partial-agg shape should cost ~10x; super-linear blows past 15).
+    // Disable with SPARK_GRAFT_SF1_PROBE=0.
+    val sf1On = sys.env.getOrElse("SPARK_GRAFT_SF1_PROBE", "1") != "0" &&
+      new java.io.File(sfDir).getName == "sf0.1"
+    // a probe query that THROWS must be reported as failed, not as a
+    // partial elapsed time masquerading as a completed run (the first
+    // probe recorded 24 s of q124 aggregate followed by its loud
+    // coverage `require` and flagged it as super-linear)
+    def probeOnce(dir: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, dir)
+        df.count()
+        graft.plans.Blocks.release(df)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
+    val (sf1Dir, sf1Results, sf1Failed): (String, Map[String, Double], Seq[String]) =
+      if (!sf1On) ("", Map.empty, Nil)
+      else try {
+        val synthDir = SyntheticScale.ensure(spark, sfDir)
+        val runs = SyntheticScale.ProbeQueries.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            probeOnce(synthDir, fn) // warm-up, untimed-of-record
+            name -> probeOnce(synthDir, fn)
+          }
+        }
+        val ok = runs.collect { case (k, Some(v)) => k -> v }.toMap
+        val failed = runs.collect { case (k, None) => k }
+        (synthDir, ok, failed)
+      } catch { case _: Throwable => ("", Map.empty, Nil) }
+    val sf1Ratios: Seq[(String, Double)] = sf1Results.toSeq.collect {
+      case (k, s1) if hiByName.get(k).exists(_ > 0.01) => k -> s1 / hiByName(k)
+    }
+    val sf1Flagged = sf1Ratios.collect {
+      case (k, r) if r > 15.0 && sf1Results(k) > 0.5 => k
+    }
+    val sf1Median =
+      if (sf1Ratios.isEmpty) None else Some(median(sf1Ratios.map(_._2)))
+    loDir.foreach { ld =>
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+      val hiMap = results.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val loMap = results.map { case (k, _) =>
+        s"\"$k\":${r2(loResults.getOrElse(k, -1.0))}" }.mkString("{", ",", "}")
+      val ratioMap = ratios.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val sf1Map = sf1Results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val sf1RatioMap = sf1Ratios.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      val json =
+        s"""{"hi_sf_dir":"$sfDir","lo_sf_dir":"$ld","repeats":$repeat,""" +
+          s""""hi_sec":$hiMap,"lo_sec":$loMap,"ratio":$ratioMap,""" +
+          s""""ratio_median":${srMedian.map(r2).getOrElse("null")},""" +
+          s""""flag_rule":"ratio>15 and hi>0.5s",""" +
+          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""sf1_dir":"$sf1Dir","sf1_tiles":${SyntheticScale.Tiles},""" +
+          s""""sf1_sec":$sf1Map,"sf1_ratio_vs_hi":$sf1RatioMap,""" +
+          s""""sf1_ratio_median":${sf1Median.map(r2).getOrElse("null")},""" +
+          s""""sf1_flag_rule":"sf1/hi>15 and sf1>0.5s",""" +
+          s""""sf1_flagged":${sf1Flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""sf1_failed":${sf1Failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+      catch { case _: Throwable => () }
+    }
     // closing calibration pair: drift vs the opening pair localizes
     // contention to (part of) the sweep window
     val spinAfter = calSpin()

@@ -101,15 +101,19 @@ object SyntheticScale {
     * vector graph build per round is its own benchmark, not a scan-
     * shape probe — as is q56, whose exact-truth side is O(n²) BY
     * CONTRACT (the labeled oracle); q45 covers the near-dup scale
-    * story here by routing through its default LSH tier above
-    * [[graft.operators.Dedup.EmbeddingExactThreshold]]. */
+    * story here by routing through its default SRP tier above
+    * [[graft.operators.Dedup.EmbeddingExactThreshold]]. q124 is also
+    * out: its Misra–Gries coverage guarantee `minCount > N/k` is
+    * fixture-calibrated and the operator REFUSES (by design) at 10×
+    * the shingle count — the first probe run measured 24 s of
+    * aggregate followed by the loud require, not a completed query. */
   val ProbeQueries: Seq[String] = Seq(
     "q122_rag_retrieval",
     "q89_source_overlap",
     "q41_ngram_jaccard",
     "q45_embedding_neardup",
     "q57_ngram_jaccard_capped",
-    "q124_frequent_ngrams",
+    "q127_bm25_topk",
     "q173_tokenizer_fertility",
     "q58_tfidf",
     "q115_mmr_rerank",

@@ -144,26 +144,59 @@ object GraphBuilder {
       bucketLength: Double = -1.0): LshModel = {
     val prepared = prepare(vectors, metric)
     val dim = prepared.select(size(col("vec"))).head().getInt(0)
-    val bl =
-      if (bucketLength > 0) bucketLength
-      else {
-        // sample-based scale estimate: mean distance among ~200 sampled rows
-        val sample = prepared.select(col("id"), col("vec")).limit(200)
-          .withColumnRenamed("id", "src").withColumnRenamed("vec", "a_vec")
-        val sample2 = sample.select(col("src").as("dst"), col("a_vec").as("b_vec"))
-        val mean = sample.crossJoin(sample2).filter(col("src") < col("dst"))
-          .select(avg(VectorFunctions.euclidean(col("a_vec"), col("b_vec"))).as("m"))
-          .head().getDouble(0)
-        math.max(mean / 2.0, 1e-6)
-      }
     val rng = new java.util.Random(42L)
     val projections = Array.fill(numHashTables) {
       val w = Array.fill(dim)(rng.nextGaussian())
       val nrm = math.sqrt(w.map(x => x * x).sum)
       w.map(x => (x / nrm).toFloat)
     }
+    val bl =
+      if (bucketLength > 0) bucketLength
+      else {
+        // Occupancy-calibrated width (replaces the earlier "mean
+        // pairwise distance / 2", which is an ABSOLUTE-distance scale:
+        // the projection of a pair at distance m onto a unit vector
+        // has spread ~m/sqrt(dim), so m/2 is ~sqrt(dim)/2
+        // projection-stds wide — at dim 64 that put nearly every row
+        // in one bucket per table and the tier was quasi-quadratic;
+        // the sf1 probe measured 57.7 s / ratio 253x at 20k rows).
+        // The width must live on the PROJECTION axis: sample rows,
+        // project them on w_0, and take the (2·targetOcc/n)-quantile
+        // of the sampled |Δprojection| pair gaps — a random pair then
+        // co-buckets with probability ≈ targetOcc/n, so each table's
+        // candidate join emits ~n·targetOcc pairs (LINEAR in n), while
+        // genuinely near pairs (Δproj ≪ width) still collide with
+        // high probability per table and near-certainty across
+        // numHashTables tables. Small n clamps the quantile to the
+        // median gap — quasi-exhaustive, the regime the fixture recall
+        // gates pin — and the floor keeps a duplicate-heavy sample
+        // from zeroing the width.
+        val n = math.max(1L, prepared.count())
+        val projs = prepared
+          .select(col("id"),
+            VectorFunctions.dot(col("vec"), typedLit(projections(0).toSeq)).as("p"))
+          .orderBy(col("id")).limit(512)
+          .collect().map(_.getDouble(1))
+        val gaps = (for {
+          i <- projs.indices.iterator
+          j <- (i + 1) until projs.length
+        } yield math.abs(projs(i) - projs(j))).toArray
+        java.util.Arrays.sort(gaps)
+        val targetP = math.min(0.5, math.max(1e-4, 2.0 * LshTargetOccupancy / n))
+        val q = gaps(math.min(gaps.length - 1, (gaps.length * targetP).toInt))
+        math.max(q, 1e-6)
+      }
     LshModel(metric.name, bl, projections)
   }
+
+  /** Target expected bucket OCCUPANCY for the auto-estimated width:
+    * collision probability calibrated to ~targetOcc/n bounds each
+    * table's candidate join at ~n·targetOcc pairs — linear in n. 512
+    * keeps small corpora (n ≤ ~2k) effectively exhaustive, matching
+    * the behavior the fixture recall gates were set against, while a
+    * 1M-row build scores ~4B candidate pairs across 8 tables instead
+    * of the ~10^12 the absolute-distance width produced. */
+  private val LshTargetOccupancy = 512
 
   /** Stateless bucketing under a fitted model: (id, vec, tbl, bucket),
     * one row per (vector, hash table), h_i(v) = floor(v · w_i / bl)

@@ -893,13 +893,24 @@ object Dedup {
     *
     * ≤ `exactThreshold` rows: EXACT self-join — norms computed once
     * per row before the join (O(n·d) instead of O(n²·d)), the pair
-    * loop one fused dot kernel. Above it: the LSH-bucketed tier
-    * ([[graft.index.GraphBuilder.lshKnnEdges]], random-projection
-    * bucketing, per-node top-16 candidates) — APPROXIMATE (a pair can
-    * be missed if it never co-buckets; measured pair recall 1.0 on
-    * the fixture corpus, q56) but linear-ish in n, the only shape
-    * that survives 100 TB. The tier switch is the same
-    * exactThreshold idiom as the index build's wiring. */
+    * loop one fused dot kernel. Above it: the SRP banded-hamming tier
+    * — each vector gets a 32-bit signed-random-projection cosine
+    * sketch ([[graft.operators.Similarity.srpSignature]], a pure
+    * per-row codegen expression), candidates come from the EXACT
+    * pigeonhole block cover ([[simhashNearDupPairs]]: any pair within
+    * hamming 3 shares one of 4 identical 8-bit blocks — an equi-join,
+    * never all-pairs), and survivors are re-scored by true cosine.
+    * APPROXIMATE only through the sketch (a near-dup at cos ≈ 0.99
+    * has expected hamming ≈ 32·acos(0.99)/π ≈ 1.4 ≪ 3; a pair the
+    * sketch separates by > 3 bits is missed) but linear-ish in n —
+    * the only shape that survives 100 TB, where the fingerprint and
+    * blocks widen (64-bit/16-bit) to keep bucket occupancy bounded.
+    * Chosen over the euclidean-LSH kNN tier deliberately: the sf1
+    * scale probe measured that tier's mean-distance/2 buckets
+    * quasi-degenerate at d = 64 (57.7 s at 20k rows, ratio 253×);
+    * this form reads 32-bit buckets with ~n/256 occupancy per block.
+    * The tier switch is the same exactThreshold idiom as the index
+    * build's wiring. */
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       exactThreshold: Long = EmbeddingExactThreshold): DataFrame = {
@@ -921,15 +932,26 @@ object Dedup {
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(topN)
     } else {
-      val src = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      // sig/norm are cheap per-row map columns: recomputing them on the
+      // rescore legs costs two extra scans of (id, vec) but keeps the
+      // operator checkpoint-free (composable, plan-inspectable); the
+      // banded self-join reuses its own exchange
+      val src = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
+          graft.operators.Similarity.srpSignature(col(vecCol), 32).as("sig"))
         .repartition(par)
-      graft.index.GraphBuilder
-        .lshKnnEdges(src, k = 16, metric = graft.index.Metric.Cosine)
-        .select(least(col("src"), col("dst")).as("id_a"),
-          greatest(col("src"), col("dst")).as("id_b"), col("dist"))
-        .groupBy(col("id_a"), col("id_b")).agg(min(col("dist")).as("dist"))
+      val cand = simhashNearDupPairs(src.select(col("id"), col("sig")),
+        maxHamming = 3, nBands = 4, idCol = "id", hashCol = "sig")
+      cand
+        .join(src.select(col("id").as("id_a"), col("vec").as("vec_a"),
+          col("nrm").as("nrm_a")), "id_a")
+        .join(src.select(col("id").as("id_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          (round(lit(1.0) - col("dist"), 4) + lit(0.0)).as("cos_sim"))
+          (round(VectorFunctions.cosineSimFromNorms(
+            VectorFunctions.dot(col("vec_a"), col("vec_b")),
+            col("nrm_a"), col("nrm_b")), 4)
+            + lit(0.0)).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(topN)
     }
