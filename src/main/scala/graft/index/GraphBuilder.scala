@@ -172,10 +172,13 @@ object GraphBuilder {
         // gates pin — and the floor keeps a duplicate-heavy sample
         // from zeroing the width.
         val n = math.max(1L, prepared.count())
+        // deterministic UNIFORM sample: id-hash order (the ivfFit
+        // idiom) — low-id order would bias the gap distribution on
+        // corpora clustered by insertion time. TakeOrdered, one pass.
         val projs = prepared
           .select(col("id"),
             VectorFunctions.dot(col("vec"), typedLit(projections(0).toSeq)).as("p"))
-          .orderBy(col("id")).limit(512)
+          .orderBy(md5(col("id").cast("string")), col("id")).limit(512)
           .collect().map(_.getDouble(1))
         val gaps = (for {
           i <- projs.indices.iterator

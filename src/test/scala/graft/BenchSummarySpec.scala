@@ -88,6 +88,19 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(t > 0.0 && t < 60.0, s"calSpin returned $t sec")
   }
 
+  test("bracketNoisy: relative disagreement rule, plus optional absolute pin") {
+    // agreeing samples are quiet regardless of absolute value
+    assert(!Bench.bracketNoisy(0.36, 0.41, None))
+    assert(!Bench.bracketNoisy(0.17, 0.19, None))
+    // the r11 failure shape: 0.36 before vs 0.57 after -> noisy
+    assert(Bench.bracketNoisy(0.36, 0.57, None))
+    assert(Bench.bracketNoisy(0.57, 0.36, None)) // symmetric
+    // absolute pin: agreeing-but-inflated samples turn noisy only when
+    // the env baseline says the host's quiet constant is far below
+    assert(!Bench.bracketNoisy(0.40, 0.42, Some(0.35)))
+    assert(Bench.bracketNoisy(0.40, 0.42, Some(0.18)))
+  }
+
   test("numeric rendering trims trailing zeros and keeps JSON validity") {
     assert(Bench.r2(0.50) === "0.5")
     assert(Bench.r2(1.00) === "1")
