@@ -216,7 +216,10 @@ object SrpKernel {
 case class SrpSignature(child: Expression, nBits: Int)
     extends FloatOrDoubleVecKernel {
 
-  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+  // 64-bit signatures serve the wide near-dup tier (16-bit pigeonhole
+  // blocks at web scale); the plane formula's integer mix stays far
+  // inside Long range for b < 64 and any realistic dim
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
 
   override def prettyName: String = "graft_srp_signature"
   override def dataType: DataType = LongType

@@ -911,11 +911,20 @@ object Dedup {
     * this form reads 32-bit buckets with ~n/256 occupancy per block.
     * The tier switch is the same exactThreshold idiom as the index
     * build's wiring. */
+  /** Above this corpus size the SRP sketch widens from 32 bits /
+    * 8-bit blocks (bucket occupancy ~n/256) to 64 bits / 16-bit
+    * blocks (~n/65536) — the knob the simhash family's docstrings
+    * prescribe for web scale, applied automatically so the default
+    * path's candidate join stays bounded as n grows. */
+  val SrpWideThreshold = 200000L
+
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      exactThreshold: Long = EmbeddingExactThreshold): DataFrame = {
+      exactThreshold: Long = EmbeddingExactThreshold,
+      srpWideThreshold: Long = SrpWideThreshold): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    if (embeddings.count() <= exactThreshold) {
+    val n = embeddings.count()
+    if (n <= exactThreshold) {
       val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
         .repartition(par)
@@ -936,12 +945,14 @@ object Dedup {
       // rescore legs costs two extra scans of (id, vec) but keeps the
       // operator checkpoint-free (composable, plan-inspectable); the
       // banded self-join reuses its own exchange
+      val sigBits = if (n > srpWideThreshold) 64 else 32
       val src = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
           sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
-          graft.operators.Similarity.srpSignature(col(vecCol), 32).as("sig"))
+          graft.operators.Similarity.srpSignature(col(vecCol), sigBits).as("sig"))
         .repartition(par)
       val cand = simhashNearDupPairs(src.select(col("id"), col("sig")),
-        maxHamming = 3, nBands = 4, idCol = "id", hashCol = "sig")
+        maxHamming = 3, nBands = 4, idCol = "id", hashCol = "sig",
+        bits = sigBits)
       cand
         .join(src.select(col("id").as("id_a"), col("vec").as("vec_a"),
           col("nrm").as("nrm_a")), "id_a")

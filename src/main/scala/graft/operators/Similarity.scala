@@ -471,7 +471,7 @@ object Similarity {
     * reference — same plane formula via 1-based `sequence`, same
     * per-bit left-to-right fold). */
   private[operators] def srpSignatureHof(vec: Column, nBits: Int = 32): Column = {
-    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
     def planeSign(b: Int, j: Column): Column = {
       val x = lit((b + 7).toLong * 1000003L) + j * 10007L
       val q = (x * x) % 1000000007L

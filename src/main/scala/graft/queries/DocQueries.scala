@@ -1652,6 +1652,22 @@ object DocQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q184: the near-dup SCALE tier itself, hash-oracled — q45's
+    * default path above [[Dedup.EmbeddingExactThreshold]] forced onto
+    * the fixture via `exactThreshold = 0` (32-bit SRP sketch → 8-bit
+    * pigeonhole block equi-join → hamming ≤ 3 → true-cosine rescore →
+    * top-20). Every stage is DuckDB-expressible (srpSigSql is the
+    * proven q103 twin; banding/hamming are integer bit math; the
+    * rescore is q45's cosine), so the tier that actually runs at 100
+    * TB is equality-gated, not only spec-gated — the q127/q132
+    * serve-the-scale-path-through-the-oracle pattern. */
+  def srpNearDupTier(spark: SparkSession, dir: String): DataFrame =
+    // the dup-planted corpus (q103's): 25 exact-copy pairs guarantee
+    // the tier has real signal to rank, not just incidental hamming
+    // coincidences among random vectors
+    Dedup.embeddingNearDupPairs(embCorpus(spark, dir), topN = 20,
+      exactThreshold = 0L)
+
   /** Stratified exact-proportion split (q104): per-label 10/10/80
     * test/val/train over the embeddings, cut at exact integer
     * boundaries in deterministic id-hash order. */
@@ -3142,6 +3158,27 @@ object DocQueries {
          |FROM sg a JOIN sg b ON a.vec_id < b.vec_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "q184_srp_neardup_tier" ->
+      s"""WITH ec AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+         |sg AS (SELECT vec_id, embedding, CAST($srpSigSql AS BIGINT) AS sig FROM ec),
+         |bd AS (SELECT vec_id, sig, b.blk, (sig >> (b.blk * 8)) & 255 AS bv
+         |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bd x JOIN bd y ON x.blk = y.blk AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |hp AS (SELECT c.id_a, c.id_b FROM cand c
+         |       JOIN sg a ON a.vec_id = c.id_a JOIN sg b ON b.vec_id = c.id_b
+         |       WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+         |SELECT h.id_a, h.id_b,
+         |  ROUND(COALESCE(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |        (SQRT(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         |         SQRT(list_sum(list_transform(range(1, len(b.embedding)+1),
+         |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 0.0), 4) + 0.0 AS cos_sim
+         |FROM hp h JOIN ec a ON a.vec_id = h.id_a JOIN ec b ON b.vec_id = h.id_b
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q104_strat_split" ->
       """WITH b AS (SELECT vec_id, CAST(label AS VARCHAR) AS stratum,
         |             ((vec_id % 1000000007) * 654435747) % 1000000007 % 10000 AS bkt
@@ -3242,6 +3279,7 @@ object DocQueries {
     "q98_bpe_learn" -> (bpeLearn _),
     "q102_span_decontam" -> (spanDecontaminate _),
     "q103_srp_pairs" -> (srpPairs _),
+    "q184_srp_neardup_tier" -> (srpNearDupTier _),
     "q104_strat_split" -> (stratSplit _)
   )
 }

@@ -448,4 +448,34 @@ class DedupSpec extends SparkSpec {
       s"LSH tier missed every planted near-dup pair: $got")
     assert(lsh.columns.toSeq === Seq("id_a", "id_b", "cos_sim"))
   }
+
+  test("SRP tier widens to 64-bit/16-bit blocks past srpWideThreshold; low 32 bits agree") {
+    val ss = spark
+    import ss.implicits._
+    val vecs = (0L until 30L).map { i =>
+      val base = Array.fill(8)(0f)
+      if (i < 3) { base(0) = 1f; base(1) = 0.005f * i } // planted near-dups
+      else base((i % 7 + 1).toInt) = 1f + i * 0.05f
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    // the 64-bit signature's low 32 bits are EXACTLY the 32-bit
+    // signature (same (b, j) plane formula per bit) — widening only
+    // appends planes, it never re-keys existing ones
+    val sigs = vecs.select(
+      graft.operators.Similarity.srpSignature(col("embedding"), 32).as("s32"),
+      graft.operators.Similarity.srpSignature(col("embedding"), 64).as("s64"))
+      .as[(Long, Long)].collect()
+    sigs.foreach { case (s32, s64) =>
+      assert((s64 & 0xFFFFFFFFL) === s32, f"low bits diverge: $s32%x vs $s64%x")
+    }
+    // forcing the wide tier still finds the planted pairs through the
+    // 16-bit-block banding (same output shape, no cross join)
+    val wide = Dedup.embeddingNearDupPairs(vecs, topN = 5,
+      exactThreshold = 0L, srpWideThreshold = 10L)
+    val plan = wide.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("CrossJoin"), plan)
+    val got = wide.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) || got.contains((0L, 2L)) || got.contains((1L, 2L)),
+      s"wide SRP tier missed every planted near-dup pair: $got")
+  }
 }
