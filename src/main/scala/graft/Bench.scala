@@ -377,6 +377,22 @@ object Bench {
         val failed = runs.collect { case (k, None) => k }
         (synthDir, ok, failed)
       } catch { case _: Throwable => ("", Map.empty, Nil) }
+    // ---- sf1 ANN build probe: the graph BUILD's scale tier (LSH
+    // wiring forced at 20k×64d) under BOTH prunes — the measured
+    // DiskANN argument in every round's artifact: on duplicate-heavy
+    // data the reference-faithful truncation prune strands greedy
+    // navigation (near-twins saturate adjacency lists) while the
+    // α-RNG diversified prune serves exactly; the build stays bounded
+    // either way. Disable with SPARK_GRAFT_SF1_ANN=0.
+    val sf1Ann: Seq[(String, Double)] =
+      if (!sf1On || sys.env.getOrElse("SPARK_GRAFT_SF1_ANN", "1") == "0") Nil
+      else try {
+        val (bT, avgT, minT, nA) = ScaleAnnProbe.run(spark, sfDir, alpha = 0.0)
+        val (bA, avgA, minA, _) = ScaleAnnProbe.run(spark, sfDir, alpha = 1.2)
+        Seq("n" -> nA.toDouble,
+          "trunc_build_sec" -> bT, "trunc_avg_recall" -> avgT, "trunc_min_recall" -> minT,
+          "alpha_build_sec" -> bA, "alpha_avg_recall" -> avgA, "alpha_min_recall" -> minA)
+      } catch { case _: Throwable => Nil }
     val sf1Ratios: Seq[(String, Double)] = sf1Results.toSeq.collect {
       case (k, s1) if hiByName.get(k).exists(_ > 0.01) => k -> s1 / hiByName(k)
     }
@@ -406,7 +422,9 @@ object Bench {
           s""""sf1_ratio_median":${sf1Median.map(r2).getOrElse("null")},""" +
           s""""sf1_flag_rule":"sf1/hi>15 and sf1>0.5s",""" +
           s""""sf1_flagged":${sf1Flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""sf1_failed":${sf1Failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+          s""""sf1_failed":${sf1Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""sf1_ann":${sf1Ann.map { case (k, v) => s"\"$k\":${r2(v)}" }
+            .mkString("{", ",", "}")}}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
       catch { case _: Throwable => () }
     }

@@ -358,11 +358,88 @@ object GraphBuilder {
   }
 
   /** LSH-built maxdegree graph (the scale path). */
+  /** NN-descent refinement rounds applied to the LSH seed edges in the
+    * bulk build (Dong et al., "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures", WWW 2011). The
+    * occupancy-calibrated LSH seed keeps the candidate join linear in
+    * n, but on high-dimensional data a bounded bucket can only surface
+    * VERY near pairs — the seed graph is accurate locally and blind at
+    * the data's natural neighbor distance, which breaks greedy
+    * navigability (measured: 20k×64d LSH-seeded graph served recall
+    * 0.50 avg / 0.00 min). NN-descent exploits metric transitivity:
+    * each round proposes every node's neighbors-of-neighbors (both
+    * directions), re-scores exactly, and keeps the k closest — O(n·k²)
+    * scored pairs per round, LINEAR in n at fixed degree. This is the
+    * standard bounded-work kNN-graph construction at scale; the
+    * quadratic exhaustive join stays the small-n oracle tier.
+    *
+    * MEASURED (ScaleAnnProbe, 20k×64d tiled corpus): on duplicate-
+    * heavy data the refinement is nearly neutral (post-prune edge
+    * recall 0.637 seed-only → 0.650 at 4 rounds; serving recall
+    * unchanged) because the TRUNCATION prune, not candidate quality,
+    * is what breaks navigability there — near-twins saturate every
+    * adjacency list, and `alpha = 1.2` (the DiskANN diversified
+    * prune) is the decisive knob (serving recall 0.50/0.00 →
+    * 1.00/1.00). Rounds default to 2: bounded cost, and the recovery
+    * mechanism for corpora whose LSH seeds are weak WITHOUT twin
+    * structure, where co-neighbor transitivity is the only bounded
+    * way to reach true neighbors the buckets never propose. */
+  private val NnDescentRounds = 2
+
+  /** One NN-descent pass: candidates = current edges ∪ reversed edges
+    * ∪ 2-hop co-neighbors, exactly re-scored, top-k kept per node.
+    * Input/output: (src, dst, dist) with out-degree ≤ k. */
+  private def nnDescentRound(
+      vectors: DataFrame, edges: DataFrame, k: Int, metric: Metric): DataFrame = {
+    val bidir = bothDirections(edges).select(col("src"), col("dst"))
+    // co-neighbor proposals: u—m and m—w  =>  candidate (u, w)
+    val hop2 = bidir.as("e1").join(bidir.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+    val cand = bidir.unionByName(hop2)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val v = vectors.select(col("id"), col("vec"))
+    val scored = cand
+      .join(v.select(col("id").as("src"), col("vec").as("a_vec")), "src")
+      .join(v.select(col("id").as("dst"), col("vec").as("b_vec")), "dst")
+      .select(col("src"), col("dst"), distCol(metric).as("dist"))
+    scored.groupBy(col("src"))
+      .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+  }
+
+  /** LSH-seeded, NN-descent-refined kNN edge list — the bulk build's
+    * scale tier. Each round's edge list is checkpointed (it feeds the
+    * next round's self-join from three sub-plans) and released when
+    * superseded; the returned frame is checkpointed and owned by the
+    * caller (the build writes it to parquet immediately). */
+  def refinedKnnEdges(
+      vectors: DataFrame,
+      k: Int,
+      metric: Metric,
+      numHashTables: Int = 8,
+      bucketLength: Double = -1.0,
+      rounds: Int = NnDescentRounds): DataFrame = {
+    var edges = lshKnnEdges(vectors, k, metric, numHashTables, bucketLength)
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val next = nnDescentRound(vectors, edges, k, metric).localCheckpoint(true)
+      graft.plans.Blocks.release(edges)
+      edges = next
+      r += 1
+    }
+    edges
+  }
+
   def lshKnnGraph(
       vectors: DataFrame,
       maxDegree: Int,
       metric: Metric,
       numHashTables: Int = 8,
       bucketLength: Double = -1.0): DataFrame =
-    symmetrizeAndPrune(lshKnnEdges(vectors, maxDegree, metric, numHashTables, bucketLength), maxDegree)
+    symmetrizeAndPrune(
+      refinedKnnEdges(vectors, maxDegree, metric, numHashTables, bucketLength),
+      maxDegree)
 }

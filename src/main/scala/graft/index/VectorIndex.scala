@@ -1520,7 +1520,7 @@ object VectorIndex {
         // α-RNG build: gather 2x candidates, diversify-prune per node
         val edges =
           if (n <= exactThreshold) GraphBuilder.exactKnnEdges(vv, 2 * maxDegree, metric)
-          else GraphBuilder.lshKnnEdges(vv, 2 * maxDegree, metric)
+          else GraphBuilder.refinedKnnEdges(vv, 2 * maxDegree, metric)
         val bidir = GraphBuilder.bothDirections(edges)
           .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
         AlphaPrune.pruneGraph(bidir, vv, knnDegree, alpha, metric)
