@@ -1551,6 +1551,13 @@ object VectorIndex {
     }
     Await.result(fGraph, Duration.Inf)
     Await.result(fRing, Duration.Inf)
+    // the LSH tier's NN-descent refinement returns a localCheckpoint'ed
+    // edge frame (each round's output feeds the next from several
+    // sub-plans); its blocks are only needed until the graph parquet
+    // write above — release them or a long-lived session pins every
+    // build's final-round edges (Blocks.release is a no-op for the
+    // exact tier's plain plans)
+    graft.plans.Blocks.release(pruned)
     writeMeta(path, meta)
     new VectorIndex(spark, path, meta)
   }
