@@ -604,8 +604,15 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         sum(col("tf") * nllFp).as("nll_fp_sum"))
+      // HALF_UP on the EXACT rational fpsum/n via integer division —
+      // never on a double: fpsum/n lands on exact .5 halves for ~1/(2n)
+      // of docs (2·fpsum ≡ n mod 2n), where Spark's BigDecimal round
+      // and DuckDB's multiply-then-nearbyint ROUND can disagree on the
+      // same double (measured: 9/5000 docs at sf0.1). The integer form
+      // is boundary-free and both engines derive the identical double
+      // from the identical integer.
       .select(col(idCol), col("n_tokens"),
-        (round(col("nll_fp_sum").cast("double") / 10000.0 / col("n_tokens").cast("double"), 4)
+        (expr("(nll_fp_sum * 2 + n_tokens) DIV (n_tokens * 2)").cast("double") / 10000.0
           + lit(0.0)).as("avg_nll"))
   }
 
@@ -692,9 +699,11 @@ object TextAnalysis {
       size(col("h")).cast("long").as("n_tokens"))
     first.join(broadcast(nll1), "tid")
       .join(docBig, Seq(idCol), "left")
+      // same exact-integer HALF_UP as unigramNllScores (see there)
       .select(col(idCol), col("n_tokens"),
-        (round((col("nll_fp") + coalesce(col("fp2"), lit(0L))).cast("double")
-          / 10000.0 / col("n_tokens").cast("double"), 4) + lit(0.0)).as("avg_nll"))
+        (expr("((nll_fp + COALESCE(fp2, 0L)) * 2 + n_tokens) DIV (n_tokens * 2)")
+          .cast("double") / 10000.0
+          + lit(0.0)).as("avg_nll"))
   }
 
   /** PII detection/redaction patterns. Kept to the conservative regex

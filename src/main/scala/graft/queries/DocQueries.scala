@@ -2858,7 +2858,7 @@ object DocQueries {
          |             sum(tf * nll_fp) AS fpsum
          |      FROM tf JOIN fp USING (term) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
-         |       ROUND(CAST(fpsum AS DOUBLE) / 10000.0 / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS avg_nll
+         |       CAST((fpsum * 2 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 10000.0 + 0.0 AS avg_nll
          |FROM s ORDER BY doc_id""".stripMargin,
     "q71_mix_sample" -> {
       val cases = MixtureRates.toSeq.sortBy(_._1)
@@ -3060,8 +3060,8 @@ object DocQueries {
          |         FROM uf CROSS JOIN nt),
          |f AS (SELECT doc_id, h[1] AS tid, len(h) AS n_tokens FROM tids)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |       ROUND(CAST(nll_fp + COALESCE(fp2, 0) AS DOUBLE) / 10000.0
-         |             / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS avg_nll
+         |       CAST(((nll_fp + COALESCE(fp2, 0)) * 2 + n_tokens) // (n_tokens * 2) AS DOUBLE)
+         |         / 10000.0 + 0.0 AS avg_nll
          |FROM f JOIN nll1 USING (tid) LEFT JOIN docbig USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q96_semantic_decon" ->

@@ -352,11 +352,20 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_partkey <= 200
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // sum_disc_price/revenue rescale the scale-8 product sum to
+    // DECIMAL(38,4) BEFORE the double cast (exact: every product is
+    // ≤ 4dp money): DuckDB's wide-decimal→double goes int128→double
+    // then ÷10^scale — TWO roundings once the scaled integer passes
+    // 2^53, and at sf0.1 sum_disc_price landed on a boundary where
+    // that differs from the correctly-rounded value Spark's
+    // BigDecimal.doubleValue produces (2706323975.3560996 vs .3561).
+    // At scale 4 the scaled integer stays exact in double and the
+    // single division is correctly rounded.
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -370,7 +379,7 @@ object RelationalQueries {
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q11_revenue_by_nation" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
