@@ -209,8 +209,9 @@ object DocQueries {
     * keying discipline as the persisted stores): the cached DP
     * verification moves with fixture content, not path, so the same
     * corpus read from two paths shares one build and a changed corpus
-    * under a reused path cannot serve stale pairs (within the
-    * fingerprint memo's documented per-JVM contract). */
+    * under a reused path cannot serve stale pairs (the fingerprint
+    * memo is stat-keyed, so even a same-JVM in-place rewrite
+    * re-derives). */
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val key = Scratch.tableFingerprint(spark, dir, "documents")
     val hit = verifiedPairsCache.get(key)

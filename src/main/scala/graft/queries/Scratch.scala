@@ -43,34 +43,70 @@ object Scratch {
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cheap file-stat signature of one fixture table: max mtime + total
+    * bytes over the parquet dir's files. NOT an identity — the key that
+    * decides whether the content scan can be skipped. Caveat: a
+    * same-second, same-size in-place rewrite is invisible to it
+    * (filesystem mtime granularity); fixtures are immutable by
+    * convention (TESTDATA.md), so this is a non-risk there, and any
+    * real rewrite changes bytes. */
+  private def statSig(absDir: String, table: String): String = {
+    val f = new java.io.File(s"$absDir/$table.parquet")
+    val all = Option(f.listFiles()).getOrElse(Array.empty[java.io.File]) :+ f
+    s"${all.map(_.lastModified()).max}#${all.map(_.length()).sum}"
+  }
+
   /** 16-hex-char content fingerprint of one fixture table: FNV-1a over
     * `n_rows|checksum`, where checksum is the order-independent
     * DECIMAL(38,0) sum of each row's 60-bit md5-prefix hash over its
-    * JSON rendering (exact and overflow-free to ~10^20 rows). Cached
-    * per (absolute dir, table) per JVM.
+    * JSON rendering (exact and overflow-free to ~10^20 rows).
     *
-    * MEMO CONTRACT: the per-JVM cache trades in-place-rewrite detection
-    * WITHIN one JVM for scan cost — a fixture dir rewritten while this
-    * JVM is live keeps serving the old fingerprint (and thus the old
-    * derived stores) until restart. That is the deliberate trade: the
-    * fixtures are immutable by convention (TESTDATA.md), every
-    * cross-JVM read re-derives from content, and without the memo each
-    * of the dozens of Scratch.dir calls per bench sweep would pay a
-    * full fixture scan. Tests that rewrite a fixture in place must use
-    * a fresh dir (the ScratchSpec discipline) rather than expecting
-    * same-JVM invalidation. */
+    * Cache discipline (two layers, both keyed by the FILE-STAT
+    * signature so an in-place rewrite invalidates even within one
+    * JVM): the in-memory memo serves repeats inside a session; the
+    * persisted `target/fp-memo/<key>.json` sidecar (`sig|fp`,
+    * atomic-rename write) lets LATER JVMs — bench rounds, Verify runs
+    * — skip the content scan entirely while the fixture's stat
+    * signature is unchanged. The fingerprint itself stays pure
+    * content (path-free, order-free); only the SKIP decision uses
+    * stats. At 100 TB the same role is played by the catalog's
+    * snapshot/transaction id. */
   def tableFingerprint(spark: SparkSession, sfDir: String, table: String): String = {
-    val key = s"${new java.io.File(sfDir).getAbsolutePath}#$table"
-    fpCache.computeIfAbsent(key, _ => {
-      val df = Tables.t(spark, sfDir, table)
-      val rowH =
-        conv(substring(md5(to_json(struct(df.columns.map(col).toSeq: _*))), 1, 15), 16, 10)
-          .cast("decimal(38,0)")
-      val st = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(rowH), lit(0).cast("decimal(38,0)")).as("cs")).head()
-      graft.index.Fingerprint.ofString(
-        s"$table|${st.getLong(0)}|${st.getDecimal(1).toBigInteger.toString}")
-    })
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val sig = statSig(abs, table)
+    val key = s"$abs#$table#$sig"
+    val hit = fpCache.get(key)
+    if (hit != null) hit
+    else {
+      val memoPath = java.nio.file.Paths.get("target/fp-memo",
+        graft.index.Fingerprint.ofString(s"$abs#$table") + ".json")
+      val memoFp =
+        try {
+          val Array(s0, fp0) = java.nio.file.Files.readString(memoPath).trim.split("\\|")
+          if (s0 == sig) Some(fp0) else None
+        } catch { case _: Throwable => None }
+      val fp = memoFp.getOrElse {
+        val df = Tables.t(spark, sfDir, table)
+        val rowH =
+          conv(substring(md5(to_json(struct(df.columns.map(col).toSeq: _*))), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+        val st = df.agg(count(lit(1)).as("n"),
+          coalesce(sum(rowH), lit(0).cast("decimal(38,0)")).as("cs")).head()
+        val computed = graft.index.Fingerprint.ofString(
+          s"$table|${st.getLong(0)}|${st.getDecimal(1).toBigInteger.toString}")
+        try {
+          java.nio.file.Files.createDirectories(memoPath.getParent)
+          val tmp = java.nio.file.Files.createTempFile(memoPath.getParent, "fp-", ".tmp")
+          java.nio.file.Files.writeString(tmp, s"$sig|$computed")
+          java.nio.file.Files.move(tmp, memoPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: Throwable => () } // memo is an optimization only
+        computed
+      }
+      fpCache.put(key, fp)
+      fp
+    }
   }
 
   /** Absolute scratch dir `target/<store>/<content-fp>` for an

@@ -43,6 +43,24 @@ class ScratchSpec extends SparkSpec {
     assert(k3 === k1, "same rows (any order, any path) must share the key")
   }
 
+  test("stat-keyed memo: same-path in-place rewrite invalidates WITHIN one JVM; memo persists") {
+    val dir = tmpDir("scratch-statkey")
+    writeDocs(dir, Seq((1L, "one"), (2L, "two")))
+    val k1 = Scratch.tableFingerprint(spark, dir, "documents")
+    // the round-11 per-JVM path memo would have served k1 forever on
+    // this path; the stat-keyed layer re-derives on any byte change
+    writeDocs(dir, Seq((1L, "one"), (2L, "CHANGED")))
+    val k2 = Scratch.tableFingerprint(spark, dir, "documents")
+    assert(k2 !== k1, "same-path rewrite must invalidate within the JVM")
+    // persisted sidecar exists and carries the current fingerprint, so
+    // a LATER JVM skips the content scan
+    val memo = new java.io.File(s"target/fp-memo/${graft.index.Fingerprint
+      .ofString(s"${new java.io.File(dir).getAbsolutePath}#documents")}.json")
+    assert(memo.exists(), s"expected persisted memo at $memo")
+    val Array(_, fp) = java.nio.file.Files.readString(memo.toPath).trim.split("\\|")
+    assert(fp === k2)
+  }
+
   test("writeOnce blocks concurrent callers until the build completes") {
     val key = s"scratch-spec-${System.nanoTime()}"
     val built = new java.util.concurrent.atomic.AtomicInteger(0)
