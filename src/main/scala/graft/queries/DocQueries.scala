@@ -1669,6 +1669,16 @@ object DocQueries {
     Dedup.embeddingNearDupPairs(embCorpus(spark, dir), topN = 20,
       exactThreshold = 0L)
 
+  /** q185: the WIDE near-dup tier (64-bit SRP sketch / 16-bit
+    * pigeonhole blocks — what [[Dedup.SrpWideThreshold]] auto-selects
+    * past 200k rows) forced onto the fixture and hash-oracled like
+    * q184. The two gates together pin BOTH automatic operating points
+    * of the default near-dup scale path; bit 63's two's-complement
+    * SQL term is the only cross-engine subtlety (see srpSigSqlBits). */
+  def srpWideNearDupTier(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(embCorpus(spark, dir), topN = 20,
+      exactThreshold = 0L, srpWideThreshold = 0L)
+
   /** Stratified exact-proportion split (q104): per-label 10/10/80
     * test/val/train over the embeddings, cut at exact integer
     * boundaries in deterministic id-hash order. */
@@ -1784,16 +1794,22 @@ object DocQueries {
 
   // ------------------------------------------------------------- oracles
 
-  /** DuckDB twin of Similarity.srpSignature (32 bits): per bit b, the
-    * sign of the embedding's dot with the deterministic ±1 hyperplane
-    * derived from the quadratic modular mix of (b, j). */
-  private def srpSigSql: String = (0 until 32).map { b =>
+  /** DuckDB twin of Similarity.srpSignature: per bit b, the sign of
+    * the embedding's dot with the deterministic ±1 hyperplane derived
+    * from the quadratic modular mix of (b, j). Bit 63 contributes the
+    * BIGINT minimum (two's complement: a long with the sign bit set is
+    * −2^63 plus its positive low bits, so the term SUM reproduces the
+    * engine's `sig |= 1L << 63` exactly without overflowing). */
+  private def srpSigSqlBits(nBits: Int): String = (0 until nBits).map { b =>
     val x = s"(${(b + 7).toLong * 1000003L} + j * 10007)"
     val sgn = s"(CASE WHEN (((($x * $x) % 1000000007) * 48271 + $x * 16807) " +
       s"% 2147483647) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    val term = if (b == 63) "(-9223372036854775807 - 1)" else s"${1L << b}"
     s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), " +
-      s"j -> CAST(embedding[j] AS DOUBLE) * $sgn)) > 0 THEN ${1L << b} ELSE 0 END)"
+      s"j -> CAST(embedding[j] AS DOUBLE) * $sgn)) > 0 THEN $term ELSE 0 END)"
   }.mkString(" + ")
+
+  private def srpSigSql: String = srpSigSqlBits(32)
 
   private def simhashSumsSql: String =
     (0 until 32).map(b =>
@@ -3159,6 +3175,27 @@ object DocQueries {
          |FROM sg a JOIN sg b ON a.vec_id < b.vec_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "q185_srp_wide_tier" ->
+      s"""WITH ec AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+         |sg AS (SELECT vec_id, embedding, CAST(${srpSigSqlBits(64)} AS BIGINT) AS sig FROM ec),
+         |bd AS (SELECT vec_id, sig, b.blk, (sig >> (b.blk * 16)) & 65535 AS bv
+         |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bd x JOIN bd y ON x.blk = y.blk AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |hp AS (SELECT c.id_a, c.id_b FROM cand c
+         |       JOIN sg a ON a.vec_id = c.id_a JOIN sg b ON b.vec_id = c.id_b
+         |       WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+         |SELECT h.id_a, h.id_b,
+         |  ROUND(COALESCE(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |        (SQRT(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         |         SQRT(list_sum(list_transform(range(1, len(b.embedding)+1),
+         |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 0.0), 4) + 0.0 AS cos_sim
+         |FROM hp h JOIN ec a ON a.vec_id = h.id_a JOIN ec b ON b.vec_id = h.id_b
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q184_srp_neardup_tier" ->
       s"""WITH ec AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -3281,6 +3318,7 @@ object DocQueries {
     "q102_span_decontam" -> (spanDecontaminate _),
     "q103_srp_pairs" -> (srpPairs _),
     "q184_srp_neardup_tier" -> (srpNearDupTier _),
+    "q185_srp_wide_tier" -> (srpWideNearDupTier _),
     "q104_strat_split" -> (stratSplit _)
   )
 }
