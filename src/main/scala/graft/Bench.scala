@@ -194,7 +194,8 @@ object Bench {
   }
 
   private def sweepQueries(spark: SparkSession, dir: String,
-      repeat: Int): Seq[(String, Double)] =
+      repeat: Int,
+      minTaken: scala.collection.mutable.Set[String] = null): Seq[(String, Double)] =
     SparkEntry.queries.toSeq.map { case (name, fn) =>
       def once(): Double = timeOnce(spark, dir, fn)
       val first = once()
@@ -204,7 +205,14 @@ object Bench {
           val second = once()
           if (math.max(first, second) > medianMinSec)
             median(Seq(first, second) ++ (2 until repeat).map(_ => once()))
-          else math.min(first, second)
+          else {
+            // min-of-two is a low-biased estimator vs the slow tail's
+            // median; `minTaken` records which queries it applied to
+            // so cross-round comparisons can tell the methodologies
+            // apart per query (r12 advisor).
+            if (minTaken != null) minTaken += name
+            math.min(first, second)
+          }
         }
       name -> t
     }
@@ -242,7 +250,8 @@ object Bench {
         catch { case _: Throwable => Map.empty[String, Double] }) ++
       (try { graft.queries.DocQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] })
-    val results0 = sweepQueries(spark, sfDir, repeat)
+    val minTaken = scala.collection.mutable.Set[String]()
+    val results0 = sweepQueries(spark, sfDir, repeat, minTaken)
     // ---- contention-aware sweep-of-record (closes the r11 "89.1 s
     // contended artifact vs 75.6 s quiet tree" adjudication loop): on
     // a noisy spin bracket ([[bracketNoisy]]) the sweep reruns ONCE
@@ -258,8 +267,10 @@ object Bench {
     val (results, resweeps, contended, spinMid2) =
       if (!noisy(spinBefore, spinMid)) (results0, 0, false, -1.0)
       else {
-        val again = sweepQueries(spark, sfDir, repeat).toMap
+        val again = sweepQueries(spark, sfDir, repeat, minTaken).toMap
         val s3 = calSpin()
+        // every query of a resweep merge is a min-of-two-sweeps number
+        minTaken ++= results0.map(_._1)
         val merged = results0.map { case (k, v) =>
           k -> math.min(v, again.getOrElse(k, v)) }
         // a quiet bracket on either sweep -> the min is a quiet number
@@ -483,7 +494,11 @@ object Bench {
           s""""fi_load_sec":${r2(fromIndexLoadSec)},"fi_qps":${r1(fromIndexQps)},""" +
           s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
           s""""cal_spin_mid":${r2(spinMid)},"cal_spin_mid2":${r2(spinMid2)},""" +
-          s""""resweeps":$resweeps,"contended":$contended}"""
+          s""""resweeps":$resweeps,"contended":$contended,""" +
+          // which headline numbers are min-estimators (half-threshold
+          // band min-of-two, or resweep min-merge) vs median/one-shot
+          minTaken.toSeq.sorted.map("\"" + _ + "\"")
+            .mkString("\"min_merged\":[", ",", "]}")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
       catch { case _: Throwable => () }
     }

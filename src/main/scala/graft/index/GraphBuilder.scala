@@ -185,9 +185,25 @@ object GraphBuilder {
           j <- (i + 1) until projs.length
         } yield math.abs(projs(i) - projs(j))).toArray
         java.util.Arrays.sort(gaps)
-        val targetP = math.min(0.5, math.max(1e-4, 2.0 * LshTargetOccupancy / n))
-        val q = gaps(math.min(gaps.length - 1, (gaps.length * targetP).toInt))
-        math.max(q, 1e-6)
+        if (gaps.isEmpty) {
+          // degenerate corpus (< 2 rows): any fixed width works — one
+          // row can't collide with anything. 1.0 keeps the model sane
+          // if rows arrive later (streaming reuse of a tiny-fit model).
+          1.0
+        } else {
+          val targetP = math.min(0.5, math.max(1e-4, 2.0 * LshTargetOccupancy / n))
+          val q = gaps(math.min(gaps.length - 1, (gaps.length * targetP).toInt))
+          // Duplicate-heavy samples can put a 0 at the target quantile
+          // (identical rows project identically), which would collapse
+          // the width to a value that buckets NOTHING together —
+          // quasi-disabling the LSH seed. Floor at the smallest NONZERO
+          // gap (exact duplicates always co-bucket regardless of
+          // width, so the nonzero gaps are the right calibration
+          // population); an all-duplicates sample falls back to the
+          // fixed width.
+          val firstNonzero = gaps.find(_ > 0.0).getOrElse(1.0)
+          math.max(q, firstNonzero)
+        }
       }
     LshModel(metric.name, bl, projections)
   }

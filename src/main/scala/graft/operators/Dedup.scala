@@ -29,6 +29,8 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val MinhashPrime = 2147483647L // 2^31 - 1
   val NumHashes = 16
   val Bands = 4
@@ -819,19 +821,88 @@ object Dedup {
 
   /** Connected components over an undirected pair list — turns
     * candidate near-dup PAIRS into dedup GROUPS (each doc labeled with
-    * the min doc id reachable from it). Iterative min-label propagation
-    * PLUS pointer doubling: per round every node takes the minimum
-    * label in its closed neighborhood, then every label is shortcut to
-    * its label's label — so convergence needs O(log diameter) rounds,
-    * not O(diameter) (a 20-round cap covers diameters past 10^6, where
-    * plain propagation would silently stop at 20 hops). Each round is
-    * two equi-join shuffles over the EDGE/label lists only (never a
-    * transitive closure materialization). Throws IllegalStateException
-    * if the cap is somehow still hit with labels in motion — wrong
-    * group ids must never be returned silently. Returns
-    * (node, component). */
+    * the min doc id reachable from it). Two phases:
+    *
+    * 1. **Partition-local contraction** — one `mapPartitions` pass
+    *    runs a min-root union-find over each partition's edge rows
+    *    (state bounded by partition size; no shuffle at all). An edge
+    *    lives in exactly one partition, so every adjacency is merged
+    *    SOMEWHERE locally; the only connectivity the pass can miss is
+    *    a node appearing in several partitions under different local
+    *    roots. Those (root, root) identifications form the contracted
+    *    graph — typically orders of magnitude smaller than the input
+    *    (a dense-ish partition collapses to a handful of roots).
+    * 2. **Min-label propagation + pointer doubling** over the
+    *    contracted graph only: per round every node takes the minimum
+    *    label in its closed neighborhood, then labels shortcut to
+    *    their label's label — O(log diameter) rounds of the
+    *    CONTRACTED graph, whose diameter is bounded by the partition
+    *    count-ish, not the raw graph's (a 10k-node ring backbone
+    *    needed ~13 doubling rounds ≈ 100 scheduler-bound stages
+    *    before contraction; after, 2-4).
+    *
+    * Throws IllegalStateException if the round cap is somehow hit
+    * with labels still in motion — wrong group ids must never be
+    * returned silently. Returns (node, component), component = min
+    * reachable id. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    // Phase 1: per-partition union-find. No pre-shuffle — whatever
+    // partitioning the candidate join left behind is good enough for
+    // contraction (correctness never depends on placement).
+    val nodeRoot = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while ({ val p = parent.get(r); p != null && p.longValue() != r })
+            r = parent.get(r).longValue()
+          var c = x
+          while ({ val p = parent.get(c); p != null && p.longValue() != c }) {
+            val n = parent.get(c).longValue(); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.keySet().forEach(n => out += ((n.longValue(), find(n.longValue()))))
+        out.result().iterator
+      }.toDF("node", "root")
+      .localCheckpoint(true)
+    // Contracted graph: a node carrying k > 1 distinct local roots
+    // identifies them all with the smallest.
+    val contracted = nodeRoot.groupBy(col("node"))
+      .agg(collect_set(col("root")).as("rs"))
+      .filter(size(col("rs")) > 1)
+      .select(array_min(col("rs")).as("ra"), explode(col("rs")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    val rootCc = minLabelComponents(contracted, "ra", "rb", maxIter)
+    val labels = nodeRoot
+      .join(rootCc.withColumnRenamed("node", "root"), Seq("root"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("root")).as("component"))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(nodeRoot)
+    graft.plans.Blocks.release(rootCc)
+    labels
+  }
+
+  /** The phase-2 solver: min-label propagation + pointer doubling over
+    * an (aCol, bCol) pair list — the pre-contraction body of
+    * [[connectedComponents]], still exact on any input, just
+    * round-bound by the INPUT graph's diameter (callers pass the
+    * contracted graph). */
+  private[graft] def minLabelComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
@@ -923,7 +994,17 @@ object Dedup {
       exactThreshold: Long = EmbeddingExactThreshold,
       srpWideThreshold: Long = SrpWideThreshold): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val n = embeddings.count()
+    // Tier probe: a LocalLimit-bounded count first — it stops scanning
+    // once exactThreshold+1 rows are seen, so small corpora don't pay
+    // a full-corpus count action just to learn they're small. Only a
+    // corpus that actually exceeds the exact threshold pays the full
+    // count (the SRP tier needs true n for its wide-sketch knob).
+    val probeCap = math.min(exactThreshold, Int.MaxValue.toLong - 1L)
+    val probed = embeddings.limit((probeCap + 1L).toInt).count()
+    val n = if (probed <= exactThreshold) probed else embeddings.count()
+    log.info(s"embeddingNearDupPairs: n=$n tier=" +
+      (if (n <= exactThreshold) "exact-crossjoin"
+       else if (n > srpWideThreshold) "srp-banded-64bit" else "srp-banded-32bit"))
     if (n <= exactThreshold) {
       val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))

@@ -117,6 +117,11 @@ object Scratch {
 
   private val once = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Unit]]()
+  // The thread currently RUNNING each key's build — lets a build that
+  // re-enters its own key fail fast (IllegalStateException) instead of
+  // joining its own incomplete future, i.e. hanging forever.
+  private val onceOwner =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
   /** Run `build` at most once per JVM per `key`, BLOCKING concurrent
     * callers until it completes. `build` should itself probe the
@@ -130,23 +135,30 @@ object Scratch {
     * hash-collides into the same bin — must neither deadlock nor throw
     * `IllegalStateException("Recursive update")`, which arbitrary
     * long-running Spark builds inside a CHM mapping function can. A
-    * build that RE-ENTERS its own key would deadlock under any
-    * blocking once-semantics; that remains the caller's contract. */
+    * build that RE-ENTERS its own key is a contract violation; it
+    * fails fast with `IllegalStateException` (the owner thread is
+    * recorded per in-flight key) rather than joining its own
+    * incomplete future and hanging. */
   def writeOnce(key: String)(build: => Unit): Unit = {
     var done = false
     while (!done) {
       val mine = new java.util.concurrent.CompletableFuture[Unit]()
       val existing = once.putIfAbsent(key, mine)
       if (existing == null) {
+        onceOwner.put(key, Thread.currentThread())
         try { build; mine.complete(()) }
         catch {
           case t: Throwable =>
             once.remove(key, mine)
             mine.completeExceptionally(t)
             throw t
-        }
+        } finally onceOwner.remove(key)
         done = true
       } else {
+        if (!existing.isDone && (onceOwner.get(key) eq Thread.currentThread()))
+          throw new IllegalStateException(
+            s"writeOnce build re-entered its own key '$key' — the once " +
+              "latch would self-deadlock; split the inner build onto its own key")
         try { existing.join(); done = true }
         catch {
           // the winner failed: its entry is already removed — loop and

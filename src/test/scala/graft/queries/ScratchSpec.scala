@@ -91,4 +91,24 @@ class ScratchSpec extends SparkSpec {
     Scratch.writeOnce(key) { attempts.incrementAndGet() }
     assert(attempts.get() === 2, "failed build must not poison the key")
   }
+
+  test("a build that re-enters its own key fails fast, not a deadlock") {
+    val key = s"scratch-reenter-${System.nanoTime()}"
+    val inner = intercept[IllegalStateException] {
+      Scratch.writeOnce(key) { Scratch.writeOnce(key) { () } }
+    }
+    assert(inner.getMessage.contains(key))
+    // the failed outer build must not poison the key (entry removed)
+    var ran = false
+    Scratch.writeOnce(key) { ran = true }
+    assert(ran, "key must be retryable after the re-entrant failure")
+  }
+
+  test("a DIFFERENT key inside a build still nests fine") {
+    val outer = s"scratch-nest-a-${System.nanoTime()}"
+    val innerK = s"scratch-nest-b-${System.nanoTime()}"
+    var both = 0
+    Scratch.writeOnce(outer) { both += 1; Scratch.writeOnce(innerK) { both += 1 } }
+    assert(both === 2)
+  }
 }
