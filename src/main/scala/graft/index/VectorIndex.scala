@@ -854,44 +854,53 @@ final class VectorIndex private (
     * construction. */
   def healthReport(maxIter: Int = 20): DataFrame = {
     val liveIds = vectors.select(col("id"))
-    val nLive = liveIds.count()
+    val edges = adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
+    // out-degree per LIVE id (adjacency rows are live-only; a live id
+    // with no row counts as 0) — nLive rides the same single-row agg
+    val degRow = liveIds
+      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .select(col("a").as("id"), col("deg")),
+        Seq("id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .agg(count(lit(1)).as("n_live"), min(col("deg")), max(col("deg")),
+        (round(avg(col("deg")), 4) + lit(0.0))).head()
+    val nLive = degRow.getLong(0)
     if (nLive == 0) {
       return spark.createDataFrame(
         java.util.Collections.singletonList(
           org.apache.spark.sql.Row(0L, 0L, 0L, 0.0, 0L, 0L, 0.0, 0L)),
         healthSchema)
     }
-    val edges = adjacency.select(col("id").as("a"), explode(col("nbrs")).as("b"))
-    // out-degree per LIVE id (adjacency rows are live-only; a live id
-    // with no row counts as 0)
-    val degRow = liveIds
-      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-          .select(col("a").as("id"), col("deg")),
-        Seq("id"), "left")
-      .select(coalesce(col("deg"), lit(0L)).as("deg"))
-      .agg(min(col("deg")), max(col("deg")),
-        (round(avg(col("deg")), 4) + lit(0.0))).head()
     val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b", maxIter)
-    val ccNodes = cc.select(col("node"))
-    val singles = liveIds
-      .join(ccNodes, liveIds("id") === ccNodes("node"), "left_anti").count()
-    val nDangling = ccNodes
-      .join(liveIds, ccNodes("node") === liveIds("id"), "left_anti").count()
-    val nComponents = cc.select(col("component")).distinct().count() + singles
     val entryRows = cc.filter(col("node") === meta.entrypoint.toLong)
       .select(col("component")).collect()
-    // an entrypoint absent from the edge graph is its own singleton
-    val entrySize =
-      if (entryRows.isEmpty) 1L
-      else cc.filter(col("component") === entryRows.head.getLong(0))
-        .join(liveIds, cc("node") === liveIds("id"), "left_semi").count()
+    // an entrypoint absent from the edge graph is its own singleton;
+    // -1 never matches a component label (labels are node ids >= 0)
+    val entryComp = if (entryRows.isEmpty) -1L else entryRows.head.getLong(0)
+    // One full-outer join carries every remaining audit number in a
+    // single-row agg (they were four separate count() jobs; on a
+    // 10k-node graph each was pure scheduler overhead): live ids with
+    // no edge row = singletons, labeled non-live nodes = dangling
+    // endpoints, distinct labels + singletons = components, live
+    // members of the entrypoint's component = reachable set.
+    val audit = liveIds.join(cc, liveIds("id") === cc("node"), "full_outer")
+      .agg(
+        count(when(col("node").isNull, 1)).as("singles"),
+        count(when(col("id").isNull, 1)).as("dangling"),
+        countDistinct(col("component")).as("n_comp_edges"),
+        count(when(col("id").isNotNull && col("component") === entryComp, 1))
+          .as("entry_live")).head()
     graft.plans.Blocks.release(cc)
+    val singles = audit.getLong(0)
+    val nDangling = audit.getLong(1)
+    val nComponents = audit.getLong(2) + singles
+    val entrySize = if (entryComp == -1L) 1L else audit.getLong(3)
     spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row(nLive, nComponents, entrySize,
           BigDecimal(entrySize.toDouble / nLive)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          degRow.getLong(0), degRow.getLong(1), degRow.getDouble(2),
+          degRow.getLong(1), degRow.getLong(2), degRow.getDouble(3),
           nDangling)),
       healthSchema)
   }

@@ -539,14 +539,19 @@ object Similarity {
     * context window (k near-identical passages waste the window; MMR
     * spends it on coverage).
     *
-    * Shape: the greedy loop is inherently sequential in k, so it runs
-    * as k relational rounds over the candidate frame — each round is
-    * one anti-join (drop already-picked), one query_id-keyed join
-    * against the ≤(k−1) picked rows for the max-sim term, and a
-    * 1-element bounded-heap argmax ([[graft.functions.VectorFunctions.topKPairs]]).
-    * Every shuffle hashes query_id; per-query state never exceeds the
-    * candidate list (N rows) — queries scale out embarrassingly, k
-    * stays a small constant. No per-row lambda recursion, no UDFs.
+    * Shape: the greedy loop is inherently sequential in k — but only
+    * WITHIN one query's candidate list, which is bounded by
+    * construction (a rerank consumes retrieval's top-N, never the
+    * corpus). So the selection runs where the group lives: ONE
+    * query_id-keyed exchange groups each candidate list, then the k
+    * greedy rounds execute locally over the ≤N in-memory rows
+    * (O(k·N·d) per query). Queries scale out embarrassingly —
+    * 10⁶ queries are 10⁶ independent groups across the fleet — and
+    * the driver schedules one stage instead of ~4 jobs × k rounds
+    * (the previous relational unrolling: correct, but at fleet scale
+    * the k global barriers, not the arithmetic, were the cost; its
+    * history is in git). Per-group state is the candidate list
+    * itself — the same bound the relational form carried.
     *
     * Determinism contract (what lets DuckDB replay it exactly): every
     * decision runs in EXACT INTEGER fixed-point. Relevance and each
@@ -563,67 +568,87 @@ object Similarity {
     * (query_id, cand_id, rnk, score_fp BIGINT), rnk = 1..k in pick
     * order. */
   def mmrRerank(cands: DataFrame, k: Int, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
-    import VectorFunctions.{cosineSimFromNorms, dot, topKPairs}
     require(k >= 1, "k must be >= 1")
     require(lamNum >= 0 && lamNum <= lamDen, "lambda must be a rational in [0, 1]")
-    val fp = (c: org.apache.spark.sql.Column) =>
-      floor(c * 10000.0 + 0.5).cast("long")
-    // the k greedy rounds re-consume this frame ~3x each; without a
-    // materialization barrier every round re-executes the WHOLE
-    // retrieval upstream per branch and the plan deepens round over
-    // round (measured 11.5s for 10 queries x 12 candidates at sf0.1 —
-    // pure re-planning overhead). The frame is O(queries·N) rows — the
-    // connectedComponents precedent; the caller releases the blocks
-    // (Bench does, like the beam-search results).
-    // repartition on query_id BEFORE the barrier: every round's joins
-    // and aggs key on query_id, so they co-partition off the
-    // checkpointed layout, and AQE right-sizes the partition count to
-    // the frame (a handful of tasks for small query sets, scaling out
-    // with the query fleet)
-    val base = cands.select(col("query_id"), col("cand_id"),
-      fp(col("rel")).as("rel_fp"),
-      col("vec"), sqrt(dot(col("vec"), col("vec"))).as("nrm"))
-      .repartition(col("query_id"))
-      .localCheckpoint(true)
-    def argmax(scored: DataFrame, rnk: Int): DataFrame =
-      scored.groupBy(col("query_id"))
-        .agg(topKPairs((-col("score_fp")).cast("double"), col("cand_id"), 1).as("tk"))
-        .select(col("query_id"), col("tk").getItem(0).getField("id").as("cand_id"),
-          (-col("tk").getItem(0).getField("dist")).cast("long").as("score_fp"),
-          lit(rnk).as("rnk"))
-    // first pick: no selected set yet, so the redundancy term is 0.
-    // sel is re-consumed 3x per later round (anti-join, vec lookup,
-    // union) AND grows a plan level per round — checkpoint each round;
-    // intermediates released, the final frame is the caller's.
-    var sel = argmax(
-      base.withColumn("score_fp", lit(lamNum.toLong) * col("rel_fp")), 1)
-      .localCheckpoint(true)
-    for (step <- 2 to k) {
-      val remaining = base.join(
-        sel.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_anti")
-      val selVecs = sel.select(col("query_id"), col("cand_id").as("sid"))
-        .join(base.select(col("query_id"), col("cand_id").as("sid"),
-          col("vec").as("svec"), col("nrm").as("snrm")), Seq("query_id", "sid"))
-      val scored = remaining.join(selVecs, Seq("query_id"))
-        .withColumn("sim_fp",
-          fp(cosineSimFromNorms(dot(col("vec"), col("svec")),
-            col("nrm"), col("snrm"))))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(first(col("rel_fp")).as("rel_fp"), max(col("sim_fp")).as("maxsim_fp"))
-        .withColumn("score_fp",
-          lit(lamNum.toLong) * col("rel_fp") -
-            lit((lamDen - lamNum).toLong) * col("maxsim_fp"))
-      val next = sel.unionByName(argmax(scored, step)).localCheckpoint(true)
-      graft.plans.Blocks.release(sel)
-      sel = next
+    val sess = cands.sparkSession
+    import sess.implicits._
+    val lamN = lamNum.toLong
+    val lamC = (lamDen - lamNum).toLong
+    // The local arithmetic replicates the column kernels OP FOR OP so
+    // the DuckDB unrolled-CTE oracle (and the relational form's pinned
+    // results) replay bit-identically: float elements widen to double
+    // BEFORE the multiply and accumulate left-to-right (DotProduct
+    // kernel), zero-norm similarity is 0 (the try_divide contract),
+    // and every decision quantizes via floor(x·10⁴ + 0.5) exact
+    // integers first.
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
     }
-    val out = sel.select(col("query_id"), col("cand_id"), col("rnk"), col("score_fp"))
+    def fpL(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    cands
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("rel").cast("double"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // candidate order pinned by id so shuffle arrival order can
+        // never influence a tie (argmax keeps the FIRST max = min id)
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val relFp = new Array[Long](n)
+        val nrm = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          relFp(i) = fpL(rows(i)._3)
+          nrm(i) = math.sqrt(dotD(rows(i)._4, rows(i)._4))
+          i += 1
+        }
+        val maxSim = new Array[Long](n)
+        val picked = new Array[Boolean](n)
+        val out = Vector.newBuilder[(Long, Long, Int, Long)]
+        var rnk = 1
+        var exhausted = false
+        while (rnk <= k && !exhausted) {
+          var best = -1
+          var bestScore = 0L
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              // first pick has no selected set: redundancy term is 0
+              val score =
+                if (rnk == 1) lamN * relFp(j)
+                else lamN * relFp(j) - lamC * maxSim(j)
+              if (best == -1 || score > bestScore) { best = j; bestScore = score }
+            }
+            j += 1
+          }
+          if (best == -1) exhausted = true
+          else {
+            picked(best) = true
+            out += ((qid, rows(best)._2, rnk, bestScore))
+            var m = 0
+            while (m < n) {
+              if (!picked(m)) {
+                val den = nrm(m) * nrm(best)
+                val sim = if (den == 0.0) 0.0 else dotD(rows(m)._4, rows(best)._4) / den
+                val simFp = fpL(sim)
+                // max over ALL picked so far — incremental max equals
+                // the relational round's max(sim_fp) aggregate; fresh
+                // candidates start at 0… except sims can be NEGATIVE,
+                // so round 2's value must be the pick-1 sim itself
+                if (rnk == 1 || simFp > maxSim(m)) maxSim(m) = simFp
+              }
+              m += 1
+            }
+            rnk += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "cand_id", "rnk", "score_fp")
       .orderBy(col("query_id"), col("rnk"))
-      .localCheckpoint(true)
-    graft.plans.Blocks.release(sel)
-    graft.plans.Blocks.release(base)
-    out
   }
 
   /** Hard-negative mining for contrastive/metric training: for each

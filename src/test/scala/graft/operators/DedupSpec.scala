@@ -169,6 +169,46 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 61 && cc.values.forall(_ == 0L))
   }
 
+  test("connectedComponents matches a local union-find oracle on a random multi-partition graph") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(1729)
+    // 400 nodes, 300 random edges: a mix of mid-size components,
+    // singletons-with-self-loops, and isolated pairs — spread over 16
+    // partitions so the phase-1 contraction sees each component split
+    // across many partitions (the regime the cross-root edges exist for)
+    val edges = Seq.fill(300)((rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+    val pairs = edges.toDF("doc_a", "doc_b").repartition(16)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth (min-root)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    assert(got === want)
+  }
+
+  test("connectedComponents is exact when every edge sits alone in its partition") {
+    val ss = spark
+    import ss.implicits._
+    // one edge per partition: phase-1 union-find merges NOTHING beyond
+    // single edges, so connectivity is carried entirely by the
+    // contracted root graph — the worst case for the contraction
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .repartition(12)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 13 && cc.values.forall(_ == 0L))
+  }
+
   test("removeBoilerplateLines drops lines in >= minDocFreq distinct docs from EVERY doc, order preserved") {
     val ss = spark
     import ss.implicits._
