@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -886,5 +886,94 @@ object TextAnalysis {
       .select(col("term"), col("c_a"), col("c_b"),
         round((lit(0.5) * (pa * log(pa / m)) + lit(0.5) * (pb * log(pb / m)))
           * lit(1000000000000.0), 0).cast("long").as("js_fp"))
+  }
+
+  /** Batch-perceptron linear filter trainer — the "train a quality /
+    * language / spam classifier ON the cluster, then score the
+    * corpus with it" step of a curation pipeline (the fastText-style
+    * filter of CCNet/RefinedWeb, reduced to its distributable core).
+    *
+    * Rosenblatt perceptron, BATCH variant: per epoch, sum the update
+    * `y·x` over every currently-misclassified row (`y·(w·x) <= 0`)
+    * and apply it once — so an epoch is ONE aggregate job whose
+    * partial sums combine map-side, and the whole trainer is `epochs`
+    * scans of a narrow integer projection (checkpointed once here; at
+    * 100 TB that frame is tens of bytes/row and the epoch count is a
+    * small constant). No learning-rate float, no RNG, no sample
+    * order: weights, margins, and updates are all BIGINT, and integer
+    * sums are exactly order-independent — which is what lets a SQL
+    * twin replay training bit-for-bit (q186), something no
+    * float-SGD trainer can offer.
+    *
+    * `labelCol` must be ±1. Returns one row per epoch:
+    * (epoch, w_bias, w_<feature>..., n_misclassified) where the
+    * weights are AFTER that epoch's update and `n_misclassified`
+    * counts rows wrong UNDER THE WEIGHTS THE EPOCH STARTED WITH
+    * (epoch 1 therefore reports all rows: w = 0 margins everything
+    * to 0). Once an epoch reads 0 the gradient is 0 and every later
+    * row repeats verbatim — fixed `epochs` keeps the two engines'
+    * row sets trivially aligned. Overflow headroom: |w| grows by at
+    * most Σ|feature| per epoch, so int64 covers ~10^14 rows of
+    * 10^4-scale features over single-digit epochs. */
+  def batchPerceptron(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String = "y",
+      epochs: Int = 5): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(epochs >= 1, "epochs must be >= 1")
+    val sess = labeled.sparkSession
+    val base = labeled.select(
+      (col(labelCol).cast("long").as("y") +:
+        featureCols.map(f => col(f).cast("long").as(f))): _*)
+      .localCheckpoint(true)
+    val k = featureCols.length
+    val w = new Array[Long](k + 1) // w(0) = bias
+    val rows = Vector.newBuilder[Row]
+    for (epoch <- 1 to epochs) {
+      val margin = featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (f, i)) => acc + lit(w(i + 1)) * col(f)
+      }
+      val gradAggs =
+        (sum(col("y")).as("g0") +:
+          featureCols.zipWithIndex.map { case (f, i) =>
+            sum(col("y") * col(f)).as(s"g${i + 1}") }) :+
+          count(lit(1)).as("n_wrong")
+      val g = base.filter(col("y") * margin <= 0)
+        .agg(gradAggs.head, gradAggs.tail: _*).head()
+      val nWrong = g.getLong(k + 1)
+      var i = 0
+      while (i <= k) {
+        // empty misclassified set -> null sums -> gradient 0
+        if (!g.isNullAt(i)) w(i) += g.getLong(i)
+        i += 1
+      }
+      rows += Row.fromSeq(epoch.toLong +: w.toVector :+ nWrong)
+    }
+    graft.plans.Blocks.release(base)
+    val schema = org.apache.spark.sql.types.StructType(
+      (("epoch" +: "w_bias" +: featureCols.map("w_" + _)) :+ "n_misclassified")
+        .map(n => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.LongType, nullable = false)))
+    sess.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.result()).asJava),
+      schema)
+  }
+
+  /** Score a corpus with trained [[batchPerceptron]] weights: appends
+    * BIGINT `margin` (= w·x, exactly reproducible) and boolean `keep`
+    * (margin > 0) — a pure per-row expression that pipelines inside
+    * the scan at any scale. `weights` is (bias, per-featureCols). */
+  def linearFilterScore(
+      docs: DataFrame,
+      featureCols: Seq[String],
+      weights: Seq[Long]): DataFrame = {
+    require(weights.length == featureCols.length + 1,
+      s"need ${featureCols.length + 1} weights (bias first), got ${weights.length}")
+    val margin = featureCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (f, i)) => acc + lit(weights(i + 1)) * col(f).cast("long")
+    }
+    docs.withColumn("margin", margin).withColumn("keep", col("margin") > 0)
   }
 }

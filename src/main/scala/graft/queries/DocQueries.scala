@@ -1836,7 +1836,117 @@ object DocQueries {
        |FROM cand WHERE $estJaccardSql >= 0.5
        |ORDER BY batch_id, store_id""".stripMargin
 
+  /** Learned linear quality filter (q186): train a batch perceptron
+    * ON the cluster — the distributable core of the fastText-style
+    * model filters (CCNet, RefinedWeb) with EXACT integer arithmetic,
+    * so the DuckDB twin replays the whole training run (unrolled
+    * epoch CTEs) bit-for-bit. The supervision is distant: docs whose
+    * mean token length is confidently short (10·chars < 52·tokens)
+    * are labeled +1, confidently long (> 56·tokens) −1, and the
+    * ambiguous band ABSTAINS from the training set — the standard
+    * weak-labeling recipe, and what makes the problem separable with
+    * a real margin. Features are token count and the DECORRELATED
+    * excess-chars residual (chars − 5·tokens): raw (tokens, chars)
+    * are ~0.98-correlated, which crushes the perceptron margin/radius
+    * ratio and stalls convergence (measured: oscillation at 154
+    * errors; residualized it hits 0 by epoch 7-8 at every sf). Emits
+    * the per-epoch weight trajectory + misclassification count — the
+    * learning curve the pipeline gate reads, which must reach 0 on
+    * separable data. */
+  def linearFilter(spark: SparkSession, dir: String): DataFrame = {
+    val feats = spread(t(spark, dir, "documents"))
+      .select(length(col("text")).cast("long").as("nc"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .select(
+        when(lit(10L) * col("nc") < lit(52L) * col("nt"), 1L)
+          .when(lit(10L) * col("nc") > lit(56L) * col("nt"), -1L)
+          .otherwise(0L).as("y"),
+        col("nt").as("n_tokens"),
+        (col("nc") - lit(5L) * col("nt")).as("excess_chars"))
+      .filter(col("y") =!= 0L)
+    TextAnalysis.batchPerceptron(
+        feats, Seq("n_tokens", "excess_chars"), "y", epochs = LfEpochs)
+      .orderBy(col("epoch"))
+  }
+
+  /** Apply the q186-trained filter to the WHOLE corpus (q187) —
+    * including the rows the distant labeler abstained on, which is
+    * the point of training a model at all: it decides the band no
+    * rule covered. Output: per (band label, keep) cell counts with
+    * exact integer margin extrema — the acceptance audit a pipeline
+    * reads before turning a learned filter on (the y=0 rows' split
+    * shows where the learned boundary landed inside the band; any
+    * keep=false under y=+1 would be a train/apply skew bug). */
+  def linearFilterApply(spark: SparkSession, dir: String): DataFrame = {
+    val trained = linearFilter(spark, dir).orderBy(col("epoch").desc).head()
+    val weights = Seq(trained.getLong(1), trained.getLong(2), trained.getLong(3))
+    val feats = spread(t(spark, dir, "documents"))
+      .select(length(col("text")).cast("long").as("nc"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .select(
+        when(lit(10L) * col("nc") < lit(52L) * col("nt"), 1L)
+          .when(lit(10L) * col("nc") > lit(56L) * col("nt"), -1L)
+          .otherwise(0L).as("y"),
+        col("nt").as("n_tokens"),
+        (col("nc") - lit(5L) * col("nt")).as("excess_chars"))
+    TextAnalysis.linearFilterScore(feats, Seq("n_tokens", "excess_chars"), weights)
+      .groupBy(col("y"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin")).as("min_margin"), max(col("margin")).as("max_margin"))
+      .orderBy(col("y"), col("keep"))
+  }
+
+  /** The q186 oracle: training unrolled as CTE pairs — u_k sums the
+    * misclassified gradient under e_{k-1}'s weights (exact BIGINT),
+    * e_k applies it. Generated mechanically so every epoch's SQL is
+    * uniform; epoch count and feature lists come from the SAME
+    * constants the Spark side uses. */
+  private val LfEpochs = 10
+
+  /** Shared training CTE chain for the q186/q187 oracles: f0 (raw
+    * counts) → lab (band labels + features) → feats (abstention
+    * filtered) → e0..e{LfEpochs} (weights after each epoch). */
+  private def linearFilterCtes: String = {
+    val epochs = LfEpochs
+    val steps = (1 to epochs).map { k =>
+      s"""u$k AS (SELECT CAST(COALESCE(SUM(y),0) AS BIGINT) AS g0,
+         |  CAST(COALESCE(SUM(y*f1),0) AS BIGINT) AS g1,
+         |  CAST(COALESCE(SUM(y*f2),0) AS BIGINT) AS g2,
+         |  COUNT(*) AS nw
+         |  FROM feats, e${k - 1} WHERE y*(w0 + w1*f1 + w2*f2) <= 0),
+         |e$k AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2, u$k.nw AS nw
+         |  FROM e${k - 1}, u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""f0 AS (SELECT CAST(length(text) AS BIGINT) AS nc,
+       |  CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+       |lab AS (SELECT CASE WHEN 10*nc < 52*nt THEN 1
+       |                    WHEN 10*nc > 56*nt THEN -1 ELSE 0 END AS y,
+       |  nt AS f1, nc - 5*nt AS f2 FROM f0),
+       |feats AS (SELECT * FROM lab WHERE y <> 0),
+       |e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2),
+       |$steps""".stripMargin
+  }
+
+  private def linearFilterOracleSql: String = {
+    val rows = (1 to LfEpochs).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS epoch, w0 AS w_bias, w1 AS w_n_tokens, " +
+        s"w2 AS w_excess_chars, nw AS n_misclassified FROM e$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $linearFilterCtes
+       |SELECT * FROM ($rows) ORDER BY epoch""".stripMargin
+  }
+
+  private def linearFilterApplyOracleSql: String =
+    s"""WITH $linearFilterCtes
+       |SELECT y, (w0 + w1*f1 + w2*f2) > 0 AS keep, COUNT(*) AS n_docs,
+       |  MIN(w0 + w1*f1 + w2*f2) AS min_margin,
+       |  MAX(w0 + w1*f1 + w2*f2) AS max_margin
+       |FROM lab, e$LfEpochs GROUP BY 1, 2 ORDER BY y, keep""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q186_linear_filter" -> linearFilterOracleSql,
+    "q187_linear_filter_apply" -> linearFilterApplyOracleSql,
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -3233,6 +3343,8 @@ object DocQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_linear_filter" -> (linearFilter _),
+    "q187_linear_filter_apply" -> (linearFilterApply _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),

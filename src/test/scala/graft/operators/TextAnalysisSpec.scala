@@ -377,4 +377,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("NFC") || ex.getMessage.toLowerCase.contains("form"))
   }
+
+  test("batchPerceptron replays the hand-computed integer trajectory and converges") {
+    val ss = spark
+    import ss.implicits._
+    // 1-D separable: y = +1 iff f > 2 (margin 1 around the threshold)
+    val rows = Seq((1L, 4L), (1L, 5L), (1L, 6L), (-1L, 0L), (-1L, 1L), (-1L, 2L))
+    val df = rows.toDF("y", "f").repartition(3)
+    val out = TextAnalysis.batchPerceptron(df, Seq("f"), "y", epochs = 6)
+      .orderBy("epoch").collect()
+    // hand replay: epoch 1 starts at w = 0 -> all 6 rows have margin 0,
+    // misclassified; g = (sum y, sum y*f) = (0, 15 - 3) = (0, 12)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 0L &&
+      out(0).getLong(2) == 12L && out(0).getLong(3) == 6L)
+    // epoch 2: margins 12f -> negatives with f=0 sit at 0 (wrong),
+    // f=1,2 positive (wrong); g = (-3, -3); w = (-3, 9)
+    assert(out(1).toSeq == Seq(2L, -3L, 9L, 3L))
+    // must reach and hold 0 misclassified on separable data
+    assert(out.last.getLong(3) == 0L)
+    val zeroAt = out.indexWhere(_.getLong(3) == 0L)
+    assert(out.drop(zeroAt).forall(r => r.getLong(3) == 0L &&
+      r.getLong(1) == out(zeroAt).getLong(1) && r.getLong(2) == out(zeroAt).getLong(2)),
+      "weights must freeze once the error count hits zero")
+    // partition invariance: integer sums are order-independent
+    val rep = TextAnalysis.batchPerceptron(rows.toDF("y", "f").repartition(1),
+      Seq("f"), "y", epochs = 6).orderBy("epoch").collect()
+    assert(rep.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("linearFilterScore appends the exact integer margin and keep flag") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 4L), (2L, 2L)).toDF("id", "f")
+    val got = TextAnalysis.linearFilterScore(df, Seq("f"), Seq(-3L, 9L))
+      .orderBy("id").collect()
+    assert(got(0).getLong(2) == 33L && got(0).getBoolean(3))
+    assert(got(1).getLong(2) == 15L && got(1).getBoolean(3))
+    val neg = TextAnalysis.linearFilterScore(Seq((1L, 0L)).toDF("id", "f"),
+      Seq("f"), Seq(-3L, 9L)).collect()
+    assert(neg(0).getLong(2) == -3L && !neg(0).getBoolean(3))
+  }
 }
