@@ -976,4 +976,43 @@ object TextAnalysis {
     }
     docs.withColumn("margin", margin).withColumn("keep", col("margin") > 0)
   }
+
+  /** Distinct-n lexical diversity audit (Li et al. NAACL 2016's
+    * distinct-1/distinct-2, the standard mode-collapse screen for
+    * synthetic/generated corpora): per group, total and DISTINCT
+    * unigram/bigram counts plus the exact fixed-point ratios
+    * (HALF_UP per-10000, the q70 integer-DIV template — no float
+    * division anywhere, so engines agree bit-for-bit).
+    *
+    * N-gram identity is the ~60-bit dual-fold chunk id over per-token
+    * rolling hashes ([[Dedup.chunkIdArr]] at k=1/k=2) — 8-byte ids
+    * cross the shuffle, never strings, and the distinct aggregates
+    * partial-agg map-side. A dual-fold collision undercounts a
+    * distinct n-gram deterministically (both engines share the ids),
+    * which is the right trade at 100 TB: the alternative — exact
+    * distinct over n-gram STRINGS — shuffles the token stream itself.
+    * Groups are corpus sources (dozens), so the result is a
+    * dashboard-sized frame. */
+  def distinctNgramStats(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(groupCol), tokens(col(textCol)).as("__graft_toks"))
+      .select(col(groupCol),
+        transform(col("__graft_toks"), t => termHash(t)).as("h"),
+        transform(col("__graft_toks"), t => termHash2(t)).as("h2"))
+    def pass(k: Int, total: String, dist: String): DataFrame =
+      hashed.filter(size(col("h")) >= k)
+        .select(col(groupCol),
+          explode(Dedup.chunkIdArr(col("h"), col("h2"), k)).as("nid"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as(total), countDistinct(col("nid")).as(dist))
+    pass(1, "n_tokens", "n_distinct_1")
+      .join(pass(2, "n_bigrams", "n_distinct_2"), Seq(groupCol), "left")
+      .withColumn("distinct1_per_10k",
+        expr("(n_distinct_1 * 20000 + n_tokens) DIV (n_tokens * 2)"))
+      .withColumn("distinct2_per_10k",
+        expr("(n_distinct_2 * 20000 + n_bigrams) DIV (n_bigrams * 2)"))
+  }
 }

@@ -1854,7 +1854,18 @@ object DocQueries {
     * learning curve the pipeline gate reads, which must reach 0 on
     * separable data. */
   def linearFilter(spark: SparkSession, dir: String): DataFrame = {
-    val feats = spread(t(spark, dir, "documents"))
+    val feats = lfFeatures(spark, dir).filter(col("y") =!= 0L)
+    TextAnalysis.batchPerceptron(
+        feats, Seq("n_tokens", "excess_chars"), "y", epochs = LfEpochs)
+      .orderBy(col("epoch"))
+  }
+
+  /** Shared q186/q187/q190 feature frame: distant band label y
+    * (+1 confidently-short mean token length, −1 confidently-long,
+    * 0 abstain) plus the decorrelated (n_tokens, excess_chars)
+    * features — ALL docs, abstentions included. */
+  private def lfFeatures(spark: SparkSession, dir: String): DataFrame =
+    spread(t(spark, dir, "documents"))
       .select(length(col("text")).cast("long").as("nc"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
       .select(
@@ -1863,11 +1874,6 @@ object DocQueries {
           .otherwise(0L).as("y"),
         col("nt").as("n_tokens"),
         (col("nc") - lit(5L) * col("nt")).as("excess_chars"))
-      .filter(col("y") =!= 0L)
-    TextAnalysis.batchPerceptron(
-        feats, Seq("n_tokens", "excess_chars"), "y", epochs = LfEpochs)
-      .orderBy(col("epoch"))
-  }
 
   /** Apply the q186-trained filter to the WHOLE corpus (q187) —
     * including the rows the distant labeler abstained on, which is
@@ -1880,21 +1886,94 @@ object DocQueries {
   def linearFilterApply(spark: SparkSession, dir: String): DataFrame = {
     val trained = linearFilter(spark, dir).orderBy(col("epoch").desc).head()
     val weights = Seq(trained.getLong(1), trained.getLong(2), trained.getLong(3))
-    val feats = spread(t(spark, dir, "documents"))
-      .select(length(col("text")).cast("long").as("nc"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
-      .select(
-        when(lit(10L) * col("nc") < lit(52L) * col("nt"), 1L)
-          .when(lit(10L) * col("nc") > lit(56L) * col("nt"), -1L)
-          .otherwise(0L).as("y"),
-        col("nt").as("n_tokens"),
-        (col("nc") - lit(5L) * col("nt")).as("excess_chars"))
-    TextAnalysis.linearFilterScore(feats, Seq("n_tokens", "excess_chars"), weights)
+    TextAnalysis.linearFilterScore(
+        lfFeatures(spark, dir), Seq("n_tokens", "excess_chars"), weights)
       .groupBy(col("y"), col("keep"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("margin")).as("min_margin"), max(col("margin")).as("max_margin"))
       .orderBy(col("y"), col("keep"))
   }
+
+  /** Operating-point calibration sweep for the q186-trained filter
+    * (q190): confusion counts against the distant band labels at every
+    * threshold of a symmetric exponential (4^k) grid — the exact-
+    * integer PR curve a pipeline reads to pick the filter's keep
+    * threshold (margin > 0 is just ONE operating point; shifting it
+    * trades the band split). One corpus pass: rows fan out over the
+    * broadcast 35-threshold grid and collapse into map-side partial
+    * aggregates, so the exchange is 35 rows of six BIGINTs at any
+    * corpus size. */
+  def filterCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val trained = linearFilter(spark, dir).orderBy(col("epoch").desc).head()
+    val weights = Seq(trained.getLong(1), trained.getLong(2), trained.getLong(3))
+    def cell(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(cond, 1L).otherwise(0L))
+    TextAnalysis.linearFilterScore(
+        lfFeatures(spark, dir), Seq("n_tokens", "excess_chars"), weights)
+      .select(col("y"), col("margin"), explode(lit(CalibThresholds)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        cell(col("y") === 1L && col("margin") > col("thr")).as("tp"),
+        cell(col("y") === -1L && col("margin") > col("thr")).as("fp"),
+        cell(col("y") === 1L && col("margin") <= col("thr")).as("fn"),
+        cell(col("y") === -1L && col("margin") <= col("thr")).as("tn"),
+        cell(col("y") === 0L && col("margin") > col("thr")).as("band_keep"))
+      .orderBy(col("thr"))
+  }
+
+  /** q190's threshold grid: 0 and ±4^k for k in 0..16 — exponential
+    * so one sweep covers margin scales from single tokens to the
+    * full-corpus weight magnitudes (weights grow with corpus size). */
+  private val CalibThresholds: Array[Long] = {
+    val pos = (0 to 16).map(k => 1L << (2 * k))
+    (pos.map(-_) ++ Seq(0L) ++ pos).sorted.toArray
+  }
+
+  /** DSIR hashed-unigram importance filter (q188): fit the raw/target
+    * hashed-unigram bucket distributions with lang='en' as the target
+    * domain ([[Sampling.dsirImportance]] — Xie et al. 2023), score
+    * every document with the exact-integer linearized likelihood-ratio
+    * surrogate, and report the per-(lang, keep) acceptance audit with
+    * exact score extrema. The distribution-MATCHING counterpart of the
+    * q83/q186 classifier filters: no labels, just "weigh documents by
+    * how much their token mass looks like the target domain". Fit
+    * shuffles 1024 bucket rows; scoring is a zero-shuffle narrow pass
+    * (model ships as two array literals); the audit exchange is ten
+    * rows. */
+  def dsirFilter(spark: SparkSession, dir: String): DataFrame =
+    Sampling.dsirImportance(
+        spread(t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))),
+        isTarget = col("lang") === "en", buckets = DsirBuckets)
+      .groupBy(col("lang"), (col("score") > 0L).as("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("lang"), col("keep"))
+
+  /** The q189 selection preview: the 50 most target-like documents by
+    * DSIR importance (score desc, doc_id tie-break) — the head of the
+    * keep-list when the resampling retains a top fraction. TakeOrdered
+    * (per-partition heaps), not a global sort. */
+  def dsirTopK(spark: SparkSession, dir: String): DataFrame =
+    Sampling.dsirImportance(
+        spread(t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))),
+        isTarget = col("lang") === "en", buckets = DsirBuckets)
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+
+  private val DsirBuckets = 1024
+
+  /** Distinct-n lexical diversity league table (q191): per source,
+    * total vs distinct unigram/bigram counts and the exact fixed-point
+    * distinct-1/distinct-2 ratios ([[TextAnalysis.distinctNgramStats]]
+    * — Li et al. 2016's mode-collapse screen, the first audit run on
+    * synthetic/generated corpora before they enter a training mix). */
+  def distinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramStats(
+        spread(t(spark, dir, "documents").select(col("source"), col("text"))))
+      .orderBy(col("source"))
 
   /** The q186 oracle: training unrolled as CTE pairs — u_k sums the
     * misclassified gradient under e_{k-1}'s weights (exact BIGINT),
@@ -1944,9 +2023,69 @@ object DocQueries {
        |  MAX(w0 + w1*f1 + w2*f2) AS max_margin
        |FROM lab, e$LfEpochs GROUP BY 1, 2 ORDER BY y, keep""".stripMargin
 
+  /** Shared q188/q189 oracle CTE chain: tokens -> md5-prefix buckets ->
+    * per-bucket raw/target counts -> totals -> per-doc exact-integer
+    * importance scores (the same linearized likelihood-ratio surrogate
+    * [[graft.operators.Sampling.dsirImportance]] computes). */
+  private def dsirCtes: String =
+    s"""toks AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+       |bk AS (SELECT doc_id, lang,
+       |  CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % $DsirBuckets AS BIGINT) AS bkt
+       |  FROM toks),
+       |stats AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
+       |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ct FROM bk GROUP BY bkt),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM stats),
+       |dscore AS (SELECT bk.doc_id, any_value(bk.lang) AS lang,
+       |  CAST(sum(s.ct * t.nr - s.cr * t.nt) AS BIGINT) AS score
+       |  FROM bk JOIN stats s ON bk.bkt = s.bkt CROSS JOIN tot t
+       |  GROUP BY bk.doc_id)""".stripMargin
+
+  private def filterCalibrationOracleSql: String = {
+    def cell(cond: String, name: String) =
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    s"""WITH $linearFilterCtes,
+       |thr AS (SELECT unnest([${CalibThresholds.mkString(", ")}]) AS thr)
+       |SELECT CAST(thr AS BIGINT) AS thr,
+       |  ${cell("y = 1 AND (w0 + w1*f1 + w2*f2) > thr", "tp")},
+       |  ${cell("y = -1 AND (w0 + w1*f1 + w2*f2) > thr", "fp")},
+       |  ${cell("y = 1 AND (w0 + w1*f1 + w2*f2) <= thr", "fn")},
+       |  ${cell("y = -1 AND (w0 + w1*f1 + w2*f2) <= thr", "tn")},
+       |  ${cell("y = 0 AND (w0 + w1*f1 + w2*f2) > thr", "band_keep")}
+       |FROM lab, e$LfEpochs, thr GROUP BY thr ORDER BY thr""".stripMargin
+  }
+
+  private def distinctNgramsOracleSql: String =
+    s"""WITH toks AS (SELECT source, $toksSql AS t FROM documents),
+       |tids AS (SELECT source, list_transform(t, x -> ${termHashSql("x")}) AS h,
+       |                list_transform(t, x -> ${termHash2Sql("x")}) AS h2
+       |         FROM toks WHERE t IS NOT NULL),
+       |uni AS (SELECT source, unnest(list_transform(range(0, len(h)),
+       |          i -> ${chunkIdSqlK(1)})) AS nid FROM tids WHERE len(h) >= 1),
+       |bi AS (SELECT source, unnest(list_transform(range(0, len(h) - 1),
+       |          i -> ${chunkIdSqlK(2)})) AS nid FROM tids WHERE len(h) >= 2),
+       |u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(count(DISTINCT nid) AS BIGINT) AS n_distinct_1 FROM uni GROUP BY source),
+       |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(count(DISTINCT nid) AS BIGINT) AS n_distinct_2 FROM bi GROUP BY source)
+       |SELECT u.source, n_tokens, n_distinct_1, n_bigrams, n_distinct_2,
+       |  (n_distinct_1 * 20000 + n_tokens) // (n_tokens * 2) AS distinct1_per_10k,
+       |  (n_distinct_2 * 20000 + n_bigrams) // (n_bigrams * 2) AS distinct2_per_10k
+       |FROM u LEFT JOIN b ON u.source = b.source ORDER BY u.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q186_linear_filter" -> linearFilterOracleSql,
     "q187_linear_filter_apply" -> linearFilterApplyOracleSql,
+    "q188_dsir_filter" ->
+      s"""WITH $dsirCtes
+         |SELECT lang, score > 0 AS keep, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM dscore GROUP BY 1, 2 ORDER BY lang, keep""".stripMargin,
+    "q189_dsir_topk" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, lang, score FROM dscore
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q190_filter_calibration" -> filterCalibrationOracleSql,
+    "q191_distinct_ngrams" -> distinctNgramsOracleSql,
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
@@ -3345,6 +3484,10 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_linear_filter" -> (linearFilter _),
     "q187_linear_filter_apply" -> (linearFilterApply _),
+    "q188_dsir_filter" -> (dsirFilter _),
+    "q189_dsir_topk" -> (dsirTopK _),
+    "q190_filter_calibration" -> (filterCalibration _),
+    "q191_distinct_ngrams" -> (distinctNgrams _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),

@@ -240,4 +240,60 @@ class SamplingSpec extends SparkSpec {
     }
     assert(sorts.isEmpty, "global sort should not appear")
   }
+
+  // ------------------------------------------------ DSIR importance
+
+  /** The cross-engine bucket map dsirImportance uses: 60-bit md5
+    * prefix mod B, recomputed here from first principles. */
+  private def dsirBucketOf(tok: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  test("dsirImportance equals a from-scratch recompute and separates target vocab from raw-only vocab") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, true, "aa bb aa"),
+      (2L, true, "bb aa"),
+      (3L, false, "cc dd cc dd"),
+      (4L, false, "aa cc"),
+      (5L, false, "dd dd"))
+    val buckets = 64
+    val out = Sampling.dsirImportance(
+        rows.toDF("id", "is_t", "text"), col("is_t"), buckets)
+      .select("id", "score").as[(Long, Long)].collect().toMap
+    // brute-force fit + score with plain Scala over the same tokens
+    val toks = rows.map { case (id, t, text) =>
+      (id, t, text.trim.toLowerCase.split("\\s+").toSeq) }
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    toks.foreach { case (_, t, ts) => ts.foreach { w =>
+      val b = dsirBucketOf(w, buckets); cr(b) += 1; if (t) ct(b) += 1 } }
+    val (nr, nt) = (cr.sum, ct.sum)
+    val expected = toks.map { case (id, _, ts) =>
+      id -> ts.map { w =>
+        val b = dsirBucketOf(w, buckets); ct(b) * nr - cr(b) * nt }.sum
+    }.toMap
+    assert(out == expected)
+    // all-target vocab scores positive, raw-only vocab negative
+    assert(out(1L) > 0 && out(2L) > 0)
+    assert(out(3L) < 0 && out(5L) < 0)
+  }
+
+  test("dsirImportance scoring pass is shuffle-free: the fitted model rides as array literals") {
+    val ss = spark
+    import ss.implicits._
+    val df = (1L to 200L).map(i =>
+        (i, i % 3 == 0, s"tok${i % 17} tok${i % 5} tok${i % 11}"))
+      .toDF("id", "is_t", "text")
+    val scored = Sampling.dsirImportance(df, col("is_t"), buckets = 32)
+    scored.count()
+    assert(collectShuffles(scored).isEmpty,
+      "scoring must be a narrow map-only pass (zero exchanges)")
+    // every row scored (model covers the full vocab by construction)
+    assert(scored.filter(col("score").isNull).count() == 0L)
+  }
 }

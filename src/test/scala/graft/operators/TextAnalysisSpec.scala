@@ -417,4 +417,35 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("f"), Seq(-3L, 9L)).collect()
     assert(neg(0).getLong(2) == -3L && !neg(0).getBoolean(3))
   }
+
+  test("distinctNgramStats: hand-counted totals, distincts, and HALF_UP fixed-point ratios") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("s1", "a a b"), // unigrams a,a,b; bigrams (a a),(a b)
+      ("s1", "a b"), //   unigrams a,b;   bigram  (a b)
+      ("s2", "x x x x")) // 4 unigrams 1 distinct; 3 bigrams 1 distinct
+      .toDF("source", "text").repartition(3)
+    val got = TextAnalysis.distinctNgramStats(df).orderBy("source").collect()
+    // s1: 5 unigrams / 2 distinct; 3 bigrams / 2 distinct
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 2L)
+    assert(got(0).getLong(3) == 3L && got(0).getLong(4) == 2L)
+    // ratios: HALF_UP(2/5 * 10000) = 4000; HALF_UP(2/3 * 10000) = 6667
+    assert(got(0).getLong(5) == 4000L && got(0).getLong(6) == 6667L)
+    // s2 (mode-collapsed): 4/1 and 3/1 -> 2500 and 3333 per-10k
+    assert(got(1).getLong(1) == 4L && got(1).getLong(2) == 1L)
+    assert(got(1).getLong(3) == 3L && got(1).getLong(4) == 1L)
+    assert(got(1).getLong(5) == 2500L && got(1).getLong(6) == 3333L)
+  }
+
+  test("distinctNgramStats: a single-token group has unigram stats but null bigram stats (left join keeps it)") {
+    val ss = spark
+    import ss.implicits._
+    val got = TextAnalysis.distinctNgramStats(
+        Seq(("solo", "word")).toDF("source", "text"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L)
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4) && got(0).isNullAt(6))
+  }
 }
