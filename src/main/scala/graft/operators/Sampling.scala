@@ -499,6 +499,22 @@ object Sampling {
       cr(b) = r.getLong(1)
       ct(b) = r.getLong(2)
     }
+    dsirScore(docs, cr, ct, textCol)
+  }
+
+  /** Apply a frozen DSIR model (the per-bucket raw/target count
+    * arrays from [[dsirBucketStats]]) — the narrow scoring half of
+    * [[dsirImportance]], split out so a STREAM can score arrivals
+    * with zero state and zero joins (the model is a plan literal;
+    * see [[graft.streaming.StreamingOps.streamingDsirScore]]). */
+  def dsirScore(
+      docs: DataFrame,
+      cr: Array[Long],
+      ct: Array[Long],
+      textCol: String = "text"): DataFrame = {
+    require(cr.length == ct.length && cr.length >= 2,
+      s"model arrays must agree and have >= 2 buckets (got ${cr.length}/${ct.length})")
+    val buckets = cr.length
     val nr = cr.sum
     val nt = ct.sum
     require(nt * 1.0 * nr < 9.2e18,

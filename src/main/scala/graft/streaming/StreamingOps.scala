@@ -85,6 +85,22 @@ object StreamingOps {
       k: Int = 8): DataFrame =
     graft.operators.Dedup.removeContaminatedSpansStateless(stream, benchCids, k)
 
+  /** Streaming DSIR importance scoring (streaming twin of q188's
+    * scoring half): score every arriving document against a FROZEN
+    * hashed-unigram model (the per-bucket raw/target count arrays a
+    * batch [[graft.operators.Sampling.dsirBucketStats]] fit produced).
+    * The model ships as two plan literals and each token is two O(1)
+    * lookups — no state store, no join, no watermark; the ingest-time
+    * "does this look like the target domain" router. Delegates to
+    * [[graft.operators.Sampling.dsirScore]], so stream == batch by
+    * construction. */
+  def streamingDsirScore(
+      stream: DataFrame,
+      cr: Array[Long],
+      ct: Array[Long],
+      textCol: String = "text"): DataFrame =
+    graft.operators.Sampling.dsirScore(stream, cr, ct, textCol)
+
   /** Streaming semantic decontamination (streaming twin of q96):
     * append `max_cos` / `contaminated` to every arriving vector. The
     * benchmark set is eval-set-sized by definition, so it inlines —

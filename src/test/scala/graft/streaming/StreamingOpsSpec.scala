@@ -207,6 +207,45 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingDsirScore: stream scores == batch dsirScore under a frozen model") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    // fit the model on a batch "history" corpus, then score a stream
+    val history = Seq(
+      (1L, true, "aa bb aa"),
+      (2L, true, "bb cc"),
+      (3L, false, "dd ee dd"),
+      (4L, false, "aa dd"))
+      .toDF("doc_id", "is_t", "text")
+    val buckets = 32
+    val stats = graft.operators.Sampling
+      .dsirBucketStats(history, org.apache.spark.sql.functions.col("is_t"), buckets)
+      .collect()
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    stats.foreach { r =>
+      cr(r.getLong(0).toInt) = r.getLong(1); ct(r.getLong(0).toInt) = r.getLong(2)
+    }
+    val arrivals = Seq((10L, "aa bb"), (11L, "dd ee"), (12L, "cc dd"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDsirScore(
+        mem.toDF().toDF("doc_id", "text"), cr, ct)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val stream = spark.table("dsir_out")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Sampling
+      .dsirScore(arrivals.toDF("doc_id", "text"), cr, ct)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(stream == batch)
+    // target-vocab arrival scores above the raw-vocab arrival
+    val byId = stream.map(r => r._1 -> r._3).toMap
+    assert(byId(10L) > byId(11L))
+    q.stop()
+  }
+
   test("streamingStoreProbe: stream hits == batch SignatureStore probe (per-pair)") {
     val ss = spark
     implicit val sql = ss.sqlContext
