@@ -195,12 +195,14 @@ object Bench {
 
   private def sweepQueries(spark: SparkSession, dir: String,
       repeat: Int,
-      minTaken: scala.collection.mutable.Set[String] = null): Seq[(String, Double)] =
+      minTaken: scala.collection.mutable.Set[String] = null,
+      minOfTwoFloor: Boolean = false): Seq[(String, Double)] =
     SparkEntry.queries.toSeq.map { case (name, fn) =>
       def once(): Double = timeOnce(spark, dir, fn)
       val first = once()
       val t =
-        if (repeat <= 1 || first <= medianMinSec / 2) first
+        if (repeat <= 1 || (first <= medianMinSec / 2 && !minOfTwoFloor)) first
+        else if (first <= medianMinSec / 2) math.min(first, once())
         else {
           val second = once()
           if (math.max(first, second) > medianMinSec)
@@ -300,7 +302,12 @@ object Bench {
         catch { case _: Throwable => () }
         try { graft.queries.DocQueries.prewarm(spark, ld); () }
         catch { case _: Throwable => () }
-        sweepQueries(spark, ld, repeat).toMap
+        // min-of-two floor: the lo sweep's sub-second bulk is the
+        // DENOMINATOR of every scale ratio, where one-shot jitter is
+        // amplified by the division (COVERAGE round-13 thread c) —
+        // one confirming run per fast query stabilizes it for ~40 s
+        // of probe time; the headline sweep keeps its cheaper rule
+        sweepQueries(spark, ld, repeat, minOfTwoFloor = true).toMap
     }
     val ratios: Seq[(String, Double)] = results.collect {
       case (k, hi) if loResults.get(k).exists(_ > 0.01) =>

@@ -1,44 +1,42 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: run ONE query and print per-stage task counts + times so
-  * parallelism problems are visible (local[32] should show ~32 tasks
-  * on the heavy stages, not 1).
-  * Usage: runMain graft.BenchOne <sfDir> <queryName> [repeat] */
+/** Solo per-query re-measure tool (the query-sweep sibling of
+  * BenchQps): times a comma-separated subset of `SparkEntry.queries`
+  * three times each in one warmed JVM, printing per-run seconds and
+  * catching failures loudly. For adjudicating a single query's bench
+  * number without paying a full sweep — run it on a QUIET host (a
+  * concurrent sbt/Spark job inflates numbers 3-10x; the round-13
+  * "q62 4.6 s" artifact was exactly that).
+  *
+  * Usage: runMain graft.BenchOne qA[,qB,...]   (SPARK_GRAFT_SF_DIR
+  * selects the fixture, default sf0.1). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val name = args(1)
-    val repeat = if (args.length > 2) args(2).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    require(args.nonEmpty, "usage: BenchOne qA[,qB,...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val ms = for {
-          s <- si.submissionTime; c <- si.completionTime
-        } yield c - s
-        println(f"  stage ${si.stageId}%3d: ${si.numTasks}%4d tasks, " +
-          f"${ms.getOrElse(-1L)}%6d ms  ${si.name.takeWhile(_ != '\n').take(80)}")
-      }
-    })
-    (1 to repeat).foreach { i =>
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = args(0).split(",").map(_.trim).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    for (n <- names; i <- 1 to 3) {
+      val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val n = df.count()
-      println(f"run $i: $name -> $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // SPARK_GRAFT_SHOW=1: print the result head (recall self-reports
-      // are 1-row frames — this is how their gate values get eyeballed)
-      if (i == repeat && sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
-        df.show(20, truncate = false)
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        graft.plans.Blocks.release(df)
+        println(f"BENCHONE $n run$i ok ${(System.nanoTime() - t0) / 1e9}%.3f")
+      } catch { case e: Throwable =>
+        println(f"BENCHONE $n run$i FAIL ${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
     }
     spark.stop()
   }

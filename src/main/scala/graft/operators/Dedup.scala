@@ -1214,4 +1214,142 @@ object Dedup {
         coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
         (coalesce(col("n_dup_smaller"), lit(0L)) === 0L).as("keep"))
   }
+
+  /** Directional shingle CONTAINMENT pairs (Broder 1997's asymmetric
+    * companion to resemblance/Jaccard): C(a→b) = |Sa ∩ Sb| / |Sa| over
+    * distinct k-token shingle sets. Containment is the measure for
+    * doc-INSIDE-doc detection — a short document quoted whole inside a
+    * long one scores near 1.0 here while its Jaccard ([[
+    * ngramJaccardPairs]], q41) stays near |Sa|/|Sb| ≈ 0 — i.e. the
+    * quote/mirror/boilerplate-envelope cases whole-doc similarity
+    * under-reports. Same capped inverted-index join as the Jaccard
+    * pipeline (hot shingles dropped — the f² pair-explosion guard),
+    * and the scores are exact HALF_UP per-10k integers (the q70
+    * integer-DIV template), so any SQL engine replays them.
+    * Emits (doc_a < doc_b, n_inter, sa, sb, containment both ways);
+    * a pair ships when EITHER direction clears
+    * `minContainmentPer10k`. */
+  def containmentPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      minContainmentPer10k: Long = 8000L,
+      maxShingleFreq: Int = DefaultMaxShingleFreq,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ds = docShingles(docs.repartition(par), k, idCol, textCol).repartition(par)
+    val filtered = dropHotShingles(ds, maxShingleFreq)
+    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = filtered.as("x").join(filtered.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("sa"), col("sb"),
+        expr("(n_inter * 20000 + sa) DIV (sa * 2)").as("containment_ab_per_10k"),
+        expr("(n_inter * 20000 + sb) DIV (sb * 2)").as("containment_ba_per_10k"))
+      .filter(greatest(col("containment_ab_per_10k"), col("containment_ba_per_10k"))
+        >= minContainmentPer10k)
+  }
+
+  /** Content-defined chunking (the LBFS/FastCDC family —
+    * Muthitacharoen et al. SOSP'01, Xia et al. ATC'16): split a text
+    * at positions where a rolling window hash over the CHARACTER
+    * stream hits 0 mod `divisor`, so chunk boundaries follow content
+    * rather than fixed offsets — an insertion shifts at most the one
+    * chunk it lands in, which is what makes chunk-level dedup robust
+    * where fixed-stride chunking (q69's token windows) is not.
+    *
+    * Determinism contract: the window hash is the ~60-bit dual-fold
+    * window id ([[chunkIdArr]], native kernel) over per-char
+    * codepoints — the bounded-window stand-in for Gear's shift-out
+    * rolling hash, O(n·w) per row instead of O(n), traded for
+    * bit-exact SQL replayability (the ascii↔unicode twin is already
+    * pinned by TermHashKernelSpec incl. multi-byte alphabets). A cut
+    * lands AFTER the window (position s+w); a cut at exactly len is
+    * suppressed (no empty tail chunk); docs shorter than `w` chars
+    * are one whole-text chunk. No min/max chunk clamps (real CDC
+    * adds them for variance control; irrelevant to the dedup audit).
+    *
+    * Emits one row per chunk: (group, doc_id, pos, chunk) — `pos` is
+    * the chunk index within the doc, so concat in pos order MUST
+    * reconstruct the text exactly (DedupSpec pins it). Entirely
+    * narrow: per-row expressions only, no shuffle. */
+  def cdcChunks(
+      docs: DataFrame,
+      w: Int = 8,
+      divisor: Int = 32,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"window w must be >= 1, got $w")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val cps = transform(split(col("t"), ""), c => ascii(c).cast("long"))
+    val cids = chunkIdArr(col("cps"), col("cps"), w)
+    docs
+      .select(col(groupCol), col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      .withColumn("cps", cps)
+      .withColumn("cuts",
+        when(col("len") < w, array().cast("array<bigint>"))
+          .otherwise(filter(
+            transform(sequence(lit(0L), col("len") - w), s =>
+              when(element_at(cids, (s + 1).cast("int")) % divisor === 0 &&
+                  s + w < col("len"), s + w).otherwise(lit(-1L))),
+            x => x >= 0L)))
+      .withColumn("starts", concat(array(lit(0L)), col("cuts")))
+      .withColumn("ends", concat(col("cuts"), array(col("len"))))
+      .select(col(groupCol), col("doc_id"),
+        posexplode(zip_with(col("starts"), col("ends"), (a, b) =>
+          col("t").substr((a + 1).cast("int"), (b - a).cast("int"))))
+          .as(Seq("pos", "chunk")))
+  }
+
+  /** CDC storage-dedup audit: per group (corpus source), total vs
+    * DISTINCT vs NOVEL chunk volume over [[cdcChunks]] — the
+    * storage-style "how much of this source is redundant bytes, and
+    * how much does it contribute that no earlier doc already carried"
+    * league table (novel = chunks whose globally-first occurrence by
+    * doc_id lies in this source). `dedup_ratio_per_10k` is the exact
+    * HALF_UP fixed-point distinct/total ratio (the q70 integer-DIV
+    * template).
+    *
+    * Scale shape: chunk rows shuffle once on the ~60-bit md5-prefix
+    * chunk id (8-byte keys, partial-agged map-side — the q69 shape);
+    * the three per-group cards are dashboard-sized and broadcast-join
+    * back together. */
+  def cdcChunkStats(
+      docs: DataFrame,
+      w: Int = 8,
+      divisor: Int = 32,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = cdcChunks(docs, w, divisor, groupCol, idCol, textCol)
+      .select(col(groupCol), col("doc_id"),
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("cid"),
+        length(col("chunk")).cast("long").as("clen"))
+    val per = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
+    val dist = rows.groupBy(col(groupCol), col("cid"))
+      .agg(min(col("clen")).as("clen"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_distinct_chunks"), sum(col("clen")).as("distinct_chars"))
+    val novel = rows.groupBy(col("cid"))
+      .agg(min_by(col(groupCol), col("doc_id")).as("first_src"),
+        min(col("clen")).as("clen"))
+      .groupBy(col("first_src"))
+      .agg(count(lit(1)).as("novel_chunks"), sum(col("clen")).as("novel_chars"))
+      .withColumnRenamed("first_src", groupCol)
+    per.join(dist, Seq(groupCol))
+      .join(novel, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_chunks"), col("total_chars"),
+        col("n_distinct_chunks"), col("distinct_chars"),
+        coalesce(col("novel_chunks"), lit(0L)).as("novel_chunks"),
+        coalesce(col("novel_chars"), lit(0L)).as("novel_chars"),
+        expr("(distinct_chars * 20000 + total_chars) DIV (total_chars * 2)")
+          .as("dedup_ratio_per_10k"))
+  }
 }

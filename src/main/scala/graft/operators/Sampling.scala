@@ -430,6 +430,63 @@ object Sampling {
     out
   }
 
+  /** UniMax language-budget allocation (Chung et al., TMLR 2023 —
+    * "UniMax: Fairer and More Effective Language Sampling"): spread a
+    * token budget as uniformly as possible across strata, capping each
+    * stratum at `maxEpochs` passes over its data — the successor to
+    * temperature sampling ([[temperatureWeights]]) that never
+    * over-epochs a low-resource language. Exact integer water-filling:
+    * sort strata by cap ascending, find the last rank j* whose cap
+    * fits under the even split of what remains (cap·(n−j+1)+prefix ≤
+    * budget via one window pass), fully fund ranks ≤ j*, and give the
+    * rest the integer water level t = (budget − prefix_{j*}) DIV
+    * (n − j*). Floor-division remainders stay unallocated
+    * (deterministic; at token scale the dust is ≤ n−1 tokens).
+    *
+    * Scale shape: the input is the per-stratum count card (languages/
+    * sources — dashboard-sized by construction), so the global sort
+    * window is over dozens of rows; the corpus-sized work happened in
+    * the upstream count aggregate. Emits per stratum: n (base
+    * tokens), cap, allocated, and HALF_UP epochs_per_10k. */
+  def unimaxAllocation(
+      counts: DataFrame,
+      budget: Long,
+      maxEpochs: Int = 4,
+      groupCol: String = "lang",
+      countCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val w = Window.orderBy(col("cap"), col(groupCol))
+    // checkpoint the card so the upstream corpus aggregate runs ONCE
+    // (the j*/water-level scan below and the result projection both
+    // read the materialized card, not the corpus)
+    val ranked = counts
+      .select(col(groupCol), col(countCol).cast("long").as("n"),
+        (col(countCol).cast("long") * maxEpochs).as("cap"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(col("cap")).over(w))
+      .localCheckpoint(true)
+    // j* and the water level, computed on the collected stratum card
+    // (dashboard-sized by contract — the same driver-bounded pattern
+    // as every fitted artifact here)
+    val card = ranked.collect().sortBy(_.getAs[Long]("rnk"))
+    val ng = card.length.toLong
+    var jStar = 0L
+    var pfxJ = 0L
+    card.foreach { r =>
+      val (rnk, cap, pfx) = (r.getAs[Long]("rnk"), r.getAs[Long]("cap"), r.getAs[Long]("pfx"))
+      if (cap * (ng - rnk + 1) + (pfx - cap) <= budget) { jStar = rnk; pfxJ = pfx }
+    }
+    val t = if (ng > jStar) (budget - pfxJ) / (ng - jStar) else 0L
+    ranked
+      .withColumn("allocated",
+        when(col("rnk") <= jStar, col("cap"))
+          .otherwise(least(col("cap"), lit(t))))
+      .withColumn("epochs_per_10k",
+        expr("(allocated * 20000 + n) DIV (n * 2)"))
+      .drop("rnk", "pfx")
+  }
+
   /** DSIR-style hashed-unigram bucket statistics: per hash bucket, the
     * token count over the whole corpus (`cr`) and over the rows where
     * `isTarget` holds (`ct`). The distribution pair behind importance

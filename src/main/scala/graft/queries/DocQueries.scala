@@ -223,6 +223,8 @@ object DocQueries {
       val out = Dedup.editDistanceVerify(corpus(spark, dir), pairs, tau = 0.9)
         .localCheckpoint(true)
       graft.plans.Blocks.release(sigs)
+      // pin: shared artifact — a consumer's release must not kill it
+      graft.plans.Blocks.pin(out)
       verifiedPairsCache.put(key, out)
       out
     }
@@ -584,6 +586,8 @@ object DocQueries {
       // a long-lived session must not accumulate label/sig blocks
       graft.plans.Blocks.release(labels)
       graft.plans.Blocks.release(sigs)
+      // pin: consumers embed this frame in released result plans
+      graft.plans.Blocks.pin(out)
       labelsCache.put(dir, out)
       out
     }
@@ -624,6 +628,11 @@ object DocQueries {
       .select(col("doc_id"), col("group_id"), col("quality_score"),
         (col("doc_id") === col("keep_id")).as("keep"))
       .orderBy(col("doc_id"))
+      // detached like q52/q65: this plan embeds the shared label
+      // artifact, and before the pin/detach pair a Bench release of
+      // this result killed the artifact's blocks for every later
+      // labels consumer (the round-13 CHECKPOINT_RDD_BLOCK_ID error)
+      .localCheckpoint(true)
   }
 
   /** Corpus-wide heavy hitters: the 20 most frequent tokens with exact
@@ -1975,6 +1984,44 @@ object DocQueries {
         spread(t(spark, dir, "documents").select(col("source"), col("text"))))
       .orderBy(col("source"))
 
+  /** Content-defined-chunking storage-dedup league table (q192):
+    * per source, total vs distinct vs NOVEL chunk volume under
+    * LBFS/FastCDC-style content-defined boundaries
+    * ([[graft.operators.Dedup.cdcChunkStats]], w=8 chars, divisor 32)
+    * — the storage-dedup view of corpus redundancy, robust to
+    * insertions where fixed-stride chunking (q69) is not. */
+  def cdcChunkCard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(
+        spread(t(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))))
+      .orderBy(col("source"))
+
+  /** UniMax language-budget allocation card (q193): per-language token
+    * counts water-filled under a 4/5-of-corpus budget at maxEpochs=1
+    * ([[graft.operators.Sampling.unimaxAllocation]], Chung et al.
+    * 2023) — the low-resource languages fund fully, the dominant
+    * language absorbs the integer water level; both branches of the
+    * algorithm are live at every fixture sf. */
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val counts = spread(t(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
+    val budget = counts.agg(sum(col("n_tokens"))).head().getLong(0) * 4L / 5L
+    Sampling.unimaxAllocation(counts, budget, maxEpochs = 1)
+      .orderBy(col("lang"))
+  }
+
+  /** Directional containment pairs (q194): Broder containment over the
+    * dup-planted corpus at the q57 shingle-frequency cap — the
+    * doc-inside-doc screen whole-doc Jaccard under-reports
+    * ([[graft.operators.Dedup.containmentPairs]]). Exact per-10k
+    * integer scores; pairs where either direction ≥ 0.8. */
+  def containmentCard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(spread(corpus(spark, dir)),
+        k = 3, minContainmentPer10k = 8000L, maxShingleFreq = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** The q186 oracle: training unrolled as CTE pairs — u_k sums the
     * misclassified gradient under e_{k-1}'s weights (exact BIGINT),
     * e_k applies it. Generated mechanically so every epoch's SQL is
@@ -2072,9 +2119,97 @@ object DocQueries {
        |  (n_distinct_2 * 20000 + n_bigrams) // (n_bigrams * 2) AS distinct2_per_10k
        |FROM u LEFT JOIN b ON u.source = b.source ORDER BY u.source""".stripMargin
 
+  /** q192 oracle: the whole CDC pipeline — codepoint streams, kernel
+    * window folds (chunkIdSqlK over per-CHAR values), content-defined
+    * cuts, span substrings, md5-prefix chunk ids, and the three
+    * per-source cards — replayed in list SQL. */
+  private def cdcOracleSql: String = {
+    val (w, d) = (8, 32)
+    s"""WITH cps AS (SELECT source, doc_id, text AS t,
+       |        CAST(length(text) AS BIGINT) AS len,
+       |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS h,
+       |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS h2
+       |      FROM documents),
+       |cut AS (SELECT source, doc_id, t, len,
+       |        CASE WHEN len < $w THEN CAST([] AS BIGINT[]) ELSE
+       |          list_filter(list_transform(range(0, len - $w + 1), i ->
+       |            CASE WHEN (${chunkIdSqlK(w)}) % $d = 0 AND i + $w < len
+       |                 THEN i + $w ELSE -1 END), x -> x >= 0)
+       |        END AS cuts FROM cps),
+       |spans AS (SELECT source, doc_id, t, list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+       |        list_append(cuts, len) AS ends FROM cut),
+       |chunks AS (SELECT source, doc_id,
+       |        unnest(list_transform(range(0, len(starts)), j ->
+       |          substr(t, CAST(starts[j+1] + 1 AS INT), CAST(ends[j+1] - starts[j+1] AS INT)))) AS chunk
+       |      FROM spans),
+       |rws AS (SELECT source, doc_id,
+       |        CAST(('0x' || substr(md5(chunk), 1, 15))::UBIGINT AS BIGINT) AS cid,
+       |        CAST(length(chunk) AS BIGINT) AS clen FROM chunks),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       |        CAST(sum(clen) AS BIGINT) AS total_chars FROM rws GROUP BY source),
+       |pc AS (SELECT source, cid, min(clen) AS clen FROM rws GROUP BY source, cid),
+       |dist AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |        CAST(sum(clen) AS BIGINT) AS distinct_chars FROM pc GROUP BY source),
+       |fo AS (SELECT cid, arg_min(source, doc_id) AS first_src, min(clen) AS clen
+       |       FROM rws GROUP BY cid),
+       |novel AS (SELECT first_src AS source, CAST(count(*) AS BIGINT) AS novel_chunks,
+       |        CAST(sum(clen) AS BIGINT) AS novel_chars FROM fo GROUP BY first_src)
+       |SELECT per.source, n_chunks, total_chars, n_distinct_chunks, distinct_chars,
+       |  COALESCE(novel_chunks, CAST(0 AS BIGINT)) AS novel_chunks,
+       |  COALESCE(novel_chars, CAST(0 AS BIGINT)) AS novel_chars,
+       |  (distinct_chars * 20000 + total_chars) // (total_chars * 2) AS dedup_ratio_per_10k
+       |FROM per JOIN dist USING(source) LEFT JOIN novel USING(source)
+       |ORDER BY per.source""".stripMargin
+  }
+
+  /** q193 oracle: the water-filling replayed with SQL windows — rank
+    * strata by cap ascending, find the max feasible rank j*, fully
+    * fund ranks ≤ j*, give the rest the integer water level. */
+  private def unimaxOracleSql: String =
+    s"""WITH counts AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n
+       |        FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) * 4 // 5 AS budget FROM counts),
+       |ranked AS (SELECT lang, n, n * 1 AS cap,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n * 1, lang) AS BIGINT) AS rnk,
+       |    CAST(SUM(n * 1) OVER (ORDER BY n * 1, lang
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+       |  FROM counts),
+       |ngc AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM ranked),
+       |js AS (SELECT COALESCE(MAX(rnk), 0) AS jstar FROM ranked, ngc, tot
+       |       WHERE cap * (ng - rnk + 1) + (pfx - cap) <= budget),
+       |pj AS (SELECT COALESCE((SELECT pfx FROM ranked, js WHERE rnk = jstar), 0) AS pfxj),
+       |lvl AS (SELECT CASE WHEN ng > jstar THEN (budget - pfxj) // (ng - jstar)
+       |               ELSE 0 END AS t FROM ngc, js, pj, tot)
+       |SELECT lang, n, cap,
+       |  CASE WHEN rnk <= jstar THEN cap ELSE LEAST(cap, t) END AS allocated,
+       |  (CASE WHEN rnk <= jstar THEN cap ELSE LEAST(cap, t) END * 20000 + n)
+       |    // (n * 2) AS epochs_per_10k
+       |FROM ranked, js, lvl ORDER BY lang""".stripMargin
+
+  private def containmentOracleSql: String =
+    s"""WITH $corpusSql,
+       |${shinglesCte("corpus")},
+       |freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+       |kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq fq ON s.shingle = fq.shingle
+       |         WHERE fq.f <= 6),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, sa.n AS sa, sb.n AS sb,
+       |       (n_inter * 20000 + sa.n) // (sa.n * 2) AS containment_ab_per_10k,
+       |       (n_inter * 20000 + sb.n) // (sb.n * 2) AS containment_ba_per_10k
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE GREATEST((n_inter * 20000 + sa.n) // (sa.n * 2),
+       |               (n_inter * 20000 + sb.n) // (sb.n * 2)) >= 8000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q186_linear_filter" -> linearFilterOracleSql,
     "q187_linear_filter_apply" -> linearFilterApplyOracleSql,
+    "q192_cdc_chunks" -> cdcOracleSql,
+    "q193_unimax_alloc" -> unimaxOracleSql,
+    "q194_containment" -> containmentOracleSql,
     "q188_dsir_filter" ->
       s"""WITH $dsirCtes
          |SELECT lang, score > 0 AS keep, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3488,6 +3623,9 @@ object DocQueries {
     "q189_dsir_topk" -> (dsirTopK _),
     "q190_filter_calibration" -> (filterCalibration _),
     "q191_distinct_ngrams" -> (distinctNgrams _),
+    "q192_cdc_chunks" -> (cdcChunkCard _),
+    "q193_unimax_alloc" -> (unimaxAlloc _),
+    "q194_containment" -> (containmentCard _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),

@@ -518,4 +518,88 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L)) || got.contains((0L, 2L)) || got.contains((1L, 2L)),
       s"wide SRP tier missed every planted near-dup pair: $got")
   }
+
+  test("containmentPairs: a doc quoted whole inside a longer doc scores 1.0 containment where Jaccard stays low") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // 3 distinct 3-shingles, all inside doc 2
+      (2L, "x a b c d e y z w q"), // 8 distinct 3-shingles
+      (3L, "p q r s t u v")) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, k = 3, minContainmentPer10k = 8000L,
+        maxShingleFreq = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the quote pair ships: $got")
+    val (ni, sa, sb, ab, ba) = got((1L, 2L))
+    assert(ni == 3L && sa == 3L && sb == 8L)
+    assert(ab == 10000L, "containment of the quoted doc is exactly 1.0")
+    assert(ba == (3L * 20000L + 8L) / 16L) // 3750 — the Jaccard-ish direction
+    // the symmetric measure would NOT have shipped this pair at 0.8:
+    // jaccard = 3/8 = 0.375 — this asymmetry is the operator's point
+    assert(ba < 8000L)
+  }
+
+  // ------------------------------------------------ content-defined chunking
+
+  test("cdcChunks: chunks concatenated in pos order reconstruct the text exactly (incl. multibyte)") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "s1", "short"),
+      (3L, "s2", "数据 管理 系统 的 内容 定义 分块 测试 数据 管理 系统"),
+      (4L, "s2", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "source", "text")
+    val rebuilt = Dedup.cdcChunks(docs)
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString).toMap
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rebuilt == orig)
+    // a doc shorter than the window is one whole-text chunk
+    val short = Dedup.cdcChunks(docs.filter(col("doc_id") === 2L)).collect()
+    assert(short.length == 1 && short(0).getString(3) == "short")
+  }
+
+  test("cdcChunks boundaries are content-defined: a prefix insertion leaves the tail chunks intact") {
+    val ss = spark
+    import ss.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq((1L, "a", base), (2L, "b", "ZZZ " + base))
+      .toDF("doc_id", "source", "text")
+    val byDoc = Dedup.cdcChunks(docs)
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val (c1, c2) = (byDoc(1L), byDoc(2L))
+    assert(c1.size >= 3, s"base text should split into several chunks, got ${c1.size}")
+    // every chunk after the insertion-affected head must realign:
+    // the shifted doc's tail chunks are a suffix of... and vice versa
+    val shared = c1.toSet.intersect(c2.toSet)
+    assert(shared.size >= c1.size - 2,
+      s"content-defined boundaries must resync after the head: ${c1.size} vs shared ${shared.size}")
+  }
+
+  test("cdcChunkStats: duplicated doc collapses in distinct/novel accounting; ratios exact") {
+    val ss = spark
+    import ss.implicits._
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, "orig", text), (2L, "copy", text))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.cdcChunkStats(docs).orderBy("source").collect()
+    val copy = got(0); val orig = got(1)
+    assert(copy.getString(0) == "copy" && orig.getString(0) == "orig")
+    // both sources chunk the identical text identically
+    assert(copy.getLong(1) == orig.getLong(1) &&
+      copy.getLong(2) == orig.getLong(2) && copy.getLong(2) == text.length.toLong)
+    // all first occurrences belong to doc 1 ("orig"): the copy contributes ZERO novel volume
+    assert(copy.getLong(5) == 0L && copy.getLong(6) == 0L)
+    assert(orig.getLong(5) == orig.getLong(3) && orig.getLong(6) == orig.getLong(4))
+    // per-source ratio: within one doc chunks may still repeat, but
+    // distinct <= total always, and the fixed-point ratio matches the
+    // HALF_UP arithmetic exactly
+    val (d, t) = (orig.getLong(4), orig.getLong(2))
+    assert(orig.getLong(7) == (d * 20000L + t) / (t * 2L))
+  }
 }

@@ -241,6 +241,31 @@ class SamplingSpec extends SparkSpec {
     assert(sorts.isEmpty, "global sort should not appear")
   }
 
+  // ------------------------------------------------ UniMax allocation
+
+  test("unimaxAllocation: hand-computed water-filling — full funding below the level, integer level above") {
+    val ss = spark
+    import ss.implicits._
+    val counts = Seq(("A", 10L), ("B", 20L), ("C", 100L)).toDF("lang", "n_tokens")
+    // caps 20/40/200 at 2 epochs, budget 120: A and B fund fully
+    // (20*3+0=60 <= 120, 40*2+20=100 <= 120), C gets (120-60)/1 = 60
+    val got = Sampling.unimaxAllocation(counts, budget = 120L, maxEpochs = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 10L, 20L, 20L, 20000L),
+      ("B", 20L, 40L, 40L, 20000L),
+      ("C", 100L, 200L, 60L, 6000L)))
+    // budget above total capacity: everyone hits their epoch cap
+    val capped = Sampling.unimaxAllocation(counts, budget = 1000L, maxEpochs = 2)
+      .orderBy("lang").collect().map(r => r.getLong(3))
+    assert(capped.toSeq == Seq(20L, 40L, 200L))
+    // zero budget: zero allocations, zero epochs
+    val zero = Sampling.unimaxAllocation(counts, budget = 0L, maxEpochs = 2)
+      .orderBy("lang").collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(zero.forall(_ == (0L, 0L)))
+  }
+
   // ------------------------------------------------ DSIR importance
 
   /** The cross-engine bucket map dsirImportance uses: 60-bit md5

@@ -26,4 +26,34 @@ class BlocksSpec extends SparkSpec {
     Blocks.release(df)
     assert(!pinned)
   }
+
+  test("pinned shared artifacts survive a consumer's release (the q134 poison scenario)") {
+    val ss = spark
+    import ss.implicits._
+    // a shared cached artifact, as the per-JVM caches hold it
+    val artifact = (1 to 500).toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 7).as("group_id"))
+      .localCheckpoint(true)
+    Blocks.pin(artifact)
+    val artId = artifact.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD => lr.rdd.id
+    }.getOrElse(fail("artifact did not plan as LogicalRDD"))
+    // a consumer embeds the artifact in its (uncheckpointed) result
+    // plan — releasing the result must NOT free the artifact
+    val consumer = artifact.groupBy("group_id").count()
+    consumer.count()
+    Blocks.release(consumer)
+    assert(spark.sparkContext.getPersistentRDDs.contains(artId),
+      "release of a consumer plan freed the pinned shared artifact")
+    // the artifact still computes (lineage is truncated — blocks gone
+    // would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND here)
+    assert(artifact.count() == 500)
+    // and an UNpinned checkpoint in the same plan shape still frees
+    val plain = (1 to 100).toDF("x").localCheckpoint(true)
+    val plainId = plain.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD => lr.rdd.id
+    }.get
+    Blocks.release(plain.select(col("x") + 1))
+    assert(!spark.sparkContext.getPersistentRDDs.contains(plainId))
+  }
 }
