@@ -413,4 +413,43 @@ object Retrieval {
         Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col(idCol))))
       .filter(col("rnk") <= k)
   }
+
+  /** Ranked-retrieval quality evaluation: recall@k and fixed-point MRR
+    * of one or more ranked legs against a gold relevance set — the
+    * eval table a retrieval deployment reads before choosing its
+    * serving leg (and the relational twin of the ANN RECALL gates).
+    * Per leg: n_queries, hits@k for each cutoff, and `mrr_fp_sum` =
+    * Σ_queries (10^6 DIV gold_rank) — each reciprocal rank floored at
+    * 6 fixed-point digits so the metric is an exact BIGINT any engine
+    * reproduces (divide by n_queries·10^6 for the usual MRR reading).
+    * Misses contribute 0 (the standard convention).
+    *
+    * Inputs: each leg is a ranked (query_id, doc_id, rnk) frame (the
+    * contract every retrieval operator here emits); `gold` is
+    * (query_id, gold_doc). All joins are eval-sized (queries × k
+    * rows) — at any corpus scale the expensive part was producing the
+    * legs, not scoring them. */
+  def evalRankings(
+      legs: Seq[(String, DataFrame)],
+      gold: DataFrame,
+      ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    require(legs.nonEmpty, "need >= 1 ranked leg")
+    require(ks.nonEmpty && ks == ks.sorted, "ks must be non-empty ascending")
+    legs.map { case (name, ranked) =>
+      val perQ = gold.select(col("query_id"), col("gold_doc"))
+        .join(ranked.select(col("query_id"), col("doc_id"),
+          col("rnk").cast("long").as("rnk")), Seq("query_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(min(when(col("doc_id") === col("gold_doc"), col("rnk"))).as("gold_rnk"))
+      val aggs =
+        (count(lit(1)).as("n_queries") +:
+          ks.map(k =>
+            sum(when(col("gold_rnk") <= k, 1L).otherwise(0L)).as(s"hits_at_$k"))) :+
+          sum(when(col("gold_rnk").isNotNull, expr("1000000 DIV gold_rnk"))
+            .otherwise(0L)).as("mrr_fp_sum")
+      perQ.agg(aggs.head, aggs.tail: _*)
+        .select(lit(name).as("leg") +:
+          (Seq("n_queries") ++ ks.map(k => s"hits_at_$k") :+ "mrr_fp_sum").map(col): _*)
+    }.reduce(_ unionByName _)
+  }
 }

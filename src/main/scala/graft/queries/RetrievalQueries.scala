@@ -51,6 +51,17 @@ object RetrievalQueries {
     * query on the rounded fused score. Both legs are bounded-heap
     * top-k shapes; the fusion joins eval-sized frames only. */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val vecLeg = denseLeg(spark, dir, LegK)
+    val bm25Leg = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), LegK)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(vecLeg, bm25Leg), FuseK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Dense leg shared by q128 and q195: exact cosine top-k over the
+    * embeddings, (query_id, doc_id, rnk) contract — the production
+    * deployment swaps in the ANN tier behind the same contract. */
+  private def denseLeg(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.{cosineSimFromNorms, dot, topKPairs}
     val e = spread(t(spark, dir, "embeddings"))
     val q = t(spark, dir, "embeddings")
@@ -62,14 +73,27 @@ object RetrievalQueries {
           dot(col("qvec"), col("embedding")),
           sqrt(dot(col("qvec"), col("qvec"))),
           sqrt(dot(col("embedding"), col("embedding")))), 4) + lit(0.0)).as("dist"))
-    val vecLeg = scored.groupBy(col("query_id"))
-      .agg(topKPairs(col("dist"), col("doc_id"), LegK).as("tk"))
+    scored.groupBy(col("query_id"))
+      .agg(topKPairs(col("dist"), col("doc_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.id").as("doc_id"), (col("pos") + 1).cast("int").as("rnk"))
-    val bm25Leg = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), LegK)
+  }
+
+  /** Retrieval quality eval table (q195): recall@1/3/10 and exact
+    * fixed-point MRR of the sparse (BM25) and dense (cosine) legs
+    * against the SELF-RETRIEVAL gold standard — each query is a
+    * document's own 4-token prefix (sparse) / its own embedding
+    * (dense), so the gold doc is the query id itself and the harness
+    * runs oracle-checked at every sf with no labeled fixture
+    * ([[graft.operators.Retrieval.evalRankings]]). */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val gold = querySet(spark, dir)
+      .select(col("query_id"), col("query_id").as("gold_doc"))
+    val sparse = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), FuseK)
       .select(col("query_id"), col("doc_id"), col("rnk"))
-    Retrieval.rrfFuse(Seq(vecLeg, bm25Leg), FuseK)
-      .orderBy(col("query_id"), col("rnk"))
+    Retrieval.evalRankings(
+        Seq(("bm25", sparse), ("dense_cosine", denseLeg(spark, dir, FuseK))), gold)
+      .orderBy(col("leg"))
   }
 
   /** BM25 served from the persisted inverted-index layout (q132):
@@ -164,12 +188,42 @@ object RetrievalQueries {
          |r AS (SELECT *, ROW_NUMBER() OVER
          |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
          |SELECT query_id, doc_id, rrf, CAST(rnk AS INT) AS rnk
-         |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin
+         |FROM r WHERE rnk <= $FuseK ORDER BY query_id, rnk""".stripMargin,
+    "q195_retrieval_eval" -> {
+      def perLeg(legCte: String, rnkCol: String, name: String) =
+        s"""SELECT '$name' AS leg, CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(CASE WHEN gold_rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           |  CAST(sum(CASE WHEN gold_rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3,
+           |  CAST(sum(CASE WHEN gold_rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+           |  CAST(sum(CASE WHEN gold_rnk IS NOT NULL THEN 1000000 // gold_rnk ELSE 0 END) AS BIGINT) AS mrr_fp_sum
+           |FROM (SELECT g.query_id,
+           |        MIN(CASE WHEN l.doc_id = g.gold_doc THEN l.$rnkCol END) AS gold_rnk
+           |      FROM gold g LEFT JOIN (SELECT * FROM $legCte WHERE $rnkCol <= $FuseK) l
+           |        ON g.query_id = l.query_id GROUP BY g.query_id)""".stripMargin
+      s"""WITH $bm25Ctes,
+         |bleg AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+         |           (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk FROM s),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |      WHERE vec_id IN ($qidList)),
+         |d AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |        ROUND(1.0 - COALESCE(${dotSql("q.qvec", "e.embedding")} /
+         |          (SQRT(${dotSql("q.qvec", "q.qvec")}) * SQRT(${dotSql("e.embedding", "e.embedding")})), 0.0), 4) + 0.0 AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |vleg AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+         |           (PARTITION BY query_id ORDER BY dist, doc_id) AS rnk FROM d),
+         |gold AS (SELECT DISTINCT query_id, query_id AS gold_doc FROM qt)
+         |SELECT * FROM (
+         |${perLeg("bleg", "rnk", "bm25")}
+         |UNION ALL
+         |${perLeg("vleg", "rnk", "dense_cosine")}
+         |) ORDER BY leg""".stripMargin
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_bm25_topk" -> (bm25TopDocs _),
     "q128_hybrid_rrf" -> (hybridRrf _),
-    "q132_bm25_served" -> (bm25Served _)
+    "q132_bm25_served" -> (bm25Served _),
+    "q195_retrieval_eval" -> (retrievalEval _)
   )
 }

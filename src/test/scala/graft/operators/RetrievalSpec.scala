@@ -209,4 +209,27 @@ class RetrievalSpec extends SparkSpec {
     assert(winSorts.isEmpty, "top-k must ride the bounded-heap aggregate, not a window")
     graft.plans.Blocks.release(out)
   }
+
+  test("evalRankings: hand-computed recall@k and fixed-point MRR, misses scoring zero") {
+    val ss = spark
+    import ss.implicits._
+    val gold = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("query_id", "gold_doc")
+    // leg A: gold at rank 1 for q1, rank 2 for q2, absent for q3
+    val legA = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 21L, 1), (2L, 20L, 2), (3L, 99L, 1))
+      .toDF("query_id", "doc_id", "rnk")
+    // leg B: gold at rank 4 for q1 only
+    val legB = Seq((1L, 12L, 1), (1L, 13L, 2), (1L, 14L, 3), (1L, 10L, 4))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = graft.operators.Retrieval.evalRankings(
+        Seq(("a", legA), ("b", legB)), gold, ks = Seq(1, 3))
+      .orderBy("leg").collect()
+    // leg a: 3 queries, hits@1 = 1, hits@3 = 2, mrr = 1e6 + 5e5
+    assert(got(0).getString(0) == "a" && got(0).getLong(1) == 3L)
+    assert(got(0).getLong(2) == 1L && got(0).getLong(3) == 2L)
+    assert(got(0).getLong(4) == 1500000L)
+    // leg b: queries 2/3 unranked entirely -> still counted, zero hits
+    assert(got(1).getString(0) == "b" && got(1).getLong(1) == 3L)
+    assert(got(1).getLong(2) == 0L && got(1).getLong(3) == 0L)
+    assert(got(1).getLong(4) == 250000L)
+  }
 }
