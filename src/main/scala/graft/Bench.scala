@@ -328,6 +328,19 @@ object Bench {
     // timed 1000-query loops through the serving engine. The workloads
     // are single-sourced in QpsWorkloads so the solo re-measure tool
     // (BenchQps) times exactly the same loops.
+    // the QPS loops measure SERVING, not the sweep's leftovers: drop
+    // every per-JVM query cache (both sf dirs' indexes and fleets,
+    // cached frames, truth sets) first — the r13 session measured
+    // in-bench pq/shard QPS at ~60% of the solo-JVM numbers purely
+    // from the live heap the 185+-query sweep leaves behind (GC
+    // pauses inside the timed loops). Queries after this point (the
+    // sf1 probe) rebuild under their own keys.
+    val tDrop = System.nanoTime()
+    try { graft.queries.AnnQueries.dropCaches() } catch { case _: Throwable => () }
+    try { graft.queries.DocQueries.dropCaches() } catch { case _: Throwable => () }
+    try { graft.queries.AnalyticsQueries.dropCaches() } catch { case _: Throwable => () }
+    try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+    val cacheDropSec = (System.nanoTime() - tDrop) / 1e9
     val annQps = try {
       QpsWorkloads.qps(QpsWorkloads.singleGraph(), repeat)
     } catch { case _: Throwable => -1.0 }
@@ -474,6 +487,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       buildsJson +
       s""""repeats":$repeat,""" +
+      s""""cache_drop_sec":$cacheDropSec,""" +
       s""""ann_serving_qps_10k_100d":$annQps,""" +
       s""""ann_pq_serving_qps_10k_100d":$pqQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +

@@ -198,4 +198,45 @@ object GraphAnalytics {
     Blocks.release(oriented)
     out
   }
+
+  /** Directed degree assortativity (Newman 2002, the out-in variant):
+    * the Pearson correlation between the source's out-degree and the
+    * target's in-degree across every directed edge — the hub-mixing
+    * audit of the index graph (r ≈ 0: degree-neutral wiring, the kNN
+    * default; r << 0: hubs feed leaves, the funnel shape that makes
+    * entrypoint churn dangerous; r >> 0 after churn: a hub-core
+    * forming, the cache-hot / delete-fragile smell).
+    *
+    * Emits the EXACT BIGINT co-moment sums (m, Σx, Σy, Σxx, Σyy,
+    * Σxy) and the correlation's exact integer numerator/denominator
+    * terms alongside the rounded r — so any engine recomputes r from
+    * the same integers, and the only double ops are two correctly-
+    * rounded sqrts and one division on identical inputs (the q84
+    * discipline). Degenerate denominators (a degree-regular side)
+    * yield NULL r rather than an engine-dependent inf/NaN.
+    *
+    * Scale shape: two degree aggregates + two equi-joins back onto
+    * the edge list + one global co-moment aggregate — all linear in
+    * edges, all partial-agged. BIGINT headroom: m·Σxx ≤ m²·maxdeg²
+    * needs m ≤ ~3e7 at maxdeg 64; past that rescale to DECIMAL(38,0)
+    * (the degree cap makes every term's bound explicit). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val outd = edges.groupBy(col("a")).agg(count(lit(1)).as("ja"))
+    val ind = edges.groupBy(col("b")).agg(count(lit(1)).as("jb"))
+    edges.join(outd, "a").join(ind, "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("ja")).as("sx"), sum(col("jb")).as("sy"),
+        sum(col("ja") * col("ja")).as("sxx"),
+        sum(col("jb") * col("jb")).as("syy"),
+        sum(col("ja") * col("jb")).as("sxy"))
+      .select(col("m"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("assortativity",
+        when(col("den_x") > 0L && col("den_y") > 0L,
+          round(col("num").cast("double") /
+            (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))), 4)
+            + lit(0.0)))
+  }
 }

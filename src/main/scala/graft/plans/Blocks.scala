@@ -46,4 +46,16 @@ object Blocks {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Tear down a PINNED shared artifact at end-of-life (cache-drop
+    * paths only — a consumer must never call this): unpins and frees
+    * its blocks. The owning cache must also drop its reference, or
+    * the next cache hit serves an unrecomputable frame. */
+  def releasePinned(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD =>
+        pinned.remove(lr.rdd.id)
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

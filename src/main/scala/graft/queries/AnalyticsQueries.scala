@@ -137,6 +137,14 @@ object AnalyticsQueries {
     * via KmeansArtifact), so bench repeats measure the assignment +
     * join, not a refit. Plain doubles — no session binding to go
     * stale. */
+  /** End-of-sweep cache teardown (the DocQueries.dropCaches twin):
+    * the fitted k-means / IVF-cell models are plain driver arrays, so
+    * dropping is just clearing the registries. */
+  def dropCaches(): Unit = {
+    mixModelCache.clear()
+    knnCellCache.clear()
+  }
+
   private val mixModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.KmeansModel]()
 

@@ -27,6 +27,29 @@ object AnnQueries {
   private val servingCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.ServingIndex]()
 
+  /** End-of-sweep cache teardown (the DocQueries.dropCaches twin):
+    * unpersist every cached/checkpointed frame the fitted-artifact
+    * registries hold and drop the driver-heap serving objects (both
+    * sf dirs' indexes, the 4-shard fleet, eltype/custom pairs, truth
+    * sets) — Bench calls this before the serving-QPS loops so the
+    * loops measure serving, not the sweep's live leftovers. */
+  def dropCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    def free(df: DataFrame): Unit = try {
+      df.unpersist(false)
+      graft.plans.Blocks.releasePinned(df)
+    } catch { case _: Throwable => () }
+    ivfCache.values.asScala.foreach { case (_, a, b) => free(a); free(b) }
+    pqCache.values.asScala.foreach { case (_, df) => free(df) }
+    ivfPqCache.values.asScala.foreach { case (_, _, df) => free(df) }
+    ivfPqResCache.values.asScala.foreach { case (_, _, df) => free(df) }
+    beamCache.values.asScala.foreach { case (a, b) => free(a); free(b) }
+    Seq(indexCache, servingCache, ivfCache, int8ScalesCache, pqCache,
+      ivfPqCache, ivfPqResCache, truthCache, alphaCmpCache, beamCache,
+      pcaModelCache, eltypeCache, customServingCache, shardedFleetCache)
+      .foreach(_.clear())
+  }
+
   private def builtIndex(spark: SparkSession, dir: String): VectorIndex = {
     // a cached index is bound to the session that built it — rebuild if
     // that session has been stopped since
@@ -1207,6 +1230,17 @@ object AnnQueries {
       spark.read.parquet(s"$base/edges"))
   }
 
+  /** q196: degree assortativity of the index graph — the hub-mixing
+    * coefficient over the same dumped edges as q137/q143/q149
+    * ([[graft.operators.GraphAnalytics.degreeAssortativity]]); exact
+    * co-moment BIGINTs + correlation from identical integers, so the
+    * DuckDB replay hash-matches. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphDump(spark, dir)
+    graft.operators.GraphAnalytics.degreeAssortativity(
+      spark.read.parquet(s"$base/edges"))
+  }
+
   /** Scratch dir for the q114 oracle dump — under the repo's target/
     * (never /tmp: workspace-contained, reaped by clean), absolute so
     * the DuckDB oracle resolves it regardless of its own cwd. */
@@ -1475,7 +1509,8 @@ object AnnQueries {
     "q176_ivf_probe_sweep" -> (ivfProbeSweep _),
     "q181_eltype_lifecycle" -> (eltypeLifecycle _),
     "q182_custom_metric" -> (customMetricLifecycle _),
-    "q183_sharded_oos_recall" -> (shardedOosRecall _)
+    "q183_sharded_oos_recall" -> (shardedOosRecall _),
+    "q196_graph_assortativity" -> (graphAssortativity _)
   )
 
   /** ANN graph TRAVERSAL is not SQL-expressible — the search/recall
@@ -1664,6 +1699,25 @@ object AnnQueries {
            |tot AS (SELECT count(*) AS n_edges FROM edges)
            |SELECT tot.n_edges, sym.n_symmetric,
            |       ROUND(CAST(sym.n_symmetric AS DOUBLE) / tot.n_edges, 4) + 0.0 AS sym_frac
-           |FROM tot, sym""".stripMargin)
+           |FROM tot, sym""".stripMargin,
+      "q196_graph_assortativity" ->
+        s"""WITH edges AS (SELECT a, b FROM read_parquet('$b/edges/*.parquet')),
+           |od AS (SELECT a, CAST(count(*) AS BIGINT) AS ja FROM edges GROUP BY a),
+           |idg AS (SELECT b, CAST(count(*) AS BIGINT) AS jb FROM edges GROUP BY b),
+           |j AS (SELECT ja, jb FROM edges JOIN od USING (a) JOIN idg USING (b)),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+           |        CAST(sum(ja) AS BIGINT) AS sx, CAST(sum(jb) AS BIGINT) AS sy,
+           |        CAST(sum(ja * ja) AS BIGINT) AS sxx, CAST(sum(jb * jb) AS BIGINT) AS syy,
+           |        CAST(sum(ja * jb) AS BIGINT) AS sxy FROM j)
+           |SELECT m, sx, sy, sxx, syy, sxy,
+           |  m * sxy - sx * sy AS num,
+           |  m * sxx - sx * sx AS den_x,
+           |  m * syy - sy * sy AS den_y,
+           |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+           |       THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+           |            (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) *
+           |             SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 4) + 0.0
+           |  END AS assortativity
+           |FROM s""".stripMargin)
   }
 }

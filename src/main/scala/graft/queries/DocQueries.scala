@@ -94,6 +94,28 @@ object DocQueries {
         array_join(col("member_ids").cast("array<string>"), ",").as("member_csv"))
       .orderBy(col("canonical_id"))
 
+  /** End-of-sweep cache teardown (Bench calls this between the query
+    * sweep and the serving-QPS loops): every per-JVM artifact this
+    * registry caches — cached shingle frames, the pinned label /
+    * verified-pair checkpoints, collected truth sets — is dropped so
+    * live sweep state doesn't sit in the heap while serving latency
+    * is measured. Queries issued afterwards simply rebuild. */
+  def dropCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    shingleCache.values.asScala.foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    shingleCache.clear()
+    Seq(verifiedPairsCache, labelsCache).foreach { c =>
+      c.values.asScala.foreach { df =>
+        try graft.plans.Blocks.releasePinned(df)
+        catch { case _: Throwable => () }
+      }
+      c.clear()
+    }
+    exactNearDupCache.clear()
+  }
+
   /** Tokenization is a persistent pipeline artifact: the (doc_id,
     * shingle) set of a fixed corpus is computed ONCE per sf-dir per
     * JVM and shared by every analysis over it (Jaccard q41, MinHash

@@ -85,4 +85,23 @@ test("triangleStats: K4 is fully clustered, a star has none, pendant triangle is
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("degreeAssortativity: hand-computed co-moments and correlation; degenerate side yields NULL") {
+    val ss = spark
+    import ss.implicits._
+    // out-degrees 1:2, 2:1; in-degrees 2:1, 3:2
+    // edge (x=outdeg a, y=indeg b): (2,1), (2,2), (1,2)
+    // m=3 sx=5 sy=5 sxx=9 syy=9 sxy=8 -> num=-1 den=2/2 -> r=-0.5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val got = GraphAnalytics.degreeAssortativity(e).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((3L, 5L, 5L)))
+    assert((got.getLong(3), got.getLong(4), got.getLong(5)) == ((9L, 9L, 8L)))
+    assert((got.getLong(6), got.getLong(7), got.getLong(8)) == ((-1L, 2L, 2L)))
+    assert(got.getDouble(9) == -0.5)
+    // a star: every target in-degree is 1, so den_y = 0 -> NULL r,
+    // never an engine-dependent inf/NaN
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val deg = GraphAnalytics.degreeAssortativity(star).collect()(0)
+    assert(deg.getLong(8) == 0L && deg.isNullAt(9))
+  }
 }
