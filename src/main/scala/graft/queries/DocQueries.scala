@@ -2018,6 +2018,33 @@ object DocQueries {
           .select(col("doc_id"), col("source"), col("text"))))
       .orderBy(col("source"))
 
+  /** ORC round-trip fidelity gate (q197): write the corpus to ORC
+    * (Spark's second columnar format — the interchange target when a
+    * downstream stack is Hive/Trino-shaped), read it back, and emit a
+    * per-source content checksum the oracle computes over the ORIGINAL
+    * parquet — so a green row proves the ORC encode/decode preserved
+    * every (doc_id, lang, text) byte. The checksum is a SUM of
+    * per-row md5-prefix hashes reduced mod 10^12 (order-independent,
+    * overflow-safe at 5·10^8 rows per source; the q188 hash idiom) —
+    * a fingerprint any engine reproduces without seeing the ORC side.
+    * The ORC copy builds once per fixture content (Scratch.dir) under
+    * writeOnce, so bench repeats time the READ path. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = Scratch.dir(spark, dir, "orc-corpus", "documents")
+    Scratch.writeOnce(base) {
+      if (!new java.io.File(s"$base/data/_SUCCESS").exists())
+        t(spark, dir, "documents").write.mode("overwrite").orc(s"$base/data")
+    }
+    spark.read.orc(s"$base/data")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id"), col("lang"), col("text"))), 1, 15), 16, 10)
+          .cast("long") % 1000000000000L).as("content_sum"))
+      .orderBy(col("source"))
+  }
+
   /** UniMax language-budget allocation card (q193): per-language token
     * counts water-filled under a 4/5-of-corpus budget at maxEpochs=1
     * ([[graft.operators.Sampling.unimaxAllocation]], Chung et al.
@@ -2232,6 +2259,12 @@ object DocQueries {
     "q192_cdc_chunks" -> cdcOracleSql,
     "q193_unimax_alloc" -> unimaxOracleSql,
     "q194_containment" -> containmentOracleSql,
+    "q197_orc_roundtrip" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(('0x' || substr(md5(concat_ws(':', doc_id, lang, text)), 1, 15))::UBIGINT
+         |    % 1000000000000) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q188_dsir_filter" ->
       s"""WITH $dsirCtes
          |SELECT lang, score > 0 AS keep, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3648,6 +3681,7 @@ object DocQueries {
     "q192_cdc_chunks" -> (cdcChunkCard _),
     "q193_unimax_alloc" -> (unimaxAlloc _),
     "q194_containment" -> (containmentCard _),
+    "q197_orc_roundtrip" -> (orcRoundTrip _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),

@@ -581,6 +581,27 @@ class DedupSpec extends SparkSpec {
       s"content-defined boundaries must resync after the head: ${c1.size} vs shared ${shared.size}")
   }
 
+  test("cdcChunks: 200 randomized unicode texts all reconstruct exactly (one batched pass)") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(0xCDC13L)
+    val alphabets = Seq("abc ", "αβγδ ε", "数据系统 分块", "a\tb\nc d", "!@#$%^&*()_+ ")
+    val rows = (1L to 200L).map { i =>
+      val alpha = alphabets((i % alphabets.size).toInt)
+      val len = rnd.nextInt(120)
+      val text = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (i, "s", text)
+    }.filter(_._3.nonEmpty)
+    val df = rows.toDF("doc_id", "source", "text")
+    val rebuilt = Dedup.cdcChunks(df)
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString).toMap
+    val orig = rows.map(r => r._1 -> r._3).toMap
+    assert(rebuilt == orig,
+      s"${rebuilt.count { case (k, v) => orig(k) != v }} of ${orig.size} texts failed to reconstruct")
+  }
+
   test("cdcChunkStats: duplicated doc collapses in distinct/novel accounting; ratios exact") {
     val ss = spark
     import ss.implicits._
