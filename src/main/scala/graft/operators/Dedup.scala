@@ -1215,6 +1215,42 @@ object Dedup {
         (coalesce(col("n_dup_smaller"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Candidate-tier evaluation for dedup pipelines: precision/recall
+    * of one or more candidate-pair generators against an exact-truth
+    * pair set — the "which tier do I turn on, and at what cost in
+    * misses" card a pipeline reads before scaling a dedup pass (the
+    * pair-set sibling of Retrieval.evalRankings). Per tier: truth /
+    * predicted / intersection counts and exact HALF_UP per-10k
+    * precision + recall (a tier with no predictions reports NULL
+    * precision rather than an engine-dependent 0/0).
+    *
+    * Inputs are (doc_a < doc_b) pair frames — the contract every
+    * candidate generator here emits. The full-outer join per tier is
+    * pair-set-sized; producing the tiers was the expensive part. */
+  def evalPairSets(
+      tiers: Seq[(String, DataFrame)],
+      truth: DataFrame): DataFrame = {
+    require(tiers.nonEmpty, "need >= 1 candidate tier")
+    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("t", lit(1))
+    tiers.map { case (name, pred) =>
+      val p = pred.select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("p", lit(1))
+      p.join(t, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+          sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"))
+        .select(lit(name).as("tier"), col("n_truth"), col("n_pred"), col("tp"),
+          (col("n_pred") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          expr("CASE WHEN n_pred > 0 THEN (tp * 20000 + n_pred) DIV (n_pred * 2) END")
+            .as("precision_per_10k"),
+          expr("CASE WHEN n_truth > 0 THEN (tp * 20000 + n_truth) DIV (n_truth * 2) END")
+            .as("recall_per_10k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Directional shingle CONTAINMENT pairs (Broder 1997's asymmetric
     * companion to resemblance/Jaccard): C(a→b) = |Sa ∩ Sb| / |Sa| over
     * distinct k-token shingle sets. Containment is the measure for

@@ -2018,6 +2018,37 @@ object DocQueries {
           .select(col("doc_id"), col("source"), col("text"))))
       .orderBy(col("source"))
 
+  /** Dedup candidate-tier evaluation card (q198): precision/recall of
+    * the MinHash-LSH (est_jaccard ≥ 0.5) and SimHash (hamming ≤ 1,
+    * 2×16-bit blocks) candidate tiers against EXACT truth — all
+    * corpus pairs with true 3-shingle Jaccard ≥ 0.5
+    * ([[graft.operators.Dedup.evalPairSets]]). The "which tier at
+    * what miss cost" decision table; the exact-truth leg is
+    * fixture-feasible here and would be a gated sample at 100 TB
+    * (the q56 pattern). All three pair sets are already individually
+    * oracled (q41/q43/q97), so the eval composition is too. */
+  def dedupTierEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.ngramJaccardPairsFromShingles(
+        corpusShingles(spark, dir), maxShingleFreq = 0)
+      .filter(col("jaccard") >= 0.5)
+    val sigs = Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir)))
+      .localCheckpoint(true)
+    val lsh = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+    val tok = spread(corpus(spark, dir))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val dtc = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), TextAnalysis.termHash(col("token")).as("tid"), col("cnt"))
+    val simhash = Dedup.simhashNearDupPairs(Dedup.simhash(dtc),
+        maxHamming = 1, nBands = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val out = Dedup.evalPairSets(
+        Seq(("minhash_lsh", lsh), ("simhash_h1", simhash)), truth)
+      .orderBy(col("tier"))
+      .localCheckpoint(true)
+    graft.plans.Blocks.release(sigs)
+    out
+  }
+
   /** ORC round-trip fidelity gate (q197): write the corpus to ORC
     * (Spark's second columnar format — the interchange target when a
     * downstream stack is Hive/Trino-shaped), read it back, and emit a
@@ -2265,6 +2296,51 @@ object DocQueries {
          |  CAST(sum(('0x' || substr(md5(concat_ws(':', doc_id, lang, text)), 1, 15))::UBIGINT
          |    % 1000000000000) AS BIGINT) AS content_sum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q198_dedup_tier_eval" -> {
+      def evalLeg(predCte: String, name: String) =
+        s"""SELECT '$name' AS tier,
+           |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           |  CAST(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN t IS NOT NULL AND p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(CASE WHEN sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+           |    (sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) * 20000
+           |     + sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END))
+           |    // (sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) * 2) END AS BIGINT) AS precision_per_10k,
+           |  CAST(CASE WHEN sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+           |    (sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) * 20000
+           |     + sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END))
+           |    // (sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) * 2) END AS BIGINT) AS recall_per_10k
+           |FROM ((SELECT doc_a, doc_b, 1 AS p FROM $predCte) pp
+           |      FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) tt
+           |      USING (doc_a, doc_b))""".stripMargin
+      s"""WITH $corpusSql,
+         |${shinglesCte("corpus")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |          WHERE ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 4) >= 0.5),
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |lshp AS (SELECT DISTINCT doc_a, doc_b FROM cand WHERE $estJaccardSql >= 0.5),
+         |tok2 AS (SELECT doc_id, unnest($toksSql) AS token FROM corpus),
+         |counts2 AS (SELECT doc_id, token, count(*) AS cnt FROM tok2 GROUP BY 1, 2),
+         |dtc2 AS (SELECT doc_id, ${termHashSql("token")} AS tid, cnt FROM counts2),
+         |sums2 AS (SELECT doc_id, $simhashSumsSql FROM dtc2 GROUP BY doc_id),
+         |shx AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS shv FROM sums2),
+         |simp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.shv, b.shv)) <= 1)
+         |SELECT * FROM (
+         |${evalLeg("lshp", "minhash_lsh")}
+         |UNION ALL
+         |${evalLeg("simp", "simhash_h1")}
+         |) ORDER BY tier""".stripMargin
+    },
     "q188_dsir_filter" ->
       s"""WITH $dsirCtes
          |SELECT lang, score > 0 AS keep, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3682,6 +3758,7 @@ object DocQueries {
     "q193_unimax_alloc" -> (unimaxAlloc _),
     "q194_containment" -> (containmentCard _),
     "q197_orc_roundtrip" -> (orcRoundTrip _),
+    "q198_dedup_tier_eval" -> (dedupTierEval _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),

@@ -541,6 +541,24 @@ class DedupSpec extends SparkSpec {
     assert(ba < 8000L)
   }
 
+  test("evalPairSets: hand-computed precision/recall; empty tier reports NULL precision") {
+    val ss = spark
+    import ss.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val tierA = Seq((1L, 2L), (3L, 4L), (7L, 8L), (7L, 8L)).toDF("doc_a", "doc_b") // dup row dedups
+    val tierB = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.evalPairSets(Seq(("a", tierA), ("b", tierB)), truth)
+      .orderBy("tier").collect()
+    // a: truth 3, pred 3 (dup collapsed), tp 2, fp 1, fn 1
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((3L, 3L, 2L)))
+    assert((got(0).getLong(4), got(0).getLong(5)) == ((1L, 1L)))
+    // precision = recall = HALF_UP(2/3 * 10000) = 6667
+    assert(got(0).getLong(6) == 6667L && got(0).getLong(7) == 6667L)
+    // b: no predictions -> NULL precision, 0 recall
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((3L, 0L, 0L)))
+    assert(got(1).isNullAt(6) && got(1).getLong(7) == 0L)
+  }
+
   // ------------------------------------------------ content-defined chunking
 
   test("cdcChunks: chunks concatenated in pos order reconstruct the text exactly (incl. multibyte)") {
