@@ -1215,6 +1215,42 @@ object Dedup {
         (coalesce(col("n_dup_smaller"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Shared-chunk candidate pairs: documents sharing at least one
+    * k-token stride-1 chunk id ([[chunkIdArr]]) — the containment-
+    * style candidate tier (catches copy-paste spans whole-doc
+    * similarity under-reports; detection stats twin: [[chunkDupStats]],
+    * q69). `maxChunkFreq` is the q41/q57 prefix-filter guard: a chunk
+    * shared by f docs contributes f² join rows, so hot boilerplate
+    * chunks are dropped from candidate generation (capped by default —
+    * the safe tier is the one the bare API reaches). */
+  def chunkPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      maxChunkFreq: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = col("__graft_tids")
+    val cidArr = chunkIdArr(h, col("__graft_tids2"), k)
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .select(col("doc_id"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash(t)).as("__graft_tids"),
+        transform(col("__graft_toks"), t => TextAnalysis.termHash2(t)).as("__graft_tids2"))
+      .filter(size(h) >= k)
+      .select(col("doc_id"), explode(array_distinct(cidArr)).as("cid"))
+    val kept =
+      if (maxChunkFreq <= 0) chunks
+      else {
+        val hot = chunks.groupBy(col("cid")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxChunkFreq).select(col("cid"))
+        chunks.join(hot, Seq("cid"), "left_anti")
+      }
+    kept.as("x").join(kept.as("y"), Seq("cid"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Candidate-tier evaluation for dedup pipelines: precision/recall
     * of one or more candidate-pair generators against an exact-truth
     * pair set — the "which tier do I turn on, and at what cost in

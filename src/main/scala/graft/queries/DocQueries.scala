@@ -2041,8 +2041,10 @@ object DocQueries {
     val simhash = Dedup.simhashNearDupPairs(Dedup.simhash(dtc),
         maxHamming = 1, nBands = 2)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val chunk = Dedup.chunkPairs(spread(corpus(spark, dir)), k = 8)
     val out = Dedup.evalPairSets(
-        Seq(("minhash_lsh", lsh), ("simhash_h1", simhash)), truth)
+        Seq(("minhash_lsh", lsh), ("simhash_h1", simhash),
+          ("chunk_k8", chunk)), truth)
       .orderBy(col("tier"))
       .localCheckpoint(true)
     graft.plans.Blocks.release(sigs)
@@ -2334,11 +2336,26 @@ object DocQueries {
          |shx AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS shv FROM sums2),
          |simp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM shx a JOIN shx b ON a.doc_id < b.doc_id
-         |         WHERE bit_count(xor(a.shv, b.shv)) <= 1)
+         |         WHERE bit_count(xor(a.shv, b.shv)) <= 1),
+         |ctoks AS (SELECT doc_id, $toksSql AS t FROM corpus),
+         |ctids AS (SELECT doc_id, list_transform(t, x -> ${termHashSql("x")}) AS h,
+         |                 list_transform(t, x -> ${termHash2Sql("x")}) AS h2
+         |          FROM ctoks WHERE len(t) >= 8),
+         |cids AS (SELECT DISTINCT doc_id, cid FROM (
+         |           SELECT doc_id, unnest(list_transform(range(0, len(h) - 7),
+         |             i -> $chunkIdSql)) AS cid
+         |           FROM ctids)),
+         |cfreq AS (SELECT cid, count(*) AS f FROM cids GROUP BY cid),
+         |ckept AS (SELECT c.doc_id, c.cid FROM cids c JOIN cfreq fq ON c.cid = fq.cid
+         |          WHERE fq.f <= 1000),
+         |chkp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ckept x JOIN ckept y ON x.cid = y.cid AND x.doc_id < y.doc_id)
          |SELECT * FROM (
          |${evalLeg("lshp", "minhash_lsh")}
          |UNION ALL
          |${evalLeg("simp", "simhash_h1")}
+         |UNION ALL
+         |${evalLeg("chkp", "chunk_k8")}
          |) ORDER BY tier""".stripMargin
     },
     "q188_dsir_filter" ->
