@@ -69,19 +69,31 @@ def main(sf_dir, out_dir):
         df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
         if len(df) == 0:
             print(f"FAIL {name}: empty result"); n_fail += 1; continue
-        recall_cols = [c for c in df.columns if "recall" in c.lower()]
+        recall_cols = [c for c in df.columns
+                       if "recall" in c.lower() and not c.lower().endswith("_gate")]
         # avg/pair recall: the reference's 0.70 gate; min over queries:
         # looser (a single hard query may dip without the path being
         # broken). NaN FAILS explicitly — "NaN < gate" is False, so a
         # 0/0 recall would otherwise print PASS, the exact broken-
         # scoring case this gate exists to catch.
+        # Units: *_per_10k columns are fixed-point integers on the 10^4
+        # scale — normalized BEFORE gating (the r13 units bug: a per-10k
+        # 6863 must gate as 0.6863, not pass "6863 >= 0.70" trivially).
+        # A sibling `<col>_gate` column (same units) is a deliberate
+        # per-row bar: that column gates by worst margin >= 0 instead.
         import math
         bad = []
         for c in recall_cols:
-            v = float(df[c].min())
-            gate = 0.30 if c.lower().startswith("min_") else 0.70
-            if math.isnan(v) or v < gate:
-                bad.append((c, v, f"gate {gate}"))
+            scale = 10000.0 if c.lower().endswith("_per_10k") else 1.0
+            if f"{c}_gate" in df.columns:
+                v = float((df[c] - df[f"{c}_gate"]).min()) / scale
+                if math.isnan(v) or v < 0.0:
+                    bad.append((f"{c}_margin", v, "gate 0.0"))
+            else:
+                v = float(df[c].min()) / scale
+                gate = 0.30 if c.lower().startswith("min_") else 0.70
+                if math.isnan(v) or v < gate:
+                    bad.append((c, v, f"gate {gate}"))
         # pass_* columns are explicit invariants (monotone sweep
         # frontiers, top-end recall, designed class ordering): every
         # row must carry 1 — a 0 means the invariant itself failed.

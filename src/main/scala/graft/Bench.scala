@@ -59,6 +59,49 @@ object Bench {
   }
   @volatile private var calSink: Long = 0L
 
+  /** PARALLEL calibration probe: [[ParallelCalThreads]] concurrent
+    * spin loops of 1/[[ParallelCalThreads]] the single-spin work each,
+    * timed wall-clock. On a host with ≥ that many free cores this
+    * completes in ~spin/threads (same per-thread rate as [[calSpin]]);
+    * a host whose PARALLEL capacity is degraded — cgroup quota,
+    * co-tenant load spread across cores — stretches it while the
+    * single-thread spin stays normal. That is exactly the r13 failure
+    * the serial probes missed: cal_spin read quiet while the sweep ran
+    * at ~half historical parallel throughput and `contended` stayed
+    * false. */
+  private[graft] val ParallelCalThreads = 8
+  private[graft] def calSpinParallel(): Double = {
+    val steps = 200000000 / ParallelCalThreads
+    val t0 = System.nanoTime()
+    val threads = (0 until ParallelCalThreads).map { k =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        calSink = x
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Parallel-capacity ratio for one (parallel, serial) probe pair:
+    * observed parallel wall-time over the perfect-scaling expectation
+    * (spin / threads). ~1 on a quiet host with free cores; 2 means
+    * the host is delivering HALF its nominal parallel throughput —
+    * the degradation mode that inflates every multi-task Spark stage
+    * while leaving single-thread cal untouched. */
+  private[graft] def parallelRatio(par: Double, spin: Double): Double =
+    if (spin <= 0.0) -1.0 else par / (spin / ParallelCalThreads)
+
+  /** Trip bar for [[parallelRatio]]: past 2× (half the nominal
+    * parallel throughput) the sweep's multi-task stages are
+    * host-shaped, not plan-shaped. Mild oversubscription on a busy
+    * but healthy host reads ~1.1–1.5; the r13 session would have
+    * read ≥ 2. */
+  private[graft] def parNoisy(ratio: Double): Boolean = ratio > 2.0
+
   /** Fixed tiny Spark job (2M-row range, mod-97 groupBy, 8 tasks),
     * timed. Complements the spin loop: measures scheduler-lane and
     * task-dispatch contention that a single-threaded loop can miss. */
@@ -92,14 +135,20 @@ object Bench {
     * a contended host from a plan regression. `ctn` is the
     * contention-aware sweep's own verdict (0 = a quiet-bracketed
     * sweep produced these numbers, 1 = both sweeps ran contended —
-    * discount accordingly). */
+    * discount accordingly). `cpr` is the worst observed
+    * [[parallelRatio]] (1 ≈ full parallel capacity; ≥ 2 trips the
+    * contention machinery even when serial cal reads quiet — the r13
+    * blind spot). `mm` counts queries whose headline number is a
+    * min-estimator (half-threshold min-of-two or resweep min-merge);
+    * the per-query list is in BENCH_QUERIES.json `min_merged`. */
   private[graft] def summaryLine(
       results: Seq[(String, Double)],
       buildsSec: Option[Double],
       annQps: Double, pqQps: Double, shardedQps: Double,
       fiLoadSec: Double, fiQps: Double, cal: Seq[Double],
       contended: Boolean,
-      sfShort: String, scaleRatio: Option[Double] = None): String = {
+      sfShort: String, scaleRatio: Option[Double] = None,
+      parRatio: Double = -1.0, minMerged: Int = 0): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val top = results.sortBy { case (_, v) => -v }.take(TopQueriesOnLine)
@@ -119,6 +168,8 @@ object Bench {
       s""""fi_qps":${r1(fiQps)},""" +
       s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
       s""""ctn":${if (contended) 1 else 0},""" +
+      s""""cpr":${r1(parRatio)},""" +
+      s""""mm":$minMerged,""" +
       // median hi/lo time ratio of the dual-sf sweep ("sr"): the
       // compact super-linearity telltale; the full per-query map lives
       // in BENCH_SCALE.json (the tail window can't afford a second
@@ -243,6 +294,7 @@ object Bench {
     // time moves only with host load, bracketing the whole sweep
     try { calSpark(spark) } catch { case _: Throwable => () } // warm pass, discarded
     val spinBefore = calSpin()
+    val parBefore = calSpinParallel()
     val sparkBefore = try { calSpark(spark) } catch { case _: Throwable => -1.0 }
     // one-time artifact construction (graph index, IVF fit), reported
     // as explicit metrics rather than folded into whichever ANN query
@@ -265,19 +317,31 @@ object Bench {
     val quietSpinEnv = sys.env.get("SPARK_GRAFT_QUIET_SPIN_SEC")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
     val spinMid = calSpin()
+    val parMid = calSpinParallel()
     def noisy(a: Double, b: Double): Boolean = bracketNoisy(a, b, quietSpinEnv)
-    val (results, resweeps, contended, spinMid2) =
-      if (!noisy(spinBefore, spinMid)) (results0, 0, false, -1.0)
+    // Parallel-capacity leg of the trip rule: the serial spin pair can
+    // agree (quiet) while the host delivers half its parallel
+    // throughput — the r13 blind spot. A bracket is contended when
+    // EITHER its spin pair is noisy or either endpoint's parallel
+    // ratio is past the 2x bar.
+    val prBefore = parallelRatio(parBefore, spinBefore)
+    val prMid = parallelRatio(parMid, spinMid)
+    val bracket1Noisy =
+      noisy(spinBefore, spinMid) || parNoisy(prBefore) || parNoisy(prMid)
+    val (results, resweeps, contended, spinMid2, parRatios) =
+      if (!bracket1Noisy)
+        (results0, 0, false, -1.0, Seq(prBefore, prMid))
       else {
         val again = sweepQueries(spark, sfDir, repeat, minTaken).toMap
         val s3 = calSpin()
+        val p3 = parallelRatio(calSpinParallel(), s3)
         // every query of a resweep merge is a min-of-two-sweeps number
         minTaken ++= results0.map(_._1)
         val merged = results0.map { case (k, v) =>
           k -> math.min(v, again.getOrElse(k, v)) }
         // a quiet bracket on either sweep -> the min is a quiet number
-        val stillContended = noisy(spinMid, s3)
-        (merged, 1, stillContended, s3)
+        val stillContended = noisy(spinMid, s3) || parNoisy(prMid) || parNoisy(p3)
+        (merged, 1, stillContended, s3, Seq(prBefore, prMid, p3))
       }
     // ---- scale-ratio probe: the SAME sweep at the sibling sf0.01.
     // Per-query hi/lo time ratios are the local[32] stand-in for the
@@ -359,9 +423,11 @@ object Bench {
     // production serving path: distributed build -> fromIndex bulk load
     // into the shard fleet (never an insert loop), then the same query
     // workload. Load time is its own metric.
-    val (fromIndexLoadSec, fromIndexWorkload) = try {
+    val (fromIndexLoad, fromIndexWorkload) = try {
       QpsWorkloads.fromIndexRouter(spark, repeat)
-    } catch { case _: Throwable => (-1.0, null) }
+    } catch { case _: Throwable =>
+      (QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0), null) }
+    val fromIndexLoadSec = fromIndexLoad.medianSec
     val fromIndexQps =
       if (fromIndexWorkload == null) -1.0
       else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
@@ -424,10 +490,17 @@ object Bench {
       if (!sf1On || sys.env.getOrElse("SPARK_GRAFT_SF1_ANN", "1") == "0") Nil
       else try {
         val (bT, avgT, minT, nA) = ScaleAnnProbe.run(spark, sfDir, alpha = 0.0)
-        val (bA, avgA, minA, _) = ScaleAnnProbe.run(spark, sfDir, alpha = 1.2)
+        // DEFAULT path: AlphaAuto routes by scale tier — above
+        // exactThreshold it resolves to the α-RNG prune, so these are
+        // the numbers a user's un-parameterized build gets (the gate:
+        // avg >= 0.70, min > 0 one decade above the fixtures)
+        val (bA, avgA, minA, _) =
+          ScaleAnnProbe.run(spark, sfDir, alpha = graft.index.VectorIndex.AlphaAuto)
         Seq("n" -> nA.toDouble,
           "trunc_build_sec" -> bT, "trunc_avg_recall" -> avgT, "trunc_min_recall" -> minT,
-          "alpha_build_sec" -> bA, "alpha_avg_recall" -> avgA, "alpha_min_recall" -> minA)
+          "default_build_sec" -> bA, "default_avg_recall" -> avgA,
+          "default_min_recall" -> minA,
+          "default_alpha" -> graft.index.VectorIndex.DefaultScaleAlpha)
       } catch { case _: Throwable => Nil }
     val sf1Ratios: Seq[(String, Double)] = sf1Results.toSeq.collect {
       case (k, s1) if hiByName.get(k).exists(_ > 0.01) => k -> s1 / hiByName(k)
@@ -492,10 +565,13 @@ object Bench {
       s""""ann_pq_serving_qps_10k_100d":$pqQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
+      s""""ann_fromindex_load_cold_sec":${fromIndexLoad.coldSec},""" +
+      s""""ann_fromindex_load_warm_sec":${fromIndexLoad.warmSec},""" +
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,""" +
       s""""cal_spin_before_sec":$spinBefore,"cal_spark_before_sec":$sparkBefore,""" +
       s""""cal_spin_mid_sec":$spinMid,"cal_spin_mid2_sec":$spinMid2,""" +
       s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
+      s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
       s""""resweeps":$resweeps,"contended":$contended,""" +
       srMedian.map(r => s""""scale_ratio_median":$r,""").getOrElse("") +
       sf1Median.map(r => s""""sf1_ratio_median":$r,""").getOrElse("") +
@@ -513,8 +589,11 @@ object Bench {
           s""""queries_sec":$qMap,"builds_sec":$bMap,""" +
           s""""qps":${r1(annQps)},"pq_qps":${r1(pqQps)},"shard_qps":${r1(shardedQps)},""" +
           s""""fi_load_sec":${r2(fromIndexLoadSec)},"fi_qps":${r1(fromIndexQps)},""" +
+          s""""fi_load_cold_sec":${r2(fromIndexLoad.coldSec)},""" +
+          s""""fi_load_warm_sec":${r2(fromIndexLoad.warmSec)},""" +
           s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
           s""""cal_spin_mid":${r2(spinMid)},"cal_spin_mid2":${r2(spinMid2)},""" +
+          s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
           s""""resweeps":$resweeps,"contended":$contended,""" +
           // which headline numbers are min-estimators (half-threshold
           // band min-of-two, or resweep min-merge) vs median/one-shot
@@ -528,7 +607,8 @@ object Bench {
       if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),
       annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps, cal,
       contended,
-      new java.io.File(sfDir).getName, srMedian))
+      new java.io.File(sfDir).getName, srMedian,
+      parRatio = parRatios.max, minMerged = minTaken.size))
     spark.stop()
   }
 }

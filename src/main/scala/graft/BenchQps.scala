@@ -32,7 +32,9 @@ object BenchQps {
     // must still print sentinel lines and release the session
     try {
       val (fiLoad, fiWorkload) = QpsWorkloads.fromIndexRouter(spark, repeat)
-      println(f"fi_load_sec $fiLoad%8.1f")
+      println(f"fi_load_sec ${fiLoad.medianSec}%8.1f")
+      println(f"fi_load_cold_sec ${fiLoad.coldSec}%8.1f")
+      println(f"fi_load_warm_sec ${fiLoad.warmSec}%8.1f")
       println(f"fi_qps      ${QpsWorkloads.qps(fiWorkload, repeat)}%8.1f")
     } catch {
       case _: Throwable =>

@@ -96,7 +96,7 @@ object QpsWorkloads {
     * one-shot load time on this host misreads scheduler noise as a
     * regression (loads are independent; no state carries over). */
   def fromIndexRouter(spark: org.apache.spark.sql.SparkSession,
-      repeat: Int): (Double, Workload) = {
+      repeat: Int): (FromIndexLoad, Workload) = {
     val rng = new scala.util.Random(1)
     val vecs = Array.fill(NumVectors)(Array.fill(Dim)(rng.nextFloat()))
     val src = spark.createDataFrame(
@@ -110,14 +110,30 @@ object QpsWorkloads {
     val tmp = java.nio.file.Files.createTempDirectory("bench-fromidx").toString
     val idx = graft.index.VectorIndex.build(spark, tmp, src, dim = Dim, maxDegree = MaxDegree)
     var router: graft.index.ShardedServing = null
-    val load = median((0 until repeat).map { _ =>
+    // COLD/WARM split (r13: a single median hid a 2.5x load jump
+    // behind the pre-QPS cache drop): the FIRST load pays every
+    // first-in-JVM cost alive at that point (plan compilation, parquet
+    // footer/codec setup, whatever caches a preceding drop emptied);
+    // the steady-state re-load is the comparable cross-round number.
+    // At least 2 loads so warm always exists; `load` stays the median
+    // of all (the pre-split methodology, kept for continuity).
+    val times = (0 until math.max(2, repeat)).map { _ =>
       val t0 = System.nanoTime()
       router = graft.index.ShardedServing.fromIndex(idx, numShards = NumShards)
       (System.nanoTime() - t0) / 1e9
-    })
+    }
+    val load = median(times)
+    val loadCold = times.head
+    val loadWarm = median(times.tail)
     // query draw AFTER the vector draws, matching the original loop's
     // RNG stream position (and vectorsAndQueries' protocol)
     val queries = Array.fill(NumQueries)(vecs(rng.nextInt(vecs.length)))
-    (load, Workload(q => router.search(q, topk = 10), queries))
+    (FromIndexLoad(load, loadCold, loadWarm),
+      Workload(q => router.search(q, topk = 10), queries))
   }
+
+  /** Load-time triple from [[fromIndexRouter]]: `medianSec` = median
+    * of all loads (pre-r14 methodology, cross-round comparable),
+    * `coldSec` = first load, `warmSec` = median of the rest. */
+  final case class FromIndexLoad(medianSec: Double, coldSec: Double, warmSec: Double)
 }

@@ -21,15 +21,19 @@ object ScaleAnnProbe {
 
   /** (build_sec, avg_recall@10, min_recall@10, n). `alpha` selects the
     * prune: 0.0 = reference-faithful truncation, > 1.0 = the DiskANN
-    * α-RNG diversified prune — the pair the bench's sf1 section
-    * records side by side (MEASURED at 20k×64d: truncation 0.50 avg /
-    * 0.00 min — near-twins saturate every adjacency list and greedy
-    * navigation strands; α = 1.2 reads 1.00/1.00 at ~2× the wiring
-    * cost. Exact-wired truncation reads 0.80/0.00: the prune, not the
-    * candidate tier, is what fails — the quantified version of SURVEY
-    * §4.2's "truncation is the recall-limiting deviation"). */
+    * α-RNG diversified prune, [[graft.index.VectorIndex.AlphaAuto]]
+    * (the default here, as in `build`) = scale-tier routing — above
+    * `exactThreshold` it resolves to α = 1.2, so the probe's default
+    * measures the path an un-parameterized 100 TB build takes. The
+    * bench's sf1 section records truncation vs default side by side
+    * (MEASURED at 20k×64d: truncation 0.50 avg / 0.00 min —
+    * near-twins saturate every adjacency list and greedy navigation
+    * strands; α = 1.2 reads 1.00/1.00 at ~2× the wiring cost. Exact-
+    * wired truncation reads 0.80/0.00: the prune, not the candidate
+    * tier, is what fails — the quantified version of SURVEY §4.2's
+    * "truncation is the recall-limiting deviation"). */
   def run(spark: SparkSession, sfDir: String,
-      alpha: Double = 0.0): (Double, Double, Double, Long) = {
+      alpha: Double = graft.index.VectorIndex.AlphaAuto): (Double, Double, Double, Long) = {
     val synthDir = SyntheticScale.ensure(spark, sfDir)
     val src = spark.read.parquet(s"$synthDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -118,7 +122,8 @@ object ScaleAnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val alpha = Bench.envDouble("SPARK_GRAFT_PROBE_ALPHA", 0.0)
+    val alpha =
+      Bench.envDouble("SPARK_GRAFT_PROBE_ALPHA", graft.index.VectorIndex.AlphaAuto)
     val (b, avg, mn, n) = run(spark, sfDir, alpha)
     println(f"""{"sf1_ann_n":$n,"sf1_ann_alpha":$alpha,"sf1_ann_build_sec":$b%.2f,""" +
       f""""sf1_ann_avg_recall":$avg%.4f,"sf1_ann_min_recall":$mn%.4f}""")

@@ -14,7 +14,12 @@ import java.nio.file.{Files, Paths}
   * (no-oracle) queries, and of every `pass_*` invariant column (sweep
   * monotonicity/top-end, designed class ordering — gate 1.0), each
   * with its gate — so ANN quality is auditable from round artifacts
-  * without re-running anything. When a previous RECALL.json exists,
+  * without re-running anything. Units: `*_per_10k` columns are the
+  * repo's exact fixed-point integers on the 10⁴ scale and are
+  * normalized by 10⁴ BEFORE gating; a sibling `<col>_gate` column
+  * (same units) declares a deliberate per-row bar — the column then
+  * gates by worst margin ≥ 0, reported as `<col>_margin` (see the
+  * convention comment at the gating loop). When a previous RECALL.json exists,
   * each metric also carries `prev`/`drift_ok` (value ≥ prev − 0.05):
   * every gated value is deterministic given the fixture, so a
   * cross-round drop is a real behavior change the absolute gates
@@ -95,31 +100,59 @@ object Verify {
         }.toMap
       } catch { case _: Throwable => Map.empty }
     val driftFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Units convention: a column named `*_per_10k` is a fixed-point
+    // integer on the 10⁴ scale (the repo's exact-HALF_UP idiom) — it
+    // is normalized by 10⁴ here BEFORE gating, so a per-10k recall of
+    // 6863 gates as 0.6863 against 0.70, not as "6863 ≥ 0.70"
+    // (trivially true — the r13 units bug). Legacy prev values
+    // recorded on the raw scale are normalized the same way for the
+    // drift compare (a genuine normalized recall is ≤ 1.0, so
+    // prev > 1.0 on a per-10k column can only be a raw legacy value).
+    //
+    // Sibling-gate convention: a result may carry, for any gated
+    // column c, a `${c}_gate` column in the SAME units — a DELIBERATE
+    // per-row (e.g. per-tier) bar the query documents (q198's
+    // per-tier recall gates). When present, c is gated by its worst
+    // per-row MARGIN (min over rows of c − gate, ≥ 0 to pass),
+    // reported as `${c}_margin`, and the generic absolute gate does
+    // not double-apply; `*_gate` columns are never gated themselves.
+    def perTenK(c: String): Boolean = c.toLowerCase.endsWith("_per_10k")
+    def norm(c: String, v: Double): Double = if (perTenK(c)) v / 10000.0 else v
     val recallRows = selected.keys.toSeq.sorted.flatMap { name =>
       try {
         val df = spark.read.parquet(s"$outDir/$name")
         val rcols = df.columns.filter(c =>
-          c.toLowerCase.contains("recall") || c.toLowerCase.startsWith("pass_"))
+          (c.toLowerCase.contains("recall") || c.toLowerCase.startsWith("pass_")) &&
+            !c.toLowerCase.endsWith("_gate"))
         if (rcols.isEmpty) Nil
         else {
-          val aggs = rcols.map(c => min(col(c)).cast("double").as(c))
+          val aggs = rcols.map { c =>
+            if (df.columns.contains(s"${c}_gate"))
+              min(col(c) - col(s"${c}_gate")).cast("double").as(c)
+            else min(col(c)).cast("double").as(c)
+          }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           val cells = rcols.zipWithIndex.map { case (c, i) =>
-            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+            val raw = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+            val hasGate = df.columns.contains(s"${c}_gate")
+            val key = if (hasGate) s"${c}_margin" else c
+            val v = norm(c, raw)
             val gate =
-              if (c.toLowerCase.startsWith("pass_")) 1.0
+              if (hasGate) 0.0
+              else if (c.toLowerCase.startsWith("pass_")) 1.0
               else if (c.toLowerCase.startsWith("min_")) 0.30
               else 0.70
             val pass = !v.isNaN && v >= gate
-            val drift = prevVals.get(name).flatMap(_.get(c)) match {
-              case Some(prev) =>
+            val drift = prevVals.get(name).flatMap(_.get(key)) match {
+              case Some(prevRaw) =>
+                val prev = if (perTenK(c) && prevRaw > 1.0) prevRaw / 10000.0 else prevRaw
                 val ok = !v.isNaN && v >= prev - 0.05
                 if (!ok) driftFailures +=
-                  s"$name.$c = ${f"$v%.4f"} < prev ${f"$prev%.4f"} - 0.05"
+                  s"$name.$key = ${f"$v%.4f"} < prev ${f"$prev%.4f"} - 0.05"
                 s""", "prev": ${f"$prev%.4f"}, "drift_ok": $ok"""
               case None => ""
             }
-            s"""${q(c)}: {"value": ${if (v.isNaN) "null" else f"$v%.4f"}, "gate": $gate, "pass": $pass$drift}"""
+            s"""${q(key)}: {"value": ${if (v.isNaN) "null" else f"$v%.4f"}, "gate": $gate, "pass": $pass$drift}"""
           }
           Seq(s"${q(name)}: ${cells.mkString("{", ", ", "}")}")
         }

@@ -1468,9 +1468,36 @@ object VectorIndex {
           "(expected graph/ + ring/ tables; pre-segmented snapshots must be rebuilt)")
     }
 
+  /** Sentinel for [[build]]'s `alpha`: route the prune by scale tier
+    * (truncation at fixture scale, α-RNG above `exactThreshold`). */
+  val AlphaAuto: Double = -1.0
+
+  /** α used by the auto tier above `exactThreshold` — the DiskANN
+    * paper's default diversification factor. */
+  val DefaultScaleAlpha: Double = 1.2
+
+  /** Scale-tier prune routing (the `exactThreshold` idiom applied to
+    * the build's own prune): the reference's truncation prune
+    * (`/root/reference/src/LMDiskANN.jl:491-505`) is kept verbatim at
+    * fixture scale — reference parity, and q68's measured tie — but
+    * it is MEASURED failing one decade above the fixtures
+    * (BENCH_SCALE sf1_ann, 20k×64d: serving recall@10 0.50 avg /
+    * 0.00 min — near-twins saturate every adjacency list and greedy
+    * navigation strands), while the Vamana α-RNG prune
+    * ([[AlphaPrune]], α = 1.2) reads 1.00/1.00 at ~2× wiring cost.
+    * So the AUTO default routes exactly like the wiring tier:
+    * truncation up to `exactThreshold` rows, α-prune above. An
+    * explicit `alpha` (0.0 = always-truncate reference semantics,
+    * > 1.0 = always-diversify) bypasses the routing. */
+  private[graft] def resolveAlpha(alpha: Double, n: Long, exactThreshold: Long): Double =
+    if (alpha != AlphaAuto) alpha
+    else if (n <= exactThreshold) 0.0
+    else DefaultScaleAlpha
+
   /** Bulk build from a DataFrame of (id BIGINT 0-based, key STRING?, vec ARRAY<FLOAT>)
     * — the north-star batch-construction path (BASELINE.json). Graph =
-    * exact kNN for small n, LSH-bucketed beyond `exactThreshold`. */
+    * exact kNN for small n, LSH-bucketed beyond `exactThreshold`; the
+    * prune routes by the same tier (see [[resolveAlpha]]). */
   def build(
       spark: SparkSession,
       path: String,
@@ -1480,7 +1507,7 @@ object VectorIndex {
       metric: Metric = Metric.Euclidean,
       exactThreshold: Long = 20000L,
       eltype: String = "Float32",
-      alpha: Double = 0.0): VectorIndex = {
+      alpha: Double = AlphaAuto): VectorIndex = {
     // custom metrics are a SERVING-tier capability (driver-side
     // traversal calls metric.dist directly); the bulk build's distance
     // scans are codegen expressions — refuse up front with guidance
@@ -1524,15 +1551,16 @@ object VectorIndex {
     // guarantees global connectivity on clustered data (see
     // GraphBuilder.ringLinks)
     val knnDegree = math.max(1, maxDegree - 2)
+    val effAlpha = resolveAlpha(alpha, n, exactThreshold)
     val pruned =
-      if (alpha > 1.0) {
+      if (effAlpha > 1.0) {
         // α-RNG build: gather 2x candidates, diversify-prune per node
         val edges =
           if (n <= exactThreshold) GraphBuilder.exactKnnEdges(vv, 2 * maxDegree, metric)
           else GraphBuilder.refinedKnnEdges(vv, 2 * maxDegree, metric)
         val bidir = GraphBuilder.bothDirections(edges)
           .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
-        AlphaPrune.pruneGraph(bidir, vv, knnDegree, alpha, metric)
+        AlphaPrune.pruneGraph(bidir, vv, knnDegree, effAlpha, metric)
       }
       else if (n <= exactThreshold) GraphBuilder.exactKnnGraph(vv, knnDegree, metric)
       else GraphBuilder.lshKnnGraph(vv, knnDegree, metric)

@@ -1002,9 +1002,14 @@ object Dedup {
     val probeCap = math.min(exactThreshold, Int.MaxValue.toLong - 1L)
     val probed = embeddings.limit((probeCap + 1L).toInt).count()
     val n = if (probed <= exactThreshold) probed else embeddings.count()
-    log.info(s"embeddingNearDupPairs: n=$n tier=" +
-      (if (n <= exactThreshold) "exact-crossjoin"
-       else if (n > srpWideThreshold) "srp-banded-64bit" else "srp-banded-32bit"))
+    // the tier rides in the OUTPUT too (`tier` column), not just the
+    // log: exact vs sketch-approximate results must stay
+    // distinguishable downstream — a pipeline that persists the pairs
+    // loses the log line but keeps the column
+    val tierName =
+      if (n <= exactThreshold) "exact-crossjoin"
+      else if (n > srpWideThreshold) "srp-banded-64bit" else "srp-banded-32bit"
+    log.info(s"embeddingNearDupPairs: n=$n tier=$tierName")
     if (n <= exactThreshold) {
       val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
@@ -1018,7 +1023,8 @@ object Dedup {
           (round(VectorFunctions.cosineSimFromNorms(
             VectorFunctions.dot(col("vec_a"), col("vec_b")),
             col("nrm_a"), col("nrm_b")), 4)
-            + lit(0.0)).as("cos_sim"))
+            + lit(0.0)).as("cos_sim"),
+          lit(tierName).as("tier"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(topN)
     } else {
@@ -1043,7 +1049,8 @@ object Dedup {
           (round(VectorFunctions.cosineSimFromNorms(
             VectorFunctions.dot(col("vec_a"), col("vec_b")),
             col("nrm_a"), col("nrm_b")), 4)
-            + lit(0.0)).as("cos_sim"))
+            + lit(0.0)).as("cos_sim"),
+          lit(tierName).as("tier"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(topN)
     }
@@ -1251,21 +1258,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Default per-tier recall gate for [[evalPairSets]]: 0.70 on the
+    * per-10k scale — the repo-wide recall bar (Verify's absolute
+    * gate), applied per tier unless the caller adjudicates a tier
+    * differently. */
+  val DefaultRecallGatePer10k: Long = 7000L
+
   /** Candidate-tier evaluation for dedup pipelines: precision/recall
     * of one or more candidate-pair generators against an exact-truth
     * pair set — the "which tier do I turn on, and at what cost in
     * misses" card a pipeline reads before scaling a dedup pass (the
     * pair-set sibling of Retrieval.evalRankings). Per tier: truth /
-    * predicted / intersection counts and exact HALF_UP per-10k
+    * predicted / intersection counts, exact HALF_UP per-10k
     * precision + recall (a tier with no predictions reports NULL
-    * precision rather than an engine-dependent 0/0).
+    * precision rather than an engine-dependent 0/0), and the tier's
+    * DELIBERATE recall gate (`recall_per_10k_gate`) — per-tier via
+    * `gatesPer10k`, else [[DefaultRecallGatePer10k]]. Carrying the
+    * gate in the card is what lets a generic artifact audit
+    * (Verify's sibling-gate rule) enforce per-tier bars: a
+    * high-recall near-dup tier gates at 0.70 while a
+    * precision-first containment-style tier can carry a documented
+    * lower bar, and a degraded tier fails ITS OWN gate instead of
+    * hiding behind the weakest tier's.
     *
     * Inputs are (doc_a < doc_b) pair frames — the contract every
     * candidate generator here emits. The full-outer join per tier is
     * pair-set-sized; producing the tiers was the expensive part. */
   def evalPairSets(
       tiers: Seq[(String, DataFrame)],
-      truth: DataFrame): DataFrame = {
+      truth: DataFrame,
+      gatesPer10k: Map[String, Long] = Map.empty): DataFrame = {
     require(tiers.nonEmpty, "need >= 1 candidate tier")
     val t = truth.select(col("doc_a"), col("doc_b")).distinct()
       .withColumn("t", lit(1))
@@ -1283,9 +1305,32 @@ object Dedup {
           expr("CASE WHEN n_pred > 0 THEN (tp * 20000 + n_pred) DIV (n_pred * 2) END")
             .as("precision_per_10k"),
           expr("CASE WHEN n_truth > 0 THEN (tp * 20000 + n_truth) DIV (n_truth * 2) END")
-            .as("recall_per_10k"))
+            .as("recall_per_10k"),
+          lit(gatesPer10k.getOrElse(name, DefaultRecallGatePer10k))
+            .as("recall_per_10k_gate"))
     }.reduce(_ unionByName _)
   }
+
+  /** Deterministic seeded document sample — the gated-sample tier for
+    * exact-truth evaluation legs (the q56 pattern made API-level): at
+    * 100 TB an uncapped exact-Jaccard truth pass is impossible, so
+    * the eval runs on a seeded doc sample (BOTH pair endpoints
+    * sampled — pair-level tier quality on the sample is an unbiased
+    * estimate of corpus pair quality, truth and tiers restricted
+    * identically). The predicate is pure per-row hash arithmetic
+    * (md5-prefix mod 10⁴ < fracPer10k), so any SQL engine replays the
+    * same sample — no RAND(), no engine-dependent sampling operator —
+    * and it pushes down to the scan like any filter. `fracPer10k >=
+    * 10000` returns the frame unchanged (fixture/full mode). */
+  def docSample(
+      docs: DataFrame,
+      fracPer10k: Long,
+      seed: String,
+      idCol: String = "doc_id"): DataFrame =
+    if (fracPer10k >= 10000L) docs
+    else docs.filter(
+      conv(substring(md5(concat_ws(":", lit(seed), col(idCol))), 1, 15), 16, 10)
+        .cast("long") % 10000L < fracPer10k)
 
   /** Directional shingle CONTAINMENT pairs (Broder 1997's asymmetric
     * companion to resemblance/Jaccard): C(a→b) = |Sa ∩ Sb| / |Sa| over
@@ -1345,6 +1390,17 @@ object Dedup {
     * are one whole-text chunk. No min/max chunk clamps (real CDC
     * adds them for variance control; irrelevant to the dedup audit).
     *
+    * BMP-only contract: the per-char stream comes from `split(t, '')`
+    * which cuts at UTF-16 code units, while `length()` and the DuckDB
+    * twin's `string_split`/`unicode()` count codepoints — a
+    * supplementary-plane char (emoji, rare CJK) becomes two lone
+    * surrogates here, so cut POSITIONS and window hashes diverge from
+    * the oracle on non-BMP text (reconstruction still holds either
+    * way: starts/ends index the original string, and size(cps) ≥ len
+    * keeps every lookup in bounds). The fixtures and the oracle gate
+    * are BMP; a non-BMP corpus needs a codepoint-aware split before
+    * the hashes are cross-engine comparable.
+    *
     * Emits one row per chunk: (group, doc_id, pos, chunk) — `pos` is
     * the chunk index within the doc, so concat in pos order MUST
     * reconstruct the text exactly (DedupSpec pins it). Entirely
@@ -1359,16 +1415,24 @@ object Dedup {
     require(w >= 1, s"window w must be >= 1, got $w")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val cps = transform(split(col("t"), ""), c => ascii(c).cast("long"))
-    val cids = chunkIdArr(col("cps"), col("cps"), w)
     docs
       .select(col(groupCol), col(idCol).as("doc_id"), col(textCol).as("t"))
       .withColumn("len", length(col("t")).cast("long"))
       .withColumn("cps", cps)
+      // materialize the window-id array as its OWN column before the
+      // cuts lambda (the winnowDupStats binding discipline): a
+      // higher-order-function lambda re-evaluates every expression it
+      // references per element, so an inline chunkIdArr here would run
+      // the O(n·w) kernel once per window position — O(n²·w) per doc.
+      // Bound as a column it runs once; the lambda only indexes it.
+      .withColumn("cids",
+        when(col("len") < w, array().cast("array<bigint>"))
+          .otherwise(chunkIdArr(col("cps"), col("cps"), w)))
       .withColumn("cuts",
         when(col("len") < w, array().cast("array<bigint>"))
           .otherwise(filter(
             transform(sequence(lit(0L), col("len") - w), s =>
-              when(element_at(cids, (s + 1).cast("int")) % divisor === 0 &&
+              when(element_at(col("cids"), (s + 1).cast("int")) % divisor === 0 &&
                   s + w < col("len"), s + w).otherwise(lit(-1L))),
             x => x >= 0L)))
       .withColumn("starts", concat(array(lit(0L)), col("cuts")))

@@ -537,10 +537,14 @@ object Sampling {
     * arrays ship as array literals in the plan (one `Literal` each —
     * no 2·B-expression codegen blowup) and each token does two O(1)
     * `element_at` lookups, so scoring 100 TB is one map-only pass
-    * with zero shuffle. Overflow headroom: ct[b]·Nraw ≤ Nt·Nr must
-    * stay under 2^63 — fine to ~3e9 tokens a side; past that, rescale
-    * the per-bucket deltas to a fixed-point ratio before the scoring
-    * pass (the fit table is driver-sized, so the rescale is free).
+    * with zero shuffle. Overflow headroom: the DOCUMENT sum must stay
+    * under 2^63, i.e. max-per-token-term × doc length — the guard in
+    * [[dsirScore]] bounds the worst token term from the actual fit
+    * arrays and budgets 2^20 tokens per document (Spark long
+    * arithmetic wraps silently outside ANSI mode, so this must be
+    * refused up front); past that, rescale the per-bucket deltas to a
+    * fixed-point ratio before the scoring pass (the fit table is
+    * driver-sized, so the rescale is free).
     *
     * Emits the input columns plus BIGINT `score`. */
   def dsirImportance(
@@ -574,10 +578,25 @@ object Sampling {
     val buckets = cr.length
     val nr = cr.sum
     val nt = ct.sum
-    require(nt * 1.0 * nr < 9.2e18,
-      s"bucket-count product Nt*Nr=$nt*$nr risks BIGINT overflow; " +
+    // The score SUMS one term per token, so the single-term bound
+    // (Nt·Nr < 2^63) is not enough: a long document in skewed buckets
+    // can wrap the running BIGINT sum silently (Spark long arithmetic
+    // is non-ANSI modular). Bound the worst per-token term from the
+    // ACTUAL fit arrays and budget MaxDocTokens tokens per document —
+    // exact BigInt arithmetic so the guard itself can't overflow.
+    val worstTerm =
+      (BigInt(ct.max) * BigInt(nr)).max(BigInt(cr.max) * BigInt(nt))
+    require(worstTerm * BigInt(MaxDocTokens) < BigInt(Long.MaxValue),
+      s"worst per-token term ${worstTerm} x $MaxDocTokens-token document " +
+        "budget risks BIGINT overflow in the per-document score sum; " +
         "rescale the fit table to fixed-point ratios first")
     docs
+      // token-less documents are DROPPED, not scored 0: they carry no
+      // evidence either way, and every unnest-shaped SQL twin of this
+      // scoring pass (one row per token, grouped back) never sees them
+      // — emitting a 0 row here would silently diverge from any such
+      // replay the moment a corpus gains an empty/whitespace-only doc
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= 1)
       .withColumn("__graft_bkts",
         transform(TextAnalysis.tokens(col(textCol)),
           t => (dsirBucket(t, buckets) + 1L).cast("int")))
@@ -586,4 +605,9 @@ object Sampling {
           acc + element_at(lit(ct), b) * nr - element_at(lit(cr), b) * nt))
       .drop("__graft_bkts")
   }
+
+  /** Per-document token budget assumed by [[dsirScore]]'s overflow
+    * guard: 2^20 (~1M tokens) — generous for any real document (a
+    * book is ~10^5) while keeping the guard meaningful. */
+  val MaxDocTokens: Long = 1L << 20
 }

@@ -29,7 +29,7 @@ class BenchSummarySpec extends AnyFunSuite {
     val line = Bench.summaryLine(results, Some(8884.88),
       88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
       Seq(8884.88, 8884.88, 8884.88, 8884.88), contended = true,
-      "sf0.001", Some(8884.88))
+      "sf0.001", Some(8884.88), parRatio = 888.88, minMerged = 8888)
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -63,13 +63,15 @@ class BenchSummarySpec extends AnyFunSuite {
     val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
     val line = Bench.summaryLine(results, Some(22.24),
       398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44),
-      contended = false, "sf0.1", Some(8.37))
+      contended = false, "sf0.1", Some(8.37), parRatio = 1.13, minMerged = 12)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
       "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps",
-      "cal", "ctn", "sr", "sf"))
+      "cal", "ctn", "cpr", "mm", "sr", "sf"))
     assert((parsed \ "ctn").asInstanceOf[org.json4s.JInt].num.toInt === 0)
+    assert((parsed \ "cpr").asInstanceOf[org.json4s.JDouble].num === 1.1)
+    assert((parsed \ "mm").asInstanceOf[org.json4s.JInt].num.toInt === 12)
     assert((parsed \ "sr").asInstanceOf[org.json4s.JDouble].num === 8.4)
     val qKeys = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(qKeys === List("q41", "q01")) // slowest first
@@ -86,6 +88,24 @@ class BenchSummarySpec extends AnyFunSuite {
   test("calibration spin loop returns a positive bounded time") {
     val t = Bench.calSpin()
     assert(t > 0.0 && t < 60.0, s"calSpin returned $t sec")
+  }
+
+  test("parallel calibration: ratio math and the 2x trip bar") {
+    // perfect scaling: 8 threads of 1/8 work finish in spin/8 -> ratio 1
+    assert(math.abs(Bench.parallelRatio(0.05, 0.40) - 1.0) < 1e-9)
+    // halved parallel capacity (the r13 blind spot: serial spin quiet,
+    // parallel wall doubled) -> ratio 2, trips
+    assert(Bench.parNoisy(Bench.parallelRatio(0.101, 0.40)))
+    // mild oversubscription does not trip
+    assert(!Bench.parNoisy(Bench.parallelRatio(0.07, 0.40)))
+    // degenerate spin -> sentinel, never a divide-by-zero trip
+    assert(Bench.parallelRatio(0.05, 0.0) === -1.0)
+    assert(!Bench.parNoisy(-1.0))
+    // and the real probe completes with a sane wall time on this host
+    val spin = Bench.calSpin()
+    val par = Bench.calSpinParallel()
+    val r = Bench.parallelRatio(par, spin)
+    assert(par > 0.0 && r > 0.0, s"par=$par ratio=$r")
   }
 
   test("bracketNoisy: relative disagreement rule, plus optional absolute pin") {

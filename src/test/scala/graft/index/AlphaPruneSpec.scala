@@ -52,6 +52,57 @@ class AlphaPruneSpec extends SparkSpec {
     assert(avg >= 0.70)
   }
 
+  test("resolveAlpha: scale-tier routing boundary is pinned at exactThreshold") {
+    val auto = VectorIndex.AlphaAuto
+    // at or below the tier boundary: reference-faithful truncation
+    assert(VectorIndex.resolveAlpha(auto, n = 20000L, exactThreshold = 20000L) == 0.0)
+    assert(VectorIndex.resolveAlpha(auto, n = 1L, exactThreshold = 20000L) == 0.0)
+    // one row above: the DiskANN diversified prune (measured 1.00/1.00
+    // at 20k×64d where truncation reads 0.50/0.00 — BENCH_SCALE sf1_ann)
+    assert(VectorIndex.resolveAlpha(auto, n = 20001L, exactThreshold = 20000L)
+      == VectorIndex.DefaultScaleAlpha)
+    // explicit values bypass routing at ANY scale (reference semantics
+    // on demand, diversification on demand)
+    assert(VectorIndex.resolveAlpha(0.0, n = 5000000L, exactThreshold = 20000L) == 0.0)
+    assert(VectorIndex.resolveAlpha(1.5, n = 10L, exactThreshold = 20000L) == 1.5)
+  }
+
+  test("auto-routed build above the tier equals the explicit alpha build") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new Random(11)
+    val centers = IndexedSeq.fill(8)(Array.fill(8)(rng.nextFloat() * 10f))
+    val points = (0 until 120).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rng.nextFloat() * 0.4f).toSeq)
+    }
+    val df = points.toDF("id", "vec")
+    // exactThreshold below n forces the scale tier: AUTO must resolve
+    // to the α-prune and produce the identical graph to explicit 1.2
+    // (every stage — seeded LSH fit, NN-descent, bounded-heap top-k,
+    // pruneOne — is deterministic given the input)
+    val autoIdx = VectorIndex.build(spark, tmpDir("idx-auto-route"), df,
+      dim = 8, maxDegree = 10, exactThreshold = 60L)
+    val explIdx = VectorIndex.build(spark, tmpDir("idx-expl-alpha"), df,
+      dim = 8, maxDegree = 10, exactThreshold = 60L, alpha = 1.2)
+    val a = autoIdx.adjacency.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val e = explIdx.adjacency.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq == e.toSeq)
+    // and BELOW the tier the auto build keeps reference truncation:
+    // identical to an explicit alpha=0.0 build
+    val autoSmall = VectorIndex.build(spark, tmpDir("idx-auto-small"), df,
+      dim = 8, maxDegree = 10)
+    val truncSmall = VectorIndex.build(spark, tmpDir("idx-trunc-small"), df,
+      dim = 8, maxDegree = 10, alpha = 0.0)
+    val as = autoSmall.adjacency.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val ts = truncSmall.adjacency.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(as.toSeq == ts.toSeq)
+  }
+
   test("ServingIndex with alpha: online inserts produce diverse, bounded adjacency") {
     val rng = new Random(3)
     val idx = new ServingIndex(dim = 8, maxDegree = 8, alpha = 1.2)

@@ -486,7 +486,14 @@ class DedupSpec extends SparkSpec {
     val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((0L, 1L)) || got.contains((0L, 2L)) || got.contains((1L, 2L)),
       s"LSH tier missed every planted near-dup pair: $got")
-    assert(lsh.columns.toSeq === Seq("id_a", "id_b", "cos_sim"))
+    assert(lsh.columns.toSeq === Seq("id_a", "id_b", "cos_sim", "tier"))
+    // the tier marker rides in the OUTPUT, so exact vs approximate
+    // results stay distinguishable after the log line is gone
+    assert(lsh.select("tier").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("srp-banded-32bit"))
+    assert(Dedup.embeddingNearDupPairs(vecs, topN = 5, exactThreshold = 100L)
+      .select("tier").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("exact-crossjoin"))
   }
 
   test("SRP tier widens to 64-bit/16-bit blocks past srpWideThreshold; low 32 bits agree") {
@@ -557,6 +564,57 @@ class DedupSpec extends SparkSpec {
     // b: no predictions -> NULL precision, 0 recall
     assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((3L, 0L, 0L)))
     assert(got(1).isNullAt(6) && got(1).getLong(7) == 0L)
+    // both tiers carry the default deliberate gate
+    assert(got.forall(_.getAs[Long]("recall_per_10k_gate")
+      == Dedup.DefaultRecallGatePer10k))
+  }
+
+  test("evalPairSets per-tier gates: a degraded tier fails ITS OWN margin, not the default") {
+    val ss = spark
+    import ss.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val good = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")    // 0.75
+    val partial = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")           // 0.50
+    val card = Dedup.evalPairSets(
+        Seq(("good", good), ("partial", partial)), truth,
+        gatesPer10k = Map("partial" -> 4000L))
+      .orderBy("tier").collect()
+    def margin(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("recall_per_10k") - r.getAs[Long]("recall_per_10k_gate")
+    // good: 7500 vs default 7000 -> +500; partial: 5000 vs deliberate
+    // 4000 -> +1000 — both pass their own bars
+    assert(margin(card(0)) == 500L && margin(card(1)) == 1000L)
+    // DEGRADE the partial tier (drop to 1/4 recall): its margin goes
+    // negative — the Verify/oracle_check sibling-gate rule (min over
+    // rows of recall - gate >= 0) now FAILS the card
+    val degraded = Dedup.evalPairSets(
+        Seq(("good", good), ("partial", Seq((1L, 2L)).toDF("doc_a", "doc_b"))), truth,
+        gatesPer10k = Map("partial" -> 4000L))
+    val worst = degraded
+      .agg(org.apache.spark.sql.functions.min(
+        col("recall_per_10k") - col("recall_per_10k_gate"))).head().getLong(0)
+    assert(worst == 2500L - 4000L)
+  }
+
+  test("docSample: deterministic, seed-sensitive, full-frac is identity") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L until 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val s1 = Dedup.docSample(docs, 5000L, "q198").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Dedup.docSample(docs, 5000L, "q198").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed+frac must select the same docs")
+    // roughly half (md5 is uniform; 400 trials, generous bounds)
+    assert(s1.size > 120 && s1.size < 280, s"got ${s1.size}/400 at frac 0.5")
+    val other = Dedup.docSample(docs, 5000L, "other-seed").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != other, "a different seed must select a different sample")
+    // monotone: a smaller frac selects a subset of the larger one
+    val s3 = Dedup.docSample(docs, 2000L, "q198").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+    assert(Dedup.docSample(docs, 10000L, "q198").count() == 400L)
   }
 
   // ------------------------------------------------ content-defined chunking
