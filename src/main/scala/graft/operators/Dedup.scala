@@ -1283,7 +1283,11 @@ object Dedup {
     *
     * Inputs are (doc_a < doc_b) pair frames — the contract every
     * candidate generator here emits. The full-outer join per tier is
-    * pair-set-sized; producing the tiers was the expensive part. */
+    * pair-set-sized; producing the tiers was the expensive part.
+    * NOTE: `truth` is referenced once PER TIER — an expensive truth
+    * subplan (exact-Jaccard over a corpus) re-executes per tier
+    * unless the caller materializes it first (the q198 pattern:
+    * localCheckpoint the pair set, release after the card). */
   def evalPairSets(
       tiers: Seq[(String, DataFrame)],
       truth: DataFrame,

@@ -2068,6 +2068,53 @@ object DocQueries {
   private val TierEvalGates: Map[String, Long] =
     Map("minhash_lsh" -> 7000L, "simhash_h1" -> 7000L, "chunk_k8" -> 5000L)
 
+  /** Per-tier recall gates for the q199 threshold sweep (per-10k).
+    * The sweep's tiers are NESTED (one candidate set filtered at
+    * rising est_jaccard bars), so recall is monotone nonincreasing by
+    * construction — the gates pin each operating point's coverage
+    * against the fixed jaccard ≥ 0.5 truth: the 0.25 and 0.50 bars
+    * are coverage tiers (0.70 — at 16 minhashes a true ≥ 0.5 pair
+    * estimates ≥ 0.5 with high probability), while 0.75 deliberately
+    * trades the 0.5–0.75 band away for precision (documented 0.30
+    * bar — the "high-precision prefilter" operating point). */
+  private val SweepGates: Map[String, Long] =
+    Map("lsh_t2500" -> 7000L, "lsh_t5000" -> 7000L, "lsh_t7500" -> 3000L)
+
+  /** LSH operating-point sweep card (q199): precision/recall of the
+    * MinHash-LSH candidate tier at est_jaccard ≥ {0.25, 0.50, 0.75}
+    * against the sampled exact truth (jaccard ≥ 0.5) — the PR-curve a
+    * pipeline reads to pick the dedup tier's threshold, the pair-set
+    * sibling of q190's filter calibration. ONE banding join produces
+    * the 0.25-threshold candidate set (est_jaccard rides along); the
+    * higher tiers are filters over it, so the sweep costs one tier
+    * plus two predicates. Same seeded doc sample and per-tier gate
+    * discipline as q198; `pass_recall_monotone` pins the nesting
+    * invariant (recall nonincreasing as the bar rises) in-card. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val frac = TierEvalSampleFracPer10k
+    val shingles = Dedup.docSample(corpusShingles(spark, dir), frac, TierEvalSampleSeed)
+    val truth = Dedup.ngramJaccardPairsFromShingles(shingles, maxShingleFreq = 0)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val sigs = Dedup.minhashSignatures(shingleIds(shingles)).localCheckpoint(true)
+    val cand = Dedup.lshCandidatePairs(sigs, threshold = 0.25).localCheckpoint(true)
+    val tiers = Seq(2500, 5000, 7500).map { t =>
+      (s"lsh_t$t", cand.filter(col("est_jaccard") >= t / 10000.0))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tier"))
+    val out = Dedup.evalPairSets(tiers, truth, gatesPer10k = SweepGates)
+      .withColumn("sample_frac_per_10k", lit(frac))
+      .withColumn("pass_recall_monotone",
+        when(lag(col("recall_per_10k"), 1).over(w).isNull, 1L)
+          .otherwise((col("recall_per_10k") <= lag(col("recall_per_10k"), 1).over(w))
+            .cast("long")))
+      .orderBy(col("tier"))
+      .localCheckpoint(true)
+    Seq(truth, sigs, cand).foreach(graft.plans.Blocks.release)
+    out
+  }
+
   /** Dedup candidate-tier evaluation card (q198): precision/recall of
     * the MinHash-LSH (est_jaccard ≥ 0.5) and SimHash (hamming ≤ 1,
     * 2×16-bit blocks) candidate tiers against EXACT truth — all
@@ -2084,6 +2131,9 @@ object DocQueries {
     * oracled full-corpus (q41/q43/q97), so the eval composition is
     * too. */
   def dedupTierEval(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val frac = TierEvalSampleFracPer10k
     def sampledByDoc(df: DataFrame) =
       Dedup.docSample(df, frac, TierEvalSampleSeed)
@@ -2091,26 +2141,53 @@ object DocQueries {
     // a doc_id filter OVER it (same rows the sampled corpus would
     // shingle to), so the expensive shingling is still built once
     val shingles = sampledByDoc(corpusShingles(spark, dir))
-    val truth = Dedup.ngramJaccardPairsFromShingles(shingles, maxShingleFreq = 0)
-      .filter(col("jaccard") >= 0.5)
-    val sigs = Dedup.minhashSignatures(shingleIds(shingles))
-      .localCheckpoint(true)
-    val lsh = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
-    val tok = sampledByDoc(spread(corpus(spark, dir)))
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val dtc = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), TextAnalysis.termHash(col("token")).as("tid"), col("cnt"))
-    val simhash = Dedup.simhashNearDupPairs(Dedup.simhash(dtc),
-        maxHamming = 1, nBands = 2)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val chunk = Dedup.chunkPairs(sampledByDoc(spread(corpus(spark, dir))), k = 8)
+    // The four pair sets (truth + three tiers) are INDEPENDENT job
+    // chains over already-materialized inputs — build them as
+    // concurrent Spark jobs (the VectorIndex.build graph∥ring idiom):
+    // each leg is overhead-bound at fixture scale (many small stages),
+    // so wall-clock is max(leg), not sum. Each is materialized once
+    // (truth would otherwise re-execute once PER TIER inside
+    // evalPairSets's three full-outer joins — measured 3x the truth
+    // cost) and released after the card is pinned.
+    val fTruth = Future {
+      Dedup.ngramJaccardPairsFromShingles(shingles, maxShingleFreq = 0)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    }
+    val fLsh = Future {
+      val sigs = Dedup.minhashSignatures(shingleIds(shingles))
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(sigs, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      graft.plans.Blocks.release(sigs)
+      pairs
+    }
+    val fSim = Future {
+      val tok = sampledByDoc(spread(corpus(spark, dir)))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dtc = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), TextAnalysis.termHash(col("token")).as("tid"), col("cnt"))
+      Dedup.simhashNearDupPairs(Dedup.simhash(dtc), maxHamming = 1, nBands = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint(true)
+    }
+    val fChunk = Future {
+      Dedup.chunkPairs(sampledByDoc(spread(corpus(spark, dir))), k = 8)
+        .localCheckpoint(true)
+    }
+    val truth = Await.result(fTruth, Duration.Inf)
+    val lsh = Await.result(fLsh, Duration.Inf)
+    val simhash = Await.result(fSim, Duration.Inf)
+    val chunk = Await.result(fChunk, Duration.Inf)
     val out = Dedup.evalPairSets(
         Seq(("minhash_lsh", lsh), ("simhash_h1", simhash),
           ("chunk_k8", chunk)), truth, gatesPer10k = TierEvalGates)
       .withColumn("sample_frac_per_10k", lit(frac))
       .orderBy(col("tier"))
       .localCheckpoint(true)
-    graft.plans.Blocks.release(sigs)
+    Seq(truth, lsh, simhash, chunk).foreach(graft.plans.Blocks.release)
     out
   }
 
@@ -2428,6 +2505,55 @@ object DocQueries {
          |${evalLeg("simp", "simhash_h1")}
          |UNION ALL
          |${evalLeg("chkp", "chunk_k8")}
+         |) ORDER BY tier""".stripMargin
+    },
+    "q199_lsh_threshold_sweep" -> {
+      def sweepLeg(thr: Int, name: String) =
+        s"""SELECT '$name' AS tier,
+           |  CAST(${SweepGates(name)} AS BIGINT) AS recall_per_10k_gate,
+           |  CAST($TierEvalSampleFracPer10k AS BIGINT) AS sample_frac_per_10k,
+           |  CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           |  CAST(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN t IS NOT NULL AND p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(CASE WHEN sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+           |    (sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) * 20000
+           |     + sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END))
+           |    // (sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) * 2) END AS BIGINT) AS precision_per_10k,
+           |  CAST(CASE WHEN sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+           |    (sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) * 20000
+           |     + sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END))
+           |    // (sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) * 2) END AS BIGINT) AS recall_per_10k
+           |FROM ((SELECT doc_a, doc_b, 1 AS p FROM lshp_all WHERE est >= ${thr / 10000.0}) pp
+           |      FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) tt
+           |      USING (doc_a, doc_b))""".stripMargin
+      s"""WITH $corpusSql,
+         |scorpus AS (SELECT * FROM corpus
+         |  WHERE ('0x' || substr(md5(concat_ws(':', '$TierEvalSampleSeed', doc_id)), 1, 15))::UBIGINT
+         |        % 10000 < $TierEvalSampleFracPer10k),
+         |${shinglesCte("scorpus")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |          WHERE ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 4) >= 0.5),
+         |$shingleIdsCte,
+         |$lshCandCtes,
+         |lshp_all AS (SELECT DISTINCT doc_a, doc_b, $estJaccardSql AS est FROM cand
+         |             WHERE $estJaccardSql >= 0.25)
+         |SELECT *,
+         |  CASE WHEN lag(recall_per_10k) OVER (ORDER BY tier) IS NULL THEN CAST(1 AS BIGINT)
+         |       WHEN recall_per_10k <= lag(recall_per_10k) OVER (ORDER BY tier)
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pass_recall_monotone
+         |FROM (
+         |${sweepLeg(2500, "lsh_t2500")}
+         |UNION ALL
+         |${sweepLeg(5000, "lsh_t5000")}
+         |UNION ALL
+         |${sweepLeg(7500, "lsh_t7500")}
          |) ORDER BY tier""".stripMargin
     },
     "q188_dsir_filter" ->
@@ -3851,6 +3977,7 @@ object DocQueries {
     "q194_containment" -> (containmentCard _),
     "q197_orc_roundtrip" -> (orcRoundTrip _),
     "q198_dedup_tier_eval" -> (dedupTierEval _),
+    "q199_lsh_threshold_sweep" -> (dedupThresholdSweep _),
     "q40_dedup_exact" -> (dedupExact _),
     "q41_ngram_jaccard" -> (ngramJaccard _),
     "q42_minhash_signatures" -> (minhashSignatures _),
