@@ -120,8 +120,10 @@ def main(sf_dir, out_dir):
     if os.path.exists(recall_path):
         rec = json.load(open(recall_path))
         for qname in sorted(rec):
+            if qname == "_meta":
+                continue
             drifted = [(c, m) for c, m in rec[qname].items()
-                       if m.get("drift_ok") is False]
+                       if isinstance(m, dict) and m.get("drift_ok") is False]
             if drifted:
                 for c, m in drifted:
                     print(f"FAIL {qname}: drift gate: {c}={m.get('value')} "

@@ -91,7 +91,17 @@ object Verify {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(Paths.get("RECALL.json")))
         import scala.jdk.CollectionConverters._
-        root.fields().asScala.map { qe =>
+        // drift is only meaningful against the SAME fixture: the
+        // recorded values are deterministic functions of (sfDir,
+        // code), so a spot-check at a different sf must not compare
+        // against the driver-round sf's values (q198's per-tier
+        // margin legitimately differs between sf0.01 and sf0.1). A
+        // pre-_meta RECALL.json (no sf recorded) keeps the old
+        // always-compare behavior.
+        val prevSf = Option(root.get("_meta")).flatMap(m =>
+          Option(m.get("sf_dir")).map(_.asText()))
+        if (prevSf.exists(_ != sfDir)) Map.empty
+        else root.fields().asScala.filter(_.getKey != "_meta").map { qe =>
           qe.getKey -> qe.getValue.fields().asScala.flatMap { ce =>
             val v = ce.getValue.get("value")
             if (v != null && v.isNumber) Some(ce.getKey -> v.asDouble())
@@ -158,7 +168,8 @@ object Verify {
         }
       } catch { case _: Throwable => Nil }
     }
-    val recallJson = recallRows.mkString("{", ",\n ", "}")
+    val recallJson =
+      (recallRows :+ s""""_meta": {"sf_dir": ${q(sfDir)}}""").mkString("{", ",\n ", "}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
     // hard drift gate (enforced by scripts/oracle_check.py on this
     // recall.json): also shout here so a bare Verify run can't miss it
