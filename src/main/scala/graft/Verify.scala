@@ -30,6 +30,52 @@ import java.nio.file.{Files, Paths}
   * artifact either way, and any drift failure is also printed loudly
   * to stderr below).
   */
+/** The recall-artifact gating rules, as PURE functions so the r13
+  * units-bug class stays spec-pinned (VerifyGateSpec) instead of only
+  * integration-observed:
+  *
+  *  - Units: a `*_per_10k` column is a fixed-point integer on the 10⁴
+  *    scale (the repo's exact-HALF_UP idiom) — normalized by 10⁴
+  *    BEFORE gating, so a per-10k recall of 6863 gates as 0.6863
+  *    against 0.70, not as "6863 ≥ 0.70" (trivially true — the r13
+  *    bug). Legacy prev values recorded raw are normalized the same
+  *    way for drift (a genuine normalized recall is ≤ 1.0, so a
+  *    prev > 1.0 on a per-10k column can only be raw legacy).
+  *  - Sibling gates: a result may carry, for any gated column c, a
+  *    `${c}_gate` column in the SAME units — a DELIBERATE per-row
+  *    (e.g. per-tier) bar the query documents (q198). When present,
+  *    c is gated by its worst per-row MARGIN (min over rows of
+  *    c − gate, ≥ 0 to pass), reported as `${c}_margin`, and the
+  *    generic absolute gate does not double-apply; `*_gate` columns
+  *    are never gated themselves.
+  *  - Absolute gates otherwise: pass_* invariants at 1.0, min_*
+  *    recalls at 0.30, everything else at 0.70.
+  */
+private[graft] object RecallGate {
+  def perTenK(c: String): Boolean = c.toLowerCase.endsWith("_per_10k")
+  def normalize(c: String, v: Double): Double =
+    if (perTenK(c)) v / 10000.0 else v
+  def normalizePrev(c: String, prev: Double): Double =
+    if (perTenK(c) && prev > 1.0) prev / 10000.0 else prev
+  /** Columns the artifact gates: recall self-reports + pass_*
+    * invariants, never the `*_gate` declarations themselves. */
+  def gatedColumns(columns: Seq[String]): Seq[String] =
+    columns.filter(c =>
+      (c.toLowerCase.contains("recall") || c.toLowerCase.startsWith("pass_")) &&
+        !c.toLowerCase.endsWith("_gate"))
+  def siblingGate(columns: Seq[String], c: String): Option[String] =
+    Some(s"${c}_gate").filter(columns.contains)
+  def entryKey(c: String, hasSiblingGate: Boolean): String =
+    if (hasSiblingGate) s"${c}_margin" else c
+  def gateValue(c: String, hasSiblingGate: Boolean): Double =
+    if (hasSiblingGate) 0.0
+    else if (c.toLowerCase.startsWith("pass_")) 1.0
+    else if (c.toLowerCase.startsWith("min_")) 0.30
+    else 0.70
+  def passes(v: Double, gate: Double): Boolean = !v.isNaN && v >= gate
+  def driftOk(v: Double, prev: Double): Boolean = !v.isNaN && v >= prev - 0.05
+}
+
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
@@ -110,53 +156,34 @@ object Verify {
         }.toMap
       } catch { case _: Throwable => Map.empty }
     val driftFailures = scala.collection.mutable.ArrayBuffer.empty[String]
-    // Units convention: a column named `*_per_10k` is a fixed-point
-    // integer on the 10⁴ scale (the repo's exact-HALF_UP idiom) — it
-    // is normalized by 10⁴ here BEFORE gating, so a per-10k recall of
-    // 6863 gates as 0.6863 against 0.70, not as "6863 ≥ 0.70"
-    // (trivially true — the r13 units bug). Legacy prev values
-    // recorded on the raw scale are normalized the same way for the
-    // drift compare (a genuine normalized recall is ≤ 1.0, so
-    // prev > 1.0 on a per-10k column can only be a raw legacy value).
-    //
-    // Sibling-gate convention: a result may carry, for any gated
-    // column c, a `${c}_gate` column in the SAME units — a DELIBERATE
-    // per-row (e.g. per-tier) bar the query documents (q198's
-    // per-tier recall gates). When present, c is gated by its worst
-    // per-row MARGIN (min over rows of c − gate, ≥ 0 to pass),
-    // reported as `${c}_margin`, and the generic absolute gate does
-    // not double-apply; `*_gate` columns are never gated themselves.
-    def perTenK(c: String): Boolean = c.toLowerCase.endsWith("_per_10k")
-    def norm(c: String, v: Double): Double = if (perTenK(c)) v / 10000.0 else v
+    // gating rules live in RecallGate (pure, spec-pinned — see its
+    // Scaladoc for the units + sibling-gate conventions)
+    import RecallGate._
     val recallRows = selected.keys.toSeq.sorted.flatMap { name =>
       try {
         val df = spark.read.parquet(s"$outDir/$name")
-        val rcols = df.columns.filter(c =>
-          (c.toLowerCase.contains("recall") || c.toLowerCase.startsWith("pass_")) &&
-            !c.toLowerCase.endsWith("_gate"))
+        val cols = df.columns.toSeq
+        val rcols = gatedColumns(cols)
         if (rcols.isEmpty) Nil
         else {
           val aggs = rcols.map { c =>
-            if (df.columns.contains(s"${c}_gate"))
-              min(col(c) - col(s"${c}_gate")).cast("double").as(c)
-            else min(col(c)).cast("double").as(c)
+            siblingGate(cols, c) match {
+              case Some(g) => min(col(c) - col(g)).cast("double").as(c)
+              case None => min(col(c)).cast("double").as(c)
+            }
           }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           val cells = rcols.zipWithIndex.map { case (c, i) =>
             val raw = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-            val hasGate = df.columns.contains(s"${c}_gate")
-            val key = if (hasGate) s"${c}_margin" else c
-            val v = norm(c, raw)
-            val gate =
-              if (hasGate) 0.0
-              else if (c.toLowerCase.startsWith("pass_")) 1.0
-              else if (c.toLowerCase.startsWith("min_")) 0.30
-              else 0.70
-            val pass = !v.isNaN && v >= gate
+            val hasGate = siblingGate(cols, c).isDefined
+            val key = entryKey(c, hasGate)
+            val v = normalize(c, raw)
+            val gate = gateValue(c, hasGate)
+            val pass = passes(v, gate)
             val drift = prevVals.get(name).flatMap(_.get(key)) match {
               case Some(prevRaw) =>
-                val prev = if (perTenK(c) && prevRaw > 1.0) prevRaw / 10000.0 else prevRaw
-                val ok = !v.isNaN && v >= prev - 0.05
+                val prev = normalizePrev(c, prevRaw)
+                val ok = driftOk(v, prev)
                 if (!ok) driftFailures +=
                   s"$name.$key = ${f"$v%.4f"} < prev ${f"$prev%.4f"} - 0.05"
                 s""", "prev": ${f"$prev%.4f"}, "drift_ok": $ok"""
