@@ -437,7 +437,7 @@ object Bench {
     // near 1.2 — a quadratic term in a default path is invisible.
     // SyntheticScale expands documents+embeddings 10x past the largest
     // shipped fixture (content-keyed, built once, reused across
-    // rounds) and the 10 most expensive doc/embedding-only queries run
+    // rounds) and the most expensive doc/embedding-only queries run
     // there: warm-up pass first (builds each query's content-keyed
     // artifacts — persisted, so later rounds' warm-ups are cheap),
     // then one timed steady-state pass. Ratios are vs the HEADLINE

@@ -117,5 +117,11 @@ object SyntheticScale {
     "q173_tokenizer_fertility",
     "q58_tfidf",
     "q115_mmr_rerank",
-    "q128_hybrid_rrf")
+    "q128_hybrid_rrf",
+    // the r14 eval cards — the most expensive doc queries of the
+    // round, and the direct evidence for the gated-sample claim:
+    // measured at sf1 6.2 s / 2.1 s solo (2.3× / 1.7× their sf0.1
+    // times for 10× the documents — sub-linear, sample-bounded)
+    "q198_dedup_tier_eval",
+    "q199_lsh_threshold_sweep")
 }
