@@ -37,14 +37,21 @@ object QpsWorkloads {
     * identical solo runs (126-560 qps, round 9). One explicit
     * collection before the warmup makes every loop start from a
     * comparable heap state. */
-  def qps(w: Workload, repeat: Int): Double = {
+  def qps(w: Workload, repeat: Int): Double = median(qpsLoops(w, repeat))
+
+  /** The individual per-loop QPS numbers behind [[qps]] (same GC
+    * settle, warmup, and loop protocol — [[qps]] is their median).
+    * Exposed so the solo trend artifact (BenchQps -> BENCH_QPS.json)
+    * can record the first-timed-loop ("cold") vs rest ("warm") split
+    * without a second divergent timing path. */
+  def qpsLoops(w: Workload, repeat: Int): Seq[Double] = {
     System.gc()
     w.queries.take(WarmupQueries).foreach(w.search) // JIT warmup, untimed
-    median((0 until repeat).map { _ =>
+    (0 until repeat).map { _ =>
       val t0 = System.nanoTime()
       w.queries.foreach(w.search)
       w.queries.length.toDouble / ((System.nanoTime() - t0) / 1e9)
-    })
+    }
   }
 
   private def vectorsAndQueries(): (Array[Array[Float]], Array[Array[Float]]) = {
@@ -122,7 +129,11 @@ object QpsWorkloads {
       router = graft.index.ShardedServing.fromIndex(idx, numShards = NumShards)
       (System.nanoTime() - t0) / 1e9
     }
-    val load = median(times)
+    // at repeat=1 the pre-split methodology timed exactly ONE load;
+    // reporting the median of the forced two (= mean of cold+warm)
+    // would silently change what the number means at that setting
+    // (r14 advisor) — `times.head` IS the single-load number
+    val load = if (repeat < 2) times.head else median(times)
     val loadCold = times.head
     val loadWarm = median(times.tail)
     // query draw AFTER the vector draws, matching the original loop's

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the solo serving-QPS trend artifact's drift gate (r14 verdict
+  * item 3): serving QPS "wobbled" 364→301 across rounds r12–r14 with
+  * a host caveat each time — the gate is what makes a real erosion
+  * impossible to file under wobble. */
+class BenchQpsSpec extends AnyFunSuite {
+
+  test("drift gate: >= 85% of previous passes, below fails, sentinels total") {
+    assert(BenchQps.driftOk(301.0, Some(350.0)))   // wobble band: 0.86x
+    assert(!BenchQps.driftOk(295.0, Some(350.0)))  // real erosion: 0.84x
+    assert(BenchQps.driftOk(500.0, Some(350.0)))   // improvement
+    assert(BenchQps.driftOk(301.0, None))          // first pinned run
+    assert(BenchQps.driftOk(301.0, Some(-1.0)))    // prev loop failed
+    assert(!BenchQps.driftOk(-1.0, Some(350.0)))   // current loop failed
+    assert(!BenchQps.driftOk(-1.0, None))
+  }
+
+  test("cold/warm split: head vs median-of-rest, repeat=1 fallback") {
+    assert(BenchQps.split(Seq(200.0, 300.0, 310.0, 320.0)) === ((200.0, 310.0, 305.0)))
+    assert(BenchQps.split(Seq(250.0)) === ((250.0, 250.0, 250.0)))
+    assert(BenchQps.split(Nil) === ((-1.0, -1.0, -1.0)))
+  }
+
+  test("prevQps: reads qps_warm, tolerates missing/corrupt files") {
+    val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"repeat":5,"qps_warm":{"single":364.2,"pq":515},"drift_all_ok":true}""")
+    assert(BenchQps.prevQps(tmp.toString) === Map("single" -> 364.2, "pq" -> 515.0))
+    assert(BenchQps.prevQps("/nonexistent/BENCH_QPS.json") === Map.empty)
+    java.nio.file.Files.writeString(tmp, "{not json")
+    assert(BenchQps.prevQps(tmp.toString) === Map.empty)
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

@@ -68,7 +68,7 @@ class BenchSummarySpec extends AnyFunSuite {
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
       "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps",
-      "cal", "ctn", "cpr", "mm", "sr", "sf"))
+      "cal", "ctn", "cpr", "mm", "rk", "sr", "sf"))
     assert((parsed \ "ctn").asInstanceOf[org.json4s.JInt].num.toInt === 0)
     assert((parsed \ "cpr").asInstanceOf[org.json4s.JDouble].num === 1.1)
     assert((parsed \ "mm").asInstanceOf[org.json4s.JInt].num.toInt === 12)
@@ -91,13 +91,17 @@ class BenchSummarySpec extends AnyFunSuite {
   }
 
   test("parallel calibration: ratio math and the 2x trip bar") {
-    // perfect scaling: 8 threads of 1/8 work finish in spin/8 -> ratio 1
-    assert(math.abs(Bench.parallelRatio(0.05, 0.40) - 1.0) < 1e-9)
+    // perfect scaling: N threads of 1/N work finish in spin/N -> ratio 1
+    // (N is host-derived, capped at 8 — a hardcoded 8 on a 4-core host
+    // would read ratio 2 on a healthy machine, the r14 advisor note)
+    val n = Bench.ParallelCalThreads
+    assert(n >= 2 && n <= 8)
+    assert(math.abs(Bench.parallelRatio(0.40 / n, 0.40) - 1.0) < 1e-9)
     // halved parallel capacity (the r13 blind spot: serial spin quiet,
     // parallel wall doubled) -> ratio 2, trips
-    assert(Bench.parNoisy(Bench.parallelRatio(0.101, 0.40)))
+    assert(Bench.parNoisy(Bench.parallelRatio(0.40 / n * 2.02, 0.40)))
     // mild oversubscription does not trip
-    assert(!Bench.parNoisy(Bench.parallelRatio(0.07, 0.40)))
+    assert(!Bench.parNoisy(Bench.parallelRatio(0.40 / n * 1.4, 0.40)))
     // degenerate spin -> sentinel, never a divide-by-zero trip
     assert(Bench.parallelRatio(0.05, 0.0) === -1.0)
     assert(!Bench.parNoisy(-1.0))
@@ -119,6 +123,59 @@ class BenchSummarySpec extends AnyFunSuite {
     // the env baseline says the host's quiet constant is far below
     assert(!Bench.bracketNoisy(0.40, 0.42, Some(0.35)))
     assert(Bench.bracketNoisy(0.40, 0.42, Some(0.18)))
+  }
+
+  test("closing bracket: injected late load trips, quiet close does not") {
+    // the BENCH_r14 shape verbatim: mid 0.38 quiet, after 1.14 — the
+    // (before, mid) rule stamped `contended: false` and the 301 s
+    // artifact cost a fourth hand-adjudication round; the closing
+    // bracket must trip on exactly these samples
+    assert(Bench.closingTrips(0.38, 1.14, prPost = 1.5, None))
+    // serial legs agreeing but parallel capacity halved also trips
+    assert(Bench.closingTrips(0.38, 0.40, prPost = 2.3, None))
+    // quiet close: neither leg trips
+    assert(!Bench.closingTrips(0.38, 0.41, prPost = 1.4, None))
+    // absolute pin: agreeing-but-inflated close trips when the env
+    // baseline says the host's quiet constant is far below
+    assert(Bench.closingTrips(0.80, 0.82, prPost = 1.0, Some(0.35)))
+  }
+
+  test("contended stamp: false as soon as one sweep was quiet-bracketed") {
+    assert(!Bench.contendedStamp(Seq(false)))
+    assert(!Bench.contendedStamp(Seq(true, false)))
+    assert(!Bench.contendedStamp(Seq(false, true))) // r14 replay: quiet
+    // opening bracket, noisy close -> late resweep ran contended; the
+    // min-merge still contains sweep-1's (bracket-quiet) numbers
+    assert(Bench.contendedStamp(Seq(true)))
+    assert(Bench.contendedStamp(Seq(true, true, true)))
+  }
+
+  test("solo-recheck selection: >3x prev, >0.5s floor, capped, slowest first") {
+    val prev = Map("q124" -> 1.5, "q103" -> 0.44, "q01" -> 0.1, "q88" -> 1.2)
+    val sweep = Seq(
+      "q124" -> 34.4, // 23x prev -> recheck (the r14 poster child)
+      "q103" -> 9.43, // 21x prev -> recheck
+      "q88" -> 2.0,   // 1.7x prev -> not an outlier
+      "q01" -> 0.4,   // 4x prev but under the 0.5s floor -> skip
+      "q07" -> 9.9)   // no prev record -> nothing to compare against
+    assert(Bench.recheckTargets(sweep, prev) === Seq("q124", "q103"))
+    // cap: a fully-poisoned sweep rechecks only the `cap` slowest
+    val many = (1 to 30).map(i => f"q$i%03d" -> (10.0 + i))
+    val prevAll = many.map { case (k, _) => k -> 1.0 }.toMap
+    assert(Bench.recheckTargets(many, prevAll, cap = 5).size === 5)
+    assert(Bench.recheckTargets(many, prevAll, cap = 5).head === "q030")
+    // first round / missing file -> empty prev -> no rechecks
+    assert(Bench.recheckTargets(sweep, Map.empty) === Nil)
+  }
+
+  test("prevQueryTimes: reads queries_sec, tolerates a missing file") {
+    val tmp = java.nio.file.Files.createTempFile("bench-prev", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"sf_dir":"x","queries_sec":{"q01_a":0.5,"q02_b":34},"contended":false}""")
+    val m = Bench.prevQueryTimes(tmp.toString)
+    assert(m === Map("q01_a" -> 0.5, "q02_b" -> 34.0))
+    assert(Bench.prevQueryTimes("/nonexistent/BENCH_QUERIES.json") === Map.empty)
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 
   test("numeric rendering trims trailing zeros and keeps JSON validity") {
