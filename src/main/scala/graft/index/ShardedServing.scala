@@ -276,17 +276,25 @@ object ShardedServing {
         .select(col("u"), col("w").as("v"))
       val hop1 = left.filter(pmod(col("v"), lit(numShards)) === col("s"))
         .select(col("u"), col("v"))
+      // each unordered pair is scored ONCE (u < v halves the distinct,
+      // the two vector joins, and the distance kernels — the load's
+      // dominant cost, measured 100% of fi_load_warm); the scored edge
+      // is then mirrored by a free projection before the per-node topK,
+      // which needs both endpoints' views of the pair
       val cand = hop1.unionByName(hop2)
-        .filter(col("u") =!= col("v"))
+        .filter(col("u") < col("v"))
         .distinct()
       val gv = base.select((col("id") * numShards + col("shard")).as("u"), col("vec"))
-      val edges = cand
+      val scored = cand
         .join(gv.select(col("u"), col("vec").as("a_vec")), Seq("u"))
         .join(gv.select(col("u").as("v"), col("vec").as("b_vec")), Seq("v"))
+        .select(col("u"), col("v"), dcol.as("dist"))
+      val edges = scored
+        .unionByName(scored.select(col("v").as("u"), col("u").as("v"), col("dist")))
         .select(pmod(col("u"), lit(numShards)).cast("int").as("shard"),
           (col("u") / numShards).cast("long").as("src"),
           (col("v") / numShards).cast("long").as("dst"),
-          dcol.as("dist"))
+          col("dist"))
       val knn = edges
         .groupBy(col("shard"), col("src"))
         .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), knnDegree).as("tk"))
@@ -320,17 +328,37 @@ object ShardedServing {
           slice(array_distinct(concat(
             ringArr,
             coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
+      // ONE collect (a single all-partitions job), then the per-shard
+      // loads fan out concurrently. The former toLocalIterator ran a
+      // separate Spark job PER PARTITION serially AND fed all shards
+      // from one thread — the r14 fi_load_warm 6.8-11.8 s was mostly
+      // that serialization, not the plan. Shards are independent
+      // objects, so loading them from `numShards` threads is safe by
+      // construction (the dedupTierEval Future idiom). Driver memory:
+      // this is the reference's serving shape (10k x 100d ≈ 10 MB);
+      // a fleet beyond driver RAM loads shard-local via executors
+      // instead (each executor builds its shard from its partition) —
+      // the plan above already partitions by shard for that path.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val rows = base.join(adj, Seq("shard", "id"), "left")
         .select(col("shard"), col("id"), col("key"), col("vec"),
           coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
-        .toLocalIterator()
-      rows.forEachRemaining { r =>
-        router.shards(r.getInt(0)).loadRow(
-          r.getLong(1).toInt,
-          r.getString(2),
-          r.getSeq[Float](3).toArray,
-          r.getSeq[Long](4).map(_.toInt).toArray)
+        .collect()
+      val byShard = rows.groupBy(_.getInt(0))
+      val loads = (0 until numShards).map { s =>
+        Future {
+          byShard.getOrElse(s, Array.empty[org.apache.spark.sql.Row]).foreach { r =>
+            router.shards(s).loadRow(
+              r.getLong(1).toInt,
+              r.getString(2),
+              r.getSeq[Float](3).toArray,
+              r.getSeq[Long](4).map(_.toInt).toArray)
+          }
+        }
       }
+      loads.foreach(Await.result(_, Duration.Inf))
     }
     (0 until numShards).foreach { s =>
       val entryLocal =

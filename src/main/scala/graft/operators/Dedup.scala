@@ -754,19 +754,48 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash over ranked token IDs with counts. Input:
+  /** SimHash over ranked token IDs with counts (Charikar 2002). Input:
     * (doc_id, tid, cnt). bit b set iff sum over tokens of
-    * (cnt if g_b(tid) odd else -cnt) > 0, g_b(t) = (t*simA(b)+simB(b)) mod P. */
-  def simhash(docTokenCounts: DataFrame): DataFrame = {
-    val bitSums = (0 until 32).map { b =>
+    * (cnt if g_b(tid) odd else -cnt) > 0, g_b(t) = (t*simA(b)+simB(b)) mod P.
+    * `bits` widens the sketch (32 default — the historical operating
+    * point every existing oracle replays; 64 for the wide tier, where
+    * hamming ≤ 3 keeps near-dup recall that a 32-bit sketch loses on
+    * longer documents whose near-miss variants flip > 1 bit — the same
+    * auto-widen knob [[SrpWideThreshold]] applies to SRP sketches).
+    * Bit 63's term is Long.MinValue — the sum stays in-range (two's
+    * complement: bits 0..62 sum < 2^63), matching any BIGINT twin. */
+  def simhash(docTokenCounts: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits=$bits must be 32 or 64")
+    val bitSums = (0 until bits).map { b =>
       sum(when(((col("tid") * simA(b) + simB(b)) % MinhashPrime) % 2 === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"s$b")
     }
-    val hash = (0 until 32).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     docTokenCounts.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), hash.as("simhash"))
+      .select(col("doc_id"), bitsToHash(bits).as("simhash"))
+  }
+
+  private def bitsToHash(bits: Int) =
+    (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+
+  /** BOTH sketch widths from ONE aggregation pass: the 64-bit hash
+    * family's first 32 functions ARE the 32-bit family (same
+    * simA/simB sequence), so the 64 bit-sums are computed once and
+    * the two fingerprints assembled from the shared sums — a card
+    * that evaluates the strict (32-bit) and wide (64-bit) simhash
+    * tiers side by side (q198) pays one corpus aggregation, not two.
+    * Emits (doc_id, simhash32, simhash64); each column is
+    * bit-identical to the corresponding [[simhash]] output. */
+  def simhashBoth(docTokenCounts: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(when(((col("tid") * simA(b) + simB(b)) % MinhashPrime) % 2 === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    docTokenCounts.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        bitsToHash(32).as("simhash32"), bitsToHash(64).as("simhash64"))
   }
 
   /** SimHash near-dup PAIRS by banded hamming join (Manku et al.,
@@ -1282,37 +1311,72 @@ object Dedup {
     * hiding behind the weakest tier's.
     *
     * Inputs are (doc_a < doc_b) pair frames — the contract every
-    * candidate generator here emits. The full-outer join per tier is
-    * pair-set-sized; producing the tiers was the expensive part.
-    * NOTE: `truth` is referenced once PER TIER — an expensive truth
-    * subplan (exact-Jaccard over a corpus) re-executes per tier
-    * unless the caller materializes it first (the q198 pattern:
-    * localCheckpoint the pair set, release after the card). */
+    * candidate generator here emits.
+    *
+    * ONE fused plan, not one full-outer join per tier (the r14 card
+    * was overhead-bound: N tiers × (full-outer + agg) ≈ 2N+1 tiny
+    * stages while the DuckDB twin ran the same card in ~1 s): the
+    * tier pair sets union into a single (tier, doc_a, doc_b) frame
+    * tagged by a literal column, ONE left join against the
+    * materialized truth scores tp/n_pred per tier in a single
+    * tier-keyed aggregate, and n_truth — identical for every tier by
+    * construction — is one scalar count broadcast-crossed in. A tier
+    * with zero predicted pairs still gets its row (n_pred 0, NULL
+    * precision): the tier list is a literal one-row-per-tier frame
+    * the aggregates left-join onto.
+    * NOTE: `truth` is referenced twice — once by an EAGER count at
+    * construction (n_truth is identical for every tier; a literal
+    * beats a broadcast-join subquery per card) and once by the join —
+    * so an expensive truth subplan (exact-Jaccard over a corpus)
+    * executes twice unless the caller materializes it first (the
+    * q198 pattern: localCheckpoint the pair set, release after the
+    * card). */
   def evalPairSets(
       tiers: Seq[(String, DataFrame)],
       truth: DataFrame,
       gatesPer10k: Map[String, Long] = Map.empty): DataFrame = {
     require(tiers.nonEmpty, "need >= 1 candidate tier")
+    val sess = truth.sparkSession
     val t = truth.select(col("doc_a"), col("doc_b")).distinct()
       .withColumn("t", lit(1))
-    tiers.map { case (name, pred) =>
-      val p = pred.select(col("doc_a"), col("doc_b")).distinct()
-        .withColumn("p", lit(1))
-      p.join(t, Seq("doc_a", "doc_b"), "full_outer")
-        .agg(
-          sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_pred"),
-          sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"))
-        .select(lit(name).as("tier"), col("n_truth"), col("n_pred"), col("tp"),
-          (col("n_pred") - col("tp")).as("fp"),
-          (col("n_truth") - col("tp")).as("fn"),
-          expr("CASE WHEN n_pred > 0 THEN (tp * 20000 + n_pred) DIV (n_pred * 2) END")
-            .as("precision_per_10k"),
-          expr("CASE WHEN n_truth > 0 THEN (tp * 20000 + n_truth) DIV (n_truth * 2) END")
-            .as("recall_per_10k"),
-          lit(gatesPer10k.getOrElse(name, DefaultRecallGatePer10k))
-            .as("recall_per_10k_gate"))
+    val nTruth = t.count()
+    // one NULL-keyed sentinel row per tier rides in the union: a tier
+    // with ZERO predicted pairs would vanish from the aggregate, and
+    // the sentinel keeps its row alive through the SAME groupBy (null
+    // keys never match the truth join; count(doc_a) skips them) — no
+    // completion join, no second aggregate
+    val aT = tiers.head._2.schema("doc_a").dataType
+    val bT = tiers.head._2.schema("doc_b").dataType
+    val preds = tiers.map { case (name, pred) =>
+      pred.select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("tier", lit(name))
+        .unionByName(sess.range(1).select(
+          lit(null).cast(aT).as("doc_a"), lit(null).cast(bT).as("doc_b"),
+          lit(name).as("tier")))
     }.reduce(_ unionByName _)
+    // truth is BROADCAST: an eval truth set is a sampled artifact by
+    // contract (docSample — an uncapped full-corpus truth doesn't
+    // exist at scale), so it's the small side of every tier join and
+    // the per-tier scoring stays map-side (no shuffle of the
+    // candidate union, which IS corpus-sized for a loose tier)
+    val perTier = preds.join(broadcast(t), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("tier"))
+      .agg(count(col("doc_a")).as("n_pred"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("tp"))
+    val gateCol = tiers.map { case (name, _) =>
+      (name, gatesPer10k.getOrElse(name, DefaultRecallGatePer10k))
+    }.foldLeft(lit(DefaultRecallGatePer10k)) { case (acc, (name, g)) =>
+      when(col("tier") === name, lit(g)).otherwise(acc)
+    }
+    perTier
+      .select(col("tier"), lit(nTruth).as("n_truth"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (lit(nTruth) - col("tp")).as("fn"),
+        expr("CASE WHEN n_pred > 0 THEN (tp * 20000 + n_pred) DIV (n_pred * 2) END")
+          .as("precision_per_10k"),
+        expr(s"CASE WHEN $nTruth > 0 THEN (tp * 20000 + $nTruth) DIV ($nTruth * 2) END")
+          .as("recall_per_10k"),
+        gateCol.as("recall_per_10k_gate"))
   }
 
   /** Deterministic seeded document sample — the gated-sample tier for

@@ -600,9 +600,22 @@ object Sampling {
       .withColumn("__graft_bkts",
         transform(TextAnalysis.tokens(col(textCol)),
           t => (dsirBucket(t, buckets) + 1L).cast("int")))
+      // the fit-time guard above budgets MaxDocTokens per document —
+      // ENFORCE it per row too (r14 advisor): a document over the
+      // budget would wrap the non-ANSI BIGINT sum silently, the exact
+      // corruption the guard exists to refuse, so it fails the job
+      // loudly instead (callers with longer documents pre-chunk or
+      // rescale the fit table; in-budget rows pay one array-length
+      // compare)
       .withColumn("score",
-        aggregate(col("__graft_bkts"), lit(0L), (acc, b) =>
-          acc + element_at(lit(ct), b) * nr - element_at(lit(cr), b) * nt))
+        when(size(col("__graft_bkts")) > MaxDocTokens,
+          raise_error(concat(
+            lit(s"dsirScore: document with "), size(col("__graft_bkts")),
+            lit(s" tokens exceeds the $MaxDocTokens-token overflow budget — " +
+              "pre-chunk it or rescale the fit table to fixed-point ratios"))))
+          .otherwise(
+            aggregate(col("__graft_bkts"), lit(0L), (acc, b) =>
+              acc + element_at(lit(ct), b) * nr - element_at(lit(cr), b) * nt)))
       .drop("__graft_bkts")
   }
 
