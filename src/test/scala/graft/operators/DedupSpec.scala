@@ -381,6 +381,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashBoth is bit-identical to simhash(32) and simhash(64); 64-bit sign bit lands") {
+    val ss = spark
+    import ss.implicits._
+    // token ids spread over the hash family's range; counts vary so the
+    // sign sums are non-trivial; enough tokens that some doc plausibly
+    // sets bit 63 (and the negative-fingerprint path is exercised)
+    val rng = new scala.util.Random(7)
+    val dtc = (1L to 40L).flatMap { d =>
+      (0 until 30).map(_ => (d, rng.nextLong().abs % 1000003L, 1L + rng.nextInt(5)))
+    }.toDF("doc_id", "tid", "cnt")
+    val both = Dedup.simhashBoth(dtc).orderBy("doc_id").collect()
+    val h32 = Dedup.simhash(dtc).orderBy("doc_id").collect()
+    val h64 = Dedup.simhash(dtc, bits = 64).orderBy("doc_id").collect()
+    assert(both.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      h32.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(both.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      h64.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the 32-bit fingerprint is literally the 64-bit one's low half
+    assert(both.forall(r => (r.getLong(2) & 0xFFFFFFFFL) == r.getLong(1)))
+    // bit 63 fires for some doc on this corpus — the Long.MinValue
+    // term (no positive 2^63 literal exists) must sum in-range
+    assert(both.exists(_.getLong(2) < 0L),
+      "no doc set bit 63 — the sign-bit path went untested")
+  }
+
   test("crossSourceOverlap: engineered shingle overlap yields exact pair counts and Jaccard") {
     val ss = spark
     import ss.implicits._
