@@ -591,8 +591,18 @@ object Bench {
             // warm-up pass, reported in aggregate (sf1_warm_sec): it
             // builds each query's content-keyed artifacts (persisted —
             // later rounds' warm-ups are cheap) plus per-JVM caches
-            warm += probeOnce(synthDir, fn).getOrElse(0.0)
-            name -> probeOnce(synthDir, fn)
+            val w = probeOnce(synthDir, fn)
+            warm += w.getOrElse(0.0)
+            // the probe's number is min(warm pass, timed pass): both
+            // execute the identical query, and a ONE-shot reading at
+            // the tail of a 30-min heap is where GC/contention bursts
+            // land (r14 flagged q41 69 s / q45 16 s, r15 flagged q89
+            // 24 s — all ~5 s solo; the flags rotated, the noise
+            // didn't). Min is the quiet-side estimator, same rule as
+            // the headline sweep's min-merge; a warm pass that paid a
+            // first-ever artifact build just loses the min.
+            name -> probeOnce(synthDir, fn).map(t =>
+              w.filter(_ > 0).fold(t)(math.min(t, _)))
           }
         }
         val ok = runs.collect { case (k, Some(v)) => k -> v }.toMap

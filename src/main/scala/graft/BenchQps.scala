@@ -17,10 +17,14 @@ package graft
   * (BENCH_QPS.json): serving QPS "wobbled" 364→301 in-bench across
   * rounds r12–r14 with a host caveat each time — three rounds of
   * wobble with no solo-JVM trend line is exactly how a real 20%
-  * erosion would hide. Each run records the cold (first timed loop)
-  * vs warm (median of the rest) split per workload and gates every
-  * warm number against the previous artifact with a RECALL-style
-  * drift rule: `qps >= prev * 0.85`. A failed gate doesn't abort —
+  * erosion would hide. Each run measures every workload over
+  * SPARK_GRAFT_QPS_PASSES (default 2) independent passes and keeps
+  * the QUIET-SIDE pass per workload (best warm — contention only
+  * ever slows a loop; the QPS mirror of the bench's min-merge),
+  * recording each pass's warm so the artifact shows the band. Per
+  * workload: cold (first timed loop) vs warm (median of the rest),
+  * gated against the previous artifact with a RECALL-style drift
+  * rule: `qps >= prev * 0.85`. A failed gate doesn't abort —
   * it stamps `drift_ok: false` so the regression is impossible to
   * mistake for wobble. Run on a QUIET host (nothing else on the
   * machine — the point is a contention-free number).
@@ -64,20 +68,41 @@ object BenchQps {
       QpsWorkloads.median(if (loops.size > 1) loops.tail else loops),
       QpsWorkloads.median(loops))
 
+  /** Quiet-side merge over repeated passes of one workload: the pass
+    * with the BEST warm QPS wins — contention only ever slows a loop,
+    * so max is the quiet-side estimator (the QPS mirror of the
+    * bench's min-merge for times). Solo r15 measurements motivated
+    * it: back-to-back settled-host runs read sharded 595 vs 126 and
+    * single 291 vs 395 — single-pass trend baselines would gate
+    * future rounds on whichever noise the run drew. */
+  private[graft] def quietSide(
+      passes: Seq[(Double, Double, Double)]): (Double, Double, Double) =
+    if (passes.isEmpty) (-1.0, -1.0, -1.0) else passes.maxBy(_._2)
+
   def main(args: Array[String]): Unit = {
     val repeat = math.max(1, if (args.nonEmpty) args(0).toInt else 5)
+    val passes = math.max(1, Bench.envInt("SPARK_GRAFT_QPS_PASSES", 2))
     val out = sys.env.getOrElse("SPARK_GRAFT_QPS_OUT", "BENCH_QPS.json")
     val prev = prevQps(out)
-    def measure(name: String, mk: => QpsWorkloads.Workload): (String, (Double, Double, Double)) = {
+    def one(name: String, p: Int, mk: => QpsWorkloads.Workload): (Double, Double, Double) = {
       val s = try split(QpsWorkloads.qpsLoops(mk, repeat))
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
-      println(f"${name}_qps ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
-      name -> s
+      println(f"${name}_qps pass$p ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
+      s
     }
-    val inMem = Seq(
-      measure("single", QpsWorkloads.singleGraph()),
-      measure("pq", QpsWorkloads.pqLowMemory()),
-      measure("sharded", QpsWorkloads.shardedRouter()))
+    // all in-memory passes run BEFORE the Spark session exists, so
+    // they stay uncontaminated; the headline per workload is the
+    // quiet-side (best-warm) pass, with every pass's warm recorded
+    val inMemNames = Seq("single", "pq", "sharded")
+    def mkWorkload(name: String): QpsWorkloads.Workload = name match {
+      case "single" => QpsWorkloads.singleGraph()
+      case "pq" => QpsWorkloads.pqLowMemory()
+      case _ => QpsWorkloads.shardedRouter()
+    }
+    val inMemPasses: Map[String, Seq[(Double, Double, Double)]] =
+      inMemNames.map { n =>
+        n -> (1 to passes).map(p => one(n, p, mkWorkload(n)))
+      }.toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -88,28 +113,42 @@ object BenchQps {
     spark.sparkContext.setLogLevel("WARN")
     // defensive like Bench: a fromIndex failure (temp-dir, build error)
     // must still write the artifact and release the session
-    val (fiLoad, fiSplit) = try {
-      val (load, workload) = QpsWorkloads.fromIndexRouter(spark, repeat)
-      println(f"fi_load_sec ${load.medianSec}%8.1f (cold ${load.coldSec}%8.1f warm ${load.warmSec}%8.1f)")
-      val s = split(QpsWorkloads.qpsLoops(workload, repeat))
-      println(f"fi_qps      ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
-      (load, s)
+    val (fiLoads, fiPasses) = try {
+      (1 to passes).map { p =>
+        val (load, workload) = QpsWorkloads.fromIndexRouter(spark, repeat)
+        println(f"fi_load_sec pass$p ${load.medianSec}%8.1f (cold ${load.coldSec}%8.1f warm ${load.warmSec}%8.1f)")
+        val s = split(QpsWorkloads.qpsLoops(workload, repeat))
+        println(f"fi_qps      pass$p ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
+        (load, s)
+      }.unzip
     } catch { case _: Throwable =>
-      (QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0), (-1.0, -1.0, -1.0))
+      (Seq(QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0)), Seq((-1.0, -1.0, -1.0)))
     } finally spark.stop()
-    val all = inMem :+ ("fromindex" -> fiSplit)
+    // loads are TIMES: min is the quiet-side estimator there
+    val fiLoadCold = fiLoads.map(_.coldSec).filter(_ > 0) match {
+      case Nil => -1.0; case xs => xs.min }
+    val fiLoadWarm = fiLoads.map(_.warmSec).filter(_ > 0) match {
+      case Nil => -1.0; case xs => xs.min }
+    val allPasses: Seq[(String, Seq[(Double, Double, Double)])] =
+      inMemNames.map(n => n -> inMemPasses(n)) :+ ("fromindex" -> fiPasses)
+    val all = allPasses.map { case (k, ps) => k -> quietSide(ps) }
     val gates = all.map { case (k, (_, warm, _)) => k -> driftOk(warm, prev.get(k)) }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${Bench.r1(v)}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"repeat":$repeat,""" +
+      s"""{"repeat":$repeat,"passes":$passes,""" +
         s""""qps_cold":${jmap(all.map { case (k, (c, _, _)) => k -> c })},""" +
         s""""qps_warm":${jmap(all.map { case (k, (_, w, _)) => k -> w })},""" +
         s""""qps_median":${jmap(all.map { case (k, (_, _, m)) => k -> m })},""" +
-        s""""fi_load_cold_sec":${Bench.r2(fiLoad.coldSec)},""" +
-        s""""fi_load_warm_sec":${Bench.r2(fiLoad.warmSec)},""" +
+        // every pass's warm, so the artifact shows the band the
+        // quiet-side number was drawn from
+        s""""qps_warm_passes":${allPasses.map { case (k, ps) =>
+          s""""$k":${ps.map(x => Bench.r1(x._2)).mkString("[", ",", "]")}"""
+        }.mkString("{", ",", "}")},""" +
+        s""""fi_load_cold_sec":${Bench.r2(fiLoadCold)},""" +
+        s""""fi_load_warm_sec":${Bench.r2(fiLoadWarm)},""" +
         s""""prev_qps_warm":${jmap(prev.toSeq.sortBy(_._1))},""" +
-        s""""drift_rule":"warm qps >= prev_warm * 0.85",""" +
+        s""""drift_rule":"quiet-side warm qps >= prev_warm * 0.85",""" +
         s""""drift_ok":${gates.map { case (k, ok) => s""""$k":$ok""" }
           .mkString("{", ",", "}")},""" +
         s""""drift_all_ok":${gates.forall(_._2)}}"""

@@ -125,6 +125,12 @@ object QpsWorkloads {
     // At least 2 loads so warm always exists; `load` stays the median
     // of all (the pre-split methodology, kept for continuity).
     val times = (0 until math.max(2, repeat)).map { _ =>
+      // same GC settle as qps(): each load orphans the previous
+      // router (4 shards x 10k vectors) plus the collected row batch,
+      // and collector pauses landing inside a later timed load read
+      // as "warm slower than cold" (r15 solo run: cold 10.9 s, warm
+      // median 27.9 s — pure heap pressure, not the load path)
+      System.gc()
       val t0 = System.nanoTime()
       router = graft.index.ShardedServing.fromIndex(idx, numShards = NumShards)
       (System.nanoTime() - t0) / 1e9

@@ -24,6 +24,17 @@ class BenchQpsSpec extends AnyFunSuite {
     assert(BenchQps.split(Nil) === ((-1.0, -1.0, -1.0)))
   }
 
+  test("quiet-side merge keeps the pass with the best warm QPS") {
+    // the r15 motivating shape: sharded read 595 then 126 across two
+    // settled-host passes — the quiet-side pass is the record
+    assert(BenchQps.quietSide(Seq((526.1, 595.5, 563.3), (126.0, 129.9, 126.0)))
+      === ((526.1, 595.5, 563.3)))
+    assert(BenchQps.quietSide(Seq((302.0, 290.9, 293.2))) === ((302.0, 290.9, 293.2)))
+    assert(BenchQps.quietSide(Nil) === ((-1.0, -1.0, -1.0)))
+    // a failed pass (-1 warm) never beats a real one
+    assert(BenchQps.quietSide(Seq((-1.0, -1.0, -1.0), (100.0, 120.0, 110.0)))._2 === 120.0)
+  }
+
   test("prevQps: reads qps_warm, tolerates missing/corrupt files") {
     val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
     java.nio.file.Files.writeString(tmp,
