@@ -621,6 +621,31 @@ class DedupSpec extends SparkSpec {
     assert(worst == 2500L - 4000L)
   }
 
+  test("evalPairSets plan: truth broadcast (tier scoring map-side), one aggregate exchange") {
+    val ss = spark
+    import ss.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val tierA = Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val tierB = Seq((3L, 4L)).toDF("doc_a", "doc_b")
+    val card = Dedup.evalPairSets(Seq(("a", tierA), ("b", tierB)), truth)
+    card.collect() // finalize the adaptive plan before inspecting
+    // the candidate union must never shuffle for the scoring join —
+    // at 100 TB it is corpus-sized for a loose tier while the truth
+    // is a sampled artifact by contract (docSample): broadcast join
+    val bcast = collectPlanNodes(card) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, "tier-vs-truth scoring must be a broadcast join")
+    // the only exchanges are aggregate-shaped (tier key or distinct) —
+    // a sort-merge join of the union would add join exchanges here
+    val shuffles = collectShuffles(card)
+    assert(shuffles.size <= 3,
+      s"expected only the distinct/aggregate exchanges, got ${shuffles.size}")
+    assert(collectPlanNodes(card) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "no sort-merge join in the eval card")
+  }
+
   test("docSample: deterministic, seed-sensitive, full-frac is identity") {
     val ss = spark
     import ss.implicits._
