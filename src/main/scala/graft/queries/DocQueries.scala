@@ -139,6 +139,15 @@ object DocQueries {
   private def corpusShingles(spark: SparkSession, dir: String): DataFrame =
     cachedShingles(s"$dir#corpus", Dedup.docShingles(spread(corpus(spark, dir)), 3))
 
+  /** Per-doc MinHash signatures of the full corpus — same persistent
+    * artifact class (a signature is doc-local, so a doc-sampled
+    * signature set is literally a FILTER of this frame: q198's LSH
+    * leg reads it through [[graft.operators.Dedup.docSample]] instead
+    * of re-running the 16-min aggregation per card evaluation). */
+  private def corpusSignatures(spark: SparkSession, dir: String): DataFrame =
+    cachedShingles(s"$dir#corpus-minhash",
+      Dedup.minhashSignatures(shingleIds(corpusShingles(spark, dir))))
+
   /** The corpus' (doc_id, tid, cnt) token-count frame — the simhash
     * family's input — is the same persistent-tokenization artifact
     * class as the shingle sets: computed once per sf-dir per JVM and
@@ -175,8 +184,11 @@ object DocQueries {
     val tStores = (System.nanoTime() - t5) / 1e9
     val t6 = System.nanoTime(); corpusTokenCounts(spark, dir)
     val tTokCounts = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime(); corpusSignatures(spark, dir)
+    val tSigs = (System.nanoTime() - t7) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
       "tokcounts_build_sec" -> tTokCounts,
+      "minhash_sigs_build_sec" -> tSigs,
       "shingle_documents_build_sec" -> tDocs,
       "neardup_truth_sec" -> tTruth,
       "dedup_groups_build_sec" -> tLabels,
@@ -2169,9 +2181,10 @@ object DocQueries {
     * invariant (recall nonincreasing as the bar rises) in-card. */
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val frac = TierEvalSampleFracPer10k
-    val shingles = Dedup.docSample(corpusShingles(spark, dir), frac, TierEvalSampleSeed)
     val truth = sampledTruthPairs(spark, dir).localCheckpoint(true)
-    val sigs = Dedup.minhashSignatures(shingleIds(shingles)).localCheckpoint(true)
+    // sampled signatures = a filter of the cached full-corpus artifact
+    // (signatures are doc-local) — no per-sweep 16-min aggregation
+    val sigs = Dedup.docSample(corpusSignatures(spark, dir), frac, TierEvalSampleSeed)
     val cand = Dedup.lshCandidatePairs(sigs, threshold = 0.25).localCheckpoint(true)
     val tiers = Seq(2500, 5000, 7500).map { t =>
       (s"lsh_t$t", cand.filter(col("est_jaccard") >= t / 10000.0))
@@ -2218,10 +2231,6 @@ object DocQueries {
     val frac = TierEvalSampleFracPer10k
     def sampledByDoc(df: DataFrame) =
       Dedup.docSample(df, frac, TierEvalSampleSeed)
-    // shingle sets come from the shared cached artifact; the sample is
-    // a doc_id filter OVER it (same rows the sampled corpus would
-    // shingle to), so the expensive shingling is still built once
-    val shingles = sampledByDoc(corpusShingles(spark, dir))
     // The pair-set legs are INDEPENDENT job chains over already-
     // materialized inputs — built as concurrent Spark jobs (the
     // VectorIndex.build graph∥ring idiom): each leg is overhead-bound
@@ -2242,9 +2251,12 @@ object DocQueries {
       sampledTruthPairs(spark, dir).localCheckpoint(true)
     }
     val fLsh = Future {
+      // signatures are doc-local, so the sampled signature set is a
+      // FILTER of the cached full-corpus artifact — bit-identical to
+      // signing the sampled shingles, without re-running the 16-min
+      // aggregation per card evaluation
       Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(shingleIds(shingles))
-            .localCheckpoint(true), threshold = 0.5)
+          sampledByDoc(corpusSignatures(spark, dir)), threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
     }
