@@ -30,6 +30,10 @@ object Bench {
     .bigDecimal.toPlainString)
   private[graft] def r1(v: Double): String = trim(BigDecimal(v)
     .setScale(1, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString)
+  /** Sentinel-aware render: negative = "this was never measured"
+    * (e.g. no resweep ran) -> JSON null, so the artifact distinguishes
+    * absent from a measured value (r15 verdict item 8). */
+  private[graft] def r2OrNull(v: Double): String = if (v < 0) "null" else r2(v)
 
   /** Summary key for a query: the bare `qNN` prefix. The full
     * self-describing names live on the detail line; the summary must
@@ -141,7 +145,14 @@ object Bench {
     * a contended host from a plan regression. `ctn` is the
     * contention-aware sweep's own verdict (0 = a quiet-bracketed
     * sweep produced these numbers, 1 = both sweeps ran contended —
-    * discount accordingly). `cpr` is the worst observed
+    * discount accordingly); `ctc` refines it three ways
+    * ([[contentionClass]]: 0 quiet / 1 quiet-bracket-but-late-trip —
+    * forced solo rechecks supply the refutation / 2 contended).
+    * `fi_load_sec` is the SOLO pinned number from BENCH_QPS.json when
+    * one exists (in-bench fallback otherwise) and `fi_load_inb` is
+    * this run's in-bench measurement — the two diverge ~2x under the
+    * sweep's leftover heap, and the solo one is the comparable
+    * cross-round figure (r15 verdict item 5). `cpr` is the worst observed
     * [[parallelRatio]] (1 ≈ full parallel capacity; ≥ 2 trips the
     * contention machinery even when serial cal reads quiet — the r13
     * blind spot). `mm` counts queries whose headline number is a
@@ -154,7 +165,8 @@ object Bench {
       fiLoadSec: Double, fiQps: Double, cal: Seq[Double],
       contended: Boolean,
       sfShort: String, scaleRatio: Option[Double] = None,
-      parRatio: Double = -1.0, minMerged: Int = 0, rechecked: Int = 0): String = {
+      parRatio: Double = -1.0, minMerged: Int = 0, rechecked: Int = 0,
+      ctnClass: Int = 0, fiLoadInbenchSec: Double = -1.0): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val top = results.sortBy { case (_, v) => -v }.take(TopQueriesOnLine)
@@ -171,9 +183,11 @@ object Bench {
       s""""pq_qps":${r1(pqQps)},""" +
       s""""shard_qps":${r1(shardedQps)},""" +
       s""""fi_load_sec":${r2(fiLoadSec)},""" +
+      s""""fi_load_inb":${r2(fiLoadInbenchSec)},""" +
       s""""fi_qps":${r1(fiQps)},""" +
       s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
       s""""ctn":${if (contended) 1 else 0},""" +
+      s""""ctc":$ctnClass,""" +
       s""""cpr":${r1(parRatio)},""" +
       s""""mm":$minMerged,""" +
       // `rk` = solo-rechecked outlier count (>3x prev round): non-zero
@@ -229,6 +243,28 @@ object Bench {
   private[graft] def contendedStamp(sweepBracketsNoisy: Seq[Boolean]): Boolean =
     sweepBracketsNoisy.forall(identity)
 
+  /** Three-way refinement of [[contendedStamp]] (the r15 advisor gap:
+    * `Seq(false, true)` stamps `contended: false` in exactly the shape
+    * the closing bracket exists to catch — a burst that dodges the
+    * opening point-probes poisons the headline sweep, the late resweep
+    * ALSO runs noisy, and the min-merge is min(poisoned, poisoned) yet
+    * reads host-clean). Classes, judged from the per-sweep bracket
+    * verdicts in execution order:
+    *  - 0 "quiet": the LAST sweep that ran was quiet-bracketed — its
+    *    numbers (or the min-merge ending in them) are provably
+    *    quiet-side.
+    *  - 1 "late-trip": a quiet-bracketed sweep exists but every such
+    *    sweep PREDATES a tripped closing bracket whose resweep was
+    *    itself noisy — the "quiet" evidence is point-probes that
+    *    bursty noise is known (by the trip) to dodge, so the record
+    *    is not provably quiet; the forced solo recheck (below)
+    *    supplies the refutation data.
+    *  - 2 "contended": every sweep ran under a noisy bracket. */
+  private[graft] def contentionClass(sweepBracketsNoisy: Seq[Boolean]): Int =
+    if (sweepBracketsNoisy.forall(identity)) 2
+    else if (sweepBracketsNoisy.nonEmpty && sweepBracketsNoisy.last) 1
+    else 0
+
   /** Solo-recheck selection (r14 item 2): queries whose sweep timing
     * reads > 3x their previous-round BENCH_QUERIES value (and > 0.5 s
     * absolute, the BENCH_SCALE flag idiom — sub-second jitter is not
@@ -239,11 +275,21 @@ object Bench {
     * trippers so a fully-contended sweep can't double its own
     * wall-clock. Pure (selection only) for the spec. */
   private[graft] def recheckTargets(results: Seq[(String, Double)],
-      prev: Map[String, Double], cap: Int = 12): Seq[String] =
-    results.collect {
+      prev: Map[String, Double], cap: Int = 12,
+      forceTopSlowest: Int = 0): Seq[String] = {
+    val outliers = results.collect {
       case (k, v) if v > 0.5 && prev.get(k).exists(p => p > 0.0 && v > 3.0 * p) =>
         (k, v)
-    }.sortBy(-_._2).take(cap).map(_._1)
+    }
+    // late-trip rounds (contentionClass 1): nothing in the record is
+    // provably quiet, and first-round / renamed queries have no prev
+    // baseline for the 3x rule — force the slowest N (>0.5 s) into the
+    // recheck regardless, so the record's dominant entries always carry
+    // their own solo refutation (r15 verdict item 3)
+    val forced = if (forceTopSlowest <= 0) Nil
+      else results.filter(_._2 > 0.5).sortBy(-_._2).take(forceTopSlowest)
+    (outliers ++ forced).distinctBy(_._1).sortBy(-_._2).take(cap).map(_._1)
+  }
 
   /** Previous-round per-query numbers from the committed
     * BENCH_QUERIES.json (read BEFORE this run overwrites it) — the
@@ -265,6 +311,29 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The pinned SOLO fromIndex-load number from BENCH_QPS.json
+    * (`fi_load_warm_sec`) — the quiet-JVM measurement the record
+    * HEADLINES since r16. The in-bench fi_load runs after ~190 queries
+    * of heap/GC pressure and has re-opened the same "regression?"
+    * thread two rounds running (r15: in-bench 11.9 vs solo 6.4); both
+    * numbers land in the artifact, and summaries/compare tooling read
+    * the solo one when present (r15 verdict item 5). Missing/corrupt
+    * file or a sentinel value -> None (headline falls back to
+    * in-bench). */
+  private[graft] def soloFiLoad(path: String): Option[Double] =
+    try {
+      import org.json4s._
+      val root = jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      (root \ "fi_load_warm_sec") match {
+        case JDouble(d) if d > 0 => Some(d)
+        case JInt(i) if i > 0 => Some(i.toDouble)
+        case JDecimal(d) if d > 0 => Some(d.toDouble)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
 
   /** Env-var numeric parse that can never crash the whole bench: a
     * malformed value falls back to the default (a bare `.toDouble`
@@ -476,6 +545,7 @@ object Bench {
           parRatios1 ++ Seq(prPost, p4))
       }
     val contended = contendedStamp(sweepNoisy)
+    val ctnClass = contentionClass(sweepNoisy)
     // ---- solo outlier recheck: any query still reading > 3x its
     // previous-round BENCH_QUERIES number after all merging gets one
     // warmed in-JVM solo re-run (BenchOne-style — serial, nothing
@@ -483,8 +553,13 @@ object Bench {
     // `solo_recheck` map. The headline number takes the min: a
     // poisoned sweep's outliers carry their own refutation, instead
     // of costing the judge a hand-adjudication round (r11–r14).
+    // Class-1 rounds (quiet bracket, later trip whose resweep was
+    // itself noisy) additionally force the 8 slowest queries into the
+    // recheck: nothing in such a record is provably quiet, so its
+    // dominant entries must carry solo refutations unconditionally.
     val recheck: Seq[(String, Double, Double)] =
-      recheckTargets(results2, prevTimes).map { name =>
+      recheckTargets(results2, prevTimes,
+        forceTopSlowest = if (ctnClass == 1) 8 else 0).map { name =>
         val sweepVal = results2.collectFirst { case (k, v) if k == name => v }.get
         val solo = timeOnce(spark, sfDir, SparkEntry.queries(name))
         (name, sweepVal, solo)
@@ -548,6 +623,10 @@ object Bench {
     } catch { case _: Throwable =>
       (QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0), null) }
     val fromIndexLoadSec = fromIndexLoad.medianSec
+    // headline fi_load = the pinned SOLO number (BENCH_QPS.json) when
+    // present; the in-bench value rides alongside (r15 verdict item 5)
+    val fiLoadSolo = soloFiLoad(sys.env.getOrElse("SPARK_GRAFT_QPS_OUT", "BENCH_QPS.json"))
+    val fiLoadHeadline = fiLoadSolo.getOrElse(fromIndexLoadSec)
     val fromIndexQps =
       if (fromIndexWorkload == null) -1.0
       else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
@@ -697,13 +776,14 @@ object Bench {
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
       s""""ann_fromindex_load_cold_sec":${fromIndexLoad.coldSec},""" +
       s""""ann_fromindex_load_warm_sec":${fromIndexLoad.warmSec},""" +
+      s""""ann_fromindex_load_solo_sec":${fiLoadSolo.getOrElse(-1.0)},""" +
       s""""ann_fromindex_qps_10k_100d_4shards":$fromIndexQps,""" +
       s""""cal_spin_before_sec":$spinBefore,"cal_spark_before_sec":$sparkBefore,""" +
       s""""cal_spin_mid_sec":$spinMid,"cal_spin_mid2_sec":$spinMid2,""" +
       s""""cal_spin_post_sec":$spinPost,"cal_spin_post2_sec":$spinPost2,""" +
       s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
       s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
-      s""""resweeps":$resweeps,"contended":$contended,""" +
+      s""""resweeps":$resweeps,"contended":$contended,"contention_class":$ctnClass,""" +
       s""""solo_recheck":${recheck.map { case (k, s, r) =>
         s""""$k":[${r2(s)},${r2(r)}]""" }.mkString("{", ",", "}")},""" +
       srMedian.map(r => s""""scale_ratio_median":$r,""").getOrElse("") +
@@ -721,14 +801,20 @@ object Bench {
         s"""{"sf_dir":"$sfDir","repeats":$repeat,"total_sec":${r2(total)},""" +
           s""""queries_sec":$qMap,"builds_sec":$bMap,""" +
           s""""qps":${r1(annQps)},"pq_qps":${r1(pqQps)},"shard_qps":${r1(shardedQps)},""" +
-          s""""fi_load_sec":${r2(fromIndexLoadSec)},"fi_qps":${r1(fromIndexQps)},""" +
+          // fi_load_sec = the comparable cross-round figure (solo when
+          // pinned, in-bench fallback); both raw numbers ride alongside
+          s""""fi_load_sec":${r2(fiLoadHeadline)},"fi_qps":${r1(fromIndexQps)},""" +
+          s""""fi_load_inbench_sec":${r2(fromIndexLoadSec)},""" +
+          s""""fi_load_solo_sec":${fiLoadSolo.map(r2).getOrElse("null")},""" +
           s""""fi_load_cold_sec":${r2(fromIndexLoad.coldSec)},""" +
           s""""fi_load_warm_sec":${r2(fromIndexLoad.warmSec)},""" +
           s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +
-          s""""cal_spin_mid":${r2(spinMid)},"cal_spin_mid2":${r2(spinMid2)},""" +
-          s""""cal_spin_post":${r2(spinPost)},"cal_spin_post2":${r2(spinPost2)},""" +
+          // mid2/post2 are null when no resweep ran at that point —
+          // distinct from a measured (always-positive) spin time
+          s""""cal_spin_mid":${r2(spinMid)},"cal_spin_mid2":${r2OrNull(spinMid2)},""" +
+          s""""cal_spin_post":${r2(spinPost)},"cal_spin_post2":${r2OrNull(spinPost2)},""" +
           s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
-          s""""resweeps":$resweeps,"contended":$contended,""" +
+          s""""resweeps":$resweeps,"contended":$contended,"contention_class":$ctnClass,""" +
           // sweep-vs-solo pairs for every >3x-prev outlier (headline
           // number = min of the two): the self-adjudication record
           s""""recheck_rule":">3x prev queries_sec and >0.5s",""" +
@@ -744,11 +830,12 @@ object Bench {
     println(summaryLine(
       results,
       if (buildMetrics.isEmpty) None else Some(buildMetrics.values.sum),
-      annQps, pqQps, shardedQps, fromIndexLoadSec, fromIndexQps, cal,
+      annQps, pqQps, shardedQps, fiLoadHeadline, fromIndexQps, cal,
       contended,
       new java.io.File(sfDir).getName, srMedian,
       parRatio = parRatios.max, minMerged = minTaken.size,
-      rechecked = recheck.size))
+      rechecked = recheck.size,
+      ctnClass = ctnClass, fiLoadInbenchSec = fromIndexLoadSec))
     spark.stop()
   }
 }

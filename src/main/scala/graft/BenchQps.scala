@@ -40,15 +40,18 @@ object BenchQps {
   private[graft] def driftOk(curr: Double, prev: Option[Double]): Boolean =
     curr > 0.0 && prev.forall(p => p <= 0.0 || curr >= 0.85 * p)
 
-  /** Previous pinned warm-QPS map from BENCH_QPS.json (read before
-    * this run overwrites it); missing/corrupt -> empty. */
-  private[graft] def prevQps(path: String): Map[String, Double] =
+  /** Previous pinned artifact from BENCH_QPS.json (read before this
+    * run overwrites it): its round tag, the round tag of the baseline
+    * IT gated against, its warm numbers, and that baseline.
+    * Missing/corrupt -> all-empty. */
+  private[graft] def prevArtifact(path: String)
+      : (Option[String], Option[String], Map[String, Double], Map[String, Double]) =
     try {
       import org.json4s._
       val root = jackson.JsonMethods.parse(
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8))
-      (root \ "qps_warm") match {
+      def m(field: String): Map[String, Double] = (root \ field) match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(d)) => k -> d
           case (k, JInt(i)) => k -> i.toDouble
@@ -56,7 +59,28 @@ object BenchQps {
         }.toMap
         case _ => Map.empty
       }
-    } catch { case _: Throwable => Map.empty }
+      def tag(field: String): Option[String] = (root \ field) match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _ => None
+      }
+      (tag("round_tag"), tag("baseline_round_tag"), m("qps_warm"), m("prev_qps_warm"))
+    } catch { case _: Throwable => (None, None, Map.empty, Map.empty) }
+
+  /** Round-over-round baseline selection (r15 verdict item 8: the
+    * artifact's prev_qps_warm self-updated each RUN, so a second run
+    * within a round silently rebased the drift gate onto its own
+    * sibling). When the previous artifact carries the SAME round tag
+    * as this run, inherit the baseline IT gated against (and that
+    * baseline's tag) so every run of round N gates against round N-1;
+    * an untagged run (no SPARK_GRAFT_ROUND) keeps the old
+    * run-over-run behavior. Pure for the spec. */
+  private[graft] def chooseBaseline(currTag: String,
+      prevTag: Option[String], prevBaseTag: Option[String],
+      prevWarm: Map[String, Double], prevBase: Map[String, Double])
+      : (Option[String], Map[String, Double]) =
+    if (currTag.nonEmpty && prevTag.contains(currTag) && prevBase.nonEmpty)
+      (prevBaseTag, prevBase)
+    else (prevTag, prevWarm)
 
   /** (cold, warm, median) split of one workload's per-loop QPS:
     * cold = first timed loop (post-warmup, but first at full length),
@@ -83,7 +107,10 @@ object BenchQps {
     val repeat = math.max(1, if (args.nonEmpty) args(0).toInt else 5)
     val passes = math.max(1, Bench.envInt("SPARK_GRAFT_QPS_PASSES", 2))
     val out = sys.env.getOrElse("SPARK_GRAFT_QPS_OUT", "BENCH_QPS.json")
-    val prev = prevQps(out)
+    val roundTag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "")
+    val (prevTag, prevBaseTag, prevWarm, prevBase) = prevArtifact(out)
+    val (baseTag, prev) =
+      chooseBaseline(roundTag, prevTag, prevBaseTag, prevWarm, prevBase)
     def one(name: String, p: Int, mk: => QpsWorkloads.Workload): (Double, Double, Double) = {
       val s = try split(QpsWorkloads.qpsLoops(mk, repeat))
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
@@ -112,17 +139,22 @@ object BenchQps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // defensive like Bench: a fromIndex failure (temp-dir, build error)
-    // must still write the artifact and release the session
+    // must still write the artifact and release the session — and
+    // caught PER PASS (like the in-memory `one` helper), so a pass-N
+    // failure can't discard the quiet-side measurement an earlier
+    // pass already produced (r15 advisor)
     val (fiLoads, fiPasses) = try {
       (1 to passes).map { p =>
-        val (load, workload) = QpsWorkloads.fromIndexRouter(spark, repeat)
-        println(f"fi_load_sec pass$p ${load.medianSec}%8.1f (cold ${load.coldSec}%8.1f warm ${load.warmSec}%8.1f)")
-        val s = split(QpsWorkloads.qpsLoops(workload, repeat))
-        println(f"fi_qps      pass$p ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
-        (load, s)
+        try {
+          val (load, workload) = QpsWorkloads.fromIndexRouter(spark, repeat)
+          println(f"fi_load_sec pass$p ${load.medianSec}%8.1f (cold ${load.coldSec}%8.1f warm ${load.warmSec}%8.1f)")
+          val s = split(QpsWorkloads.qpsLoops(workload, repeat))
+          println(f"fi_qps      pass$p ${s._3}%8.1f (cold ${s._1}%8.1f warm ${s._2}%8.1f)")
+          (load, s)
+        } catch { case _: Throwable =>
+          (QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0), (-1.0, -1.0, -1.0))
+        }
       }.unzip
-    } catch { case _: Throwable =>
-      (Seq(QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0)), Seq((-1.0, -1.0, -1.0)))
     } finally spark.stop()
     // loads are TIMES: min is the quiet-side estimator there
     val fiLoadCold = fiLoads.map(_.coldSec).filter(_ > 0) match {
@@ -135,8 +167,14 @@ object BenchQps {
     val gates = all.map { case (k, (_, warm, _)) => k -> driftOk(warm, prev.get(k)) }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${Bench.r1(v)}""" }.mkString("{", ",", "}")
+    def jstr(s: String): String = if (s.isEmpty) "null" else s""""$s""""
     val json =
       s"""{"repeat":$repeat,"passes":$passes,""" +
+        // round_tag: who produced this run; baseline_round_tag: whose
+        // numbers the drift gate compared against (round-over-round
+        // when tagged — a same-round re-run inherits, never rebases)
+        s""""round_tag":${jstr(roundTag)},""" +
+        s""""baseline_round_tag":${baseTag.map(t => s""""$t"""").getOrElse("null")},""" +
         s""""qps_cold":${jmap(all.map { case (k, (c, _, _)) => k -> c })},""" +
         s""""qps_warm":${jmap(all.map { case (k, (_, w, _)) => k -> w })},""" +
         s""""qps_median":${jmap(all.map { case (k, (_, _, m)) => k -> m })},""" +

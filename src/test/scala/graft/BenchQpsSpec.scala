@@ -35,14 +35,47 @@ class BenchQpsSpec extends AnyFunSuite {
     assert(BenchQps.quietSide(Seq((-1.0, -1.0, -1.0), (100.0, 120.0, 110.0)))._2 === 120.0)
   }
 
-  test("prevQps: reads qps_warm, tolerates missing/corrupt files") {
+  test("prevArtifact: reads tags + both warm maps, tolerates missing/corrupt files") {
     val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
     java.nio.file.Files.writeString(tmp,
-      """{"repeat":5,"qps_warm":{"single":364.2,"pq":515},"drift_all_ok":true}""")
-    assert(BenchQps.prevQps(tmp.toString) === Map("single" -> 364.2, "pq" -> 515.0))
-    assert(BenchQps.prevQps("/nonexistent/BENCH_QPS.json") === Map.empty)
+      """{"repeat":5,"round_tag":"r16","baseline_round_tag":"r15",""" +
+        """"qps_warm":{"single":364.2,"pq":515},""" +
+        """"prev_qps_warm":{"single":311.0},"drift_all_ok":true}""")
+    assert(BenchQps.prevArtifact(tmp.toString) ===
+      ((Some("r16"), Some("r15"),
+        Map("single" -> 364.2, "pq" -> 515.0), Map("single" -> 311.0))))
+    // pre-r16 artifact: no tags, prev map present
+    java.nio.file.Files.writeString(tmp,
+      """{"repeat":5,"qps_warm":{"single":364.2},"prev_qps_warm":{"single":311.0}}""")
+    assert(BenchQps.prevArtifact(tmp.toString) ===
+      ((None, None, Map("single" -> 364.2), Map("single" -> 311.0))))
+    assert(BenchQps.prevArtifact("/nonexistent/BENCH_QPS.json") ===
+      ((None, None, Map.empty, Map.empty)))
     java.nio.file.Files.writeString(tmp, "{not json")
-    assert(BenchQps.prevQps(tmp.toString) === Map.empty)
+    assert(BenchQps.prevArtifact(tmp.toString) ===
+      ((None, None, Map.empty, Map.empty)))
     java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("chooseBaseline: same-round re-run inherits, new round rebases") {
+    val warm = Map("single" -> 364.2)
+    val base = Map("single" -> 311.0)
+    // a second run of round r16 gates against what the first run gated
+    // against (round r15's numbers), never its own sibling
+    assert(BenchQps.chooseBaseline("r16", Some("r16"), Some("r15"), warm, base)
+      === ((Some("r15"), base)))
+    // a new round gates against the previous round's fresh numbers
+    assert(BenchQps.chooseBaseline("r17", Some("r16"), Some("r15"), warm, base)
+      === ((Some("r16"), warm)))
+    // untagged current run: old run-over-run behavior
+    assert(BenchQps.chooseBaseline("", Some("r16"), Some("r15"), warm, base)
+      === ((Some("r16"), warm)))
+    // untagged previous artifact: nothing to match, rebase on its warm
+    assert(BenchQps.chooseBaseline("r16", None, None, warm, base)
+      === ((None, warm)))
+    // same tag but prev run recorded no baseline (first-ever run that
+    // round): fall back to its warm rather than an empty gate-nothing
+    assert(BenchQps.chooseBaseline("r16", Some("r16"), None, warm, Map.empty)
+      === ((Some("r16"), warm)))
   }
 }

@@ -29,7 +29,8 @@ class BenchSummarySpec extends AnyFunSuite {
     val line = Bench.summaryLine(results, Some(8884.88),
       88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
       Seq(8884.88, 8884.88, 8884.88, 8884.88), contended = true,
-      "sf0.001", Some(8884.88), parRatio = 888.88, minMerged = 8888)
+      "sf0.001", Some(8884.88), parRatio = 888.88, minMerged = 8888,
+      ctnClass = 2, fiLoadInbenchSec = 8884.88)
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -63,13 +64,16 @@ class BenchSummarySpec extends AnyFunSuite {
     val results = Seq("q01_pricing_summary" -> 0.5, "q41_ngram_jaccard" -> 1.975)
     val line = Bench.summaryLine(results, Some(22.24),
       398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44),
-      contended = false, "sf0.1", Some(8.37), parRatio = 1.13, minMerged = 12)
+      contended = false, "sf0.1", Some(8.37), parRatio = 1.13, minMerged = 12,
+      ctnClass = 1, fiLoadInbenchSec = 11.9)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
-      "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_qps",
-      "cal", "ctn", "cpr", "mm", "rk", "sr", "sf"))
+      "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_load_inb",
+      "fi_qps", "cal", "ctn", "ctc", "cpr", "mm", "rk", "sr", "sf"))
     assert((parsed \ "ctn").asInstanceOf[org.json4s.JInt].num.toInt === 0)
+    assert((parsed \ "ctc").asInstanceOf[org.json4s.JInt].num.toInt === 1)
+    assert((parsed \ "fi_load_inb").asInstanceOf[org.json4s.JDouble].num === 11.9)
     assert((parsed \ "cpr").asInstanceOf[org.json4s.JDouble].num === 1.1)
     assert((parsed \ "mm").asInstanceOf[org.json4s.JInt].num.toInt === 12)
     assert((parsed \ "sr").asInstanceOf[org.json4s.JDouble].num === 8.4)
@@ -148,6 +152,59 @@ class BenchSummarySpec extends AnyFunSuite {
     // min-merge still contains sweep-1's (bracket-quiet) numbers
     assert(Bench.contendedStamp(Seq(true)))
     assert(Bench.contendedStamp(Seq(true, true, true)))
+  }
+
+  test("contention class: quiet / late-trip / contended three-way") {
+    // provably quiet: the last sweep that ran was quiet-bracketed
+    assert(Bench.contentionClass(Seq(false)) === 0)
+    assert(Bench.contentionClass(Seq(true, false)) === 0)
+    assert(Bench.contentionClass(Seq(false, false)) === 0)
+    assert(Bench.contentionClass(Seq(true, false, false)) === 0)
+    // the r15 advisor gap, verbatim: quiet opening bracket, tripped
+    // close whose resweep was itself noisy — min(poisoned, poisoned)
+    // must NOT read as host-clean
+    assert(Bench.contentionClass(Seq(false, true)) === 1)
+    assert(Bench.contentionClass(Seq(true, false, true)) === 1)
+    // every sweep noisy
+    assert(Bench.contentionClass(Seq(true)) === 2)
+    assert(Bench.contentionClass(Seq(true, true, true)) === 2)
+    // the boolean stamp stays consistent with the class: contended
+    // (class 2) iff contendedStamp true
+    for (s <- Seq(Seq(false), Seq(true), Seq(false, true), Seq(true, false)))
+      assert((Bench.contentionClass(s) === 2) === Bench.contendedStamp(s))
+  }
+
+  test("forced recheck: late-trip rounds recheck the slowest N without a prev baseline") {
+    val sweep = Seq("q1" -> 10.0, "q2" -> 5.0, "q3" -> 0.4, "q4" -> 2.0, "q5" -> 7.0)
+    // no prev record at all: the 3x rule alone selects nothing...
+    assert(Bench.recheckTargets(sweep, Map.empty) === Nil)
+    // ...but a late-trip round forces the slowest N (>0.5s floor holds)
+    assert(Bench.recheckTargets(sweep, Map.empty, forceTopSlowest = 3)
+      === Seq("q1", "q5", "q2"))
+    // union with the 3x outliers, deduped, slowest first, capped
+    val prev = Map("q4" -> 0.5)
+    assert(Bench.recheckTargets(sweep, prev, forceTopSlowest = 2)
+      === Seq("q1", "q5", "q4"))
+    assert(Bench.recheckTargets(sweep, prev, cap = 2, forceTopSlowest = 2)
+      === Seq("q1", "q5"))
+  }
+
+  test("soloFiLoad: reads the pinned warm load, sentinels and corrupt files -> None") {
+    val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"repeat":5,"fi_load_warm_sec":6.42,"qps_warm":{"single":364.2}}""")
+    assert(Bench.soloFiLoad(tmp.toString) === Some(6.42))
+    java.nio.file.Files.writeString(tmp, """{"fi_load_warm_sec":-1}""")
+    assert(Bench.soloFiLoad(tmp.toString) === None)
+    assert(Bench.soloFiLoad("/nonexistent/BENCH_QPS.json") === None)
+    java.nio.file.Files.writeString(tmp, "{not json")
+    assert(Bench.soloFiLoad(tmp.toString) === None)
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("r2OrNull renders unmeasured sentinels as JSON null") {
+    assert(Bench.r2OrNull(-1.0) === "null")
+    assert(Bench.r2OrNull(0.38) === "0.38")
   }
 
   test("solo-recheck selection: >3x prev, >0.5s floor, capped, slowest first") {
