@@ -35,6 +35,12 @@ final class ShardedServing(
   private val shards = Array.fill(numShards)(new ServingIndex(dim, maxDegree, metric))
   private var rr = 0 // round-robin insertion cursor
 
+  /** How this fleet was populated: "inserts" (API inserts), "driver"
+    * or "executors" ([[ShardedServing.fromIndex]]'s two load paths) —
+    * operational observability, and what lets a spec assert the Auto
+    * routing actually took the executor path. */
+  @volatile var loadedVia: String = "inserts"
+
   def numPoints: Int = shards.map(_.numPoints).sum
 
   private def globalId(shard: Int, localPublic: Long): Long =
@@ -205,6 +211,57 @@ final class ShardedServing(
 
 object ShardedServing {
 
+  /** Which side materializes the shard rows in [[fromIndex]]:
+    *  - [[LoadVia.Driver]] — one collect on the driver, shards built
+    *    from driver threads. Right for the reference's serving shape
+    *    (10k × 100d ≈ 10 MB) and anything else that fits driver RAM.
+    *  - [[LoadVia.Executors]] — the rows NEVER land on the driver:
+    *    the shard-partitioned plan is consumed by `foreachPartition`,
+    *    each executor partition builds its shard(s) locally and posts
+    *    them to the in-JVM [[ExecutorShards]] hand-off registry. This
+    *    is the fleet-exceeds-driver-RAM path; see [[fromIndex]] for
+    *    the deployment contract.
+    *  - [[LoadVia.Auto]] (default) — Driver up to `driverMaxRows`
+    *    snapshot rows, Executors above. */
+  sealed trait LoadVia extends Serializable
+  object LoadVia {
+    case object Driver extends LoadVia
+    case object Executors extends LoadVia
+    case object Auto extends LoadVia
+  }
+
+  /** [[LoadVia.Auto]]'s crossover: above this many snapshot rows the
+    * driver collect is the fleet's driver-RAM wall (1M rows × (100
+    * floats + degree longs + key) ≈ 1-3 GB of Row objects) and the
+    * load routes to executors. The crossover is about driver RAM,
+    * not latency: the executor path's extra shuffle (the repartition)
+    * plus registry hand-off measured ~1.0x the driver path's
+    * wall-clock at the 10k×100d bench shape (BenchFromIndexPaths,
+    * warm medians 5.9 vs 6.1 s) — so the default stays Driver below
+    * the wall purely for the simpler failure story (no registry
+    * contract), and nothing is lost routing above it. */
+  val DriverLoadMaxRows: Long = 1000000L
+
+  /** JVM-local hand-off registry for executor-built shards, keyed by
+    * (load token, shard). In `local[*]` (and any shared-JVM test rig)
+    * executors and driver share one JVM, so the driver drains the
+    * registry right after the load job; in a real cluster each
+    * executor's registry holds its shards NODE-LOCALLY — the serving
+    * deployment keeps them there behind an RPC layer (the scatter in
+    * [[ShardedServing.search]] becomes the fan-out), and the
+    * in-process router never sees them (fromIndex fails loudly rather
+    * than silently serving an empty fleet). Entries are REMOVED on
+    * take so a load leaks nothing. */
+  private[index] object ExecutorShards {
+    private val reg =
+      new java.util.concurrent.ConcurrentHashMap[String, ServingIndex]()
+    private def k(token: String, shard: Int) = s"$token#$shard"
+    def put(token: String, shard: Int, idx: ServingIndex): Unit =
+      reg.put(k(token, shard), idx)
+    def take(token: String, shard: Int): Option[ServingIndex] =
+      Option(reg.remove(k(token, shard)))
+  }
+
   /** Bulk-load a built [[VectorIndex]] snapshot into a sharded router —
     * the build-once/serve-many path (reference load_index,
     * /root/reference/src/LMDiskANN.jl:271-306, lifted to a shard
@@ -231,11 +288,23 @@ object ShardedServing {
     * so keys AND ids look exactly like the single-graph serving view.
     * Per-shard freelists preserve the snapshot's LIFO recycling order.
     *
-    * In production each shard's load runs inside its serving node
-    * (mapPartitions over the id-hash-partitioned snapshot); this
-    * in-process form streams the merged rows (toLocalIterator), so
-    * peak driver memory is one partition's rows, not the index. */
-  def fromIndex(index: VectorIndex, numShards: Int): ShardedServing = {
+    * Two load paths off the ONE shard-partitioned plan ([[LoadVia]]):
+    * the Driver path collects the merged rows in a single job (driver
+    * memory = the whole fleet's rows — the reference's serving shape,
+    * bounded and documented) and fans the per-shard loads out across
+    * driver threads; the Executors path never materializes rows on
+    * the driver — `repartition(numShards, shard)` puts each shard's
+    * rows in exactly one partition, `foreachPartition` builds the
+    * shard(s) executor-locally and posts them to [[ExecutorShards]],
+    * and the driver drains the registry (shared-JVM contract: local
+    * mode and test rigs; a multi-JVM cluster keeps shards
+    * executor-resident behind RPC and this in-process drain refuses
+    * loudly). Both paths produce bit-identical shards: same rows,
+    * same per-row load, same finishLoad — only WHERE the rows
+    * materialize differs. */
+  def fromIndex(index: VectorIndex, numShards: Int,
+      loadVia: LoadVia = LoadVia.Auto,
+      driverMaxRows: Long = DriverLoadMaxRows): ShardedServing = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions
     val meta = index.meta
@@ -251,6 +320,12 @@ object ShardedServing {
       .select(col("shard"), (col("id") / numShards).cast("long").as("id"),
         col("key"), col("vec"))
       .cache()
+    val viaExecutors = loadVia match {
+      case LoadVia.Executors => true
+      case LoadVia.Driver => false
+      case LoadVia.Auto => meta.numPoints > driverMaxRows
+    }
+    router.loadedVia = if (viaExecutors) "executors" else "driver"
     if (base.head(1).nonEmpty) {
       val vv = base.select(col("shard"), col("id"), col("vec"))
       val dcol = Metric.distColumn(index.metric, col("a_vec"), col("b_vec"))
@@ -328,37 +403,76 @@ object ShardedServing {
           slice(array_distinct(concat(
             ringArr,
             coalesce(col("nbrs"), array().cast("array<bigint>")))), 1, meta.maxDegree).as("nbrs"))
-      // ONE collect (a single all-partitions job), then the per-shard
-      // loads fan out concurrently. The former toLocalIterator ran a
-      // separate Spark job PER PARTITION serially AND fed all shards
-      // from one thread — the r14 fi_load_warm 6.8-11.8 s was mostly
-      // that serialization, not the plan. Shards are independent
-      // objects, so loading them from `numShards` threads is safe by
-      // construction (the dedupTierEval Future idiom). Driver memory:
-      // this is the reference's serving shape (10k x 100d ≈ 10 MB);
-      // a fleet beyond driver RAM loads shard-local via executors
-      // instead (each executor builds its shard from its partition) —
-      // the plan above already partitions by shard for that path.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val rows = base.join(adj, Seq("shard", "id"), "left")
+      val rowsDf = base.join(adj, Seq("shard", "id"), "left")
         .select(col("shard"), col("id"), col("key"), col("vec"),
           coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
-        .collect()
-      val byShard = rows.groupBy(_.getInt(0))
-      val loads = (0 until numShards).map { s =>
-        Future {
-          byShard.getOrElse(s, Array.empty[org.apache.spark.sql.Row]).foreach { r =>
-            router.shards(s).loadRow(
-              r.getLong(1).toInt,
-              r.getString(2),
-              r.getSeq[Float](3).toArray,
-              r.getSeq[Long](4).map(_.toInt).toArray)
+      if (viaExecutors) {
+        // ---- executor-local build: the rows NEVER land on the driver
+        // (the last driver-RAM wall in the serving-load story).
+        // repartition(numShards, shard) puts every row of a shard in
+        // exactly ONE partition; each partition builds its shard(s)
+        // in-place and posts the finished objects to the hand-off
+        // registry. put() runs only after the iterator drains, so a
+        // failed-then-retried task never publishes a partial shard (a
+        // speculative duplicate overwrites complete with complete).
+        val token = java.util.UUID.randomUUID().toString
+        val d = meta.dim; val deg = meta.maxDegree; val met = index.metric
+        rowsDf.repartition(numShards, col("shard")).foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            val local = scala.collection.mutable.Map.empty[Int, ServingIndex]
+            it.foreach { r =>
+              val shard =
+                local.getOrElseUpdate(r.getInt(0), new ServingIndex(d, deg, met))
+              shard.loadRow(r.getLong(1).toInt, r.getString(2),
+                r.getSeq[Float](3).toArray, r.getSeq[Long](4).map(_.toInt).toArray)
+            }
+            local.foreach { case (s, idx) => ExecutorShards.put(token, s, idx) }
+        }
+        val built = (0 until numShards).flatMap(s =>
+          ExecutorShards.take(token, s).map(s -> _)).toMap
+        // a nonempty snapshot that produced NO registry entries means
+        // the executors live in other JVMs — refuse loudly instead of
+        // serving an empty in-process fleet; the cluster deployment
+        // drains ExecutorShards inside its serving hosts (RPC scatter)
+        if (built.isEmpty)
+          throw new IllegalStateException(
+            "fromIndex(loadVia=Executors): no shard reached the in-process " +
+              "registry — executors do not share this JVM. Keep shards " +
+              "executor-resident behind the serving RPC layer (drain " +
+              "ExecutorShards in the serving hosts), or use LoadVia.Driver " +
+              "for an in-process router.")
+        built.foreach { case (s, idx) => router.shards(s) = idx }
+      } else {
+        // ---- driver build: ONE collect (a single all-partitions job),
+        // then the per-shard loads fan out concurrently. The former
+        // toLocalIterator ran a separate Spark job PER PARTITION
+        // serially AND fed all shards from one thread — the r14
+        // fi_load_warm 6.8-11.8 s was mostly that serialization, not
+        // the plan. Shards are independent objects, so loading them
+        // from `numShards` threads is safe by construction (the
+        // dedupTierEval Future idiom). Driver memory: the WHOLE
+        // fleet's rows live on the driver for the duration of the
+        // load — right for the reference's serving shape (10k × 100d
+        // ≈ 10 MB) and anything under driverMaxRows; bigger fleets
+        // route to the executor path above.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val rows = rowsDf.collect()
+        val byShard = rows.groupBy(_.getInt(0))
+        val loads = (0 until numShards).map { s =>
+          Future {
+            byShard.getOrElse(s, Array.empty[org.apache.spark.sql.Row]).foreach { r =>
+              router.shards(s).loadRow(
+                r.getLong(1).toInt,
+                r.getString(2),
+                r.getSeq[Float](3).toArray,
+                r.getSeq[Long](4).map(_.toInt).toArray)
+            }
           }
         }
+        loads.foreach(Await.result(_, Duration.Inf))
       }
-      loads.foreach(Await.result(_, Duration.Inf))
     }
     (0 until numShards).foreach { s =>
       val entryLocal =

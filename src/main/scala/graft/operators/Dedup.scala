@@ -1293,6 +1293,15 @@ object Dedup {
     * differently. */
   val DefaultRecallGatePer10k: Long = 7000L
 
+  /** Upper bound on the truth pair set [[evalPairSets]] will broadcast.
+    * Truth sets are SAMPLED artifacts by contract (docSample caps the
+    * corpus side), so every legitimate card's truth is far below this;
+    * a caller handing an uncapped corpus-sized truth would otherwise
+    * pay the forced broadcast with a driver OOM instead of a named
+    * error (r15 advisor). 5M pairs of two longs ≈ 80 MB broadcast —
+    * comfortably inside default driver/executor memory with margin. */
+  val MaxBroadcastTruthPairs: Long = 5000000L
+
   /** Candidate-tier evaluation for dedup pipelines: precision/recall
     * of one or more candidate-pair generators against an exact-truth
     * pair set — the "which tier do I turn on, and at what cost in
@@ -1334,12 +1343,21 @@ object Dedup {
   def evalPairSets(
       tiers: Seq[(String, DataFrame)],
       truth: DataFrame,
-      gatesPer10k: Map[String, Long] = Map.empty): DataFrame = {
+      gatesPer10k: Map[String, Long] = Map.empty,
+      maxTruthPairs: Long = MaxBroadcastTruthPairs): DataFrame = {
     require(tiers.nonEmpty, "need >= 1 candidate tier")
     val sess = truth.sparkSession
     val t = truth.select(col("doc_a"), col("doc_b")).distinct()
       .withColumn("t", lit(1))
     val nTruth = t.count()
+    // misuse guard (the broadcast is unconditional below): an uncapped
+    // corpus-sized truth must fail with a named error at card
+    // construction, not OOM the driver mid-broadcast
+    require(nTruth <= maxTruthPairs,
+      s"evalPairSets: truth has $nTruth distinct pairs > maxTruthPairs=" +
+        s"$maxTruthPairs — eval truth is a SAMPLED artifact by contract " +
+        "(restrict both pair endpoints with docSample, or raise " +
+        "maxTruthPairs if the driver can hold the broadcast)")
     // one NULL-keyed sentinel row per tier rides in the union: a tier
     // with ZERO predicted pairs would vanish from the aggregate, and
     // the sentinel keeps its row alive through the SAME groupBy (null

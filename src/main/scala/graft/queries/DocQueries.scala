@@ -186,7 +186,18 @@ object DocQueries {
     val tTokCounts = (System.nanoTime() - t6) / 1e9
     val t7 = System.nanoTime(); corpusSignatures(spark, dir)
     val tSigs = (System.nanoTime() - t7) / 1e9
+    // the q198/q199 card legs (truth + four candidate tiers) are
+    // one-time param-keyed artifacts: build them here so the first
+    // in-sweep card evaluation is already the warm fused-eval shape
+    val t8 = System.nanoTime()
+    locally {
+      val card = dedupTierEval(spark, dir)
+      card.count()
+      graft.plans.Blocks.release(card)
+    }
+    val tTierLegs = (System.nanoTime() - t8) / 1e9
     Map("shingle_corpus_build_sec" -> tCorpus,
+      "tier_eval_legs_sec" -> tTierLegs,
       "tokcounts_build_sec" -> tTokCounts,
       "minhash_sigs_build_sec" -> tSigs,
       "shingle_documents_build_sec" -> tDocs,
@@ -2157,6 +2168,57 @@ object DocQueries {
     spark.read.parquet(s"$base/data")
   }
 
+  /** One cached candidate-pair leg of the q198 card: parquet under a
+    * PARAM-carrying Scratch label, the truth-leg pattern applied to
+    * every leg (r15 verdict item 4) — pair generation is a one-time
+    * evaluation artifact per (fixture content, producing parameters),
+    * so a warm card evaluation is pure fused eval over four tiny
+    * parquet reads instead of four pair-generation job chains. The
+    * producing parameters ride in the label: a future change to a
+    * tier's operating point invalidates ITS cache, never silently
+    * serves the old one. */
+  private def cachedPairLeg(spark: SparkSession, dir: String, label: String)
+      (build: => DataFrame): DataFrame = {
+    val base = Scratch.dir(spark, dir, label, "documents")
+    Scratch.writeOnce(base) {
+      if (!new java.io.File(s"$base/data/_SUCCESS").exists())
+        build.select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(s"$base/data")
+    }
+    spark.read.parquet(s"$base/data")
+  }
+
+  /** BOTH simhash legs as cached artifacts off ONE sketch aggregation
+    * (simhashBoth: the 64-bit family's first 32 hash functions ARE
+    * the 32-bit family) — the shared-pass economy only matters on the
+    * cold build; warm cards read the two pair parquets directly. */
+  private def cachedSimhashLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val frac = TierEvalSampleFracPer10k; val seed = TierEvalSampleSeed
+    val b32 = Scratch.dir(spark, dir, s"tier-sim32-h1-b2-f$frac-s$seed", "documents")
+    val b64 = Scratch.dir(spark, dir, s"tier-sim64-h7-b8-f$frac-s$seed", "documents")
+    Scratch.writeOnce(s"$b32|$b64") {
+      val need32 = !new java.io.File(s"$b32/data/_SUCCESS").exists()
+      val need64 = !new java.io.File(s"$b64/data/_SUCCESS").exists()
+      if (need32 || need64) {
+        val sk = Dedup.simhashBoth(
+            Dedup.docSample(corpusTokenCounts(spark, dir), frac, seed))
+          .localCheckpoint(true)
+        if (need32)
+          Dedup.simhashNearDupPairs(sk.select(col("doc_id"), col("simhash32")),
+              maxHamming = 1, nBands = 2, hashCol = "simhash32")
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            .write.mode("overwrite").parquet(s"$b32/data")
+        if (need64)
+          Dedup.simhashNearDupPairs(sk.select(col("doc_id"), col("simhash64")),
+              maxHamming = 7, nBands = 8, hashCol = "simhash64", bits = 64)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            .write.mode("overwrite").parquet(s"$b64/data")
+        graft.plans.Blocks.release(sk)
+      }
+    }
+    (spark.read.parquet(s"$b32/data"), spark.read.parquet(s"$b64/data"))
+  }
+
   /** Per-tier recall gates for the q199 threshold sweep (per-10k).
     * The sweep's tiers are NESTED (one candidate set filtered at
     * rising est_jaccard bars), so recall is monotone nonincreasing by
@@ -2228,22 +2290,17 @@ object DocQueries {
     * oracled full-corpus (q41/q43/q97), so the eval composition is
     * too. */
   def dedupTierEval(spark: SparkSession, dir: String): DataFrame = {
-    val frac = TierEvalSampleFracPer10k
-    def sampledByDoc(df: DataFrame) =
-      Dedup.docSample(df, frac, TierEvalSampleSeed)
-    // The pair-set legs are INDEPENDENT job chains over already-
-    // materialized inputs — built as concurrent Spark jobs (the
-    // VectorIndex.build graph∥ring idiom): each leg is overhead-bound
-    // at fixture scale, so wall-clock is max(leg), not sum. (Measured
-    // r15: collapsing this into one DAG and letting stage-level
-    // scheduling find the concurrency read 8.5 s warm vs 4.4 s for
-    // the future-per-leg form — explicit concurrent actions win.)
-    // Barriers are minimal: each leg checkpoints ONCE at its end
-    // (fused evalPairSets reads every tier exactly once), and BOTH
-    // simhash tiers (strict 32-bit/h1, wide 64-bit/h7) come off one
-    // shared aggregation pass (simhashBoth: the 64-bit family's first
-    // 32 hash functions ARE the 32-bit family) whose tiny sketch
-    // frame each banded self-join reads twice.
+    val frac = TierEvalSampleFracPer10k; val seed = TierEvalSampleSeed
+    def sampledByDoc(df: DataFrame) = Dedup.docSample(df, frac, seed)
+    // EVERY leg — truth AND the four candidate tiers — is a
+    // param-keyed Scratch artifact (r15 verdict item 4): pair
+    // generation runs once per (fixture content, operating point) and
+    // a warm card evaluation is the fused broadcast-scored eval over
+    // five tiny parquet reads. Cold builds still run as INDEPENDENT
+    // concurrent Spark jobs (the VectorIndex.build graph∥ring idiom —
+    // measured r15: one collapsed DAG read 8.5 s warm vs 4.4 s for
+    // explicit concurrent legs), with both simhash tiers coming off
+    // ONE sketch aggregation (cachedSimhashLegs).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -2254,40 +2311,22 @@ object DocQueries {
       // signatures are doc-local, so the sampled signature set is a
       // FILTER of the cached full-corpus artifact — bit-identical to
       // signing the sampled shingles, without re-running the 16-min
-      // aggregation per card evaluation
-      Dedup.lshCandidatePairs(
+      // aggregation on the cold build
+      cachedPairLeg(spark, dir, s"tier-lsh-t5000-f$frac-s$seed") {
+        Dedup.lshCandidatePairs(
           sampledByDoc(corpusSignatures(spark, dir)), threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+      }
     }
-    val fSketches = Future {
-      Dedup.simhashBoth(sampledByDoc(corpusTokenCounts(spark, dir)))
-        .localCheckpoint(true)
-    }
-    val fSim = fSketches.map { sk =>
-      Dedup.simhashNearDupPairs(
-          sk.select(col("doc_id"), col("simhash32")),
-          maxHamming = 1, nBands = 2, hashCol = "simhash32")
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        .localCheckpoint(true)
-    }
-    val fSim64 = fSketches.map { sk =>
-      Dedup.simhashNearDupPairs(
-          sk.select(col("doc_id"), col("simhash64")),
-          maxHamming = 7, nBands = 8, hashCol = "simhash64", bits = 64)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        .localCheckpoint(true)
-    }
+    val fSims = Future { cachedSimhashLegs(spark, dir) }
     val fChunk = Future {
-      Dedup.chunkPairs(sampledByDoc(spread(corpus(spark, dir))), k = 8)
-        .localCheckpoint(true)
+      cachedPairLeg(spark, dir, s"tier-chunk-k8-f$frac-s$seed") {
+        Dedup.chunkPairs(sampledByDoc(spread(corpus(spark, dir))), k = 8)
+      }
     }
     val truth = Await.result(fTruth, Duration.Inf)
     val lsh = Await.result(fLsh, Duration.Inf)
-    val simhash = Await.result(fSim, Duration.Inf)
-    val simhash64 = Await.result(fSim64, Duration.Inf)
+    val (simhash, simhash64) = Await.result(fSims, Duration.Inf)
     val chunk = Await.result(fChunk, Duration.Inf)
-    val sketches = Await.result(fSketches, Duration.Inf)
     val out = Dedup.evalPairSets(
         Seq(("minhash_lsh", lsh), ("simhash_h1", simhash),
           ("simhash_h7_64", simhash64), ("chunk_k8", chunk)),
@@ -2295,8 +2334,7 @@ object DocQueries {
       .withColumn("sample_frac_per_10k", lit(frac))
       .orderBy(col("tier"))
       .localCheckpoint(true)
-    Seq(truth, lsh, simhash, simhash64, chunk, sketches)
-      .foreach(graft.plans.Blocks.release)
+    graft.plans.Blocks.release(truth)
     out
   }
 

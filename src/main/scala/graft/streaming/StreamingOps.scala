@@ -602,6 +602,72 @@ object StreamingOps {
     }
   }
 
+  /** Continuous signature-store maintenance — q138/q180's
+    * incremental-dedup artifact lifted to Structured Streaming: each
+    * micro-batch of (doc_id, text) rows is SIGNED once
+    * ([[graft.operators.SignatureStore.build]] over the batch only)
+    * and CONSOLIDATED into the running store via
+    * [[graft.operators.SignatureStore.merge]] — previously signed
+    * text is never re-shingled, exactly the q180 shard-consolidation
+    * property applied per batch, which is what keeps a 100 TB
+    * corpus's dedup artifact maintainable from a stream (a
+    * re-shingling maintenance pass would be a corpus rescan per
+    * trigger). Versioned layout under `root`: `batch=<id>` per-batch
+    * stores and `store-v=<id>` cumulative merges; every version's
+    * sidecar is its completeness marker (data first, pointer last —
+    * the store's own crash-safe publish), so
+    * [[applySignatureBatch]] is replay-idempotent and the at-least-
+    * once foreachBatch contract yields effectively-once store
+    * versions. Readers resolve [[currentSignatureStore]] — always a
+    * fully-published consolidated version, never a mid-merge one. */
+  def signatureStoreIngest(
+      stream: DataFrame,
+      root: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySignatureBatch(batch, batchId, root)
+        ()
+      }
+      .start()
+
+  /** One micro-batch signature apply (see [[signatureStoreIngest]]).
+    * Replay-safe: a batch whose cumulative version is already
+    * published is skipped (the version sidecar is the LAST write of
+    * the apply, so a crash mid-apply re-runs the batch and converges
+    * on the same bytes). Empty batches publish no version. Returns
+    * true when the batch was applied, false when skipped. */
+  def applySignatureBatch(batch: DataFrame, batchId: Long, root: String): Boolean = {
+    import graft.operators.SignatureStore
+    val out = s"$root/store-v=$batchId"
+    if (SignatureStore.exists(out) || batch.isEmpty) false
+    else {
+      currentSignatureStore(root) match {
+        // first batch: the cumulative store IS the batch's store
+        case None => SignatureStore.build(batch, out)
+        case Some(prev) =>
+          val bs = s"$root/batch=$batchId"
+          if (!SignatureStore.exists(bs)) SignatureStore.build(batch, bs)
+          SignatureStore.merge(batch.sparkSession, prev, bs, out)
+      }
+      true
+    }
+  }
+
+  /** Newest fully-published cumulative store under `root` (the one a
+    * concurrent prober loads), if any version has been committed. */
+  def currentSignatureStore(root: String): Option[String] = {
+    val re = "^store-v=(\\d+)$".r
+    graft.index.ArtifactStore.current.list(root)
+      .collect { case re(v) => v.toLong }
+      .sorted(Ordering[Long].reverse)
+      .map(v => s"$root/store-v=$v")
+      .find(graft.operators.SignatureStore.exists)
+  }
+
   /** Continuous batch SEARCH: a stream of (query_id BIGINT,
     * qvec ARRAY<FLOAT>) rows answered per micro-batch against the
     * CURRENT index snapshot via the distributed exact top-k plan

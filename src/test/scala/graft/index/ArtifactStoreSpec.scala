@@ -70,7 +70,12 @@ class ArtifactStoreSpec extends SparkSpec {
     * bridge the ArtifactStore contract forbids — a copy+delete
     * publish dying mid-copy, leaving partial bytes at the
     * destination — so the spec can pin what the contract's
-    * all-or-nothing clause is protecting. Driver-side artifacts live
+    * all-or-nothing clause is protecting. `freezeListings` injects
+    * LIST-after-write staleness (eventually-consistent listings):
+    * frozen paths serve their freeze-time child set — new children
+    * invisible, deleted ones lingering — while per-object reads stay
+    * strong, so vacuum/GC behavior is provable under the non-POSIX
+    * listing semantics too. Driver-side artifacts live
     * in the in-memory object map; table data Spark writes through its
     * own Hadoop stack is visible via POSIX fallback (the two views of
     * one bucket a real deployment has: SDK for sidecars, cluster FS
@@ -80,6 +85,15 @@ class ArtifactStoreSpec extends SparkSpec {
     val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
     @volatile var failOn: String = null
     @volatile var nonAtomicFailure: Boolean = false
+    // LIST-after-write staleness (eventually-consistent listings, the
+    // classic S3 caveat): while frozen, list() serves the snapshot
+    // captured at freeze time for the frozen paths — new children are
+    // invisible, deleted children linger — while reads/writes stay
+    // strongly consistent (per-object PUT/GET semantics)
+    @volatile private var frozenListings: Map[String, Seq[String]] = null
+    def freezeListings(paths: Seq[String]): Unit =
+      frozenListings = paths.map(p => norm(p) -> listFresh(norm(p))).toMap
+    def thawListings(): Unit = frozenListings = null
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     private def norm(p: String) = p.stripSuffix("/")
     private def tick(): Unit = calls.incrementAndGet()
@@ -104,12 +118,17 @@ class ArtifactStoreSpec extends SparkSpec {
       }
       objects.put(n, bytes) }
     def createDirs(p: String): Unit = tick() // object stores: no dirs
-    def list(p: String): Seq[String] = { tick()
-      val pre = norm(p) + "/"
+    private def listFresh(n: String): Seq[String] = {
+      val pre = n + "/"
       val mem = objects.keys.asIterator().asScala.collect {
         case k if k.startsWith(pre) => k.stripPrefix(pre).split("/")(0)
       }.toSeq
-      (mem ++ PosixStore.list(p)).distinct }
+      (mem ++ PosixStore.list(n)).distinct
+    }
+    def list(p: String): Seq[String] = { tick()
+      val fl = frozenListings
+      if (fl != null && fl.contains(norm(p))) fl(norm(p))
+      else listFresh(norm(p)) }
     def deleteTree(p: String): Unit = { tick()
       val pre = norm(p) + "/"
       objects.keySet.removeIf(k => k == norm(p) || k.startsWith(pre))
@@ -182,6 +201,54 @@ class ArtifactStoreSpec extends SparkSpec {
       // store must bridge it to a single PUT, never copy+delete
       val e = intercept[IllegalArgumentException] { VectorIndex.load(spark, path) }
       assert(e.getMessage.contains("meta.json"))
+    } finally ArtifactStore.current = prev
+  }
+
+  test("object store: time-travel + vacuum cycle is safe under stale (list-after-write) listings") {
+    val store = new FakeObjectStore
+    val prev = ArtifactStore.current
+    ArtifactStore.current = store
+    try {
+      val path = tmpDir("store-objvac")
+      val v0 = VectorIndex.build(spark, path,
+        embeddings.filter(col("id") < 40), dim = 64, maxDegree = 8)
+      val v1 = v0.insertBatch(fiveNew)
+      val v2 = v1.deleteBatch(Seq(1L, 2L))
+      // time travel works on the object store: reads are per-object
+      // GETs through the pointer chain, no listing involved
+      assert(VectorIndex.loadVersion(spark, path, 1L).meta.numPoints == 45)
+      // freeze the root listing BEFORE compaction: the segment dir the
+      // compact commit writes is INVISIBLE to list() — the classic
+      // eventually-consistent-listing window
+      store.freezeListings(Seq(path))
+      val compacted = v2.compact()
+      // vacuum under the stale listing: it reaps only dead segments
+      // the listing exposes and can never touch the live segment it
+      // cannot even see — stale listings shrink the reap, never
+      // misdirect it (the live set comes from a strong meta READ)
+      val reapedStale = compacted.vacuum()
+      assert(reapedStale > 0)
+      val re = VectorIndex.load(spark, path)
+      assert(re.meta.numPoints == 43 && re.vectors.count() == 43)
+      assert(re.searchExact(probeQuery, topk = 3).count() == 3)
+      // DELETE lag, same window: the frozen listing still names the
+      // just-reaped dirs — a second pass must tolerate their
+      // disappearance (deleteTree contract), not abort
+      re.vacuum()
+      assert(VectorIndex.load(spark, path).vectors.count() == 43)
+      // thaw: a fresh listing shows only the live segment — nothing
+      // further to reap, and the full history survives with the
+      // reaped versions flagged unloadable (refusing loudly)
+      store.thawListings()
+      assert(re.vacuum() == 0)
+      val h = VectorIndex.history(path)
+      assert(h.map(_._1) == Seq(0L, 1L, 2L, 3L))
+      assert(h.last._4 && h.exists(!_._4), s"got $h")
+      intercept[IllegalArgumentException] {
+        VectorIndex.loadVersion(spark, path, h.find(!_._4).get._1)
+      }
+      assert(VectorIndex.load(spark, path)
+        .searchExact(probeQuery, topk = 3).count() == 3)
     } finally ArtifactStore.current = prev
   }
 

@@ -152,6 +152,53 @@ class ShardedServingSpec extends SparkSpec {
     assert(router.idForKey("fresh").contains(gid))
   }
 
+  test("fromIndex executor path is bit-identical to the driver path; Auto routes by row count") {
+    import org.apache.spark.sql.functions._
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = tmpDir("sharded-exec")
+    // deletes in the snapshot -> nonempty freelist, so finishLoad
+    // parity (LIFO recycling order) is part of what's compared
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+      .deleteBatch(Seq(13L, 77L, 260L))
+    val viaDriver =
+      ShardedServing.fromIndex(idx, numShards = 4, ShardedServing.LoadVia.Driver)
+    val viaExec =
+      ShardedServing.fromIndex(idx, numShards = 4, ShardedServing.LoadVia.Executors)
+    assert(viaDriver.loadedVia == "driver" && viaExec.loadedVia == "executors")
+    // same points, same keys, same id resolution
+    assert(viaExec.numPoints == viaDriver.numPoints)
+    assert(viaExec.allKeys == viaDriver.allKeys)
+    assert(viaExec.idForKey("7") == viaDriver.idForKey("7"))
+    // bit-identical serving: exact (key, gid, dist) tuples on 25
+    // queries, plus filtered and range scatter-gather
+    val all = embeddings.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new Random(7)
+    rng.shuffle(all.toList).take(25).foreach { case (_, q) =>
+      assert(viaExec.search(q, topk = 10) == viaDriver.search(q, topk = 10))
+      assert(viaExec.searchFiltered(q, 5, _ % 3 == 0) ==
+        viaDriver.searchFiltered(q, 5, _ % 3 == 0))
+      assert(viaExec.rangeSearch(q, radius = 0.9) ==
+        viaDriver.rangeSearch(q, radius = 0.9))
+    }
+    // mutation parity: the recycled slots (freelist order) and minted
+    // ids agree, so a fleet maintained after either load converges
+    val v = all.head._2
+    val (kD, gD) = viaDriver.insert(v, Some("post-load"))
+    val (kE, gE) = viaExec.insert(v, Some("post-load"))
+    assert((kD, gD) == ((kE, gE)))
+    assert(viaDriver.deleteByKey("42") == viaExec.deleteByKey("42"))
+    assert(viaDriver.insert(v)._2 == viaExec.insert(v)._2)
+    // Auto: the 500-row snapshot stays on the driver path by default,
+    // routes to executors when the crossover is below it
+    assert(ShardedServing.fromIndex(idx, 4).loadedVia == "driver")
+    val auto = ShardedServing.fromIndex(idx, 4,
+      ShardedServing.LoadVia.Auto, driverMaxRows = 100L)
+    assert(auto.loadedVia == "executors")
+    assert(auto.numPoints == 497) // the snapshot's live count (500 - 3 deletes)
+  }
+
   test("an explicit key equal to another shard's auto-key stays unique router-wide") {
     val dim = 8
     val vecs = mkVecs(12, dim, 6)

@@ -594,6 +594,20 @@ class DedupSpec extends SparkSpec {
       == Dedup.DefaultRecallGatePer10k))
   }
 
+  test("evalPairSets refuses an oversized truth with a named error, never a broadcast OOM") {
+    val ss = spark
+    import ss.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val tier = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.evalPairSets(Seq(("a", tier)), truth, maxTruthPairs = 2L)
+    }
+    assert(e.getMessage.contains("docSample") && e.getMessage.contains("3 distinct pairs"))
+    // at the bound it builds fine
+    assert(Dedup.evalPairSets(Seq(("a", tier)), truth, maxTruthPairs = 3L)
+      .count() == 1L)
+  }
+
   test("evalPairSets per-tier gates: a degraded tier fails ITS OWN margin, not the default") {
     val ss = spark
     import ss.implicits._

@@ -279,6 +279,56 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("signatureStoreIngest: foreachBatch-merged store is bit-identical to a one-shot rebuild") {
+    val ss = spark
+    implicit val sql = ss.sqlContext
+    import ss.implicits._
+    import graft.operators.SignatureStore
+    // three ingest days, disjoint ids, with a planted near-dup across
+    // batches so the consolidated store has real probe work to serve
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine")),
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (11L, "fresh content words nothing shared with any other doc")),
+      Seq((20L, "the third day brings entirely new material again today")))
+    val root = tmpDir("sigstream-root")
+    val ckpt = tmpDir("sigstream-ckpt")
+    val mem = MemoryStream[(Long, String)]
+    // AvailableNow restarts on ONE checkpoint: one micro-batch per
+    // day, the daily-drop shape (the indexIngest spec's idiom)
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      StreamingOps.signatureStoreIngest(
+        mem.toDF().toDF("doc_id", "text"), root, ckpt).awaitTermination()
+    }
+    val cur = StreamingOps.currentSignatureStore(root)
+    assert(cur.isDefined, s"no published cumulative store under $root")
+    val streamed = SignatureStore.load(spark, cur.get)
+      .as[(Long, Seq[Long])].collect().map { case (id, s) => (id, s.toList) }.toSet
+    // one-shot rebuild over the union — the bit-identity target
+    val rebuiltDir = tmpDir("sigstream-rebuilt")
+    SignatureStore.build(batches.flatten.toDF("doc_id", "text"), rebuiltDir)
+    val rebuilt = SignatureStore.load(spark, rebuiltDir)
+      .as[(Long, Seq[Long])].collect().map { case (id, s) => (id, s.toList) }.toSet
+    assert(streamed == rebuilt)
+    // and the stores SERVE identically: same probe hits for a near-dup
+    val probeRows = Seq((101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    def hits(path: String) = SignatureStore.probe(
+        graft.operators.Dedup.rowMinhashSignatures(probeRows.toDF("doc_id", "text")),
+        SignatureStore.load(spark, path), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hits(cur.get) == hits(rebuiltDir))
+    assert(hits(cur.get).map(_._2) == Set(1L, 10L)) // both planted near-dups
+    // replay convergence: re-delivering an already-applied batch is a
+    // no-op (the cumulative version's sidecar is the publish marker)
+    assert(!StreamingOps.applySignatureBatch(
+      batches.last.toDF("doc_id", "text"), 2L, root))
+    // an empty replayed-id-free batch publishes nothing
+    assert(!StreamingOps.applySignatureBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 99L, root))
+  }
+
 test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") {
     val ss = spark
     implicit val sql = ss.sqlContext
