@@ -207,6 +207,12 @@ final class ShardedServing(
   }
 
   def allKeys: Seq[String] = shards.flatMap(_.allKeys).sorted.toSeq
+
+  /** Install an externally loaded shard (see
+    * [[ShardedServing.loadShard]]) — test/assembly seam for the
+    * multi-JVM deployment where each serving node loads its own
+    * shard and the router is an RPC facade over them. */
+  private[index] def installShard(i: Int, s: ServingIndex): Unit = shards(i) = s
 }
 
 object ShardedServing {
@@ -301,32 +307,38 @@ object ShardedServing {
     * executor-resident behind RPC and this in-process drain refuses
     * loudly). Both paths produce bit-identical shards: same rows,
     * same per-row load, same finishLoad — only WHERE the rows
-    * materialize differs. */
+    * materialize differs. A third form, [[loadShard]], serves the
+    * multi-JVM deployment: each serving node builds exactly its own
+    * shard from the same plan narrowed to its slice. */
   def fromIndex(index: VectorIndex, numShards: Int,
       loadVia: LoadVia = LoadVia.Auto,
-      driverMaxRows: Long = DriverLoadMaxRows): ShardedServing = {
+      driverMaxRows: Long = DriverLoadMaxRows): ShardedServing =
+    fromIndexImpl(index, numShards, loadVia, driverMaxRows)
+
+  /** The shard-partitioned load plan shared by [[fromIndex]] (all
+    * shards) and [[loadShard]] (one serving node's slice): (shard,
+    * local id, key, vec, nbrs) for every live snapshot row, each
+    * shard's graph PROJECTED from the snapshot's built global graph
+    * (same-shard 1-hop ∪ 2-hop re-scored, ring-backboned — see
+    * [[fromIndex]]'s scaladoc for the complexity argument).
+    * `onlyShard` narrows every stage — base scan, 2-hop candidate
+    * join, scoring joins, ring window — to one shard's slice, so a
+    * serving node pays ~1/numShards of the projection. Returns
+    * (rows plan, cached base); the caller unpersists base after
+    * consuming the rows. */
+  private def shardRowsPlan(index: VectorIndex, numShards: Int,
+      onlyShard: Option[Int])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions
     val meta = index.meta
-    val router = new ShardedServing(meta.dim, numShards, meta.maxDegree, index.metric)
     val knnDegree = math.max(1, meta.maxDegree - 2)
-    // per-shard freelists, preserving global LIFO order
-    val freeByShard = Array.fill(numShards)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    meta.freelist.foreach { g =>
-      freeByShard(math.floorMod(g, numShards)) += g / numShards
-    }
-    val base = index.vectors
+    val base0 = index.vectors
       .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
       .select(col("shard"), (col("id") / numShards).cast("long").as("id"),
         col("key"), col("vec"))
-      .cache()
-    val viaExecutors = loadVia match {
-      case LoadVia.Executors => true
-      case LoadVia.Driver => false
-      case LoadVia.Auto => meta.numPoints > driverMaxRows
-    }
-    router.loadedVia = if (viaExecutors) "executors" else "driver"
-    if (base.head(1).nonEmpty) {
+    val base = onlyShard.fold(base0)(s => base0.filter(col("shard") === s)).cache()
+    locally {
       val vv = base.select(col("shard"), col("id"), col("vec"))
       val dcol = Metric.distColumn(index.metric, col("a_vec"), col("b_vec"))
       // Candidate edges come from the BUILT graph, not a fresh kNN: a
@@ -342,8 +354,11 @@ object ShardedServing {
       // key: middle node + shard of the endpoints), so cross-shard
       // (u, w) pairs — ~ (numShards-1)/numShards of the naive explode —
       // never materialize before the distinct
-      val left = adjE.select(col("u"), col("v"),
+      val left0 = adjE.select(col("u"), col("v"),
         pmod(col("u"), lit(numShards)).as("s"))
+      // single-shard mode: prune the u-side BEFORE the 2-hop
+      // expansion (middles stay unrestricted — they bridge shards)
+      val left = onlyShard.fold(left0)(s => left0.filter(col("s") === s))
       val hop2 = left.join(
           adjE.select(col("u").as("mid"), col("v").as("w"),
             pmod(col("v"), lit(numShards)).as("ws")),
@@ -406,6 +421,65 @@ object ShardedServing {
       val rowsDf = base.join(adj, Seq("shard", "id"), "left")
         .select(col("shard"), col("id"), col("key"), col("vec"),
           coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+      (rowsDf, base)
+    }
+  }
+
+  /** Per-shard freelist (snapshot LIFO order preserved) and local
+    * entrypoint under the id-mod partitioning — the finishLoad inputs
+    * every load path derives from the snapshot meta. */
+  private def shardFinishInputs(meta: IndexMeta, numShards: Int,
+      shard: Int): (Int, Seq[Int]) = {
+    val free = meta.freelist.collect {
+      case g if math.floorMod(g, numShards) == shard => (g / numShards).toInt
+    }
+    val entryLocal =
+      if (meta.entrypoint >= 0 && math.floorMod(meta.entrypoint, numShards) == shard)
+        (meta.entrypoint / numShards).toInt
+      else -1
+    (entryLocal, free)
+  }
+
+  /** Build ONE shard of the fleet from the snapshot — the multi-JVM
+    * serving-node path: each serving host calls
+    * `loadShard(idx, numShards, itsShard)` for exactly its own shard
+    * (no registry hand-off, no driver fleet), and the fleet of hosts
+    * behind an RPC router serves bit-identically to [[fromIndex]]'s
+    * in-process fleet (spec-pinned via [[ShardedServing.installShard]]
+    * assembly). The plan is the shared [[shardRowsPlan]] narrowed to
+    * the shard BEFORE the 2-hop expansion, so one node pays
+    * ~1/numShards of the projection; the collect here is one serving
+    * node's rows by definition. Returns a FINISHED shard (entrypoint
+    * + freelist applied). */
+  def loadShard(index: VectorIndex, numShards: Int, shard: Int): ServingIndex = {
+    require(shard >= 0 && shard < numShards,
+      s"shard $shard out of range [0, $numShards)")
+    val meta = index.meta
+    val s = new ServingIndex(meta.dim, meta.maxDegree, index.metric)
+    val (rowsDf, base) = shardRowsPlan(index, numShards, Some(shard))
+    rowsDf.collect().foreach { r =>
+      s.loadRow(r.getLong(1).toInt, r.getString(2),
+        r.getSeq[Float](3).toArray, r.getSeq[Long](4).map(_.toInt).toArray)
+    }
+    base.unpersist()
+    val (entryLocal, free) = shardFinishInputs(meta, numShards, shard)
+    s.finishLoad(entryLocal, free)
+    s
+  }
+
+  /** Bulk-load continued — see the scaladoc above [[fromIndex]]. */
+  private def fromIndexImpl(index: VectorIndex, numShards: Int,
+      loadVia: LoadVia, driverMaxRows: Long): ShardedServing = {
+    val meta = index.meta
+    val router = new ShardedServing(meta.dim, numShards, meta.maxDegree, index.metric)
+    val (rowsDf, base) = shardRowsPlan(index, numShards, None)
+    val viaExecutors = loadVia match {
+      case LoadVia.Executors => true
+      case LoadVia.Driver => false
+      case LoadVia.Auto => meta.numPoints > driverMaxRows
+    }
+    router.loadedVia = if (viaExecutors) "executors" else "driver"
+    if (base.head(1).nonEmpty) {
       if (viaExecutors) {
         // ---- executor-local build: the rows NEVER land on the driver
         // (the last driver-RAM wall in the serving-load story).
@@ -475,11 +549,8 @@ object ShardedServing {
       }
     }
     (0 until numShards).foreach { s =>
-      val entryLocal =
-        if (meta.entrypoint >= 0 && math.floorMod(meta.entrypoint, numShards) == s)
-          meta.entrypoint / numShards
-        else -1
-      router.shards(s).finishLoad(entryLocal, freeByShard(s).toSeq)
+      val (entryLocal, free) = shardFinishInputs(meta, numShards, s)
+      router.shards(s).finishLoad(entryLocal, free)
     }
     base.unpersist()
     router

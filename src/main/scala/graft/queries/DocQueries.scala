@@ -2244,10 +2244,23 @@ object DocQueries {
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val frac = TierEvalSampleFracPer10k
     val truth = sampledTruthPairs(spark, dir).localCheckpoint(true)
-    // sampled signatures = a filter of the cached full-corpus artifact
-    // (signatures are doc-local) — no per-sweep 16-min aggregation
-    val sigs = Dedup.docSample(corpusSignatures(spark, dir), frac, TierEvalSampleSeed)
-    val cand = Dedup.lshCandidatePairs(sigs, threshold = 0.25).localCheckpoint(true)
+    // the 0.25-threshold candidate set (est_jaccard rides along for
+    // the tier filters) is a param-keyed Scratch artifact like every
+    // q198 leg — warm sweeps are three predicates over one tiny
+    // parquet read; the cold build's sampled signatures are a filter
+    // of the cached full-corpus artifact (signatures are doc-local),
+    // never a re-aggregation
+    val candBase = Scratch.dir(spark, dir,
+      s"tier-lsh-sweep-t2500-f$frac-s$TierEvalSampleSeed", "documents")
+    Scratch.writeOnce(candBase) {
+      if (!new java.io.File(s"$candBase/data/_SUCCESS").exists())
+        Dedup.lshCandidatePairs(
+            Dedup.docSample(corpusSignatures(spark, dir), frac, TierEvalSampleSeed),
+            threshold = 0.25)
+          .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+          .write.mode("overwrite").parquet(s"$candBase/data")
+    }
+    val cand = spark.read.parquet(s"$candBase/data")
     val tiers = Seq(2500, 5000, 7500).map { t =>
       (s"lsh_t$t", cand.filter(col("est_jaccard") >= t / 10000.0))
     }
@@ -2269,7 +2282,7 @@ object DocQueries {
               .cast("long"), lit(0L))))
       .orderBy(col("tier"))
       .localCheckpoint(true)
-    Seq(truth, sigs, cand).foreach(graft.plans.Blocks.release)
+    graft.plans.Blocks.release(truth)
     out
   }
 

@@ -199,6 +199,39 @@ class ShardedServingSpec extends SparkSpec {
     assert(auto.numPoints == 497) // the snapshot's live count (500 - 3 deletes)
   }
 
+  test("loadShard: per-serving-node shards assemble into a fleet identical to fromIndex's") {
+    import org.apache.spark.sql.functions._
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = tmpDir("sharded-pernode")
+    val idx = VectorIndex.build(spark, path, embeddings, dim = 64, maxDegree = 16)
+      .deleteBatch(Seq(5L, 9L, 412L))
+    val fleet = ShardedServing.fromIndex(idx, numShards = 4,
+      ShardedServing.LoadVia.Driver)
+    // the multi-JVM path: each "serving node" loads exactly its own
+    // shard independently (no registry, no driver fleet), assembled
+    // here behind one in-process router for comparison
+    val assembled = new ShardedServing(dim = 64, numShards = 4, maxDegree = 16)
+    (0 until 4).foreach { s =>
+      assembled.installShard(s, ShardedServing.loadShard(idx, numShards = 4, s))
+    }
+    assert(assembled.numPoints == fleet.numPoints)
+    assert(assembled.allKeys == fleet.allKeys)
+    val all = embeddings.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new Random(23)
+    rng.shuffle(all.toList).take(25).foreach { case (_, q) =>
+      assert(assembled.search(q, topk = 10) == fleet.search(q, topk = 10))
+      assert(assembled.rangeSearch(q, radius = 0.85) ==
+        fleet.rangeSearch(q, radius = 0.85))
+    }
+    // freelist/entry parity: the recycled slot a post-load insert
+    // takes agrees (per-node finishLoad == fleet finishLoad)
+    val v = all.head._2
+    assert(assembled.insert(v, Some("node-k"))._2 == fleet.insert(v, Some("node-k"))._2)
+    assert(assembled.deleteByKey("7") == fleet.deleteByKey("7"))
+  }
+
   test("an explicit key equal to another shard's auto-key stays unique router-wide") {
     val dim = 8
     val vecs = mkVecs(12, dim, 6)
