@@ -240,12 +240,12 @@ object ShardedServing {
     * driver collect is the fleet's driver-RAM wall (1M rows × (100
     * floats + degree longs + key) ≈ 1-3 GB of Row objects) and the
     * load routes to executors. The crossover is about driver RAM,
-    * not latency: the executor path's extra shuffle (the repartition)
-    * plus registry hand-off measured ~1.0x the driver path's
-    * wall-clock at the 10k×100d bench shape (BenchFromIndexPaths,
-    * warm medians 5.9 vs 6.1 s) — so the default stays Driver below
-    * the wall purely for the simpler failure story (no registry
-    * contract), and nothing is lost routing above it. */
+    * not latency: at the 10k×100d bench shape (BenchFromIndexPaths)
+    * the two paths measure ~1.0-1.15x of each other — direct
+    * projection 5.9 vs 6.1 s warm, materialized-layout restarts 0.24
+    * vs 0.28 s — so the default stays Driver below the wall purely
+    * for the simpler failure story (no registry contract), and
+    * nothing is lost routing above it. */
   val DriverLoadMaxRows: Long = 1000000L
 
   /** JVM-local hand-off registry for executor-built shards, keyed by
@@ -309,11 +309,84 @@ object ShardedServing {
     * same per-row load, same finishLoad — only WHERE the rows
     * materialize differs. A third form, [[loadShard]], serves the
     * multi-JVM deployment: each serving node builds exactly its own
-    * shard from the same plan narrowed to its slice. */
+    * shard from the same plan narrowed to its slice.
+    *
+    * `materialize` (default true) persists the projected fleet layout
+    * version-keyed under the index on the version's FIRST load and
+    * serves every later restart from it (see [[ensureFleetLayout]] —
+    * the reference's mmap-restart economics); pass false on a
+    * read-only store to keep the direct-projection path. */
   def fromIndex(index: VectorIndex, numShards: Int,
       loadVia: LoadVia = LoadVia.Auto,
-      driverMaxRows: Long = DriverLoadMaxRows): ShardedServing =
-    fromIndexImpl(index, numShards, loadVia, driverMaxRows)
+      driverMaxRows: Long = DriverLoadMaxRows,
+      materialize: Boolean = true): ShardedServing =
+    fromIndexImpl(index, numShards, loadVia, driverMaxRows, materialize)
+
+  /** Materialized serving-fleet layout — the Spark analogue of the
+    * reference's restart path (`load_index` just mmaps the prebuilt
+    * `.vec`/`.adj` files, /root/reference/src/LMDiskANN.jl:271-306,
+    * and pays ZERO graph work on restart): the projected per-shard
+    * rows (shard, local id, key, vec, nbrs) are written ONCE per
+    * (snapshot version, shard count) under the index —
+    * `fleet-n=<numShards>-v=<version>/data` parquet partitioned by
+    * shard, with a data-first marker-last publish through the
+    * [[ArtifactStore]] seam — and every subsequent fleet restart (the
+    * common production event) is a partition-pruned parquet read +
+    * per-shard load, no 2-hop projection. Version-keyed, so any
+    * mutation invalidates by construction; superseded layouts are
+    * reaped by [[VectorIndex.vacuum]]. Same-JVM builders race through
+    * a blocking latch (the Scratch.writeOnce discipline, local to
+    * avoid an index→queries dependency); cross-JVM re-use probes the
+    * marker. */
+  private val fleetOnce = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
+  private def fleetDir(index: VectorIndex, numShards: Int): String =
+    s"${index.path}/fleet-n=$numShards-v=${index.meta.version}"
+  private def ensureFleetLayout(index: VectorIndex, numShards: Int): String = {
+    val dir = fleetDir(index, numShards)
+    val marker = s"$dir/fleet.json"
+    var done = false
+    while (!done) {
+      if (ArtifactStore.current.exists(marker)) done = true
+      else {
+        val mine = new java.util.concurrent.CompletableFuture[Unit]()
+        val existing = fleetOnce.putIfAbsent(dir, mine)
+        if (existing == null) {
+          try {
+            if (!ArtifactStore.current.exists(marker)) {
+              val (rowsDf, base) = shardRowsPlan(index, numShards, None)
+              rowsDf.write.mode("overwrite").partitionBy("shard")
+                .parquet(s"$dir/data")
+              base.unpersist()
+              ArtifactStore.current.writeAtomic(marker,
+                s"""{"num_shards":$numShards,"version":${index.meta.version},"dim":${index.meta.dim}}"""
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            mine.complete(())
+            done = true
+          } catch {
+            case t: Throwable =>
+              fleetOnce.remove(dir, mine); mine.completeExceptionally(t); throw t
+          } finally fleetOnce.remove(dir, mine)
+        } else {
+          try existing.join() catch { case _: Throwable => () } // loser waits, then re-probes
+        }
+      }
+    }
+    dir
+  }
+
+  /** The materialized fleet rows for this (index version, shard
+    * count), building the layout first if absent — (shard, id, key,
+    * vec, nbrs) in the load paths' column order. */
+  private def fleetRows(index: VectorIndex, numShards: Int,
+      onlyShard: Option[Int]): org.apache.spark.sql.DataFrame = {
+    val dir = ensureFleetLayout(index, numShards)
+    val all = index.vectors.sparkSession.read.parquet(s"$dir/data")
+    onlyShard.fold(all)(s => all.filter(col("shard") === s))
+      .select(col("shard").cast("int").as("shard"), col("id"), col("key"),
+        col("vec"), col("nbrs"))
+  }
 
   /** The shard-partitioned load plan shared by [[fromIndex]] (all
     * shards) and [[loadShard]] (one serving node's slice): (shard,
@@ -451,17 +524,27 @@ object ShardedServing {
     * ~1/numShards of the projection; the collect here is one serving
     * node's rows by definition. Returns a FINISHED shard (entrypoint
     * + freelist applied). */
-  def loadShard(index: VectorIndex, numShards: Int, shard: Int): ServingIndex = {
+  def loadShard(index: VectorIndex, numShards: Int, shard: Int,
+      materialize: Boolean = true): ServingIndex = {
     require(shard >= 0 && shard < numShards,
       s"shard $shard out of range [0, $numShards)")
     val meta = index.meta
     val s = new ServingIndex(meta.dim, meta.maxDegree, index.metric)
-    val (rowsDf, base) = shardRowsPlan(index, numShards, Some(shard))
-    rowsDf.collect().foreach { r =>
+    // materialized: a node's restart is a partition-pruned read of the
+    // fleet layout (the layout itself builds once per version — by the
+    // publish job, or by whichever node loads first);
+    // materialize=false: the narrowed direct projection
+    val rows: Array[org.apache.spark.sql.Row] =
+      if (meta.numPoints == 0L) Array.empty
+      else if (materialize) fleetRows(index, numShards, Some(shard)).collect()
+      else {
+        val (rowsDf, base) = shardRowsPlan(index, numShards, Some(shard))
+        val rs = rowsDf.collect(); base.unpersist(); rs
+      }
+    rows.foreach { r =>
       s.loadRow(r.getLong(1).toInt, r.getString(2),
         r.getSeq[Float](3).toArray, r.getSeq[Long](4).map(_.toInt).toArray)
     }
-    base.unpersist()
     val (entryLocal, free) = shardFinishInputs(meta, numShards, shard)
     s.finishLoad(entryLocal, free)
     s
@@ -469,17 +552,30 @@ object ShardedServing {
 
   /** Bulk-load continued — see the scaladoc above [[fromIndex]]. */
   private def fromIndexImpl(index: VectorIndex, numShards: Int,
-      loadVia: LoadVia, driverMaxRows: Long): ShardedServing = {
+      loadVia: LoadVia, driverMaxRows: Long,
+      materialize: Boolean): ShardedServing = {
     val meta = index.meta
     val router = new ShardedServing(meta.dim, numShards, meta.maxDegree, index.metric)
-    val (rowsDf, base) = shardRowsPlan(index, numShards, None)
     val viaExecutors = loadVia match {
       case LoadVia.Executors => true
       case LoadVia.Driver => false
       case LoadVia.Auto => meta.numPoints > driverMaxRows
     }
     router.loadedVia = if (viaExecutors) "executors" else "driver"
-    if (base.head(1).nonEmpty) {
+    // materialized restarts read the fleet layout (building it on the
+    // version's first load); materialize=false (read-only stores)
+    // keeps the direct-projection path. An empty snapshot loads
+    // nothing either way — and must not write/read an empty layout.
+    val none = Option.empty[org.apache.spark.sql.DataFrame]
+    val nodf: org.apache.spark.sql.DataFrame = null
+    val (rowsDf, baseToRelease) =
+      if (meta.numPoints == 0L) (nodf, none)
+      else if (materialize) (fleetRows(index, numShards, None), none)
+      else {
+        val (r, b) = shardRowsPlan(index, numShards, None)
+        if (b.head(1).isEmpty) { b.unpersist(); (nodf, none) } else (r, Some(b))
+      }
+    if (rowsDf != null) {
       if (viaExecutors) {
         // ---- executor-local build: the rows NEVER land on the driver
         // (the last driver-RAM wall in the serving-load story).
@@ -552,7 +648,7 @@ object ShardedServing {
       val (entryLocal, free) = shardFinishInputs(meta, numShards, s)
       router.shards(s).finishLoad(entryLocal, free)
     }
-    base.unpersist()
+    baseToRelease.foreach(_.unpersist())
     router
   }
 }

@@ -1180,9 +1180,16 @@ final class VectorIndex private (
     def dead(v: Long): Boolean = !live.contains(v) && v < maxLive
     var reaped = 0
     val segRe = "^v=(\\d+)$".r
+    // serving-fleet layouts (ShardedServing.ensureFleetLayout) are
+    // version-keyed caches: any layout older than the CURRENT pointer
+    // is superseded (a time-travel reload pays one re-projection);
+    // the current version's layout — and, per the safety rule, any
+    // version above the on-disk pointer — is never touched
+    val fleetRe = "^fleet-n=\\d+-v=(\\d+)$".r
     children(root).foreach { p =>
       p.getFileName.toString match {
         case segRe(v) if dead(v.toLong) => deleteTree(p); reaped += 1
+        case fleetRe(v) if v.toLong < current.version => deleteTree(p); reaped += 1
         case _ => ()
       }
     }

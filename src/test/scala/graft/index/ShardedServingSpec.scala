@@ -199,6 +199,47 @@ class ShardedServingSpec extends SparkSpec {
     assert(auto.numPoints == 497) // the snapshot's live count (500 - 3 deletes)
   }
 
+  test("materialized fleet layout: restarts reuse it, versions invalidate it, vacuum reaps it") {
+    import org.apache.spark.sql.functions._
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = tmpDir("sharded-fleetlayout")
+    val idx = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 200), dim = 64, maxDegree = 16)
+    val r1 = ShardedServing.fromIndex(idx, numShards = 4)
+    // the layout published under the index, marker last
+    assert(new java.io.File(s"$path/fleet-n=4-v=0/fleet.json").exists())
+    assert(new java.io.File(s"$path/fleet-n=4-v=0/data/_SUCCESS").exists())
+    // a restart (and the no-materialize direct projection) serve
+    // bit-identically to the first load
+    val r2 = ShardedServing.fromIndex(idx, numShards = 4)
+    val direct = ShardedServing.fromIndex(idx, numShards = 4,
+      ShardedServing.LoadVia.Driver, materialize = false)
+    val all = embeddings.filter(col("id") < 200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new Random(31)
+    rng.shuffle(all.toList).take(15).foreach { case (_, q) =>
+      val a = r1.search(q, topk = 10)
+      assert(r2.search(q, topk = 10) == a)
+      assert(direct.search(q, topk = 10) == a)
+    }
+    // a mutation commits a new version: the NEXT load derives a fresh
+    // layout (version-keyed — never a stale serve), and vacuum reaps
+    // the superseded one while keeping the current
+    val idx2 = idx.insertBatch(embeddings.filter(col("id").between(200, 209))
+      .select(concat(lit("n_"), col("id")).as("key"), col("vec")))
+    val r3 = ShardedServing.fromIndex(idx2, numShards = 4)
+    assert(r3.numPoints == 210)
+    assert(r3.idForKey("n_205").isDefined)
+    assert(new java.io.File(s"$path/fleet-n=4-v=1/fleet.json").exists())
+    assert(idx2.vacuum() >= 1) // at least the v=0 fleet layout
+    assert(!new java.io.File(s"$path/fleet-n=4-v=0").exists())
+    assert(new java.io.File(s"$path/fleet-n=4-v=1/fleet.json").exists())
+    // and a post-vacuum restart still serves from the surviving layout
+    assert(ShardedServing.fromIndex(idx2, numShards = 4).numPoints == 210)
+  }
+
   test("loadShard: per-serving-node shards assemble into a fleet identical to fromIndex's") {
     import org.apache.spark.sql.functions._
     val embeddings = spark.read
