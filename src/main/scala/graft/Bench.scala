@@ -320,20 +320,41 @@ object Bench {
     * numbers land in the artifact, and summaries/compare tooling read
     * the solo one when present (r15 verdict item 5). Missing/corrupt
     * file or a sentinel value -> None (headline falls back to
-    * in-bench). */
-  private[graft] def soloFiLoad(path: String): Option[Double] =
+    * in-bench). Returns (warm seconds, artifact's round_tag) so the
+    * caller can apply the [[soloFiLoadFresh]] freshness rule. */
+  private[graft] def soloFiLoad(path: String): Option[(Double, Option[String])] =
     try {
       import org.json4s._
       val root = jackson.JsonMethods.parse(
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8))
+      val tag = (root \ "round_tag") match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _ => None
+      }
       (root \ "fi_load_warm_sec") match {
-        case JDouble(d) if d > 0 => Some(d)
-        case JInt(i) if i > 0 => Some(i.toDouble)
-        case JDecimal(d) if d > 0 => Some(d.toDouble)
+        case JDouble(d) if d > 0 => Some((d, tag))
+        case JInt(i) if i > 0 => Some((i.toDouble, tag))
+        case JDecimal(d) if d > 0 => Some((d.toDouble, tag))
         case _ => None
       }
     } catch { case _: Throwable => None }
+
+  /** Freshness rule for headlining the pinned solo fi_load (r16
+    * advisor): a BENCH_QPS.json measured on an OLDER round's code
+    * must not mask a real fi_load regression in this round's headline
+    * cross-round figure. The solo number is fresh when (a) this run
+    * is untagged (no SPARK_GRAFT_ROUND — dev runs keep the old
+    * behavior), (b) the artifact's round_tag matches this run's tag
+    * (the driver's BenchQps-then-Bench round flow), or (c) the file
+    * was (re)written after this bench started (an in-session re-pin).
+    * Stale -> the headline falls back to the in-bench measurement;
+    * the solo number still rides alongside, flagged stale. Pure for
+    * the spec. */
+  private[graft] def soloFiLoadFresh(artifactTag: Option[String],
+      fileMtimeMs: Long, currRound: String, benchStartMs: Long): Boolean =
+    currRound.isEmpty || artifactTag.contains(currRound) ||
+      fileMtimeMs >= benchStartMs
 
   /** Env-var numeric parse that can never crash the whole bench: a
     * malformed value falls back to the default (a bare `.toDouble`
@@ -412,6 +433,7 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    val benchStartMs = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeat = math.max(1, envInt("SPARK_GRAFT_REPEAT", 3))
@@ -624,9 +646,22 @@ object Bench {
       (QpsWorkloads.FromIndexLoad(-1.0, -1.0, -1.0), null) }
     val fromIndexLoadSec = fromIndexLoad.medianSec
     // headline fi_load = the pinned SOLO number (BENCH_QPS.json) when
-    // present; the in-bench value rides alongside (r15 verdict item 5)
-    val fiLoadSolo = soloFiLoad(sys.env.getOrElse("SPARK_GRAFT_QPS_OUT", "BENCH_QPS.json"))
-    val fiLoadHeadline = fiLoadSolo.getOrElse(fromIndexLoadSec)
+    // present AND fresh ([[soloFiLoadFresh]]: round_tag match or
+    // post-start mtime — a stale artifact measured on older code must
+    // not mask this round's regression); the in-bench value rides
+    // alongside either way (r15 verdict item 5 + r16 advisor)
+    val qpsArtifactPath = sys.env.getOrElse("SPARK_GRAFT_QPS_OUT", "BENCH_QPS.json")
+    val soloRaw = soloFiLoad(qpsArtifactPath)
+    val qpsMtimeMs =
+      try new java.io.File(qpsArtifactPath).lastModified()
+      catch { case _: Throwable => 0L }
+    val soloFresh = soloRaw.exists { case (_, tag) =>
+      soloFiLoadFresh(tag, qpsMtimeMs,
+        sys.env.getOrElse("SPARK_GRAFT_ROUND", ""), benchStartMs)
+    }
+    val fiLoadSolo = soloRaw.map(_._1)
+    val fiLoadHeadline =
+      if (soloFresh) fiLoadSolo.getOrElse(fromIndexLoadSec) else fromIndexLoadSec
     val fromIndexQps =
       if (fromIndexWorkload == null) -1.0
       else try { QpsWorkloads.qps(fromIndexWorkload, repeat) }
@@ -806,6 +841,9 @@ object Bench {
           s""""fi_load_sec":${r2(fiLoadHeadline)},"fi_qps":${r1(fromIndexQps)},""" +
           s""""fi_load_inbench_sec":${r2(fromIndexLoadSec)},""" +
           s""""fi_load_solo_sec":${fiLoadSolo.map(r2).getOrElse("null")},""" +
+          // stale (round_tag mismatch, pre-start mtime) solo numbers
+          // ride alongside but never headline
+          s""""fi_load_solo_fresh":$soloFresh,""" +
           s""""fi_load_cold_sec":${r2(fromIndexLoad.coldSec)},""" +
           s""""fi_load_warm_sec":${r2(fromIndexLoad.warmSec)},""" +
           s""""cal":${cal.map(r2).mkString("[", ",", "]")},""" +

@@ -145,6 +145,11 @@ private[graft] object RecallArtifact {
             }
           }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
+          // a frameFor that localCheckpoints (VerifyRecall) must not
+          // accumulate every gated query's blocks for the run's
+          // duration; no-op for plain reads (Verify's parquet frames)
+          try graft.plans.Blocks.release(df)
+          catch { case _: Throwable => () }
           val cells = rcols.zipWithIndex.map { case (c, i) =>
             val raw = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
             val hasGate = siblingGate(cols, c).isDefined
@@ -211,7 +216,7 @@ object VerifyRecall {
       name => {
         val df = SparkEntry.queries(name)(spark, sfDir)
         // materialize once so the gating agg doesn't re-run the query
-        // per column; release after (the Bench idiom)
+        // per column; render releases it after its aggregation
         df.localCheckpoint(true)
       }, prevPath = outPath)
     Files.writeString(Paths.get(outPath), json)

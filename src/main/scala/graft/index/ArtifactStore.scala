@@ -26,6 +26,21 @@ trait ArtifactStore extends Serializable {
   def createDirs(path: String): Unit
   def list(path: String): Seq[String]
   def deleteTree(path: String): Unit
+
+  /** Create `path` with `bytes` ONLY if no object exists there;
+    * returns true when this call created it, false when something was
+    * already published. This is the cross-JVM claim primitive
+    * (first-writer-wins marker publish — the fleet-layout race fix):
+    * two processes racing to publish the same artifact must resolve
+    * to exactly one winner. POSIX implements it as a no-replace
+    * atomic rename; object stores as a conditional PUT
+    * (`If-None-Match: *`, which S3/GCS/Azure all expose). The default
+    * here is probe-then-put — NOT atomic under a concurrent writer —
+    * so implementations backing multi-writer deployments must
+    * override it with the store's real conditional primitive. */
+  def createExclusive(path: String, bytes: Array[Byte]): Boolean =
+    if (exists(path)) false
+    else { writeAtomic(path, bytes); true }
 }
 
 /** Default POSIX implementation over `java.nio` — exactly the calls
@@ -47,6 +62,29 @@ object PosixStore extends ArtifactStore {
   }
 
   def createDirs(path: String): Unit = Files.createDirectories(Paths.get(path))
+
+  /** True atomic create-if-absent: the full content goes to a unique
+    * temp sibling, then link(2) publishes it — hard-linking fails with
+    * EEXIST atomically when another process won the race (rename(2)
+    * would silently REPLACE an existing target, so a move-based
+    * publish is NOT a claim). Nothing partial is ever visible at
+    * `path`. Filesystems without hard links fall back to the trait's
+    * probe-then-put (single-writer only, as the contract documents). */
+  override def createExclusive(path: String, bytes: Array[Byte]): Boolean = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) return false
+    val tmp = p.resolveSibling(
+      "." + p.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
+    Files.write(tmp, bytes)
+    try {
+      Files.createLink(p, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        super.createExclusive(path, bytes)
+    } finally Files.deleteIfExists(tmp)
+  }
 
   def list(path: String): Seq[String] = {
     val p = Paths.get(path)

@@ -257,7 +257,10 @@ object ShardedServing {
     * [[ShardedServing.search]] becomes the fan-out), and the
     * in-process router never sees them (fromIndex fails loudly rather
     * than silently serving an empty fleet). Entries are REMOVED on
-    * take so a load leaks nothing. */
+    * take, and the load job's `finally` [[ExecutorShards.clear]]s the
+    * token — so a job that failed after some tasks posted, or a
+    * speculative task posting after the driver drained, can't leave
+    * whole shards pinned in the registry for the JVM's lifetime. */
   private[index] object ExecutorShards {
     private val reg =
       new java.util.concurrent.ConcurrentHashMap[String, ServingIndex]()
@@ -266,6 +269,11 @@ object ShardedServing {
       reg.put(k(token, shard), idx)
     def take(token: String, shard: Int): Option[ServingIndex] =
       Option(reg.remove(k(token, shard)))
+    /** Drop every entry a load token left behind (failed/retried job
+      * leftovers, post-drain speculative posts). */
+    def clear(token: String): Unit =
+      reg.keySet.removeIf(_.startsWith(token + "#"))
+    private[index] def sizeForTest: Int = reg.size
   }
 
   /** Bulk-load a built [[VectorIndex]] snapshot into a sharded router —
@@ -336,44 +344,74 @@ object ShardedServing {
     * mutation invalidates by construction; superseded layouts are
     * reaped by [[VectorIndex.vacuum]]. Same-JVM builders race through
     * a blocking latch (the Scratch.writeOnce discipline, local to
-    * avoid an index→queries dependency); cross-JVM re-use probes the
-    * marker. */
+    * avoid an index→queries dependency). Cross-JVM builders (two
+    * serving nodes first-loading the same version — the advertised
+    * multi-JVM path) are safe by construction: each builder writes
+    * its rows into its OWN unique `build-<uuid>/data` dir, then
+    * publishes by [[ArtifactStore.createExclusive]] on the marker
+    * (first-writer-wins conditional create) with the marker naming
+    * the winning build dir — two concurrent overwrite jobs can never
+    * interleave part files in one directory, and every reader
+    * resolves the data dir THROUGH the published marker. A loser
+    * deletes its own orphan build; a crashed builder's orphan rides
+    * until the layout version is superseded and vacuumed (it is
+    * unreferenced — never served). */
   private val fleetOnce = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Unit]]()
   private def fleetDir(index: VectorIndex, numShards: Int): String =
     s"${index.path}/fleet-n=$numShards-v=${index.meta.version}"
+  /** Data path the published marker names, if a marker is published.
+    * Markers written before the build-dir protocol (no `data_dir`
+    * field) resolve to the legacy fixed `data` child. */
+  private def publishedDataPath(dir: String): Option[String] = {
+    val marker = s"$dir/fleet.json"
+    if (!ArtifactStore.current.exists(marker)) None
+    else {
+      val j = new String(ArtifactStore.current.readBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re = "\"data_dir\"\\s*:\\s*\"([^\"]+)\"".r
+      Some(re.findFirstMatchIn(j)
+        .map(m => s"$dir/${m.group(1)}").getOrElse(s"$dir/data"))
+    }
+  }
   private def ensureFleetLayout(index: VectorIndex, numShards: Int): String = {
     val dir = fleetDir(index, numShards)
     val marker = s"$dir/fleet.json"
-    var done = false
-    while (!done) {
-      if (ArtifactStore.current.exists(marker)) done = true
-      else {
-        val mine = new java.util.concurrent.CompletableFuture[Unit]()
-        val existing = fleetOnce.putIfAbsent(dir, mine)
-        if (existing == null) {
-          try {
-            if (!ArtifactStore.current.exists(marker)) {
-              val (rowsDf, base) = shardRowsPlan(index, numShards, None)
-              rowsDf.write.mode("overwrite").partitionBy("shard")
-                .parquet(s"$dir/data")
-              base.unpersist()
-              ArtifactStore.current.writeAtomic(marker,
-                s"""{"num_shards":$numShards,"version":${index.meta.version},"dim":${index.meta.dim}}"""
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            }
-            mine.complete(())
-            done = true
-          } catch {
-            case t: Throwable =>
-              fleetOnce.remove(dir, mine); mine.completeExceptionally(t); throw t
-          } finally fleetOnce.remove(dir, mine)
-        } else {
-          try existing.join() catch { case _: Throwable => () } // loser waits, then re-probes
-        }
+    var out: Option[String] = publishedDataPath(dir)
+    while (out.isEmpty) {
+      val mine = new java.util.concurrent.CompletableFuture[Unit]()
+      val existing = fleetOnce.putIfAbsent(dir, mine)
+      if (existing == null) {
+        try {
+          if (!ArtifactStore.current.exists(marker)) {
+            // unique build dir per builder: concurrent cross-JVM
+            // first-loads each write their own complete layout and
+            // race only on the marker create below — never on files
+            val buildDir = s"build-${java.util.UUID.randomUUID()}"
+            val (rowsDf, base) = shardRowsPlan(index, numShards, None)
+            rowsDf.write.mode("overwrite").partitionBy("shard")
+              .parquet(s"$dir/$buildDir/data")
+            base.unpersist()
+            val won = ArtifactStore.current.createExclusive(marker,
+              (s"""{"num_shards":$numShards,"version":${index.meta.version},""" +
+                s""""dim":${index.meta.dim},"data_dir":"$buildDir/data"}""")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // lost the cross-JVM race: the published marker names a
+            // COMPLETE layout (marker-last publish), so this build is
+            // a discarded duplicate — reap it, serve the winner's
+            if (!won) ArtifactStore.current.deleteTree(s"$dir/$buildDir")
+          }
+          mine.complete(())
+        } catch {
+          case t: Throwable =>
+            fleetOnce.remove(dir, mine); mine.completeExceptionally(t); throw t
+        } finally fleetOnce.remove(dir, mine)
+      } else {
+        try existing.join() catch { case _: Throwable => () } // loser waits, then re-probes
       }
+      out = publishedDataPath(dir)
     }
-    dir
+    out.get
   }
 
   /** The materialized fleet rows for this (index version, shard
@@ -381,8 +419,8 @@ object ShardedServing {
     * vec, nbrs) in the load paths' column order. */
   private def fleetRows(index: VectorIndex, numShards: Int,
       onlyShard: Option[Int]): org.apache.spark.sql.DataFrame = {
-    val dir = ensureFleetLayout(index, numShards)
-    val all = index.vectors.sparkSession.read.parquet(s"$dir/data")
+    val dataPath = ensureFleetLayout(index, numShards)
+    val all = index.vectors.sparkSession.read.parquet(dataPath)
     onlyShard.fold(all)(s => all.filter(col("shard") === s))
       .select(col("shard").cast("int").as("shard"), col("id"), col("key"),
         col("vec"), col("nbrs"))
@@ -587,19 +625,24 @@ object ShardedServing {
         // speculative duplicate overwrites complete with complete).
         val token = java.util.UUID.randomUUID().toString
         val d = meta.dim; val deg = meta.maxDegree; val met = index.metric
-        rowsDf.repartition(numShards, col("shard")).foreachPartition {
-          (it: Iterator[org.apache.spark.sql.Row]) =>
-            val local = scala.collection.mutable.Map.empty[Int, ServingIndex]
-            it.foreach { r =>
-              val shard =
-                local.getOrElseUpdate(r.getInt(0), new ServingIndex(d, deg, met))
-              shard.loadRow(r.getLong(1).toInt, r.getString(2),
-                r.getSeq[Float](3).toArray, r.getSeq[Long](4).map(_.toInt).toArray)
-            }
-            local.foreach { case (s, idx) => ExecutorShards.put(token, s, idx) }
-        }
-        val built = (0 until numShards).flatMap(s =>
-          ExecutorShards.take(token, s).map(s -> _)).toMap
+        // clear(token) in finally: a job that fails after some tasks
+        // posted (or a speculative task posting after the drain) must
+        // not pin whole shards in the registry for the JVM's lifetime
+        val built = try {
+          rowsDf.repartition(numShards, col("shard")).foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              val local = scala.collection.mutable.Map.empty[Int, ServingIndex]
+              it.foreach { r =>
+                val shard =
+                  local.getOrElseUpdate(r.getInt(0), new ServingIndex(d, deg, met))
+                shard.loadRow(r.getLong(1).toInt, r.getString(2),
+                  r.getSeq[Float](3).toArray, r.getSeq[Long](4).map(_.toInt).toArray)
+              }
+              local.foreach { case (s, idx) => ExecutorShards.put(token, s, idx) }
+          }
+          (0 until numShards).flatMap(s =>
+            ExecutorShards.take(token, s).map(s -> _)).toMap
+        } finally ExecutorShards.clear(token)
         // a nonempty snapshot that produced NO registry entries means
         // the executors live in other JVMs — refuse loudly instead of
         // serving an empty in-process fleet; the cluster deployment

@@ -634,13 +634,62 @@ object StreamingOps {
       }
       .start()
 
+  /** Consolidated store versions [[applySignatureBatch]] retains
+    * after publishing a new one: the current version plus its
+    * predecessor, so a concurrent prober that resolved
+    * [[currentSignatureStore]] just before the publish still reads a
+    * complete store. Without reaping, per-trigger storage grows as
+    * versions × store size (each `store-v=` is a full cumulative
+    * rewrite) and no other reaper knows these dirs (r16 advisor). */
+  val SignatureStoreKeepVersions: Int = 2
+
+  /** Reap superseded signature-store dirs under `root`: `batch=` merge
+    * inputs at or below the newest published version (their content is
+    * durable in that version), published `store-v=` versions older
+    * than the newest `keep`, and unpublished (crashed-merge) `store-v=`
+    * dirs below the newest published version. Safe under
+    * eventually-consistent listings: a stale list can only SHRINK the
+    * reap (an unlisted newest version is never considered, so nothing
+    * newer-than-believed is deleted), and deleteTree tolerates
+    * already-gone children. Returns the number of dirs reaped. */
+  def reapSignatureStore(root: String,
+      keep: Int = SignatureStoreKeepVersions): Int = {
+    val st = graft.index.ArtifactStore.current
+    val storeRe = "^store-v=(\\d+)$".r
+    val batchRe = "^batch=(\\d+)$".r
+    val names = st.list(root)
+    val published = names.collect {
+      case storeRe(v) if graft.operators.SignatureStore.exists(s"$root/store-v=$v") =>
+        v.toLong
+    }.sorted
+    if (published.isEmpty) 0
+    else {
+      val newest = published.last
+      val keepSet = published.takeRight(math.max(1, keep)).toSet
+      var reaped = 0
+      names.foreach {
+        case storeRe(v) if v.toLong < newest && !keepSet.contains(v.toLong) =>
+          st.deleteTree(s"$root/store-v=$v"); reaped += 1
+        case batchRe(b) if b.toLong <= newest =>
+          st.deleteTree(s"$root/batch=$b"); reaped += 1
+        case _ => ()
+      }
+      reaped
+    }
+  }
+
   /** One micro-batch signature apply (see [[signatureStoreIngest]]).
     * Replay-safe: a batch whose cumulative version is already
     * published is skipped (the version sidecar is the LAST write of
     * the apply, so a crash mid-apply re-runs the batch and converges
-    * on the same bytes). Empty batches publish no version. Returns
-    * true when the batch was applied, false when skipped. */
-  def applySignatureBatch(batch: DataFrame, batchId: Long, root: String): Boolean = {
+    * on the same bytes). Empty batches publish no version. After a
+    * publish, superseded versions and consumed `batch=` inputs are
+    * reaped ([[reapSignatureStore]], newest `keep` versions retained)
+    * — a crash between publish and reap just defers the reap to the
+    * next batch, which scans the whole root. Returns true when the
+    * batch was applied, false when skipped. */
+  def applySignatureBatch(batch: DataFrame, batchId: Long, root: String,
+      keep: Int = SignatureStoreKeepVersions): Boolean = {
     import graft.operators.SignatureStore
     val out = s"$root/store-v=$batchId"
     if (SignatureStore.exists(out) || batch.isEmpty) false
@@ -653,6 +702,7 @@ object StreamingOps {
           if (!SignatureStore.exists(bs)) SignatureStore.build(batch, bs)
           SignatureStore.merge(batch.sparkSession, prev, bs, out)
       }
+      reapSignatureStore(root, keep)
       true
     }
   }

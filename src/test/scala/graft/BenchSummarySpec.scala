@@ -189,17 +189,36 @@ class BenchSummarySpec extends AnyFunSuite {
       === Seq("q1", "q5"))
   }
 
-  test("soloFiLoad: reads the pinned warm load, sentinels and corrupt files -> None") {
+  test("soloFiLoad: reads the pinned warm load + round tag, sentinels and corrupt files -> None") {
     val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
     java.nio.file.Files.writeString(tmp,
       """{"repeat":5,"fi_load_warm_sec":6.42,"qps_warm":{"single":364.2}}""")
-    assert(Bench.soloFiLoad(tmp.toString) === Some(6.42))
+    assert(Bench.soloFiLoad(tmp.toString) === Some((6.42, None)))
+    java.nio.file.Files.writeString(tmp,
+      """{"round_tag":"r16","fi_load_warm_sec":6.42}""")
+    assert(Bench.soloFiLoad(tmp.toString) === Some((6.42, Some("r16"))))
     java.nio.file.Files.writeString(tmp, """{"fi_load_warm_sec":-1}""")
     assert(Bench.soloFiLoad(tmp.toString) === None)
     assert(Bench.soloFiLoad("/nonexistent/BENCH_QPS.json") === None)
     java.nio.file.Files.writeString(tmp, "{not json")
     assert(Bench.soloFiLoad(tmp.toString) === None)
     java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("soloFiLoadFresh: stale cross-round artifacts never headline (r16 advisor)") {
+    // untagged dev run: old behavior, any pinned artifact headlines
+    assert(Bench.soloFiLoadFresh(Some("r16"), 0L, currRound = "", benchStartMs = 100L))
+    assert(Bench.soloFiLoadFresh(None, 0L, currRound = "", benchStartMs = 100L))
+    // tagged round, artifact from the SAME round: fresh
+    assert(Bench.soloFiLoadFresh(Some("r17"), 0L, "r17", 100L))
+    // tagged round, artifact from an OLDER round + pre-start mtime:
+    // STALE — the masked-regression shape the advisor flagged
+    assert(!Bench.soloFiLoadFresh(Some("r16"), 50L, "r17", 100L))
+    assert(!Bench.soloFiLoadFresh(None, 50L, "r17", 100L))
+    // mtime escape: a re-pin written after this bench started counts
+    // regardless of its tag
+    assert(Bench.soloFiLoadFresh(Some("r16"), 150L, "r17", 100L))
+    assert(Bench.soloFiLoadFresh(None, 150L, "r17", 100L))
   }
 
   test("r2OrNull renders unmeasured sentinels as JSON null") {

@@ -62,6 +62,33 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(PosixStore.list(dir) == Seq("x.json"))
   }
 
+  test("createExclusive: exactly one of N racing writers wins; content is the winner's, no temp litter") {
+    val dir = tmpDir("store-excl")
+    val f = s"$dir/claim.json"
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (0 until 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            latch.await()
+            if (PosixStore.createExclusive(f, s"writer-$i".getBytes)) wins.incrementAndGet()
+          }
+        })
+      }
+      latch.countDown()
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    val content = new String(PosixStore.readBytes(f))
+    assert(content.startsWith("writer-"))
+    assert(PosixStore.list(dir) == Seq("claim.json"), "losers' temp files must be cleaned")
+    // a later claim on the published object loses without touching it
+    assert(!PosixStore.createExclusive(f, "late".getBytes))
+    assert(new String(PosixStore.readBytes(f)) == content)
+  }
+
   /** OBJECT-STORE semantics (r14 verdict item 5): no rename primitive
     * exists — `writeAtomic` is a single PUT, all-or-nothing per
     * object (S3/GCS semantics), with an injectable request-failure
@@ -133,6 +160,12 @@ class ArtifactStoreSpec extends SparkSpec {
       val pre = norm(p) + "/"
       objects.keySet.removeIf(k => k == norm(p) || k.startsWith(pre))
       PosixStore.deleteTree(p) }
+    // conditional PUT (If-None-Match: *) — atomic create-if-absent,
+    // the real object-store primitive the trait's contract names
+    override def createExclusive(p: String, bytes: Array[Byte]): Boolean = { tick()
+      val n = norm(p)
+      if (PosixStore.exists(n)) false
+      else objects.putIfAbsent(n, bytes) == null }
   }
   private def fiveNew =
     embeddings.filter(col("id").between(40, 44))

@@ -208,9 +208,18 @@ class ShardedServingSpec extends SparkSpec {
     val idx = VectorIndex.build(spark, path,
       embeddings.filter(col("id") < 200), dim = 64, maxDegree = 16)
     val r1 = ShardedServing.fromIndex(idx, numShards = 4)
-    // the layout published under the index, marker last
-    assert(new java.io.File(s"$path/fleet-n=4-v=0/fleet.json").exists())
-    assert(new java.io.File(s"$path/fleet-n=4-v=0/data/_SUCCESS").exists())
+    // the layout published under the index: marker LAST, naming the
+    // builder's unique build dir (cross-JVM first-writer-wins publish)
+    val marker = new java.io.File(s"$path/fleet-n=4-v=0/fleet.json")
+    assert(marker.exists())
+    val dataDir = {
+      val j = new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      val m = "\"data_dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(j)
+      assert(m.isDefined, s"marker must name its data dir: $j")
+      m.get.group(1)
+    }
+    assert(dataDir.startsWith("build-"))
+    assert(new java.io.File(s"$path/fleet-n=4-v=0/$dataDir/_SUCCESS").exists())
     // a restart (and the no-materialize direct projection) serve
     // bit-identically to the first load
     val r2 = ShardedServing.fromIndex(idx, numShards = 4)
@@ -238,6 +247,37 @@ class ShardedServingSpec extends SparkSpec {
     assert(new java.io.File(s"$path/fleet-n=4-v=1/fleet.json").exists())
     // and a post-vacuum restart still serves from the surviving layout
     assert(ShardedServing.fromIndex(idx2, numShards = 4).numPoints == 210)
+  }
+
+  test("fleet layout: readers resolve the data dir through the published marker (cross-JVM publish contract)") {
+    import org.apache.spark.sql.functions._
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = tmpDir("sharded-fleetmarker")
+    val idx = VectorIndex.build(spark, path,
+      embeddings.filter(col("id") < 120), dim = 64, maxDegree = 16)
+    val r1 = ShardedServing.fromIndex(idx, numShards = 3)
+    val dir = new java.io.File(s"$path/fleet-n=3-v=0")
+    def buildDirs = dir.listFiles().map(_.getName).filter(_.startsWith("build-")).toSeq
+    assert(buildDirs.size == 1)
+    val published = buildDirs.head
+    // simulate a FOREIGN JVM having won the marker race: replace the
+    // marker with one naming the same complete layout under a foreign
+    // identity — this JVM must serve THROUGH the marker, not probe a
+    // fixed path or rebuild (the corrupt-interleave scenario requires
+    // two writers in one dir; the protocol makes that unreachable)
+    val marker = java.nio.file.Paths.get(s"$path/fleet-n=3-v=0/fleet.json")
+    val foreign =
+      s"""{"num_shards":3,"version":0,"dim":64,"data_dir":"$published/data"}"""
+    java.nio.file.Files.writeString(marker, foreign)
+    val r2 = ShardedServing.fromIndex(idx, numShards = 3)
+    assert(buildDirs.size == 1, "a published marker must suppress any new build")
+    val all = embeddings.filter(col("id") < 120).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    new Random(47).shuffle(all.toList).take(10).foreach { q =>
+      assert(r2.search(q, topk = 8) == r1.search(q, topk = 8))
+    }
   }
 
   test("loadShard: per-serving-node shards assemble into a fleet identical to fromIndex's") {

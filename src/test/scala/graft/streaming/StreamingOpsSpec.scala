@@ -327,6 +327,27 @@ class StreamingOpsSpec extends SparkSpec {
     // an empty replayed-id-free batch publishes nothing
     assert(!StreamingOps.applySignatureBatch(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), 99L, root))
+    // RETENTION (r16 advisor): each publish reaps consumed batch=
+    // inputs and keeps only the newest K cumulative versions — the
+    // root's storage is bounded by K x store size, not by trigger
+    // count. After 3 batches with keep=2: store-v=2 (current),
+    // store-v=1 (prober grace), nothing else
+    val children = graft.index.ArtifactStore.current.list(root).sorted
+    assert(children == Seq("store-v=1", "store-v=2"),
+      s"expected bounded retention, found $children")
+    // both retained versions stay fully published (a prober that
+    // resolved v=1 just before the v=2 publish still reads a store)
+    assert(SignatureStore.exists(s"$root/store-v=1"))
+    assert(SignatureStore.exists(s"$root/store-v=2"))
+    // idempotent: a re-reap with nothing superseded reaps nothing
+    assert(StreamingOps.reapSignatureStore(root) == 0)
+    // an unpublished (crashed-merge) older version is reaped; the
+    // newest-published resolve is untouched
+    graft.index.ArtifactStore.current.createDirs(s"$root/store-v=0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/store-v=0/junk.txt"), "partial")
+    assert(StreamingOps.reapSignatureStore(root) == 1)
+    assert(StreamingOps.currentSignatureStore(root).contains(s"$root/store-v=2"))
   }
 
 test("streamingVerifiedProbe: stream == batch candidates + editDistanceVerify") {
