@@ -1018,19 +1018,41 @@ object Dedup {
     * path's candidate join stays bounded as n grows. */
   val SrpWideThreshold = 200000L
 
+  /** Hard ceiling on the EXACT tier's crossJoin input, even when a
+    * caller forces exact with a raised `exactThreshold`: above it the
+    * quadratic form is a cluster-killer at any setting, so the call
+    * refuses with a named error instead of launching ~n²/2 distance
+    * kernels (the q56 lesson made API-level, the [[evalPairSets]]
+    * `maxTruthPairs` convention). 50k rows ≈ 1.25×10⁹ fused dots —
+    * minutes of compute, the last defensible forced-exact size; an
+    * exact truth over a bigger corpus is a SAMPLED artifact by
+    * contract ([[docSample]] both endpoints). */
+  val MaxExactRows: Long = 50000L
+
   def embeddingNearDupPairs(embeddings: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       exactThreshold: Long = EmbeddingExactThreshold,
-      srpWideThreshold: Long = SrpWideThreshold): DataFrame = {
+      srpWideThreshold: Long = SrpWideThreshold,
+      maxExactRows: Long = MaxExactRows): DataFrame = {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     // Tier probe: a LocalLimit-bounded count first — it stops scanning
-    // once exactThreshold+1 rows are seen, so small corpora don't pay
-    // a full-corpus count action just to learn they're small. Only a
-    // corpus that actually exceeds the exact threshold pays the full
-    // count (the SRP tier needs true n for its wide-sketch knob).
-    val probeCap = math.min(exactThreshold, Int.MaxValue.toLong - 1L)
+    // once the smallest relevant bound + 1 rows are seen, so small
+    // corpora don't pay a full-corpus count action just to learn
+    // they're small. Only a corpus that actually exceeds it pays the
+    // full count (the SRP tier needs true n for its wide-sketch knob).
+    val probeCap = Seq(exactThreshold, maxExactRows, Int.MaxValue.toLong - 1L).min
     val probed = embeddings.limit((probeCap + 1L).toInt).count()
-    val n = if (probed <= exactThreshold) probed else embeddings.count()
+    // an UNCONDITIONALLY-forced exact call (threshold = Long.MaxValue,
+    // the "give me the O(n²) truth" spelling) over a corpus past the
+    // hard cap refuses straight off the bounded probe — no full count
+    // before the named error
+    require(probed <= maxExactRows || exactThreshold != Long.MaxValue,
+      s"embeddingNearDupPairs: forced-exact over > $maxExactRows rows " +
+        "(maxExactRows) — an exact all-pairs truth at this size is a " +
+        "cluster-killer by contract; sample the corpus first (docSample, " +
+        "both pair endpoints — the q56/q198 estimator) or raise " +
+        "maxExactRows deliberately")
+    val n = if (probed <= probeCap) probed else embeddings.count()
     // the tier rides in the OUTPUT too (`tier` column), not just the
     // log: exact vs sketch-approximate results must stay
     // distinguishable downstream — a pipeline that persists the pairs
@@ -1040,6 +1062,13 @@ object Dedup {
       else if (n > srpWideThreshold) "srp-banded-64bit" else "srp-banded-32bit"
     log.info(s"embeddingNearDupPairs: n=$n tier=$tierName")
     if (n <= exactThreshold) {
+      // the hard cap holds even for a moderately-raised threshold: the
+      // exact crossJoin input is bounded by contract, never by caller
+      // enthusiasm (r16 verdict item 1)
+      require(n <= maxExactRows,
+        s"embeddingNearDupPairs: exact tier over $n rows > maxExactRows=" +
+          s"$maxExactRows — sample the corpus first (docSample, both pair " +
+          "endpoints) or raise maxExactRows deliberately")
       val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
         .repartition(par)

@@ -521,6 +521,41 @@ class DedupSpec extends SparkSpec {
       == Seq("exact-crossjoin"))
   }
 
+  test("embeddingNearDupPairs: forced-exact past maxExactRows refuses with a named error (r16 item 1)") {
+    val ss = spark
+    import ss.implicits._
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.fill(8)(0f); base((i % 7 + 1).toInt) = 1f + i * 0.05f
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    // unconditionally-forced exact (the "give me the O(n²) truth"
+    // spelling) over a corpus past the cap: refused off the bounded
+    // probe, before any full count or crossJoin launches
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(vecs, topN = 5,
+        exactThreshold = Long.MaxValue, maxExactRows = 10L).collect()
+    }
+    assert(e1.getMessage.contains("maxExactRows"), e1.getMessage)
+    assert(e1.getMessage.contains("docSample"), e1.getMessage)
+    // a moderately-raised threshold that still routes exact hits the
+    // same cap at the tier branch
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(vecs, topN = 5,
+        exactThreshold = 50L, maxExactRows = 10L).collect()
+    }
+    assert(e2.getMessage.contains("maxExactRows"), e2.getMessage)
+    // at or under the cap the forced-exact contract is unchanged
+    assert(Dedup.embeddingNearDupPairs(vecs, topN = 5,
+        exactThreshold = Long.MaxValue, maxExactRows = 40L)
+      .select("tier").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("exact-crossjoin"))
+    // and the SRP tier is untouched by the cap (it never crossJoins)
+    assert(Dedup.embeddingNearDupPairs(vecs, topN = 5,
+        exactThreshold = 10L, maxExactRows = 10L)
+      .select("tier").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("srp-banded-32bit"))
+  }
+
   test("SRP tier widens to 64-bit/16-bit blocks past srpWideThreshold; low 32 bits agree") {
     val ss = spark
     import ss.implicits._
