@@ -44,7 +44,7 @@ final class ShardedServing(
   def numPoints: Int = shards.map(_.numPoints).sum
 
   private def globalId(shard: Int, localPublic: Long): Long =
-    (localPublic - 1L) * numShards + shard + 1L
+    ShardedServing.globalIdFor(numShards, shard, localPublic)
   private def shardOf(gid: Long): Int = ((gid - 1L) % numShards).toInt
   private def localPublic(gid: Long): Long = (gid - 1L) / numShards + 1L
 
@@ -216,6 +216,14 @@ final class ShardedServing(
 }
 
 object ShardedServing {
+
+  /** The router's id contract (see the class scaladoc): global public
+    * ids interleave the shard index. Single-sourced here and shared
+    * with [[ShardRpc.Router]], so an RPC-assembled fleet (local +
+    * remote shards across process boundaries) maps per-shard local
+    * results to the SAME global ids as the in-process router. */
+  private[index] def globalIdFor(numShards: Int, shard: Int, localPublic: Long): Long =
+    (localPublic - 1L) * numShards + shard + 1L
 
   /** Which side materializes the shard rows in [[fromIndex]]:
     *  - [[LoadVia.Driver]] — one collect on the driver, shards built
