@@ -276,19 +276,28 @@ object Bench {
     * wall-clock. Pure (selection only) for the spec. */
   private[graft] def recheckTargets(results: Seq[(String, Double)],
       prev: Map[String, Double], cap: Int = 12,
-      forceTopSlowest: Int = 0): Seq[String] = {
+      forceTopSlowest: Int = 0,
+      inflatedFactor: Double = 0.0): Seq[String] = {
     val outliers = results.collect {
       case (k, v) if v > 0.5 && prev.get(k).exists(p => p > 0.0 && v > 3.0 * p) =>
         (k, v)
     }
     // late-trip rounds (contentionClass 1): nothing in the record is
-    // provably quiet, and first-round / renamed queries have no prev
-    // baseline for the 3x rule — force the slowest N (>0.5 s) into the
-    // recheck regardless, so the record's dominant entries always carry
-    // their own solo refutation (r15 verdict item 3)
+    // provably quiet, so the 3x bar drops to `inflatedFactor` (2x —
+    // r16 verdict item 5: top-8-by-time left the MID-PACK inflation a
+    // late burst causes unrefuted; every query reading >2x its prev
+    // now carries its own solo refutation)
+    val inflated = if (inflatedFactor <= 0.0) Nil
+      else results.collect {
+        case (k, v) if v > 0.5 &&
+            prev.get(k).exists(p => p > 0.0 && v > inflatedFactor * p) =>
+          (k, v)
+      }
+    // no-prev fallback (first round, renamed queries): neither ratio
+    // rule can fire, so force the slowest N (>0.5 s) instead
     val forced = if (forceTopSlowest <= 0) Nil
       else results.filter(_._2 > 0.5).sortBy(-_._2).take(forceTopSlowest)
-    (outliers ++ forced).distinctBy(_._1).sortBy(-_._2).take(cap).map(_._1)
+    (outliers ++ inflated ++ forced).distinctBy(_._1).sortBy(-_._2).take(cap).map(_._1)
   }
 
   /** Previous-round per-query numbers from the committed
@@ -441,6 +450,10 @@ object Bench {
     // overwrites the file: the baseline for the solo outlier recheck
     val queriesOut = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT", "BENCH_QUERIES.json")
     val prevTimes = prevQueryTimes(queriesOut)
+    // previous round's build metrics (same file, builds_sec field):
+    // the in-sweep baseline for the per-build drift stamps; the solo
+    // pinned trend lives in BENCH_BUILDS.json (BenchBuilds)
+    val prevBuilds = BenchBuilds.prevArtifact(queriesOut)._3
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -576,12 +589,16 @@ object Bench {
     // poisoned sweep's outliers carry their own refutation, instead
     // of costing the judge a hand-adjudication round (r11–r14).
     // Class-1 rounds (quiet bracket, later trip whose resweep was
-    // itself noisy) additionally force the 8 slowest queries into the
-    // recheck: nothing in such a record is provably quiet, so its
-    // dominant entries must carry solo refutations unconditionally.
+    // itself noisy): nothing in such a record is provably quiet, so
+    // the recheck bar drops to 2x-prev for EVERY query (r16 verdict
+    // item 5 — the top-8-by-time rule left mid-pack inflation
+    // unrefuted), with a widened cap and the slowest-8 fallback only
+    // when no prev record exists to ratio against.
     val recheck: Seq[(String, Double, Double)] =
       recheckTargets(results2, prevTimes,
-        forceTopSlowest = if (ctnClass == 1) 8 else 0).map { name =>
+        cap = if (ctnClass == 1) 24 else 12,
+        forceTopSlowest = if (ctnClass == 1 && prevTimes.isEmpty) 8 else 0,
+        inflatedFactor = if (ctnClass == 1) 2.0 else 0.0).map { name =>
         val sweepVal = results2.collectFirst { case (k, v) if k == name => v }.get
         val solo = timeOnce(spark, sfDir, SparkEntry.queries(name))
         (name, sweepVal, solo)
@@ -832,9 +849,25 @@ object Bench {
       val out = queriesOut
       val qMap = results.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
       val bMap = buildMetrics.map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+      // per-build drift stamps (r16 verdict item 4): ratio vs the
+      // previous round's in-sweep number + the BenchBuilds gate
+      // (1.5x band, 0.5s absolute floor). The builds run pre-sweep —
+      // host quietness is the opening calibration bracket's to judge,
+      // so a tripped stamp on a noisy round reads with that caveat;
+      // the authoritative solo trend is BENCH_BUILDS.json.
+      val bDrift = buildMetrics.toSeq.sortBy(_._1).map { case (k, v) =>
+        (k, v, prevBuilds.get(k), BenchBuilds.driftOk(v, prevBuilds.get(k)))
+      }
       val json =
         s"""{"sf_dir":"$sfDir","repeats":$repeat,"total_sec":${r2(total)},""" +
           s""""queries_sec":$qMap,"builds_sec":$bMap,""" +
+          s""""builds_ratio_vs_prev":${bDrift.collect {
+            case (k, v, Some(p), _) if p > 0 => s""""$k":${r2(v / p)}""" }
+            .mkString("{", ",", "}")},""" +
+          s""""builds_drift_rule":"curr <= 1.5*prev or curr-prev <= 0.5s (solo trend: BENCH_BUILDS.json)",""" +
+          s""""builds_drift_ok":${bDrift.map { case (k, _, _, ok) =>
+            s""""$k":$ok""" }.mkString("{", ",", "}")},""" +
+          s""""builds_drift_all_ok":${bDrift.forall(_._4)},""" +
           s""""qps":${r1(annQps)},"pq_qps":${r1(pqQps)},"shard_qps":${r1(shardedQps)},""" +
           // fi_load_sec = the comparable cross-round figure (solo when
           // pinned, in-bench fallback); both raw numbers ride alongside
@@ -855,7 +888,7 @@ object Bench {
           s""""resweeps":$resweeps,"contended":$contended,"contention_class":$ctnClass,""" +
           // sweep-vs-solo pairs for every >3x-prev outlier (headline
           // number = min of the two): the self-adjudication record
-          s""""recheck_rule":">3x prev queries_sec and >0.5s",""" +
+          s""""recheck_rule":">3x prev queries_sec and >0.5s; class-1: >2x prev, cap 24",""" +
           s""""solo_recheck":${recheck.map { case (k, s, r) =>
             s""""$k":[${r2(s)},${r2(r)}]""" }.mkString("{", ",", "}")},""" +
           // which headline numbers are min-estimators (half-threshold

@@ -189,6 +189,32 @@ class BenchSummarySpec extends AnyFunSuite {
       === Seq("q1", "q5"))
   }
 
+  test("class-1 recheck: every query >2x its prev is selected, mid-pack included (r16 item 5)") {
+    // replayed class-1 profile: a late burst inflates the MID-PACK
+    // (q3/q4 at ~2.5x prev) while the slowest entries (q1/q2) sit
+    // within their band — the old top-8-by-time rule would recheck
+    // q1/q2 and leave the actual inflation unrefuted
+    val sweep = Seq(
+      "q1" -> 12.0, "q2" -> 8.0, // slow but ~1.1x prev: not inflated
+      "q3" -> 2.5, "q4" -> 1.3, // mid-pack, ~2.5x prev: inflated
+      "q5" -> 0.4, // 4x prev but under the 0.5s absolute floor
+      "q6" -> 0.9) // 1.5x prev: inside the band
+    val prev = Map("q1" -> 11.0, "q2" -> 7.5, "q3" -> 1.0, "q4" -> 0.52,
+      "q5" -> 0.1, "q6" -> 0.6)
+    // class-1 call shape (Bench.main): 2x factor, no forced-slowest
+    assert(Bench.recheckTargets(sweep, prev, cap = 24,
+      inflatedFactor = 2.0) === Seq("q3", "q4"))
+    // >3x outliers still ride along (q4 at 2.5x vs 3x rule alone)
+    assert(Bench.recheckTargets(sweep, prev) === Nil)
+    // quiet rounds (factor 0) keep the 3x-only behavior
+    assert(Bench.recheckTargets(sweep, prev, inflatedFactor = 0.0) === Nil)
+    // the widened cap still bounds a fully-inflated record
+    val wide = (1 to 40).map(i => s"w$i" -> 5.0)
+    val widePrev = wide.map { case (k, _) => k -> 1.0 }.toMap
+    assert(Bench.recheckTargets(wide, widePrev, cap = 24,
+      inflatedFactor = 2.0).size === 24)
+  }
+
   test("soloFiLoad: reads the pinned warm load + round tag, sentinels and corrupt files -> None") {
     val tmp = java.nio.file.Files.createTempFile("bench-qps", ".json")
     java.nio.file.Files.writeString(tmp,
