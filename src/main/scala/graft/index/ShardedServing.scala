@@ -368,24 +368,30 @@ object ShardedServing {
     String, java.util.concurrent.CompletableFuture[Unit]]()
   private def fleetDir(index: VectorIndex, numShards: Int): String =
     s"${index.path}/fleet-n=$numShards-v=${index.meta.version}"
-  /** Data path the published marker names, if a marker is published.
-    * Markers written before the build-dir protocol (no `data_dir`
-    * field) resolve to the legacy fixed `data` child. */
-  private def publishedDataPath(dir: String): Option[String] = {
+  /** (data path, stored eltype) the published marker names, if a
+    * marker is published. Markers written before the build-dir
+    * protocol (no `data_dir` field) resolve to the legacy fixed
+    * `data` child; markers without an `eltype` field (pre-r17) were
+    * written as plain float arrays regardless of the index's storage
+    * eltype, so they read as Float32. */
+  private def publishedLayout(dir: String): Option[(String, String)] = {
     val marker = s"$dir/fleet.json"
     if (!ArtifactStore.current.exists(marker)) None
     else {
       val j = new String(ArtifactStore.current.readBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8)
-      val re = "\"data_dir\"\\s*:\\s*\"([^\"]+)\"".r
-      Some(re.findFirstMatchIn(j)
-        .map(m => s"$dir/${m.group(1)}").getOrElse(s"$dir/data"))
+      def field(name: String): Option[String] = {
+        val re = ("\"" + name + "\"\\s*:\\s*\"([^\"]+)\"").r
+        re.findFirstMatchIn(j).map(_.group(1))
+      }
+      Some((field("data_dir").map(d => s"$dir/$d").getOrElse(s"$dir/data"),
+        field("eltype").getOrElse("Float32")))
     }
   }
-  private def ensureFleetLayout(index: VectorIndex, numShards: Int): String = {
+  private def ensureFleetLayout(index: VectorIndex, numShards: Int): (String, String) = {
     val dir = fleetDir(index, numShards)
     val marker = s"$dir/fleet.json"
-    var out: Option[String] = publishedDataPath(dir)
+    var out: Option[(String, String)] = publishedLayout(dir)
     while (out.isEmpty) {
       val mine = new java.util.concurrent.CompletableFuture[Unit]()
       val existing = fleetOnce.putIfAbsent(dir, mine)
@@ -397,12 +403,24 @@ object ShardedServing {
             // race only on the marker create below — never on files
             val buildDir = s"build-${java.util.UUID.randomUUID()}"
             val (rowsDf, base) = shardRowsPlan(index, numShards, None)
-            rowsDf.write.mode("overwrite").partitionBy("shard")
+            // the layout persists vectors in the INDEX's storage
+            // eltype (binary16-packed for Float16 — half the bytes,
+            // the reference's T=Float16 footprint carried through the
+            // serving layout instead of silently widening to float32;
+            // r16 verdict item 6), recorded in the marker for readers
+            val eltype = index.meta.eltype
+            val stored =
+              if (eltype == "Float16")
+                rowsDf.withColumn("vec",
+                  graft.functions.VectorFunctions.halfPack(col("vec")))
+              else rowsDf
+            stored.write.mode("overwrite").partitionBy("shard")
               .parquet(s"$dir/$buildDir/data")
             base.unpersist()
             val won = ArtifactStore.current.createExclusive(marker,
               (s"""{"num_shards":$numShards,"version":${index.meta.version},""" +
-                s""""dim":${index.meta.dim},"data_dir":"$buildDir/data"}""")
+                s""""dim":${index.meta.dim},"eltype":"$eltype",""" +
+                s""""data_dir":"$buildDir/data"}""")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             // lost the cross-JVM race: the published marker names a
             // COMPLETE layout (marker-last publish), so this build is
@@ -417,19 +435,24 @@ object ShardedServing {
       } else {
         try existing.join() catch { case _: Throwable => () } // loser waits, then re-probes
       }
-      out = publishedDataPath(dir)
+      out = publishedLayout(dir)
     }
     out.get
   }
 
   /** The materialized fleet rows for this (index version, shard
     * count), building the layout first if absent — (shard, id, key,
-    * vec, nbrs) in the load paths' column order. */
+    * vec, nbrs) in the load paths' column order, vec decoded to
+    * ARRAY<FLOAT> from the layout's recorded storage eltype. */
   private def fleetRows(index: VectorIndex, numShards: Int,
       onlyShard: Option[Int]): org.apache.spark.sql.DataFrame = {
-    val dataPath = ensureFleetLayout(index, numShards)
+    val (dataPath, eltype) = ensureFleetLayout(index, numShards)
     val all = index.vectors.sparkSession.read.parquet(dataPath)
-    onlyShard.fold(all)(s => all.filter(col("shard") === s))
+    val decoded =
+      if (eltype == "Float16")
+        all.withColumn("vec", graft.functions.VectorFunctions.halfUnpack(col("vec")))
+      else all
+    onlyShard.fold(decoded)(s => decoded.filter(col("shard") === s))
       .select(col("shard").cast("int").as("shard"), col("id"), col("key"),
         col("vec"), col("nbrs"))
   }

@@ -280,6 +280,72 @@ class ShardedServingSpec extends SparkSpec {
     }
   }
 
+  test("Float16 storage rides through the fleet: layout packed binary16, marker records eltype, restarts/loadShard bit-identical, half-precision tolerances vs Float32 (r16 item 6)") {
+    import org.apache.spark.sql.functions._
+    val subset = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 300)
+    val p16 = tmpDir("fleet-half")
+    val p32 = tmpDir("fleet-full")
+    val idx16 = VectorIndex.build(spark, p16, subset, dim = 64, maxDegree = 16,
+      eltype = "Float16")
+    val idx32 = VectorIndex.build(spark, p32, subset, dim = 64, maxDegree = 16)
+    val fleet16 = ShardedServing.fromIndex(idx16, numShards = 4)
+    val fleet32 = ShardedServing.fromIndex(idx32, numShards = 4)
+    // the marker records the storage eltype; the layout's vec column
+    // is binary16-packed BINARY — the reference's T=Float16 footprint
+    // carried through the serving layout, not widened to float32
+    val marker = new java.io.File(s"$p16/fleet-n=4-v=0/fleet.json")
+    val mj = new String(java.nio.file.Files.readAllBytes(marker.toPath))
+    assert(mj.contains("\"eltype\":\"Float16\""), mj)
+    val dataDir16 = "\"data_dir\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(mj).get.group(1)
+    val schema = spark.read.parquet(s"$p16/fleet-n=4-v=0/$dataDir16").schema
+    assert(schema("vec").dataType == org.apache.spark.sql.types.BinaryType,
+      s"Float16 layout must store packed vectors, got ${schema("vec").dataType}")
+    // footprint: the packed layout is substantially smaller than the
+    // float32 fleet's (2 vs 4 bytes/component, shared framing)
+    def dirBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length()
+      walk(new java.io.File(d))
+    }
+    val mj32 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$p32/fleet-n=4-v=0/fleet.json")))
+    val dataDir32 = "\"data_dir\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(mj32).get.group(1)
+    val b16 = dirBytes(s"$p16/fleet-n=4-v=0/$dataDir16")
+    val b32 = dirBytes(s"$p32/fleet-n=4-v=0/$dataDir32")
+    info(s"fleet layout: Float16=$b16 bytes vs Float32=$b32 bytes")
+    assert(b16 < (b32 * 3) / 4, s"binary16 fleet layout not smaller: $b16 vs $b32")
+    // restart (layout read) and per-node loadShard assembly serve
+    // BIT-identically to the first load — decode(pack(decode(x))) is
+    // exact for already-quantized values
+    val restart = ShardedServing.fromIndex(idx16, numShards = 4)
+    val assembled = new ShardedServing(dim = 64, numShards = 4, maxDegree = 16)
+    (0 until 4).foreach { s =>
+      assembled.installShard(s, ShardedServing.loadShard(idx16, numShards = 4, s))
+    }
+    val all = subset.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new Random(59)
+    rng.shuffle(all.toList).take(15).foreach { case (_, q) =>
+      val a = fleet16.search(q, topk = 10)
+      assert(restart.search(q, topk = 10) == a)
+      assert(assembled.search(q, topk = 10) == a)
+    }
+    // half-precision tolerances vs the Float32 fleet: stored vectors
+    // within the reference's atol 1e-2 (binary16 rel 2^-11 is far
+    // tighter on [-2,2) data), self-query still resolves to self
+    all.take(10).foreach { case (id, want) =>
+      val got = fleet16.embeddingById(id + 1)
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) <= 1e-2) }
+      assert(fleet16.search(want, topk = 1).head._2 == id + 1)
+      assert(fleet32.embeddingById(id + 1).sameElements(want))
+    }
+  }
+
   test("loadShard: per-serving-node shards assemble into a fleet identical to fromIndex's") {
     import org.apache.spark.sql.functions._
     val embeddings = spark.read
