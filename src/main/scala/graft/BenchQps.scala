@@ -73,14 +73,20 @@ object BenchQps {
     * as this run, inherit the baseline IT gated against (and that
     * baseline's tag) so every run of round N gates against round N-1;
     * an untagged run (no SPARK_GRAFT_ROUND) keeps the old
-    * run-over-run behavior. Pure for the spec. */
+    * run-over-run behavior. A NONEMPTY baseline whose producing run
+    * carried no tag reports `"untagged"` rather than null (r16 advice
+    * trivia: the artifact's reader shouldn't have to re-derive where
+    * the gate's numbers came from). Pure for the spec. */
   private[graft] def chooseBaseline(currTag: String,
       prevTag: Option[String], prevBaseTag: Option[String],
       prevWarm: Map[String, Double], prevBase: Map[String, Double])
-      : (Option[String], Map[String, Double]) =
-    if (currTag.nonEmpty && prevTag.contains(currTag) && prevBase.nonEmpty)
-      (prevBaseTag, prevBase)
-    else (prevTag, prevWarm)
+      : (Option[String], Map[String, Double]) = {
+    val (tag, base) =
+      if (currTag.nonEmpty && prevTag.contains(currTag) && prevBase.nonEmpty)
+        (prevBaseTag, prevBase)
+      else (prevTag, prevWarm)
+    (if (tag.isEmpty && base.nonEmpty) Some("untagged") else tag, base)
+  }
 
   /** (cold, warm, median) split of one workload's per-loop QPS:
     * cold = first timed loop (post-warmup, but first at full length),

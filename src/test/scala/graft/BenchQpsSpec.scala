@@ -71,8 +71,13 @@ class BenchQpsSpec extends AnyFunSuite {
     assert(BenchQps.chooseBaseline("", Some("r16"), Some("r15"), warm, base)
       === ((Some("r16"), warm)))
     // untagged previous artifact: nothing to match, rebase on its warm
+    // — and the inherited-from-untagged baseline says so explicitly
+    // instead of a null the next reader must re-derive (r16 trivia)
     assert(BenchQps.chooseBaseline("r16", None, None, warm, base)
-      === ((None, warm)))
+      === ((Some("untagged"), warm)))
+    // no baseline at all stays null, never a misleading "untagged"
+    assert(BenchQps.chooseBaseline("r16", None, None, Map.empty, Map.empty)
+      === ((None, Map.empty)))
     // same tag but prev run recorded no baseline (first-ever run that
     // round): fall back to its warm rather than an empty gate-nothing
     assert(BenchQps.chooseBaseline("r16", Some("r16"), None, warm, Map.empty)
