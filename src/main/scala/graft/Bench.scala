@@ -166,7 +166,8 @@ object Bench {
       contended: Boolean,
       sfShort: String, scaleRatio: Option[Double] = None,
       parRatio: Double = -1.0, minMerged: Int = 0, rechecked: Int = 0,
-      ctnClass: Int = 0, fiLoadInbenchSec: Double = -1.0): String = {
+      ctnClass: Int = 0, fiLoadInbenchSec: Double = -1.0,
+      rpcQps: Double = -1.0): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val top = results.sortBy { case (_, v) => -v }.take(TopQueriesOnLine)
@@ -182,6 +183,7 @@ object Bench {
       s""""qps":${r1(annQps)},""" +
       s""""pq_qps":${r1(pqQps)},""" +
       s""""shard_qps":${r1(shardedQps)},""" +
+      s""""rpc_qps":${r1(rpcQps)},""" +
       s""""fi_load_sec":${r2(fiLoadSec)},""" +
       s""""fi_load_inb":${r2(fiLoadInbenchSec)},""" +
       s""""fi_qps":${r1(fiQps)},""" +
@@ -654,6 +656,12 @@ object Bench {
     val shardedQps = try {
       QpsWorkloads.qps(QpsWorkloads.shardedRouter(), repeat)
     } catch { case _: Throwable => -1.0 }
+    // the same fleet behind the ShardRpc loopback scatter: rpc_qps vs
+    // shard_qps is the measured fan-out tax of the multi-node serving
+    // deployment (every per-shard search a real socket round-trip)
+    val rpcQps = try {
+      QpsWorkloads.qps(QpsWorkloads.rpcRouter(), repeat)
+    } catch { case _: Throwable => -1.0 }
     // production serving path: distributed build -> fromIndex bulk load
     // into the shard fleet (never an insert loop), then the same query
     // workload. Load time is its own metric.
@@ -825,6 +833,7 @@ object Bench {
       s""""ann_serving_qps_10k_100d":$annQps,""" +
       s""""ann_pq_serving_qps_10k_100d":$pqQps,""" +
       s""""ann_sharded_qps_10k_100d_4shards":$shardedQps,""" +
+      s""""ann_rpc_qps_10k_100d_4shards":$rpcQps,""" +
       s""""ann_fromindex_load_sec_10k_100d_4shards":$fromIndexLoadSec,""" +
       s""""ann_fromindex_load_cold_sec":${fromIndexLoad.coldSec},""" +
       s""""ann_fromindex_load_warm_sec":${fromIndexLoad.warmSec},""" +
@@ -869,6 +878,7 @@ object Bench {
             s""""$k":$ok""" }.mkString("{", ",", "}")},""" +
           s""""builds_drift_all_ok":${bDrift.forall(_._4)},""" +
           s""""qps":${r1(annQps)},"pq_qps":${r1(pqQps)},"shard_qps":${r1(shardedQps)},""" +
+          s""""rpc_qps":${r1(rpcQps)},""" +
           // fi_load_sec = the comparable cross-round figure (solo when
           // pinned, in-bench fallback); both raw numbers ride alongside
           s""""fi_load_sec":${r2(fiLoadHeadline)},"fi_qps":${r1(fromIndexQps)},""" +
@@ -906,7 +916,8 @@ object Bench {
       new java.io.File(sfDir).getName, srMedian,
       parRatio = parRatios.max, minMerged = minTaken.size,
       rechecked = recheck.size,
-      ctnClass = ctnClass, fiLoadInbenchSec = fromIndexLoadSec))
+      ctnClass = ctnClass, fiLoadInbenchSec = fromIndexLoadSec,
+      rpcQps = rpcQps))
     spark.stop()
   }
 }

@@ -126,10 +126,11 @@ object BenchQps {
     // all in-memory passes run BEFORE the Spark session exists, so
     // they stay uncontaminated; the headline per workload is the
     // quiet-side (best-warm) pass, with every pass's warm recorded
-    val inMemNames = Seq("single", "pq", "sharded")
+    val inMemNames = Seq("single", "pq", "sharded", "rpc")
     def mkWorkload(name: String): QpsWorkloads.Workload = name match {
       case "single" => QpsWorkloads.singleGraph()
       case "pq" => QpsWorkloads.pqLowMemory()
+      case "rpc" => QpsWorkloads.rpcRouter() // sharded fleet behind loopback sockets
       case _ => QpsWorkloads.shardedRouter()
     }
     val inMemPasses: Map[String, Seq[(Double, Double, Double)]] =

@@ -90,6 +90,29 @@ object QpsWorkloads {
     Workload(q => router.search(q, topk = 10), queries)
   }
 
+  /** The SAME insert-built 4-shard fleet served through the
+    * [[graft.index.ShardRpc]] loopback scatter (summary key
+    * `rpc_qps`): every per-shard search is a genuine socket
+    * round-trip through the length-framed protocol — identical graph,
+    * identical merge (spec-pinned tuple identity), so rpc_qps vs
+    * shard_qps IS the measured RPC fan-out tax of the multi-node
+    * serving deployment. The server thread and its four client
+    * connections are daemon-scoped to the JVM (bench processes exit
+    * after timing; a long-lived host would own a Server of its own). */
+  def rpcRouter(): Workload = {
+    val (vecs, queries) = vectorsAndQueries()
+    val router = new graft.index.ShardedServing(dim = Dim, numShards = NumShards)
+    vecs.foreach(v => router.insert(v))
+    val shards = router.shardRefs
+    val server = new graft.index.ShardRpc.Server(Dim, NumShards,
+      (0 until NumShards).map(i => i -> shards(i)).toMap)
+    server.serveInBackground()
+    val parts = (0 until NumShards).map(i =>
+      new graft.index.ShardRpc.Client("127.0.0.1", server.boundPort, i))
+    val rpc = new graft.index.ShardRpc.Router(NumShards, parts)
+    Workload(q => rpc.search(q, topk = 10), queries)
+  }
+
   /** Production serving path (summary keys `fi_load_sec` / `fi_qps`):
     * distributed build -> fromIndex bulk load into the 4-shard fleet
     * (never an insert loop), then the same query workload. Returns

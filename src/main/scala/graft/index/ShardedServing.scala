@@ -213,6 +213,11 @@ final class ShardedServing(
     * multi-JVM deployment where each serving node loads its own
     * shard and the router is an RPC facade over them. */
   private[index] def installShard(i: Int, s: ServingIndex): Unit = shards(i) = s
+
+  /** Read-only view of the shard objects — what a serving host hands
+    * to [[ShardRpc.Server]] to put this fleet behind the socket
+    * scatter (the rpc_qps bench workload). */
+  private[graft] def shardRefs: IndexedSeq[ServingIndex] = shards.toIndexedSeq
 }
 
 object ShardedServing {

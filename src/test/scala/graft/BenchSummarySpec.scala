@@ -30,7 +30,7 @@ class BenchSummarySpec extends AnyFunSuite {
       88888.8, 88888.8, 88888.8, 8884.88, 88888.8,
       Seq(8884.88, 8884.88, 8884.88, 8884.88), contended = true,
       "sf0.001", Some(8884.88), parRatio = 888.88, minMerged = 8888,
-      ctnClass = 2, fiLoadInbenchSec = 8884.88)
+      ctnClass = 2, fiLoadInbenchSec = 8884.88, rpcQps = 88888.8)
     assert(line.length < TailBudget,
       s"summary line is ${line.length} chars (budget $TailBudget) for " +
         s"${results.size} queries — shorten keys before adding more queries")
@@ -65,12 +65,13 @@ class BenchSummarySpec extends AnyFunSuite {
     val line = Bench.summaryLine(results, Some(22.24),
       398.44, 600.4, 572.0, 7.9, 370.81, Seq(0.31, 0.42, 0.33, 0.44),
       contended = false, "sf0.1", Some(8.37), parRatio = 1.13, minMerged = 12,
-      ctnClass = 1, fiLoadInbenchSec = 11.9)
+      ctnClass = 1, fiLoadInbenchSec = 11.9, rpcQps = 412.3)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
     assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
-      "builds_sec", "qps", "pq_qps", "shard_qps", "fi_load_sec", "fi_load_inb",
-      "fi_qps", "cal", "ctn", "ctc", "cpr", "mm", "rk", "sr", "sf"))
+      "builds_sec", "qps", "pq_qps", "shard_qps", "rpc_qps", "fi_load_sec",
+      "fi_load_inb", "fi_qps", "cal", "ctn", "ctc", "cpr", "mm", "rk", "sr", "sf"))
+    assert((parsed \ "rpc_qps").asInstanceOf[org.json4s.JDouble].num === 412.3)
     assert((parsed \ "ctn").asInstanceOf[org.json4s.JInt].num.toInt === 0)
     assert((parsed \ "ctc").asInstanceOf[org.json4s.JInt].num.toInt === 1)
     assert((parsed \ "fi_load_inb").asInstanceOf[org.json4s.JDouble].num === 11.9)
