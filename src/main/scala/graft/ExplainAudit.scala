@@ -56,6 +56,16 @@ object ExplainAudit {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       if (n == "beam_bucketed_step") beamBucketedStep(spark, sfDir)
+      else if (n == "shingle_pair_kernel") {
+        // the q41/q57/q194 posting-list pair kernel, pre-checkpoint
+        // (the public APIs materialize the aggregated pairs, so the
+        // kernel's Exchange/Generate shape is only auditable lazily)
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        graft.operators.Dedup.shinglePairCounts(
+          graft.operators.Dedup.docShingles(docs, 3), 6).explain("formatted")
+      }
       else SparkEntry.queries.get(n) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None => println(s"unknown query $n")

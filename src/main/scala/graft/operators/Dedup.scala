@@ -595,22 +595,81 @@ object Dedup {
   def ngramJaccardPairsFromShingles(
       shingles: DataFrame,
       maxShingleFreq: Int = DefaultMaxShingleFreq): DataFrame = {
-    val par = shingles.sparkSession.sparkContext.defaultParallelism
-    // the post-explode repartition lets the three consumers (sizes +
-    // both self-join sides) reuse one exchange instead of re-shingling
-    val ds = shingles.repartition(par)
-    val filtered = dropHotShingles(ds, maxShingleFreq)
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = filtered.as("x").join(filtered.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (inter, sizes) = shinglePairStats(shingles, maxShingleFreq)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("sa") + col("sb") - col("n_inter")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** Shared kernel of the inverted-index pair tiers (Jaccard q41/q57,
+    * containment q194): per-pair shared-shingle counts plus per-doc
+    * surviving-shingle sizes, from ONE aggregation of the (doc_id,
+    * shingle) rows.
+    *
+    * The r16 shape planned the hot-shingle cap as its own aggregate +
+    * left-anti join and the intersection as a two-sided self-join on
+    * `shingle`, so the shingle subtree executed up to four times per
+    * card (both join sides + the sizes agg + the cap agg — consumer-
+    * specific pushed filters defeat exchange reuse) and the join's
+    * build side BROADCAST a corpus-sized shingle set (fixture-small,
+    * but corpus-sized at scale — exactly the accidental-broadcast risk
+    * guide §3.1 warns about). Here the shingle rows shuffle ONCE into
+    * per-shingle posting lists (map-side partial collect_list — guide
+    * §2.3/§2.4); the frequency cap becomes a `size(ids) <= maxFreq`
+    * filter on that aggregate (the anti-join disappears); ordered
+    * candidate pairs are generated LOCALLY inside each surviving list
+    * (≤ maxFreq²/2 rows per shingle — the same f² the join produced,
+    * without re-shuffling either side); and the per-doc size rows ride
+    * the SAME generator as self-pairs (x, x) — a real pair is strictly
+    * doc_a < doc_b, so the diagonal is free to carry the size count
+    * and one exchange + one aggregation yields both outputs. The
+    * aggregated (pair, count) frame is output-sized (candidate pairs +
+    * one diagonal row per doc) and is materialized once
+    * (localCheckpoint) because three consumers read it (inter + both
+    * size joins); callers release blocks via the Blocks.release
+    * contract like every checkpointed frame. */
+  private def shinglePairStats(
+      shingles: DataFrame,
+      maxShingleFreq: Int): (DataFrame, DataFrame) = {
+    // output-sized (candidate pairs + one diagonal row per doc), and
+    // read by three consumers (inter + both size joins) — materialized
+    // once; callers release blocks via the Blocks.release contract
+    val agg = shinglePairCounts(shingles, maxShingleFreq).localCheckpoint(true)
+    val inter = agg.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("n_inter"))
+    val sizes = agg.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("n").as("n_shingles"))
+    (inter, sizes)
+  }
+
+  /** The lazy one-aggregation plan behind [[shinglePairStats]]
+    * (package-visible so DedupSpec can pin the cap filter's presence
+    * in the OPTIMIZED plan and ExplainAudit can dump the executed
+    * kernel — the checkpoint above truncates lineage, so the kernel
+    * is only plan-auditable here). */
+  private[graft] def shinglePairCounts(
+      shingles: DataFrame,
+      maxShingleFreq: Int): DataFrame = {
+    val lists = shingles.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val capped =
+      if (maxShingleFreq <= 0) lists
+      else lists.filter(size(col("ids")) <= maxShingleFreq)
+    // sorted ids => generated pairs are (a < b) by construction; the
+    // diagonal (x, x) row per list element is the size contribution
+    val pairsPerList = transform(col("ids"), (x, i) =>
+      concat(
+        array(struct(x.as("a"), x.as("b"))),
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))
+    capped
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(flatten(pairsPerList)).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Drop shingles present in more than `maxFreq` docs — the prefix-
@@ -1469,13 +1528,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val ds = docShingles(docs.repartition(par), k, idCol, textCol).repartition(par)
-    val filtered = dropHotShingles(ds, maxShingleFreq)
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = filtered.as("x").join(filtered.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    containmentPairsFromShingles(
+      docShingles(docs.repartition(par), k, idCol, textCol),
+      minContainmentPer10k, maxShingleFreq)
+  }
+
+  /** [[containmentPairs]] over a precomputed (doc_id, shingle) set —
+    * the [[ngramJaccardPairsFromShingles]] twin, sharing the same
+    * one-aggregation posting-list kernel ([[shinglePairStats]]) so a
+    * pipeline's single materialized tokenization feeds both scores. */
+  def containmentPairsFromShingles(
+      shingles: DataFrame,
+      minContainmentPer10k: Long = 8000L,
+      maxShingleFreq: Int = DefaultMaxShingleFreq): DataFrame = {
+    val (inter, sizes) = shinglePairStats(shingles, maxShingleFreq)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb")), "doc_b")

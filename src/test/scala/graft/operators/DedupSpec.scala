@@ -462,7 +462,7 @@ class DedupSpec extends SparkSpec {
     assert(row.head._2 == row(2)._2) // exact copies share a signature
   }
 
-  test("ngramJaccardPairs defaults to the capped tier: the hot-shingle anti-join is in the plan") {
+  test("ngramJaccardPairs defaults to the capped tier: the posting-list size cap is in the plan") {
     val ss = spark
     import ss.implicits._
     // a hot shingle ("the end of it") shared by every doc, plus one
@@ -470,13 +470,20 @@ class DedupSpec extends SparkSpec {
     val docs = (1L to 30L).map(i =>
         (i, s"unique$i token$i word$i the end of it"))
       .toDF("doc_id", "text")
-    // the BARE call (no maxShingleFreq) must engage dropHotShingles:
-    // its left-anti join appears in the plan, so a shingle above the
-    // default frequency cap provably never reaches the f² self-join
-    val bare = Dedup.ngramJaccardPairs(docs)
-    val plan = bare.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftAnti"),
-      s"bare ngramJaccardPairs must route through dropHotShingles:\n$plan")
+    // the BARE default must engage the frequency cap: since r17 it is
+    // a `size(ids) <= cap` filter on the kernel's one posting-list
+    // aggregation (the pre-r17 shape was a separate count + left-anti
+    // join), so a shingle above the default cap provably never
+    // generates its f² candidate pairs. The public API checkpoints the
+    // aggregated pairs (lineage truncated), so the cap is pinned on
+    // the kernel's lazy plan — the exact subtree the query executes.
+    val kernel = Dedup.shinglePairCounts(
+      Dedup.docShingles(docs, 3), Dedup.DefaultMaxShingleFreq)
+    val plan = kernel.queryExecution.optimizedPlan.toString
+    assert(plan.contains("collect_list"),
+      s"pair kernel must aggregate posting lists:\n$plan")
+    assert(plan.contains(s"<= ${Dedup.DefaultMaxShingleFreq}"),
+      s"pair kernel must cap posting-list size at the default:\n$plan")
     // semantics of the cap on a corpus that actually trips it: with
     // maxShingleFreq = 5 the all-docs shingles vanish and no pair
     // shares anything; uncapped (explicit 0) every pair co-occurs
