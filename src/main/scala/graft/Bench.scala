@@ -485,6 +485,8 @@ object Bench {
       (try { graft.queries.AnnQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] }) ++
       (try { graft.queries.DocQueries.prewarm(spark, sfDir) }
+        catch { case _: Throwable => Map.empty[String, Double] }) ++
+      (try { graft.queries.RetrievalQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] })
     val minTaken = scala.collection.mutable.Set[String]()
     val results0 = sweepQueries(spark, sfDir, repeat, minTaken)
@@ -547,6 +549,8 @@ object Bench {
         try { graft.queries.AnnQueries.prewarm(spark, ld); () }
         catch { case _: Throwable => () }
         try { graft.queries.DocQueries.prewarm(spark, ld); () }
+        catch { case _: Throwable => () }
+        try { graft.queries.RetrievalQueries.prewarm(spark, ld); () }
         catch { case _: Throwable => () }
         // min-of-two floor: the lo sweep's sub-second bulk is the
         // DENOMINATOR of every scale ratio, where one-shot jitter is
@@ -639,6 +643,7 @@ object Bench {
     try { graft.queries.AnnQueries.dropCaches() } catch { case _: Throwable => () }
     try { graft.queries.DocQueries.dropCaches() } catch { case _: Throwable => () }
     try { graft.queries.AnalyticsQueries.dropCaches() } catch { case _: Throwable => () }
+    try { graft.queries.RetrievalQueries.dropCaches() } catch { case _: Throwable => () }
     try { spark.catalog.clearCache() } catch { case _: Throwable => () }
     val cacheDropSec = (System.nanoTime() - tDrop) / 1e9
     val annQps = try {

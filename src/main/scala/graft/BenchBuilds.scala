@@ -86,6 +86,8 @@ object BenchBuilds {
       (try { graft.queries.AnnQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] }) ++
       (try { graft.queries.DocQueries.prewarm(spark, sfDir) }
+        catch { case _: Throwable => Map.empty[String, Double] }) ++
+      (try { graft.queries.RetrievalQueries.prewarm(spark, sfDir) }
         catch { case _: Throwable => Map.empty[String, Double] })
     spark.stop()
     val gates = builds.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -97,6 +97,52 @@ object Retrieval {
       .agg(sum(col("contrib_fp")).as("score_fp"))
   }
 
+  /** [[bm25ScoresFp]] over a PRECOMPUTED postings frame (idCol, dl,
+    * term, tf) plus its scalar corpus stats — the in-memory twin of
+    * [[searchIndex]] (same shared contribution expression, stats as
+    * plan literals), for pipelines that tokenize once and serve many
+    * retrieval analyses off one postings table. Bit-identical to the
+    * scan path over the same corpus by construction. */
+  def bm25ScoresFpFromPostings(
+      postings: DataFrame,
+      nDocs: Long,
+      sumDl: Long,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val qt = queries
+      .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val tfq = postings
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .localCheckpoint(true)
+    val dfx = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfq
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfx), Seq("term"))
+      .select(col("query_id"), col(idCol), col("tf"), col("dl"), col("df"),
+        lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"))
+      .select(col("query_id"), col(idCol), contribFp(k1, b).as("contrib_fp"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+  }
+
+  /** BM25 top-k over a precomputed postings frame — the
+    * [[bm25TopK]] twin of [[bm25ScoresFpFromPostings]]. */
+  def bm25TopKFromPostings(
+      postings: DataFrame,
+      nDocs: Long,
+      sumDl: Long,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame =
+    topKFromScores(
+      bm25ScoresFpFromPostings(postings, nDocs, sumDl, queries, k1, b, idCol),
+      idCol, k)
+
   /** The per-(query, doc, term) BM25 contribution in 1e6 fixed point,
     * over columns (tf, dl, df, n_docs, sum_dl) — ONE definition shared
     * by the scan path and the served-index path, so the two are

@@ -28,6 +28,58 @@ object RetrievalQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"), col("text"))
 
+  /** Shared in-memory postings artifact: (doc_id, dl, term, tf) rows
+    * plus the scalar corpus stats, computed ONCE per sf-dir per JVM
+    * and consumed by every scan-path BM25 query (q127's top-k, q128's
+    * sparse leg, q195's eval leg) — the DocQueries shingle/tokcounts
+    * convention applied to the retrieval family: a production stack
+    * tokenizes its corpus into postings once and runs every retrieval
+    * analysis off them (the persisted q132 index is the across-JVMs
+    * version of the same artifact). Until r17 each of the three
+    * queries re-ran the corpus tokenize + (doc, term) aggregation per
+    * sweep run. Guarded against stopped sessions like the other
+    * per-JVM caches; build cost is reported by [[prewarm]]. */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]()
+
+  private def corpusPostings(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val hit = postingsCache.get(dir)
+    if (hit != null && !hit._1.sparkSession.sparkContext.isStopped) hit
+    else {
+      val base = spread(docs(spark, dir))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val tf = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+        .cache()
+      tf.count()
+      val st = base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl")).head()
+      val entry = (tf, st.getLong(0), st.getLong(1))
+      postingsCache.put(dir, entry)
+      entry
+    }
+  }
+
+  /** Materialize the shared postings artifact up front (the
+    * DocQueries/AnnQueries prewarm contract): otherwise the build
+    * lands on whichever of q127/q128/q195 runs first. */
+  def prewarm(spark: SparkSession, dir: String): Map[String, Double] = {
+    val t0 = System.nanoTime(); corpusPostings(spark, dir)
+    Map("bm25_postings_build_sec" -> (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Drop the per-JVM postings cache (the Bench cache-drop contract:
+    * QPS loops must not inherit the sweep's heap). */
+  def dropCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    postingsCache.values.asScala.foreach { case (df, _, _) =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    postingsCache.clear()
+  }
+
   /** Queries = first 4 tokens of 4 spread-out documents (self-queries
     * the fixture can always answer; the oracle replays the slice). */
   private def querySet(spark: SparkSession, dir: String): DataFrame =
@@ -40,9 +92,11 @@ object RetrievalQueries {
     * its own. See [[graft.operators.Retrieval.bm25ScoresFp]] for the
     * one-tokenize-pass / broadcast-query-terms / bounded-heap-top-k
     * scale shape and the fixed-point determinism contract. */
-  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), FuseK)
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, nDocs, sumDl) = corpusPostings(spark, dir)
+    Retrieval.bm25TopKFromPostings(tf, nDocs, sumDl, querySet(spark, dir), FuseK)
       .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Hybrid retrieval via RRF (q128): dense leg = exact cosine top-20
     * over the embeddings (the production deployment swaps in the ANN
@@ -52,7 +106,9 @@ object RetrievalQueries {
     * top-k shapes; the fusion joins eval-sized frames only. */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val vecLeg = denseLeg(spark, dir, LegK)
-    val bm25Leg = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), LegK)
+    val (tf, nDocs, sumDl) = corpusPostings(spark, dir)
+    val bm25Leg = Retrieval
+      .bm25TopKFromPostings(tf, nDocs, sumDl, querySet(spark, dir), LegK)
       .select(col("query_id"), col("doc_id"), col("rnk"))
     Retrieval.rrfFuse(Seq(vecLeg, bm25Leg), FuseK)
       .orderBy(col("query_id"), col("rnk"))
@@ -89,7 +145,9 @@ object RetrievalQueries {
   def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val gold = querySet(spark, dir)
       .select(col("query_id"), col("query_id").as("gold_doc"))
-    val sparse = Retrieval.bm25TopK(spread(docs(spark, dir)), querySet(spark, dir), FuseK)
+    val (tf, nDocs, sumDl) = corpusPostings(spark, dir)
+    val sparse = Retrieval
+      .bm25TopKFromPostings(tf, nDocs, sumDl, querySet(spark, dir), FuseK)
       .select(col("query_id"), col("doc_id"), col("rnk"))
     Retrieval.evalRankings(
         Seq(("bm25", sparse), ("dense_cosine", denseLeg(spark, dir, FuseK))), gold)
