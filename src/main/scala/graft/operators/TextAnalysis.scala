@@ -117,6 +117,32 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
   }
 
+  /** [[frequentNgrams]] over a precomputed per-doc-distinct (doc_id,
+    * shingle) set — the two corpus passes (MG candidate sweep + exact
+    * candidate recount) read ONE materialized tokenization instead of
+    * each re-running tokenize + shingle explode (the Dedup
+    * `FromShingles` convention). Semantics identical: the input rows
+    * ARE `explode(array_distinct(shingles(tokens(text), n)))`. */
+  def frequentNgramsFromShingles(shingleRows: DataFrame, k: Int,
+      minCount: Long): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"need k, minCount >= 1, got k=$k minCount=$minCount")
+    val spark = shingleRows.sparkSession
+    import spark.implicits._
+    val grams = shingleRows.select(col("shingle"))
+    val row = grams.agg(
+      graft.functions.SketchFunctions.mgSummary(col("shingle"), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val total = row.getLong(1)
+    require(minCount * k > total,
+      s"MG coverage needs minCount > N/k: minCount=$minCount, N=$total, k=$k — raise k")
+    val cands = row.getMap[String, Long](0).keys.toSeq
+    grams.join(broadcast(cands.toDF("shingle")), Seq("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minCount)
+      .orderBy(col("df").desc, col("shingle"))
+  }
+
   /** PMI collocation mining (q116): the top-k adjacent word pairs by
     * pointwise mutual information, `ln(p(l,r) / (p(l)·p(r)))` — the
     * classic corpus-analysis signal for multiword expressions
@@ -256,19 +282,31 @@ object TextAnalysis {
     */
   def tfidfKeywords(df: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dtc = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    val nDocs = dtc.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val out = tfidfKeywordsFromCounts(dtc, nDocs, k)
+    graft.plans.Blocks.release(dtc)
+    out
+  }
+
+  /** [[tfidfKeywords]] over a precomputed (doc_id, term, tf) counts
+    * frame plus the corpus doc count — for pipelines that tokenize
+    * once and feed several term-statistics analyses from one postings
+    * table (the Dedup/Retrieval `From*` convention). The tokenizer
+    * never emits an empty array, so count(documents) equals the
+    * distinct doc count over the postings. */
+  def tfidfKeywordsFromCounts(dtc: DataFrame, nDocs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats = dtc.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-      .crossJoin(broadcast(dtc.select(countDistinct(col("doc_id")).as("n_docs"))))
       .select(col("term"),
-        round(log(col("n_docs").cast("double") / col("df_t").cast("double")) * 1e6)
+        round(log(lit(nDocs).cast("double") / col("df_t").cast("double")) * 1e6)
           .cast("long").as("idf_fp"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_fp").desc, col("term"))
-    val out = dtc.join(broadcast(stats), Seq("term"))
+    dtc.join(broadcast(stats), Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf") * col("idf_fp")).as("score_fp"))
       .withColumn("rnk", row_number().over(w))
@@ -277,8 +315,6 @@ object TextAnalysis {
         col("term"), col("tf"), col("score_fp"))
       .orderBy(col("doc_id"), col("rnk"))
       .localCheckpoint(true)
-    graft.plans.Blocks.release(dtc)
-    out
   }
 
   /** DEFLATE-compressed byte count of `text` (UTF-8) — the

@@ -42,7 +42,7 @@ object RetrievalQueries {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long, Long)]()
 
-  private def corpusPostings(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+  private[queries] def corpusPostings(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val hit = postingsCache.get(dir)
     if (hit != null && !hit._1.sparkSession.sparkContext.isStopped) hit
     else {
