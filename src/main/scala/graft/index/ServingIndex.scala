@@ -61,7 +61,11 @@ final class ServingIndex(
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
   private val freelist = mutable.ArrayBuffer.empty[Int] // LIFO via last
-  private val freeSet = mutable.HashSet.empty[Int]
+  // free-slot membership as a bitset: isLive runs once per VISITED node
+  // inside the greedy traversal's inner loop, and a boxed HashSet[Int]
+  // probe there (hash + box per neighbor) was measurable against the
+  // distance kernel; BitSet.get is one word load (guide §"per-task work")
+  private val freeSet = new java.util.BitSet()
   private var entryPoint: Int = -1
   private val keyToId = mutable.HashMap.empty[String, Int]
   private val idToKey = mutable.HashMap.empty[Int, String]
@@ -87,7 +91,7 @@ final class ServingIndex(
   def isEmpty: Boolean = numPoints == 0
 
   private def isLive(id: Int): Boolean =
-    id >= 0 && id < vecs.length && !freeSet.contains(id)
+    id >= 0 && id < vecs.length && !freeSet.get(id)
 
   private def d(q: Array[Float], id: Int): Double = metric.dist(q, vecs(id))
 
@@ -164,11 +168,14 @@ final class ServingIndex(
     // min-heap of candidates to expand; max-heap of kept results
     val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
     val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
-    val visited = mutable.HashSet.empty[Int]
+    // visited as a bitset: one word load/store per neighbor probe vs a
+    // boxed HashSet add/contains — membership semantics identical, so
+    // traversal order and the candidate pool are bit-for-bit unchanged
+    val visited = new java.util.BitSet(vecs.length)
     val d0 = dist(entryPoint)
     candidates.enqueue((d0, entryPoint))
     results.enqueue((d0, entryPoint))
-    visited += entryPoint
+    visited.set(entryPoint)
     while (candidates.nonEmpty) {
       val (cd, c) = candidates.dequeue()
       // terminate when the best remaining candidate is worse than the
@@ -180,8 +187,11 @@ final class ServingIndex(
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
-          if (!visited.contains(nb) && isLive(nb)) {
-            visited += nb
+          // isLive first: it bounds-checks nb, so the BitSet probe can
+          // never see a negative/out-of-range id (conditions are pure —
+          // order is semantically free)
+          if (isLive(nb) && !visited.get(nb)) {
+            visited.set(nb)
             val nd = dist(nb)
             if (results.size < ef || nd < results.head._1) {
               candidates.enqueue((nd, nb))
@@ -301,7 +311,7 @@ final class ServingIndex(
   def insert(v: Array[Float], key: Option[String] = None): (String, Long) = withWrite {
     require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
     val id =
-      if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet -= r; r }
+      if (freelist.nonEmpty) { val r = freelist.remove(freelist.length - 1); freeSet.clear(r); r }
       else { vecs += null; adj += mutable.ArrayBuffer.empty[Int]; vecs.length - 1 }
     wireAndRegister(id, v, key)
   }
@@ -327,14 +337,14 @@ final class ServingIndex(
   def insertAt(slot: Int, v: Array[Float], key: Option[String] = None): (String, Long) = withWrite {
     require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
     require(slot >= 0 && !isLive(slot), s"slot $slot is live or invalid")
-    if (freeSet.contains(slot)) {
-      freeSet -= slot
+    if (freeSet.get(slot)) {
+      freeSet.clear(slot)
       freelist.remove(freelist.lastIndexOf(slot))
     } else {
       while (vecs.length <= slot) {
         vecs += null; adj += mutable.ArrayBuffer.empty[Int]
         val filler = vecs.length - 1
-        if (filler != slot) { freelist += filler; freeSet += filler }
+        if (filler != slot) { freelist += filler; freeSet.set(filler) }
       }
     }
     wireAndRegister(slot, v, key)
@@ -384,7 +394,7 @@ final class ServingIndex(
       adj(id).foreach { nb => if (isLive(nb)) adj(nb) = adj(nb).filter(_ != id) }
       adj(id) = mutable.ArrayBuffer.empty[Int]
       freelist += id
-      freeSet += id
+      freeSet.set(id)
       vecs(id) = null
       if (pq != null && id < pqCodes.length) pqCodes(id) = null
       if (entryPoint == id) {
@@ -456,10 +466,10 @@ final class ServingIndex(
     val maxSlot = (distinctFree.iterator ++ Iterator(vecs.length - 1)).max
     while (vecs.length <= maxSlot) { vecs += null; adj += mutable.ArrayBuffer.empty[Int] }
     freelist.clear(); freelist ++= distinctFree
-    freeSet.clear(); freeSet ++= distinctFree
+    freeSet.clear(); distinctFree.foreach(i => freeSet.set(i))
     // any slot never loaded and not in freelist is free too
     (0 until vecs.length).foreach { i =>
-      if (vecs(i) == null && !freeSet.contains(i)) { freelist += i; freeSet += i }
+      if (vecs(i) == null && !freeSet.get(i)) { freelist += i; freeSet.set(i) }
     }
     entryPoint = if (entry >= 0 && isLive(entry)) entry else (0 until vecs.length).find(isLive).getOrElse(-1)
   }
