@@ -66,6 +66,16 @@ object ExplainAudit {
         graft.operators.Dedup.shinglePairCounts(
           graft.operators.Dedup.docShingles(docs, 3), 6).explain("formatted")
       }
+      else if (n == "lsh_knn_kernel") {
+        // the q56 / bulk-graph-build LSH candidate kernel (lazy — the
+        // consumers collect/checkpoint, so the join shape is only
+        // auditable here)
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        graft.index.GraphBuilder.lshKnnEdges(emb, k = 10,
+          metric = graft.index.Metric.Cosine).explain("formatted")
+      }
       else SparkEntry.queries.get(n) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None => println(s"unknown query $n")

@@ -275,13 +275,42 @@ object GraphBuilder {
       metric: Metric,
       numHashTables: Int = 8,
       bucketLength: Double = -1.0): DataFrame = {
-    val hashed = lshHashed(vectors, metric, numHashTables, bucketLength)
-    val left = hashed.select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
-    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
+    // A pair co-bucketing in t of the numHashTables tables used to
+    // surface t join rows, pay t exact distance evaluations (identical
+    // values), and be deduped by a (src, dst) min-aggregate — a full
+    // extra shuffle of the candidate stream carrying nothing but
+    // duplicates (up to numHashTables× on near pairs, which collide in
+    // every table). Each row now carries its full bucket array through
+    // the bucket join and a MAP-SIDE filter keeps a candidate only in
+    // the FIRST table where the two arrays agree: exactly one row per
+    // (src, dst) pair survives, each distance is computed once, and
+    // the dedup exchange disappears (guide §2.3/§2.4 — the filter is
+    // 8 long compares against a 64-float distance kernel). The
+    // surviving multiset of (src, dst, dist) rows is identical to the
+    // old aggregate's output, so downstream top-k (and every gated
+    // recall number) is bit-for-bit unchanged.
+    val model = fitLsh(vectors, metric, numHashTables, bucketLength)
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val prepared = prepare(vectors.repartition(par), model.metric)
+    val bucketsExpr = array(model.projections.map { w =>
+      floor(VectorFunctions.dot(col("vec"), typedLit(w.toSeq)) / model.bucketLength)
+        .cast("long")
+    }: _*)
+    val hashed = prepared.select(col("id"), col("vec"), bucketsExpr.as("bks"))
+      .select(col("id"), col("vec"), col("bks"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val left = hashed.select(col("tbl"), col("bucket"), col("id").as("src"),
+      col("vec").as("a_vec"), col("bks").as("a_bks"))
+    val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"),
+      col("vec").as("b_vec"), col("bks").as("b_bks"))
     val cand = left.join(right, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
-      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+      // first matching table: 1-based position of the first equal
+      // bucket pair; this row's tbl (0-based) must be it
+      .filter(col("tbl") + 1 ===
+        array_position(zip_with(col("a_bks"), col("b_bks"), (a, b) => a === b), true))
+      .select(col("src"), col("dst"),
+        VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
     val pruned = cand.groupBy(col("src"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
