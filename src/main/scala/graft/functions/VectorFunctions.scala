@@ -26,7 +26,7 @@ object VectorFunctions {
 
   import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
-  import graft.functions.expressions.{DotProduct, SquaredL2, TopKPairsAgg}
+  import graft.functions.expressions.{BoundedCollectListAgg, DotProduct, FirstEqualIndex, SquaredL2, TopKPairsAgg}
 
   /** Sum of an `ARRAY<DOUBLE>` column, sequential left-to-right fold. */
   private def seqSum(arr: Column): Column =
@@ -42,6 +42,12 @@ object VectorFunctions {
   /** Dot product — native fused-loop kernel. */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** 1-based first index where two ARRAY<BIGINT> columns agree (0 if
+    * none) — native fused loop, the allocation-free twin of
+    * `array_position(zip_with(a, b, _===_), true)`. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    ExpressionUtils.column(FirstEqualIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** HOF (aggregate/zip_with) formulations — bit-identical to the
     * native kernels; kept for plan comparison and as the portable
@@ -70,6 +76,15 @@ object VectorFunctions {
     ExpressionUtils.column(
       TopKPairsAgg(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k,
         distinctIds = true).toAggregateExpression())
+
+  /** `collect_list` of a BIGINT column bounded at `limit` values per
+    * group: the full list when the group holds ≤ limit, NULL when it
+    * holds more — with per-key aggregation state capped at `limit`
+    * longs (a skewed key never materializes; see
+    * [[graft.functions.expressions.BoundedCollectListAgg]]). */
+  def boundedCollectList(v: Column, limit: Int): Column =
+    ExpressionUtils.column(
+      BoundedCollectListAgg(ExpressionUtils.expression(v), limit).toAggregateExpression())
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -646,18 +646,45 @@ object Dedup {
   }
 
   /** The lazy one-aggregation plan behind [[shinglePairStats]]
-    * (package-visible so DedupSpec can pin the cap filter's presence
-    * in the OPTIMIZED plan and ExplainAudit can dump the executed
-    * kernel — the checkpoint above truncates lineage, so the kernel
-    * is only plan-auditable here). */
+    * (package-visible so DedupSpec can pin the cap's presence in the
+    * OPTIMIZED plan and ExplainAudit can dump the executed kernel —
+    * the checkpoint above truncates lineage, so the kernel is only
+    * plan-auditable here).
+    *
+    * The hot-shingle cap lives INSIDE the list collector
+    * ([[graft.functions.VectorFunctions.boundedCollectList]]): the
+    * aggregate stops collecting past maxFreq values and yields NULL
+    * for the key, so per-key aggregation state is bounded at maxFreq
+    * longs on the map AND reduce sides. The r17 shape — plain
+    * `collect_list` + a `size(ids) <= cap` post-filter — materialized
+    * the FULL posting list of every shingle, including the hot ones
+    * it was about to drop, in a single ObjectHashAggregate buffer: one
+    * stopword-like shingle shared by 10⁸ docs became a multi-GB array
+    * in one reducer before the filter saw it (guide §5: per-task
+    * state on exactly the skewed key the cap exists to guard). The
+    * bounded collector keeps the r17 plan's ONE pass over the shingle
+    * rows (the alternative — pre-dropping hot shingles with a count
+    * aggregate + anti-join — re-scans the shingle set and measured
+    * q57 1.25 → 1.76 s / q194 0.9 → 1.7 s at sf0.1). Same semantics:
+    * a list survives iff its shingle appears in ≤ cap rows.
+    *
+    * maxShingleFreq <= 0 is the EXPLICIT opt-out (the q41 oracle
+    * fixture): no cap anywhere, so a shingle shared by f docs
+    * materializes one f-element list and flattens ~f²/2 pair structs
+    * in one row — the uncapped form is only safe on corpora the
+    * caller KNOWS are far from the boilerplate regime. */
   private[graft] def shinglePairCounts(
       shingles: DataFrame,
       maxShingleFreq: Int): DataFrame = {
-    val lists = shingles.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-    val capped =
-      if (maxShingleFreq <= 0) lists
-      else lists.filter(size(col("ids")) <= maxShingleFreq)
+    val lists =
+      if (maxShingleFreq <= 0)
+        shingles.groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+      else
+        shingles.groupBy(col("shingle"))
+          .agg(graft.functions.VectorFunctions
+            .boundedCollectList(col("doc_id"), maxShingleFreq).as("ids"))
+          .filter(col("ids").isNotNull)
     // sorted ids => generated pairs are (a < b) by construction; the
     // diagonal (x, x) row per list element is the size contribution
     val pairsPerList = transform(col("ids"), (x, i) =>
@@ -665,7 +692,7 @@ object Dedup {
         array(struct(x.as("a"), x.as("b"))),
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))
-    capped
+    lists
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(flatten(pairsPerList)).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))

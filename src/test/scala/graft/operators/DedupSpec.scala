@@ -470,20 +470,23 @@ class DedupSpec extends SparkSpec {
     val docs = (1L to 30L).map(i =>
         (i, s"unique$i token$i word$i the end of it"))
       .toDF("doc_id", "text")
-    // the BARE default must engage the frequency cap: since r17 it is
-    // a `size(ids) <= cap` filter on the kernel's one posting-list
-    // aggregation (the pre-r17 shape was a separate count + left-anti
-    // join), so a shingle above the default cap provably never
-    // generates its f² candidate pairs. The public API checkpoints the
+    // the BARE default must engage the frequency cap: since r18 the
+    // cap lives INSIDE the list collector (BoundedCollectListAgg —
+    // per-key state capped at maxFreq longs, hot keys yield NULL; the
+    // r17 shape's `size(ids) <= cap` post-filter materialized the
+    // full hot list in one aggregation buffer first, the skewed-key
+    // OOM the cap exists to prevent). The public API checkpoints the
     // aggregated pairs (lineage truncated), so the cap is pinned on
     // the kernel's lazy plan — the exact subtree the query executes.
     val kernel = Dedup.shinglePairCounts(
       Dedup.docShingles(docs, 3), Dedup.DefaultMaxShingleFreq)
     val plan = kernel.queryExecution.optimizedPlan.toString
-    assert(plan.contains("collect_list"),
-      s"pair kernel must aggregate posting lists:\n$plan")
-    assert(plan.contains(s"<= ${Dedup.DefaultMaxShingleFreq}"),
-      s"pair kernel must cap posting-list size at the default:\n$plan")
+    assert(plan.contains(
+        s"graft_bounded_collect_list_${Dedup.DefaultMaxShingleFreq}"),
+      s"pair kernel must collect posting lists through the " +
+        s"size-bounded aggregate at the default cap:\n$plan")
+    assert(!plan.contains("collect_list("),
+      s"the capped tier must never materialize unbounded lists:\n$plan")
     // semantics of the cap on a corpus that actually trips it: with
     // maxShingleFreq = 5 the all-docs shingles vanish and no pair
     // shares anything; uncapped (explicit 0) every pair co-occurs
@@ -491,6 +494,26 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(docs, maxShingleFreq = 0).count()
     assert(capped === 0L)
     assert(uncapped === 30L * 29L / 2L) // every pair shares the hot tail
+  }
+
+  test("shinglePairCounts: a synthetic hot shingle (freq >> cap) flows through without pairing") {
+    val ss = spark
+    import ss.implicits._
+    // one boilerplate shingle shared by 1000 docs (100x the cap), plus
+    // a small genuine cluster; the kernel must produce the cluster's
+    // pairs and diagonals while the hot shingle contributes NOTHING —
+    // and (pinned by the plan gate above) its posting list overflows
+    // the bounded collector at cap+1 elements, so the 1000-element
+    // list is never buffered and its ~500k pair structs never generate
+    val hot = (1L to 1000L).map(i => (i, "hot shingle row"))
+    val cluster = Seq((1L, "real shared content"), (2L, "real shared content"),
+      (3L, "only in doc three"))
+    val shingles = (hot ++ cluster).toDF("doc_id", "shingle")
+    val out = Dedup.shinglePairCounts(shingles, maxShingleFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // diagonals count each doc's SURVIVING shingles; docs 4..1000 only
+    // carried the hot shingle and vanish entirely
+    assert(out == Map((1L, 2L) -> 1L, (1L, 1L) -> 1L, (2L, 2L) -> 1L, (3L, 3L) -> 1L))
   }
 
   test("embeddingNearDupPairs routes to the LSH tier above exactThreshold, exact below") {
