@@ -356,6 +356,68 @@ case class DualWindowHash(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** 1-based index of the first position where two ARRAY<BIGINT> agree,
+  * 0 when they agree nowhere — the native kernel behind the LSH
+  * first-matching-table dedup filter
+  * ([[graft.index.GraphBuilder.lshKnnEdges]]). The HOF formulation
+  * (`array_position(zip_with(a, b, _===_), true)`) allocated a fresh
+  * boolean array per evaluated row, and the bucket join evaluates the
+  * filter on EVERY (pair, table) match — up to numHashTables times
+  * per candidate pair, tens of millions of allocations per build.
+  * This is one compiled loop over (typically 8) longs, no allocation.
+  * Bit-identical predicate: same 1-based position, same 0-if-absent
+  * convention as `array_position`. */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_first_equal_index"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch: $n vs ${y.numElements()}")
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return (i + 1).toLong
+      i += 1
+    }
+    0L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: array length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i + 1L; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstEqualIndex =
+    copy(left = l, right = r)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

@@ -306,15 +306,25 @@ object GraphBuilder {
     val cand = left.join(right, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
       // first matching table: 1-based position of the first equal
-      // bucket pair; this row's tbl (0-based) must be it
+      // bucket pair; this row's tbl (0-based) must be it. The native
+      // kernel replaces array_position(zip_with(...)): this predicate
+      // runs once per (pair, table) JOIN MATCH — up to numHashTables
+      // times per pair — and the HOF form allocated a boolean array
+      // each time (guide §1.2 step 2: per-task work on the hot path)
       .filter(col("tbl") + 1 ===
-        array_position(zip_with(col("a_bks"), col("b_bks"), (a, b) => a === b), true))
+        VectorFunctions.firstEqualIndex(col("a_bks"), col("b_bks")))
+      // SQUARED distance through the ranking: sqrt is order-preserving,
+      // so the per-source top-k heap selects the same neighbors from
+      // squared values, and the sqrt moves from every candidate pair
+      // (~n·occupancy evaluations) to the k·n survivors below. The
+      // output values are bit-identical (euclidean IS
+      // sqrt(squaredEuclidean) — same kernel, same composition).
       .select(col("src"), col("dst"),
-        VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+        VectorFunctions.squaredEuclidean(col("a_vec"), col("b_vec")).as("dist"))
     val pruned = cand.groupBy(col("src"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+      .select(col("src"), col("p.id").as("dst"), sqrt(col("p.dist")).as("dist"))
     rescore(pruned, vectors, metric)
   }
 
@@ -337,14 +347,19 @@ object GraphBuilder {
     val left = hashed.join(broadcast(batchIds.select(col("id"))), Seq("id"))
       .select(col("tbl"), col("bucket"), col("id").as("src"), col("vec").as("a_vec"))
     val right = hashed.select(col("tbl"), col("bucket"), col("id").as("dst"), col("vec").as("b_vec"))
+    // squared distance through dedup + ranking, sqrt on the survivors
+    // — min and top-k are order-preserved under sqrt, and the output
+    // sqrt(squaredEuclidean) is bit-identical to the euclidean kernel
+    // (same composition); see lshKnnEdges
     val cand = broadcast(left).join(right, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), VectorFunctions.euclidean(col("a_vec"), col("b_vec")).as("dist"))
+      .select(col("src"), col("dst"),
+        VectorFunctions.squaredEuclidean(col("a_vec"), col("b_vec")).as("dist"))
       .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
     val pruned = cand.groupBy(col("src"))
       .agg(VectorFunctions.topKPairs(col("dist"), col("dst"), k).as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.id").as("dst"), col("p.dist").as("dist"))
+      .select(col("src"), col("p.id").as("dst"), sqrt(col("p.dist")).as("dist"))
     rescore(pruned, all, metric)
   }
 
