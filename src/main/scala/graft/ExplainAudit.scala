@@ -66,6 +66,46 @@ object ExplainAudit {
         graft.operators.Dedup.shinglePairCounts(
           graft.operators.Dedup.docShingles(docs, 3), 6).explain("formatted")
       }
+      else if (n == "beam_step_kernel") {
+        // ONE beam-search hop's lazy join/exchange shape (q34/q35 —
+        // the loop checkpoints each hop, so the per-hop plan is only
+        // auditable through DistributedSearch.stepPlan)
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val tmp = java.nio.file.Files.createTempDirectory("audit-beam").toString
+        val idx = graft.index.VectorIndex.build(spark, tmp, emb, dim = 64, maxDegree = 16)
+        val vectors = idx.vectors.select(col("id"), col("key"), col("vec"))
+        val qmat = emb.filter(col("id") < 10)
+          .select(col("id").as("query_id"), col("vec").as("qvec"))
+        val dcol = graft.index.Metric.distColumn(idx.metric, col("qvec"), col("vec"))
+        val beam = qmat
+          .join(vectors.filter(col("id") === 0).select(col("id"), col("vec")))
+          .select(col("query_id"), col("id"), dcol.as("dist"))
+        graft.index.DistributedSearch.stepPlan(
+          beam, qmat, vectors, idx.adjacency, dcol, beamWidth = 32)
+          .explain("formatted")
+      }
+      else if (n == "percentile_blend_kernel") {
+        // q160's FOLDED value-counts leg (lazy — percentileBlend
+        // executes eagerly around driver-side offset maps, so the
+        // one-aggregation (signal, value) union shape is only
+        // auditable here; mirrors Sampling.percentileBlend step 1)
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = graft.operators.TextAnalysis.withTextStats(docs)
+          .select(col("doc_id"),
+            col("quality_score").cast("double").as("__sig_quality"),
+            col("distinct_ratio").cast("double").as("__sig_distinct"))
+        val melted = base.select(col("doc_id"), explode(array(
+            struct(lit(0).as("sig"), col("__sig_quality").as("v")),
+            struct(lit(1).as("sig"), col("__sig_distinct").as("v")))).as("sv"))
+          .select(col("doc_id"), col("sv.sig").as("sig"), col("sv.v").as("v"))
+        melted.groupBy(col("sig"), col("v")).agg(count(lit(1)).as("c"))
+          .repartitionByRange(col("sig"), col("v"))
+          .explain("formatted")
+      }
       else if (n == "lsh_knn_kernel") {
         // the q56 / bulk-graph-build LSH candidate kernel (lazy — the
         // consumers collect/checkpoint, so the join shape is only

@@ -82,31 +82,25 @@ object DistributedSearch {
               org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType),
               org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.IntegerType))))
       }
-    var beam = q
+    // The frontier state is (query_id, id, dist) ONLY: qvec — the one
+    // wide column (d floats per row, × beamWidth rows per query) — is
+    // re-attached per step from this one small materialized frame at
+    // scoring time instead of riding the beam through every union,
+    // top-B exchange, aggregate buffer and checkpoint (guide §2.3
+    // "shuffle keys and metadata instead of payloads": the hop's
+    // decisions need only (dist, id); the payload joins back in one
+    // equi-join per step). Distances are computed from the identical
+    // (qvec, vec) values, so every beam row is bit-for-bit the same.
+    val qmat = q.localCheckpoint(true)
+    var beam = qmat
       .join(vectors.filter(col("id") === entry).select(col("id"), col("vec")))
-      .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
+      .select(col("query_id"), col("id"), dcol.as("dist"))
       .localCheckpoint(true)
 
     var step = 0
     var lastCk = beam // most recent materialized checkpoint
     while (step < steps) {
-      val expanded = beam
-        .join(adjacency, Seq("id"))
-        .select(col("query_id"), col("qvec"), explode(col("nbrs")).as("id"))
-      val scored = expanded
-        .join(vectors.select(col("id"), col("vec")), Seq("id"))
-        .select(col("query_id"), col("qvec"), col("id"), dcol.as("dist"))
-        .unionByName(beam)
-      // ONE shuffle per step: the distinct-id top-k heap dedups
-      // repeated candidates inside the aggregate (distances are
-      // deterministic per id, so duplicates are exact equals) — the
-      // former groupBy(query_id, id) pre-dedup shuffle is gone.
-      val topb = scored
-        .groupBy(col("query_id"))
-        .agg(VectorFunctions.topKPairsDistinct(col("dist"), col("id"), beamWidth).as("tk"),
-          first(col("qvec")).as("qvec"))
-        .select(col("query_id"), col("qvec"), explode(col("tk")).as("p"))
-        .select(col("query_id"), col("qvec"), col("p.id").as("id"), col("p.dist").as("dist"))
+      val topb = stepPlan(beam, qmat, vectors, adjacency, dcol, beamWidth)
       // localCheckpoint truncates lineage so each step plans against a
       // recent materialized leaf instead of the whole history
       // (driver-side planning cost would otherwise grow superlinearly
@@ -139,11 +133,42 @@ object DistributedSearch {
       .orderBy(col("query_id"), col("rnk"))
       .localCheckpoint(true)
     graft.plans.Blocks.release(beam)
+    graft.plans.Blocks.release(qmat)
     if (ownsCaches) {
       vectors.unpersist()
       adjacency.unpersist()
     }
     result
+  }
+
+  /** One beam-search hop as a LAZY plan — the loop body of
+    * [[beamSearch]], extracted so ExplainAudit can dump the per-hop
+    * join/exchange shape (the loop checkpoints each hop, so the shape
+    * is only auditable pre-checkpoint). The frontier carries only
+    * (query_id, id, dist); qvec joins back from `qmat` at scoring
+    * time; ONE shuffle per hop (the distinct-id top-B heap dedups
+    * repeated candidates inside the aggregate — distances are
+    * deterministic per id, so duplicates are exact equals). */
+  private[graft] def stepPlan(
+      beam: DataFrame,
+      qmat: DataFrame,
+      vectors: DataFrame,
+      adjacency: DataFrame,
+      dcol: org.apache.spark.sql.Column,
+      beamWidth: Int): DataFrame = {
+    val expanded = beam
+      .join(adjacency, Seq("id"))
+      .select(col("query_id"), explode(col("nbrs")).as("id"))
+    val scored = expanded
+      .join(qmat, Seq("query_id"))
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .select(col("query_id"), col("id"), dcol.as("dist"))
+      .unionByName(beam)
+    scored
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topKPairsDistinct(col("dist"), col("id"), beamWidth).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("id"), col("p.dist").as("dist"))
   }
 
   /** Free the checkpoint blocks behind a consumed [[beamSearch]]
