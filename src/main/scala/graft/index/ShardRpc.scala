@@ -106,13 +106,45 @@ object ShardRpc {
         s"got ${parts.map(_.shard).sorted}")
     private val byShard = parts.sortBy(_.shard).toIndexedSeq
 
+    // dedicated scatter workers, not the JVM-common ForkJoinPool —
+    // same rationale (and same shape) as ShardedServing.scatter: the
+    // fan-out's latency must not depend on unrelated common-pool
+    // load, and here the subtasks BLOCK on socket I/O, which starves
+    // the common pool for every other user as a bonus failure mode
+    private lazy val scatterPool = {
+      val seq = new java.util.concurrent.atomic.AtomicInteger()
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, numShards - 1), r => {
+        val t = new Thread(r, s"graft-rpc-scatter-${seq.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      })
+    }
+
     def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
       val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
-      java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+      def one(i: Int): Unit =
         perShard(i) = byShard(i).searchLocal(q, topk, ef).map {
           case (key, localPid, dist) =>
             (key, ShardedServing.globalIdFor(numShards, i, localPid), dist)
         }
+      if (numShards == 1) one(0)
+      else {
+        val latch = new java.util.concurrent.CountDownLatch(numShards - 1)
+        val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        var i = 1
+        while (i < numShards) {
+          val s = i
+          scatterPool.execute(() => {
+            try one(s)
+            catch { case t: Throwable => failure.compareAndSet(null, t) }
+            finally latch.countDown()
+          })
+          i += 1
+        }
+        one(0)
+        latch.await()
+        val t = failure.get()
+        if (t != null) throw t
       }
       perShard.toIndexedSeq.flatten
         .sortBy { case (_, gid, dist) => (dist, gid) }.take(topk)

@@ -116,6 +116,54 @@ final class ShardedServing(
     shards(math.floorMod(snapshotId, numShards.toLong).toInt)
       .isLiveSlot((snapshotId / numShards).toInt)
 
+  /** Dedicated scatter workers — numShards − 1 daemon threads; the
+    * calling thread searches shard 0 itself. The fan-out used to ride
+    * `IntStream.parallel()`, i.e. the JVM-COMMON ForkJoinPool, whose
+    * parallelism tracks the host core count (31 workers on a 32-core
+    * run for a 4-way scatter) and which is shared with every other
+    * common-pool user in the process: under a loaded host or a post-
+    * sweep heap the 4 subtasks queued behind unrelated wakeups, and
+    * the driver's in-bench sharded QPS read HALF its solo value
+    * (BENCH_r17: 147.6 in-bench vs 650 solo; 478 at 8 cores — the
+    * r17 verdict's unadjudicated item 4). A right-sized private pool
+    * makes the scatter latency independent of the common pool and of
+    * the host's core count. Threads are daemon and idle-parked;
+    * lifecycle is the router's (serving deployments hold a handful of
+    * routers, and bench/test routers die with the JVM). */
+  private lazy val scatterPool = {
+    val seq = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newFixedThreadPool(numShards - 1, r => {
+      val t = new Thread(r, s"graft-scatter-${seq.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
+  /** Run `f(0..numShards-1)` concurrently (shard 0 on the calling
+    * thread) and wait for all; rethrows the first worker failure. The
+    * latch's countDown→await edge publishes every worker's writes to
+    * the caller. */
+  private def scatter(f: Int => Unit): Unit =
+    if (numShards == 1) f(0)
+    else {
+      val latch = new java.util.concurrent.CountDownLatch(numShards - 1)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      var i = 1
+      while (i < numShards) {
+        val s = i
+        scatterPool.execute(() => {
+          try f(s)
+          catch { case t: Throwable => failure.compareAndSet(null, t) }
+          finally latch.countDown()
+        })
+        i += 1
+      }
+      f(0)
+      latch.await()
+      val t = failure.get()
+      if (t != null) throw t
+    }
+
   /** Scatter the query to every shard CONCURRENTLY (searches only
     * read the graph, so they are safe to fan out; in production each
     * shard is its own node and the scatter is an RPC fan-out), gather
@@ -123,7 +171,7 @@ final class ShardedServing(
     * and exact given each shard's own exact re-rank. */
   def search(q: Array[Float], topk: Int = 10, ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
-    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+    scatter { i =>
       // the shard's re-rank already computed every hit's exact
       // distance — reuse it rather than re-evaluating per hit
       perShard(i) = shards(i).searchWithDistances(q, topk, ef).map {
@@ -144,7 +192,7 @@ final class ShardedServing(
       allow: Long => Boolean,
       ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
-    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+    scatter { i =>
       perShard(i) = shards(i).searchFiltered(q, topk,
           allow = localPid => allow(globalId(i, localPid)), ef = ef)
         .map { case (key, localPid, dist) => (key, globalId(i, localPid), dist) }
@@ -160,7 +208,7 @@ final class ShardedServing(
       radius: Double,
       ef: Int = -1): IndexedSeq[(Option[String], Long, Double)] = {
     val perShard = new Array[IndexedSeq[(Option[String], Long, Double)]](numShards)
-    java.util.stream.IntStream.range(0, numShards).parallel().forEach { i =>
+    scatter { i =>
       perShard(i) = shards(i).rangeSearch(q, radius, ef)
         .map { case (key, localPid, dist) => (key, globalId(i, localPid), dist) }
     }
