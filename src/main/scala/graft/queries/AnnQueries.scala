@@ -880,7 +880,16 @@ object AnnQueries {
     val queries = querySample(src, "head")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val store = Scratch.dir(spark, dir, "pq-sweep", "embeddings")
-    val pts = Seq(4, 8, 16, 32).map { m =>
+    // the four m-legs are independent job chains over per-m artifacts
+    // (distinct models, distinct code parquets — nothing to share
+    // between them beyond the already-shared truth/queries above), so
+    // they run as CONCURRENT driver-submitted jobs (guide §2.6 — the
+    // dedupTierEval idiom: each leg's tail of small tasks back-fills
+    // the others' stragglers) and assemble in ascending m order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val pts = Seq(4, 8, 16, 32).map { m => Future {
       val modelFile = s"pq-m$m.json"
       Scratch.writeOnce(s"$store/m$m") {
         if (!graft.index.ArtifactStore.current.exists(s"$store/$modelFile"))
@@ -902,7 +911,7 @@ object AnnQueries {
         truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
       val nq = truth.size.toLong
       (m, model.compressionRatio, nq, matched.toDouble / (nq * 10.0))
-    }
+    } }.map(Await.result(_, Duration.Inf))
     sweepRows(pts, monoTolerance = 0.02)
       .toDF("m_subspaces", "compression_ratio", "n_queries",
         "overlap_at_10", "pass_monotone", "pass_top")
@@ -952,7 +961,12 @@ object AnnQueries {
     val truth = exactTruth(spark, dir, Metric.Euclidean, "head")
     val qRows = querySample(src, "head").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val pts = Seq(1, 2, 4, 8).map { np =>
+    // independent per-nprobe job chains over the shared fitted model —
+    // concurrent driver-submitted jobs, same rationale as pqMSweep
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val pts = Seq(1, 2, 4, 8).map { np => Future {
       val pruned = staticClusterFilter(model, qRows.map(_._2), nprobe = np,
         metric = Metric.Euclidean)
       val got = graft.operators.Similarity.ivfTopK(assigned, centroids,
@@ -964,7 +978,7 @@ object AnnQueries {
         truth(q).intersect(got.getOrElse(q, Set.empty)).size).sum
       val nq = truth.size.toLong
       (np, np.toDouble / model.k, nq, matched.toDouble / (nq * 10.0))
-    }
+    } }.map(Await.result(_, Duration.Inf))
     sweepRows(pts).toDF("nprobe", "scan_frac", "n_queries",
       "overlap_at_10", "pass_monotone", "pass_top")
       .orderBy(col("nprobe"))
