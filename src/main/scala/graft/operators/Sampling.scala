@@ -353,14 +353,19 @@ object Sampling {
     * weighting incommensurable signals (same reason RRF fuses ranked
     * lists by rank, not score).
     *
-    * Scale shape — NO global window: per signal, (1) one partial-agg
-    * shuffle to the DISTINCT-VALUE counts frame, (2)
-    * [[curriculumRank]]'s distributed prefix machinery over that frame
-    * (range-partition by value, local running sums, numPartitions
-    * longs through the driver) yields count-strictly-below per value,
-    * (3) one equi-join maps percentiles back onto the corpus. Signals
-    * then join on the id. Everything after step 1 is
-    * distinct-value-sized except the final per-row joins.
+    * Scale shape — NO global window, and ONE pass for ALL signals
+    * (not one leg per signal): (1) the (id, signals) row melts to a
+    * (signal, value) union and one partial-agg shuffle yields the
+    * per-signal DISTINCT-VALUE counts frame, (2) [[stratifiedSplit]]'s
+    * composite prefix machinery over that frame (range-partition by
+    * (signal, value), local running sums, numPartitions × #signals
+    * longs through the driver) yields count-strictly-below per
+    * (signal, value), (3) one equi-join maps percentiles back onto
+    * the melted rows and a per-id pivot aggregation reassembles the
+    * signal columns. Everything after step 1 is distinct-value-sized
+    * except the final join + pivot. Signal values are ranked as
+    * DOUBLE (the union needs one type); every signal this blends is
+    * numeric by construction.
     *
     * Determinism: percentile_fp = (cnt_less · 10⁶) div (n − 1) — exact
     * integer floor arithmetic; the blend is `div` by the signal count.
@@ -382,40 +387,69 @@ object Sampling {
       s"signal names must be unique identifiers [A-Za-z][A-Za-z0-9_]*, " +
         s"got ${signals.map(_._1)}")
     // ONE materialization of the caller's (id, signals) projection:
-    // every signal consumes it twice (the value-counts leg and the
-    // join-back leg), so an unmaterialized upstream — q160 feeds the
-    // whole withTextStats tokenize pipeline in — would recompute per
-    // consumer (the q115/q117 rule; measured on q160: 2.9 s → ~1.2 s).
+    // the melted stream consumes it twice (the value-counts leg and
+    // the join-back leg), so an unmaterialized upstream — q160 feeds
+    // the whole withTextStats tokenize pipeline in — would recompute
+    // per consumer (the q115/q117 rule; measured on q160: 2.9 s →
+    // ~1.2 s).
     val base = docs
-      .select(col(idCol) +: signals.map { case (n, c) => c.as(s"__sig_$n") }: _*)
+      .select(col(idCol) +: signals.map { case (n, c) =>
+        c.cast("double").as(s"__sig_$n") }: _*)
       .localCheckpoint(true)
-    val perSignal = signals.map { case (name, _) =>
-      val scored = base.select(col(idCol), col(s"__sig_$name").as("v"))
-      val vc = scored.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .repartitionByRange(col("v"))
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
-      val perPid = vc.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val pids = perPid.keys.toSeq.sorted
-      val offsets: Map[Int, Long] =
-        pids.zip(pids.scanLeft(0L)((acc, p) => acc + perPid(p)).init).toMap
-      val n = perPid.values.sum
-      val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pcts = vc
-        .withColumn("cnt_less",
-          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)) +
-            coalesce(sum(col("c")).over(w), lit(0L)))
-        .select(col("v"),
-          expr(s"(cnt_less * 1000000) div ${math.max(n - 1, 1L)}")
-            .as(s"${name}_fp"))
-      val out = scored.join(pcts, Seq("v")).select(col(idCol), col(s"${name}_fp"))
-        .localCheckpoint(true)
-      graft.plans.Blocks.release(vc)
-      out
-    }
-    val joined = perSignal.reduce(_.join(_, Seq(idCol)))
+    // ONE (signal, value) union drives ONE value-counts aggregation,
+    // ONE range-partitioned prefix pass (the stratifiedSplit composite
+    // machinery: offsets keyed (pid, signal), totals per signal), and
+    // ONE join-back + per-id pivot — the former per-signal legs each
+    // paid their own checkpoint, counts collect, window and join,
+    // 2× the small-job count for the standard two-signal blend (r17
+    // verdict item 6). Values rank as DOUBLE (declared in the scaladoc
+    // above): every existing signal is numeric, and the per-signal
+    // percentile only needs equality/order within its own signal.
+    val melted = base.select(col(idCol), explode(array(
+        signals.zipWithIndex.map { case ((name, _), si) =>
+          struct(lit(si).as("sig"), col(s"__sig_$name").as("v")) }: _*)).as("sv"))
+      .select(col(idCol), col("sv.sig").as("sig"), col("sv.v").as("v"))
+    val vc = melted.groupBy(col("sig"), col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("sig"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPidSig = vc.groupBy(col("__pid"), col("sig")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+    val totals: Map[Int, Long] =
+      perPidSig.groupBy(_._1._2).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val offsets: Map[String, Long] = perPidSig
+      .groupBy(_._1._2)
+      .flatMap { case (s, xs) =>
+        val pids = xs.map(_._1._1).sorted
+        val byPid = xs.map { case ((p, _), c) => p -> c }.toMap
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + byPid(p)).init)
+          .map { case (p, off) => s"$p:$s" -> off }
+      }
+    // per-signal PERCENT_RANK denominator (n_sig − 1, floored at 1 for
+    // the single-row frame) — a plan literal map like the offsets
+    val nm1: Map[Int, Long] =
+      totals.map { case (s, n) => s -> math.max(n - 1, 1L) }
+    val w = Window.partitionBy(col("__pid"), col("sig")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pcts = vc
+      .withColumn("cnt_less",
+        coalesce(element_at(typedLit(offsets),
+          concat_ws(":", col("__pid"), col("sig"))), lit(0L)) +
+          coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("__nm1", element_at(typedLit(nm1), col("sig")))
+      .select(col("sig"), col("v"),
+        expr("(cnt_less * 1000000) div __nm1").as("fp"))
+    val joined = melted.join(pcts, Seq("sig", "v"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("sig") === 0, col("fp"))).as(s"${signals.head._1}_fp"),
+        signals.zipWithIndex.tail.map { case ((name, _), si) =>
+          max(when(col("sig") === si, col("fp"))).as(s"${name}_fp") }: _*)
+      // a NULL signal value never joins its ranking (exactly as
+      // before, when the per-signal inner joins dropped the id) — the
+      // pivot must not resurrect such ids with a null percentile
+      .filter(signals.map { case (n, _) => col(s"${n}_fp").isNotNull }
+        .reduce(_ && _))
     val blendFp = expr(
       s"(${signals.map { case (n, _) => s"${n}_fp" }.mkString(" + ")}) div ${signals.length}")
     val out = joined
@@ -425,7 +459,7 @@ object Sampling {
         Seq((blendFp.cast("double") / 1e6).as("blend")): _*)
       .orderBy(col(idCol))
       .localCheckpoint(true)
-    perSignal.foreach(graft.plans.Blocks.release)
+    graft.plans.Blocks.release(vc)
     graft.plans.Blocks.release(base)
     out
   }
