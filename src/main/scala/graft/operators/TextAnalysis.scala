@@ -633,7 +633,15 @@ object TextAnalysis {
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    val total = freq.agg(sum(col("cf")).as("n_total"))
+    // n_total = Σ cf — but summed as a NARROW no-explode scan
+    // (Σ size(tokens)): the former freq.agg(sum(cf)) replayed the
+    // whole explode + two-level aggregation subtree a third time
+    // (plan branches of an unmaterialized frame recompute; guide
+    // §1.2). Null text contributes no exploded tokens, so it must
+    // count 0 here too (size(NULL) is -1).
+    val total = docs.agg(sum(
+      when(col(textCol).isNotNull, size(tokens(col(textCol))).cast("long"))
+        .otherwise(lit(0L))).as("n_total"))
     val nllFp = round(-log(col("cf").cast("double") / col("n_total").cast("double")) * 10000d, 0)
       .cast("long")
     tf.join(broadcast(freq.crossJoin(total)), Seq("term"))
@@ -723,9 +731,23 @@ object TextAnalysis {
     val docBig = tf2.join(nll2, Seq("prev", "bg"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("nll_fp")).as("fp2"))
-    // first-token leg under the corpus unigram distribution
-    val uniTf = base.select(col(idCol), explode(col("h")).as("tid"))
-      .groupBy(col("tid")).agg(count(lit(1)).as("cf"))
+    // first-token leg under the corpus unigram distribution. The
+    // unigram counts are DERIVED, not re-tokenized: every token
+    // position is either followed by another token — counted by the
+    // per-context totals of the ALREADY-CHECKPOINTED bigram LM (ctx,
+    // one vocabulary-sized aggregate over cf2) — or is its document's
+    // LAST token, counted by a narrow no-explode projection (one row
+    // per doc). cf(tid) = n_ctx(tid) + n_last(tid) is exact, so this
+    // replaces the former third full tokenize + explode + aggregate
+    // pass over the corpus with vocabulary-sized arithmetic plus one
+    // narrow scan (guide §1.2: the fewest corpus passes the chain
+    // rule admits — one exploded pass total).
+    val lastTf = base.select(element_at(col("h"), -1).as("tid"))
+      .groupBy(col("tid")).agg(count(lit(1)).as("lc"))
+    val uniTf = ctx.select(col("prev").as("tid"), col("n_ctx"))
+      .join(lastTf, Seq("tid"), "full_outer")
+      .select(col("tid"),
+        (coalesce(col("n_ctx"), lit(0L)) + coalesce(col("lc"), lit(0L))).as("cf"))
     val total = uniTf.agg(sum(col("cf")).as("n_total"))
     val nll1 = uniTf.crossJoin(total)
       .select(col("tid"),
