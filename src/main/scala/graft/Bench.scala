@@ -167,7 +167,8 @@ object Bench {
       sfShort: String, scaleRatio: Option[Double] = None,
       parRatio: Double = -1.0, minMerged: Int = 0, rechecked: Int = 0,
       ctnClass: Int = 0, fiLoadInbenchSec: Double = -1.0,
-      rpcQps: Double = -1.0): String = {
+      rpcQps: Double = -1.0, rawTotal: Double = -1.0,
+      restRatio: Double = -1.0): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     val useShort = keys.distinct.size == keys.size
     val top = results.sortBy { case (_, v) => -v }.take(TopQueriesOnLine)
@@ -178,6 +179,13 @@ object Bench {
     val rest = total - top.map(_._2).sum
     val buildsJson = buildsSec.map(b => s""""builds_sec":${r2(b)},""").getOrElse("")
     s"""{"metric":"total","value":${r2(total)},"unit":"sec","nq":${results.size},""" +
+      // `rawv` = the PRE-recheck-substitution total (value is the
+      // substituted one); `rr` = rest-bucket ratio vs prev (null on
+      // first rounds) — together the reader sees how much of the
+      // headline the self-adjudication machinery recovered and
+      // whether the ambient level moved (r17 verdict item 2)
+      s""""rawv":${r2OrNull(rawTotal)},""" +
+      s""""rr":${r2OrNull(restRatio)},""" +
       s""""queries":$qsShort,"rest":${r2(rest)},""" +
       buildsJson +
       s""""qps":${r1(annQps)},""" +
@@ -267,40 +275,64 @@ object Bench {
     else if (sweepBracketsNoisy.nonEmpty && sweepBracketsNoisy.last) 1
     else 0
 
-  /** Solo-recheck selection (r14 item 2): queries whose sweep timing
-    * reads > 3x their previous-round BENCH_QUERIES value (and > 0.5 s
-    * absolute, the BENCH_SCALE flag idiom — sub-second jitter is not
-    * an outlier) get one warmed in-JVM solo re-run at sweep end, and
-    * the artifact records BOTH numbers: a poisoned sweep's outliers
-    * carry their own refutation instead of costing the judge a
-    * BenchOne adjudication round. Capped at the `cap` slowest
-    * trippers so a fully-contended sweep can't double its own
-    * wall-clock. Pure (selection only) for the spec. */
+  /** Solo-recheck ratio bar: any query reading above this multiple of
+    * its previous-round BENCH_QUERIES value gets a solo re-run. r14–r17
+    * used 3x (with a 2x class-1 fallback), which let the r17 round's
+    * uniform ~1.2–1.5x contention inflation through on ~170 queries
+    * (+19% in the "rest" bucket) while catching only the 3–7x
+    * outliers — every conclusion had to be rebuilt from c8/solo
+    * side-channels (r17 verdict item 2). */
+  private[graft] val RecheckFactor = 1.5
+
+  /** Solo-recheck selection (r14 item 2, widened r18): queries whose
+    * sweep timing reads > [[RecheckFactor]]x their previous-round
+    * BENCH_QUERIES value (and > 0.5 s absolute, the BENCH_SCALE flag
+    * idiom — sub-second jitter is not an outlier) get one warmed
+    * in-JVM solo re-run at sweep end, and the artifact records BOTH
+    * numbers: a poisoned sweep's outliers carry their own refutation
+    * instead of costing the judge a BenchOne adjudication round.
+    * Capped at the `cap` slowest trippers so a fully-contended sweep
+    * can't double its own wall-clock. Pure (selection only) for the
+    * spec. */
   private[graft] def recheckTargets(results: Seq[(String, Double)],
       prev: Map[String, Double], cap: Int = 12,
-      forceTopSlowest: Int = 0,
-      inflatedFactor: Double = 0.0): Seq[String] = {
+      forceTopSlowest: Int = 0): Seq[String] = {
     val outliers = results.collect {
-      case (k, v) if v > 0.5 && prev.get(k).exists(p => p > 0.0 && v > 3.0 * p) =>
+      case (k, v) if v > 0.5 &&
+          prev.get(k).exists(p => p > 0.0 && v > RecheckFactor * p) =>
         (k, v)
     }
-    // late-trip rounds (contentionClass 1): nothing in the record is
-    // provably quiet, so the 3x bar drops to `inflatedFactor` (2x —
-    // r16 verdict item 5: top-8-by-time left the MID-PACK inflation a
-    // late burst causes unrefuted; every query reading >2x its prev
-    // now carries its own solo refutation)
-    val inflated = if (inflatedFactor <= 0.0) Nil
-      else results.collect {
-        case (k, v) if v > 0.5 &&
-            prev.get(k).exists(p => p > 0.0 && v > inflatedFactor * p) =>
-          (k, v)
-      }
-    // no-prev fallback (first round, renamed queries): neither ratio
-    // rule can fire, so force the slowest N (>0.5 s) instead
+    // no-prev fallback (first round, renamed queries): the ratio
+    // rule can't fire, so force the slowest N (>0.5 s) instead
     val forced = if (forceTopSlowest <= 0) Nil
       else results.filter(_._2 > 0.5).sortBy(-_._2).take(forceTopSlowest)
-    (outliers ++ inflated ++ forced).distinctBy(_._1).sortBy(-_._2).take(cap).map(_._1)
+    (outliers ++ forced).distinctBy(_._1).sortBy(-_._2).take(cap).map(_._1)
   }
+
+  /** Ambient ("rest"-bucket) drift vs the previous round: the summed
+    * time of everything OUTSIDE the [[TopQueriesOnLine]] slowest, this
+    * round over last round (same definition both sides). A uniform
+    * 1.2–1.5x contention inflation moves this ratio decisively while
+    * staying under any per-query outlier bar — the exact r17 shape
+    * (+19% rest, zero rechecks fired). -1 when no/empty prev record.
+    * Pure for the spec. */
+  private[graft] def restDriftRatio(results: Seq[(String, Double)],
+      prev: Map[String, Double], top: Int = TopQueriesOnLine): Double = {
+    if (prev.isEmpty || results.isEmpty) return -1.0
+    def restOf(xs: Seq[Double]): Double = xs.sorted.dropRight(top).sum
+    val restPrev = restOf(prev.values.toSeq)
+    if (restPrev <= 0.0) -1.0
+    else restOf(results.map(_._2)) / restPrev
+  }
+
+  /** Trip bar for [[restDriftRatio]]: past 1.15x the sweep's ambient
+    * level is host-shaped (the per-query medians already absorb
+    * scheduler jitter; a >15% move of a ~170-query SUM is not noise).
+    * A trip widens the solo recheck to the class-1 cap and stamps the
+    * record not-provably-quiet (ctc >= 1) so the judge reads the
+    * substituted totals with that caveat instead of adjudicating by
+    * hand. */
+  private[graft] def restDrifted(ratio: Double): Boolean = ratio > 1.15
 
   /** Previous-round per-query numbers from the committed
     * BENCH_QUERIES.json (read BEFORE this run overwrites it) — the
@@ -586,25 +618,35 @@ object Bench {
           parRatios1 ++ Seq(prPost, p4))
       }
     val contended = contendedStamp(sweepNoisy)
-    val ctnClass = contentionClass(sweepNoisy)
-    // ---- solo outlier recheck: any query still reading > 3x its
-    // previous-round BENCH_QUERIES number after all merging gets one
-    // warmed in-JVM solo re-run (BenchOne-style — serial, nothing
-    // else on the session), and BOTH numbers land in the artifact's
-    // `solo_recheck` map. The headline number takes the min: a
-    // poisoned sweep's outliers carry their own refutation, instead
-    // of costing the judge a hand-adjudication round (r11–r14).
+    // ---- ambient drift vs the previous round (r17 verdict item 2):
+    // a uniform 1.2–1.5x inflation of the ~170-query tail moves the
+    // rest-bucket sum decisively while dodging every per-query rule —
+    // a trip marks the record not-provably-quiet (class >= 1) and
+    // widens the solo recheck below, so the artifact carries its own
+    // refutations instead of needing a c8/solo side-channel round.
+    val restRatio = restDriftRatio(results2, prevTimes)
+    val restTrip = restDrifted(restRatio)
+    val ctnClass = {
+      val base = contentionClass(sweepNoisy)
+      if (restTrip) math.max(base, 1) else base
+    }
+    // ---- solo outlier recheck: any query still reading >
+    // RecheckFactor (1.5x) its previous-round BENCH_QUERIES number
+    // after all merging gets one warmed in-JVM solo re-run
+    // (BenchOne-style — serial, nothing else on the session), and
+    // BOTH numbers land in the artifact's `solo_recheck` map. The
+    // headline number takes the min: a poisoned sweep's outliers
+    // carry their own refutation, instead of costing the judge a
+    // hand-adjudication round (r11–r14; bar widened from 3x in r18 —
+    // the r17 sweep's uniform ~1.3x inflation never tripped it).
     // Class-1 rounds (quiet bracket, later trip whose resweep was
-    // itself noisy): nothing in such a record is provably quiet, so
-    // the recheck bar drops to 2x-prev for EVERY query (r16 verdict
-    // item 5 — the top-8-by-time rule left mid-pack inflation
-    // unrefuted), with a widened cap and the slowest-8 fallback only
-    // when no prev record exists to ratio against.
+    // itself noisy, or a tripped rest-bucket drift): nothing in such
+    // a record is provably quiet, so the cap widens and the
+    // slowest-8 fallback covers the no-prev case.
     val recheck: Seq[(String, Double, Double)] =
       recheckTargets(results2, prevTimes,
-        cap = if (ctnClass == 1) 24 else 12,
-        forceTopSlowest = if (ctnClass == 1 && prevTimes.isEmpty) 8 else 0,
-        inflatedFactor = if (ctnClass == 1) 2.0 else 0.0).map { name =>
+        cap = if (ctnClass >= 1) 24 else 12,
+        forceTopSlowest = if (ctnClass >= 1 && prevTimes.isEmpty) 8 else 0).map { name =>
         val sweepVal = results2.collectFirst { case (k, v) if k == name => v }.get
         val solo = timeOnce(spark, sfDir, SparkEntry.queries(name))
         (name, sweepVal, solo)
@@ -850,6 +892,8 @@ object Bench {
       s""""cal_spin_after_sec":$spinAfter,"cal_spark_after_sec":$sparkAfter,""" +
       s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
       s""""resweeps":$resweeps,"contended":$contended,"contention_class":$ctnClass,""" +
+      s""""rest_ratio_vs_prev":${r2OrNull(restRatio)},"rest_drift_tripped":$restTrip,""" +
+      s""""total_raw_sec":${results2.map(_._2).sum},""" +
       s""""solo_recheck":${recheck.map { case (k, s, r) =>
         s""""$k":[${r2(s)},${r2(r)}]""" }.mkString("{", ",", "}")},""" +
       srMedian.map(r => s""""scale_ratio_median":$r,""").getOrElse("") +
@@ -901,9 +945,16 @@ object Bench {
           s""""cal_spin_post":${r2(spinPost)},"cal_spin_post2":${r2OrNull(spinPost2)},""" +
           s""""cal_parallel_ratios":${parRatios.map(r2).mkString("[", ",", "]")},""" +
           s""""resweeps":$resweeps,"contended":$contended,"contention_class":$ctnClass,""" +
-          // sweep-vs-solo pairs for every >3x-prev outlier (headline
+          // ambient drift vs prev + the pre-substitution total: the
+          // reader reconciles value vs total_raw_sec to see what the
+          // recheck machinery recovered
+          s""""rest_ratio_vs_prev":${r2OrNull(restRatio)},""" +
+          s""""rest_drift_tripped":$restTrip,""" +
+          s""""rest_drift_rule":"rest-bucket sum > 1.15x prev => ctc >= 1 + widened recheck",""" +
+          s""""total_raw_sec":${r2(results2.map(_._2).sum)},""" +
+          // sweep-vs-solo pairs for every >1.5x-prev outlier (headline
           // number = min of the two): the self-adjudication record
-          s""""recheck_rule":">3x prev queries_sec and >0.5s; class-1: >2x prev, cap 24",""" +
+          s""""recheck_rule":">1.5x prev queries_sec and >0.5s; cap 12 (24 when ctc >= 1)",""" +
           s""""solo_recheck":${recheck.map { case (k, s, r) =>
             s""""$k":[${r2(s)},${r2(r)}]""" }.mkString("{", ",", "}")},""" +
           // which headline numbers are min-estimators (half-threshold
@@ -922,7 +973,8 @@ object Bench {
       parRatio = parRatios.max, minMerged = minTaken.size,
       rechecked = recheck.size,
       ctnClass = ctnClass, fiLoadInbenchSec = fromIndexLoadSec,
-      rpcQps = rpcQps))
+      rpcQps = rpcQps, rawTotal = results2.map(_._2).sum,
+      restRatio = restRatio))
     spark.stop()
   }
 }

@@ -68,7 +68,8 @@ class BenchSummarySpec extends AnyFunSuite {
       ctnClass = 1, fiLoadInbenchSec = 11.9, rpcQps = 412.3)
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1)
-    assert(keys === List("metric", "value", "unit", "nq", "queries", "rest",
+    assert(keys === List("metric", "value", "unit", "nq", "rawv", "rr",
+      "queries", "rest",
       "builds_sec", "qps", "pq_qps", "shard_qps", "rpc_qps", "fi_load_sec",
       "fi_load_inb", "fi_qps", "cal", "ctn", "ctc", "cpr", "mm", "rk", "sr", "sf"))
     assert((parsed \ "rpc_qps").asInstanceOf[org.json4s.JDouble].num === 412.3)
@@ -190,30 +191,46 @@ class BenchSummarySpec extends AnyFunSuite {
       === Seq("q1", "q5"))
   }
 
-  test("class-1 recheck: every query >2x its prev is selected, mid-pack included (r16 item 5)") {
-    // replayed class-1 profile: a late burst inflates the MID-PACK
-    // (q3/q4 at ~2.5x prev) while the slowest entries (q1/q2) sit
-    // within their band — the old top-8-by-time rule would recheck
-    // q1/q2 and leave the actual inflation unrefuted
+  test("recheck bar is 1.5x prev: mid-pack inflation selects itself (r17 item 2)") {
+    // replayed r17-shaped profile: a uniform ~1.3-2.5x inflation of
+    // the mid-pack (q3/q4) with the slowest entries (q1/q2) inside
+    // their band — the old 3x bar selected NOTHING here and the
+    // round's verdict had to be rebuilt from c8/solo side-channels
     val sweep = Seq(
       "q1" -> 12.0, "q2" -> 8.0, // slow but ~1.1x prev: not inflated
       "q3" -> 2.5, "q4" -> 1.3, // mid-pack, ~2.5x prev: inflated
       "q5" -> 0.4, // 4x prev but under the 0.5s absolute floor
-      "q6" -> 0.9) // 1.5x prev: inside the band
+      "q6" -> 0.9) // 1.38x prev: inside the band
     val prev = Map("q1" -> 11.0, "q2" -> 7.5, "q3" -> 1.0, "q4" -> 0.52,
-      "q5" -> 0.1, "q6" -> 0.6)
-    // class-1 call shape (Bench.main): 2x factor, no forced-slowest
-    assert(Bench.recheckTargets(sweep, prev, cap = 24,
-      inflatedFactor = 2.0) === Seq("q3", "q4"))
-    // >3x outliers still ride along (q4 at 2.5x vs 3x rule alone)
-    assert(Bench.recheckTargets(sweep, prev) === Nil)
-    // quiet rounds (factor 0) keep the 3x-only behavior
-    assert(Bench.recheckTargets(sweep, prev, inflatedFactor = 0.0) === Nil)
-    // the widened cap still bounds a fully-inflated record
+      "q5" -> 0.1, "q6" -> 0.65)
+    assert(Bench.recheckTargets(sweep, prev) === Seq("q3", "q4"))
+    // the cap still bounds a fully-inflated record
     val wide = (1 to 40).map(i => s"w$i" -> 5.0)
     val widePrev = wide.map { case (k, _) => k -> 1.0 }.toMap
-    assert(Bench.recheckTargets(wide, widePrev, cap = 24,
-      inflatedFactor = 2.0).size === 24)
+    assert(Bench.recheckTargets(wide, widePrev, cap = 24).size === 24)
+  }
+
+  test("rest-bucket drift: a uniform ambient inflation classifies as not-provably-quiet (r17 item 2)") {
+    // replayed r17 profile in miniature: every tail query ~1.25x its
+    // prev — no single query trips any per-query bar, but the rest
+    // SUM moves 25%. top = 2 here stands in for TopQueriesOnLine.
+    val prev = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val inflated = (1 to 30).map(i => s"q$i" -> 1.25)
+    val r = Bench.restDriftRatio(inflated, prev, top = 2)
+    assert(math.abs(r - 1.25) < 1e-9)
+    assert(Bench.restDrifted(r))
+    // a quiet replay reads ~1.0 and does not trip
+    val quiet = (1 to 30).map(i => s"q$i" -> 1.05)
+    val rq = Bench.restDriftRatio(quiet, prev, top = 2)
+    assert(math.abs(rq - 1.05) < 1e-9 && !Bench.restDrifted(rq))
+    // improvements never trip (ratio < 1), and the comparison uses
+    // the same tail definition on BOTH sides (top slowest excluded)
+    val better = (1 to 30).map(i => s"q$i" -> 0.8)
+    assert(!Bench.restDrifted(Bench.restDriftRatio(better, prev, top = 2)))
+    // no prev record / empty sweep -> sentinel, never a trip
+    assert(Bench.restDriftRatio(inflated, Map.empty, top = 2) === -1.0)
+    assert(Bench.restDriftRatio(Nil, prev, top = 2) === -1.0)
+    assert(!Bench.restDrifted(-1.0))
   }
 
   test("soloFiLoad: reads the pinned warm load + round tag, sentinels and corrupt files -> None") {
@@ -253,12 +270,12 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(Bench.r2OrNull(0.38) === "0.38")
   }
 
-  test("solo-recheck selection: >3x prev, >0.5s floor, capped, slowest first") {
-    val prev = Map("q124" -> 1.5, "q103" -> 0.44, "q01" -> 0.1, "q88" -> 1.2)
+  test("solo-recheck selection: >1.5x prev, >0.5s floor, capped, slowest first") {
+    val prev = Map("q124" -> 1.5, "q103" -> 0.44, "q01" -> 0.1, "q88" -> 1.4)
     val sweep = Seq(
       "q124" -> 34.4, // 23x prev -> recheck (the r14 poster child)
       "q103" -> 9.43, // 21x prev -> recheck
-      "q88" -> 2.0,   // 1.7x prev -> not an outlier
+      "q88" -> 2.0,   // 1.43x prev -> inside the band
       "q01" -> 0.4,   // 4x prev but under the 0.5s floor -> skip
       "q07" -> 9.9)   // no prev record -> nothing to compare against
     assert(Bench.recheckTargets(sweep, prev) === Seq("q124", "q103"))
