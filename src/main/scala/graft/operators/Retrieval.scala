@@ -102,7 +102,15 @@ object Retrieval {
     * [[searchIndex]] (same shared contribution expression, stats as
     * plan literals), for pipelines that tokenize once and serve many
     * retrieval analyses off one postings table. Bit-identical to the
-    * scan path over the same corpus by construction. */
+    * scan path over the same corpus by construction.
+    *
+    * EAGER at plan-construction time: the query-term postings slice is
+    * localCheckpoint'ed here (two consumers — the df aggregate and the
+    * scoring join — must read one materialization), so calling this
+    * runs a Spark job even if the returned plan is never executed, and
+    * the checkpoint's block ownership transfers to the CALLER —
+    * consume the result and release via [[graft.plans.Blocks.release]]
+    * (explain/audit paths included), or the blocks stay pinned. */
   def bm25ScoresFpFromPostings(
       postings: DataFrame,
       nDocs: Long,

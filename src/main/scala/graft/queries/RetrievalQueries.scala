@@ -45,21 +45,41 @@ object RetrievalQueries {
   private[queries] def corpusPostings(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val hit = postingsCache.get(dir)
     if (hit != null && !hit._1.sparkSession.sparkContext.isStopped) hit
-    else {
-      val base = spread(docs(spark, dir))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val tf = base
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-        .cache()
-      tf.count()
-      val st = base.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("sum_dl")).head()
-      val entry = (tf, st.getLong(0), st.getLong(1))
-      postingsCache.put(dir, entry)
-      entry
-    }
+    // compute(): the former check-then-act could let two concurrent
+    // callers both build and cache(), with the loser's entry silently
+    // overwritten and its cached RDD never unpersisted (dropCaches
+    // only iterates current values) — build atomically, and re-probe
+    // staleness inside the mapping so a lost race returns the winner
+    else postingsCache.compute(dir, (_, cur) => {
+      if (cur != null && !cur._1.sparkSession.sparkContext.isStopped) cur
+      else {
+        val base = spread(docs(spark, dir))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val tf = base
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+          .cache()
+        tf.count()
+        val st = base.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("sum_dl")).head()
+        // consumers derive idf from n_docs = count(documents); the
+        // pre-artifact q158 path computed countDistinct(doc_id) over
+        // the postings. The two agree exactly when every document
+        // tokenizes to >= 1 term (the corpus contract — the tokenizer
+        // never emits an empty array for non-null text, and NULL text
+        // is excluded by contract). Assert it ONCE here, against the
+        // already-cached tf, so a violating corpus fails loudly
+        // instead of silently shifting every idf.
+        val distinctDocs = tf.select(col("doc_id")).distinct().count()
+        require(distinctDocs == st.getLong(0),
+          s"corpusPostings($dir): ${st.getLong(0)} documents but only " +
+            s"$distinctDocs appear in the postings — a document with " +
+            "NULL/untokenizable text violates the idf contract " +
+            "(n_docs = count(documents))")
+        (tf, st.getLong(0), st.getLong(1))
+      }
+    })
   }
 
   /** Materialize the shared postings artifact up front (the
