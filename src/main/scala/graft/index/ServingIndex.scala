@@ -165,22 +165,32 @@ final class ServingIndex(
         val lut = pq.lutFor(pqInput(q))
         id => Quantization.adc(codeFor(id), lut, pq.k)
       }
-    // min-heap of candidates to expand; max-heap of kept results
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
-    val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+    // min-heap of candidates to expand; max-heap of kept results —
+    // primitive (dist, id) array heaps replicating
+    // mutable.PriorityQueue's sift algorithm move-for-move (see
+    // [[DistHeap]]): no Tuple2/boxed-Double allocation per visited
+    // node, and — because the comparisons and element moves are
+    // identical, ties included — the kept pool, the eviction choices
+    // on equal distances, and the drained order are bit-for-bit what
+    // the boxed heaps produced (pinned by DistHeapProps' differential
+    // fuzz against PriorityQueue itself).
+    val candidates = new DistHeap(min = true)
+    val results = new DistHeap(min = false)
     // visited as a bitset: one word load/store per neighbor probe vs a
     // boxed HashSet add/contains — membership semantics identical, so
     // traversal order and the candidate pool are bit-for-bit unchanged
     val visited = new java.util.BitSet(vecs.length)
     val d0 = dist(entryPoint)
-    candidates.enqueue((d0, entryPoint))
-    results.enqueue((d0, entryPoint))
+    candidates.enqueue(d0, entryPoint)
+    results.enqueue(d0, entryPoint)
     visited.set(entryPoint)
     while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
+      val cd = candidates.headDist
+      val c = candidates.headId
+      candidates.removeHead()
       // terminate when the best remaining candidate is worse than the
       // worst kept result and the result list is full
-      if (results.size >= ef && cd > results.head._1) {
+      if (results.size >= ef && cd > results.headDist) {
         candidates.clear()
       } else {
         val nbrs = adj(c)
@@ -193,18 +203,26 @@ final class ServingIndex(
           if (isLive(nb) && !visited.get(nb)) {
             visited.set(nb)
             val nd = dist(nb)
-            if (results.size < ef || nd < results.head._1) {
-              candidates.enqueue((nd, nb))
-              results.enqueue((nd, nb))
-              if (results.size > ef) results.dequeue()
+            if (results.size < ef || nd < results.headDist) {
+              candidates.enqueue(nd, nb)
+              results.enqueue(nd, nb)
+              if (results.size > ef) results.removeHead()
             }
           }
           i += 1
         }
       }
     }
-    val drained: IndexedSeq[(Double, Int)] = results.dequeueAll.toIndexedSeq
-    drained.reverse.map(_._2)
+    // drain max-first into the tail — the exact reverse(dequeueAll)
+    // order of the boxed formulation, equal distances included
+    val out = new Array[Int](results.size)
+    var i = results.size - 1
+    while (results.nonEmpty) {
+      out(i) = results.headId
+      results.removeHead()
+      i -= 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Top-k ANN search. Returns (key, 1-based public id) pairs, nearest
