@@ -26,7 +26,7 @@ object VectorFunctions {
 
   import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
-  import graft.functions.expressions.{BoundedCollectListAgg, DotProduct, FirstEqualIndex, SquaredL2, TopKPairsAgg}
+  import graft.functions.expressions.{BoundedCollectListAgg, DotProduct, FirstEqualIndex, PairExpand, SquaredL2, TopKPairsAgg}
 
   /** Sum of an `ARRAY<DOUBLE>` column, sequential left-to-right fold. */
   private def seqSum(arr: Column): Column =
@@ -85,6 +85,13 @@ object VectorFunctions {
   def boundedCollectList(v: Column, limit: Int): Column =
     ExpressionUtils.column(
       BoundedCollectListAgg(ExpressionUtils.expression(v), limit).toAggregateExpression())
+
+  /** Ordered-pair expansion of a (sorted) ARRAY<BIGINT>: the diagonal
+    * (x, x) plus every (x, y) with y after x, as
+    * ARRAY<STRUCT<a, b>> — native fused loop (see
+    * [[graft.functions.expressions.PairExpand]]). */
+  def pairExpand(ids: Column): Column =
+    ExpressionUtils.column(PairExpand(ExpressionUtils.expression(ids)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

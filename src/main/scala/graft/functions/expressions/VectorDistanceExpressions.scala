@@ -418,6 +418,72 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Ordered-pair expansion of a posting list — the native kernel behind
+  * the shingle pair generator ([[graft.operators.Dedup]]): for a
+  * sorted ARRAY<BIGINT> `ids`, emits `(ids(i), ids(i))` (the diagonal
+  * size-contribution row) followed by `(ids(i), ids(j))` for every
+  * j > i+1... precisely, for each i ascending: the self pair then the
+  * pairs with every later element — the exact flatten order of the
+  * HOF it replaces:
+  * `flatten(transform(ids, (x, i) => concat(array(struct(x, x)),
+  * transform(slice(ids, i + 2, size(ids)), y => struct(x, y)))))`.
+  * The HOF ran interpreted per ELEMENT and the inner `slice`
+  * allocated a fresh tail copy per element (O(f²) copies for an
+  * f-long list); this is one compiled loop writing the output structs
+  * directly. Output size is the same f·(f+1)/2 the HOF materialized —
+  * the hot-shingle cap bounds f on the capped tier, and the uncapped
+  * tier's f² blowup is the caller's documented opt-in. */
+case class PairExpand(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def prettyName: String = "graft_pair_expand"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+
+  def expand(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n * (n + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = v.getLong(i)
+      out(k) = InternalRow(x, x)
+      k += 1
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(x, v.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = expand(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      // one virtual call per posting list into the compiled loop
+      val ref = ctx.addReferenceObj("pairExpandSelf", this, classOf[PairExpand].getName)
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.expand($v)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): PairExpand =
+    copy(child = c)
+}
+
 /** Dot product. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinaryKernel {
   override def prettyName: String = "graft_dot"

