@@ -26,7 +26,7 @@ object VectorFunctions {
 
   import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
-  import graft.functions.expressions.{BoundedCollectListAgg, DotProduct, FirstEqualIndex, PairExpand, SquaredL2, TopKPairsAgg}
+  import graft.functions.expressions.{BoundedCollectListAgg, DotProduct, FirstEqualIndex, PairExpand, SimhashSumsAgg, SquaredL2, TopKPairsAgg}
 
   /** Sum of an `ARRAY<DOUBLE>` column, sequential left-to-right fold. */
   private def seqSum(arr: Column): Column =
@@ -85,6 +85,15 @@ object VectorFunctions {
   def boundedCollectList(v: Column, limit: Int): Column =
     ExpressionUtils.column(
       BoundedCollectListAgg(ExpressionUtils.expression(v), limit).toAggregateExpression())
+
+  /** All SimHash bit-sums in one aggregation buffer — ARRAY<BIGINT>
+    * of length a.length; see
+    * [[graft.functions.expressions.SimhashSumsAgg]]. */
+  def simhashSums(tid: Column, cnt: Column,
+      a: Array[Long], b: Array[Long], p: Long): Column =
+    ExpressionUtils.column(
+      SimhashSumsAgg(ExpressionUtils.expression(tid), ExpressionUtils.expression(cnt),
+        a, b, p).toAggregateExpression())
 
   /** Ordered-pair expansion of a (sorted) ARRAY<BIGINT>: the diagonal
     * (x, x) plus every (x, y) with y after x, as

@@ -851,18 +851,28 @@ object Dedup {
     * complement: bits 0..62 sum < 2^63), matching any BIGINT twin. */
   def simhash(docTokenCounts: DataFrame, bits: Int = 32): DataFrame = {
     require(bits == 32 || bits == 64, s"bits=$bits must be 32 or 64")
-    val bitSums = (0 until bits).map { b =>
-      sum(when(((col("tid") * simA(b) + simB(b)) % MinhashPrime) % 2 === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$b")
-    }
     docTokenCounts.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), bitsToHash(bits).as("simhash"))
+      .agg(simhashSumsAgg(bits).as("ss"))
+      .select(col("doc_id"), sumsToHash(bits).as("simhash"))
   }
 
-  private def bitsToHash(bits: Int) =
+  /** The `bits` bit-sums as ONE native aggregate (long[bits] buffer;
+    * [[graft.functions.expressions.SimhashSumsAgg]]) — the former
+    * `bits` separate sum(when(...)) declarative aggregates evaluated
+    * 32–64 CASE expressions per input row through individual buffer
+    * slots. Same arithmetic, exact integer sums, bit-identical
+    * fingerprints (DedupSpec pins equality against the declarative
+    * formulation). */
+  private def simhashSumsAgg(bits: Int) =
+    graft.functions.VectorFunctions.simhashSums(col("tid"), col("cnt"),
+      (0 until bits).map(simA).toArray, (0 until bits).map(simB).toArray,
+      MinhashPrime)
+
+  /** Fingerprint from the sums array: bit b set iff sum_b > 0 — the
+    * sign tests the per-column bitsToHash ran, over array slots. */
+  private def sumsToHash(bits: Int) =
     (0 until bits).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+      when(element_at(col("ss"), b + 1) > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
 
   /** BOTH sketch widths from ONE aggregation pass: the 64-bit hash
     * family's first 32 functions ARE the 32-bit family (same
@@ -872,16 +882,11 @@ object Dedup {
     * tiers side by side (q198) pays one corpus aggregation, not two.
     * Emits (doc_id, simhash32, simhash64); each column is
     * bit-identical to the corresponding [[simhash]] output. */
-  def simhashBoth(docTokenCounts: DataFrame): DataFrame = {
-    val bitSums = (0 until 64).map { b =>
-      sum(when(((col("tid") * simA(b) + simB(b)) % MinhashPrime) % 2 === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$b")
-    }
+  def simhashBoth(docTokenCounts: DataFrame): DataFrame =
     docTokenCounts.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(simhashSumsAgg(64).as("ss"))
       .select(col("doc_id"),
-        bitsToHash(32).as("simhash32"), bitsToHash(64).as("simhash64"))
-  }
+        sumsToHash(32).as("simhash32"), sumsToHash(64).as("simhash64"))
 
   /** SimHash near-dup PAIRS by banded hamming join (Manku et al.,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07 — the

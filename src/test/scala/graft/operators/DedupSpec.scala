@@ -516,6 +516,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1L, (1L, 1L) -> 1L, (2L, 2L) -> 1L, (3L, 3L) -> 1L))
   }
 
+  test("simhash's native multi-sum aggregate is bit-identical to the declarative formulation") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(1000000).toLong, (rng.nextInt(9) + 1).toLong))
+    val counts = rows.toDF("doc_id", "tid", "cnt").repartition(6)
+    def declarative(bits: Int) = {
+      val bitSums = (0 until bits).map { b =>
+        sum(when(((col("tid") * Dedup.simA(b) + Dedup.simB(b)) % Dedup.MinhashPrime) % 2 === 1,
+          col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
+      }
+      counts.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    def native(bits: Int) =
+      Dedup.simhash(counts, bits).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(native(32) == declarative(32))
+    assert(native(64) == declarative(64))
+    // simhashBoth's shared-sums assembly matches the per-width outputs
+    val both = Dedup.simhashBoth(counts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(both.map(t => (t._1, t._2)) == native(32))
+    assert(both.map(t => (t._1, t._3)) == native(64))
+  }
+
   test("embeddingNearDupPairs routes to the LSH tier above exactThreshold, exact below") {
     val ss = spark
     import ss.implicits._
