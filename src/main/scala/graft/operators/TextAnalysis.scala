@@ -35,9 +35,18 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Word k-shingles joined by single spaces; empty when < k tokens.
+    * One compiled loop per row ([[graft.functions.expressions
+    * .ShingleJoin]]); the HOF twin below is the property-spec
+    * reference. */
+  def shingles(toks: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.ShingleJoin(
+      ExpressionUtils.expression(toks), k))
+
+  /** Interpreted HOF twin of [[shingles]], kept ONLY as the reference
+    * side of the bit-identity property spec (TextStatsKernelSpec).
     * (The when-guard matters: Spark `sequence(1, n)` with n < 1 counts
     * DOWN, unlike DuckDB's empty range.) */
-  def shingles(toks: Column, k: Int): Column =
+  private[graft] def shinglesHof(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)), i =>
         concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
@@ -345,11 +354,31 @@ object TextAnalysis {
 
   /** Per-document statistics block. Input column `text`; appends
     * n_chars, n_tokens, n_distinct_tokens, distinct_ratio,
-    * avg_token_len, stopword_ratio, quality_score. Tokens are
-    * materialized once into a temp column — every stat references the
-    * token array several times, and an unbound `split(...)` argument
-    * would re-tokenize at each reference. */
+    * avg_token_len, stopword_ratio, quality_score. The four token
+    * counts come from ONE compiled pass over the token array
+    * ([[graft.functions.expressions.TextStats]]); the ratio/quality
+    * arithmetic over those exact integers is unchanged, so every
+    * emitted value is bit-identical to the HOF formulation kept
+    * below as the property-spec reference. */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = col("__graft_stats")
+    df.withColumn("__graft_stats",
+        ExpressionUtils.column(graft.functions.expressions.TextStats(
+          ExpressionUtils.expression(tokens(col(textCol))), langMarkers.head._2)))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", st.getField("n_tokens"))
+      .withColumn("n_distinct_tokens", st.getField("n_distinct"))
+      .withColumn("distinct_ratio", st.getField("distinct_ratio"))
+      .withColumn("avg_token_len", st.getField("avg_token_len"))
+      .withColumn("stopword_ratio", st.getField("stopword_ratio"))
+      .withColumn("quality_score", st.getField("quality_score"))
+      .drop("__graft_stats")
+  }
+
+  /** Interpreted HOF twin of [[withTextStats]], kept ONLY as the
+    * reference side of the bit-identity property spec
+    * (TextStatsKernelSpec). */
+  private[graft] def withTextStatsHof(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("__graft_toks")
     val nTok = size(toks)
     val avgLen = round(
